@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-pipeline surface (charter north-star;
+  * SURVEY.md §7.2 step 5). Everything here is composed from built-in
+  * `org.apache.spark.sql.functions` so it stays inside whole-stage codegen —
+  * no Scala UDFs in the hot path. Each function has a line-for-line ANSI SQL
+  * mirror used by the DuckDB oracle (see SparkEntry.oracleSql), so all
+  * arithmetic is written to be bit-identical across engines: integer counts,
+  * exact divisions, `round(_, 4)` on any float output.
+  */
+object TextFunctions {
+
+  /** Number of non-overlapping occurrences of literal `marker` in `c`.
+    * Implemented as (len(x) - len(replace(x, m, ''))) / len(m) — the classic
+    * engine-portable occurrence count (same formula in the oracle SQL).
+    */
+  def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(replace(c, lit(marker), lit("")))) / lit(marker.length))
+      .cast("long")
+
+  /** Whitespace token count: split on single space, count parts (empties
+    * included — mirrors DuckDB `len(str_split(x, ' '))`). */
+  def wsTokenCount(c: Column): Column =
+    size(split(c, " ", -1)).cast("long")
+
+  /** BPE-ish word token count: maximal runs of [a-z0-9] (pattern chosen to
+    * behave identically under Java regex and RE2). */
+  def reTokenCount(c: Column): Column =
+    regexp_count(c, lit("[a-z0-9]+")).cast("long")
+
+  /** Marker-word language-ID heuristic (n-gram/stopword based). Counts
+    * per-language marker hits and picks the argmax with a fixed tie-break
+    * order (zh > en > de > fr > es > und). Deterministic, oracle-mirrorable.
+    */
+  def langIdHeuristic(c: Column): Column = {
+    // Pad so word-boundary markers also match at string edges.
+    val padded = concat(lit(" "), c, lit(" "))
+    val en = occurrences(padded, " the ") + occurrences(padded, " and ") + occurrences(padded, " of ")
+    val de = occurrences(padded, " der ") + occurrences(padded, " und ") + occurrences(padded, " die ")
+    val fr = occurrences(padded, " le ") + occurrences(padded, " la ") + occurrences(padded, " et ")
+    val es = occurrences(padded, " el ") + occurrences(padded, " los ") + occurrences(padded, " y ")
+    val zh = occurrences(c, "的")
+    when(zh > 0, "zh")
+      .when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Heuristic document quality score in [0,1]: length credit + stopword
+    * ratio + punctuation penalty. Linear arithmetic only (no libm calls whose
+    * last-ulp behavior could differ between engines), rounded to 4 places.
+    */
+  def qualityScore(c: Column): Column = {
+    val words = wsTokenCount(c)
+    val padded = concat(lit(" "), c, lit(" "))
+    val stopHits = occurrences(padded, " the ") + occurrences(padded, " a ") +
+      occurrences(padded, " of ") + occurrences(padded, " and ") + occurrences(padded, " to ")
+    val punct = occurrences(c, ".") + occurrences(c, ",") + occurrences(c, "!")
+    val chars = length(c).cast("long")
+    val lengthCredit = least(lit(1.0), words.cast("double") / lit(200.0))
+    val stopRatio = stopHits.cast("double") / greatest(words, lit(1L)).cast("double")
+    val punctRatio = punct.cast("double") / greatest(chars, lit(1L)).cast("double")
+    round(lengthCredit * lit(0.5) + stopRatio * lit(0.3) + (lit(1.0) - punctRatio) * lit(0.2), 4)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch analytics parity with the reference's five endpoints
+  * (`/root/reference/routes/analytics.js` — SURVEY.md §2.2–2.6).
+  *
+  * Tenant mapping (SURVEY.md §7.0): the reference scopes every query by
+  * `tenant_id` from the JWT; the testdata stand-ins are `o_orderpriority`
+  * (orders-side tenant, 5 values) and `c_mktsegment` (customer-side tenant,
+  * 5 values). Equality filters on them hit parquet row-group stats the way
+  * the reference's `idx_*_tenant` B-trees hit heap pages
+  * (`migrations/init.sql:16,46,62`).
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY.md §7.4): every float
+  * aggregate is `round(_, 2)`, every `first()`/`LIMIT 1` nondeterminism is
+  * replaced by `min()`, and every result carries a total ORDER BY.
+  */
+object Analytics {
+  /** Stand-in for the reference's `WHERE tenant_id = $1` on orders. */
+  val OrdersTenant = "1-URGENT"
+  /** Stand-in tenant filter on the customers side. */
+  val CustomerTenant = "BUILDING"
+
+  // --- A1: GET /api/overview (`routes/analytics.js:33-39`) -----------------
+  // Four scalar aggregates over two tables; the reference's `LIMIT 1`
+  // currency pick is nondeterministic, so both engine and oracle use min().
+  def overview(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .agg(
+        count(lit(1)).as("total_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_revenue"),
+        min("o_orderstatus").as("currency"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === CustomerTenant)
+      .agg(count(lit(1)).as("total_customers"))
+    // Two 1-row aggregates; the cross join is a trivial broadcast.
+    c.crossJoin(o)
+  }
+
+  val overviewSql: String =
+    s"""SELECT (SELECT COUNT(*) FROM customer WHERE c_mktsegment = '$CustomerTenant') AS total_customers,
+       |COUNT(*) AS total_orders,
+       |ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_revenue,
+       |MIN(o_orderstatus) AS currency
+       |FROM orders WHERE o_orderpriority = '$OrdersTenant'""".stripMargin
+
+  // --- A2: GET /api/orders-by-date (`routes/analytics.js:54-72`) -----------
+  // Hash aggregate on a computed day key; partial (map-side) aggregation is
+  // automatic, so the shuffle carries one row per (day) not per order.
+  // Day buckets surface as ISO 'yyyy-MM-dd' STRINGS, not DATE: parquet
+  // date32 and DuckDB DATE render differently under pandas-style hashing
+  // (datetime.date vs datetime64), and ISO strings sort identically to dates.
+  def ordersByDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum("o_totalprice"), 2).as("daily_revenue"))
+      .orderBy(col("order_date").desc)
+
+  val ordersByDateSql: String =
+    s"""SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+       |COUNT(*) AS order_count,
+       |ROUND(SUM(o_totalprice), 2) AS daily_revenue
+       |FROM orders WHERE o_orderpriority = '$OrdersTenant'
+       |GROUP BY STRFTIME(o_orderdate, '%Y-%m-%d')
+       |ORDER BY order_date DESC""".stripMargin
+
+  // --- A3 intended: top customers joined on the real key -------------------
+  // The reference's J2 lacks a customer key (orders carry none,
+  // `migrations/init.sql:50-60`); the intended semantics join
+  // o_custkey = c_custkey. Shuffle hash join on the key; top-5 plans as
+  // TakeOrderedAndProject (distributed top-k, no global sort).
+  def topCustomersIntended(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === CustomerTenant)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count("o_orderkey").as("order_count"),
+        round(sum("o_totalprice"), 2).as("total_spent"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(5)
+  }
+
+  val topCustomersIntendedSql: String =
+    s"""SELECT c_custkey, c_name,
+       |COUNT(o_orderkey) AS order_count,
+       |ROUND(SUM(o_totalprice), 2) AS total_spent
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = '$CustomerTenant'
+       |GROUP BY c_custkey, c_name
+       |ORDER BY total_spent DESC, c_custkey
+       |LIMIT 5""".stripMargin
+
+  // --- A3 faithful: the reference's per-tenant fan-out join ----------------
+  // `routes/analytics.js:85-97` joins orders⟕customers on tenant_id ONLY, so
+  // every customer of the tenant is credited with every order. Observed
+  // semantics = (orders of tenant) × (customers of tenant). Instead of
+  // materializing the cross product, aggregate the orders side to ONE row
+  // first and broadcast it — the only plan that survives 100 TB. Counts are
+  // recovered exactly (per-name multiplicity × order count); the rounded sum
+  // matches the oracle because both round to cents on ~1e-15-relative-error
+  // doubles.
+  def topCustomersFaithful(spark: SparkSession, dir: String): DataFrame = {
+    val ordersAgg = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .agg(
+        count(lit(1)).as("ord_cnt"),
+        coalesce(sum("o_totalprice"), lit(0.0)).as("ord_sum"))
+    val custNames = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === CustomerTenant)
+      .groupBy(coalesce(col("c_name"), lit("Unknown")).as("name"))
+      .agg(count(lit(1)).as("name_cnt"))
+    custNames.crossJoin(broadcast(ordersAgg))
+      .select(
+        col("name"),
+        (col("name_cnt") * col("ord_cnt")).as("order_count"),
+        round(col("name_cnt") * col("ord_sum"), 2).as("total_spent"))
+      .orderBy(col("total_spent").desc, col("name"))
+      .limit(5)
+  }
+
+  val topCustomersFaithfulSql: String =
+    s"""SELECT COALESCE(c_name, 'Unknown') AS name,
+       |COUNT(*) AS order_count,
+       |ROUND(SUM(o_totalprice), 2) AS total_spent
+       |FROM (SELECT o_totalprice FROM orders WHERE o_orderpriority = '$OrdersTenant') o
+       |CROSS JOIN (SELECT c_name FROM customer WHERE c_mktsegment = '$CustomerTenant') c
+       |GROUP BY COALESCE(c_name, 'Unknown')
+       |ORDER BY total_spent DESC, name
+       |LIMIT 5""".stripMargin
+
+  // --- O1: GET /api/orders (`routes/analytics.js:112-123`) -----------------
+  // Sort-desc + limit plans as TakeOrderedAndProject: each partition keeps
+  // its local top-10, the driver merges — no global sort at any scale.
+  def recentOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(10)
+
+  val recentOrdersSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+       |FROM orders WHERE o_orderpriority = '$OrdersTenant'
+       |ORDER BY o_orderdate DESC, o_orderkey DESC
+       |LIMIT 10""".stripMargin
+
+  // --- J1: users⋈tenants (`routes/analytics.js:15-20`) ---------------------
+  // Point lookup + two dimension joins; nation/region are true dims, so they
+  // are explicitly broadcast (Catalyst would pick it anyway under the
+  // 10 MB threshold, but at 100 TB being explicit documents intent).
+  def customerRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") === 42L)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "c_name", "n_name", "r_name")
+
+  val customerRegionSql: String =
+    """SELECT c_custkey, c_name, n_name, r_name
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE c_custkey = 42""".stripMargin
+
+  // --- S3: point lookup by key (`routes/analytics.js:136`) -----------------
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") === 1L)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+  val pointLookupSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey = 1""".stripMargin
+
+  // --- TPC-H Q1-shaped pricing summary ------------------------------------
+  // Not in the reference (it has no lineitem analogue) but the headline
+  // large-fact aggregation for the bench: one scan, map-side partial agg,
+  // 32-way shuffle of ~6 groups.
+  def lineitemPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val lineitemPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      |ROUND(AVG(l_discount), 4) AS avg_disc,
+      |COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table (charter north-star):
+  * token counting, language ID, quality scoring, fingerprinting. Each query
+  * has a line-for-line DuckDB SQL mirror; arithmetic is engine-portable
+  * (integer counts, exact divisions, round(_,4) on floats) — see
+  * [[graft.functions.TextFunctions]].
+  */
+object TextAnalysis {
+
+  // --- token / length stats -------------------------------------------------
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("char_len"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      reTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |LENGTH(text) AS char_len,
+      |LEN(STR_SPLIT(text, ' ')) AS ws_tokens,
+      |LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- language ID -----------------------------------------------------------
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      langIdHeuristic(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  // occurrences(x, m) ≡ CAST((LENGTH(x) - LENGTH(REPLACE(x, m, ''))) / LENGTH(m) AS BIGINT)
+  private def occSql(x: String, m: String): String =
+    s"CAST((LENGTH($x) - LENGTH(REPLACE($x, '$m', ''))) / ${m.length} AS BIGINT)"
+
+  val langIdSql: String = {
+    val p = "(' ' || text || ' ')"
+    val en = s"(${occSql(p, " the ")} + ${occSql(p, " and ")} + ${occSql(p, " of ")})"
+    val de = s"(${occSql(p, " der ")} + ${occSql(p, " und ")} + ${occSql(p, " die ")})"
+    val fr = s"(${occSql(p, " le ")} + ${occSql(p, " la ")} + ${occSql(p, " et ")})"
+    val es = s"(${occSql(p, " el ")} + ${occSql(p, " los ")} + ${occSql(p, " y ")})"
+    val zh = occSql("text", "的")
+    s"""SELECT doc_id,
+       |CASE WHEN $zh > 0 THEN 'zh'
+       |WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+       |WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+       |WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+       |WHEN $es > 0 THEN 'es'
+       |ELSE 'und' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --- quality score ----------------------------------------------------------
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualitySql: String = {
+    val p = "(' ' || text || ' ')"
+    val words = "LEN(STR_SPLIT(text, ' '))"
+    val stop = s"(${occSql(p, " the ")} + ${occSql(p, " a ")} + ${occSql(p, " of ")} + ${occSql(p, " and ")} + ${occSql(p, " to ")})"
+    val punct = s"(${occSql("text", ".")} + ${occSql("text", ",")} + ${occSql("text", "!")})"
+    s"""SELECT doc_id,
+       |ROUND(LEAST(1.0, CAST($words AS DOUBLE) / 200.0) * 0.5
+       | + CAST($stop AS DOUBLE) / CAST(GREATEST($words, 1) AS DOUBLE) * 0.3
+       | + (1.0 - CAST($punct AS DOUBLE) / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)) * 0.2, 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --- word-set Jaccard of consecutive doc pairs ------------------------------
+  // The oracle-checked verify stage of near-dup detection: score a given
+  // candidate pair list (here: (i, i+1)) with exact set Jaccard.
+  def pairJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ", -1)).as("w_a"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      array_distinct(split(col("text"), " ", -1)).as("w_b"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"), round(Dedup.jaccard(col("w_a"), col("w_b")), 4).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val pairJaccardSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |ROUND(
+      |  CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STR_SPLIT(a.text, ' ')), LIST_DISTINCT(STR_SPLIT(b.text, ' ')))) AS DOUBLE)
+      |  / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(STR_SPLIT(a.text, ' '), STR_SPLIT(b.text, ' ')))) AS DOUBLE)
+      |, 4) AS jaccard
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin
+
+  // --- document fingerprint (rolling hash) -------------------------------------
+  // Polynomial rolling hash over the first/last shingles — not expressible in
+  // portable SQL, so no oracle (rows-only check); exact values pinned in
+  // TextAnalysisSpec instead.
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      xxhash64(col("text")).as("content_fp"),
+      Dedup.simhash(col("text")).as("simhash_fp"))
+      .orderBy("doc_id")
+}

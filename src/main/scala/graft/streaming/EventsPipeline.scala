@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Merge
+
+/** The streaming surface the reference designed but never built
+  * (SURVEY.md §2.7): a webhook-events pipeline with exactly-once dedup on a
+  * delivery key (`webhook_events.delivery_hash UNIQUE`,
+  * `migrations/init.sql:25`) and an event-time daily aggregate (the
+  * incremental twin of the orders-by-date endpoint).
+  *
+  * Design rule: every transform exists as a batch DataFrame function AND a
+  * streaming one over the same schema, so correctness of the streaming path
+  * is proven by batch-equivalence (the DuckDB oracle can't see streams —
+  * SURVEY.md §7.4 risk 5). `events` maps: event_id ≙ delivery_hash,
+  * ts ≙ event time, props ≙ raw_payload.
+  */
+object EventsPipeline {
+
+  // --- dedup (S6 + delivery_hash semantics) --------------------------------
+
+  /** Batch twin: keep one row per event_id — the latest by ts (user_id as
+    * the deterministic tie-break). */
+  def dedupLatest(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_id").orderBy(col("ts").desc, col("user_id"))
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Streaming dedup: state-bounded exactly-once on the delivery key. The
+    * watermark bounds how long a key is remembered — the streaming analogue
+    * of the UNIQUE constraint, with state that can actually be reclaimed.
+    */
+  def dedupStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- daily aggregate (incremental A2) -------------------------------------
+
+  /** Tumbling 1-day event-time window aggregate. Used verbatim in batch and
+    * streaming (window() is supported in both), so the twin proof is literal.
+    */
+  def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        to_date(col("w.start")).as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant: same aggregate behind a watermark (late data beyond
+    * 1 day is dropped; OutputMode.Append emits finalized windows only). */
+  def dailyAggStreaming(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        to_date(col("w.start")).as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // --- end-to-end file-source pipeline --------------------------------------
+
+  /** File-source stream (the drop-directory stand-in for webhook delivery /
+    * Kafka): parquet drops in `inDir` → dedup → foreachBatch upsert into a
+    * parquet table at `outDir`, keyed by event_id. Exactly-once to the sink
+    * comes from dedup state + idempotent Merge.upsert per micro-batch.
+    */
+  def runFileStream(spark: SparkSession, inDir: String, outDir: String,
+                    checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(inDir)
+    dedupStreaming(src)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target = try {
+          spark.read.parquet(outDir)
+        } catch { case _: Throwable => batch.limit(0) }
+        // version = ts: last-write-wins per event_id across batches
+        val merged = Merge.upsert(target, batch, Seq("event_id"), "ts")
+        merged.persist()
+        merged.count() // materialize before overwriting the input path
+        merged.write.mode("overwrite").parquet(outDir)
+        merged.unpersist()
+        ()
+      }
+      .start()
+  }
+}

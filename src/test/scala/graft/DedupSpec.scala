@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),          // near dup of 0
+    (3L, "completely different words about spark and catalyst engines"),
+    (4L, "short")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds exact duplicates, keeps min id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").select("keep_id", "dup_count").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("dropExactDuplicates keeps one representative per content") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("wordShingles produces k-grams; short docs fall back to whole text") {
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .filter(col("doc_id") === 0L).select("sh").as[Seq[String]].head()
+    assert(sh.head == "the quick brown")
+    assert(sh.last == "the lazy dog")
+    assert(sh.length == 7) // 9 words -> 7 trigrams
+    val short = docs.filter(col("doc_id") === 4L)
+      .select(Dedup.wordShingles(col("text"), 3).as("sh")).as[Seq[String]].head()
+    assert(short == Seq("short"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val j = spark.range(1).select(
+      Dedup.jaccard(array(lit("a"), lit("b")), array(lit("a"), lit("b"))).as("same"),
+      Dedup.jaccard(array(lit("a")), array(lit("b"))).as("disj"))
+      .as[(Double, Double)].head()
+    assert(j == ((1.0, 0.0)))
+  }
+
+  test("minhash signature approximates jaccard; identical docs have identical sigs") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", numPerm = 64, shingleK = 1)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(1L)) // exact dup -> identical signature
+    // near dup (8/10 word jaccard): most minhash coords agree
+    val agree01vs2 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree01vs2 > 32, s"expected >32/64 agreement for near-dups, got $agree01vs2")
+    // unrelated doc: few coords agree
+    val agree0vs3 = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree0vs3 < 16, s"expected <16/64 agreement for unrelated docs, got $agree0vs3")
+  }
+
+  test("nearDuplicatePairs finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        threshold = 0.7, numPerm = 64, bands = 16, shingleK = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical texts equal; near-dups closer than unrelated") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    val near = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
+    val far = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("hammingDistance column matches JVM popcount") {
+    val d = spark.range(1).select(
+      Dedup.hammingDistance(lit(0xff00L), lit(0x0ff0L)).as("d")).as[Int].head()
+    assert(d == java.lang.Long.bitCount(0xff00L ^ 0x0ff0L))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("cosine: self=1, orthogonal=0, opposite=-1") {
+    val r = spark.range(1).select(
+      VectorFunctions.cosine(array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))).as("self"),
+      VectorFunctions.cosine(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0))).as("orth"),
+      VectorFunctions.cosine(array(lit(1.0), lit(0.0)), array(lit(-1.0), lit(0.0))).as("opp"))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12)
+    assert(math.abs(r._2) < 1e-12)
+    assert(math.abs(r._3 + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k best neighbours, excludes self") {
+    // 4 vectors: 0 and 1 nearly parallel, 2 orthogonal, 3 opposite to 0
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.01f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, Seq(0L), 2)
+      .orderBy(desc("sim")).select("cand_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("IVF with nprobe=all clusters matches brute force exactly") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val probes = Seq(0L, 1L, 2L)
+    val bf = Similarity.bruteForceTopK(e, probes, 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, probes, 3, nprobe = 10) // all 10 clusters
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("IVF recall improves with nprobe (near-uniform data: wide probes needed)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val probes = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(e, probes, 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recallAt(np: Int) = {
+      val ivf = Similarity.ivfTopK(e, probes, 3, nprobe = np)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      (bf intersect ivf).size.toDouble / bf.size
+    }
+    val r3 = recallAt(3); val r6 = recallAt(6)
+    assert(r6 >= r3, s"recall must not degrade with more probes: r3=$r3 r6=$r6")
+    assert(r6 >= 0.5, s"IVF nprobe=6 recall $r6 < 0.5")
+  }
+
+  test("LSH near-dup pairs achieve high recall vs exact at the same threshold") {
+    val e = Tables.embeddings(spark, Sf0001) // 500 vecs
+    val exact = Similarity.embeddingNearDupExact(e, maxId = 500L, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupLsh(e, dim = 64, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH must never report a false pair (verified by exact cosine)")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall < 0.8 (found ${lsh.size}/${exact.size})")
+  }
+
+  test("centroids are elementwise means (unit check on a tiny frame)") {
+    val e = Seq(
+      (0L, Seq(0.0f, 2.0f), 0), (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(4.0f, 4.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val c = Similarity.centroids(e).orderBy("cluster")
+      .select("centroid").as[Seq[Double]].collect()
+    assert(c(0) == Seq(1.0, 1.0))
+    assert(c(1) == Seq(4.0, 4.0))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsPipeline
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Streaming ops are proven by batch-equivalence (SURVEY.md §7.4 risk 5):
+  * the oracle can't see streams, so each streaming transform is compared
+  * against its batch twin on the same input. */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Ev(1L, t("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+    Ev(1L, t("2024-01-01 10:00:05"), 8L, "click", 2.0, "{}"), // dup delivery, later ts
+    Ev(2L, t("2024-01-01 11:00:00"), 7L, "view", 3.0, "{}"),
+    Ev(3L, t("2024-01-02 09:00:00"), 9L, "click", 4.0, "{}"),
+    Ev(3L, t("2024-01-02 09:00:00"), 9L, "click", 4.0, "{}")  // exact dup
+  )
+
+  test("batch dedupLatest keeps one row per event_id (latest ts)") {
+    val out = EventsPipeline.dedupLatest(sample.toDF())
+      .orderBy("event_id").as[Ev].collect()
+    assert(out.map(_.event_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.value == 2.0) // later delivery won
+  }
+
+  test("streaming dropDuplicatesWithinWatermark matches batch-twin key set") {
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample: _*)
+    val q = EventsPipeline.dedupStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming daily aggregate equals batch twin on the same input") {
+    val batch = EventsPipeline.dailyAgg(sample.toDF())
+      .orderBy("day", "event_type")
+      .as[(java.sql.Date, String, Long, Double)].collect().toSeq
+
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample: _*)
+    val q = EventsPipeline.dailyAggStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("complete").start() // complete: no watermark-close needed
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("daily_out")
+      .orderBy("day", "event_type")
+      .as[(java.sql.Date, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("file-source pipeline: stream-dedup + foreachBatch upsert is exactly-once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val schemaFrom = sample.toDF()
+    // batch 1 lands
+    sample.take(3).toDF().write.mode("append").parquet(inDir)
+    val q = EventsPipeline.runFileStream(spark, inDir, outDir, ckpt, schemaFrom)
+    try {
+      q.processAllAvailable()
+      // batch 2: replayed event 1 (duplicate delivery) + new event 4
+      (sample.drop(3) :+ Ev(4L, t("2024-01-02 10:00:00"), 5L, "view", 9.0, "{}"))
+        .toDF().write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L), s"got ${out.toSeq}")
+  }
+}

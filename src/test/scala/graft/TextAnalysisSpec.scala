@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("occurrences counts non-overlapping literal hits") {
+    val r = Seq("a the b the c").toDF("t")
+      .select(TextFunctions.occurrences(col("t"), " the ").as("n")).as[Long].head()
+    assert(r == 2L)
+  }
+
+  test("token counts: whitespace split vs regex runs") {
+    val r = Seq("one two  three 4x").toDF("t").select(
+      TextFunctions.wsTokenCount(col("t")).as("ws"),
+      TextFunctions.reTokenCount(col("t")).as("re")).as[(Long, Long)].head()
+    // split on single space keeps the empty token from the double space;
+    // regex runs: one, two, three, 4x (digits+letters are one run)
+    assert(r == ((5L, 4L)))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val r = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze und der vogel",
+      "le chat et la maison et le chien",
+      "el gato y los perros y el raton",
+      "这是的测试",
+      "xyzzy plugh").toDF("t")
+      .select(TextFunctions.langIdHeuristic(col("t")).as("l")).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-rich prose") {
+    val r = Seq(
+      "the history of the region and the people began a long time ago",
+      ",,,,. .. ,,,, !!!").toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(r.forall(q => q >= 0.0 && q <= 1.0))
+    assert(r(0) > r(1))
+  }
+}

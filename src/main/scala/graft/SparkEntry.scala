@@ -67,10 +67,23 @@ object SparkEntry {
         .orderBy("keep_id")),
     // word-level (k=1) sets: this synthetic corpus shares so much vocabulary
     // that 3-gram shingles never collide; τ=0.9 with 8 rows/band keeps the
-    // candidate volume sane (collision prob .99 at j=.9, .13 at j=.6)
+    // candidate volume sane (collision prob .99 at j=.9, .13 at j=.6).
+    // Pair LISTING is O(matches) — quadratic on this degenerate corpus — so
+    // the audit query runs on a bounded id slice; the full-corpus scale path
+    // is minhash_dedup_keep below (linear, no pair materialization).
     "minhash_near_dup" -> ((s: SparkSession, d: String) =>
-      Dedup.nearDuplicatePairs(Tables.documents(s, d), "text", "doc_id",
+      Dedup.nearDuplicatePairs(
+          Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
           threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1)
+        .orderBy("id_a", "id_b")),
+    "minhash_dedup_keep" -> ((s: SparkSession, d: String) =>
+      Dedup.lshDedupKeep(Tables.documents(s, d), "text", "doc_id",
+          numPerm = 64, bands = 8, shingleK = 1)
+        .orderBy("doc_id")),
+    "simhash_near_dup" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashNearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
+          maxDist = 7, bands = 8)
         .orderBy("id_a", "id_b")),
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,

@@ -29,18 +29,29 @@ object Dedup {
     docs.join(groups, Seq(idCol), "left_semi")
   }
 
+  /** Evaluate-once binding for an expensive array-valued expression: wraps it
+    * in a single-element array and pipes it through a `transform` lambda,
+    * whose input is evaluated exactly once per row. Without this, Catalyst's
+    * CollapseProject inlines a projected column into every downstream
+    * reference — an expression referenced 64 times gets computed 64 times
+    * per row (measured: 25 ms/doc for LSH band keys vs <1 ms bound).
+    */
+  private def bindOnce(expensive: Column)(body: Column => Column): Column =
+    element_at(transform(array(expensive), body), 1)
+
   /** Word k-shingles as an array column: w₀‥wₖ₋₁, w₁‥wₖ, …  Docs shorter
     * than k words contribute their whole text as a single shingle so they
-    * still participate in dedup.
+    * still participate in dedup. The split-words array is bound once — the
+    * gram lambda references it k times per gram.
     */
-  def wordShingles(textCol: Column, k: Int): Column = {
-    val words = split(textCol, " ", -1)
-    val n = size(words)
-    val grams = transform(
-      sequence(lit(0), n - lit(k)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(words, (i + lit(j + 1)).cast("int"))): _*))
-    when(n >= k, grams).otherwise(array(textCol))
-  }
+  def wordShingles(textCol: Column, k: Int): Column =
+    bindOnce(split(textCol, " ", -1)) { words =>
+      val n = size(words)
+      val grams = transform(
+        sequence(lit(0), n - lit(k)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(words, (i + lit(j + 1)).cast("int"))): _*))
+      when(n >= k, grams).otherwise(array(textCol))
+    }
 
   /** Exact Jaccard similarity of two set-valued array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -65,11 +76,13 @@ object Dedup {
     * hash — fully codegen, no UDF.
     */
   def minhashSignature(shingles: Column, perms: Seq[(Long, Long)]): Column = {
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))
     val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    transform(permArr, p =>
-      array_min(transform(hashes, x =>
-        pmod(p.getField("a") * x + p.getField("b"), lit(MersennePrime)))))
+    // shingle hashes are bound once — every permutation lambda re-reads them
+    bindOnce(transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))) { hashes =>
+      transform(permArr, p =>
+        array_min(transform(hashes, x =>
+          pmod(p.getField("a") * x + p.getField("b"), lit(MersennePrime)))))
+    }
   }
 
   /** docs → (id, shingles, sig). The narrow signature frame that feeds LSH. */
@@ -87,12 +100,14 @@ object Dedup {
     */
   def lshBands(sigs: DataFrame, idCol: String, numPerm: Int, bands: Int): DataFrame = {
     val rows = numPerm / bands
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band_idx"),
-        xxhash64(concat_ws(",", (0 until rows).map(ri =>
-          element_at(col("sig"), bi * rows + ri + 1)): _*)).as("band_key"))
+    // the signature array is bound once per row; each band hashes its slice
+    // (xxhash64 accepts array input directly — no string concat needed)
+    val bandArr = bindOnce(col("sig")) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)), bi =>
+        struct(bi.cast("int").as("band_idx"),
+          xxhash64(slice(sig, bi * lit(rows) + lit(1), lit(rows))).as("band_key")))
     }
-    sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    sigs.select(col(idCol), explode(bandArr).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
   }
 
@@ -110,20 +125,50 @@ object Dedup {
 
   /** Near-duplicate pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ threshold. The only joins are (a) band-key equi-joins and
-    * (b) two id equi-joins to re-attach shingles — no cross product anywhere.
+    * (b) two id equi-joins to re-attach shingle sets — no cross product
+    * anywhere. The verify side carries each doc's shingle set as a compact
+    * `array<long>` of xxhash64 values (set semantics are identical modulo
+    * negligible 64-bit collisions), so the pair shuffle moves ~8 bytes per
+    * shingle instead of the full shingle strings.
+    *
+    * Scale note: the pair LISTING is inherently O(matches); on a corpus where
+    * the threshold admits a quadratic fraction of pairs, cap the input slice
+    * for audits and use [[lshDedupKeep]] (linear) for the actual dedup pass.
     */
   def nearDuplicatePairs(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, numPerm: Int = 64, bands: Int = 16,
                          shingleK: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK)
     val cands = lshCandidatePairs(sigs, idCol, numPerm, bands)
-    val sh = sigs.select(col(idCol), col("shingles"))
+    val sets = sigs.select(col(idCol),
+      array_distinct(transform(col("shingles"), s => xxhash64(s))).as("sset"))
     cands
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", round(jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))), 4))
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sset", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sset", "set_b"), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("set_a"), col("set_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Linear-cost MinHash/LSH dedup filter — the 100 TB path. Instead of
+    * materializing candidate PAIRS (O(Σ bucket²), quadratic in degenerate
+    * corpora), each LSH bucket elects its minimum id as representative and
+    * every doc keeps the smallest representative over its `bands` buckets:
+    * `keep = (rep_id == own id)`. Two narrow shuffles, both O(n·bands) rows
+    * of (id, band_key) — bucket size never gets squared. Greedy single-pass
+    * clustering: a doc is dropped iff it collides with a smaller-id doc in
+    * at least one band (collision prob ≈ 1-(1-j^r)^b, r = numPerm/bands).
+    */
+  def lshDedupKeep(docs: DataFrame, textCol: String, idCol: String,
+                   numPerm: Int = 64, bands: Int = 8,
+                   shingleK: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK)
+    val b = lshBands(sigs, idCol, numPerm, bands)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
+    b.withColumn("bucket_min", min(col(idCol)).over(w))
+      .groupBy(col(idCol))
+      .agg(min(col("bucket_min")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col(idCol))
   }
 
   /** 64-bit SimHash over word tokens: bit i is set iff the sum over tokens
@@ -150,4 +195,40 @@ object Dedup {
 
   /** Hamming distance between two simhash longs (popcount of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs at scale: the 64-bit fingerprint is cut into
+    * `bands` chunks; docs colliding on ANY chunk are candidates (pigeonhole:
+    * every pair with hamming distance < bands is guaranteed to collide
+    * somewhere), then verified with exact hamming ≤ maxDist. Self-join is an
+    * equi-join on (band_idx, band_key) — never O(n²) on the corpus.
+    */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                          maxDist: Int = 7, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val chunk = 64 / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
+    val fps = docs.select(col(idCol), simhash(col(textCol)).as("fp"))
+    // bind the fingerprint once (CollapseProject would otherwise inline the
+    // whole simhash aggregate into each of the `bands` chunk extractions)
+    val bandArr = bindOnce(array(col("fp"))) { fpArr =>
+      transform(sequence(lit(0), lit(bands - 1)), bi =>
+        struct(bi.cast("int").as("band_idx"),
+          call_function("shiftright", element_at(fpArr, 1), bi * lit(chunk))
+            .bitwiseAND(lit(mask)).as("band_key")))
+    }
+    val banded = fps.select(col(idCol), explode(bandArr).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.band_key"))
+    val cands = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(fps.select(col(idCol).as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fps.select(col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -118,15 +118,22 @@ object Similarity {
       val planes = allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
       struct(lit(t).as("tbl"), hyperplaneBucket(col("v"), planes).as("bucket"))
     }
-    val bucketed = e.select(col("vec_id"), col("v"),
-      explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("tbl", "bucket"))
+    // Candidates are generated and de-duplicated as bare (id_a, id_b) longs;
+    // vectors are re-attached by equi-join only for the surviving pairs. The
+    // wide array<double> payload never rides through the pair shuffle — at
+    // 16 tables a vector would otherwise be duplicated into every colliding
+    // pair twice over.
+    val bucketed = e.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

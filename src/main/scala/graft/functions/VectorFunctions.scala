@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double, sequential left-to-right accumulation. */
+  /** Σ aᵢ·bᵢ in double, sequential left-to-right accumulation. Backed by the
+    * custom codegen [[org.apache.spark.sql.graft.DotProduct]] expression — bit-identical
+    * to the HOF formulation [[dotHof]] it replaced, but a primitive Java loop
+    * instead of interpreted per-element eval (HOFs are CodegenFallback).
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(org.apache.spark.sql.graft.DotProduct(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a.cast("array<double>")),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Reference HOF formulation of [[dot]] — kept for the equivalence spec. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

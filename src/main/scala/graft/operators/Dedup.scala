@@ -173,24 +173,15 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: bit i is set iff the sum over tokens
     * of ±1 (sign of bit i of xxhash64(token)) is ≥ 0. Near-dups have small
-    * Hamming distance. Single pass over the tokens: the aggregate buffer is
-    * the 64 per-bit counters; the finish step packs signs into one long.
-    * Pure HOF expression (call_function for column-valued shift amounts).
+    * Hamming distance. Tokenize + hash stays declarative; the 64-counter
+    * sign-pack loop is the custom codegen [[org.apache.spark.sql.graft.SimHash64]]
+    * expression (the HOF aggregate formulation was interpreted per element —
+    * ~3.5k boxed ops/doc).
     */
   def simhash(textCol: Column): Column = {
-    val tokens = split(textCol, " ", -1)
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bitIdx = sequence(lit(0), lit(63))
-    aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitIdx, (c, i) =>
-        c + call_function("shiftright", h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
-      acc => aggregate(
-        zip_with(acc, bitIdx, (c, i) =>
-          when(c >= 0L, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-        lit(0L),
-        (s, x) => s + x))
+    val hashes = transform(split(textCol, " ", -1), t => xxhash64(t))
+    org.apache.spark.sql.graft.ColumnBridge.column(org.apache.spark.sql.graft.SimHash64(
+      org.apache.spark.sql.graft.ColumnBridge.expression(hashes)))
   }
 
   /** Hamming distance between two simhash longs (popcount of xor). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -118,25 +118,40 @@ object Similarity {
       val planes = allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
       struct(lit(t).as("tbl"), hyperplaneBucket(col("v"), planes).as("bucket"))
     }
-    // Candidates are generated and de-duplicated as bare (id_a, id_b) longs;
-    // vectors are re-attached by equi-join only for the surviving pairs. The
-    // wide array<double> payload never rides through the pair shuffle — at
-    // 16 tables a vector would otherwise be duplicated into every colliding
-    // pair twice over.
-    val bucketed = e.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
-    val cands = a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cands
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
-      .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+    // Each bucket verifies its own pairs in one pass: collect the bucket's
+    // (id, vector) list, generate the intra-bucket pair triangle inside a
+    // nested HOF expression with the codegen dot product, and emit only the
+    // survivors. The only shuffles are the bucket groupBy (n·tables narrow
+    // rows) and a final dropDuplicates over the verified matches — candidate
+    // pairs are never materialized into a shuffle, and no join re-attaches
+    // vectors. Bucket skew is bounded by the signature width; the verify work
+    // per bucket is O(|bucket|²) dot products in generated code.
+    val bucketed = e.select(col("vec_id"), col("v"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    // norms are computed once per (vector, table) before the collect — the
+    // per-pair score is then a single codegen dot. dot/(na·nb) is the exact
+    // arithmetic of `cosine`, so verified sims agree bit-for-bit with
+    // embeddingNearDupExact at the same threshold.
+    val grouped = bucketed
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id").as("id"), col("v").as("v"),
+        norm(col("v")).as("nrm"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    def pairSim(a: Column, b: Column): Column =
+      round(dot(a.getField("v"), b.getField("v")) /
+        (a.getField("nrm") * b.getField("nrm")), 4)
+    val xs = col("xs")
+    val pairs = flatten(transform(sequence(lit(0), size(xs) - 2), i =>
+      filter(
+        transform(sequence(i + 1, size(xs) - 1), j =>
+          struct(
+            least(element_at(xs, i + 1).getField("id"), element_at(xs, j + 1).getField("id")).as("id_a"),
+            greatest(element_at(xs, i + 1).getField("id"), element_at(xs, j + 1).getField("id")).as("id_b"),
+            pairSim(element_at(xs, i + 1), element_at(xs, j + 1)).as("sim"))),
+        p => p.getField("sim") >= threshold)))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sim"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact near-duplicate pairs over a bounded id slice — the oracle-checked

@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom codegen Catalyst expressions for the vector/fingerprint hot paths.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`, `transform`) are
+  * CodegenFallback: every element op is an interpreted `Expression.eval` with
+  * boxing, and `zip_with` materializes an intermediate array per call. For
+  * pair-scoring operators that evaluate millions of 64-element dot products
+  * or 64-bit sign-counts per task, that interpreter overhead dominated the
+  * sf0.1 bench (SURVEY.md §2.8/§4 explicitly reserved a native Expression for
+  * exactly this case). These expressions generate tight primitive Java loops
+  * over `ArrayData` — no boxing, no intermediate arrays — and keep their
+  * operators inside whole-stage codegen.
+  */
+
+/** Σ aᵢ·bᵢ over two `array<double>` columns, sequential left-to-right — the
+  * same accumulation order as the `aggregate(zip_with(...))` formulation it
+  * replaces, so results are bit-identical (oracle hashes must not move).
+  * Array elements are assumed non-null (embedding vectors); on length
+  * mismatch the shorter length wins.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a pre-hashed token array (`array<long>` → `long`).
+  * Bit i of the result is set iff Σ over tokens of (±1 by bit i of the token
+  * hash) is ≥ 0 — the exact semantics of the HOF formulation in
+  * [[graft.operators.Dedup.simhash]] it replaces (`>>` vs `>>>` is
+  * indistinguishable under `& 1`).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var b = 0
+      while (b < 64) { counts(b) += ((((x >>> b) & 1L) << 1) - 1L).toInt; b += 1 }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val counts = ctx.freshName("counts")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += (int)(((($x >>> $b) & 1L) << 1) - 1L);
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] >= 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-mode bridge between the public `Column` API and Catalyst
+  * `Expression`s. Spark 4 moved Column onto the ColumnNode abstraction and
+  * made the converters `private[sql]`, so first-party extension libraries
+  * (this one, like Delta/Sedona before it) host a tiny adapter inside the
+  * `org.apache.spark.sql` namespace instead of reimplementing the
+  * conversion.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Runtime SQL registration of the graft expressions for sessions that were
+  * not built with `spark.sql.extensions=graft.GraftExtensions` (the config
+  * path only applies at session construction — `getOrCreate` on a live
+  * session ignores it).
+  */
+object GraftSqlFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+  }
+}

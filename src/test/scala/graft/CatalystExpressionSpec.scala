@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+
+/** The custom codegen expressions must be drop-in replacements for the HOF
+  * formulations they sped up: bit-identical results (oracle hashes depend on
+  * it), same null behavior, and reachable from SQL via GraftExtensions.
+  */
+class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("DotProduct is bit-identical to the HOF aggregate(zip_with) dot") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val a = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = a.select(col("vec_id").as("ia"), col("v").as("va"))
+      .join(a.select(col("vec_id").as("ib"), col("v").as("vb")),
+        col("ia") + 1 === col("ib"))
+    val diff = pairs.select(
+        (VectorFunctions.dot(col("va"), col("vb")) -
+         VectorFunctions.dotHof(col("va"), col("vb"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0, "codegen dot must equal HOF dot bit-for-bit")
+  }
+
+  test("DotProduct handles null arrays (null in, null out)") {
+    val r = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("SimHash64: identical text -> identical fp; near closer than far") {
+    val fp = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words about spark and catalyst engines"))
+      .toDF("id", "t")
+      .select(col("id"), Dedup.simhash(col("t")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    val near = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
+    val far = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+    assert(near < far)
+  }
+
+  test("graft_dot / graft_simhash64 are callable from SQL after registration") {
+    // same builders GraftExtensions injects; runtime path for live sessions
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(d == 11.0)
+    val h = spark.sql(
+      "SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS h").head().getLong(0)
+    assert(h != 0L)
+  }
+}

@@ -61,6 +61,13 @@ object SparkEntry {
         // ISO string day: date32-vs-DATE render differences break hashing
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day", "event_type")),
+    "events_sessions" -> ((s: SparkSession, d: String) =>
+      EventsPipeline.sessionize(Tables.events(s, d), gap = "6 hours")
+        .orderBy("user_id", "session_start")),
+    "events_user_totals" -> ((s: SparkSession, d: String) =>
+      EventsPipeline.userTotals(Tables.events(s, d))
+        .withColumn("total_value", round(col("total_value"), 2))
+        .orderBy("user_id")),
     // [EXT] dedup family
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
@@ -135,6 +142,27 @@ object SparkEntry {
       """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, event_type,
         |COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // LAG + cumulative-sum sessionization ≡ Spark session_window merging:
+    // a new session starts when the gap to the previous event is >= 6h
+    // (session_window ends are exclusive, so an event exactly at last+gap
+    // opens a new session on both sides)
+    "events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "events_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -61,6 +61,69 @@ object EventsPipeline {
       .select(
         to_date(col("w.start")).as("day"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  // --- sessionization (session windows) -------------------------------------
+
+  /** Event-time sessions per user: events closer than `gap` to the previous
+    * event merge into one session. Built on `session_window` (works in batch
+    * AND streaming — same literal expression, SURVEY.md §2.7 stretch).
+    * Output bounds are min/max event time (not window.end = last+gap) so the
+    * result is oracle-expressible with LAG + cumulative-sum sessionization.
+    */
+  def sessionize(events: DataFrame, gap: String = "6 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+
+  /** Streaming sessions: watermark bounds open-session state; Append emits a
+    * session only once its window can no longer grow. */
+  def sessionizeStreaming(events: DataFrame, gap: String = "6 hours",
+                          watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+
+  // --- custom state: running per-user totals (flatMapGroupsWithState) -------
+
+  /** Accumulated per-user state carried across micro-batches. */
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Typed stateful streaming op (KeyValueGroupedDataset +
+    * flatMapGroupsWithState — SURVEY.md §2.7 stretch): emits each user's
+    * running (count, Σvalue) after every micro-batch that touches the user.
+    * The last emission per user over any batch split of the input equals the
+    * batch twin [[userTotals]] (StreamingSpec proves it).
+    */
+  def runningUserTotalsStreaming(events: DataFrame): Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          Iterator(UserTotals(uid, n, total))
+      }
+  }
+
+  /** Batch twin of [[runningUserTotalsStreaming]]'s final state. */
+  def userTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
   // --- end-to-end file-source pipeline --------------------------------------
 

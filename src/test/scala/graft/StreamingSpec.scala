@@ -60,6 +60,53 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming session_window equals batch sessionize on the same input") {
+    // user 7: 10:00 and 11:00 merge (gap < 6h); user 9's two events merge
+    val batch = EventsPipeline.sessionize(sample.toDF())
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(batch.map(_._1) == Seq(7L, 8L, 9L))
+    assert(batch.head._4 == 2L) // user 7: both events one session
+
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample: _*)
+    val q = EventsPipeline.sessionizeStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sessions_out")
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState running totals converge to the batch twin") {
+    val mem = MemoryStream[Ev](spark)
+    val q = EventsPipeline.runningUserTotalsStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(sample.take(2): _*); q.processAllAvailable()
+      mem.addData(sample.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // last emission per user across the two micro-batches == batch aggregate
+    val lastPerUser = spark.table("totals_out")
+      .withColumn("__o", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(
+        max_by(col("n_events"), col("__o")).as("n_events"),
+        max_by(col("total_value"), col("__o")).as("total_value"))
+      .as[(Long, Long, Double)].collect().toMap2
+    val batch = EventsPipeline.userTotals(sample.toDF())
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(lastPerUser == batch)
+  }
+
+  implicit private class ToMap2(arr: Array[(Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Double)] =
+      arr.map { case (u, n, t) => u -> (n, math.round(t * 100) / 100.0) }.toMap
+  }
+
   test("file-source pipeline: stream-dedup + foreachBatch upsert is exactly-once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"

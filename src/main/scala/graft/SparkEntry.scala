@@ -49,8 +49,9 @@ object SparkEntry {
     "customer_region" -> Analytics.customerRegion _,
     "point_lookup" -> Analytics.pointLookup _,
     "lineitem_pricing" -> Analytics.lineitemPricingSummary _,
-    // ingestion / merge (SURVEY §2.1 S4)
+    // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
     "upsert_orders" -> (upsertOrders _),
+    "ingest_normalize" -> Ingest.ingestNormalize _,
     // streaming batch-twins (SURVEY §2.7)
     "events_dedup" -> ((s: SparkSession, d: String) =>
       EventsPipeline.dedupLatest(Tables.events(s, d))
@@ -134,6 +135,7 @@ object SparkEntry {
     "point_lookup" -> Analytics.pointLookupSql,
     "lineitem_pricing" -> Analytics.lineitemPricingSummarySql,
     "upsert_orders" -> upsertOrdersSql,
+    "ingest_normalize" -> Ingest.ingestNormalizeSql,
     "events_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC, user_id) AS rn FROM events) t

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch-ingestion row transforms — the reference's API-payload → typed-row
+  * extraction (`services/dataIngestion.js:31-64`, SURVEY.md §2.1 S1 + §2.6
+  * F5–F9) as one set-oriented pass instead of a per-row upsert loop:
+  *
+  *  - F5 name concat+trim:   `` `${first} ${last}`.trim() ``            → `trim(concat_ws(" ", …))`
+  *  - F6 parseFloat:         `parseFloat(order.total_price)`            → `cast("double")`
+  *  - F7 ISO date parse:     `new Date(order.created_at)`               → `to_timestamp`
+  *  - F8 raw JSON archive:   `JSON.stringify(obj)` into JSONB           → `to_json(struct(…))`
+  *  - F9 domain cleaning:    strip the scheme prefix                    → `regexp_replace`
+  *  - S1 payload decode:     Shopify REST JSON body                     → `from_json` with an explicit schema
+  *
+  * The fetch itself is a driver-side HTTP GET in the reference
+  * (`services/shopifyApi.js:17-45`) — network-free here, so [[payloadsFrom]]
+  * synthesizes the exact wire shape from the testdata and the pipeline is
+  * proven by round-trip: encode → decode → normalize must reproduce what the
+  * oracle computes algebraically from the base columns.
+  */
+object Ingest {
+
+  /** Wire schema of an order payload (fixed DDL, no inference —
+    * SURVEY.md §1.3). Every field is a string, as REST JSON delivers it. */
+  val orderPayloadSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("total_price", StringType),
+    StructField("created_at", StringType),
+    StructField("currency", StringType),
+    StructField("shop_domain", StringType)))
+
+  /** Synthesizes the JSON documents a Shopify orders pull would deliver —
+    * all-string fields, ISO-8601 timestamps, an `https://` shop domain. */
+  def payloadsFrom(orders: DataFrame): DataFrame =
+    orders.select(to_json(struct(
+      col("o_orderkey").cast("string").as("id"),
+      col("o_totalprice").cast("string").as("total_price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("created_at"),
+      col("o_orderstatus").as("currency"),
+      concat(lit("https://tenant-"), col("o_orderkey") % 5, lit(".example.com")).as("shop_domain")
+    )).as("payload"))
+
+  /** S1 decode + F5–F9 normalization: one declarative pass, no per-row
+    * round trips. `raw` keeps the full payload verbatim (the JSONB archive
+    * column, `migrations/init.sql:57`).
+    */
+  def normalizeOrders(payloads: DataFrame): DataFrame =
+    payloads
+      .withColumn("o", from_json(col("payload"), orderPayloadSchema))
+      .select(
+        col("o.id").cast("long").as("shopify_order_id"),
+        col("o.total_price").cast("double").as("total_price"), // F6
+        to_timestamp(col("o.created_at"), "yyyy-MM-dd'T'HH:mm:ss").as("created_at"), // F7
+        col("o.currency").as("currency"),
+        regexp_replace(col("o.shop_domain"), "^https://", "").as("shop_domain"), // F9
+        col("payload").as("raw")) // F8 archive
+
+  /** The flagship ingest round trip registered as a driver query: testdata →
+    * wire payloads → decode → normalize. Dropping `raw` from the compared
+    * output keeps the oracle engine-agnostic (JSON text formatting differs
+    * across engines; the archive column is pinned by IngestSpec instead).
+    */
+  def ingestNormalize(spark: SparkSession, dir: String): DataFrame =
+    normalizeOrders(payloadsFrom(graft.Tables.orders(spark, dir)))
+      .drop("raw")
+      .orderBy("shopify_order_id")
+
+  /** What the round trip must reproduce, computed directly on the base
+    * table — double → string → double is exact (shortest round-trip repr),
+    * timestamps are second-aligned, and the regex mirrors Spark's.
+    */
+  val ingestNormalizeSql: String =
+    """SELECT o_orderkey AS shopify_order_id,
+      |o_totalprice AS total_price,
+      |o_orderdate AS created_at,
+      |o_orderstatus AS currency,
+      |'tenant-' || CAST(o_orderkey % 5 AS VARCHAR) || '.example.com' AS shop_domain
+      |FROM orders ORDER BY shopify_order_id""".stripMargin
+
+  /** F5: the reference's customer display name (`dataIngestion.js:41`) —
+    * null-safe concat + trim (concat_ws skips nulls like JS template +
+    * trim of the stray space).
+    */
+  def customerDisplayName(first: org.apache.spark.sql.Column,
+                          last: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(concat_ws(" ", first, last))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Ingest
+
+class IngestSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("payload round trip: encode -> decode -> normalize reproduces the source") {
+    val orders = Tables.orders(spark, Sf0001)
+    val out = Ingest.normalizeOrders(Ingest.payloadsFrom(orders))
+    val src = orders.select(
+      col("o_orderkey").as("shopify_order_id"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderdate").as("created_at"),
+      col("o_orderstatus").as("currency"))
+    val diff = out.drop("raw", "shop_domain")
+      .exceptAll(src)
+      .count()
+    assert(diff == 0, "normalized rows must equal the source columns exactly")
+    assert(out.count() == orders.count())
+  }
+
+  test("raw archive column is valid JSON holding the full payload (F8)") {
+    val raw = Ingest.normalizeOrders(Ingest.payloadsFrom(Tables.orders(spark, Sf0001)))
+      .select(get_json_object(col("raw"), "$.total_price").as("tp"),
+              col("total_price"))
+      .filter(col("tp").cast("double") =!= col("total_price"))
+    assert(raw.count() == 0)
+  }
+
+  test("shop domain scheme is stripped (F9)") {
+    val doms = Ingest.normalizeOrders(Ingest.payloadsFrom(Tables.orders(spark, Sf0001)))
+      .select("shop_domain").distinct().as[String].collect()
+    assert(doms.nonEmpty && doms.forall(d => d.startsWith("tenant-") && !d.contains("https://")))
+  }
+
+  test("customerDisplayName matches JS `${first} ${last}`.trim() nulls included (F5)") {
+    val r = Seq(
+      (Some("Ada"), Some("Lovelace")),
+      (Some("Ada"), None),
+      (None, Some("Lovelace")),
+      (Option.empty[String], Option.empty[String]))
+      .toDF("f", "l")
+      .select(Ingest.customerDisplayName(col("f"), col("l")).as("n"))
+      .as[String].collect()
+    assert(r.toSeq == Seq("Ada Lovelace", "Ada", "Lovelace", ""))
+  }
+}

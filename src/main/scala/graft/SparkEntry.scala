@@ -117,6 +117,15 @@ object SparkEntry {
     "multimodal_meta" -> ((s: SparkSession, d: String) =>
       Multimodal.extractMeta(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    "multimodal_frames" -> ((s: SparkSession, d: String) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx")),
+    // feature-extract stub feeding the ANN operators end-to-end
+    "multimodal_features_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.bruteForceTopK(
+          Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d))),
+          Seq(0L, 1L, 2L), 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

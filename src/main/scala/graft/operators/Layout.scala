@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layout + skew tooling — the 100 TB posture the reference
+  * delegated to PostgreSQL B-trees (`migrations/init.sql:16,31-32`;
+  * SURVEY.md §4).
+  *
+  *  - Hive-style partitioning by tenant/date turns the reference's
+  *    `WHERE tenant_id = $1` index probes into partition PRUNING: the scan
+  *    never lists, opens, or reads non-matching directories. Within a
+  *    partition, parquet row-group min/max stats skip further (the
+  *    `created_at` index analogue).
+  *  - Salted joins pre-split hot keys so one executor never owns a whole
+  *    skewed key. AQE's runtime skew-join split (on by default) covers most
+  *    cases; the explicit operator is for stable hot keys known in advance
+  *    (the multi-tenant reality: one tenant is always 100× the median).
+  */
+object Layout {
+
+  /** Write `df` partitioned by `cols` (e.g. tenant, order date). At 100 TB
+    * this is the difference between scanning one tenant's directory and
+    * scanning everything.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
+  /** Reads a partitioned table; equality/range filters on partition columns
+    * prune directories (LayoutSpec asserts the plan's PartitionFilters).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Salted equi-join for skewed keys: the large side is salted by a
+    * uniformly-distributed column (any high-cardinality column works — a
+    * row id, a hash of the row), the small side is replicated `numSalts`
+    * ways, and the join key becomes (keys..., salt). A key holding 30% of
+    * the large side now lands on `numSalts` reducers instead of one.
+    * Result is row-identical to `large.join(small, keys)` (LayoutSpec).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 numSalts: Int, saltFrom: Column): DataFrame = {
+    val l = large.withColumn("__salt", pmod(xxhash64(saltFrom), lit(numSalts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(transform(sequence(lit(0), lit(numSalts - 1)), i => i.cast("long"))))
+    l.join(s, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -58,4 +58,31 @@ object Multimodal {
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Frame sampling plumbing for video-like payloads: one output row per
+    * sampled frame index (every `everyN`-th of the decoded `n_frames`),
+    * with a deterministic per-frame fingerprint standing in for the decoded
+    * frame bytes. The shape a real frame extractor needs — explode to
+    * (doc, frame) grain WITHOUT shuffling the payload more than once; the
+    * payload never rides the exploded rows, only the 8-byte fingerprint.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int = 4): DataFrame = {
+    val meta = extractMeta(media).select(col("doc_id"), col("n_frames"))
+    media.join(meta, Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(everyN.toLong))).as("frame_idx"),
+        xxhash64(col("payload"), col("doc_id")).as("payload_fp"))
+      .select(col("doc_id"), col("frame_idx"),
+        xxhash64(col("payload_fp"), col("frame_idx")).as("frame_hash"))
+  }
+
+  /** Feature-extraction plumbing: binary payload → dense `array<float>`
+    * (the embedding a vision/audio model would produce — STUB arithmetic,
+    * real schema/batching). Output feeds [[Similarity]] unchanged.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
+    media.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (pmod(xxhash64(col("payload"), i), lit(2000L)).cast("double") / 1000.0 - 1.0)
+          .cast("float")).as("embedding"))
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Multimodal}
+
+class LayoutSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("partitioned layout prunes non-matching tenant directories") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val orders = Tables.orders(spark, Sf0001)
+    Layout.writePartitioned(orders, s"$tmp/orders", Seq("o_orderpriority"))
+    val pruned = Layout.readPartitioned(spark, s"$tmp/orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderpriority"), s"expected partition pruning in:\n$plan")
+    // pruned read returns exactly the filtered subset
+    val expected = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("saltedJoin is row-identical to the plain equi-join") {
+    val orders = Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, Sf0001).select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(cust, Seq("o_custkey"))
+    val salted = Layout.saltedJoin(orders, cust, Seq("o_custkey"),
+      numSalts = 8, saltFrom = col("o_orderkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("frame sampling emits every Nth frame with deterministic hashes") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001))
+    val frames = Multimodal.sampleFrames(media, everyN = 4)
+    val byDoc = frames.groupBy("doc_id").count()
+      .join(Multimodal.extractMeta(media).select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      .withColumn("expected", ceil(col("n_frames") / 4.0))
+      .filter(col("count") =!= col("expected"))
+    assert(byDoc.count() == 0)
+    // deterministic: same input -> same hashes
+    val a = frames.orderBy("doc_id", "frame_idx").as[(Long, Long, Long)].collect().toSeq
+    val b = Multimodal.sampleFrames(media, everyN = 4)
+      .orderBy("doc_id", "frame_idx").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("extractFeatures produces dense vectors consumable by Similarity") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    assert(feats.select(size(col("embedding"))).distinct().as[Int].head() == 16)
+    val top = graft.operators.Similarity.bruteForceTopK(feats, Seq(0L), 3).collect()
+    assert(top.length == 3)
+  }
+}

@@ -76,6 +76,17 @@ object Dedup {
     * hash — fully codegen, no UDF.
     */
   def minhashSignature(shingles: Column, perms: Seq[(Long, Long)]): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, MinHashSig}
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))
+    ColumnBridge.column(MinHashSig(
+      ColumnBridge.expression(hashes),
+      ColumnBridge.expression(array(perms.map(p => lit(p._1)): _*)),
+      ColumnBridge.expression(array(perms.map(p => lit(p._2)): _*))))
+  }
+
+  /** Reference HOF formulation of [[minhashSignature]] — kept for the
+    * equivalence spec (CatalystExpressionSpec). */
+  def minhashSignatureHof(shingles: Column, perms: Seq[(Long, Long)]): Column = {
     val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
     // shingle hashes are bound once — every permutation lambda re-reads them
     bindOnce(transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))) { hashes =>

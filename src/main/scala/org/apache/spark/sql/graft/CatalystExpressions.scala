@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -119,4 +119,83 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** MinHash signature of a pre-hashed shingle array: for each permutation p,
+  * min over shingle hashes x of (aₚ·x + bₚ) mod P, P = 4294967311 (smallest
+  * prime > 2³²). Same formula and evaluation order as the HOF
+  * `transform(perms, p -> array_min(transform(hashes, …)))` it replaces —
+  * [[graft.operators.Dedup.minhashSignatureHof]] pins the equivalence.
+  * Inputs: hashes (array<long>, values < 2³²), aPerm/bPerm (array<long>,
+  * a < 2³¹) — products stay inside a long. Empty hash arrays are not
+  * produced by the shingle pipeline (short docs fall back to a whole-text
+  * shingle); an empty input yields an all-Long.MaxValue signature.
+  */
+case class MinHashSig(hashes: Expression, aPerm: Expression, bPerm: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  private val MersennePrime = 4294967311L
+
+  override def first: Expression = hashes
+  override def second: Expression = aPerm
+  override def third: Expression = bPerm
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(h: Any, a: Any, b: Any): Any = {
+    val hs = h.asInstanceOf[ArrayData]
+    val as = a.asInstanceOf[ArrayData]
+    val bs = b.asInstanceOf[ArrayData]
+    val np = as.numElements()
+    val nh = hs.numElements()
+    val out = new Array[Long](np)
+    var p = 0
+    while (p < np) {
+      val ap = as.getLong(p); val bp = bs.getLong(p)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < nh) {
+        val v = (ap * hs.getLong(i) + bp) % MersennePrime
+        if (v < best) best = v
+        i += 1
+      }
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, a, b) => {
+      val np = ctx.freshName("np")
+      val nh = ctx.freshName("nh")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val ap = ctx.freshName("ap")
+      val bp = ctx.freshName("bp")
+      val best = ctx.freshName("best")
+      val v = ctx.freshName("v")
+      s"""
+         |int $np = $a.numElements();
+         |int $nh = $h.numElements();
+         |long[] $out = new long[$np];
+         |for (int $p = 0; $p < $np; $p++) {
+         |  long $ap = $a.getLong($p); long $bp = $b.getLong($p);
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $i = 0; $i < $nh; $i++) {
+         |    long $v = ($ap * $h.getLong($i) + $bp) % ${MersennePrime}L;
+         |    if ($v < $best) $best = $v;
+         |  }
+         |  $out[$p] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(hashes = newFirst, aPerm = newSecond, bPerm = newThird)
 }

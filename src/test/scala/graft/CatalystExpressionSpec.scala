@@ -49,6 +49,17 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(near < far)
   }
 
+  test("MinHashSig is identical to the HOF minhash formulation") {
+    val perms = Dedup.permutations(64)
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val sh = Dedup.wordShingles(col("text"), 1)
+    val diff = docs.select(
+        Dedup.minhashSignature(sh, perms).as("fast"),
+        Dedup.minhashSignatureHof(sh, perms).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("graft_dot / graft_simhash64 are callable from SQL after registration") {
     // same builders GraftExtensions injects; runtime path for live sessions
     org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)

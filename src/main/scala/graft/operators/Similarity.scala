@@ -128,27 +128,16 @@ object Similarity {
     // per bucket is O(|bucket|²) dot products in generated code.
     val bucketed = e.select(col("vec_id"), col("v"), explode(array(tableCols: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
-    // norms are computed once per (vector, table) before the collect — the
-    // per-pair score is then a single codegen dot. dot/(na·nb) is the exact
-    // arithmetic of `cosine`, so verified sims agree bit-for-bit with
-    // embeddingNearDupExact at the same threshold.
     val grouped = bucketed
       .groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id").as("id"), col("v").as("v"),
-        norm(col("v")).as("nrm"))).as("xs"))
+      .agg(collect_list(struct(col("vec_id").as("id"), col("v").as("v"))).as("xs"))
       .filter(size(col("xs")) >= 2)
-    def pairSim(a: Column, b: Column): Column =
-      round(dot(a.getField("v"), b.getField("v")) /
-        (a.getField("nrm") * b.getField("nrm")), 4)
-    val xs = col("xs")
-    val pairs = flatten(transform(sequence(lit(0), size(xs) - 2), i =>
-      filter(
-        transform(sequence(i + 1, size(xs) - 1), j =>
-          struct(
-            least(element_at(xs, i + 1).getField("id"), element_at(xs, j + 1).getField("id")).as("id_a"),
-            greatest(element_at(xs, i + 1).getField("id"), element_at(xs, j + 1).getField("id")).as("id_b"),
-            pairSim(element_at(xs, i + 1), element_at(xs, j + 1)).as("sim"))),
-        p => p.getField("sim") >= threshold)))
+    // whole-bucket pair verification in one expression call (norms once per
+    // element, O(n²/2) dot triangle in primitive loops, HALF_UP round to 4 —
+    // the exact arithmetic of round(cosine, 4) in embeddingNearDupExact)
+    import org.apache.spark.sql.graft.{ColumnBridge, CosinePairs}
+    val pairs = ColumnBridge.column(
+      CosinePairs(ColumnBridge.expression(col("xs")), threshold))
     grouped.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sim"))
       .dropDuplicates("id_a", "id_b")

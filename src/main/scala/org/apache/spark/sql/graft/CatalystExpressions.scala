@@ -199,3 +199,72 @@ case class MinHashSig(hashes: Expression, aPerm: Expression, bPerm: Expression)
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(hashes = newFirst, aPerm = newSecond, bPerm = newThird)
 }
+
+/** All verified cosine-similar pairs inside one LSH bucket. Input is the
+  * bucket's collected `array<struct<id:long, v:array<double>>>`; output is
+  * `array<struct<id_a, id_b, sim>>` for the pairs with
+  * round(dot/(‖a‖·‖b‖), 4) ≥ threshold, id_a < id_b.
+  *
+  * One call processes a whole bucket with hand-written JVM loops (norms
+  * computed once per element, then the O(n²/2) pair triangle), so
+  * CodegenFallback costs one boxed call per BUCKET, not per pair — the
+  * interpreted-HOF formulation it replaces paid per pair. Rounding is
+  * `BigDecimal.valueOf(x).setScale(4, HALF_UP)` — bit-identical to Spark's
+  * `round(col, 4)`, which the exact brute-force twin uses
+  * (SimilaritySpec asserts LSH ⊆ exact at equal threshold).
+  */
+case class CosinePairs(child: Expression, threshold: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cosine_pairs"
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Double]](n)
+    val nrm = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vs(i) = row.getArray(1).toDoubleArray()
+      var s = 0.0; var k = 0; val v = vs(i)
+      while (k < v.length) { s += v(k) * v(k); k += 1 }
+      nrm(i) = math.sqrt(s)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      val vi = vs(i)
+      while (j < n) {
+        val vj = vs(j)
+        val m = math.min(vi.length, vj.length)
+        var d = 0.0; var k = 0
+        while (k < m) { d += vi(k) * vj(k); k += 1 }
+        val sim = round4(d / (nrm(i) * nrm(j)))
+        if (sim >= threshold) {
+          val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+          out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, sim))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -103,6 +103,11 @@ object SparkEntry {
     "cosine_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
+    // same contract via the bounded-buffer Aggregator (map-side combinable,
+    // no per-group sort) — shares cosine_topk's oracle
+    "cosine_topk_agg" -> ((s: SparkSession, d: String) =>
+      TopK.bruteForceTopKAgg(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
     "embedding_near_dup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDupExact(Tables.embeddings(s, d), maxId = 300L, threshold = 0.4)
         .orderBy("id_a", "id_b")),
@@ -182,6 +187,14 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualitySql,
     "pair_jaccard" -> TextAnalysis.pairJaccardSql,
     "cosine_topk" ->
+      """SELECT query_id, cand_id, sim FROM (
+        |SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id IN (0, 1, 2, 3, 4)) t
+        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin,
+    "cosine_topk_agg" ->
       """SELECT query_id, cand_id, sim FROM (
         |SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
         |ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim,

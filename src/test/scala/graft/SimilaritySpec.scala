@@ -67,6 +67,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 (found ${lsh.size}/${exact.size})")
   }
 
+  test("TopK aggregator formulation equals the window formulation") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val probes = (0L until 8L).toSeq
+    val win = Similarity.bruteForceTopK(e, probes, 4)
+      .orderBy("query_id", "cand_id").as[(Long, Long, Double)].collect().toSeq
+    val agg = graft.operators.TopK.bruteForceTopKAgg(e, probes, 4)
+      .orderBy("query_id", "cand_id").as[(Long, Long, Double)].collect().toSeq
+    assert(agg == win)
+  }
+
   test("centroids are elementwise means (unit check on a tiny frame)") {
     val e = Seq(
       (0L, Seq(0.0f, 2.0f), 0), (1L, Seq(2.0f, 0.0f), 0),

@@ -51,40 +51,49 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("cluster"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
-  /** Assign each vector to its nearest centroid (argmin L2). The centroid
-    * set is tiny and broadcast; the argmin is a HOF expression, not a UDF.
+  /** Per-row distance/cluster structs against a literal centroid set. The
+    * coarse quantizer is O(k) driver data by construction (every IVF engine
+    * ships it to the workers); baking it into the expression avoids the
+    * crossJoin row amplification + per-vector window sort of the naive
+    * formulation — assignment becomes one narrow projection.
     */
-  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = embeddings
+  private def distStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cl, c) =>
+      struct(l2Sq(v, array(c.map(lit): _*)).as("d"), lit(cl).as("cluster"))
+    }: _*)
+
+  /** Assign each vector to its nearest centroid — argmin via `array_min`
+    * over (dist, cluster) structs (lexicographic struct ordering = min dist,
+    * cluster id as the deterministic tie-break).
+    */
+  def assign(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", l2Sq(col("v"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
-  }
+      .withColumn("cluster", array_min(distStructs(col("v"), cents)).getField("cluster"))
+
+  /** Collect the trained quantizer (k tiny rows) for literal baking. */
+  def centroidSeq(embeddings: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids(embeddings).collect().toSeq.map { r =>
+      (r.get(0) match { case n: java.lang.Number => n.intValue }, r.getSeq[Double](1))
+    }
 
   /** IVF approximate top-k: each probe searches only its `nprobe` nearest
-    * inverted lists. All joins are equi-joins on `cluster`; the corpus-side
-    * scan is pruned by the semi-join on probed clusters.
+    * inverted lists. The only shuffle-bearing operator left is the cluster
+    * equi-join (probe side tiny → broadcast) + the final per-probe top-k.
     */
   def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(embeddings)
+    val cents = centroidSeq(embeddings)
     val assigned = assign(embeddings, cents)
 
+    // nprobe nearest clusters per probe: sort the literal dist structs
+    // in-expression, take the first nprobe — no crossJoin, no window
     val probes = assigned.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // nprobe nearest clusters per probe
-    val probeClusters = probes.crossJoin(broadcast(cents))
-      .withColumn("dist", l2Sq(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cluster"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(slice(array_sort(distStructs(col("v"), cents)), 1, nprobe)
+          .getField("cluster")).as("cluster"))
 
     val cands = assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
-    probeClusters.join(cands, Seq("cluster"))
+    broadcast(probes).join(cands, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
       .withColumn("rn", row_number().over(

@@ -49,6 +49,9 @@ object SparkEntry {
     "customer_region" -> Analytics.customerRegion _,
     "point_lookup" -> Analytics.pointLookup _,
     "lineitem_pricing" -> Analytics.lineitemPricingSummary _,
+    "orders_rollup" -> Analytics.ordersRollup _,
+    "custkeys_intersect" -> Analytics.custkeysIntersect _,
+    "custkeys_except" -> Analytics.custkeysExcept _,
     // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
     "upsert_orders" -> (upsertOrders _),
     "ingest_normalize" -> Ingest.ingestNormalize _,
@@ -148,6 +151,9 @@ object SparkEntry {
     "customer_region" -> Analytics.customerRegionSql,
     "point_lookup" -> Analytics.pointLookupSql,
     "lineitem_pricing" -> Analytics.lineitemPricingSummarySql,
+    "orders_rollup" -> Analytics.ordersRollupSql,
+    "custkeys_intersect" -> Analytics.custkeysIntersectSql,
+    "custkeys_except" -> Analytics.custkeysExceptSql,
     "upsert_orders" -> upsertOrdersSql,
     "ingest_normalize" -> Ingest.ingestNormalizeSql,
     "events_dedup" ->

@@ -181,6 +181,59 @@ object Analytics {
     """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey = 1""".stripMargin
 
+  // --- multi-level rollup (beyond the reference's flat GROUP BYs) ----------
+  // Revenue by (priority, month) with subtotal and grand-total levels in one
+  // pass — Catalyst expands the rollup into a single Expand + hash aggregate,
+  // not one scan per level. NULL grouping levels are COALESCEd to 'ALL' on
+  // both engines so ordering and hashing agree.
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("order_count"), round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("order_count"), col("revenue"))
+      .orderBy("priority", "month")
+
+  val ordersRollupSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |COALESCE(STRFTIME(o_orderdate, '%Y-%m'), 'ALL') AS month,
+      |COUNT(*) AS order_count, ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, STRFTIME(o_orderdate, '%Y-%m'))
+      |ORDER BY priority, month""".stripMargin
+
+  // --- set operations (INTERSECT / EXCEPT) ---------------------------------
+  // Customers who ordered in both of two years vs only the first: Spark
+  // plans INTERSECT/EXCEPT as aggregate + join (left-semi/anti on distinct
+  // sets) — no sort-based set algebra needed.
+  def custkeysIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y1 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y2 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    y1.intersect(y2).orderBy("o_custkey")
+  }
+
+  val custkeysIntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
+      |ORDER BY o_custkey""".stripMargin
+
+  def custkeysExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y1 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y2 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    y1.except(y2).orderBy("o_custkey")
+  }
+
+  val custkeysExceptSql: String =
+    """SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
+      |ORDER BY o_custkey""".stripMargin
+
   // --- TPC-H Q1-shaped pricing summary ------------------------------------
   // Not in the reference (it has no lineitem analogue) but the headline
   // large-fact aggregation for the bench: one scan, map-side partial agg,

@@ -1,24 +1,23 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.operators.Similarity
-import graft.Tables
+import graft.SparkEntry
 
+/** Dumps the formatted physical plan of each registered query (plan-quality
+  * audit backing PLANS.md). */
 object ProbePerf {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"$name%-34s ${(System.nanoTime()-t0)/1e9}%.2f s"); r
-  }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
-    time("warmup")(e.count())
-    val full = Similarity.embeddingNearDupLsh(e, 64, 0.35)
-    println(s"verified: ${time("lsh v3 (CosinePairs)")(full.count())}")
-    println(s"again: ${time("lsh v3 rerun")(full.count())}")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      println(s"\n===================== $name =====================")
+      try println(fn(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => println(s"EXPLAIN FAILED: $e") }
+    }
     spark.stop()
   }
 }

@@ -128,6 +128,9 @@ object SparkEntry {
     "multimodal_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx")),
+    "multimodal_resize" -> ((s: SparkSession, d: String) =>
+      Multimodal.resizeMeta(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // feature-extract stub feeding the ANN operators end-to-end
     "multimodal_features_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(
@@ -215,6 +218,17 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300) t
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |  CAST(64 + OCTET_LENGTH(ENCODE(text)) % 577 AS BIGINT) AS width,
+        |  CAST(32 + (ASCII(SUBSTR(text, 1, 1)) * 3) % 719 AS BIGINT) AS height
+        |  FROM documents),
+        |s AS (SELECT *, LEAST(1.0, 256.0 / width, 256.0 / height) AS scale FROM m)
+        |SELECT doc_id, width, height,
+        |CAST(FLOOR(width * scale) AS BIGINT) AS new_width,
+        |CAST(FLOOR(height * scale) AS BIGINT) AS new_height
+        |FROM s ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |CAST(64 + OCTET_LENGTH(ENCODE(text)) % 577 AS BIGINT) AS width,

@@ -59,6 +59,20 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Resize plumbing: target dimensions for a bounding-box fit
+    * (aspect-preserving, never upscaling) computed from the decoded
+    * metadata. A real implementation would hand (payload, new_w, new_h) to
+    * the decoder's scaler; the dimension arithmetic here IS the production
+    * logic and is pure IEEE-double, so it gets an exact SQL oracle.
+    */
+  def resizeMeta(media: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame =
+    extractMeta(media)
+      .withColumn("scale",
+        least(lit(1.0), lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("long").as("new_width"),
+        floor(col("height") * col("scale")).cast("long").as("new_height"))
+
   /** Frame sampling plumbing for video-like payloads: one output row per
     * sampled frame index (every `everyN`-th of the decoded `n_frames`),
     * with a deterministic per-frame fingerprint standing in for the decoded

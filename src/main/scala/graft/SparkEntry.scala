@@ -65,6 +65,9 @@ object SparkEntry {
         // ISO string day: date32-vs-DATE render differences break hashing
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day", "event_type")),
+    "events_sliding" -> ((s: SparkSession, d: String) =>
+      EventsPipeline.slidingAgg(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
     "events_sessions" -> ((s: SparkSession, d: String) =>
       EventsPipeline.sessionize(Tables.events(s, d), gap = "6 hours")
         .orderBy("user_id", "session_start")),
@@ -167,6 +170,13 @@ object SparkEntry {
       """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, event_type,
         |COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // each event is in exactly 4 epoch-aligned (width 1d, slide 6h) windows:
+    // TIME_BUCKET(6h, ts) - k*6h, k=0..3 — same alignment Spark's window() uses
+    "events_sliding" ->
+      """SELECT TIME_BUCKET(INTERVAL 6 HOUR, ts) - k.k * INTERVAL 6 HOUR AS window_start,
+        |event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // LAG + cumulative-sum sessionization ≡ Spark session_window merging:
     // a new session starts when the gap to the previous event is >= 6h
     // (session_window ends are exclusive, so an event exactly at last+gap

@@ -62,6 +62,28 @@ object EventsPipeline {
         to_date(col("w.start")).as("day"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  // --- sliding windows -------------------------------------------------------
+
+  /** Sliding event-time aggregate: 1-day windows advancing every 6 hours —
+    * each event lands in 4 overlapping windows. Epoch-aligned starts, so
+    * the SQL mirror is TIME_BUCKET(6h, ts) - k·6h for k ∈ 0..3. Same
+    * expression works in batch and streaming.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming twin of [[slidingAgg]] behind a watermark. */
+  def slidingAggStreaming(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   // --- sessionization (session windows) -------------------------------------
 
   /** Event-time sessions per user: events closer than `gap` to the previous

@@ -60,6 +60,24 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sliding window equals batch twin on the same input") {
+    val batch = EventsPipeline.slidingAgg(sample.toDF())
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(batch.nonEmpty)
+
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample: _*)
+    val q = EventsPipeline.slidingAggStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming session_window equals batch sessionize on the same input") {
     // user 7: 10:00 and 11:00 merge (gap < 6h); user 9's two events merge
     val batch = EventsPipeline.sessionize(sample.toDF())

@@ -50,6 +50,26 @@ object SparkEntry {
     "point_lookup" -> Analytics.pointLookup _,
     "lineitem_pricing" -> Analytics.lineitemPricingSummary _,
     "orders_rollup" -> Analytics.ordersRollup _,
+    "running_revenue" -> Analytics.runningRevenue _,
+    // top_customers_intended computed through the salted skew join — same
+    // oracle as the plain variant proves Layout.saltedJoin end-to-end
+    "top_customers_salted" -> ((s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === Analytics.CustomerTenant)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      Layout.saltedJoin(o, c, Seq("o_custkey"), numSalts = 8, saltFrom = col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c_custkey"), col("c_name"))
+        .agg(count("o_orderkey").as("order_count"),
+          round(sum("o_totalprice"), 2).as("total_spent"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(5)
+    }),
+    "dedup_metrics" -> ((s: SparkSession, d: String) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        round(lit(1.0) - countDistinct(md5(col("text"))) / count(lit(1)), 4).as("dup_ratio"))),
     "custkeys_intersect" -> Analytics.custkeysIntersect _,
     "custkeys_except" -> Analytics.custkeysExcept _,
     // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
@@ -158,6 +178,13 @@ object SparkEntry {
     "point_lookup" -> Analytics.pointLookupSql,
     "lineitem_pricing" -> Analytics.lineitemPricingSummarySql,
     "orders_rollup" -> Analytics.ordersRollupSql,
+    "running_revenue" -> Analytics.runningRevenueSql,
+    "top_customers_salted" -> Analytics.topCustomersIntendedSql,
+    "dedup_metrics" ->
+      """SELECT COUNT(*) AS n_docs,
+        |COUNT(DISTINCT md5(text)) AS n_distinct,
+        |ROUND(1.0 - COUNT(DISTINCT md5(text)) / COUNT(*), 4) AS dup_ratio
+        |FROM documents""".stripMargin,
     "custkeys_intersect" -> Analytics.custkeysIntersectSql,
     "custkeys_except" -> Analytics.custkeysExceptSql,
     "upsert_orders" -> upsertOrdersSql,

@@ -234,6 +234,29 @@ object Analytics {
       |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
       |ORDER BY o_custkey""".stripMargin
 
+  // --- analytic window: running revenue per customer -----------------------
+  // Cumulative SUM OVER (PARTITION BY ... ORDER BY ...) — the reference has
+  // no window functions, but a tenant analytics surface needs running
+  // totals; rows-frame cumulative sum shuffles once on the partition key.
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_revenue"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val runningRevenueSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+      |FROM orders WHERE o_custkey <= 50
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // --- TPC-H Q1-shaped pricing summary ------------------------------------
   // Not in the reference (it has no lineitem analogue) but the headline
   // large-fact aggregation for the bench: one scan, map-side partial agg,

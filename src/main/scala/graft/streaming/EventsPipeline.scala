@@ -155,25 +155,47 @@ object EventsPipeline {
     * comes from dedup state + idempotent Merge.upsert per micro-batch.
     */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,
-                    checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
+                    checkpointDir: String, schemaFrom: DataFrame,
+                    runLogDir: Option[String] = None): StreamingQuery = {
     val src = spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
     dedupStreaming(src)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = try {
-          spark.read.parquet(outDir)
-        } catch { case _: Throwable => batch.limit(0) }
-        // version = ts: last-write-wins per event_id across batches
-        val merged = Merge.upsert(target, batch, Seq("event_id"), "ts")
-        merged.persist()
-        merged.count() // materialize before overwriting the input path
-        merged.write.mode("overwrite").parquet(outDir)
-        merged.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val started = System.currentTimeMillis()
+        try {
+          val target = try {
+            spark.read.parquet(outDir)
+          } catch { case _: Throwable => batch.limit(0) }
+          // version = ts: last-write-wins per event_id across batches
+          val merged = Merge.upsert(target, batch, Seq("event_id"), "ts")
+          merged.persist()
+          val n = merged.count() // materialize before overwriting the input path
+          merged.write.mode("overwrite").parquet(outDir)
+          merged.unpersist()
+          logRun(spark, runLogDir, batchId, n, started, "completed")
+        } catch { case e: Throwable =>
+          logRun(spark, runLogDir, batchId, -1L, started, s"failed: ${e.getMessage}")
+          throw e
+        }
         ()
       }
       .start()
   }
+
+  /** Batch-run bookkeeping — the reference's `ingestion_runs` table +
+    * `last_backfill_at` (`migrations/init.sql:126-135,12`, SURVEY.md §2.7)
+    * as an append-only parquet log, one row per micro-batch with status and
+    * timing. `finished_ms` of the last completed row IS last_backfill_at.
+    */
+  private def logRun(spark: SparkSession, dir: Option[String], batchId: Long,
+                     nRows: Long, startedMs: Long, status: String): Unit =
+    dir.foreach { d =>
+      import spark.implicits._
+      Seq((batchId, nRows, startedMs, System.currentTimeMillis(), status))
+        .toDF("batch_id", "n_rows", "started_ms", "finished_ms", "status")
+        .write.mode("append").parquet(d)
+    }
 }

@@ -131,7 +131,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val schemaFrom = sample.toDF()
     // batch 1 lands
     sample.take(3).toDF().write.mode("append").parquet(inDir)
-    val q = EventsPipeline.runFileStream(spark, inDir, outDir, ckpt, schemaFrom)
+    val q = EventsPipeline.runFileStream(spark, inDir, outDir, ckpt, schemaFrom,
+      runLogDir = Some(s"$tmp/runs"))
     try {
       q.processAllAvailable()
       // batch 2: replayed event 1 (duplicate delivery) + new event 4
@@ -141,5 +142,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
     val out = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 2L, 3L, 4L), s"got ${out.toSeq}")
+    // ingestion_runs bookkeeping: one completed row per micro-batch
+    val runs = spark.read.parquet(s"$tmp/runs")
+      .orderBy("batch_id")
+      .select("batch_id", "status").as[(Long, String)].collect()
+    assert(runs.length >= 2 && runs.forall(_._2 == "completed"), runs.mkString(","))
   }
 }

@@ -171,10 +171,19 @@ object EventsPipeline {
           } catch { case _: Throwable => batch.limit(0) }
           // version = ts: last-write-wins per event_id across batches
           val merged = Merge.upsert(target, batch, Seq("event_id"), "ts")
-          merged.persist()
-          val n = merged.count() // materialize before overwriting the input path
-          merged.write.mode("overwrite").parquet(outDir)
-          merged.unpersist()
+          // The merge reads outDir, so it can't be overwritten in place:
+          // persist() is NOT a durability guarantee (evicted partitions
+          // would recompute from the clobbered directory). Write to a temp
+          // path, then swap via FileSystem rename — works on local FS and
+          // HDFS-compatible stores alike.
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+          val tmpPath = new org.apache.hadoop.fs.Path(outDir + ".tmp")
+          val outPath = new org.apache.hadoop.fs.Path(outDir)
+          merged.write.mode("overwrite").parquet(tmpPath.toString)
+          val n = spark.read.parquet(tmpPath.toString).count()
+          fs.delete(outPath, true)
+          fs.rename(tmpPath, outPath)
           logRun(spark, runLogDir, batchId, n, started, "completed")
         } catch { case e: Throwable =>
           logRun(spark, runLogDir, batchId, -1L, started, s"failed: ${e.getMessage}")

@@ -51,6 +51,9 @@ object SparkEntry {
     "lineitem_pricing" -> Analytics.lineitemPricingSummary _,
     "orders_rollup" -> Analytics.ordersRollup _,
     "running_revenue" -> Analytics.runningRevenue _,
+    "orders_cube" -> Analytics.ordersCube _,
+    "orders_pivot" -> Analytics.ordersPivot _,
+    "price_quantiles" -> Analytics.priceQuantiles _,
     // top_customers_intended computed through the salted skew join — same
     // oracle as the plain variant proves Layout.saltedJoin end-to-end
     "top_customers_salted" -> ((s: SparkSession, d: String) => {
@@ -179,6 +182,9 @@ object SparkEntry {
     "lineitem_pricing" -> Analytics.lineitemPricingSummarySql,
     "orders_rollup" -> Analytics.ordersRollupSql,
     "running_revenue" -> Analytics.runningRevenueSql,
+    "orders_cube" -> Analytics.ordersCubeSql,
+    "orders_pivot" -> Analytics.ordersPivotSql,
+    "price_quantiles" -> Analytics.priceQuantilesSql,
     "top_customers_salted" -> Analytics.topCustomersIntendedSql,
     "dedup_metrics" ->
       """SELECT COUNT(*) AS n_docs,

@@ -204,6 +204,58 @@ object Analytics {
       |GROUP BY ROLLUP(o_orderpriority, STRFTIME(o_orderdate, '%Y-%m'))
       |ORDER BY priority, month""".stripMargin
 
+  // --- cube (all grouping-set combinations) --------------------------------
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("order_count"), round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("order_count"), col("revenue"))
+      .orderBy("priority", "status")
+
+  val ordersCubeSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |COALESCE(o_orderstatus, 'ALL') AS status,
+      |COUNT(*) AS order_count, ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  // --- pivot (priority rows × status columns) ------------------------------
+  // Spark's relational pivot with an explicit value list (one pass, no
+  // per-column scans); the oracle spells the same thing as CASE aggregates.
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(coalesce(sum("o_totalprice"), lit(0.0)), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy("priority")
+
+  val ordersPivotSql: String =
+    """SELECT o_orderpriority AS priority,
+      |ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS rev_f,
+      |ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS rev_o,
+      |ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS rev_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+
+  // --- exact quantiles per group -------------------------------------------
+  // `percentile` (exact, interpolated) — same definition as QUANTILE_CONT.
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy("priority")
+
+  val priceQuantilesSql: String =
+    """SELECT o_orderpriority AS priority,
+      |ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50,
+      |ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+
   // --- set operations (INTERSECT / EXCEPT) ---------------------------------
   // Customers who ordered in both of two years vs only the first: Spark
   // plans INTERSECT/EXCEPT as aggregate + join (left-semi/anti on distinct

@@ -88,6 +88,20 @@ object SparkEntry {
         // ISO string day: date32-vs-DATE render differences break hashing
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day", "event_type")),
+    // as-of join: each click carries the user's latest purchase value
+    // at-or-before it (union + running last_value — one shuffle, no range
+    // cross product)
+    "events_asof" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value", "event_id")
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts", "value", "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("asof_value"), 2).as("asof_value"))
+        .orderBy("event_id")
+    }),
     "events_sliding" -> ((s: SparkSession, d: String) =>
       EventsPipeline.slidingAgg(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
@@ -203,6 +217,24 @@ object SparkEntry {
       """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, event_type,
         |COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // window-union mirror of the as-of join (engine-portable; right rows
+    // sort before left at equal ts for >= semantics, event_id breaks ties)
+    "events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS src, 9223372036854775807 AS tie,
+        |         CAST(NULL AS DOUBLE) AS v, event_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS src, event_id AS tie, value AS v,
+        |         CAST(NULL AS BIGINT) AS event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (
+        |  SELECT *, LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, src, tie
+        |    ROWS UNBOUNDED PRECEDING) AS asof_value
+        |  FROM u)
+        |SELECT event_id, user_id, ts, ROUND(asof_value, 2) AS asof_value
+        |FROM f WHERE src = 1 ORDER BY event_id""".stripMargin,
     // each event is in exactly 4 epoch-aligned (width 1d, slide 6h) windows:
     // TIME_BUCKET(6h, ts) - k*6h, k=0..3 — same alignment Spark's window() uses
     "events_sliding" ->

@@ -1,9 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.SparkEntry
 
-/** Dumps the formatted physical plan of each registered query (plan-quality
-  * audit backing PLANS.md). */
+/** Driver-flow smoke: t1 entry() on sf0.001 must return >0 rows. */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -11,13 +9,11 @@ object ProbePerf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      println(s"\n===================== $name =====================")
-      try println(fn(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"EXPLAIN FAILED: $e") }
-    }
+    val df = graft.SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"entry rows: $n")
+    df.show(5, truncate = false)
+    assert(n > 0)
     spark.stop()
   }
 }

@@ -175,8 +175,13 @@ object Dedup {
                    shingleK: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK)
     val b = lshBands(sigs, idCol, numPerm, bands)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
-    b.withColumn("bucket_min", min(col(idCol)).over(w))
+    // groupBy-min (map-side partial agg) + join back, NOT a window over the
+    // bucket: a window would funnel a mega-bucket into one task, while the
+    // partial aggregate shrinks it on the map side and AQE splits any skewed
+    // join partition
+    val bucketMin = b.groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col(idCol)).as("bucket_min"))
+    b.join(bucketMin, Seq("band_idx", "band_key"))
       .groupBy(col(idCol))
       .agg(min(col("bucket_min")).as("rep_id"))
       .withColumn("keep", col("rep_id") === col(idCol))

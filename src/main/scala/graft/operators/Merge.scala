@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Set-oriented upsert — the reference's per-row
@@ -19,14 +18,18 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Keep exactly one row per key from `batch`, the one with the highest
-    * `versionCol` (ties broken arbitrarily-but-deterministically by the rest
-    * of the sort). Mirrors ON CONFLICT last-write-wins applied in batch order.
+    * `versionCol`. Mirrors ON CONFLICT last-write-wins applied in batch
+    * order (exact-tie picks are arbitrary, as they are in the reference's
+    * row loop). Implemented as `max_by` aggregation, not a window: the
+    * aggregate partial-combines map-side, so a hot key with millions of
+    * duplicate versions shrinks before the shuffle instead of funneling
+    * into one window task.
     */
   def latestPerKey(batch: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val valueCols = batch.columns.filterNot(keys.contains)
+    batch.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col(versionCol)).as("__best"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__best.`$c`").as(c)): _*)
   }
 
   /** Upsert `incoming` into `existing` on `keys`: rows of `existing` whose

@@ -142,6 +142,16 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.quality _,
     "pair_jaccard" -> TextAnalysis.pairJaccard _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
+    "docs_by_source" -> TextAnalysis.docsBySource _,
+    "token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
+    // JSONB-archive read path (F8's inverse): typed extraction from the
+    // props JSON column; oracle mirrors the value numerically via regexp
+    // so it needs no SQL JSON extension
+    "events_props_sum" -> ((s: SparkSession, d: String) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
     // [EXT] similarity search
     "cosine_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 3)
@@ -267,6 +277,13 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "text_stats" -> TextAnalysis.textStatsSql,
+    "docs_by_source" -> TextAnalysis.docsBySourceSql,
+    "token_freq" -> TextAnalysis.tokenFreqSql,
+    "events_props_sum" ->
+      """SELECT event_type,
+        |SUM(CAST(REGEXP_EXTRACT(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualitySql,
     "pair_jaccard" -> TextAnalysis.pairJaccardSql,

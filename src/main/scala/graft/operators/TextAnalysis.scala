@@ -98,6 +98,33 @@ object TextAnalysis {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY id_a""".stripMargin
 
+  // --- corpus stats by metadata columns ---------------------------------------
+  def docsBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 2).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  val docsBySourceSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |ROUND(AVG(LENGTH(text)), 2) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // --- token frequency (explode → agg → top-k) --------------------------------
+  def tokenFreq(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  val tokenFreqSql: String =
+    """SELECT token, COUNT(*) AS freq FROM (
+      |SELECT UNNEST(STR_SPLIT(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
+
   // --- document fingerprint (rolling hash) -------------------------------------
   // Polynomial rolling hash over the first/last shingles — not expressible in
   // portable SQL, so no oracle (rows-only check); exact values pinned in

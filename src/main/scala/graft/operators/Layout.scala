@@ -32,6 +32,21 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed write: rows are hash-distributed into `numBuckets` files per
+    * partition by the join key and sorted within buckets. Two tables
+    * bucketed the same way join WITHOUT any Exchange — the shuffle happened
+    * once at write time and is amortized over every subsequent join
+    * (LayoutSpec asserts the exchange-free plan). The co-location lever for
+    * repeated 100 TB fact-to-fact joins where broadcast can't apply.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    cols: Seq[String]): Unit =
+    df.write
+      .bucketBy(numBuckets, cols.head, cols.drop(1): _*)
+      .sortBy(cols.head, cols.drop(1): _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** Salted equi-join for skewed keys: the large side is salted by a
     * uniformly-distributed column (any high-cardinality column works — a
     * row id, a hash of the row), the small side is replicated `numSalts`

@@ -21,6 +21,31 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("bucketed tables join with no Exchange in the plan") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft-bkt-db'")
+    val o = Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey"), col("c_name"))
+    graft.operators.Layout.writeBucketed(o, "graft_bkt.orders_b", 8, Seq("o_custkey"))
+    graft.operators.Layout.writeBucketed(c, "graft_bkt.cust_b", 8, Seq("c_custkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("graft_bkt.orders_b")
+        .join(spark.table("graft_bkt.cust_b"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
+      // and it computes the same rows as the plain join
+      val expected = o.join(c, col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == expected && expected > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.cust_b")
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt")
+    }
+  }
+
   test("saltedJoin is row-identical to the plain equi-join") {
     val orders = Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
     val cust = Tables.customer(spark, Sf0001).select(

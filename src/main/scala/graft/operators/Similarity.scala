@@ -123,10 +123,11 @@ object Similarity {
     val allPlanes = hyperplanes(dim, nTables * bitsPerTable)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val tableCols = (0 until nTables).map { t =>
-      val planes = allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
-      struct(lit(t).as("tbl"), hyperplaneBucket(col("v"), planes).as("bucket"))
-    }
+    // all table buckets in one referenced-object expression (the per-table
+    // literal-plane formulation put planes×dim literal doubles in the plan)
+    import org.apache.spark.sql.graft.{ColumnBridge, HyperplaneBuckets}
+    val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(col("v")), allPlanes.toArray, bitsPerTable))
     // Each bucket verifies its own pairs in one pass: collect the bucket's
     // (id, vector) list, generate the intra-bucket pair triangle inside a
     // nested HOF expression with the codegen dot product, and emit only the
@@ -135,8 +136,8 @@ object Similarity {
     // pairs are never materialized into a shuffle, and no join re-attaches
     // vectors. Bucket skew is bounded by the signature width; the verify work
     // per bucket is O(|bucket|²) dot products in generated code.
-    val bucketed = e.select(col("vec_id"), col("v"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val bucketed = e.select(col("vec_id"), col("v"),
+      posexplode(bucketsCol).as(Seq("tbl", "bucket")))
     val grouped = bucketed
       .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(struct(col("vec_id").as("id"), col("v").as("v"))).as("xs"))

@@ -200,6 +200,82 @@ case class MinHashSig(hashes: Expression, aPerm: Expression, bPerm: Expression)
     copy(hashes = newFirst, aPerm = newSecond, bPerm = newThird)
 }
 
+/** All random-hyperplane LSH bucket ids of a vector in one pass: table t's
+  * bucket packs the sign bits of the projections onto planes
+  * [t·bits, (t+1)·bits). The plane matrix rides along as a referenced
+  * object (`ctx.addReferenceObj`), NOT as literals — the HOF formulation
+  * embedded planes.length × dim literal doubles into the plan, which
+  * bloated analysis/codegen time and fell back to interpreted eval.
+  * Bit-identical bucket ids to [[graft.functions.VectorFunctions.hyperplaneBucket]]
+  * (same sequential dot, same ≥ 0 sign rule — CatalystExpressionSpec).
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
+                             bitsPerTable: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData].toDoubleArray()
+    val nTables = planes.length / bitsPerTable
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bitsPerTable) {
+        val p = planes(t * bitsPerTable + i)
+        val m = math.min(vec.length, p.length)
+        var d = 0.0
+        var k = 0
+        while (k < m) { d += vec(k) * p(k); k += 1 }
+        if (d >= 0.0) bucket |= 1L << i
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val vec = ctx.freshName("vec")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val bucket = ctx.freshName("bucket")
+      val nTables = planes.length / bitsPerTable
+      s"""
+         |double[] $vec = $c.toDoubleArray();
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $i = 0; $i < $bitsPerTable; $i++) {
+         |    double[] $p = $planesRef[$t * $bitsPerTable + $i];
+         |    int $m = java.lang.Math.min($vec.length, $p.length);
+         |    double $d = 0.0;
+         |    for (int $k = 0; $k < $m; $k++) { $d += $vec[$k] * $p[$k]; }
+         |    if ($d >= 0.0) $bucket |= 1L << $i;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All verified cosine-similar pairs inside one LSH bucket. Input is the
   * bucket's collected `array<struct<id:long, v:array<double>>>`; output is
   * `array<struct<id_a, id_b, sim>>` for the pairs with

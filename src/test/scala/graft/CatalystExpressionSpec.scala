@@ -49,6 +49,22 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(near < far)
   }
 
+  test("HyperplaneBuckets matches the literal-plane HOF bucket formulation") {
+    val planes = graft.operators.Similarity.hyperplanes(64, 12) // 3 tables x 4 bits
+    val e = Tables.embeddings(spark, Sf0001)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val fast = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.HyperplaneBuckets(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+        planes.toArray, 4))
+    val hof = array((0 until 3).map { t =>
+      VectorFunctions.hyperplaneBucket(col("v"), planes.slice(t * 4, t * 4 + 4))
+    }: _*)
+    val diff = e.select(fast.as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("MinHashSig is identical to the HOF minhash formulation") {
     val perms = Dedup.permutations(64)
     val docs = Tables.documents(spark, Sf0001).limit(200)

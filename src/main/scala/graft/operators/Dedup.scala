@@ -203,6 +203,23 @@ object Dedup {
   /** Hamming distance between two simhash longs (popcount of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03 — public
+    * algorithm): hash every k-gram, slide a window of `w` hashes, keep each
+    * window's minimum; the distinct sorted mins are the document's sketch.
+    * Guarantees any shared substring of length ≥ w+k-1 contributes at least
+    * one common fingerprint — the rolling-hash selection standard for
+    * plagiarism/near-dup detection. Pure expression (no UDF); the hash
+    * array is bound once.
+    */
+  def winnowingFingerprint(textCol: Column, k: Int = 3, w: Int = 4): Column =
+    bindOnce(transform(wordShingles(textCol, k), s => xxhash64(s))) { hashes =>
+      val n = size(hashes)
+      val mins = transform(
+        sequence(lit(0), greatest(n - lit(w), lit(0))),
+        i => array_min(slice(hashes, i + 1, lit(w))))
+      array_sort(array_distinct(mins))
+    }
+
   /** SimHash near-dup pairs at scale: the 64-bit fingerprint is cut into
     * `bands` chunks; docs colliding on ANY chunk are candidates (pigeonhole:
     * every pair with hamming distance < bands is guaranteed to collide

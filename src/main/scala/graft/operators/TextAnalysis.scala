@@ -133,6 +133,7 @@ object TextAnalysis {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       xxhash64(col("text")).as("content_fp"),
-      Dedup.simhash(col("text")).as("simhash_fp"))
+      Dedup.simhash(col("text")).as("simhash_fp"),
+      Dedup.winnowingFingerprint(col("text")).as("winnow_fp"))
       .orderBy("doc_id")
 }

@@ -76,6 +76,18 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("winnowing fingerprints: shared substrings yield shared mins; near-dups overlap more") {
+    val fp = docs.select(col("doc_id"),
+        Dedup.winnowingFingerprint(col("text"), k = 3, w = 2).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(0L) == fp(1L)) // exact dup -> identical sketch
+    def overlap(a: Seq[Long], b: Seq[Long]) =
+      a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+    assert(overlap(fp(0L), fp(2L)) > overlap(fp(0L), fp(3L)),
+      "near-dup must share more fingerprints than unrelated docs")
+    assert(fp(4L).nonEmpty) // short doc still fingerprints (whole-text shingle)
+  }
+
   test("hammingDistance column matches JVM popcount") {
     val d = spark.range(1).select(
       Dedup.hammingDistance(lit(0xff00L), lit(0x0ff0L)).as("d")).as[Int].head()

@@ -78,6 +78,7 @@ object SparkEntry {
     // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
     "upsert_orders" -> (upsertOrders _),
     "ingest_normalize" -> Ingest.ingestNormalize _,
+    "ingest_customers" -> Ingest.ingestCustomers _,
     // streaming batch-twins (SURVEY §2.7)
     "events_dedup" -> ((s: SparkSession, d: String) =>
       EventsPipeline.dedupLatest(Tables.events(s, d))
@@ -219,6 +220,7 @@ object SparkEntry {
     "custkeys_except" -> Analytics.custkeysExceptSql,
     "upsert_orders" -> upsertOrdersSql,
     "ingest_normalize" -> Ingest.ingestNormalizeSql,
+    "ingest_customers" -> Ingest.ingestCustomersSql,
     "events_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC, user_id) AS rn FROM events) t

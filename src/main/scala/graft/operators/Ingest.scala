@@ -87,4 +87,42 @@ object Ingest {
   def customerDisplayName(first: org.apache.spark.sql.Column,
                           last: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(concat_ws(" ", first, last))
+
+  /** Wire schema of a customer payload. */
+  val customerPayloadSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("email", StringType)))
+
+  /** Customer payload synthesis: name split across first/last fields the
+    * way the upstream API delivers it (`mktsegment` stands in for a last
+    * name so the concat path is non-trivial). */
+  def customerPayloadsFrom(customer: DataFrame): DataFrame =
+    customer.select(to_json(struct(
+      col("c_custkey").cast("string").as("id"),
+      col("c_name").as("first_name"),
+      col("c_mktsegment").as("last_name"),
+      concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@example.com")).as("email")
+    )).as("payload"))
+
+  /** Customer decode + F5 normalization. */
+  def normalizeCustomers(payloads: DataFrame): DataFrame =
+    payloads
+      .withColumn("c", from_json(col("payload"), customerPayloadSchema))
+      .select(
+        col("c.id").cast("long").as("shopify_customer_id"),
+        customerDisplayName(col("c.first_name"), col("c.last_name")).as("name"), // F5
+        col("c.email").as("email"))
+
+  def ingestCustomers(spark: SparkSession, dir: String): DataFrame =
+    normalizeCustomers(customerPayloadsFrom(graft.Tables.customer(spark, dir)))
+      .orderBy("shopify_customer_id")
+
+  val ingestCustomersSql: String =
+    """SELECT c_custkey AS shopify_customer_id,
+      |TRIM(CONCAT_WS(' ', c_name, c_mktsegment)) AS name,
+      |LOWER(REGEXP_REPLACE(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com' AS email
+      |FROM customer ORDER BY shopify_customer_id""".stripMargin
 }

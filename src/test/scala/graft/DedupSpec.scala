@@ -88,6 +88,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(fp(4L).nonEmpty) // short doc still fingerprints (whole-text shingle)
   }
 
+  test("approx_count_distinct tracks exact distinct within HLL error bounds") {
+    val d = Tables.documents(spark, Sf0001)
+    val (approx, exact) = d.select(
+        approx_count_distinct(md5(col("text"))).as("a"),
+        countDistinct(md5(col("text"))).as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("hammingDistance column matches JVM popcount") {
     val d = spark.range(1).select(
       Dedup.hammingDistance(lit(0xff00L), lit(0x0ff0L)).as("d")).as[Int].head()

@@ -29,15 +29,10 @@ object Dedup {
     docs.join(groups, Seq(idCol), "left_semi")
   }
 
-  /** Evaluate-once binding for an expensive array-valued expression: wraps it
-    * in a single-element array and pipes it through a `transform` lambda,
-    * whose input is evaluated exactly once per row. Without this, Catalyst's
-    * CollapseProject inlines a projected column into every downstream
-    * reference — an expression referenced 64 times gets computed 64 times
-    * per row (measured: 25 ms/doc for LSH band keys vs <1 ms bound).
-    */
+  /** Evaluate-once binding (see [[graft.functions.ExprUtils.bindOnce]] —
+    * measured 64× recompute for LSH band keys without it). */
   private def bindOnce(expensive: Column)(body: Column => Column): Column =
-    element_at(transform(array(expensive), body), 1)
+    graft.functions.ExprUtils.bindOnce(expensive)(body)
 
   /** Word k-shingles as an array column: w₀‥wₖ₋₁, w₁‥wₖ, …  Docs shorter
     * than k words contribute their whole text as a single shingle so they

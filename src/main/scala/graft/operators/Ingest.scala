@@ -49,14 +49,19 @@ object Ingest {
     */
   def normalizeOrders(payloads: DataFrame): DataFrame =
     payloads
-      .withColumn("o", from_json(col("payload"), orderPayloadSchema))
-      .select(
-        col("o.id").cast("long").as("shopify_order_id"),
-        col("o.total_price").cast("double").as("total_price"), // F6
-        to_timestamp(col("o.created_at"), "yyyy-MM-dd'T'HH:mm:ss").as("created_at"), // F7
-        col("o.currency").as("currency"),
-        regexp_replace(col("o.shop_domain"), "^https://", "").as("shop_domain"), // F9
+      // bindOnce: the parsed struct is referenced 5 times below —
+      // CollapseProject would otherwise re-run from_json per reference
+      .select(graft.functions.ExprUtils.bindOnce(
+        from_json(col("payload"), orderPayloadSchema)) { o =>
+          struct(
+            o.getField("id").cast("long").as("shopify_order_id"),
+            o.getField("total_price").cast("double").as("total_price"), // F6
+            to_timestamp(o.getField("created_at"), "yyyy-MM-dd'T'HH:mm:ss").as("created_at"), // F7
+            o.getField("currency").as("currency"),
+            regexp_replace(o.getField("shop_domain"), "^https://", "").as("shop_domain")) // F9
+        }.as("r"),
         col("payload").as("raw")) // F8 archive
+      .select(col("r.*"), col("raw"))
 
   /** The flagship ingest round trip registered as a driver query: testdata →
     * wire payloads → decode → normalize. Dropping `raw` from the compared
@@ -110,11 +115,14 @@ object Ingest {
   /** Customer decode + F5 normalization. */
   def normalizeCustomers(payloads: DataFrame): DataFrame =
     payloads
-      .withColumn("c", from_json(col("payload"), customerPayloadSchema))
-      .select(
-        col("c.id").cast("long").as("shopify_customer_id"),
-        customerDisplayName(col("c.first_name"), col("c.last_name")).as("name"), // F5
-        col("c.email").as("email"))
+      .select(graft.functions.ExprUtils.bindOnce(
+        from_json(col("payload"), customerPayloadSchema)) { c =>
+          struct(
+            c.getField("id").cast("long").as("shopify_customer_id"),
+            customerDisplayName(c.getField("first_name"), c.getField("last_name")).as("name"), // F5
+            c.getField("email").as("email"))
+        }.as("r"))
+      .select(col("r.*"))
 
   def ingestCustomers(spark: SparkSession, dir: String): DataFrame =
     normalizeCustomers(customerPayloadsFrom(graft.Tables.customer(spark, dir)))

@@ -43,12 +43,19 @@ object TextFunctions {
     val fr = occurrences(padded, " le ") + occurrences(padded, " la ") + occurrences(padded, " et ")
     val es = occurrences(padded, " el ") + occurrences(padded, " los ") + occurrences(padded, " y ")
     val zh = occurrences(c, "的")
-    when(zh > 0, "zh")
-      .when(en >= de && en >= fr && en >= es && en > 0, "en")
-      .when(de >= fr && de >= es && de > 0, "de")
-      .when(fr >= es && fr > 0, "fr")
-      .when(es > 0, "es")
-      .otherwise("und")
+    // each count is referenced 3-4× across the when branches and there is
+    // no common-subexpression elimination between branches — bind the five
+    // counts once so the marker scans run once per row, not per reference
+    ExprUtils.bindOnce(array(en, de, fr, es, zh)) { a =>
+      val (e, d, f, s, z) = (element_at(a, 1), element_at(a, 2),
+        element_at(a, 3), element_at(a, 4), element_at(a, 5))
+      when(z > 0, "zh")
+        .when(e >= d && e >= f && e >= s && e > 0, "en")
+        .when(d >= f && d >= s && d > 0, "de")
+        .when(f >= s && f > 0, "fr")
+        .when(s > 0, "es")
+        .otherwise("und")
+    }
   }
 
   /** Heuristic document quality score in [0,1]: length credit + stopword

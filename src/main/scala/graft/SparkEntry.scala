@@ -103,6 +103,16 @@ object SparkEntry {
           round(col("asof_value"), 2).as("asof_value"))
         .orderBy("event_id")
     }),
+    // batch twin of the stream-stream interval join (clicks ⋈ purchases
+    // within the preceding hour per user)
+    "events_stream_join" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      EventsPipeline.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .withColumn("value", round(col("value"), 2))
+        .orderBy("click_id", "purchase_id")
+    }),
     "events_sliding" -> ((s: SparkSession, d: String) =>
       EventsPipeline.slidingAgg(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
@@ -229,6 +239,15 @@ object SparkEntry {
       """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, event_type,
         |COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "events_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |ROUND(p.value, 2) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id
+        |AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // window-union mirror of the as-of join (engine-portable; right rows
     // sort before left at equal ts for >= semantics, event_id breaks ties)
     "events_asof" ->

@@ -115,6 +115,44 @@ object EventsPipeline {
         round(sum("value"), 2).as("session_value"))
       .select("user_id", "session_start", "session_end", "n_events", "session_value")
 
+  // --- stream-stream interval join ------------------------------------------
+
+  /** Clicks joined to the same user's purchases within the preceding hour
+    * (inclusive on both ends). Batch twin of the stream-stream join: key
+    * equi-join + event-time range condition — Catalyst plans the equi-part
+    * as the join key, the range as a post-join filter.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "value")
+  }
+
+  /** Streaming twin: both sides watermarked; the time-range join condition
+    * bounds each side's state (Spark evicts rows once they can no longer
+    * match — the stream-stream join pattern from the Structured Streaming
+    * guide). Append emits a match once it is final.
+    */
+  def clickPurchaseJoinStreaming(clicks: DataFrame, purchases: DataFrame,
+                                 watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("purchase_id"), c("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // --- custom state: running per-user totals (flatMapGroupsWithState) -------
 
   /** Accumulated per-user state carried across micro-batches. */

@@ -98,6 +98,32 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch twin on the same input") {
+    val clicks = Seq(
+      Ev(10L, t("2024-01-01 10:30:00"), 7L, "click", 0.0, "{}"),
+      Ev(11L, t("2024-01-01 12:00:00"), 7L, "click", 0.0, "{}"),
+      Ev(12L, t("2024-01-01 10:30:00"), 8L, "click", 0.0, "{}"))
+    val purchases = Seq(
+      Ev(20L, t("2024-01-01 10:00:00"), 7L, "purchase", 5.0, "{}"),  // in window of 10
+      Ev(21L, t("2024-01-01 11:30:00"), 7L, "purchase", 7.0, "{}"),  // in window of 11
+      Ev(22L, t("2024-01-01 08:00:00"), 8L, "purchase", 9.0, "{}"))  // too old for 12
+    val batch = EventsPipeline.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Double)].collect().toSeq
+    assert(batch.map(r => (r._1, r._2)) == Seq((10L, 20L), (11L, 21L)))
+
+    val memC = MemoryStream[Ev](spark); memC.addData(clicks: _*)
+    val memP = MemoryStream[Ev](spark); memP.addData(purchases: _*)
+    val q = EventsPipeline.clickPurchaseJoinStreaming(memC.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ssjoin_out")
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch twin") {
     val mem = MemoryStream[Ev](spark)
     val q = EventsPipeline.runningUserTotalsStreaming(mem.toDF())

@@ -145,15 +145,23 @@ object Dedup {
                          threshold: Double, numPerm: Int = 64, bands: Int = 16,
                          shingleK: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK)
-    val cands = lshCandidatePairs(sigs, idCol, numPerm, bands)
     val sets = sigs.select(col(idCol),
       array_distinct(transform(col("shingles"), s => xxhash64(s))).as("sset"))
-    cands
-      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sset", "set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sset", "set_b"), Seq("id_b"))
-      .withColumn("jaccard", round(jaccard(col("set_a"), col("set_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // bucket-local verification (same model as the embedding LSH path):
+    // collect each band bucket's (id, shingle set), verify the pair triangle
+    // inside one JaccardPairs call, dedup survivors across bands. Candidate
+    // pairs never hit a shuffle; no joins re-attach the sets.
+    val grouped = lshBands(sigs, idCol, numPerm, bands)
+      .join(sets, Seq(idCol))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("sset"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    import org.apache.spark.sql.graft.{ColumnBridge, JaccardPairs}
+    val pairs = ColumnBridge.column(
+      JaccardPairs(ColumnBridge.expression(col("xs")), threshold))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Linear-cost MinHash/LSH dedup filter — the 100 TB path. Instead of

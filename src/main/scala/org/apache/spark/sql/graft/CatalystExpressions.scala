@@ -276,6 +276,71 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** All verified Jaccard-similar pairs inside one MinHash/LSH band bucket.
+  * Input: the bucket's collected `array<struct<id:long, sset:array<long>>>`
+  * (hashed shingle sets); output: `array<struct<id_a, id_b, jaccard>>` for
+  * pairs with round(|∩|/|∪|, 4) ≥ threshold, id_a < id_b. Same whole-bucket
+  * evaluation model as [[CosinePairs]]: one boxed call per bucket, set
+  * intersections via a per-element hash set built once. Rounding is
+  * BigDecimal HALF_UP — identical to `round(col, 4)`.
+  */
+case class JaccardPairs(child: Expression, threshold: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("jaccard", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_jaccard_pairs"
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val raw = new Array[Array[Long]](n)
+    val sets = new Array[java.util.HashSet[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      raw(i) = row.getArray(1).toLongArray()
+      val hs = new java.util.HashSet[Long](raw(i).length * 2)
+      raw(i).foreach(hs.add(_))
+      sets(i) = hs
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val (small, bigSet) =
+          if (sets(i).size <= sets(j).size) (sets(i), sets(j)) else (sets(j), sets(i))
+        var inter = 0
+        val it = small.iterator()
+        while (it.hasNext) { if (bigSet.contains(it.next())) inter += 1 }
+        val union = sets(i).size + sets(j).size - inter
+        val jac = if (union == 0) 0.0 else round4(inter.toDouble / union.toDouble)
+        if (jac >= threshold) {
+          val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+          out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, jac))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All verified cosine-similar pairs inside one LSH bucket. Input is the
   * bucket's collected `array<struct<id:long, v:array<double>>>`; output is
   * `array<struct<id_a, id_b, sim>>` for the pairs with

@@ -214,7 +214,15 @@ object Dedup {
     * plagiarism/near-dup detection. Pure expression (no UDF); the hash
     * array is bound once.
     */
-  def winnowingFingerprint(textCol: Column, k: Int = 3, w: Int = 4): Column =
+  def winnowingFingerprint(textCol: Column, k: Int = 3, w: Int = 4): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, WinnowingMins}
+    ColumnBridge.column(WinnowingMins(
+      ColumnBridge.expression(transform(wordShingles(textCol, k), s => xxhash64(s))), w))
+  }
+
+  /** Reference HOF formulation of [[winnowingFingerprint]] — kept for the
+    * equivalence spec. */
+  def winnowingFingerprintHof(textCol: Column, k: Int = 3, w: Int = 4): Column =
     bindOnce(transform(wordShingles(textCol, k), s => xxhash64(s))) { hashes =>
       val n = size(hashes)
       val mins = transform(

@@ -276,6 +276,77 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Winnowing selection: sliding-window minima over a k-gram hash array
+  * (window size `w`), distinct and sorted — the document sketch of
+  * Schleimer et al. Same values as the HOF
+  * `array_sort(array_distinct(transform(seq, i -> array_min(slice(...)))))`
+  * formulation (pinned in CatalystExpressionSpec) without per-window slice
+  * allocation: a single monotonic pass.
+  */
+case class WinnowingMins(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnowing_mins"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val n = hs.length
+    val nWin = math.max(n - w + 1, 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nWin) {
+      val end = math.min(i + w, n)
+      var m = Long.MaxValue
+      var j = i
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val hs = ctx.freshName("hs")
+      val n = ctx.freshName("n")
+      val nWin = ctx.freshName("nWin")
+      val sel = ctx.freshName("sel")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val it = ctx.freshName("it")
+      s"""
+         |long[] $hs = $c.toLongArray();
+         |int $n = $hs.length;
+         |int $nWin = java.lang.Math.max($n - $w + 1, 1);
+         |java.util.TreeSet<Long> $sel = new java.util.TreeSet<Long>();
+         |for (int $i = 0; $i < $nWin; $i++) {
+         |  int $end = java.lang.Math.min($i + $w, $n);
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $j = $i; $j < $end; $j++) { if ($hs[$j] < $m) $m = $hs[$j]; }
+         |  $sel.add($m);
+         |}
+         |long[] $out = new long[$sel.size()];
+         |int $k = 0;
+         |java.util.Iterator<Long> $it = $sel.iterator();
+         |while ($it.hasNext()) { $out[$k++] = ((Long) $it.next()).longValue(); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All verified Jaccard-similar pairs inside one MinHash/LSH band bucket.
   * Input: the bucket's collected `array<struct<id:long, sset:array<long>>>`
   * (hashed shingle sets); output: `array<struct<id_a, id_b, jaccard>>` for

@@ -65,6 +65,15 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("WinnowingMins is identical to the HOF winnowing formulation") {
+    val docs = Tables.documents(spark, Sf0001)
+    val diff = docs.select(
+        Dedup.winnowingFingerprint(col("text")).as("fast"),
+        Dedup.winnowingFingerprintHof(col("text")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("MinHashSig is identical to the HOF minhash formulation") {
     val perms = Dedup.permutations(64)
     val docs = Tables.documents(spark, Sf0001).limit(200)

@@ -147,6 +147,10 @@ object SparkEntry {
           Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
           maxDist = 7, bands = 8)
         .orderBy("id_a", "id_b")),
+    // [EXT] end-to-end curation pipeline (exact dedup → LSH keep-filter →
+    // quality/language gates → token stats); not SQL-expressible because of
+    // the MinHash stage → rows-only + CurationSpec
+    "curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curate(s, d)),
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,

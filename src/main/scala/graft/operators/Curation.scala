@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The end-to-end training-data curation pipeline (charter north-star) —
+  * the operators composed the way a 100 TB corpus pass actually runs:
+  *
+  *  1. exact dedup (content-hash semi-join keeps the min-id copy),
+  *  2. near-dup removal via the LINEAR MinHash/LSH keep-filter
+  *     (no pair materialization — [[Dedup.lshDedupKeep]]),
+  *  3. quality + language gates (pure expression scores),
+  *  4. per-document stats for downstream tokenization budgeting.
+  *
+  * Every stage is narrow (id + flags/scores shuffle at most); document text
+  * rides only the first scan and the final projection. Output is one row
+  * per surviving document.
+  */
+object Curation {
+
+  def curate(spark: SparkSession, dir: String,
+             minQuality: Double = 0.3, lang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactKept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    val nearKeepIds = Dedup.lshDedupKeep(exactKept, "text", "doc_id",
+        numPerm = 64, bands = 8, shingleK = 1)
+      .filter(col("keep"))
+      .select("doc_id")
+    exactKept
+      .join(nearKeepIds, Seq("doc_id"), "left_semi")
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("lang_pred", langIdHeuristic(col("text")))
+      .filter(col("quality") >= minQuality && col("lang_pred") === lang)
+      .select(
+        col("doc_id"),
+        col("lang_pred"),
+        col("quality"),
+        length(col("text")).cast("long").as("char_len"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        reTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DotProduct, SimHash64}
+import org.apache.spark.sql.graft.{CosinePairs, DotProduct, JaccardPairs, MinHashSig, SimHash64, WinnowingMins}
 
 /** SparkSessionExtensions hook exposing the engine's custom codegen
   * expressions to SQL users:
@@ -29,5 +29,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1), args(2))))
+    // scalar config parameters (window size / thresholds) must be literals
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnowing_mins"),
+      new ExpressionInfo(classOf[WinnowingMins].getName, "graft_winnowing_mins"),
+      (args: Seq[Expression]) =>
+        WinnowingMins(args(0), GraftExtensions.litInt(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_pairs"),
+      new ExpressionInfo(classOf[CosinePairs].getName, "graft_cosine_pairs"),
+      (args: Seq[Expression]) =>
+        CosinePairs(args(0), GraftExtensions.litDouble(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_pairs"),
+      new ExpressionInfo(classOf[JaccardPairs].getName, "graft_jaccard_pairs"),
+      (args: Seq[Expression]) =>
+        JaccardPairs(args(0), GraftExtensions.litDouble(args(1)))))
   }
+}
+
+object GraftExtensions {
+  private[graft] def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue
+  private[graft] def litDouble(e: Expression): Double =
+    e.eval().asInstanceOf[Number].doubleValue
 }

@@ -24,9 +24,19 @@ object ColumnBridge {
 object GraftSqlFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+    def litDouble(e: Expression): Double = e.eval().asInstanceOf[Number].doubleValue
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1), args(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnowing_mins",
+      (args: Seq[Expression]) => WinnowingMins(args(0), litInt(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine_pairs",
+      (args: Seq[Expression]) => CosinePairs(args(0), litDouble(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_pairs",
+      (args: Seq[Expression]) => JaccardPairs(args(0), litDouble(args(1))), "built-in")
   }
 }

@@ -94,5 +94,14 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     val h = spark.sql(
       "SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS h").head().getLong(0)
     assert(h != 0L)
+    val wm = spark.sql(
+      "SELECT graft_winnowing_mins(array(5L, 3L, 9L, 1L), 2) AS w").head().getSeq[Long](0)
+    assert(wm == Seq(1L, 3L)) // windows [5,3] [3,9] [9,1] -> mins {3, 1}
+    val jp = spark.sql(
+      """SELECT graft_jaccard_pairs(
+        |array(named_struct('id', 1L, 'sset', array(1L, 2L, 3L)),
+        |      named_struct('id', 2L, 'sset', array(2L, 3L, 4L))), 0.4d) AS p""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(jp.length == 1 && jp.head.getDouble(2) == 0.5)
   }
 }

@@ -184,7 +184,7 @@ object SparkEntry {
           threshold = 0.35)
         .orderBy("id_a", "id_b")),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
-      Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
+      Similarity.ivfTopKCached(Tables.embeddings(s, d), d, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
     // [EXT] multimodal plumbing
     "multimodal_meta" -> ((s: SparkSession, d: String) =>
@@ -203,6 +203,19 @@ object SparkEntry {
           Seq(0L, 1L, 2L), 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
   )
+
+  /** First UTF-8 byte of `text`, derived from the first code point (DuckDB
+    * cannot index blobs): standard UTF-8 leading-byte arithmetic. Matches
+    * Multimodal.decodeStub's `payload(0) & 0xff` for ALL inputs, including
+    * multi-byte starts (zh docs) — the round-1 oracle used ASCII() (the code
+    * point itself), which diverges for any non-ASCII first char.
+    */
+  private val firstUtf8ByteSql: String =
+    """(CASE WHEN LENGTH(text) = 0 THEN 0
+      | WHEN ASCII(text) < 128 THEN ASCII(text)
+      | WHEN ASCII(text) < 2048 THEN 192 + ASCII(text) // 64
+      | WHEN ASCII(text) < 65536 THEN 224 + ASCII(text) // 4096
+      | ELSE 240 + ASCII(text) // 262144 END)""".stripMargin.replace("\n", " ")
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (doc_fingerprint,
@@ -304,9 +317,11 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,
+    // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
+    // as float — the gate's exact compare then fails against Spark's int64
     "events_props_sum" ->
       """SELECT event_type,
-        |SUM(CAST(REGEXP_EXTRACT(props, '[0-9]+') AS BIGINT)) AS sum_k,
+        |CAST(SUM(CAST(REGEXP_EXTRACT(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
         |COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lang_id" -> TextAnalysis.langIdSql,
@@ -336,10 +351,10 @@ object SparkEntry {
         |WHERE a.vec_id < 300 AND b.vec_id < 300) t
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "multimodal_resize" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id,
         |  CAST(64 + OCTET_LENGTH(ENCODE(text)) % 577 AS BIGINT) AS width,
-        |  CAST(32 + (ASCII(SUBSTR(text, 1, 1)) * 3) % 719 AS BIGINT) AS height
+        |  CAST(32 + ($firstUtf8ByteSql * 3) % 719 AS BIGINT) AS height
         |  FROM documents),
         |s AS (SELECT *, LEAST(1.0, 256.0 / width, 256.0 / height) AS scale FROM m)
         |SELECT doc_id, width, height,
@@ -347,9 +362,9 @@ object SparkEntry {
         |CAST(FLOOR(height * scale) AS BIGINT) AS new_height
         |FROM s ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |CAST(64 + OCTET_LENGTH(ENCODE(text)) % 577 AS BIGINT) AS width,
-        |CAST(32 + (ASCII(SUBSTR(text, 1, 1)) * 3) % 719 AS BIGINT) AS height,
+        |CAST(32 + ($firstUtf8ByteSql * 3) % 719 AS BIGINT) AS height,
         |CASE OCTET_LENGTH(ENCODE(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |CAST(1 + OCTET_LENGTH(ENCODE(text)) % 24 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,

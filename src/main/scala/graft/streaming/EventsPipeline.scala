@@ -187,10 +187,13 @@ object EventsPipeline {
 
   // --- end-to-end file-source pipeline --------------------------------------
 
-  /** File-source stream (the drop-directory stand-in for webhook delivery /
-    * Kafka): parquet drops in `inDir` → dedup → foreachBatch upsert into a
-    * parquet table at `outDir`, keyed by event_id. Exactly-once to the sink
-    * comes from dedup state + idempotent Merge.upsert per micro-batch.
+  /** File-source stream (the drop-directory stand-in for webhook delivery;
+    * no Kafka connector jar ships with the image — see COVERAGE.md): parquet
+    * drops in `inDir` → dedup → foreachBatch upsert into a DATE-PARTITIONED
+    * parquet table at `outDir` (`event_date=YYYY-MM-DD/`), keyed by
+    * event_id. Exactly-once to the sink comes from dedup state + idempotent
+    * partition-scoped merge per micro-batch (at-least-once foreachBatch ×
+    * idempotent merge = exactly-once contents).
     */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,
                     checkpointDir: String, schemaFrom: DataFrame,
@@ -204,24 +207,7 @@ object EventsPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val started = System.currentTimeMillis()
         try {
-          val target = try {
-            spark.read.parquet(outDir)
-          } catch { case _: Throwable => batch.limit(0) }
-          // version = ts: last-write-wins per event_id across batches
-          val merged = Merge.upsert(target, batch, Seq("event_id"), "ts")
-          // The merge reads outDir, so it can't be overwritten in place:
-          // persist() is NOT a durability guarantee (evicted partitions
-          // would recompute from the clobbered directory). Write to a temp
-          // path, then swap via FileSystem rename — works on local FS and
-          // HDFS-compatible stores alike.
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-          val tmpPath = new org.apache.hadoop.fs.Path(outDir + ".tmp")
-          val outPath = new org.apache.hadoop.fs.Path(outDir)
-          merged.write.mode("overwrite").parquet(tmpPath.toString)
-          val n = spark.read.parquet(tmpPath.toString).count()
-          fs.delete(outPath, true)
-          fs.rename(tmpPath, outPath)
+          val n = mergePartitioned(spark, batch, outDir)
           logRun(spark, runLogDir, batchId, n, started, "completed")
         } catch { case e: Throwable =>
           logRun(spark, runLogDir, batchId, -1L, started, s"failed: ${e.getMessage}")
@@ -230,6 +216,76 @@ object EventsPipeline {
         ()
       }
       .start()
+  }
+
+  /** Merge one (micro-)batch of events into a date-partitioned parquet sink,
+    * touching ONLY the partitions whose `event_date` appears in the batch.
+    * Returns the merged row count of the affected partitions.
+    *
+    * The round-1 version read and rewrote the ENTIRE target per batch — a
+    * full-table rewrite per micro-batch at 100 TB. This one is scale-shaped:
+    *   1. affected dates = distinct to_date(ts) of the batch (O(days), tiny);
+    *   2. read the target pruned to those partitions (PartitionFilters — no
+    *      other partition's files are opened);
+    *   3. Merge.upsert(slice, batch) — last-write-wins per event_id;
+    *   4. write the merged slice to `outDir.tmp` partitioned by event_date,
+    *      then swap ONLY those partition directories via FileSystem rename.
+    * Untouched partitions are never read, never rewritten (StreamingSpec
+    * asserts their files keep their timestamps).
+    *
+    * Invariant: an event_id's event time is fixed across redeliveries (a
+    * delivery timestamp doesn't move dates), so the per-key merge never
+    * needs to look outside the batch's own partitions.
+    *
+    * Crash safety: the danger window is between per-partition delete and
+    * rename. On entry we restore any partition that exists under `.tmp` but
+    * not under the sink (the orphan a crash leaves), then the at-least-once
+    * replay of the batch re-runs the idempotent merge. No catch-all: a
+    * transient read failure fails the batch (and is retried by the stream)
+    * instead of silently resetting the table — the sink's absence is an
+    * explicit existence check, not an exception path.
+    */
+  def mergePartitioned(spark: SparkSession, batch: DataFrame, outDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val outPath = new Path(outDir)
+    val tmpPath = new Path(outDir + ".tmp")
+
+    // recover partitions orphaned by a crash between delete and rename
+    if (fs.exists(tmpPath)) {
+      fs.listStatus(tmpPath).iterator
+        .filter(_.getPath.getName.startsWith("event_date="))
+        .foreach { st =>
+          val dst = new Path(outPath, st.getPath.getName)
+          if (!fs.exists(dst)) { fs.mkdirs(outPath); fs.rename(st.getPath, dst) }
+        }
+      fs.delete(tmpPath, true)
+    }
+
+    val withDate = batch.withColumn("event_date", to_date(col("ts")))
+    val dates = withDate.select(col("event_date")).distinct()
+      .collect().map(_.getDate(0)).toSeq // O(days in batch) — driver-safe
+    // no-data batch (watermark tick): nothing to merge, touch nothing
+    if (dates.isEmpty) return 0L
+    val slice =
+      if (!fs.exists(outPath)) withDate.limit(0)
+      else spark.read.parquet(outDir)
+        .filter(col("event_date").isin(dates: _*)) // partition-pruned scan
+    // version = ts: last-write-wins per event_id across batches
+    val merged = Merge.upsert(slice, withDate, Seq("event_id"), "ts")
+    merged.write.mode("overwrite").partitionBy("event_date").parquet(tmpPath.toString)
+    val n = spark.read.parquet(tmpPath.toString).count()
+    fs.mkdirs(outPath)
+    fs.listStatus(tmpPath).iterator
+      .filter(_.getPath.getName.startsWith("event_date="))
+      .foreach { st =>
+        val dst = new Path(outPath, st.getPath.getName)
+        fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+    fs.delete(tmpPath, true)
+    n
   }
 
   /** Batch-run bookkeeping — the reference's `ingestion_runs` table +

@@ -464,7 +464,13 @@ case class CosinePairs(child: Expression, threshold: Double)
         val m = math.min(vi.length, vj.length)
         var d = 0.0; var k = 0
         while (k < m) { d += vi(k) * vj(k); k += 1 }
-        val sim = round4(d / (nrm(i) * nrm(j)))
+        // zero-norm guard: sim would be NaN/Inf and BigDecimal.valueOf
+        // throws — skip the pair (a zero vector is similar to nothing),
+        // matching the exact twin where round() passes NaN through and the
+        // >= threshold filter drops it
+        val denom = nrm(i) * nrm(j)
+        val sim = if (denom == 0.0 || !java.lang.Double.isFinite(d / denom)) Double.NaN
+                  else round4(d / denom)
         if (sim >= threshold) {
           val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
           out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, sim))

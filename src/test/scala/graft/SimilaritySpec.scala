@@ -35,9 +35,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val probes = Seq(0L, 1L, 2L)
     val bf = Similarity.bruteForceTopK(e, probes, 3)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(e, probes, 3, nprobe = 10) // all 10 clusters
+    val cents = Similarity.centroidSeq(e)
+    val ivf = Similarity.ivfTopK(e, cents, probes, 3, nprobe = 10) // all 10 clusters
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     assert(ivf == bf)
+  }
+
+  test("trained quantizer round-trips through parquet persist/load") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveCentroids(spark, cents, s"$dir/centroids.parquet")
+    val loaded = Similarity.loadCentroids(spark, s"$dir/centroids.parquet")
+    assert(loaded.sortBy(_._1) == cents.sortBy(_._1))
   }
 
   test("IVF recall improves with nprobe (near-uniform data: wide probes needed)") {
@@ -45,8 +55,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val probes = (0L until 10L).toSeq
     val bf = Similarity.bruteForceTopK(e, probes, 3)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.centroidSeq(e)
     def recallAt(np: Int) = {
-      val ivf = Similarity.ivfTopK(e, probes, 3, nprobe = np)
+      val ivf = Similarity.ivfTopK(e, cents, probes, 3, nprobe = np)
         .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
       (bf intersect ivf).size.toDouble / bf.size
     }

@@ -174,4 +174,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .select("batch_id", "status").as[(Long, String)].collect()
     assert(runs.length >= 2 && runs.forall(_._2 == "completed"), runs.mkString(","))
   }
+
+  test("partition-scoped merge rewrites only batch-affected date partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pmerge").toString
+    val outDir = s"$tmp/out"
+    // batch 1: events on two dates
+    EventsPipeline.mergePartitioned(spark, sample.toDF(), outDir)
+    val d1 = new java.io.File(s"$outDir/event_date=2024-01-01")
+    val d2 = new java.io.File(s"$outDir/event_date=2024-01-02")
+    assert(d1.isDirectory && d2.isDirectory)
+    def fileState(d: java.io.File): Set[(String, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val d1Before = fileState(d1)
+    Thread.sleep(1100) // FS mtime granularity can be 1s
+    // batch 2: a 2024-01-02 event only — day 1's partition must be untouched
+    val b2 = Seq(Ev(5L, t("2024-01-02 12:00:00"), 6L, "view", 7.0, "{}")).toDF()
+    EventsPipeline.mergePartitioned(spark, b2, outDir)
+    assert(fileState(d1) == d1Before,
+      "untouched partition was rewritten by a batch that didn't contain its date")
+    // day 2 grew: events 3, 4-if-present, 5 all live there
+    val got = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 5L), s"got ${got.toSeq}")
+    // crash recovery: orphan a partition into .tmp (as a crash between
+    // delete and rename would), then merge again — the orphan is restored
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$outDir.tmp"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/event_date=2024-01-01"),
+      new org.apache.hadoop.fs.Path(s"$outDir.tmp/event_date=2024-01-01"))
+    val b3 = Seq(Ev(6L, t("2024-01-03 08:00:00"), 6L, "click", 1.0, "{}")).toDF()
+    EventsPipeline.mergePartitioned(spark, b3, outDir)
+    val healed = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
+    assert(healed.toSeq == Seq(1L, 2L, 3L, 5L, 6L), s"got ${healed.toSeq}")
+  }
 }

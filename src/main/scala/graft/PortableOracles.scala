@@ -1,0 +1,199 @@
+package graft
+
+import graft.functions.Hashing.h60Sql
+import graft.operators.{Dedup, Similarity}
+
+/** DuckDB oracle SQL for the operator pipelines built on the portable
+  * [[graft.functions.Hashing.h60]] hash — MinHash/LSH dedup, SimHash,
+  * winnowing, multimodal stubs, hyperplane LSH, IVF. Each string replicates
+  * its Spark pipeline end-to-end with DuckDB list lambdas
+  * (`list_transform` / `list_min` / `list_filter` / `range`), converting the
+  * round-1 rows-only checks into exact hash-compared gate rows.
+  *
+  * Seeded constants (MinHash permutations, LSH hyperplanes) are interpolated
+  * as SQL literals from the same Scala generators the Spark side uses —
+  * one source of truth for both engines.
+  */
+object PortableOracles {
+
+  /** MinHash permutation parameters as a DuckDB list literal [[a,b],...]. */
+  private val permsLit: String =
+    Dedup.permutations(64).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+
+  /** Shared minhash CTE chain over `src(doc_id, text)` — word-level
+    * (shingleK=1) signatures, 64 perms, 8 bands of 8 rows. Band keys join on
+    * the signature SLICES directly (band-key hashing is a compaction whose
+    * equality is equivalent to slice equality). */
+  private def minhashCtes(src: String): String =
+    s"""base AS (SELECT doc_id, list_transform(STR_SPLIT(text, ' '),
+       |           s -> ${h60Sql("s")} % 4294967296) AS h32 FROM $src),
+       |sigs AS (SELECT doc_id, list_transform($permsLit,
+       |           p -> list_min(list_transform(h32, x -> (p[1]*x + p[2]) % 4294967311))) AS sig
+       |         FROM base),
+       |banded AS (SELECT doc_id, bi, sig[bi*8+1 : bi*8+8] AS bs
+       |           FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS bi))""".stripMargin
+
+  val minhashDedupKeepSql: String =
+    s"""WITH ${minhashCtes("documents")},
+       |bmin AS (SELECT bi, bs, MIN(doc_id) AS bucket_min FROM banded GROUP BY bi, bs)
+       |SELECT b.doc_id, MIN(m.bucket_min) AS rep_id,
+       |       MIN(m.bucket_min) = b.doc_id AS keep
+       |FROM banded b JOIN bmin m ON b.bi = m.bi AND b.bs = m.bs
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
+  val minhashNearDupSql: String =
+    s"""WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 500),
+       |${minhashCtes("docs0")},
+       |sets AS (SELECT doc_id, list_distinct(list_transform(STR_SPLIT(text, ' '),
+       |           s -> ${h60Sql("s")})) AS sset FROM docs0),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b ON a.bi = b.bi AND a.bs = b.bs
+       |         WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    ROUND(CAST(LEN(LIST_INTERSECT(sa.sset, sb.sset)) AS DOUBLE)
+       |          / CAST(LEN(LIST_DISTINCT(sa.sset || sb.sset)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+       |            JOIN sets sb ON sb.doc_id = cand.id_b) t
+       |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash fingerprint CTE over `src`: h60 token hashes → 64-way sign
+    * count. Bits 60–63 of h60 are structurally 0 ⇒ those fingerprint bits
+    * are 0 (sum = -n < 0), so the loop covers bits 0–59 only. */
+  private def simhashFpExpr(hashListCol: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 60),
+       |    i -> CASE WHEN 2 * len(list_filter($hashListCol, x -> (x >> i) & 1 = 1)) >= len($hashListCol)
+       |              THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+
+  val simhashNearDupSql: String =
+    s"""WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 500),
+       |hs AS (SELECT doc_id, list_transform(STR_SPLIT(text, ' '), s -> ${h60Sql("s")}) AS hl
+       |       FROM docs0),
+       |fp AS (SELECT doc_id, ${simhashFpExpr("hl")} AS f FROM hs),
+       |banded AS (SELECT doc_id, bi, (f >> (bi*8)) & 255 AS bk
+       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 8)) AS bi)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b ON a.bi = b.bi AND a.bk = b.bk
+       |         WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming
+       |  FROM cand JOIN fp fa ON fa.doc_id = cand.id_a
+       |            JOIN fp fb ON fb.doc_id = cand.id_b) t
+       |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+
+  private val wordsExpr = "STR_SPLIT(text, ' ')"
+  /** 3-word shingles with the whole-text fallback for short docs —
+    * [[Dedup.wordShingles]] k=3. */
+  private val shingles3Expr: String =
+    s"""CASE WHEN LEN($wordsExpr) >= 3
+       | THEN list_transform(range(0, LEN($wordsExpr) - 2),
+       |   i -> $wordsExpr[i+1] || ' ' || $wordsExpr[i+2] || ' ' || $wordsExpr[i+3])
+       | ELSE [text] END""".stripMargin.replace("\n", "")
+
+  val docFingerprintSql: String =
+    s"""WITH g AS (SELECT doc_id, list_transform($shingles3Expr, s -> ${h60Sql("s")}) AS gh,
+       |             list_transform($wordsExpr, s -> ${h60Sql("s")}) AS th
+       |           FROM documents),
+       |f AS (SELECT doc_id, ${simhashFpExpr("th")} AS simhash_fp,
+       |  list_sort(list_distinct(list_transform(range(0, GREATEST(LEN(gh) - 4, 0) + 1),
+       |    i -> list_min(gh[i+1 : i+4])))) AS mins
+       |  FROM g)
+       |SELECT d.doc_id, ${h60Sql("d.text")} AS content_fp, f.simhash_fp,
+       |       array_to_string(f.mins, '-') AS winnow_fp
+       |FROM documents d JOIN f ON f.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  val multimodalFramesSql: String =
+    s"""WITH m AS (SELECT doc_id, MD5(text) AS fp,
+       |             CAST(1 + OCTET_LENGTH(ENCODE(text)) % 24 AS BIGINT) AS n_frames
+       |           FROM documents),
+       |x AS (SELECT doc_id, fp, unnest(range(0, n_frames, 4)) AS frame_idx FROM m)
+       |SELECT doc_id, frame_idx,
+       |  ${h60Sql("fp || '-' || doc_id::VARCHAR || '-' || frame_idx::VARCHAR")} AS frame_hash
+       |FROM x ORDER BY doc_id, frame_idx""".stripMargin
+
+  val multimodalFeaturesTopkSql: String = {
+    val feat =
+      s"""list_transform(range(0, 16), i -> CAST(CAST(
+         |${h60Sql("MD5(text) || '-' || i::VARCHAR")} % 2000 AS DOUBLE)/1000.0 - 1.0 AS REAL))""".stripMargin.replace("\n", "")
+    s"""WITH f AS (SELECT doc_id AS vec_id, CAST($feat AS DOUBLE[]) AS emb FROM documents)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |  ROUND(LIST_COSINE_SIMILARITY(a.emb, b.emb), 4) AS sim,
+       |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ROUND(LIST_COSINE_SIMILARITY(a.emb, b.emb), 4) DESC, b.vec_id) AS rn
+       |  FROM f a JOIN f b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (0, 1, 2)) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+  }
+
+  val curationPipelineSql: String = {
+    import graft.operators.TextAnalysis.{langExprSql, qualityExprSql}
+    s"""WITH exact_kept AS (
+       |  SELECT d.* FROM documents d
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))),
+       |${minhashCtes("exact_kept")},
+       |bmin AS (SELECT bi, bs, MIN(doc_id) AS bucket_min FROM banded GROUP BY bi, bs),
+       |kept AS (SELECT b.doc_id FROM banded b JOIN bmin m ON b.bi = m.bi AND b.bs = m.bs
+       |         GROUP BY b.doc_id HAVING MIN(m.bucket_min) = b.doc_id)
+       |SELECT doc_id, lang_pred, quality, char_len, ws_tokens, re_tokens FROM (
+       |  SELECT d.doc_id, $langExprSql AS lang_pred, $qualityExprSql AS quality,
+       |         LENGTH(text) AS char_len, LEN(STR_SPLIT(text, ' ')) AS ws_tokens,
+       |         LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS re_tokens
+       |  FROM exact_kept d JOIN kept USING (doc_id)) t
+       |WHERE quality >= 0.3 AND lang_pred = 'en' ORDER BY doc_id""".stripMargin
+  }
+
+  /** Hyperplane matrix (the same seeded [[Similarity.hyperplanes]] the Spark
+    * side bakes into HyperplaneBuckets) as a DOUBLE[][] literal — %.17g
+    * round-trips doubles exactly. Built by concatenation at runtime (a
+    * single ~100 KB literal would blow the JVM constant-pool limit). */
+  private def planesLit: String =
+    Similarity.hyperplanes(64, 64)
+      .map(_.map(d => "%.17g".format(d)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  val embeddingNearDupLshSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pl AS (SELECT $planesLit AS ps),
+       |b AS (SELECT vec_id, v, tbl,
+       |  CAST(list_sum(list_transform(range(0, 4), i ->
+       |    CASE WHEN list_dot_product(v, ps[tbl*4 + i + 1]) >= 0
+       |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+       |  FROM e, pl, (SELECT unnest(range(0, 16)) AS tbl) t),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |         WHERE a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b, ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) AS sim
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |            JOIN e eb ON eb.vec_id = cand.id_b) t
+       |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
+  /** Full IVF replica: per-label mean centroids, argmin assignment (d, then
+    * cluster id as tie-break — the lexicographic struct-min rule), nprobe=3
+    * probe lists, round-4 cosine top-3. Centroid means differ from Spark's
+    * in final ulps (summation order), which cannot flip an argmin whose
+    * cluster gaps are ~1e-2. */
+  val annIvfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cm AS (SELECT label, i, AVG(v[i]) AS m
+       |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+       |cent AS (SELECT label AS cluster, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |dists AS (SELECT e.vec_id, e.v, cent.cluster,
+       |            list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+       |          FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, v, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+}

@@ -79,6 +79,7 @@ object SparkEntry {
     "upsert_orders" -> (upsertOrders _),
     "ingest_normalize" -> Ingest.ingestNormalize _,
     "ingest_customers" -> Ingest.ingestCustomers _,
+    "ingest_products" -> Ingest.ingestProducts _,
     // streaming batch-twins (SURVEY §2.7)
     "events_dedup" -> ((s: SparkSession, d: String) =>
       EventsPipeline.dedupLatest(Tables.events(s, d))
@@ -133,24 +134,29 @@ object SparkEntry {
     // Pair LISTING is O(matches) — quadratic on this degenerate corpus — so
     // the audit query runs on a bounded id slice; the full-corpus scale path
     // is minhash_dedup_keep below (linear, no pair materialization).
+    // gate variants run on the portable h60 hash (exact DuckDB oracle);
+    // the xxhash64 production default is pinned by DedupSpec/
+    // CatalystExpressionSpec equivalence tests
     "minhash_near_dup" -> ((s: SparkSession, d: String) =>
       Dedup.nearDuplicatePairs(
           Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
-          threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1)
+          threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+          hashFn = graft.functions.Hashing.h60)
         .orderBy("id_a", "id_b")),
     "minhash_dedup_keep" -> ((s: SparkSession, d: String) =>
       Dedup.lshDedupKeep(Tables.documents(s, d), "text", "doc_id",
-          numPerm = 64, bands = 8, shingleK = 1)
+          numPerm = 64, bands = 8, shingleK = 1,
+          hashFn = graft.functions.Hashing.h60)
         .orderBy("doc_id")),
     "simhash_near_dup" -> ((s: SparkSession, d: String) =>
       Dedup.simhashNearDupPairs(
           Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
-          maxDist = 7, bands = 8)
+          maxDist = 7, bands = 8, hashFn = graft.functions.Hashing.h60)
         .orderBy("id_a", "id_b")),
     // [EXT] end-to-end curation pipeline (exact dedup → LSH keep-filter →
-    // quality/language gates → token stats); not SQL-expressible because of
-    // the MinHash stage → rows-only + CurationSpec
-    "curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curate(s, d)),
+    // quality/language gates → token stats)
+    "curation_pipeline" -> ((s: SparkSession, d: String) =>
+      Curation.curate(s, d, hashFn = graft.functions.Hashing.h60)),
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,
@@ -217,13 +223,21 @@ object SparkEntry {
       | WHEN ASCII(text) < 65536 THEN 224 + ASCII(text) // 4096
       | ELSE 240 + ASCII(text) // 262144 END)""".stripMargin.replace("\n", " ")
 
-  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (doc_fingerprint,
-    * minhash_near_dup, embedding_near_dup_lsh, ann_ivf_topk) are not
-    * portably SQL-expressible → driver records a rows-only check; their
-    * semantics are pinned by ScalaTest specs instead.
+  /** For each key in `queries`, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. EVERY query now has an oracle: the LSH/sketch
+    * pipelines run on the portable h60 hash and are replicated with DuckDB
+    * list lambdas + interpolated seed constants ([[PortableOracles]]).
     */
   def oracleSql: Map[String, String] = Map(
+    "minhash_dedup_keep" -> PortableOracles.minhashDedupKeepSql,
+    "minhash_near_dup" -> PortableOracles.minhashNearDupSql,
+    "simhash_near_dup" -> PortableOracles.simhashNearDupSql,
+    "doc_fingerprint" -> PortableOracles.docFingerprintSql,
+    "multimodal_frames" -> PortableOracles.multimodalFramesSql,
+    "multimodal_features_topk" -> PortableOracles.multimodalFeaturesTopkSql,
+    "curation_pipeline" -> PortableOracles.curationPipelineSql,
+    "embedding_near_dup_lsh" -> PortableOracles.embeddingNearDupLshSql,
+    "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
     "top_customers_intended" -> Analytics.topCustomersIntendedSql,
@@ -248,6 +262,7 @@ object SparkEntry {
     "upsert_orders" -> upsertOrdersSql,
     "ingest_normalize" -> Ingest.ingestNormalizeSql,
     "ingest_customers" -> Ingest.ingestCustomersSql,
+    "ingest_products" -> Ingest.ingestProductsSql,
     "events_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC, user_id) AS rn FROM events) t

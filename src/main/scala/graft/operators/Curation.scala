@@ -21,11 +21,13 @@ import graft.functions.TextFunctions._
 object Curation {
 
   def curate(spark: SparkSession, dir: String,
-             minQuality: Double = 0.3, lang: String = "en"): DataFrame = {
+             minQuality: Double = 0.3, lang: String = "en",
+             hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+               org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val exactKept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
     val nearKeepIds = Dedup.lshDedupKeep(exactKept, "text", "doc_id",
-        numPerm = 64, bands = 8, shingleK = 1)
+        numPerm = 64, bands = 8, shingleK = 1, hashFn = hashFn)
       .filter(col("keep"))
       .select("doc_id")
     exactKept

@@ -68,11 +68,14 @@ object Dedup {
 
   /** MinHash signature (array<long> of length numPerm) of a shingle array.
     * One nested higher-order expression: min over shingles of each permuted
-    * hash — fully codegen, no UDF.
+    * hash — fully codegen, no UDF. `hashFn` picks the shingle hash:
+    * xxhash64 (production default) or [[graft.functions.Hashing.h60]]
+    * (portable — the DuckDB gate can replicate it exactly).
     */
-  def minhashSignature(shingles: Column, perms: Seq[(Long, Long)]): Column = {
+  def minhashSignature(shingles: Column, perms: Seq[(Long, Long)],
+                       hashFn: Column => Column = xxhash64(_)): Column = {
     import org.apache.spark.sql.graft.{ColumnBridge, MinHashSig}
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))
+    val hashes = transform(shingles, s => pmod(hashFn(s), lit(1L << 32)))
     ColumnBridge.column(MinHashSig(
       ColumnBridge.expression(hashes),
       ColumnBridge.expression(array(perms.map(p => lit(p._1)): _*)),
@@ -81,10 +84,11 @@ object Dedup {
 
   /** Reference HOF formulation of [[minhashSignature]] — kept for the
     * equivalence spec (CatalystExpressionSpec). */
-  def minhashSignatureHof(shingles: Column, perms: Seq[(Long, Long)]): Column = {
+  def minhashSignatureHof(shingles: Column, perms: Seq[(Long, Long)],
+                          hashFn: Column => Column = xxhash64(_)): Column = {
     val permArr = array(perms.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
     // shingle hashes are bound once — every permutation lambda re-reads them
-    bindOnce(transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))) { hashes =>
+    bindOnce(transform(shingles, s => pmod(hashFn(s), lit(1L << 32)))) { hashes =>
       transform(permArr, p =>
         array_min(transform(hashes, x =>
           pmod(p.getField("a") * x + p.getField("b"), lit(MersennePrime)))))
@@ -93,11 +97,12 @@ object Dedup {
 
   /** docs → (id, shingles, sig). The narrow signature frame that feeds LSH. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        numPerm: Int = 64, shingleK: Int = 3): DataFrame =
+                        numPerm: Int = 64, shingleK: Int = 3,
+                        hashFn: Column => Column = xxhash64(_)): DataFrame =
     docs.select(
       col(idCol),
       wordShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), permutations(numPerm)))
+      .withColumn("sig", minhashSignature(col("shingles"), permutations(numPerm), hashFn))
 
   /** LSH banding: split the signature into `bands` bands of numPerm/bands
     * rows each; the band key is the hash of the slice. Same band key in any
@@ -143,10 +148,11 @@ object Dedup {
     */
   def nearDuplicatePairs(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, numPerm: Int = 64, bands: Int = 16,
-                         shingleK: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK)
+                         shingleK: Int = 3,
+                         hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK, hashFn)
     val sets = sigs.select(col(idCol),
-      array_distinct(transform(col("shingles"), s => xxhash64(s))).as("sset"))
+      array_distinct(transform(col("shingles"), s => hashFn(s))).as("sset"))
     // bucket-local verification (same model as the embedding LSH path):
     // collect each band bucket's (id, shingle set), verify the pair triangle
     // inside one JaccardPairs call, dedup survivors across bands. Candidate
@@ -175,8 +181,9 @@ object Dedup {
     */
   def lshDedupKeep(docs: DataFrame, textCol: String, idCol: String,
                    numPerm: Int = 64, bands: Int = 8,
-                   shingleK: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK)
+                   shingleK: Int = 3,
+                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK, hashFn)
     val b = lshBands(sigs, idCol, numPerm, bands)
     // groupBy-min (map-side partial agg) + join back, NOT a window over the
     // bucket: a window would funnel a mega-bucket into one task, while the
@@ -197,8 +204,8 @@ object Dedup {
     * expression (the HOF aggregate formulation was interpreted per element —
     * ~3.5k boxed ops/doc).
     */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(split(textCol, " ", -1), t => xxhash64(t))
+  def simhash(textCol: Column, hashFn: Column => Column = xxhash64(_)): Column = {
+    val hashes = transform(split(textCol, " ", -1), t => hashFn(t))
     org.apache.spark.sql.graft.ColumnBridge.column(org.apache.spark.sql.graft.SimHash64(
       org.apache.spark.sql.graft.ColumnBridge.expression(hashes)))
   }
@@ -214,16 +221,18 @@ object Dedup {
     * plagiarism/near-dup detection. Pure expression (no UDF); the hash
     * array is bound once.
     */
-  def winnowingFingerprint(textCol: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowingFingerprint(textCol: Column, k: Int = 3, w: Int = 4,
+                           hashFn: Column => Column = xxhash64(_)): Column = {
     import org.apache.spark.sql.graft.{ColumnBridge, WinnowingMins}
     ColumnBridge.column(WinnowingMins(
-      ColumnBridge.expression(transform(wordShingles(textCol, k), s => xxhash64(s))), w))
+      ColumnBridge.expression(transform(wordShingles(textCol, k), s => hashFn(s))), w))
   }
 
   /** Reference HOF formulation of [[winnowingFingerprint]] — kept for the
     * equivalence spec. */
-  def winnowingFingerprintHof(textCol: Column, k: Int = 3, w: Int = 4): Column =
-    bindOnce(transform(wordShingles(textCol, k), s => xxhash64(s))) { hashes =>
+  def winnowingFingerprintHof(textCol: Column, k: Int = 3, w: Int = 4,
+                              hashFn: Column => Column = xxhash64(_)): Column =
+    bindOnce(transform(wordShingles(textCol, k), s => hashFn(s))) { hashes =>
       val n = size(hashes)
       val mins = transform(
         sequence(lit(0), greatest(n - lit(w), lit(0))),
@@ -238,11 +247,12 @@ object Dedup {
     * equi-join on (band_idx, band_key) — never O(n²) on the corpus.
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                          maxDist: Int = 7, bands: Int = 8): DataFrame = {
+                          maxDist: Int = 7, bands: Int = 8,
+                          hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val chunk = 64 / bands
     val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
-    val fps = docs.select(col(idCol), simhash(col(textCol)).as("fp"))
+    val fps = docs.select(col(idCol), simhash(col(textCol), hashFn).as("fp"))
     // bind the fingerprint once (CollapseProject would otherwise inline the
     // whole simhash aggregate into each of the `bands` chunk extractions)
     val bandArr = bindOnce(array(col("fp"))) { fpArr =>
@@ -262,7 +272,7 @@ object Dedup {
     cands
       .join(fps.select(col(idCol).as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
       .join(fps.select(col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b")))
+      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b")).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -133,4 +133,55 @@ object Ingest {
       |TRIM(CONCAT_WS(' ', c_name, c_mktsegment)) AS name,
       |LOWER(REGEXP_REPLACE(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com' AS email
       |FROM customer ORDER BY shopify_customer_id""".stripMargin
+
+  // --- products (`services/dataIngestion.js:67-72`) --------------------------
+  // The reference fetches the product list, records the count, and drops the
+  // rows. The engine analogue keeps the same decode round trip as orders/
+  // customers and lands the count-shaped summary the reference records —
+  // per-vendor product counts + price stats off the DECODED payloads, so the
+  // whole S1 decode path is exercised, not just a count(*).
+
+  /** Wire schema of a product payload. */
+  val productPayloadSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("vendor", StringType),
+    StructField("price", StringType)))
+
+  /** Product payload synthesis from `part` (brand ≙ vendor). */
+  def productPayloadsFrom(part: DataFrame): DataFrame =
+    part.select(to_json(struct(
+      col("p_partkey").cast("string").as("id"),
+      col("p_name").as("title"),
+      col("p_brand").as("vendor"),
+      col("p_retailprice").cast("string").as("price")
+    )).as("payload"))
+
+  /** Product decode: payload → typed row. */
+  def normalizeProducts(payloads: DataFrame): DataFrame =
+    payloads
+      .select(graft.functions.ExprUtils.bindOnce(
+        from_json(col("payload"), productPayloadSchema)) { p =>
+          struct(
+            p.getField("id").cast("long").as("shopify_product_id"),
+            p.getField("title").as("title"),
+            p.getField("vendor").as("vendor"),
+            p.getField("price").cast("double").as("price")) // F6
+        }.as("r"))
+      .select(col("r.*"))
+
+  /** Decode round trip + the count summary the reference records. */
+  def ingestProducts(spark: SparkSession, dir: String): DataFrame =
+    normalizeProducts(productPayloadsFrom(graft.Tables.part(spark, dir)))
+      .groupBy(col("vendor"))
+      .agg(count(lit(1)).as("n_products"),
+        round(avg(col("price")), 2).as("avg_price"),
+        round(sum(col("price")), 2).as("total_price"))
+      .orderBy("vendor")
+
+  val ingestProductsSql: String =
+    """SELECT p_brand AS vendor, COUNT(*) AS n_products,
+      |ROUND(AVG(p_retailprice), 2) AS avg_price,
+      |ROUND(SUM(p_retailprice), 2) AS total_price
+      |FROM part GROUP BY p_brand ORDER BY vendor""".stripMargin
 }

@@ -78,25 +78,39 @@ object Multimodal {
     * with a deterministic per-frame fingerprint standing in for the decoded
     * frame bytes. The shape a real frame extractor needs — explode to
     * (doc, frame) grain WITHOUT shuffling the payload more than once; the
-    * payload never rides the exploded rows, only the 8-byte fingerprint.
+    * payload never rides the exploded rows, only its 32-char digest.
+    * Fingerprint arithmetic is the portable md5-based
+    * [[graft.functions.Hashing.h60]] so the DuckDB gate replicates it
+    * exactly (a real decoder would emit frame bytes here anyway — the hash
+    * choice is plumbing, not semantics).
     */
   def sampleFrames(media: DataFrame, everyN: Int = 4): DataFrame = {
+    import graft.functions.Hashing.h60
     val meta = extractMeta(media).select(col("doc_id"), col("n_frames"))
     media.join(meta, Seq("doc_id"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1L, lit(everyN.toLong))).as("frame_idx"),
-        xxhash64(col("payload"), col("doc_id")).as("payload_fp"))
+      // digest BELOW the generator: md5 runs once per payload, the exploded
+      // frame rows carry only the 32-char digest
+      .select(col("doc_id"), md5(col("payload")).as("payload_fp"), col("n_frames"))
+      .select(col("doc_id"), col("payload_fp"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(everyN.toLong))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
-        xxhash64(col("payload_fp"), col("frame_idx")).as("frame_hash"))
+        h60(concat_ws("-", col("payload_fp"), col("doc_id").cast("string"),
+          col("frame_idx").cast("string"))).as("frame_hash"))
   }
 
   /** Feature-extraction plumbing: binary payload → dense `array<float>`
     * (the embedding a vision/audio model would produce — STUB arithmetic,
-    * real schema/batching). Output feeds [[Similarity]] unchanged.
+    * real schema/batching). Output feeds [[Similarity]] unchanged. Portable
+    * hash arithmetic (see [[sampleFrames]]) — the digest is computed once
+    * per payload, then each dimension hashes digest∥i.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    import graft.functions.Hashing.h60
     media.select(col("doc_id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        (pmod(xxhash64(col("payload"), i), lit(2000L)).cast("double") / 1000.0 - 1.0)
-          .cast("float")).as("embedding"))
+      graft.functions.ExprUtils.bindOnce(md5(col("payload"))) { digest =>
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(h60(concat_ws("-", digest, i.cast("string"))), lit(2000L))
+            .cast("double") / 1000.0 - 1.0).cast("float"))
+      }.as("embedding"))
+  }
 }

@@ -40,22 +40,26 @@ object TextAnalysis {
   private def occSql(x: String, m: String): String =
     s"CAST((LENGTH($x) - LENGTH(REPLACE($x, '$m', ''))) / ${m.length} AS BIGINT)"
 
-  val langIdSql: String = {
+  /** The language-ID CASE expression alone (reused by the curation oracle). */
+  val langExprSql: String = {
     val p = "(' ' || text || ' ')"
     val en = s"(${occSql(p, " the ")} + ${occSql(p, " and ")} + ${occSql(p, " of ")})"
     val de = s"(${occSql(p, " der ")} + ${occSql(p, " und ")} + ${occSql(p, " die ")})"
     val fr = s"(${occSql(p, " le ")} + ${occSql(p, " la ")} + ${occSql(p, " et ")})"
     val es = s"(${occSql(p, " el ")} + ${occSql(p, " los ")} + ${occSql(p, " y ")})"
     val zh = occSql("text", "的")
-    s"""SELECT doc_id,
-       |CASE WHEN $zh > 0 THEN 'zh'
+    s"""CASE WHEN $zh > 0 THEN 'zh'
        |WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
        |WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
        |WHEN $fr >= $es AND $fr > 0 THEN 'fr'
        |WHEN $es > 0 THEN 'es'
-       |ELSE 'und' END AS lang_pred
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |ELSE 'und' END""".stripMargin
   }
+
+  val langIdSql: String =
+    s"""SELECT doc_id,
+       |$langExprSql AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- quality score ----------------------------------------------------------
   def quality(spark: SparkSession, dir: String): DataFrame =
@@ -64,17 +68,21 @@ object TextAnalysis {
       qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  val qualitySql: String = {
+  /** The quality-score expression alone (reused by the curation oracle). */
+  val qualityExprSql: String = {
     val p = "(' ' || text || ' ')"
     val words = "LEN(STR_SPLIT(text, ' '))"
     val stop = s"(${occSql(p, " the ")} + ${occSql(p, " a ")} + ${occSql(p, " of ")} + ${occSql(p, " and ")} + ${occSql(p, " to ")})"
     val punct = s"(${occSql("text", ".")} + ${occSql("text", ",")} + ${occSql("text", "!")})"
-    s"""SELECT doc_id,
-       |ROUND(LEAST(1.0, CAST($words AS DOUBLE) / 200.0) * 0.5
+    s"""ROUND(LEAST(1.0, CAST($words AS DOUBLE) / 200.0) * 0.5
        | + CAST($stop AS DOUBLE) / CAST(GREATEST($words, 1) AS DOUBLE) * 0.3
-       | + (1.0 - CAST($punct AS DOUBLE) / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)) * 0.2, 4) AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
+       | + (1.0 - CAST($punct AS DOUBLE) / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)) * 0.2, 4)""".stripMargin
   }
+
+  val qualitySql: String =
+    s"""SELECT doc_id,
+       |$qualityExprSql AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- word-set Jaccard of consecutive doc pairs ------------------------------
   // The oracle-checked verify stage of near-dup detection: score a given
@@ -126,18 +134,21 @@ object TextAnalysis {
       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
   // --- document fingerprint (rolling hash) -------------------------------------
-  // xxhash64-based, so no DuckDB oracle (rows-only check); exact values pinned
-  // in TextAnalysisSpec instead. The winnowing sketch is serialized to a
-  // string for the gate — the driver's rows-only check sorts/factorizes the
-  // frame and pandas cannot hash ndarray cells (round-1 gate crash); the
-  // array form stays available via Dedup.winnowingFingerprint and is pinned
-  // in spec.
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  // Built on the portable h60 hash so the whole sketch — content hash,
+  // simhash, winnowing mins — gets an exact DuckDB oracle (the xxhash64
+  // production variants stay spec-pinned via the HOF equivalence tests).
+  // The winnowing sketch is serialized to a string for the gate — the
+  // driver's rows-only fallback sorts/factorizes the frame and pandas cannot
+  // hash ndarray cells (round-1 gate crash); the array form stays available
+  // via Dedup.winnowingFingerprint.
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.h60
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      xxhash64(col("text")).as("content_fp"),
-      Dedup.simhash(col("text")).as("simhash_fp"),
-      array_join(transform(Dedup.winnowingFingerprint(col("text")),
+      h60(col("text")).as("content_fp"),
+      Dedup.simhash(col("text"), h60).as("simhash_fp"),
+      array_join(transform(Dedup.winnowingFingerprint(col("text"), hashFn = h60),
         _.cast("string")), "-").as("winnow_fp"))
       .orderBy("doc_id")
+  }
 }

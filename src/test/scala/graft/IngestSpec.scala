@@ -22,6 +22,18 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(out.count() == orders.count())
   }
 
+  test("product payload round trip reproduces the part columns") {
+    val part = Tables.part(spark, Sf0001)
+    val out = Ingest.normalizeProducts(Ingest.productPayloadsFrom(part))
+    val src = part.select(
+      col("p_partkey").as("shopify_product_id"),
+      col("p_name").as("title"),
+      col("p_brand").as("vendor"),
+      col("p_retailprice").as("price"))
+    assert(out.exceptAll(src).count() == 0)
+    assert(out.count() == part.count())
+  }
+
   test("raw archive column is valid JSON holding the full payload (F8)") {
     val raw = Ingest.normalizeOrders(Ingest.payloadsFrom(Tables.orders(spark, Sf0001)))
       .select(get_json_object(col("raw"), "$.total_price").as("tp"),

@@ -85,6 +85,29 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("MinHashSig ≡ HOF under the portable h60 hash (the gate variant)") {
+    val perms = Dedup.permutations(64)
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val sh = Dedup.wordShingles(col("text"), 1)
+    val h = graft.functions.Hashing.h60 _
+    val diff = docs.select(
+        Dedup.minhashSignature(sh, perms, h).as("fast"),
+        Dedup.minhashSignatureHof(sh, perms, h).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("Hashing.h60 pins the cross-engine md5-prefix values") {
+    // reference values computed independently (python hashlib md5):
+    // int(md5(s).hexdigest()[:15], 16) — DuckDB's ('0x'||substr(md5(s),1,15))
+    import spark.implicits._
+    val got = Seq("abc", "", "the quick brown fox", "的是不了人", "a b c")
+      .toDF("s").select(graft.functions.Hashing.h60(col("s")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(648541476951500027L, 955282973525019424L,
+      220461512654075614L, 1113922378683980567L, 31251835280889960L))
+  }
+
   test("graft_dot / graft_simhash64 are callable from SQL after registration") {
     // same builders GraftExtensions injects; runtime path for live sessions
     org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)

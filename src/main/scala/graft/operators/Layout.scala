@@ -61,4 +61,53 @@ object Layout {
       explode(transform(sequence(lit(0), lit(numSalts - 1)), i => i.cast("long"))))
     l.join(s, keys :+ "__salt").drop("__salt")
   }
+
+  /** Small-file compaction for a date/tenant-partitioned parquet table —
+    * the maintenance pass every streaming sink needs: each micro-batch
+    * merge leaves `shuffle.partitions`-many small files per touched
+    * partition, and at 100 TB a reader's task count (and the namenode)
+    * drowns in them. Rewrites ONLY partitions holding more than
+    * `maxFilesPerPartition` files, each coalesced to `targetFiles` files,
+    * via the same per-partition-directory temp-swap as the streaming merge
+    * (crash ⇒ replay-safe: untouched dirs never move, a re-run re-compacts).
+    * Returns the number of partitions compacted.
+    *
+    * Listing is one driver-side directory scan (O(partitions) — the same
+    * metadata a planner lists); row data never leaves executors.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+                        maxFilesPerPartition: Int = 8,
+                        targetFiles: Int = 1): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return 0
+    // recover a partition orphaned by a crash between delete and rename
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(".compact.tmp"))
+      .foreach { st =>
+        val dst = new Path(root,
+          st.getPath.getName.stripSuffix(".compact.tmp"))
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+        else fs.delete(st.getPath, true)
+      }
+    val parts = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.endsWith(".compact.tmp"))
+    var compacted = 0
+    parts.foreach { st =>
+      val nFiles = fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet"))
+      if (nFiles > maxFilesPerPartition) {
+        val dir = st.getPath.toString
+        val tmp = new Path(dir + ".compact.tmp")
+        spark.read.parquet(dir).coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(st.getPath, true)
+        fs.rename(tmp, st.getPath)
+        compacted += 1
+      }
+    }
+    compacted
+  }
 }

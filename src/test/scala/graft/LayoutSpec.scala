@@ -58,6 +58,35 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("compaction rewrites only fragmented partitions and keeps rows identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dir = s"$tmp/t"
+    // p=a fragmented (12 files), p=b already compact (1 file)
+    (1 to 100).map(i => (i.toLong, "a")).toDF("id", "p")
+      .repartition(12).write.partitionBy("p").parquet(dir)
+    (101 to 110).map(i => (i.toLong, "b")).toDF("id", "p")
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    def files(sub: String) = new java.io.File(s"$dir/p=$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSet
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
+    val bFiles = files("b")
+    assert(files("a").size > 8)
+    val n = Layout.compactPartitions(spark, dir, maxFilesPerPartition = 8, targetFiles = 1)
+    assert(n == 1, s"expected exactly the fragmented partition compacted, got $n")
+    assert(files("a").size == 1)
+    assert(files("b") == bFiles, "already-compact partition must be untouched")
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
+    assert(after == before)
+    // crash recovery: orphan p=a into .compact.tmp, re-run restores it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/p=a"),
+      new org.apache.hadoop.fs.Path(s"$dir/p=a.compact.tmp"))
+    Layout.compactPartitions(spark, dir, maxFilesPerPartition = 8)
+    val healed = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
+    assert(healed == before)
+  }
+
   test("frame sampling emits every Nth frame with deterministic hashes") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001))
     val frames = Multimodal.sampleFrames(media, everyN = 4)

@@ -21,9 +21,18 @@ object Hashing {
 
   /** Portable 60-bit hash of any Spark-hashable column: the first 15 hex
     * chars of the md5 digest as a long (60 bits — always inside BIGINT on
-    * both engines). DuckDB mirror: [[h60Sql]].
+    * both engines). DuckDB mirror: [[h60Sql]]. Computed by the codegen
+    * [[org.apache.spark.sql.graft.Md5Prefix60]] expression straight from
+    * digest bytes; [[h60Reference]] keeps the hex-string formulation for
+    * the equivalence spec.
     */
-  def h60(c: Column): Column =
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, Md5Prefix60}
+    ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c.cast("binary"))))
+  }
+
+  /** Reference hex-string formulation of [[h60]] (spec-pinned equivalent). */
+  def h60Reference(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB SQL mirror of [[h60]] for an arbitrary SQL expression. */

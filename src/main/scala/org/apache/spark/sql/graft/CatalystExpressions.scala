@@ -62,6 +62,50 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The portable 60-bit md5-prefix hash (`graft.functions.Hashing.h60`)
+  * computed directly from digest bytes: top 60 bits of the first 8 digest
+  * bytes (big-endian), i.e. exactly `('0x' || substr(md5(x),1,15))::BIGINT`
+  * in DuckDB and `conv(substring(md5(x),1,15),16,10)::long` in Spark SQL —
+  * without materializing the 32-char hex string or parsing it back
+  * (measured ~2× on shingle-hash-bound gate queries). Digest instances are
+  * thread-local (MD5 is stateful and cheap to reset, expensive to
+  * re-instantiate per row).
+  */
+object Md5Prefix60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** Public — called from generated code. */
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.Md5Prefix60$$.MODULE$$.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a pre-hashed token array (`array<long>` → `long`).
   * Bit i of the result is set iff Σ over tokens of (±1 by bit i of the token
   * hash) is ≥ 0 — the exact semantics of the HOF formulation in

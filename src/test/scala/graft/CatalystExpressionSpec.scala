@@ -97,6 +97,21 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("Md5Prefix60 ≡ the hex-string conv formulation on the corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val h = graft.functions.Hashing.h60 _
+    val r = graft.functions.Hashing.h60Reference _
+    val diff = docs.select(h(col("text")).as("a"), r(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // and over tokens (the shingle-hash shape)
+    val diffTok = docs
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .select(h(col("t")).as("a"), r(col("t")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffTok == 0)
+  }
+
   test("Hashing.h60 pins the cross-engine md5-prefix values") {
     // reference values computed independently (python hashlib md5):
     // int(md5(s).hexdigest()[:15], 16) — DuckDB's ('0x'||substr(md5(s),1,15))

@@ -285,6 +285,10 @@ object EventsPipeline {
         fs.rename(st.getPath, dst)
       }
     fs.delete(tmpPath, true)
+    // drop the stale file listing for the swapped partitions (the shared
+    // FileStatusCache would otherwise serve deleted part files to the next
+    // batch's pruned read)
+    spark.catalog.refreshByPath(outDir)
     n
   }
 

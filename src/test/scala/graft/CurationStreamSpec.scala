@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.streaming.CurationStream
+
+/** Incremental curation is proven by batch-equivalence: with id-ordered
+  * arrival (backfill/replay), the accumulated streamed output must equal
+  * the one-shot batch pipeline over the same corpus. */
+class CurationStreamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val h60 = graft.functions.Hashing.h60 _
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "lang_pred", "quality", "char_len", "ws_tokens", "re_tokens")
+      .as[(Long, String, Double, Long, Long, Long)].collect().toSet
+
+  test("id-ordered incremental batches reproduce the batch pipeline exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstream").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val batchResult = rows(Curation.curate(spark, Sf0001, hashFn = h60))
+
+    val cuts = Seq(0L, 150L, 300L, Long.MaxValue)
+    val streamed = cuts.sliding(2).flatMap { case Seq(lo, hi) =>
+      rows(CurationStream.curateBatch(spark,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), s"$tmp/state"))
+    }.toSet
+    assert(streamed == batchResult,
+      s"streamed ${streamed.size} rows != batch ${batchResult.size}")
+  }
+
+  test("re-delivered batch is a no-op (exactly-once via state)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstream2").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val b1 = docs.filter(col("doc_id") < 200)
+    val first = rows(CurationStream.curateBatch(spark, b1, s"$tmp/state"))
+    assert(first.nonEmpty)
+    val redelivered = rows(CurationStream.curateBatch(spark, b1, s"$tmp/state"))
+    assert(redelivered.isEmpty, "re-delivery must add nothing")
+  }
+
+  test("file-source streaming wrapper accumulates the batch-equivalent output") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstream3").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val batchResult = rows(Curation.curate(spark, Sf0001, hashFn = h60))
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$tmp/in/b1")
+    val q = CurationStream.runFileStream(spark, s"$tmp/in/*", s"$tmp/state",
+      s"$tmp/out", s"$tmp/ckpt", docs)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).coalesce(1)
+        .write.parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(spark.read.parquet(s"$tmp/out")) == batchResult)
+  }
+}

@@ -149,7 +149,7 @@ object PortableOracles {
     * single ~100 KB literal would blow the JVM constant-pool limit). */
   private def planesLit: String =
     Similarity.hyperplanes(64, 64)
-      .map(_.map(d => "%.17g".format(d)).mkString("[", ",", "]"))
+      .map(_.map(d => String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
   val embeddingNearDupLshSql: String =

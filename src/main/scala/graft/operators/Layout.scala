@@ -79,35 +79,40 @@ object Layout {
                         maxFilesPerPartition: Int = 8,
                         targetFiles: Int = 1): Int = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    import graft.functions.FsUtils
+    val fs = FsUtils.fs(spark, path)
     val root = new Path(path)
     if (!fs.exists(root)) return 0
+    // staging lives OUTSIDE the table root: a `p=a.compact.tmp` dir inside
+    // it would be picked up by partition discovery as an extra partition
+    // value (duplicated rows / partition-type corruption) while a compact
+    // is in flight or after a crash
+    val staging = new Path(path + ".compact.tmp")
     // recover a partition orphaned by a crash between delete and rename
-    fs.listStatus(root).filter(_.getPath.getName.endsWith(".compact.tmp"))
-      .foreach { st =>
-        val dst = new Path(root,
-          st.getPath.getName.stripSuffix(".compact.tmp"))
-        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
-        else fs.delete(st.getPath, true)
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).foreach { st =>
+        val dst = new Path(root, st.getPath.getName)
+        if (!fs.exists(dst)) FsUtils.renameOrThrow(fs, st.getPath, dst)
       }
+      fs.delete(staging, true)
+    }
     val parts = fs.listStatus(root).filter(st =>
-      st.isDirectory && st.getPath.getName.contains("=") &&
-        !st.getPath.getName.endsWith(".compact.tmp"))
+      st.isDirectory && st.getPath.getName.contains("="))
     var compacted = 0
     parts.foreach { st =>
       val nFiles = fs.listStatus(st.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet"))
       if (nFiles > maxFilesPerPartition) {
-        val dir = st.getPath.toString
-        val tmp = new Path(dir + ".compact.tmp")
-        spark.read.parquet(dir).coalesce(targetFiles)
+        val tmp = new Path(staging, st.getPath.getName)
+        spark.read.parquet(st.getPath.toString).coalesce(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
         fs.delete(st.getPath, true)
-        fs.rename(tmp, st.getPath)
+        FsUtils.renameOrThrow(fs, tmp, st.getPath)
         compacted += 1
       }
     }
+    fs.delete(staging, true)
+    if (compacted > 0) spark.catalog.refreshByPath(path)
     compacted
   }
 }

@@ -5,23 +5,36 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.Dedup
 import graft.functions.TextFunctions._
+import graft.functions.FsUtils
 
 /** Incremental corpus curation — [[graft.operators.Curation.curate]] as a
   * stateful streaming pass. At 100 TB you cannot re-curate the corpus per
   * delivery; new documents must be judged against compact state, not
   * against the corpus:
   *
-  *  - exact dedup state: the set of content hashes ever seen, with the
-  *    first (minimum) owning doc id — O(distinct docs) narrow rows;
-  *  - near-dup state: per LSH bucket `(band_idx, band_key) → min doc id`
-  *    over ALL docs ever seen — O(docs × bands) narrow rows, the SAME
-  *    election table the batch [[Dedup.lshDedupKeep]] derives per run.
+  *  - exact dedup state: APPEND-ONLY log of content hashes ever seen with
+  *    the first owning doc id — O(batch) rows written per batch;
+  *  - near-dup state: APPEND-ONLY log of `(band_idx, band_key, doc_id)`
+  *    rows — the election `min(doc_id)` per bucket is computed read-side
+  *    over the log restricted (semi-join) to the batch's own bucket keys,
+  *    so a batch never shuffles or rewrites the accumulated state. The log
+  *    grows O(docs·bands); [[compactState]] folds it to one row per bucket
+  *    (run it like any table-maintenance pass — cf.
+  *    [[graft.operators.Layout.compactPartitions]]).
   *
-  * A new doc is kept iff (a) its content hash is unseen, and (b) the
-  * minimum over its buckets' (state ∪ batch) elections is its own id, and
-  * (c) it passes the stateless quality/language gates. Kept rows append to
-  * `outDir`; state merges via groupBy-min (map-side combinable, same
-  * hot-bucket posture as the batch path).
+  * A new doc is kept iff (a) its content hash is unseen, (b) the minimum
+  * over its buckets' (log ∪ batch) elections is its own id, and (c) it
+  * passes the stateless quality/language gates.
+  *
+  * Commit order per batch: curated rows land in `outDir/batch=<id>` via
+  * temp-swap FIRST, state appends second. Replay after a crash is safe at
+  * every boundary: before the output rename the state is untouched and the
+  * batch recomputes identically; after it, the existing `batch=<id>` dir is
+  * detected and skipped while the idempotent state appends re-run (an
+  * already-appended batch contributes nothing new — its hashes are no
+  * longer "fresh"). The one non-ideal window: a crash between the hash
+  * append and the bucket append loses the batch's band rows, which can
+  * only OVER-keep later near-dups, never drop kept rows.
   *
   * Consistency contract (CurationStreamSpec): when docs arrive in id order
   * — the backfill/replay case — the accumulated output row set EQUALS the
@@ -37,7 +50,7 @@ object CurationStream {
 
   /** Band rows (doc_id, band_idx, band_key) via the SAME
     * [[Dedup.lshBands]] the batch path uses (h60 word-level signatures, 64
-    * perms, 8 bands) — the state tables carry the identical narrow long
+    * perms, 8 bands) — the state log carries the identical narrow long
     * keys the batch election derives per run. */
   private def bandRows(docs: DataFrame): DataFrame =
     Dedup.lshBands(
@@ -45,35 +58,38 @@ object CurationStream {
         numPerm = NumPerm, shingleK = 1, hashFn = graft.functions.Hashing.h60),
       "doc_id", NumPerm, Bands)
 
+  /** Read a state table, recovering a compaction orphan (`path.tmp` left by
+    * a crash between [[compactState]]'s delete and rename) first. */
   private def readStateOr(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
-    else like.limit(0)
+    val fs = FsUtils.fs(spark, path)
+    val out = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
+    if (fs.exists(out)) spark.read.parquet(path) else like.limit(0)
   }
 
-  /** Temp-swap overwrite (the state tables are read by the merge that
-    * rewrites them — same pattern as the events sink). */
+  /** Temp-swap overwrite for [[compactState]] (the compacted table is
+    * derived from the files the swap deletes — tmp is written first, while
+    * they still exist). */
   private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = FsUtils.fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val out = new org.apache.hadoop.fs.Path(path)
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(out, true)
-    fs.rename(tmp, out)
+    FsUtils.renameOrThrow(fs, tmp, out)
     // the session-shared FileStatusCache still lists the deleted files —
     // the next batch's read would fail with FILE_NOT_EXIST without this
     spark.catalog.refreshByPath(path)
   }
 
-  /** Curate one batch of documents against (and updating) the state under
-    * `stateDir`; returns the kept curated rows (same schema as the batch
-    * pipeline's output). Driver-visible side effects: `stateDir/hashes`,
-    * `stateDir/buckets` rewritten, kept rows appended to `outDir` when set.
+  /** Curate one batch of documents against (and appending to) the state
+    * under `stateDir`; returns the kept curated rows (same schema as the
+    * batch pipeline's output). With `outDir` set, rows land in
+    * `outDir/batch=<batchId>` idempotently (replays skip an existing dir).
     */
   def curateBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-                  outDir: Option[String] = None,
+                  outDir: Option[String] = None, batchId: Long = 0L,
                   minQuality: Double = 0.3, lang: String = "en"): DataFrame = {
     val hashesPath = s"$stateDir/hashes"
     val bucketsPath = s"$stateDir/buckets"
@@ -88,15 +104,14 @@ object CurationStream {
       .join(hashState.select("content_hash"), Seq("content_hash"), "left_anti")
     val exactKept = batch.join(freshHashes.select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // --- near-dup election against state ∪ batch --------------------------
+    // --- near-dup election against (log ∪ batch), batch's buckets only ----
     val batchBands = bandRows(exactKept)
-    val bucketState = readStateOr(spark, bucketsPath,
-      batchBands.select(col("band_idx"), col("band_key"), col("doc_id").as("bucket_min")))
-    val unioned = batchBands
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("bucket_min"))
-      .unionByName(bucketState)
-    val newMins = unioned.groupBy("band_idx", "band_key")
-      .agg(min("bucket_min").as("bucket_min"))
+    val bucketLog = readStateOr(spark, bucketsPath, batchBands)
+    val batchKeys = batchBands.select("band_idx", "band_key").distinct()
+    val relevantLog = bucketLog.join(batchKeys, Seq("band_idx", "band_key"), "left_semi")
+    val newMins = relevantLog.unionByName(batchBands)
+      .groupBy("band_idx", "band_key")
+      .agg(min("doc_id").as("bucket_min"))
     val keepIds = batchBands.join(newMins, Seq("band_idx", "band_key"))
       .groupBy("doc_id")
       .agg(min("bucket_min").as("rep_id"))
@@ -117,24 +132,44 @@ object CurationStream {
         wsTokenCount(col("text")).as("ws_tokens"),
         reTokenCount(col("text")).as("re_tokens"))
 
-    // materialize + cut lineage BEFORE the state swap: the plan reads the
-    // pre-swap state files, which the swap below deletes
+    // pin the result before any state mutation (the caller may collect it
+    // after the appends; the plan must not see post-batch state)
     val result = curated.localCheckpoint(true)
 
-    // --- state updates (groupBy-min merges, temp-swap writes) -------------
-    // both new state tables are checkpointed BEFORE either swap: newMins'
-    // lineage reaches the hashes state (via exactKept), which the first
-    // swap deletes — writing from lineage would re-read deleted files
-    val newHashState = hashState
-      .unionByName(freshHashes.select(col("content_hash"), col("doc_id").as("owner_id")))
-      .groupBy("content_hash").agg(min("owner_id").as("owner_id"))
-      .localCheckpoint(true)
-    val newMinsM = newMins.localCheckpoint(true)
-    swapWrite(spark, newHashState, hashesPath)
-    swapWrite(spark, newMinsM, bucketsPath)
-
-    outDir.foreach(d => result.write.mode("append").parquet(d))
+    // --- commit: output FIRST (idempotent), state appends second ----------
+    outDir.foreach { d =>
+      val fs = FsUtils.fs(spark, d)
+      val dst = new org.apache.hadoop.fs.Path(s"$d/batch=$batchId")
+      if (!fs.exists(dst)) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$d.tmp-batch-$batchId")
+        result.write.mode("overwrite").parquet(tmp.toString)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(d))
+        FsUtils.renameOrThrow(fs, tmp, dst)
+      }
+    }
+    freshHashes.select(col("content_hash"), col("doc_id").as("owner_id"))
+      .write.mode("append").parquet(hashesPath)
+    batchBands.write.mode("append").parquet(bucketsPath)
     result
+  }
+
+  /** Fold the append-only state logs: one row per content hash / per
+    * bucket. Read cost of [[curateBatch]] grows with the log until this
+    * runs; output is byte-equivalent state (CurationStreamSpec). */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val hashesPath = s"$stateDir/hashes"
+    val bucketsPath = s"$stateDir/buckets"
+    val fs = FsUtils.fs(spark, hashesPath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(hashesPath)))
+      swapWrite(spark,
+        spark.read.parquet(hashesPath)
+          .groupBy("content_hash").agg(min("owner_id").as("owner_id")),
+        hashesPath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(bucketsPath)))
+      swapWrite(spark,
+        spark.read.parquet(bucketsPath)
+          .groupBy("band_idx", "band_key").agg(min("doc_id").as("doc_id")),
+        bucketsPath)
   }
 
   /** File-source streaming wrapper: document parquet drops in `inDir` →
@@ -148,8 +183,8 @@ object CurationStream {
       .parquet(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(spark, batch, stateDir, Some(outDir))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(spark, batch, stateDir, Some(outDir), batchId)
         ()
       }
       .start()

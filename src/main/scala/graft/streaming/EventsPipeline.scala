@@ -258,7 +258,10 @@ object EventsPipeline {
         .filter(_.getPath.getName.startsWith("event_date="))
         .foreach { st =>
           val dst = new Path(outPath, st.getPath.getName)
-          if (!fs.exists(dst)) { fs.mkdirs(outPath); fs.rename(st.getPath, dst) }
+          if (!fs.exists(dst)) {
+            fs.mkdirs(outPath)
+            graft.functions.FsUtils.renameOrThrow(fs, st.getPath, dst)
+          }
         }
       fs.delete(tmpPath, true)
     }
@@ -282,7 +285,7 @@ object EventsPipeline {
       .foreach { st =>
         val dst = new Path(outPath, st.getPath.getName)
         fs.delete(dst, true)
-        fs.rename(st.getPath, dst)
+        graft.functions.FsUtils.renameOrThrow(fs, st.getPath, dst)
       }
     fs.delete(tmpPath, true)
     // drop the stale file listing for the swapped partitions (the shared

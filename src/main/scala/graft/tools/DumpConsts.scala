@@ -9,7 +9,7 @@ object DumpConsts {
     val perms = graft.operators.Dedup.permutations(64)
     val planes = graft.operators.Similarity.hyperplanes(64, 64)
     val permsJson = perms.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
-    val planesJson = planes.map(_.map(d => "%.17g".format(d)).mkString("[", ",", "]"))
+    val planesJson = planes.map(_.map(d => String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)),
       s"""{"perms":$permsJson,"planes":$planesJson}""")

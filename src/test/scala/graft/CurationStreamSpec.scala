@@ -23,9 +23,12 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     val batchResult = rows(Curation.curate(spark, Sf0001, hashFn = h60))
 
     val cuts = Seq(0L, 150L, 300L, Long.MaxValue)
-    val streamed = cuts.sliding(2).flatMap { case Seq(lo, hi) =>
-      rows(CurationStream.curateBatch(spark,
+    val streamed = cuts.sliding(2).zipWithIndex.flatMap { case (Seq(lo, hi), i) =>
+      val r = rows(CurationStream.curateBatch(spark,
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi), s"$tmp/state"))
+      // folding the append-only state logs must not change any election
+      if (i == 1) CurationStream.compactState(spark, s"$tmp/state")
+      r
     }.toSet
     assert(streamed == batchResult,
       s"streamed ${streamed.size} rows != batch ${batchResult.size}")

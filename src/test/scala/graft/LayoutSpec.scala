@@ -77,11 +77,14 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(files("b") == bFiles, "already-compact partition must be untouched")
     val after = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
     assert(after == before)
-    // crash recovery: orphan p=a into .compact.tmp, re-run restores it
+    // crash recovery: orphan p=a into the sibling staging dir, re-run
+    // restores it (staging is OUTSIDE the root so partition discovery
+    // never sees half-compacted data)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir.compact.tmp"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/p=a"),
-      new org.apache.hadoop.fs.Path(s"$dir/p=a.compact.tmp"))
+      new org.apache.hadoop.fs.Path(s"$dir.compact.tmp/p=a"))
     Layout.compactPartitions(spark, dir, maxFilesPerPartition = 8)
     val healed = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
     assert(healed == before)

@@ -162,6 +162,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langId _,
     "quality_score" -> TextAnalysis.quality _,
     "pair_jaccard" -> TextAnalysis.pairJaccard _,
+    "pair_jaccard_3gram" -> TextAnalysis.pairJaccard3gram _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "docs_by_source" -> TextAnalysis.docsBySource _,
     "token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
@@ -342,6 +343,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualitySql,
     "pair_jaccard" -> TextAnalysis.pairJaccardSql,
+    "pair_jaccard_3gram" -> TextAnalysis.pairJaccard3gramSql,
     "cosine_topk" ->
       """SELECT query_id, cand_id, sim FROM (
         |SELECT a.vec_id AS query_id, b.vec_id AS cand_id,

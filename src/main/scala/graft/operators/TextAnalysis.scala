@@ -106,6 +106,38 @@ object TextAnalysis {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY id_a""".stripMargin
 
+  /** N-gram (3-word shingle) Jaccard over the same consecutive-pair
+    * candidate list — the charter's "n-gram Jaccard" dedup scorer. Much
+    * sharper than word-set Jaccard on this shared-vocabulary corpus (word
+    * sets overlap heavily; 3-gram sequences rarely do). */
+  def pairJaccard3gram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def sh(c: org.apache.spark.sql.Column) =
+      array_distinct(Dedup.wordShingles(c, 3))
+    val a = docs.select(col("doc_id").as("id_a"), sh(col("text")).as("w_a"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      sh(col("text")).as("w_b"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"), round(Dedup.jaccard(col("w_a"), col("w_b")), 4).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val pairJaccard3gramSql: String = {
+    def sh(t: String) =
+      (s"CASE WHEN LEN(STR_SPLIT($t, ' ')) >= 3 THEN list_transform(" +
+        s"range(0, LEN(STR_SPLIT($t, ' ')) - 2), i -> STR_SPLIT($t, ' ')[i+1]" +
+        s" || ' ' || STR_SPLIT($t, ' ')[i+2] || ' ' || STR_SPLIT($t, ' ')[i+3])" +
+        s" ELSE [$t] END")
+    s"""SELECT id_a, id_b, ROUND(
+       |  CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+       |  / CAST(LEN(LIST_DISTINCT(sa || sb)) AS DOUBLE), 4) AS jaccard
+       |FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    LIST_DISTINCT(${sh("a.text")}) AS sa, LIST_DISTINCT(${sh("b.text")}) AS sb
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) t
+       |ORDER BY id_a""".stripMargin
+  }
+
   // --- corpus stats by metadata columns ---------------------------------------
   def docsBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

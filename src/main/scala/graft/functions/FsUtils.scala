@@ -14,4 +14,12 @@ object FsUtils {
   def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** The delete-then-rename step every temp-swap site shares. The crash
+    * window between delete and rename leaves `src` as the recovery orphan —
+    * callers own the (site-specific) recovery scan. */
+  def replaceDir(fs: FileSystem, src: Path, dst: Path): Unit = {
+    fs.delete(dst, true)
+    renameOrThrow(fs, src, dst)
+  }
 }

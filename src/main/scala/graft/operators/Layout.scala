@@ -88,26 +88,51 @@ object Layout {
     // value (duplicated rows / partition-type corruption) while a compact
     // is in flight or after a crash
     val staging = new Path(path + ".compact.tmp")
-    // recover a partition orphaned by a crash between delete and rename
+
+    // leaf partition dirs at any nesting depth (partitionBy("date","tenant")
+    // puts the files two levels down — counting only level-1 dirs would
+    // silently no-op on multi-level tables)
+    def leafDirs(dir: Path): Seq[Path] = {
+      val subs = fs.listStatus(dir).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq.empty
+      else subs.flatMap { st =>
+        val deeper = leafDirs(st.getPath)
+        if (deeper.isEmpty) Seq(st.getPath) else deeper
+      }.toSeq
+    }
+    // listStatus returns scheme-qualified paths (file:/...) while the args
+    // may be bare — compare URI paths, never raw strings: a failed
+    // stripPrefix would leave an ABSOLUTE child and `new Path(staging,
+    // absolute)` resolves to the partition itself (the tmp write would
+    // clobber the very directory being read)
+    def rel(base: Path, p: Path): String = {
+      val b = fs.makeQualified(base).toUri.getPath
+      val c = fs.makeQualified(p).toUri.getPath
+      require(c.startsWith(b + "/"), s"$p not under $base")
+      c.stripPrefix(b).stripPrefix("/")
+    }
+
+    // recover partitions orphaned by a crash between delete and rename
     if (fs.exists(staging)) {
-      fs.listStatus(staging).foreach { st =>
-        val dst = new Path(root, st.getPath.getName)
-        if (!fs.exists(dst)) FsUtils.renameOrThrow(fs, st.getPath, dst)
+      leafDirs(staging).foreach { orphan =>
+        val dst = new Path(root, rel(staging, orphan))
+        if (!fs.exists(dst)) {
+          fs.mkdirs(dst.getParent)
+          FsUtils.renameOrThrow(fs, orphan, dst)
+        }
       }
       fs.delete(staging, true)
     }
-    val parts = fs.listStatus(root).filter(st =>
-      st.isDirectory && st.getPath.getName.contains("="))
     var compacted = 0
-    parts.foreach { st =>
-      val nFiles = fs.listStatus(st.getPath)
+    leafDirs(root).foreach { part =>
+      val nFiles = fs.listStatus(part)
         .count(f => f.getPath.getName.endsWith(".parquet"))
       if (nFiles > maxFilesPerPartition) {
-        val tmp = new Path(staging, st.getPath.getName)
-        spark.read.parquet(st.getPath.toString).coalesce(targetFiles)
+        val tmp = new Path(staging, rel(root, part))
+        spark.read.parquet(part.toString).coalesce(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(st.getPath, true)
-        FsUtils.renameOrThrow(fs, tmp, st.getPath)
+        FsUtils.replaceDir(fs, tmp, part)
         compacted += 1
       }
     }

@@ -49,13 +49,16 @@ object CurationStream {
   private val NumPerm = 64
 
   /** Band rows (doc_id, band_idx, band_key) via the SAME
-    * [[Dedup.lshBands]] the batch path uses (h60 word-level signatures, 64
+    * [[Dedup.lshBands]] the batch path uses (word-level signatures, 64
     * perms, 8 bands) — the state log carries the identical narrow long
-    * keys the batch election derives per run. */
-  private def bandRows(docs: DataFrame): DataFrame =
+    * keys the batch election derives per run. `hashFn` must match the one
+    * used to build any pre-existing state (bucket keys are hash-specific).
+    */
+  private def bandRows(docs: DataFrame,
+                       hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     Dedup.lshBands(
       Dedup.minhashSignatures(docs, "text", "doc_id",
-        numPerm = NumPerm, shingleK = 1, hashFn = graft.functions.Hashing.h60),
+        numPerm = NumPerm, shingleK = 1, hashFn = hashFn),
       "doc_id", NumPerm, Bands)
 
   /** Read a state table, recovering a compaction orphan (`path.tmp` left by
@@ -76,8 +79,7 @@ object CurationStream {
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val out = new org.apache.hadoop.fs.Path(path)
     df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(out, true)
-    FsUtils.renameOrThrow(fs, tmp, out)
+    FsUtils.replaceDir(fs, tmp, out)
     // the session-shared FileStatusCache still lists the deleted files —
     // the next batch's read would fail with FILE_NOT_EXIST without this
     spark.catalog.refreshByPath(path)
@@ -89,8 +91,11 @@ object CurationStream {
     * `outDir/batch=<batchId>` idempotently (replays skip an existing dir).
     */
   def curateBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-                  outDir: Option[String] = None, batchId: Long = 0L,
-                  minQuality: Double = 0.3, lang: String = "en"): DataFrame = {
+                  batchId: Long,
+                  outDir: Option[String] = None,
+                  minQuality: Double = 0.3, lang: String = "en",
+                  hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                    org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
     val hashesPath = s"$stateDir/hashes"
     val bucketsPath = s"$stateDir/buckets"
 
@@ -102,10 +107,14 @@ object CurationStream {
       .agg(min("doc_id").as("doc_id"))
     val freshHashes = batchFirst
       .join(hashState.select("content_hash"), Seq("content_hash"), "left_anti")
+      .localCheckpoint(true) // referenced by exactKept AND the state append
     val exactKept = batch.join(freshHashes.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // referenced by batchBands AND the gate stage
 
     // --- near-dup election against (log ∪ batch), batch's buckets only ----
-    val batchBands = bandRows(exactKept)
+    // pinned: the signature subtree is the batch's dominant cost and is
+    // otherwise re-executed for batchKeys, newMins, keepIds AND the append
+    val batchBands = bandRows(exactKept, hashFn).localCheckpoint(true)
     val bucketLog = readStateOr(spark, bucketsPath, batchBands)
     val batchKeys = batchBands.select("band_idx", "band_key").distinct()
     val relevantLog = bucketLog.join(batchKeys, Seq("band_idx", "band_key"), "left_semi")
@@ -177,14 +186,16 @@ object CurationStream {
     * `stateDir`. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,
                     outDir: String, checkpointDir: String,
-                    schemaFrom: DataFrame): StreamingQuery =
+                    schemaFrom: DataFrame,
+                    hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      org.apache.spark.sql.functions.xxhash64(_)): StreamingQuery =
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(spark, batch, stateDir, Some(outDir), batchId)
+        curateBatch(spark, batch, stateDir, batchId, Some(outDir), hashFn = hashFn)
         ()
       }
       .start()

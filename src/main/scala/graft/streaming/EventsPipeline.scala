@@ -284,8 +284,7 @@ object EventsPipeline {
       .filter(_.getPath.getName.startsWith("event_date="))
       .foreach { st =>
         val dst = new Path(outPath, st.getPath.getName)
-        fs.delete(dst, true)
-        graft.functions.FsUtils.renameOrThrow(fs, st.getPath, dst)
+        graft.functions.FsUtils.replaceDir(fs, st.getPath, dst)
       }
     fs.delete(tmpPath, true)
     // drop the stale file listing for the swapped partitions (the shared

@@ -25,7 +25,8 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     val cuts = Seq(0L, 150L, 300L, Long.MaxValue)
     val streamed = cuts.sliding(2).zipWithIndex.flatMap { case (Seq(lo, hi), i) =>
       val r = rows(CurationStream.curateBatch(spark,
-        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), s"$tmp/state"))
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), s"$tmp/state",
+        batchId = i, hashFn = h60))
       // folding the append-only state logs must not change any election
       if (i == 1) CurationStream.compactState(spark, s"$tmp/state")
       r
@@ -38,9 +39,11 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cstream2").toString
     val docs = Tables.documents(spark, Sf0001)
     val b1 = docs.filter(col("doc_id") < 200)
-    val first = rows(CurationStream.curateBatch(spark, b1, s"$tmp/state"))
+    val first = rows(CurationStream.curateBatch(spark, b1, s"$tmp/state",
+      batchId = 0, hashFn = h60))
     assert(first.nonEmpty)
-    val redelivered = rows(CurationStream.curateBatch(spark, b1, s"$tmp/state"))
+    val redelivered = rows(CurationStream.curateBatch(spark, b1, s"$tmp/state",
+      batchId = 1, hashFn = h60))
     assert(redelivered.isEmpty, "re-delivery must add nothing")
   }
 
@@ -51,7 +54,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.parquet(s"$tmp/in/b1")
     val q = CurationStream.runFileStream(spark, s"$tmp/in/*", s"$tmp/state",
-      s"$tmp/out", s"$tmp/ckpt", docs)
+      s"$tmp/out", s"$tmp/ckpt", docs, hashFn = h60)
     try {
       q.processAllAvailable()
       docs.filter(col("doc_id") >= 250).coalesce(1)

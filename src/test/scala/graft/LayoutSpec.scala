@@ -90,6 +90,23 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(healed == before)
   }
 
+  test("compaction reaches leaf partitions of multi-level tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    val dir = s"$tmp/t"
+    (1 to 80).map(i => (i.toLong, "d1", if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "d", "t").repartition(10)
+      .write.partitionBy("d", "t").parquet(dir)
+    def nFiles(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("d=d1/t=x") > 8)
+    val before = spark.read.parquet(dir).as[(Long, String, String)].collect().sorted.toSeq
+    val n = Layout.compactPartitions(spark, dir, maxFilesPerPartition = 8, targetFiles = 1)
+    assert(n == 2, s"both fragmented leaves compacted, got $n")
+    assert(nFiles("d=d1/t=x") == 1 && nFiles("d=d1/t=y") == 1)
+    val after = spark.read.parquet(dir).as[(Long, String, String)].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("frame sampling emits every Nth frame with deterministic hashes") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001))
     val frames = Multimodal.sampleFrames(media, everyN = 4)

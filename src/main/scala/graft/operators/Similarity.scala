@@ -108,9 +108,18 @@ object Similarity {
     * → broadcast) + the final per-probe top-k — no training scan.
     */
   def ivfTopK(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
-              probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    val assigned = assign(embeddings, cents)
+              probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    ivfTopKAssigned(assign(embeddings, cents), cents, probeIds, k, nprobe)
 
+  /** [[ivfTopK]] over a PRE-ASSIGNED table (vec_id, v, cluster) — the
+    * incremental-index path: assignments are computed once per ingested
+    * batch ([[appendAssigned]]) and persisted, so a query reads the
+    * inverted-list table directly with neither training nor assignment
+    * scans. At 100 TB the assigned table is also the natural thing to
+    * partition BY cluster (partition pruning then serves the nprobe scan).
+    */
+  def ivfTopKAssigned(assigned: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     // nprobe nearest clusters per probe: sort the literal dist structs
     // in-expression, take the first nprobe — no crossJoin, no window
     val probes = assigned.filter(col("vec_id").isin(probeIds: _*))
@@ -127,6 +136,17 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "cand_id", "sim")
   }
+
+  /** Incremental index maintenance: assign a batch of NEW embeddings
+    * against the persisted quantizer and append to the inverted-list
+    * table. O(batch·k) work per batch — the corpus is never re-assigned,
+    * the quantizer never retrained (re-train offline when drift warrants,
+    * then rebuild the assignment table once).
+    */
+  def appendAssigned(newEmbeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                     assignedPath: String): Unit =
+    assign(newEmbeddings, cents)
+      .write.mode("append").parquet(assignedPath)
 
   /** Convenience: train-or-reuse the quantizer via the session cache. */
   def ivfTopKCached(embeddings: DataFrame, cacheKey: String,

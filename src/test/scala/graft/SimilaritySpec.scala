@@ -41,6 +41,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(ivf == bf)
   }
 
+  test("incrementally-appended assignment table answers IVF queries like one-shot") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    val path = s"$dir/assigned"
+    // index built in two ingest batches
+    Similarity.appendAssigned(e.filter(col("vec_id") < 250), cents, path)
+    Similarity.appendAssigned(e.filter(col("vec_id") >= 250), cents, path)
+    val probes = Seq(0L, 1L, 2L)
+    val inc = Similarity.ivfTopKAssigned(spark.read.parquet(path), cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Similarity.ivfTopK(e, cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == oneShot)
+  }
+
   test("trained quantizer round-trips through parquet persist/load") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

@@ -52,6 +52,7 @@ object SparkEntry {
     "orders_rollup" -> Analytics.ordersRollup _,
     "running_revenue" -> Analytics.runningRevenue _,
     "orders_cube" -> Analytics.ordersCube _,
+    "orders_grouping_sets" -> Analytics.ordersGroupingSets _,
     "orders_pivot" -> Analytics.ordersPivot _,
     "price_quantiles" -> Analytics.priceQuantiles _,
     // top_customers_intended computed through the salted skew join — same
@@ -250,6 +251,7 @@ object SparkEntry {
     "orders_rollup" -> Analytics.ordersRollupSql,
     "running_revenue" -> Analytics.runningRevenueSql,
     "orders_cube" -> Analytics.ordersCubeSql,
+    "orders_grouping_sets" -> Analytics.ordersGroupingSetsSql,
     "orders_pivot" -> Analytics.ordersPivotSql,
     "price_quantiles" -> Analytics.priceQuantilesSql,
     "top_customers_salted" -> Analytics.topCustomersIntendedSql,

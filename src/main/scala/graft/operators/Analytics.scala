@@ -222,6 +222,29 @@ object Analytics {
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  // --- explicit grouping sets (the general form rollup/cube specialize) ----
+  // (priority), (status), and grand total in ONE Expand pass — no union of
+  // three scans. Uses Dataset.groupingSets (Spark 4 API).
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("order_count"), round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("order_count"), col("revenue"))
+      .orderBy("priority", "status")
+
+  val ordersGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |COALESCE(o_orderstatus, 'ALL') AS status,
+      |COUNT(*) AS order_count, ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY priority, status""".stripMargin
+
   // --- pivot (priority rows × status columns) ------------------------------
   // Spark's relational pivot with an explicit value list (one pass, no
   // per-column scans); the oracle spells the same thing as CASE aggregates.

@@ -36,10 +36,20 @@ object Dedup {
 
   /** Word k-shingles as an array column: w₀‥wₖ₋₁, w₁‥wₖ, …  Docs shorter
     * than k words contribute their whole text as a single shingle so they
-    * still participate in dedup. The split-words array is bound once — the
-    * gram lambda references it k times per gram.
+    * still participate in dedup. Backed by the codegen
+    * [[org.apache.spark.sql.graft.WordShingles]] expression (the per-gram
+    * `concat_ws(element_at…)` lambda of [[wordShinglesHof]] is interpreted
+    * and dominated the n-gram queries).
     */
-  def wordShingles(textCol: Column, k: Int): Column =
+  def wordShingles(textCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, WordShingles}
+    ColumnBridge.column(WordShingles(
+      ColumnBridge.expression(split(textCol, " ", -1)), k))
+  }
+
+  /** Reference HOF formulation of [[wordShingles]] — kept for the
+    * equivalence spec. */
+  def wordShinglesHof(textCol: Column, k: Int): Column =
     bindOnce(split(textCol, " ", -1)) { words =>
       val n = size(words)
       val grams = transform(

@@ -106,6 +106,57 @@ case class Md5Prefix60(child: Expression)
     copy(child = newChild)
 }
 
+/** Word k-shingles of a pre-split words array (`array<string>` →
+  * `array<string>`): gram i = words[i..i+k) joined by single spaces; arrays
+  * shorter than k collapse to ONE whole-join gram (≡ the original text,
+  * since `split(text, " ", -1)` preserves empty tokens around repeated
+  * separators). Exact semantics of the HOF formulation in
+  * [[graft.operators.Dedup.wordShinglesHof]] (equivalence spec), without
+  * the per-gram interpreted `concat_ws(element_at…)` lambda — the shingle
+  * construction dominated the n-gram Jaccard / winnowing queries.
+  */
+object WordShingles {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  /** Public — called from generated code. */
+  def grams(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val out: Array[AnyRef] =
+      if (n >= k) {
+        val g = new Array[AnyRef](n - k + 1)
+        var s = 0
+        while (s <= n - k) {
+          g(s) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+            Space, java.util.Arrays.copyOfRange(words, s, s + k): _*)
+          s += 1
+        }
+        g
+      } else Array[AnyRef](
+        org.apache.spark.unsafe.types.UTF8String.concatWs(Space, words: _*))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.grams(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordShingles$$.MODULE$$.grams($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a pre-hashed token array (`array<long>` → `long`).
   * Bit i of the result is set iff Σ over tokens of (±1 by bit i of the token
   * hash) is ≥ 0 — the exact semantics of the HOF formulation in

@@ -97,6 +97,23 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("WordShingles ≡ the HOF shingle formulation (k=1 and k=3, incl. short docs)") {
+    val docs = Tables.documents(spark, Sf0001)
+    for (k <- Seq(1, 3)) {
+      val diff = docs.select(
+          Dedup.wordShingles(col("text"), k).as("fast"),
+          Dedup.wordShinglesHof(col("text"), k).as("hof"))
+        .filter(col("fast") =!= col("hof")).count()
+      assert(diff == 0, s"k=$k")
+    }
+    // explicit short-doc fallback (fewer words than k)
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+      .select(Dedup.wordShingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short == Seq("one two"))
+  }
+
   test("Md5Prefix60 ≡ the hex-string conv formulation on the corpus") {
     val docs = Tables.documents(spark, Sf0001)
     val h = graft.functions.Hashing.h60 _

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosinePairs, DotProduct, JaccardPairs, MinHashSig, SimHash64, WinnowingMins}
+import org.apache.spark.sql.graft.{CosinePairs, DotProduct, JaccardPairs, Md5Prefix60, MinHashSig, SimHash64, WinnowingMins, WordShingles}
 
 /** SparkSessionExtensions hook exposing the engine's custom codegen
   * expressions to SQL users:
@@ -49,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardPairs].getName, "graft_jaccard_pairs"),
       (args: Seq[Expression]) =>
         JaccardPairs(args(0), GraftExtensions.litDouble(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_md5_prefix60"),
+      (args: Seq[Expression]) => Md5Prefix60(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), GraftExtensions.litInt(args(1)))))
   }
 }
 

@@ -36,10 +36,11 @@ object Dedup {
 
   /** Word k-shingles as an array column: w₀‥wₖ₋₁, w₁‥wₖ, …  Docs shorter
     * than k words contribute their whole text as a single shingle so they
-    * still participate in dedup. Backed by the codegen
-    * [[org.apache.spark.sql.graft.WordShingles]] expression (the per-gram
-    * `concat_ws(element_at…)` lambda of [[wordShinglesHof]] is interpreted
-    * and dominated the n-gram queries).
+    * still participate in dedup; NULL text yields NULL shingles (dedup
+    * inputs are non-null text by schema — documents.text in the corpus).
+    * Backed by the codegen [[org.apache.spark.sql.graft.WordShingles]]
+    * expression (the per-gram `concat_ws(element_at…)` lambda of
+    * [[wordShinglesHof]] is interpreted and dominated the n-gram queries).
     */
   def wordShingles(textCol: Column, k: Int): Column = {
     import org.apache.spark.sql.graft.{ColumnBridge, WordShingles}
@@ -48,15 +49,17 @@ object Dedup {
   }
 
   /** Reference HOF formulation of [[wordShingles]] — kept for the
-    * equivalence spec. */
+    * equivalence spec (incl. the explicit null guard matching the
+    * expression's null-in/null-out). */
   def wordShinglesHof(textCol: Column, k: Int): Column =
+    when(textCol.isNull, lit(null).cast("array<string>")).otherwise(
     bindOnce(split(textCol, " ", -1)) { words =>
       val n = size(words)
       val grams = transform(
         sequence(lit(0), n - lit(k)),
         i => concat_ws(" ", (0 until k).map(j => element_at(words, (i + lit(j + 1)).cast("int"))): _*))
       when(n >= k, grams).otherwise(array(textCol))
-    }
+    })
 
   /** Exact Jaccard similarity of two set-valued array columns. */
   def jaccard(a: Column, b: Column): Column = {

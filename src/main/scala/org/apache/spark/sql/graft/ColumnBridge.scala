@@ -38,5 +38,9 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => CosinePairs(args(0), litDouble(args(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_pairs",
       (args: Seq[Expression]) => JaccardPairs(args(0), litDouble(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_prefix60",
+      (args: Seq[Expression]) => Md5Prefix60(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1))), "built-in")
   }
 }

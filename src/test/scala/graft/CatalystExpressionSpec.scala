@@ -61,7 +61,7 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
       VectorFunctions.hyperplaneBucket(col("v"), planes.slice(t * 4, t * 4 + 4))
     }: _*)
     val diff = e.select(fast.as("a"), hof.as("b"))
-      .filter(col("a") =!= col("b")).count()
+      .filter(!(col("a") <=> col("b"))).count()
     assert(diff == 0)
   }
 
@@ -70,7 +70,7 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     val diff = docs.select(
         Dedup.winnowingFingerprint(col("text")).as("fast"),
         Dedup.winnowingFingerprintHof(col("text")).as("hof"))
-      .filter(col("fast") =!= col("hof")).count()
+      .filter(!(col("fast") <=> col("hof"))).count()
     assert(diff == 0)
   }
 
@@ -81,7 +81,7 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     val diff = docs.select(
         Dedup.minhashSignature(sh, perms).as("fast"),
         Dedup.minhashSignatureHof(sh, perms).as("hof"))
-      .filter(col("fast") =!= col("hof")).count()
+      .filter(!(col("fast") <=> col("hof"))).count()
     assert(diff == 0)
   }
 
@@ -93,7 +93,7 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     val diff = docs.select(
         Dedup.minhashSignature(sh, perms, h).as("fast"),
         Dedup.minhashSignatureHof(sh, perms, h).as("hof"))
-      .filter(col("fast") =!= col("hof")).count()
+      .filter(!(col("fast") <=> col("hof"))).count()
     assert(diff == 0)
   }
 
@@ -103,7 +103,7 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
       val diff = docs.select(
           Dedup.wordShingles(col("text"), k).as("fast"),
           Dedup.wordShinglesHof(col("text"), k).as("hof"))
-        .filter(col("fast") =!= col("hof")).count()
+        .filter(!(col("fast") <=> col("hof"))).count()
       assert(diff == 0, s"k=$k")
     }
     // explicit short-doc fallback (fewer words than k)
@@ -112,6 +112,12 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
       .select(Dedup.wordShingles(col("text"), 3).as("s"))
       .as[Seq[String]].head()
     assert(short == Seq("one two"))
+    // null text: both formulations yield NULL (null-safe compare)
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(Dedup.wordShingles(col("text"), 3).as("fast"),
+        Dedup.wordShinglesHof(col("text"), 3).as("hof"))
+      .filter(!(col("fast") <=> col("hof")) || col("fast").isNotNull).count()
+    assert(nulls == 0)
   }
 
   test("Md5Prefix60 ≡ the hex-string conv formulation on the corpus") {
@@ -119,13 +125,13 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     val h = graft.functions.Hashing.h60 _
     val r = graft.functions.Hashing.h60Reference _
     val diff = docs.select(h(col("text")).as("a"), r(col("text")).as("b"))
-      .filter(col("a") =!= col("b")).count()
+      .filter(!(col("a") <=> col("b"))).count()
     assert(diff == 0)
     // and over tokens (the shingle-hash shape)
     val diffTok = docs
       .select(explode(split(col("text"), " ", -1)).as("t"))
       .select(h(col("t")).as("a"), r(col("t")).as("b"))
-      .filter(col("a") =!= col("b")).count()
+      .filter(!(col("a") <=> col("b"))).count()
     assert(diffTok == 0)
   }
 
@@ -158,5 +164,10 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
         |      named_struct('id', 2L, 'sset', array(2L, 3L, 4L))), 0.4d) AS p""".stripMargin)
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(jp.length == 1 && jp.head.getDouble(2) == 0.5)
+    val mp = spark.sql("SELECT graft_md5_prefix60('abc') AS h").head().getLong(0)
+    assert(mp == 648541476951500027L)
+    val ws = spark.sql(
+      "SELECT graft_word_shingles(array('a', 'b', 'c'), 2) AS s").head().getSeq[String](0)
+    assert(ws == Seq("a b", "b c"))
   }
 }

@@ -98,6 +98,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("lshDedupKeep is invariant under input partitioning (distributed determinism)") {
+    val docs = Tables.documents(spark, Sf0001)
+    def keeps(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshDedupKeep(d, "text", "doc_id", numPerm = 64, bands = 8, shingleK = 1)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val base = keeps(docs)
+    assert(keeps(docs.repartition(1)) == base)
+    assert(keeps(docs.repartition(17, col("text"))) == base)
+  }
+
   test("hammingDistance column matches JVM popcount") {
     val d = spark.range(1).select(
       Dedup.hammingDistance(lit(0xff00L), lit(0x0ff0L)).as("d")).as[Int].head()

@@ -39,9 +39,13 @@ import graft.functions.FsUtils
   * Consistency contract (CurationStreamSpec): when docs arrive in id order
   * — the backfill/replay case — the accumulated output row set EQUALS the
   * batch `Curation.curate` over the union of all batches. Out-of-order
-  * arrival degrades to first-arrival-wins per bucket: the stream may KEEP a
-  * doc the batch pass would have dropped (a smaller id arriving later
-  * cannot retract an emitted row) but never drops one the batch pass keeps.
+  * arrival degrades to first-arrival-wins: the stream may KEEP a doc the
+  * batch pass would have dropped (a smaller id arriving later cannot
+  * retract an emitted row), and for EXACT duplicates the first-arrived
+  * copy stands in for the batch's min-id copy (same content, possibly a
+  * different doc_id). The near-dup stage alone never drops a batch-kept
+  * doc under ANY batch split: a doc that is the global minimum of all its
+  * buckets is also the minimum among every earlier-or-equal subset.
   */
 object CurationStream {
 

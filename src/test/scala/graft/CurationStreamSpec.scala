@@ -47,6 +47,23 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     assert(redelivered.isEmpty, "re-delivery must add nothing")
   }
 
+  test("out-of-order arrival may over-keep but never drops a batch-kept doc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstream4").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val batchResult = rows(Curation.curate(spark, Sf0001, hashFn = h60))
+    // reversed batch order: high ids first
+    val streamed =
+      rows(CurationStream.curateBatch(spark,
+        docs.filter(col("doc_id") >= 250), s"$tmp/state", batchId = 0, hashFn = h60)) ++
+      rows(CurationStream.curateBatch(spark,
+        docs.filter(col("doc_id") < 250), s"$tmp/state", batchId = 1, hashFn = h60))
+    // the contract: superset of the batch keep set (over-keep allowed,
+    // drop never), and each streamed row's doc was at least exact-unique
+    // and gate-passing (same row content whenever ids overlap)
+    assert(batchResult.subsetOf(streamed),
+      s"stream dropped ${(batchResult -- streamed).size} batch-kept docs")
+  }
+
   test("file-source streaming wrapper accumulates the batch-equivalent output") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cstream3").toString
     val docs = Tables.documents(spark, Sf0001)

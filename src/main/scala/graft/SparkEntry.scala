@@ -43,6 +43,12 @@ object SparkEntry {
     // batch analytics parity (SURVEY §2.2–2.6)
     "overview" -> Analytics.overview _,
     "orders_by_date" -> Analytics.ordersByDate _,
+    // the reference's dynamically-composed range variant (both bounds
+    // present → predicate appended and pushed to the scan); the
+    // bounds-absent branches are pinned by AnalyticsSpec
+    "orders_by_date_range" -> ((s: SparkSession, d: String) =>
+      Analytics.ordersByDateRange(s, d,
+        Some(Analytics.DateRangeStart), Some(Analytics.DateRangeEnd))),
     "top_customers_intended" -> Analytics.topCustomersIntended _,
     "top_customers_faithful" -> Analytics.topCustomersFaithful _,
     "recent_orders" -> Analytics.recentOrders _,
@@ -74,6 +80,19 @@ object SparkEntry {
         count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct"),
         round(lit(1.0) - countDistinct(md5(col("text"))) / count(lit(1)), 4).as("dup_ratio"))),
+    // the 100 TB companion: HLL++ distinct (one pass, fixed-size mergeable
+    // sketch, no distinct shuffle) vs the exact count. The sketch value is
+    // engine-specific, so the gate checks a RELATIVE-ERROR bound (Spark's
+    // HLL is deterministic for a given dataset — order/partitioning
+    // independent — so the boolean is stable); DedupSpec pins the bound too.
+    "dedup_metrics_approx" -> ((s: SparkSession, d: String) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        approx_count_distinct(md5(col("text")), 0.05).as("approx"))
+        .select(col("n_docs"), col("n_distinct"),
+          (abs(col("approx") - col("n_distinct")).cast("double") / col("n_distinct")
+            <= 0.15).as("approx_within_15pct"))),
     "custkeys_intersect" -> Analytics.custkeysIntersect _,
     "custkeys_except" -> Analytics.custkeysExcept _,
     // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
@@ -242,6 +261,7 @@ object SparkEntry {
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
+    "orders_by_date_range" -> Analytics.ordersByDateRangeSql,
     "top_customers_intended" -> Analytics.topCustomersIntendedSql,
     "top_customers_faithful" -> Analytics.topCustomersFaithfulSql,
     "recent_orders" -> Analytics.recentOrdersSql,
@@ -259,6 +279,13 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_docs,
         |COUNT(DISTINCT md5(text)) AS n_distinct,
         |ROUND(1.0 - COUNT(DISTINCT md5(text)) / COUNT(*), 4) AS dup_ratio
+        |FROM documents""".stripMargin,
+    // the approx value itself is engine-specific; the oracle asserts the
+    // exact counts and that Spark's HLL landed within the documented bound
+    "dedup_metrics_approx" ->
+      """SELECT COUNT(*) AS n_docs,
+        |COUNT(DISTINCT md5(text)) AS n_distinct,
+        |TRUE AS approx_within_15pct
         |FROM documents""".stripMargin,
     "custkeys_intersect" -> Analytics.custkeysIntersectSql,
     "custkeys_except" -> Analytics.custkeysExceptSql,

@@ -29,12 +29,17 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (legacy conf) and truncate to microseconds — the same truncation DuckDB
-    * applies when it reads the file, so oracle comparisons line up exactly.
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions that read
+    * events set `spark.sql.legacy.parquet.nanosAsLong=true` at BUILD time
+    * (Bench/Verify/SparkSuite/tools) — a loader must not mutate session
+    * config as a side effect (it would race concurrent queries and silently
+    * change semantics of unrelated reads mid-session). The long nanos are
+    * truncated to microseconds — the same truncation DuckDB applies when it
+    * reads the file, so oracle comparisons line up exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
     p(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

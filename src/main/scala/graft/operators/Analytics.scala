@@ -71,6 +71,45 @@ object Analytics {
        |GROUP BY STRFTIME(o_orderdate, '%Y-%m-%d')
        |ORDER BY order_date DESC""".stripMargin
 
+  // --- A2 composed variant: dynamic date-range bounds ----------------------
+  // The reference appends `created_at >= $2 AND created_at <= $3` ONLY when
+  // BOTH bounds are present (`routes/analytics.js:63-67`); a lone bound is
+  // ignored. Same dynamic composition here: the predicate is chained onto
+  // the plan conditionally, and when present it reaches the parquet scan as
+  // a pushed filter (row-group min/max skipping — the created_at B-tree
+  // analogue), so the bounded variant reads LESS data, not the same data
+  // post-filtered.
+  def ordersByDateRange(spark: SparkSession, dir: String,
+                        startDate: Option[String],
+                        endDate: Option[String]): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+    val ranged = (startDate, endDate) match {
+      case (Some(s), Some(e)) =>
+        base.filter(col("o_orderdate") >= lit(s) && col("o_orderdate") <= lit(e))
+      case _ => base
+    }
+    ranged
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum("o_totalprice"), 2).as("daily_revenue"))
+      .orderBy(col("order_date").desc)
+  }
+
+  /** Registered bounds for the gate run (a full mid-corpus year). */
+  val DateRangeStart = "1997-01-01"
+  val DateRangeEnd = "1997-12-31"
+
+  val ordersByDateRangeSql: String =
+    s"""SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+       |COUNT(*) AS order_count,
+       |ROUND(SUM(o_totalprice), 2) AS daily_revenue
+       |FROM orders WHERE o_orderpriority = '$OrdersTenant'
+       |AND o_orderdate >= DATE '$DateRangeStart' AND o_orderdate <= DATE '$DateRangeEnd'
+       |GROUP BY STRFTIME(o_orderdate, '%Y-%m-%d')
+       |ORDER BY order_date DESC""".stripMargin
+
   // --- A3 intended: top customers joined on the real key -------------------
   // The reference's J2 lacks a customer key (orders carry none,
   // `migrations/init.sql:50-60`); the intended semantics join

@@ -46,6 +46,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.toSeq == sorted.toSeq)
   }
 
+  test("ordersByDateRange composes the predicate only when BOTH bounds are present") {
+    def rows(from: Option[String], to: Option[String]) =
+      Analytics.ordersByDateRange(spark, Sf0001, from, to)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val unbounded = rows(None, None)
+    // reference semantics (routes/analytics.js:63-67): a lone bound is ignored
+    assert(rows(Some("1997-01-01"), None) == unbounded)
+    assert(rows(None, Some("1997-12-31")) == unbounded)
+    assert(unbounded ==
+      Analytics.ordersByDate(spark, Sf0001)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+    val bounded = rows(Some("1997-01-01"), Some("1997-12-31"))
+    assert(bounded.nonEmpty && bounded.size < unbounded.size)
+    assert(bounded.forall { case (d, _, _) => d >= "1997-01-01" && d <= "1997-12-31" })
+    // the bounded result is exactly the unbounded one restricted to the range
+    assert(bounded ==
+      unbounded.filter { case (d, _, _) => d >= "1997-01-01" && d <= "1997-12-31" })
+  }
+
+  test("dedup_metrics_approx gate query reports the HLL inside its bound") {
+    val r = SparkEntry.queries("dedup_metrics_approx")(spark, Sf0001).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Boolean]("approx_within_15pct"))
+  }
+
   test("multimodal stub decode is deterministic and schema-stable") {
     val docs = Tables.documents(spark, Sf0001).limit(50)
     val m1 = Multimodal.extractMeta(Multimodal.mediaFromDocuments(docs))

@@ -507,6 +507,154 @@ case class JaccardPairs(child: Expression, threshold: Double)
     copy(child = newChild)
 }
 
+/** [[JaccardPairs]] over a CAPPED sub-bucket (see
+  * [[graft.operators.BucketedPairs]]): input structs carry a third `cell`
+  * field (the element's triangle-split cell), and `crossOnly` — a per-row
+  * boolean — restricts emission to pairs from DIFFERENT cells. A cross
+  * sub-task (cells a≠b) sets crossOnly=true so within-cell pairs are neither
+  * computed nor emitted there (they belong to their cell's diagonal task);
+  * the diagonal task (a==b) sets false and runs the full triangle. Pair
+  * values are byte-identical to the uncapped expression — same set logic,
+  * same HALF_UP round4.
+  */
+case class JaccardPairsBounded(child: Expression, crossOnly: Expression,
+                               threshold: Double)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = crossOnly
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("jaccard", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_jaccard_pairs_bounded"
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any, crossFlag: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cross = crossFlag.asInstanceOf[Boolean]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val cells = new Array[Int](n)
+    val sets = new Array[java.util.HashSet[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      val raw = row.getArray(1).toLongArray()
+      val hs = new java.util.HashSet[Long](raw.length * 2)
+      raw.foreach(hs.add(_))
+      sets(i) = hs
+      cells(i) = row.getInt(2)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (!(cross && cells(i) == cells(j))) {
+          val (small, bigSet) =
+            if (sets(i).size <= sets(j).size) (sets(i), sets(j)) else (sets(j), sets(i))
+          var inter = 0
+          val it = small.iterator()
+          while (it.hasNext) { if (bigSet.contains(it.next())) inter += 1 }
+          val union = sets(i).size + sets(j).size - inter
+          val jac = if (union == 0) 0.0 else round4(inter.toDouble / union.toDouble)
+          if (jac >= threshold) {
+            val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+            out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, jac))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, crossOnly = newRight)
+}
+
+/** [[CosinePairs]] over a CAPPED sub-bucket — the cell/crossOnly mechanics of
+  * [[JaccardPairsBounded]] applied to the cosine verify: same norms-once,
+  * same pair triangle, same zero-norm guard, same HALF_UP round4, so emitted
+  * pairs are byte-identical to the uncapped expression. The cell check runs
+  * BEFORE the dot product — a skipped pair costs two int loads.
+  */
+case class CosinePairsBounded(child: Expression, crossOnly: Expression,
+                              threshold: Double)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = crossOnly
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cosine_pairs_bounded"
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override protected def nullSafeEval(input: Any, crossFlag: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cross = crossFlag.asInstanceOf[Boolean]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val cells = new Array[Int](n)
+    val vs = new Array[Array[Double]](n)
+    val nrm = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      vs(i) = row.getArray(1).toDoubleArray()
+      cells(i) = row.getInt(2)
+      var s = 0.0; var k = 0; val v = vs(i)
+      while (k < v.length) { s += v(k) * v(k); k += 1 }
+      nrm(i) = math.sqrt(s)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      val vi = vs(i)
+      while (j < n) {
+        if (!(cross && cells(i) == cells(j))) {
+          val vj = vs(j)
+          val m = math.min(vi.length, vj.length)
+          var d = 0.0; var k = 0
+          while (k < m) { d += vi(k) * vj(k); k += 1 }
+          val denom = nrm(i) * nrm(j)
+          val sim = if (denom == 0.0 || !java.lang.Double.isFinite(d / denom)) Double.NaN
+                    else round4(d / denom)
+          if (sim >= threshold) {
+            val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+            out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, sim))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, crossOnly = newRight)
+}
+
 /** All verified cosine-similar pairs inside one LSH bucket. Input is the
   * bucket's collected `array<struct<id:long, v:array<double>>>`; output is
   * `array<struct<id_a, id_b, sim>>` for the pairs with

@@ -104,6 +104,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(agg == win)
   }
 
+  test("TopKAgg bounded insert: ties break by cand_id, overflow drops the worst") {
+    import graft.operators.TopK.{Scored, TopKAgg, TopKBuf}
+    val agg = new TopKAgg(3)
+    // insert out of order, with a tie at sim=0.5 (ids 7 and 2)
+    val ins = Seq((0.5, 7L), (0.9, 4L), (0.5, 2L), (0.1, 1L), (0.9, 9L))
+    val buf = ins.foldLeft(agg.zero) { case (b, (s, i)) => agg.reduce(b, Scored(0L, i, s)) }
+    assert(buf.sims.toSeq == Seq(0.9, 0.9, 0.5))
+    assert(buf.ids.toSeq == Seq(4L, 9L, 2L))
+    // full buffer + worse candidate returns the SAME buffer instance (O(1) path)
+    assert(agg.reduce(buf, Scored(0L, 99L, 0.05)) eq buf)
+    // merge of two partials == inserting everything on one side
+    val (l, r) = ins.splitAt(2)
+    val bl = l.foldLeft(agg.zero) { case (b, (s, i)) => agg.reduce(b, Scored(0L, i, s)) }
+    val br = r.foldLeft(agg.zero) { case (b, (s, i)) => agg.reduce(b, Scored(0L, i, s)) }
+    val m = agg.merge(bl, br)
+    assert(m.sims.toSeq == buf.sims.toSeq && m.ids.toSeq == buf.ids.toSeq)
+    assert(agg.merge(agg.zero, buf).ids.toSeq == buf.ids.toSeq)
+  }
+
   test("centroids are elementwise means (unit check on a tiny frame)") {
     val e = Seq(
       (0L, Seq(0.0f, 2.0f), 0), (1L, Seq(2.0f, 0.0f), 0),

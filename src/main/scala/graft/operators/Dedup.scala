@@ -162,22 +162,25 @@ object Dedup {
   def nearDuplicatePairs(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, numPerm: Int = 64, bands: Int = 16,
                          shingleK: Int = 3,
-                         hashFn: Column => Column = xxhash64(_)): DataFrame = {
+                         hashFn: Column => Column = xxhash64(_),
+                         bucketCap: Int = 5000): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK, hashFn)
     val sets = sigs.select(col(idCol),
       array_distinct(transform(col("shingles"), s => hashFn(s))).as("sset"))
     // bucket-local verification (same model as the embedding LSH path):
     // collect each band bucket's (id, shingle set), verify the pair triangle
-    // inside one JaccardPairs call, dedup survivors across bands. Candidate
-    // pairs never hit a shuffle; no joins re-attach the sets.
-    val grouped = lshBands(sigs, idCol, numPerm, bands)
-      .join(sets, Seq(idCol))
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("sset"))).as("xs"))
-      .filter(size(col("xs")) >= 2)
-    import org.apache.spark.sql.graft.{ColumnBridge, JaccardPairs}
-    val pairs = ColumnBridge.column(
-      JaccardPairs(ColumnBridge.expression(col("xs")), threshold))
+    // inside one JaccardPairsBounded call, dedup survivors across bands.
+    // Candidate pairs never hit a shuffle; no joins re-attach the sets; a
+    // degenerate band bucket (every doc identical ⇒ one band key) is
+    // triangle-split into ≤ ~2·bucketCap-element sub-tasks (BucketedPairs)
+    // instead of one unbounded collect_list buffer.
+    val grouped = BucketedPairs.boundedSubBuckets(
+      lshBands(sigs, idCol, numPerm, bands).join(sets, Seq(idCol)),
+      Seq("band_idx", "band_key"), col(idCol), col("sset"), bucketCap)
+    import org.apache.spark.sql.graft.{ColumnBridge, JaccardPairsBounded}
+    val pairs = ColumnBridge.column(JaccardPairsBounded(
+      ColumnBridge.expression(col("xs")),
+      ColumnBridge.expression(col("cross")), threshold))
     grouped.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.jaccard"))
       .dropDuplicates("id_a", "id_b")

@@ -159,46 +159,67 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Signature width so the EXPECTED bucket size is ≤ `targetBucket` under
+    * a uniform split: bits = ⌈log₂(n / targetBucket)⌉, floored at 4 (the
+    * recall-calibrated default) — the round-3 fixed width made expected
+    * bucket size n/16, i.e. O(n²) verify work at ANY corpus size.
+    * Near-identical vectors still collapse into one bucket whatever the
+    * width (hyperplanes cannot separate them — that is the point of LSH),
+    * which is why [[embeddingNearDupLsh]] ALSO caps realized bucket size via
+    * the triangle-split; width controls the expectation, the cap controls
+    * the tail.
+    */
+  def bitsPerTableFor(n: Long, targetBucket: Long = 1024L): Int = {
+    val ratio = math.max(n.toDouble / targetBucket.toDouble, 1.0)
+    math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt)
+  }
+
+  /** [[embeddingNearDupLsh]] with the signature width DERIVED from the
+    * corpus row count (one cheap count job — parquet footer statistics).
+    * Changing width changes recall, so this is a separate entry point; the
+    * oracle-pinned gate query keeps its explicit calibrated width.
+    */
+  def embeddingNearDupLshAuto(embeddings: DataFrame, dim: Int, threshold: Double,
+                              nTables: Int = 16, targetBucket: Long = 1024L,
+                              bucketCap: Int = 2000): DataFrame =
+    embeddingNearDupLsh(embeddings, dim, threshold, nTables,
+      bitsPerTableFor(embeddings.count(), targetBucket), bucketCap)
+
   /** Near-duplicate embedding pairs at scale: multi-table random-hyperplane
     * LSH. Each of `nTables` independent tables buckets vectors by a
     * `bitsPerTable`-bit signature; a pair is a candidate if it collides in
     * ANY table (banding — one table alone has vanishing recall at moderate
     * cosine). Candidates are verified with the exact cosine ≥ threshold.
-    * Work is O(Σ bucket²) per table, never O(n²) on the corpus.
+    * Verify work is O(Σ bucket²) per table; size `bitsPerTable` to the
+    * corpus (see [[bitsPerTableFor]]) so that stays far below O(n²).
     *
     * Recall at cos θ: p = (1 - θ/π)^bits per table, 1-(1-p)^tables overall
     * — 16×4 gives ~0.94 at cos 0.4, ~1.0 above 0.7.
     */
   def embeddingNearDupLsh(embeddings: DataFrame, dim: Int, threshold: Double,
-                          nTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+                          nTables: Int = 16, bitsPerTable: Int = 4,
+                          bucketCap: Int = 2000): DataFrame = {
     val allPlanes = hyperplanes(dim, nTables * bitsPerTable)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // all table buckets in one referenced-object expression (the per-table
     // literal-plane formulation put planes×dim literal doubles in the plan)
-    import org.apache.spark.sql.graft.{ColumnBridge, HyperplaneBuckets}
+    import org.apache.spark.sql.graft.{ColumnBridge, CosinePairsBounded, HyperplaneBuckets}
     val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
       ColumnBridge.expression(col("v")), allPlanes.toArray, bitsPerTable))
-    // Each bucket verifies its own pairs in one pass: collect the bucket's
-    // (id, vector) list, generate the intra-bucket pair triangle inside a
-    // nested HOF expression with the codegen dot product, and emit only the
-    // survivors. The only shuffles are the bucket groupBy (n·tables narrow
-    // rows) and a final dropDuplicates over the verified matches — candidate
-    // pairs are never materialized into a shuffle, and no join re-attaches
-    // vectors. Bucket skew is bounded by the signature width; the verify work
-    // per bucket is O(|bucket|²) dot products in generated code.
+    // Each sub-bucket verifies its own pairs in one expression call (norms
+    // once per element, primitive dot-triangle loops, HALF_UP round to 4 —
+    // the exact arithmetic of round(cosine, 4) in embeddingNearDupExact).
+    // Candidate pairs are never materialized into a shuffle and no join
+    // re-attaches vectors; per-task buffer size is bounded by the
+    // triangle-split (BucketedPairs) even for a degenerate mega-bucket.
     val bucketed = e.select(col("vec_id"), col("v"),
       posexplode(bucketsCol).as(Seq("tbl", "bucket")))
-    val grouped = bucketed
-      .groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id").as("id"), col("v").as("v"))).as("xs"))
-      .filter(size(col("xs")) >= 2)
-    // whole-bucket pair verification in one expression call (norms once per
-    // element, O(n²/2) dot triangle in primitive loops, HALF_UP round to 4 —
-    // the exact arithmetic of round(cosine, 4) in embeddingNearDupExact)
-    import org.apache.spark.sql.graft.{ColumnBridge, CosinePairs}
-    val pairs = ColumnBridge.column(
-      CosinePairs(ColumnBridge.expression(col("xs")), threshold))
+    val grouped = BucketedPairs.boundedSubBuckets(
+      bucketed, Seq("tbl", "bucket"), col("vec_id"), col("v"), bucketCap)
+    val pairs = ColumnBridge.column(CosinePairsBounded(
+      ColumnBridge.expression(col("xs")),
+      ColumnBridge.expression(col("cross")), threshold))
     grouped.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sim"))
       .dropDuplicates("id_a", "id_b")

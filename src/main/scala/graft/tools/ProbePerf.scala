@@ -1,10 +1,11 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Scratch probe — rewritten per investigation. Current: window-vs-aggregator
-  * top-k A/B at sf0.1 (round-4 item 2: the bounded-buffer aggregator must
-  * beat the window formulation it exists to replace).
+/** Scratch probe — rewritten per investigation. Current: A/B of the two
+  * BucketedPairs size-discovery strategies (count-join vs window) on the two
+  * LSH audit pipelines at sf0.1, repeated — single bench runs vary ±10%.
   */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
@@ -17,25 +18,57 @@ object ProbePerf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val e = graft.Tables.embeddings(spark, sf)
-    e.count() // warm file listing + JVM
+    import graft.operators.{BucketedPairs, Dedup, Similarity}
+    import org.apache.spark.sql.graft.{ColumnBridge, CosinePairsBounded, HyperplaneBuckets, JaccardPairsBounded}
 
     def time(name: String)(f: => Unit): Unit = {
-      val reps = 5
+      val reps = 7
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-18s min=${times.min}%.3f med=${times.sorted.apply(reps / 2)}%.3f")
+      println(f"$name%-28s min=${times.min}%.3f med=${times.sorted.apply(reps / 2)}%.3f")
     }
-    val probes = Seq(0L, 1L, 2L, 3L, 4L)
-    time("window") {
-      graft.operators.Similarity.bruteForceTopK(e, probes, 3)
-        .write.format("noop").mode("overwrite").save()
+    def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+    // embedding LSH bucket frame (as embeddingNearDupLsh builds it)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.count()
+    val planes = Similarity.hyperplanes(64, 16 * 4)
+    val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(col("v")), planes.toArray, 4))
+    val embBucketed = e.select(col("vec_id"), col("v"),
+      posexplode(bucketsCol).as(Seq("tbl", "bucket")))
+    def embPairs(sub: DataFrame): DataFrame = {
+      val pairs = ColumnBridge.column(CosinePairsBounded(
+        ColumnBridge.expression(col("xs")), ColumnBridge.expression(col("cross")), 0.35))
+      sub.select(explode(pairs).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.sim"))
+        .dropDuplicates("id_a", "id_b")
     }
-    time("aggregator") {
-      graft.operators.TopK.bruteForceTopKAgg(e, probes, 3)
-        .write.format("noop").mode("overwrite").save()
+    time("emb countJoin") { run(embPairs(BucketedPairs.boundedSubBucketsCountJoin(
+      embBucketed, Seq("tbl", "bucket"), col("vec_id"), col("v"), 2000))) }
+    time("emb window") { run(embPairs(BucketedPairs.boundedSubBucketsWindow(
+      embBucketed, Seq("tbl", "bucket"), col("vec_id"), col("v"), 2000))) }
+
+    // minhash band-bucket frame (as nearDuplicatePairs builds it, gate params)
+    val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 500)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 64, 1,
+      graft.functions.Hashing.h60)
+    val sets = sigs.select(col("doc_id"),
+      array_distinct(transform(col("shingles"), s => graft.functions.Hashing.h60(s))).as("sset"))
+    val mhBucketed = Dedup.lshBands(sigs, "doc_id", 64, 8).join(sets, Seq("doc_id"))
+    def mhPairs(sub: DataFrame): DataFrame = {
+      val pairs = ColumnBridge.column(JaccardPairsBounded(
+        ColumnBridge.expression(col("xs")), ColumnBridge.expression(col("cross")), 0.9))
+      sub.select(explode(pairs).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.jaccard"))
+        .dropDuplicates("id_a", "id_b")
     }
+    time("minhash countJoin") { run(mhPairs(BucketedPairs.boundedSubBucketsCountJoin(
+      mhBucketed, Seq("band_idx", "band_key"), col("doc_id"), col("sset"), 5000))) }
+    time("minhash window") { run(mhPairs(BucketedPairs.boundedSubBucketsWindow(
+      mhBucketed, Seq("band_idx", "band_key"), col("doc_id"), col("sset"), 5000))) }
     spark.stop()
   }
 }

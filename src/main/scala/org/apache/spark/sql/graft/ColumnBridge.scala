@@ -38,6 +38,10 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => CosinePairs(args(0), litDouble(args(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_pairs",
       (args: Seq[Expression]) => JaccardPairs(args(0), litDouble(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine_pairs_bounded",
+      (args: Seq[Expression]) => CosinePairsBounded(args(0), args(1), litDouble(args(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_pairs_bounded",
+      (args: Seq[Expression]) => JaccardPairsBounded(args(0), args(1), litDouble(args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_md5_prefix60",
       (args: Seq[Expression]) => Md5Prefix60(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_word_shingles",

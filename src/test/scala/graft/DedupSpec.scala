@@ -98,6 +98,18 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("nearDuplicatePairs: tiny bucketCap (triangle-split engaged) leaves output unchanged") {
+    val corpus = Tables.documents(spark, Sf0001).filter(col("doc_id") < 300)
+    def pairs(cap: Int) =
+      Dedup.nearDuplicatePairs(corpus, "text", "doc_id",
+          threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1, bucketCap = cap)
+        .as[(Long, Long, Double)].collect().toSet
+    val capped = pairs(5) // far below any band-bucket size → every bucket splits
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("lshDedupKeep is invariant under input partitioning (distributed determinism)") {
     val docs = Tables.documents(spark, Sf0001)
     def keeps(d: org.apache.spark.sql.DataFrame) =

@@ -94,6 +94,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 (found ${lsh.size}/${exact.size})")
   }
 
+  test("bucket cap: degenerate corpus (one dominant bucket) — bounded sub-tasks, unchanged pairs") {
+    // 400 near-identical vectors: every hyperplane signs them the same way,
+    // so ALL of them land in ONE bucket per table — the round-3 mega-bucket
+    // scenario where the uncapped verify collected 400 vectors into a single
+    // aggregation buffer/task.
+    val base = Array.tabulate(8)(i => 1.0 + i * 0.1)
+    val rows = (0L until 400L).map { i =>
+      (i, base.zipWithIndex.map { case (x, d) => (x + (i % 7) * 1e-4 * (d + 1)).toFloat }.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val cap = 50
+    val capped = Similarity.embeddingNearDupLsh(e, dim = 8, threshold = 0.9,
+        nTables = 4, bitsPerTable = 4, bucketCap = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = Similarity.embeddingNearDupLsh(e, dim = 8, threshold = 0.9,
+        nTables = 4, bitsPerTable = 4, bucketCap = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped, "triangle-split must not change the pair output")
+    assert(capped.size == 400L * 399L / 2, "near-identical corpus: every pair is a near-dup")
+    // the sub-bucket frame itself: per-task element count is bounded even
+    // though the bucket holds the whole corpus
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.graft.HyperplaneBuckets
+    val planes = Similarity.hyperplanes(8, 4 * 4)
+    val v = col("embedding").cast("array<double>").as("v")
+    val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(col("v")), planes.toArray, 4))
+    val bucketed = e.select(col("vec_id"), v)
+      .select(col("vec_id"), col("v"), posexplode(bucketsCol).as(Seq("tbl", "bucket")))
+    val sizes = graft.operators.BucketedPairs
+      .boundedSubBuckets(bucketed, Seq("tbl", "bucket"), col("vec_id"), col("v"), cap)
+      .select(max(size(col("xs"))), min(size(col("xs"))))
+      .as[(Int, Int)].head()
+    assert(sizes._1 <= 3 * cap,
+      s"max sub-task size ${sizes._1} exceeds the cap bound (cap=$cap)")
+    assert(sizes._1 < 400, "the mega-bucket must actually have been split")
+  }
+
   test("TopK aggregator formulation equals the window formulation") {
     val e = Tables.embeddings(spark, Sf0001)
     val probes = (0L until 8L).toSeq

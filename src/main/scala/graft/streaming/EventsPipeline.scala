@@ -197,7 +197,8 @@ object EventsPipeline {
     */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,
                     checkpointDir: String, schemaFrom: DataFrame,
-                    runLogDir: Option[String] = None): StreamingQuery = {
+                    runLogDir: Option[String] = None,
+                    dailyAggDir: Option[String] = None): StreamingQuery = {
     val src = spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
@@ -208,6 +209,11 @@ object EventsPipeline {
         val started = System.currentTimeMillis()
         try {
           val n = mergePartitioned(spark, batch, outDir)
+          dailyAggDir.foreach { aggDir =>
+            val dates = batch.select(to_date(col("ts")).as("d")).distinct()
+              .collect().map(_.getDate(0)).toSeq // O(days in batch)
+            refreshDailyAgg(spark, outDir, aggDir, dates)
+          }
           logRun(spark, runLogDir, batchId, n, started, "completed")
         } catch { case e: Throwable =>
           logRun(spark, runLogDir, batchId, -1L, started, s"failed: ${e.getMessage}")
@@ -217,6 +223,49 @@ object EventsPipeline {
       }
       .start()
   }
+
+  /** Incrementally-materialized A2 (the reference's "real-time updates"
+    * claim, `README.md:3`, upgraded from marketing to mechanism): after each
+    * micro-batch lands in the raw date-partitioned sink, RE-AGGREGATE the
+    * touched dates from the raw sink and swap those `day=` partitions of the
+    * queryable results table.
+    *
+    * Recompute-from-merged-raw, not delta-add: foreachBatch is at-least-once,
+    * and adding window deltas twice on a replay would corrupt counts — a
+    * delta design needs a transactional sink keyed by batchId. Re-derivation
+    * makes the aggregate a pure function of the exactly-once raw sink, so
+    * replays and crash-recovery re-runs are idempotent for free. Cost per
+    * batch is O(events in the touched days): the raw read is partition-pruned
+    * to the batch's dates (PartitionFilters), never a full-table scan, and
+    * only the touched day partitions of the results table are rewritten —
+    * the rest are never read or listed. At 100 TB a hot day re-aggregates
+    * its partition per micro-batch; widen the trigger interval (or shard the
+    * partition layout to day+hour) if a single day's volume makes that pass
+    * expensive.
+    */
+  def refreshDailyAgg(spark: SparkSession, rawDir: String, aggDir: String,
+                      dates: Seq[java.sql.Date]): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (dates.isEmpty) return
+    val fs = graft.functions.FsUtils.fs(spark, aggDir)
+    val aggPath = new Path(aggDir)
+    val tmpPath = new Path(aggDir + ".tmp")
+    recoverOrphans(fs, tmpPath, aggPath, "day=")
+    val slice = spark.read.parquet(rawDir)
+      .filter(col("event_date").isin(dates: _*)) // partition-pruned scan
+    // day == event_date for every row (event_date = to_date(ts); 1-day
+    // windows are midnight-aligned in the session TZ), so the re-aggregated
+    // slice covers exactly the partitions being swapped
+    val agg = dailyAgg(slice)
+    agg.write.mode("overwrite").partitionBy("day").parquet(tmpPath.toString)
+    swapPartitionDirs(fs, tmpPath, aggPath, "day=")
+    spark.catalog.refreshByPath(aggDir)
+  }
+
+  /** The queryable incrementally-maintained aggregate — partition pruning on
+    * `day` serves the reference's ranged reads of this endpoint. */
+  def readDailyAgg(spark: SparkSession, aggDir: String): DataFrame =
+    spark.read.parquet(aggDir)
 
   /** Merge one (micro-)batch of events into a date-partitioned parquet sink,
     * touching ONLY the partitions whose `event_date` appears in the batch.
@@ -247,24 +296,10 @@ object EventsPipeline {
     */
   def mergePartitioned(spark: SparkSession, batch: DataFrame, outDir: String): Long = {
     import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val fs = graft.functions.FsUtils.fs(spark, outDir)
     val outPath = new Path(outDir)
     val tmpPath = new Path(outDir + ".tmp")
-
-    // recover partitions orphaned by a crash between delete and rename
-    if (fs.exists(tmpPath)) {
-      fs.listStatus(tmpPath).iterator
-        .filter(_.getPath.getName.startsWith("event_date="))
-        .foreach { st =>
-          val dst = new Path(outPath, st.getPath.getName)
-          if (!fs.exists(dst)) {
-            fs.mkdirs(outPath)
-            graft.functions.FsUtils.renameOrThrow(fs, st.getPath, dst)
-          }
-        }
-      fs.delete(tmpPath, true)
-    }
+    recoverOrphans(fs, tmpPath, outPath, "event_date=")
 
     val withDate = batch.withColumn("event_date", to_date(col("ts")))
     val dates = withDate.select(col("event_date")).distinct()
@@ -279,19 +314,52 @@ object EventsPipeline {
     val merged = Merge.upsert(slice, withDate, Seq("event_id"), "ts")
     merged.write.mode("overwrite").partitionBy("event_date").parquet(tmpPath.toString)
     val n = spark.read.parquet(tmpPath.toString).count()
-    fs.mkdirs(outPath)
-    fs.listStatus(tmpPath).iterator
-      .filter(_.getPath.getName.startsWith("event_date="))
-      .foreach { st =>
-        val dst = new Path(outPath, st.getPath.getName)
-        graft.functions.FsUtils.replaceDir(fs, st.getPath, dst)
-      }
-    fs.delete(tmpPath, true)
+    swapPartitionDirs(fs, tmpPath, outPath, "event_date=")
     // drop the stale file listing for the swapped partitions (the shared
     // FileStatusCache would otherwise serve deleted part files to the next
     // batch's pruned read)
     spark.catalog.refreshByPath(outDir)
     n
+  }
+
+  /** Restore partitions orphaned by a crash between a swap's delete and
+    * rename (the dir exists under `.tmp` but not under the sink), then drop
+    * the staging dir. Shared by every partition-scoped swap site. */
+  private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem,
+                             tmpPath: org.apache.hadoop.fs.Path,
+                             outPath: org.apache.hadoop.fs.Path,
+                             prefix: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (fs.exists(tmpPath)) {
+      fs.listStatus(tmpPath).iterator
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach { st =>
+          val dst = new Path(outPath, st.getPath.getName)
+          if (!fs.exists(dst)) {
+            fs.mkdirs(outPath)
+            graft.functions.FsUtils.renameOrThrow(fs, st.getPath, dst)
+          }
+        }
+      fs.delete(tmpPath, true)
+    }
+  }
+
+  /** Move every staged `prefix` partition dir into the sink (delete-then-
+    * rename per dir), then drop the staging dir. Untouched partitions are
+    * never listed, read, or moved. */
+  private def swapPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                tmpPath: org.apache.hadoop.fs.Path,
+                                outPath: org.apache.hadoop.fs.Path,
+                                prefix: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.mkdirs(outPath)
+    fs.listStatus(tmpPath).iterator
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach { st =>
+        val dst = new Path(outPath, st.getPath.getName)
+        graft.functions.FsUtils.replaceDir(fs, st.getPath, dst)
+      }
+    fs.delete(tmpPath, true)
   }
 
   /** Batch-run bookkeeping — the reference's `ingestion_runs` table +

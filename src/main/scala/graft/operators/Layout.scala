@@ -62,6 +62,28 @@ object Layout {
     l.join(s, keys :+ "__salt").drop("__salt")
   }
 
+  /** Targeted variant of [[saltedJoin]] for STABLE hot keys known in advance
+    * (the multi-tenant reality: one tenant is always 100× the median).
+    * Only rows carrying a hot key are salted, and only the hot keys' build
+    * rows are replicated — cold keys join exactly as before (salt 0, one
+    * build copy). Blanket salting replicates the ENTIRE build side
+    * `numSalts`×, which at bench scale cost more than the skew it cured
+    * (see BASELINE.md skew table); the targeted form keeps the fix local to
+    * the keys that need it. Row-identical to `large.join(small, keys)`
+    * (LayoutSpec).
+    */
+  def saltedJoinHot(large: DataFrame, small: DataFrame, key: String,
+                    numSalts: Int, saltFrom: Column, hotKeys: Seq[Any]): DataFrame = {
+    val l = large.withColumn("__salt",
+      when(col(key).isin(hotKeys: _*), pmod(xxhash64(saltFrom), lit(numSalts.toLong)))
+        .otherwise(lit(0L)))
+    val s = small.withColumn("__salt",
+      explode(when(col(key).isin(hotKeys: _*),
+          transform(sequence(lit(0), lit(numSalts - 1)), i => i.cast("long")))
+        .otherwise(array(lit(0L)))))
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Small-file compaction for a date/tenant-partitioned parquet table —
     * the maintenance pass every streaming sink needs: each micro-batch
     * merge leaves `shuffle.partitions`-many small files per touched

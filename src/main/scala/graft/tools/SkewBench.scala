@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew A/B at sf0.1 (round-4 item 6): measure Layout.saltedJoin against the
+  * plain shuffle join on a DELIBERATELY skewed key, and against AQE's
+  * runtime skew-join split — the evidence behind BASELINE.md's skew table.
+  *
+  * Setup: lineitem ⋈ orders on l_orderkey, with 40% of the probe side
+  * redirected to ONE hot key (the multi-tenant reality: one tenant is 100×
+  * the median). Broadcast is disabled — at 100 TB the build side outgrows
+  * broadcast, which is exactly when skew starts to matter.
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def session(aqe: Boolean): SparkSession = {
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+      SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", aqe.toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+
+    val HotKey = 7L
+    def skewed(spark: SparkSession): (DataFrame, DataFrame) = {
+      // lineitem amplified 8x (bench volume), 60% of rows on ONE hot key
+      val l = graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          explode(sequence(lit(0), lit(7))).as("rep"))
+        .withColumn("k", when(xxhash64(col("l_orderkey"), col("rep")) % 10 < 6, lit(HotKey))
+          .otherwise(col("l_orderkey")))
+        .select(col("k"), col("l_extendedprice"))
+      val o = graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      (l, o)
+    }
+
+    def time(name: String)(f: => Unit): Double = {
+      val reps = 5
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(reps / 2)
+      println(f"$name%-34s min=${times.min}%.3f med=$med%.3f")
+      med
+    }
+    def run(df: DataFrame): Unit =
+      df.groupBy("k").agg(sum("l_extendedprice"), sum("o_totalprice"))
+        .write.format("noop").mode("overwrite").save()
+
+    // A: plain shuffle join, AQE off — the hot key lands on ONE reducer
+    val sA = session(aqe = false)
+    val (l1, o1) = skewed(sA)
+    l1.count() // warm
+    time("plain join (AQE off)") { run(l1.join(o1, Seq("k"))) }
+    // B: blanket salted join, AQE off — hot key pre-split, but the WHOLE
+    // build side is replicated numSalts ways
+    time("salted join, all keys (AQE off)") {
+      run(graft.operators.Layout.saltedJoin(l1, o1, Seq("k"),
+        numSalts = 16, saltFrom = col("l_extendedprice")))
+    }
+    // B': targeted salting — only the known-hot key is split/replicated
+    time("salted join, hot key (AQE off)") {
+      run(graft.operators.Layout.saltedJoinHot(l1, o1, "k",
+        numSalts = 16, saltFrom = col("l_extendedprice"), hotKeys = Seq(HotKey)))
+    }
+    // C: plain shuffle join, AQE on — runtime skew-split for comparison
+    val sC = session(aqe = true)
+    val (l2, o2) = skewed(sC)
+    l2.count()
+    time("plain join (AQE skew-split)") { run(l2.join(o2, Seq("k"))) }
+    sC.stop()
+  }
+}

@@ -58,6 +58,23 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("saltedJoinHot (targeted) is row-identical to the plain equi-join") {
+    val orders = Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, Sf0001).select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(cust, Seq("o_custkey"))
+    // hot list: the two most frequent custkeys in the slice (plus one absent
+    // key — salting a key with no rows must be a no-op)
+    val hot = orders.groupBy("o_custkey").count()
+      .orderBy(col("count").desc, col("o_custkey")).limit(2)
+      .collect().map(_.getLong(0)).toSeq :+ -1L
+    val salted = Layout.saltedJoinHot(orders, cust, "o_custkey",
+      numSalts = 8, saltFrom = col("o_orderkey"), hotKeys = hot)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("compaction rewrites only fragmented partitions and keeps rows identical") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val dir = s"$tmp/t"

@@ -61,6 +61,7 @@ object SparkEntry {
     "orders_grouping_sets" -> Analytics.ordersGroupingSets _,
     "orders_pivot" -> Analytics.ordersPivot _,
     "price_quantiles" -> Analytics.priceQuantiles _,
+    "price_quantiles_approx" -> Analytics.priceQuantilesApprox _,
     // top_customers_intended computed through the salted skew join — same
     // oracle as the plain variant proves Layout.saltedJoin end-to-end
     "top_customers_salted" -> ((s: SparkSession, d: String) => {
@@ -274,6 +275,7 @@ object SparkEntry {
     "orders_grouping_sets" -> Analytics.ordersGroupingSetsSql,
     "orders_pivot" -> Analytics.ordersPivotSql,
     "price_quantiles" -> Analytics.priceQuantilesSql,
+    "price_quantiles_approx" -> Analytics.priceQuantilesApproxSql,
     "top_customers_salted" -> Analytics.topCustomersIntendedSql,
     "dedup_metrics" ->
       """SELECT COUNT(*) AS n_docs,

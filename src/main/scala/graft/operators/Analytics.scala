@@ -318,6 +318,33 @@ object Analytics {
       |ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin
 
+  // --- sketched quantiles (the 100 TB companion) ---------------------------
+  // approx_percentile (Greenwald-Khanna summaries, fixed-size mergeable
+  // state — no per-group sort/materialization like exact percentile). The
+  // sketch value is engine-specific, so the gate row carries the EXACT
+  // quantiles plus a relative-error-bound boolean — same pattern as
+  // dedup_metrics_approx. accuracy=10000 → rank error ≤ 0.01% of the group.
+  def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.9)").as("e90"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"))
+      .select(col("priority"),
+        round(col("e50"), 2).as("p50"), round(col("e90"), 2).as("p90"),
+        (abs(col("a50") - col("e50")) / col("e50") <= 0.05 &&
+         abs(col("a90") - col("e90")) / col("e90") <= 0.05).as("approx_within_5pct"))
+      .orderBy("priority")
+
+  val priceQuantilesApproxSql: String =
+    """SELECT o_orderpriority AS priority,
+      |ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50,
+      |ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90,
+      |TRUE AS approx_within_5pct
+      |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+
   // --- set operations (INTERSECT / EXCEPT) ---------------------------------
   // Customers who ordered in both of two years vs only the first: Spark
   // plans INTERSECT/EXCEPT as aggregate + join (left-semi/anti on distinct

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Similarity
+
+/** Streaming maintenance of the IVF inverted-list index (the streaming
+  * upgrade of `Similarity.appendAssigned`): new embeddings drop as parquet
+  * into `inDir`; each micro-batch is assigned against the PERSISTED
+  * quantizer (k tiny rows, loaded once per run — never retrained) and lands
+  * in the index. Queries (`Similarity.ivfTopKAssigned`) read the index with
+  * neither training nor assignment scans, and see new vectors as soon as
+  * their batch commits.
+  *
+  * Idempotence: foreachBatch is at-least-once, and a bare `mode("append")`
+  * would duplicate a replayed batch's rows. Each batch instead OVERWRITES
+  * its own `batch=<id>` subdirectory — a replay rewrites the same files
+  * (same batchId from the checkpoint), so the index holds each delivered
+  * vector exactly once. At 100 TB the batch= dirs double as compaction
+  * units for `Layout.compactPartitions`.
+  */
+object EmbeddingIndexStream {
+
+  def run(spark: SparkSession, inDir: String, assignedDir: String,
+          checkpointDir: String, schemaFrom: DataFrame,
+          centroidsPath: String): StreamingQuery = {
+    // O(k) driver rows, loaded once per stream start — not per batch
+    val cents = Similarity.loadCentroids(spark, centroidsPath)
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.assign(batch, cents)
+          .write.mode("overwrite").parquet(s"$assignedDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The queryable inverted-list table (drops the bookkeeping batch col). */
+  def readIndex(spark: SparkSession, assignedDir: String): DataFrame =
+    spark.read.parquet(assignedDir).drop("batch")
+}

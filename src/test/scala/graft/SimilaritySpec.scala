@@ -57,6 +57,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(inc == oneShot)
   }
 
+  test("streaming index maintenance: streamed-in batches answer IVF like one-shot") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val inDir = s"$tmp/in"; val idx = s"$tmp/assigned"; val ckpt = s"$tmp/ckpt"
+    Similarity.saveCentroids(spark, cents, s"$tmp/centroids")
+    e.filter(col("vec_id") < 250).write.mode("append").parquet(inDir)
+    val q = graft.streaming.EmbeddingIndexStream.run(
+      spark, inDir, idx, ckpt, e, s"$tmp/centroids")
+    try {
+      q.processAllAvailable()
+      e.filter(col("vec_id") >= 250).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val probes = Seq(0L, 1L, 2L)
+    val streamed = Similarity.ivfTopKAssigned(
+        graft.streaming.EmbeddingIndexStream.readIndex(spark, idx), cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Similarity.ivfTopK(e, cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot)
+    // per-batch dirs exist — the idempotent replay/compaction unit
+    val batches = new java.io.File(idx).listFiles().filter(_.getName.startsWith("batch="))
+    assert(batches.length >= 2)
+  }
+
   test("trained quantizer round-trips through parquet persist/load") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

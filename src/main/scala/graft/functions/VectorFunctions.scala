@@ -33,8 +33,15 @@ object VectorFunctions {
   /** ‖a‖₂ in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double: dot(a,b) / (‖a‖·‖b‖). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double: dot(a,b) / (‖a‖·‖b‖). A zero-norm vector
+    * yields NaN rather than an ANSI DIVIDE_BY_ZERO that would kill the whole
+    * query (Spark 4 default) — NaN then ranks first under Spark's descending
+    * sort total order and is dropped by `>= threshold` filters, matching
+    * [[org.apache.spark.sql.graft.CosinePairs]]'s zero-norm skip. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / denom)
+  }
 
   /** Squared L2 distance (cheaper than sqrt for ANN ranking). */
   def l2Sq(a: Column, b: Column): Column =

@@ -30,9 +30,14 @@ object TopK {
 
   /** Keeps the k best (sim desc, cand_id asc as tie-break) per group. */
   class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
-    // (s1,i1) ranks strictly better than (s2,i2)
-    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    // (s1,i1) ranks strictly better than (s2,i2). Double.compare, not `>`:
+    // Spark's sort total-orders doubles with NaN largest (and -0.0 < 0.0),
+    // so a NaN sim (zero-norm vector) must rank FIRST here too or the
+    // aggregator would silently drop rows the window formulation keeps.
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
     override def zero: TopKBuf = TopKBuf(Array.emptyDoubleArray, Array.emptyLongArray)
 

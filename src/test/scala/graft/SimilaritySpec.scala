@@ -168,6 +168,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(agg == win)
   }
 
+  test("TopK aggregator matches the window even with NaN sims (zero-norm vector)") {
+    // a zero vector makes cosine NaN; Spark's desc sort ranks NaN FIRST —
+    // the aggregator's ordering must agree or it drops rows the window keeps
+    val e = ((0L until 6L).map(i => (i, Seq.fill(4)((i + 1).toFloat))) :+
+      (6L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val win = Similarity.bruteForceTopK(e, Seq(0L), 3)
+      .orderBy("cand_id").select("cand_id").as[Long].collect().toSeq
+    val agg = graft.operators.TopK.bruteForceTopKAgg(e, Seq(0L), 3)
+      .orderBy("cand_id").select("cand_id").as[Long].collect().toSeq
+    assert(win.contains(6L), "precondition: the NaN candidate ranks into the window top-k")
+    assert(agg == win)
+  }
+
   test("TopKAgg bounded insert: ties break by cand_id, overflow drops the worst") {
     import graft.operators.TopK.{Scored, TopKAgg, TopKBuf}
     val agg = new TopKAgg(3)

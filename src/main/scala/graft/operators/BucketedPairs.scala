@@ -72,8 +72,7 @@ object BucketedPairs {
     val keys = keyCols.map(col)
     // O(buckets) narrow rows; map-side partial agg shrinks the shuffle
     val counts = bucketed.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-    regroup(bucketed.join(counts, keyCols), keys, idCol, payloadCol, cap,
-      forceRedistribute = false)
+    regroup(bucketed.join(counts, keyCols), keys, idCol, payloadCol, cap)
   }
 
   /** See [[boundedSubBuckets]]: single-pass window-count sizing. */
@@ -82,20 +81,26 @@ object BucketedPairs {
     require(cap > 0, "cap must be positive")
     val keys = keyCols.map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
-    // the window's (keys)-partitioning already satisfies the final groupBy's
-    // clustering requirement, so WITHOUT an explicit redistribution every
-    // sub-task of a bucket would stay (and aggregate) in the bucket-owner
-    // task — re-concentrating exactly the memory the split exists to spread
     regroup(bucketed.withColumn("__n", count(lit(1)).over(w)), keys,
-      idCol, payloadCol, cap, forceRedistribute = true)
+      idCol, payloadCol, cap)
   }
 
-  /** Shared tail: cell assignment, triangle-split explode, sub-task group. */
+  /** Shared tail: cell assignment, triangle-split explode, sub-task group.
+    *
+    * The explicit `repartition(subKeys)` is the load-bearing spread: any
+    * upstream that is already partitioned by `keys` (the window's exchange,
+    * a sort-merge count join) satisfies the groupBy's clustering
+    * requirement by the SUBSET rule, so without it every sub-task of a
+    * bucket would aggregate exchange-free inside the one bucket-owner task
+    * — re-concentrating exactly the memory the split exists to spread. When
+    * the upstream is NOT keys-partitioned (broadcast count join), this
+    * exchange simply replaces the one the groupBy would have inserted —
+    * same shuffle count either way.
+    */
   private def regroup(withN: DataFrame, keys: Seq[Column], idCol: Column,
-                      payloadCol: Column, cap: Int,
-                      forceRedistribute: Boolean): DataFrame = {
+                      payloadCol: Column, cap: Int): DataFrame = {
     val subKeys = keys :+ col("__t.ca").as("__ca") :+ col("__t.cb").as("__cb")
-    val assigned = withN
+    withN
       .withColumn("__m", ceil(col("__n") / lit(cap.toDouble)).cast("int"))
       .withColumn("__cell", pmod(xxhash64(idCol), col("__m").cast("long")).cast("int"))
       // element with cell c joins sub-tasks (min(c,o), max(c,o)) ∀ o < m:
@@ -104,9 +109,7 @@ object BucketedPairs {
         explode(transform(sequence(lit(0), col("__m") - 1),
           o => struct(least(col("__cell"), o).as("ca"),
                       greatest(col("__cell"), o).as("cb")))).as("__t")): _*)
-    val redistributed =
-      if (forceRedistribute) assigned.repartition(subKeys: _*) else assigned
-    redistributed
+      .repartition(subKeys: _*)
       .groupBy(subKeys: _*)
       .agg(collect_list(struct(col("__id").as("id"), col("__p").as("p"),
         col("__cell").as("cell"))).as("xs"))

@@ -32,6 +32,9 @@ object Similarity {
     val scored = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
       .join(broadcast(probes), col("query_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      // zero-norm candidates score NaN, which Spark's desc sort ranks FIRST
+      // — a zero vector must be similar to NOTHING, not everyone's top hit
+      .filter(!isnan(col("sim")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -131,6 +134,7 @@ object Similarity {
     broadcast(probes).join(cands, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .filter(!isnan(col("sim"))) // zero-norm candidates rank nowhere
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rn") <= k)

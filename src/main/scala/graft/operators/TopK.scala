@@ -48,7 +48,8 @@ object TopK {
       */
     override def reduce(buf: TopKBuf, x: Scored): TopKBuf = {
       val n = buf.sims.length
-      if (n == k && !better(x.sim, x.cand_id, buf.sims(n - 1), buf.ids(n - 1))) buf
+      if (k == 0) buf
+      else if (n == k && !better(x.sim, x.cand_id, buf.sims(n - 1), buf.ids(n - 1))) buf
       else {
         var pos = n
         while (pos > 0 && better(x.sim, x.cand_id, buf.sims(pos - 1), buf.ids(pos - 1))) pos -= 1
@@ -109,6 +110,7 @@ object TopK {
       .join(broadcast(probes), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")), 4).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm candidates rank nowhere (as bruteForceTopK)
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))
       .agg(topk(col("query_id"), col("cand_id"), col("sim")).as("tk"))

@@ -208,12 +208,11 @@ object EventsPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val started = System.currentTimeMillis()
         try {
-          val n = mergePartitioned(spark, batch, outDir)
-          dailyAggDir.foreach { aggDir =>
-            val dates = batch.select(to_date(col("ts")).as("d")).distinct()
-              .collect().map(_.getDate(0)).toSeq // O(days in batch)
-            refreshDailyAgg(spark, outDir, aggDir, dates)
-          }
+          // O(days in batch) — computed ONCE, shared by merge + agg refresh
+          val dates = batch.select(to_date(col("ts")).as("d")).distinct()
+            .collect().map(_.getDate(0)).toSeq
+          val n = mergePartitioned(spark, batch, outDir, Some(dates))
+          dailyAggDir.foreach(refreshDailyAgg(spark, outDir, _, dates))
           logRun(spark, runLogDir, batchId, n, started, "completed")
         } catch { case e: Throwable =>
           logRun(spark, runLogDir, batchId, -1L, started, s"failed: ${e.getMessage}")
@@ -253,10 +252,16 @@ object EventsPipeline {
     recoverOrphans(fs, tmpPath, aggPath, "day=")
     val slice = spark.read.parquet(rawDir)
       .filter(col("event_date").isin(dates: _*)) // partition-pruned scan
-    // day == event_date for every row (event_date = to_date(ts); 1-day
-    // windows are midnight-aligned in the session TZ), so the re-aggregated
-    // slice covers exactly the partitions being swapped
-    val agg = dailyAgg(slice)
+    // group by to_date(ts) — NOT window(): window() buckets are UTC-epoch-
+    // aligned while event_date (and the reference's DATE(created_at)) are
+    // session-TZ days, so in a non-UTC session a window-based day would
+    // diverge from the partition being swapped and rebuild it from the
+    // wrong raw slice. to_date keys the aggregate, the slice filter, and
+    // the partition dirs identically in EVERY timezone; in a UTC session it
+    // is literally dailyAgg's day (StreamingSpec pins that equality).
+    val agg = slice
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
     agg.write.mode("overwrite").partitionBy("day").parquet(tmpPath.toString)
     swapPartitionDirs(fs, tmpPath, aggPath, "day=")
     spark.catalog.refreshByPath(aggDir)
@@ -294,7 +299,8 @@ object EventsPipeline {
     * instead of silently resetting the table — the sink's absence is an
     * explicit existence check, not an exception path.
     */
-  def mergePartitioned(spark: SparkSession, batch: DataFrame, outDir: String): Long = {
+  def mergePartitioned(spark: SparkSession, batch: DataFrame, outDir: String,
+                       knownDates: Option[Seq[java.sql.Date]] = None): Long = {
     import org.apache.hadoop.fs.Path
     val fs = graft.functions.FsUtils.fs(spark, outDir)
     val outPath = new Path(outDir)
@@ -302,8 +308,11 @@ object EventsPipeline {
     recoverOrphans(fs, tmpPath, outPath, "event_date=")
 
     val withDate = batch.withColumn("event_date", to_date(col("ts")))
-    val dates = withDate.select(col("event_date")).distinct()
-      .collect().map(_.getDate(0)).toSeq // O(days in batch) — driver-safe
+    // O(days in batch) — driver-safe; callers that already collected the
+    // batch's dates pass them in instead of re-scanning the batch
+    val dates = knownDates.getOrElse(
+      withDate.select(col("event_date")).distinct()
+        .collect().map(_.getDate(0)).toSeq)
     // no-data batch (watermark tick): nothing to merge, touch nothing
     if (dates.isEmpty) return 0L
     val slice =

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * plain shuffle join on a DELIBERATELY skewed key, and against AQE's
   * runtime skew-join split — the evidence behind BASELINE.md's skew table.
   *
-  * Setup: lineitem ⋈ orders on l_orderkey, with 40% of the probe side
-  * redirected to ONE hot key (the multi-tenant reality: one tenant is 100×
-  * the median). Broadcast is disabled — at 100 TB the build side outgrows
-  * broadcast, which is exactly when skew starts to matter.
+  * Setup: lineitem (amplified 8×) ⋈ orders on the order key, with 60% of
+  * the probe side redirected to ONE hot key (the multi-tenant reality: one
+  * tenant is 100× the median). Broadcast is disabled — at 100 TB the build
+  * side outgrows broadcast, which is exactly when skew starts to matter.
   */
 object SkewBench {
   def main(args: Array[String]): Unit = {
@@ -35,7 +35,9 @@ object SkewBench {
       val l = graft.Tables.lineitem(spark, sf)
         .select(col("l_orderkey"), col("l_extendedprice"),
           explode(sequence(lit(0), lit(7))).as("rep"))
-        .withColumn("k", when(xxhash64(col("l_orderkey"), col("rep")) % 10 < 6, lit(HotKey))
+        // pmod, not %: Spark's % keeps the sign, so `hash % 10 < 6` is true
+        // for EVERY negative hash (~80% hot instead of the intended 60%)
+        .withColumn("k", when(pmod(xxhash64(col("l_orderkey"), col("rep")), lit(10)) < 6, lit(HotKey))
           .otherwise(col("l_orderkey")))
         .select(col("k"), col("l_extendedprice"))
       val o = graft.Tables.orders(spark, sf)

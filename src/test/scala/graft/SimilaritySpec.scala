@@ -168,16 +168,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(agg == win)
   }
 
-  test("TopK aggregator matches the window even with NaN sims (zero-norm vector)") {
-    // a zero vector makes cosine NaN; Spark's desc sort ranks NaN FIRST —
-    // the aggregator's ordering must agree or it drops rows the window keeps
+  test("zero-norm vector is similar to nothing: excluded from both top-k formulations") {
+    // a zero vector scores cosine NaN; without the isnan filter Spark's
+    // desc sort would rank it FIRST for every probe (and under ANSI mode
+    // the unguarded division killed the whole query)
     val e = ((0L until 6L).map(i => (i, Seq.fill(4)((i + 1).toFloat))) :+
       (6L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding")
     val win = Similarity.bruteForceTopK(e, Seq(0L), 3)
       .orderBy("cand_id").select("cand_id").as[Long].collect().toSeq
     val agg = graft.operators.TopK.bruteForceTopKAgg(e, Seq(0L), 3)
       .orderBy("cand_id").select("cand_id").as[Long].collect().toSeq
-    assert(win.contains(6L), "precondition: the NaN candidate ranks into the window top-k")
+    assert(!win.contains(6L) && win.size == 3)
     assert(agg == win)
   }
 

@@ -156,6 +156,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(sizes._1 <= 3 * cap,
       s"max sub-task size ${sizes._1} exceeds the cap bound (cap=$cap)")
     assert(sizes._1 < 400, "the mega-bucket must actually have been split")
+    // the count-join sizing strategy: same bound, same grouped content
+    val cjMax = graft.operators.BucketedPairs
+      .boundedSubBucketsCountJoin(bucketed, Seq("tbl", "bucket"), col("vec_id"), col("v"), cap)
+      .select(max(size(col("xs")))).as[Int].head()
+    assert(cjMax <= 3 * cap && cjMax < 400)
+  }
+
+  test("LSH near-dup tolerates a zero-norm vector (pairs with nothing, no crash)") {
+    val base = Array.tabulate(8)(i => 1.0 + i * 0.1)
+    val rows = (0L until 50L).map { i =>
+      (i, base.map(x => (x + i * 1e-4).toFloat).toSeq)
+    } :+ (99L, Seq.fill(8)(0.0f))
+    val e = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupLsh(e, dim = 8, threshold = 0.5,
+        nTables = 4, bitsPerTable = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L),
+      "the zero vector must not appear in any verified pair")
   }
 
   test("TopK aggregator formulation equals the window formulation") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosinePairs, CosinePairsBounded, DotProduct, JaccardPairs, JaccardPairsBounded, Md5Prefix60, MinHashSig, SimHash64, WinnowingMins, WordShingles}
+import org.apache.spark.sql.graft.{CosinePairs, CosinePairsBounded, DotProduct, HammingPairsBounded, JaccardPairs, JaccardPairsBounded, Md5Prefix60, MinHashSig, SimHash64, WinnowingMins, WordShingles}
 
 /** SparkSessionExtensions hook exposing the engine's custom codegen
   * expressions to SQL users:
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardPairsBounded].getName, "graft_jaccard_pairs_bounded"),
       (args: Seq[Expression]) =>
         JaccardPairsBounded(args(0), args(1), GraftExtensions.litDouble(args(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming_pairs_bounded"),
+      new ExpressionInfo(classOf[HammingPairsBounded].getName, "graft_hamming_pairs_bounded"),
+      (args: Seq[Expression]) =>
+        HammingPairsBounded(args(0), args(1), GraftExtensions.litInt(args(2)))))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_md5_prefix60"),

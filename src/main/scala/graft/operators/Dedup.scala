@@ -259,12 +259,20 @@ object Dedup {
   /** SimHash near-dup pairs at scale: the 64-bit fingerprint is cut into
     * `bands` chunks; docs colliding on ANY chunk are candidates (pigeonhole:
     * every pair with hamming distance < bands is guaranteed to collide
-    * somewhere), then verified with exact hamming ≤ maxDist. Self-join is an
-    * equi-join on (band_idx, band_key) — never O(n²) on the corpus.
+    * somewhere), then verified with exact hamming ≤ maxDist — bucket-locally,
+    * the same shape as the MinHash/embedding paths: each band bucket carries
+    * its (id, fp) pairs into one [[org.apache.spark.sql.graft.HammingPairsBounded]]
+    * call (fp is ONE long — the lightest payload of the three pipelines), so
+    * candidate pairs are never materialized into a shuffle and no joins
+    * re-attach fingerprints. The earlier join-based formulation shuffled
+    * O(candidates) pair rows plus two fingerprint re-attach joins — O(n²)
+    * shuffle volume on a degenerate corpus; per-task memory here is bounded
+    * by the triangle-split.
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           maxDist: Int = 7, bands: Int = 8,
-                          hashFn: Column => Column = xxhash64(_)): DataFrame = {
+                          hashFn: Column => Column = xxhash64(_),
+                          bucketCap: Int = 8192): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val chunk = 64 / bands
     val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
@@ -275,21 +283,19 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)), bi =>
         struct(bi.cast("int").as("band_idx"),
           call_function("shiftright", element_at(fpArr, 1), bi * lit(chunk))
-            .bitwiseAND(lit(mask)).as("band_key")))
+            .bitwiseAND(lit(mask)).as("band_key"),
+          element_at(fpArr, 1).as("fp")))
     }
-    val banded = fps.select(col(idCol), explode(bandArr).as("b"))
-      .select(col(idCol), col("b.band_idx"), col("b.band_key"))
-    val cands = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
-      .join(banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b")),
-        Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cands
-      .join(fps.select(col(idCol).as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-      .join(fps.select(col(idCol).as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b")).cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val bucketed = fps.select(col(idCol), explode(bandArr).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.band_key"), col("b.fp"))
+    val grouped = BucketedPairs.boundedSubBuckets(
+      bucketed, Seq("band_idx", "band_key"), col(idCol), col("fp"), bucketCap)
+    import org.apache.spark.sql.graft.{ColumnBridge, HammingPairsBounded}
+    val pairs = ColumnBridge.column(HammingPairsBounded(
+      ColumnBridge.expression(col("xs")),
+      ColumnBridge.expression(col("cross")), maxDist))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

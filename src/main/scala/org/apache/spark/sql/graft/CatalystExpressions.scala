@@ -655,6 +655,67 @@ case class CosinePairsBounded(child: Expression, crossOnly: Expression,
     copy(child = newLeft, crossOnly = newRight)
 }
 
+/** Hamming-verified SimHash pairs inside one (capped) band bucket — the
+  * cell/crossOnly mechanics of [[JaccardPairsBounded]] applied to 64-bit
+  * fingerprints. Input structs: (id: long, fp: long, cell: int); output:
+  * pairs with popcount(fp_a ^ fp_b) ≤ maxDist, id_a < id_b, hamming as
+  * long. One boxed call per sub-bucket; the per-pair work is a single xor +
+  * popcount, so this exists for the SHUFFLE shape (no candidate-pair
+  * materialization, no fingerprint re-attach joins), not per-pair speed.
+  */
+case class HammingPairsBounded(child: Expression, crossOnly: Expression,
+                               maxDist: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = crossOnly
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("hamming", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_hamming_pairs_bounded"
+
+  override protected def nullSafeEval(input: Any, crossFlag: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cross = crossFlag.asInstanceOf[Boolean]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val fps = new Array[Long](n)
+    val cells = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      fps(i) = row.getLong(1)
+      cells(i) = row.getInt(2)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (!(cross && cells(i) == cells(j))) {
+          val h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+          if (h <= maxDist) {
+            val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+            out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, h.toLong))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, crossOnly = newRight)
+}
+
 /** All verified cosine-similar pairs inside one LSH bucket. Input is the
   * bucket's collected `array<struct<id:long, v:array<double>>>`; output is
   * `array<struct<id_a, id_b, sim>>` for the pairs with

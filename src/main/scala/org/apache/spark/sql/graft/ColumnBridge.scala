@@ -42,6 +42,8 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => CosinePairsBounded(args(0), args(1), litDouble(args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_pairs_bounded",
       (args: Seq[Expression]) => JaccardPairsBounded(args(0), args(1), litDouble(args(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_hamming_pairs_bounded",
+      (args: Seq[Expression]) => HammingPairsBounded(args(0), args(1), litInt(args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_md5_prefix60",
       (args: Seq[Expression]) => Md5Prefix60(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_word_shingles",

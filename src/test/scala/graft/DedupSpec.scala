@@ -110,6 +110,18 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(capped == uncapped)
   }
 
+  test("simhashNearDupPairs: tiny bucketCap (triangle-split engaged) leaves output unchanged") {
+    val corpus = Tables.documents(spark, Sf0001).filter(col("doc_id") < 300)
+    def pairs(cap: Int) =
+      Dedup.simhashNearDupPairs(corpus, "text", "doc_id",
+          maxDist = 7, bands = 8, bucketCap = cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val capped = pairs(3)
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("lshDedupKeep is invariant under input partitioning (distributed determinism)") {
     val docs = Tables.documents(spark, Sf0001)
     def keeps(d: org.apache.spark.sql.DataFrame) =

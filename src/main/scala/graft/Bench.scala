@@ -21,18 +21,28 @@ object Bench {
     // IVF queries run against a pre-trained quantizer (the production shape:
     // train offline once, query many) — training is setup, not query latency
     operators.Similarity.trainedCentroids(Tables.embeddings(spark, sfDir), sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink materializes EVERY output column — count() would let
+    // Catalyst prune the computed columns and under-measure the query.
+    // A failed query records -1 (NOT its elapsed time: a fail-fast error
+    // would otherwise masquerade as a speedup).
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink materializes EVERY output column — count() would let
-      // Catalyst prune the computed columns and under-measure the query.
-      // A failed query records -1 (NOT its elapsed time: a fail-fast error
-      // would otherwise masquerade as a speedup).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0 }
+    }
+    // min-of-2 per query: single runs on a shared machine vary ±10-20% and a
+    // load spike mid-query fakes a multi-x regression (BENCH_r04 recorded the
+    // same code at 43 s and 73 s). The min of two back-to-back runs is the
+    // query's cost, not the machine's load; reps is recorded in the JSON.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val first = timeOnce(name, fn)
       val sec =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0 }
+        if (first < 0) first
+        else (first +: (2 to reps).map(_ => timeOnce(name, fn)).filter(_ >= 0)).min
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -40,7 +50,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"method":"min-of-reps","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-decorated stdout (sbt [info] prefixes broke
     // the round-1 driver parse): the same line lands in a known file

@@ -83,8 +83,9 @@ object PortableOracles {
 
   private val wordsExpr = "STR_SPLIT(text, ' ')"
   /** 3-word shingles with the whole-text fallback for short docs —
-    * [[Dedup.wordShingles]] k=3. */
-  private val shingles3Expr: String =
+    * [[Dedup.wordShingles]] k=3. Shared with the decontamination oracle
+    * ([[graft.operators.Prep.decontaminateSql]]). */
+  private[graft] val shingles3Expr: String =
     s"""CASE WHEN LEN($wordsExpr) >= 3
        | THEN list_transform(range(0, LEN($wordsExpr) - 2),
        |   i -> $wordsExpr[i+1] || ' ' || $wordsExpr[i+2] || ' ' || $wordsExpr[i+3])

@@ -178,6 +178,15 @@ object SparkEntry {
     // quality/language gates → token stats)
     "curation_pipeline" -> ((s: SparkSession, d: String) =>
       Curation.curate(s, d, hashFn = graft.functions.Hashing.h60)),
+    // [EXT] deterministic sampling / splitting / packing (hash-keyed — no
+    // RNG state, task-retry-stable, backfill-reproducible)
+    "split_assign" -> Sampling.splitAssign _,
+    "sample_per_source" -> ((s: SparkSession, d: String) => Sampling.samplePerSource(s, d)),
+    "pack_blocks" -> ((s: SparkSession, d: String) => Sampling.packBlocks(s, d)),
+    // [EXT] document prep: chunking, PII scrubbing, decontamination
+    "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
+    "pii_scrub" -> Prep.piiScrub _,
+    "decontaminate" -> ((s: SparkSession, d: String) => Prep.decontaminate(s, d)),
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,
@@ -361,6 +370,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "split_assign" -> Sampling.splitAssignSql,
+    "sample_per_source" -> Sampling.samplePerSourceSql,
+    "pack_blocks" -> Sampling.packBlocksSql,
+    "chunk_overlap" -> Prep.chunkOverlapSql,
+    "pii_scrub" -> Prep.piiScrubSql,
+    "decontaminate" -> Prep.decontaminateSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing.{h60, h60Sql}
+
+/** Document preparation for training pipelines: sliding-window chunking,
+  * PII scrubbing, and benchmark decontamination. Everything here is either a
+  * narrow per-document map (chunking, scrubbing) or a broadcast semi-join
+  * against a small benchmark set (decontamination) — no operator shuffles
+  * the corpus itself.
+  */
+object Prep {
+
+  /** Sliding-window token chunking: windows of `win` tokens every `stride`
+    * tokens (overlap = win - stride), last chunk keeps the tail. Chunk count
+    * for n tokens: 1 if n ≤ win, else 1 + ⌈(n-win)/stride⌉ — a chunk starts
+    * at i·stride only while the previous chunk did not already reach the end.
+    *
+    * The token array is computed once below the generator (a generator is a
+    * CollapseProject barrier, so `split` runs per document, not per emitted
+    * chunk); per-chunk work is one O(win) slice. Chunks are identified by
+    * content hash, not carried text — at 100 TB the chunk table rides ids
+    * and hashes, and chunk text is re-derived on demand from the doc store.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String, win: Int = 32, stride: Int = 24): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val n = size(words)
+    val nc = when(n <= win, lit(1))
+      .otherwise(lit(1) + ((n - lit(win) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
+    val toks = slice(col("w"), col("ci") * stride + 1, lit(win))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("w"), nc.as("nc"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"), toks.as("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        h60(concat_ws(" ", col("toks"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
+       |    CASE WHEN LEN(STR_SPLIT(text, ' ')) <= 32 THEN 1
+       |         ELSE 1 + (LEN(STR_SPLIT(text, ' ')) - 32 + 23) // 24 END AS nc
+       |  FROM documents),
+       |x AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t),
+       |c AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x)
+       |SELECT doc_id, ci AS chunk_idx, LEN(toks) AS n_tokens,
+       |  ${h60Sql("array_to_string(toks, ' ')")} AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // Conservative ASCII patterns, valid and identical under Java regex (Spark)
+  // and RE2 (DuckDB): no \d, no backrefs, no lookaround.
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: replace email addresses and phone numbers with typed
+    * placeholder tags and count what was removed. The synthetic corpus
+    * contains no PII (verified: zero digits or '@' in any document), so the
+    * operator appends a deterministic contact line derived from `doc_id`
+    * before scrubbing — the scrub path (regex scan per document, narrow,
+    * codegen) is exactly what runs on a real corpus.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), synth.as("synth"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"),
+        regexp_count(col("synth"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("synth"), lit(phoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+       |      || LPAD((doc_id % 10000)::VARCHAR, 4, '0') AS synth
+       |  FROM documents)
+       |SELECT doc_id,
+       |  REGEXP_REPLACE(REGEXP_REPLACE(synth, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+       |  LEN(REGEXP_EXTRACT_ALL(synth, '$emailRe')) AS n_emails,
+       |  LEN(REGEXP_EXTRACT_ALL(synth, '$phoneRe')) AS n_phones
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Train/eval decontamination: flag every training document that shares at
+    * least one 3-gram shingle with the benchmark (eval) set — here docs with
+    * `doc_id % 10 = 0` stand in for the benchmark. The benchmark's distinct
+    * shingle-hash set is BROADCAST (eval corpora are tiny next to training
+    * corpora), so the 100 TB side is scanned once, shingled narrowly, and
+    * semi-joined without shuffling text; only (doc_id, hit) pairs reach the
+    * per-doc count. Shingles are hashed ([[h60]]) before the join so the
+    * exchange carries 8-byte keys, never shingle strings.
+    */
+  def decontaminate(spark: SparkSession, dir: String, hashFn: Column => Column = h60): DataFrame = {
+    def docs = Tables.documents(spark, dir)
+    def sh(c: Column) = array_distinct(Dedup.wordShingles(c, 3))
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    val bench = docs.filter(isBench)
+      .select(explode(sh(col("text"))).as("s"))
+      .select(hashFn(col("s")).as("sh")).distinct()
+    val hits = docs.filter(!isBench)
+      .select(col("doc_id"), explode(sh(col("text"))).as("s"))
+      .select(col("doc_id"), hashFn(col("s")).as("sh"))
+      // distinct AFTER hashing: on the (negligible but engine-identical)
+      // chance two shingles collide in h60, both engines count one hit
+      .distinct()
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), (col("n_shared") > 0).as("contaminated"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val sh3 = graft.PortableOracles.shingles3Expr
+    s"""WITH bsh AS (SELECT DISTINCT UNNEST(LIST_DISTINCT($sh3)) AS s
+       |             FROM documents WHERE doc_id % 10 = 0),
+       |bh AS (SELECT LIST(DISTINCT ${h60Sql("s")}) AS hs FROM bsh),
+       |th AS (SELECT doc_id,
+       |         LIST_DISTINCT(list_transform($sh3, s -> ${h60Sql("s")})) AS dh
+       |       FROM documents WHERE doc_id % 10 <> 0),
+       |n AS (SELECT doc_id,
+       |        CAST(LEN(LIST_INTERSECT(dh, bh.hs)) AS BIGINT) AS n_shared
+       |      FROM th, bh)
+       |SELECT doc_id, n_shared > 0 AS contaminated, n_shared
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+}

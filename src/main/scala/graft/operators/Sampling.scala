@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing.{h60, h60Sql}
+
+/** Deterministic sampling / splitting / packing for training-data pipelines.
+  *
+  * All three operators key on the portable content hash [[h60]] of the
+  * document id plus a purpose-specific salt, so:
+  *  - assignments are STABLE: re-running the pipeline (or backfilling one
+  *    partition of a 100 TB corpus) re-derives the identical split — no
+  *    stored assignment table, no RNG state, no `rand()` (which is
+  *    task-retry-unstable in Spark);
+  *  - every operator is a narrow map (split) or a single keyed window
+  *    (sample/pack) — no driver-side state, nothing collected.
+  *
+  * Salts keep the purposes independent: a doc's split bucket says nothing
+  * about its sample rank (`:split` vs `:sample` streams are uncorrelated).
+  */
+object Sampling {
+
+  /** 80/10/10 train/val/test assignment by hashed id. Stratification comes
+    * free: the hash is independent of `source`/`lang`, so every stratum
+    * splits ~80/10/10 (SamplingSpec pins per-source proportions). Purely
+    * narrow — at 100 TB this is a zero-shuffle projection that fuses into
+    * whatever scan follows it.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val b = pmod(h60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, source,
+       |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, source,
+       |      ${h60Sql("doc_id::VARCHAR || ':split'")} % 100 AS b FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic k-per-group sample: rank docs within each source by
+    * hashed id and keep the first k. Equivalent to a uniform random sample
+    * per stratum, but reproducible and mergeable (the rank-≤k property
+    * survives re-partitioning; adding new docs only perturbs ranks near the
+    * hash insertion points). One shuffle on `source`; the window sorts only
+    * within groups. For very hot groups at 100 TB, the same contract runs as
+    * a bounded [[TopK.TopKAgg]]-style aggregator (k smallest hashes) — the
+    * window form is the readable default.
+    */
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        h60(concat(col("doc_id").cast("string"), lit(":sample"))).as("hk"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select("source", "doc_id", "sample_rank")
+      .orderBy("source", "sample_rank")
+  }
+
+  val samplePerSourceSql: String =
+    s"""SELECT source, doc_id, sample_rank FROM (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${h60Sql("doc_id::VARCHAR || ':sample'")}, doc_id) AS sample_rank
+       |  FROM documents) t
+       |WHERE sample_rank <= 20 ORDER BY source, sample_rank""".stripMargin
+
+  /** Contiguous token-budget packing: docs ordered by id within each source,
+    * pack boundary every `budget` tokens of running sum (a doc straddling a
+    * boundary joins the pack its first token falls in, so packs can overrun
+    * by at most one doc — the standard streaming-packer relaxation).
+    *
+    * This is the prefix-sum formulation: one shuffle+sort on `source`, no
+    * sequential driver state — exact greedy packing ("reset when the NEXT
+    * doc would overflow") needs running state per group and would run as
+    * `flatMapGroups`, breaking codegen and map-side combine for a marginal
+    * packing-density gain.
+    */
+  def packBlocks(spark: SparkSession, dir: String, budget: Int = 500): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("run", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("run") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  val packBlocksSql: String =
+    """WITH t AS (SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |r AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS run FROM t)
+      |SELECT source, CAST(FLOOR((run - n_tokens) / 500.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM r GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("splitAssign is deterministic, total, and ~80/10/10 per source") {
+    val a = Sampling.splitAssign(spark, Sf0001).collect()
+    val b = Sampling.splitAssign(spark, Sf0001).collect()
+    assert(a.sameElements(b)) // stable across runs
+    val df = Sampling.splitAssign(spark, Sf0001)
+    val n = df.count()
+    assert(df.select("doc_id").distinct().count() == n) // every doc, once
+    val bySplit = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // hash split: binomial around 80% — wide tolerance for small corpora
+    assert(bySplit("train").toDouble / n > 0.68 && bySplit("train").toDouble / n < 0.9)
+  }
+
+  test("splitAssign is independent of partitioning") {
+    val base = Sampling.splitAssign(spark, Sf0001)
+    val re = base.repartition(7).orderBy("doc_id")
+    assert(base.collect().sameElements(re.collect()))
+  }
+
+  test("samplePerSource returns at most k per source with dense ranks 1..k") {
+    val k = 5
+    val s = Sampling.samplePerSource(spark, Sf0001, k)
+    val per = s.groupBy("source").agg(
+      count(lit(1)).as("n"), max("sample_rank").as("mx"), min("sample_rank").as("mn"))
+      .as[(String, Long, Long, Long)].collect()
+    per.foreach { case (_, n, mx, mn) =>
+      assert(n <= k && mx == n && mn == 1L) // dense 1..n, n ≤ k
+    }
+    // deterministic: same sample on rerun
+    assert(s.collect().sameElements(Sampling.samplePerSource(spark, Sf0001, k).collect()))
+  }
+
+  test("packBlocks covers every doc once and packs stay near budget") {
+    val budget = 200
+    val packs = Sampling.packBlocks(spark, Sf0001, budget)
+      .as[(String, Long, Long, Long)].collect()
+    val docsTotal = Tables.documents(spark, Sf0001).count()
+    assert(packs.map(_._3).sum == docsTotal) // partition of the corpus
+    // contiguous pack ids per source, starting at 0
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.indices.map(_.toLong)))
+    }
+    // boundary-straddle bound: a non-last pack spans from its first doc's
+    // start (< pack boundary + one straddling doc) to the next pack's first
+    // start (≥ its boundary), so budget - maxDoc < tokens < budget + maxDoc
+    val maxDoc = Tables.documents(spark, Sf0001)
+      .select(max(size(split(col("text"), " ", -1)))).as[Int].head()
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      ps.sortBy(_._2).dropRight(1).foreach { case (_, _, _, tokens) =>
+        assert(tokens > budget - maxDoc && tokens < budget + maxDoc)
+      }
+    }
+  }
+}

@@ -196,6 +196,12 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "docs_by_source" -> TextAnalysis.docsBySource _,
     "token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
+    // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
+    // it shares token_freq's exact oracle; lossy regime pinned by spec)
+    "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
+    // bloom-pruned join: probe side pre-filtered by a broadcast fixed-size
+    // bloom of build keys, then the exact join — oracle is the plain join
+    "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummary _,
     // JSONB-archive read path (F8's inverse): typed extraction from the
     // props JSON column; oracle mirrors the value numerically via regexp
     // so it needs no SQL JSON extension
@@ -379,6 +385,8 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,
+    "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
+    "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
     // as float — the gate's exact compare then fails against Spark's int64
     "events_props_sum" ->

@@ -790,3 +790,56 @@ case class CosinePairs(child: Expression, threshold: Double)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Shared Bloom-filter bit arithmetic — ONE definition of the probe sequence
+  * used by both the build side ([[graft.operators.BloomJoin.BloomAgg]] sets
+  * bits) and the probe side ([[BloomMightContain]] tests them). Double
+  * hashing over the 64-bit key hash (Kirsch–Mitzenmacher: probe_i =
+  * h1 + i·h2, h2 forced odd), masked non-negative then reduced mod m.
+  */
+object BloomOps {
+  /** The i-th probe's bit index in an m-bit filter. */
+  def probeIndex(hash: Long, i: Int, m: Long): Long = {
+    val h2 = (hash >>> 33) | 1L
+    ((hash + i * h2) & Long.MaxValue) % m
+  }
+
+  /** Test all k probe bits against a word-packed filter (array<long>). */
+  def mightContain(bits: ArrayData, hash: Long, k: Int): Boolean = {
+    val m = bits.numElements().toLong * 64L
+    var i = 0
+    while (i < k) {
+      val idx = probeIndex(hash, i, m)
+      if (((bits.getLong((idx >>> 6).toInt) >>> (idx & 63L).toInt) & 1L) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** `might_contain(bits, key_hash)` over a word-packed Bloom filter column —
+  * the probe-side test of the bloom-pruned join. Generates a single static
+  * call per row (no boxing, stays inside whole-stage codegen); false
+  * positives are possible by construction, false negatives are not, so a
+  * probe-side pre-filter followed by the exact join preserves exact join
+  * semantics while shuffling only the surviving fraction.
+  */
+case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override protected def nullSafeEval(b: Any, h: Any): Any =
+    BloomOps.mightContain(b.asInstanceOf[ArrayData], h.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, h) =>
+      s"org.apache.spark.sql.graft.BloomOps$$.MODULE$$.mightContain($b, $h, $numHashes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -108,10 +108,14 @@ object Prep {
     val hits = docs.filter(!isBench)
       .select(col("doc_id"), explode(sh(col("text"))).as("s"))
       .select(col("doc_id"), hashFn(col("s")).as("sh"))
-      // distinct AFTER hashing: on the (negligible but engine-identical)
-      // chance two shingles collide in h60, both engines count one hit
-      .distinct()
       .join(broadcast(bench), "sh")
+      // distinct AFTER the membership join, not before: the join only
+      // filters, so the result is identical, but the pre-join side then has
+      // NO exchange — at 100 TB the corpus-wide (doc_id, hash) shuffle this
+      // avoids dwarfs the post-join distinct over the (rare) survivors.
+      // Distinct on the HASH (not the string): if two shingles ever collide
+      // in h60, both engines count one hit.
+      .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.filter(!isBench).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")

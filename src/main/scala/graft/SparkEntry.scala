@@ -229,16 +229,16 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKCached(Tables.embeddings(s, d), d, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
-    // [EXT] multimodal plumbing
+    // [EXT] multimodal plumbing (meta/resize are narrow → gate-sorted at the
+    // base scan, see Tables.documentsById; frames keeps orderBy — it has a
+    // join below, so sampling reuses its shuffle instead of re-executing)
     "multimodal_meta" -> ((s: SparkSession, d: String) =>
-      Multimodal.extractMeta(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
-        .orderBy("doc_id")),
+      Multimodal.extractMeta(Multimodal.mediaFromDocuments(Tables.documentsById(s, d)))),
     "multimodal_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx")),
     "multimodal_resize" -> ((s: SparkSession, d: String) =>
-      Multimodal.resizeMeta(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
-        .orderBy("doc_id")),
+      Multimodal.resizeMeta(Multimodal.mediaFromDocuments(Tables.documentsById(s, d)))),
     // feature-extract stub feeding the ANN operators end-to-end
     "multimodal_features_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(

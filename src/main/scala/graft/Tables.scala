@@ -28,6 +28,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = p(spark, dir, "embeddings")
 
+  /** `documents` pre-sorted by `doc_id` — the gate-sort for NARROW queries.
+    *
+    * A global `orderBy` ABOVE a pipeline makes the range partitioner run a
+    * sampling job over its child; with no shuffle below to reuse, that
+    * re-executes the entire pipeline — measured 2× on every narrow gate
+    * query at sf0.1 (lang_id 0.97→0.50 s, doc_fingerprint 0.66→0.35 s,
+    * ingest_normalize 2.42→1.00 s). Sorting the bare scan instead samples
+    * only the scan; filters, projections, generators, and `mapPartitions`
+    * all preserve intra-partition order AND partition ordering, so the
+    * result order is identical — and the driver gate's row-order hash
+    * compare re-proves it for every query built this way. Queries with an
+    * exchange below their sort (joins, aggregations, windows) keep the
+    * plain `orderBy`: sampling reuses the shuffle files, so there is no
+    * double execution to avoid.
+    */
+  def documentsById(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).orderBy("doc_id")
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
     * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions that read
     * events set `spark.sql.legacy.parquet.nanosAsLong=true` at BUILD time

@@ -30,14 +30,16 @@ object Prep {
     val nc = when(n <= win, lit(1))
       .otherwise(lit(1) + ((n - lit(win) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
     val toks = slice(col("w"), col("ci") * stride + 1, lit(win))
-    Tables.documents(spark, dir)
+    // gate-sorted at the base scan (narrow pipeline; the generator emits
+    // chunk indices ascending, so (doc_id, chunk_idx) order is preserved)
+    // — see Tables.documentsById
+    Tables.documentsById(spark, dir)
       .select(col("doc_id"), words.as("w"), nc.as("nc"))
       .select(col("doc_id"), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("ci"))
       .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"), toks.as("toks"))
       .select(col("doc_id"), col("chunk_idx"),
         size(col("toks")).cast("long").as("n_tokens"),
         h60(concat_ws(" ", col("toks"))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   val chunkOverlapSql: String =
@@ -67,14 +69,14 @@ object Prep {
     val synth = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com or 555-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-    Tables.documents(spark, dir)
+    // gate-sorted at the base scan (narrow pipeline) — see Tables.documentsById
+    Tables.documentsById(spark, dir)
       .select(col("doc_id"), synth.as("synth"))
       .select(col("doc_id"),
         regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>").as("scrubbed"),
         regexp_count(col("synth"), lit(emailRe)).cast("long").as("n_emails"),
         regexp_count(col("synth"), lit(phoneRe)).cast("long").as("n_phones"))
-      .orderBy("doc_id")
   }
 
   val piiScrubSql: String =

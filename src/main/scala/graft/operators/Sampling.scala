@@ -30,10 +30,10 @@ object Sampling {
     */
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     val b = pmod(h60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100))
-    Tables.documents(spark, dir)
+    // gate-sorted at the base scan (narrow pipeline) — see Tables.documentsById
+    Tables.documentsById(spark, dir)
       .select(col("doc_id"), col("source"),
         when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
-      .orderBy("doc_id")
   }
 
   val splitAssignSql: String =

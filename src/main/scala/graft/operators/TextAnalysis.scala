@@ -14,13 +14,14 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   // --- token / length stats -------------------------------------------------
+  // narrow queries sort the base scan, not the result — see
+  // Tables.documentsById for the measured 2x rationale
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documentsById(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("char_len"),
       wsTokenCount(col("text")).as("ws_tokens"),
       reTokenCount(col("text")).as("re_tokens"))
-      .orderBy("doc_id")
 
   val textStatsSql: String =
     """SELECT doc_id,
@@ -31,10 +32,9 @@ object TextAnalysis {
 
   // --- language ID -----------------------------------------------------------
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documentsById(spark, dir).select(
       col("doc_id"),
       langIdHeuristic(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
 
   // occurrences(x, m) ≡ CAST((LENGTH(x) - LENGTH(REPLACE(x, m, ''))) / LENGTH(m) AS BIGINT)
   private def occSql(x: String, m: String): String =
@@ -63,10 +63,9 @@ object TextAnalysis {
 
   // --- quality score ----------------------------------------------------------
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documentsById(spark, dir).select(
       col("doc_id"),
       qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id")
 
   /** The quality-score expression alone (reused by the curation oracle). */
   val qualityExprSql: String = {
@@ -175,12 +174,11 @@ object TextAnalysis {
   // via Dedup.winnowingFingerprint.
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.h60
-    Tables.documents(spark, dir).select(
+    Tables.documentsById(spark, dir).select(
       col("doc_id"),
       h60(col("text")).as("content_fp"),
       Dedup.simhash(col("text"), h60).as("simhash_fp"),
       array_join(transform(Dedup.winnowingFingerprint(col("text"), hashFn = h60),
         _.cast("string")), "-").as("winnow_fp"))
-      .orderBy("doc_id")
   }
 }

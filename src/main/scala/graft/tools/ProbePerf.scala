@@ -3,10 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch probe — current investigation: global orderBy ABOVE a narrow
-  * pipeline makes the range-partitioner's sampling job re-execute the whole
-  * pipeline (no shuffle below to reuse) — sort the narrow base instead and
-  * let order-preserving maps carry it. */
+/** Scratch probe — rewritten per investigation. Current: curation_pipeline
+  * gate placement (scores below vs above the near-dup semi-join). */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -18,7 +16,7 @@ object ProbePerf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import graft.operators.{Dedup, TextAnalysis, Prep}
+    import graft.operators.Dedup
     import graft.functions.TextFunctions._
     import graft.functions.Hashing.h60
 
@@ -32,16 +30,31 @@ object ProbePerf {
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     val docs = graft.Tables.documents(spark, sf)
     docs.count()
-    val sorted = docs.orderBy("doc_id")
 
-    time("lang_id above") { run(TextAnalysis.langId(spark, sf)) }
-    time("lang_id below") { run(sorted.select(col("doc_id"), langIdHeuristic(col("text")).as("lang_pred"))) }
-    time("fingerprint above") { run(TextAnalysis.fingerprint(spark, sf)) }
-    time("fingerprint below") { run(sorted.select(
-      col("doc_id"), h60(col("text")).as("content_fp"),
-      Dedup.simhash(col("text"), h60).as("simhash_fp"),
-      array_join(transform(Dedup.winnowingFingerprint(col("text"), hashFn = h60),
-        _.cast("string")), "-").as("winnow_fp"))) }
-    time("chunk above") { run(Prep.chunkOverlap(spark, sf)) }
+    def curateOld: DataFrame = {
+      val exactKept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val nearKeepIds = Dedup.lshDedupKeep(exactKept, "text", "doc_id",
+          numPerm = 64, bands = 8, shingleK = 1, hashFn = h60)
+        .filter(col("keep")).select("doc_id")
+      exactKept
+        .join(nearKeepIds, Seq("doc_id"), "left_semi")
+        .withColumn("quality", qualityScore(col("text")))
+        .withColumn("lang_pred", langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          length(col("text")).cast("long").as("char_len"),
+          wsTokenCount(col("text")).as("ws_tokens"),
+          reTokenCount(col("text")).as("re_tokens"))
+        .orderBy("doc_id")
+    }
+
+    time("old (gates above join)") { run(curateOld) }
+    time("new (gates below join)") {
+      run(graft.operators.Curation.curate(spark, sf, hashFn = h60))
+    }
+    time("old again") { run(curateOld) }
+    time("new again") {
+      run(graft.operators.Curation.curate(spark, sf, hashFn = h60))
+    }
   }
 }

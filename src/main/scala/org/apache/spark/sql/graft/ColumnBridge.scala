@@ -48,5 +48,7 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => Md5Prefix60(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_word_shingles",
       (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1), litInt(args(2))), "built-in")
   }
 }

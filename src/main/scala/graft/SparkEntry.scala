@@ -49,6 +49,10 @@ object SparkEntry {
     "orders_by_date_range" -> ((s: SparkSession, d: String) =>
       Analytics.ordersByDateRange(s, d,
         Some(Analytics.DateRangeStart), Some(Analytics.DateRangeEnd))),
+    // batch twin of the incrementally-materialized overview MV
+    // (streaming.OverviewStream; MV ≡ twin pinned by OverviewStreamSpec)
+    "orders_overview_dc" -> ((s: SparkSession, d: String) =>
+      streaming.OverviewStream.overviewBatch(Tables.orders(s, d))),
     "top_customers_intended" -> Analytics.topCustomersIntended _,
     "top_customers_faithful" -> Analytics.topCustomersFaithful _,
     "recent_orders" -> Analytics.recentOrders _,
@@ -277,6 +281,7 @@ object SparkEntry {
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
+    "orders_overview_dc" -> streaming.OverviewStream.overviewBatchSql,
     "orders_by_date_range" -> Analytics.ordersByDateRangeSql,
     "top_customers_intended" -> Analytics.topCustomersIntendedSql,
     "top_customers_faithful" -> Analytics.topCustomersFaithfulSql,

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Analytics
+
+/** Incrementally-materialized overview endpoint (the reference's
+  * `GET /api/overview` upgraded from recompute-per-request to a streaming
+  * materialized view): an orders file-stream folds each micro-batch into
+  * log-structured state, and the queryable overview row is derived from the
+  * state in O(#batches + #distinct customers) — it never rescans orders.
+  *
+  * State layout under `stateDir` (both tables use the idempotent
+  * `batch=<id>` overwrite commit of [[EmbeddingIndexStream]] — foreachBatch
+  * is at-least-once, and a replayed batch rewrites its OWN subdirectory
+  * instead of duplicating rows):
+  *
+  *  - `order_deltas/batch=<id>` — ONE row per batch: (n_orders, sum_price,
+  *    min_status). The overview's count/sum/min fold over these tiny rows.
+  *  - `seen_customers/batch=<id>` — the batch's custkeys that were NOT in
+  *    any earlier batch (cross-batch-new, intra-batch-distinct), so the
+  *    exact distinct-customer count is a plain COUNT over the log — no
+  *    distinct recomputation, no sketch. The anti-join per batch reads the
+  *    accumulated key log; at 100 TB the log is the distinct-customer
+  *    dimension (orders-of-magnitude smaller than the fact stream) and the
+  *    `batch=` dirs double as `Layout.compactPartitions` units.
+  *
+  * Replay safety without a transaction log: a replayed batch N recomputes
+  * its new-customer set against the state EXCLUDING its own `batch=N`
+  * partition (partition-pruned filter), so it rewrites exactly what the
+  * first delivery wrote. Aggregates are derived at read time, so there is
+  * no running counter to double-apply — the crash-window inconsistencies a
+  * counter would need ordering guarantees for simply cannot occur.
+  */
+object OverviewStream {
+
+  /** Batch twin of the materialized view (the gate query
+    * `orders_overview_dc`): the overview aggregates plus the exact distinct
+    * ordering-customer count the MV maintains incrementally. */
+  def overviewBatch(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === Analytics.OrdersTenant)
+      .agg(
+        count(lit(1)).as("total_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_revenue"),
+        min("o_orderstatus").as("currency"),
+        countDistinct(col("o_custkey")).as("distinct_customers"))
+
+  val overviewBatchSql: String =
+    s"""SELECT COUNT(*) AS total_orders,
+       |ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_revenue,
+       |MIN(o_orderstatus) AS currency,
+       |COUNT(DISTINCT o_custkey) AS distinct_customers
+       |FROM orders WHERE o_orderpriority = '${Analytics.OrdersTenant}'""".stripMargin
+
+  /** The accumulated seen-customer log, excluding `excludeBatch` (a replay
+    * must not read the partition it is about to overwrite). Missing state
+    * (explicit `fs.exists` check — EventsPipeline's pattern) and file-less
+    * state (every batch so far was empty: an empty parquet write emits NO
+    * part files, so schema inference fails) read as empty; any other error
+    * propagates — a catch-all would mask data loss as a fresh start. */
+  private def seenCustomers(spark: SparkSession, stateDir: String,
+      excludeBatch: Long): DataFrame = {
+    val path = s"$stateDir/seen_customers"
+    val empty = spark.range(0).select(col("id").as("o_custkey"))
+    if (!graft.functions.FsUtils.fs(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(path))) empty
+    else
+      try spark.read.parquet(path).filter(col("batch") =!= excludeBatch)
+        .select(col("o_custkey"))
+      catch {
+        case e: AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+      }
+  }
+
+  /** Fold one orders micro-batch into the state. Idempotent per batchId. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val b = batch.filter(col("o_orderpriority") === Analytics.OrdersTenant)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    // always exactly one row (global aggregate) — an empty batch writes
+    // (0, 0.0, null) so the delta log marks every batch, and read-time
+    // min() ignores the null status
+    b.agg(
+        count(lit(1)).as("n_orders"),
+        coalesce(sum("o_totalprice"), lit(0.0)).as("sum_price"),
+        min("o_orderstatus").as("min_status"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/order_deltas/batch=$batchId")
+    val newCust = b.select(col("o_custkey")).distinct()
+      .join(seenCustomers(spark, stateDir, excludeBatch = batchId),
+        Seq("o_custkey"), "left_anti")
+      // materialize BEFORE the overwrite: on replay the anti-join's plan
+      // reads sibling batch= files under the directory being written
+      // (pruned, but the write invalidates the shared FileStatusCache)
+      .localCheckpoint(true)
+    newCust.coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/seen_customers/batch=$batchId")
+    spark.catalog.refreshByPath(s"$stateDir/seen_customers")
+  }
+
+  /** The materialized view: derive the overview row from the state logs. */
+  def overview(spark: SparkSession, stateDir: String): DataFrame = {
+    val totals = spark.read.parquet(s"$stateDir/order_deltas")
+      .agg(
+        sum("n_orders").cast("long").as("total_orders"),
+        round(coalesce(sum("sum_price"), lit(0.0)), 2).as("total_revenue"),
+        min("min_status").as("currency"))
+    val cust = seenCustomers(spark, stateDir, excludeBatch = -1L)
+      .agg(count(lit(1)).as("distinct_customers"))
+    totals.crossJoin(cust)
+      .select("total_orders", "total_revenue", "currency", "distinct_customers")
+  }
+
+  /** File-source wrapper: orders parquet drops → incremental MV. */
+  def run(spark: SparkSession, inDir: String, stateDir: String,
+      checkpointDir: String, schemaFrom: DataFrame): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, batchId, stateDir)
+      }
+      .start()
+}

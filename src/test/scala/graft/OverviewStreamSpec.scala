@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.OverviewStream
+
+/** The incrementally-materialized overview MV is proven by batch
+  * equivalence: after folding any prefix of batches, the MV row must equal
+  * the batch twin computed over the union of those batches (the twin itself
+  * is oracle-checked as `orders_overview_dc`). */
+class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("overview_mv").toString
+
+  private def orders = Tables.orders(spark, Sf0001)
+
+  test("MV equals the batch twin after every batch of an uneven split") {
+    val state = tmp()
+    // three uneven slices by order key ranges (deterministic, disjoint, total)
+    val splits = Seq(
+      orders.filter(col("o_orderkey") % 7 < 2),
+      orders.filter(col("o_orderkey") % 7 >= 2 && col("o_orderkey") % 7 < 6),
+      orders.filter(col("o_orderkey") % 7 === 6))
+    var folded = splits.head.limit(0)
+    splits.zipWithIndex.foreach { case (b, i) =>
+      OverviewStream.applyBatch(spark, b, i.toLong, state)
+      folded = folded.unionAll(b)
+      val mv = OverviewStream.overview(spark, state).collect().head
+      val twin = OverviewStream.overviewBatch(folded).collect().head
+      assert(mv == twin, s"after batch $i")
+    }
+  }
+
+  test("replaying a batch is a no-op (idempotent batch=<id> commits)") {
+    val state = tmp()
+    val b0 = orders.filter(col("o_orderkey") % 2 === 0)
+    val b1 = orders.filter(col("o_orderkey") % 2 === 1)
+    OverviewStream.applyBatch(spark, b0, 0L, state)
+    OverviewStream.applyBatch(spark, b1, 1L, state)
+    val before = OverviewStream.overview(spark, state).collect().head
+    OverviewStream.applyBatch(spark, b0, 0L, state) // crash-recovery replay
+    val after = OverviewStream.overview(spark, state).collect().head
+    assert(before == after)
+    // replay did not duplicate any customer key
+    val cust = spark.read.parquet(s"$state/seen_customers").select("o_custkey")
+    assert(cust.count() == cust.distinct().count())
+  }
+
+  test("empty and tenant-free batches fold without error and change nothing") {
+    val state = tmp()
+    OverviewStream.applyBatch(spark, orders, 0L, state)
+    val before = OverviewStream.overview(spark, state).collect().head
+    OverviewStream.applyBatch(spark, orders.limit(0), 1L, state)
+    OverviewStream.applyBatch(spark,
+      orders.filter(col("o_orderpriority") === "no-such-tenant"), 2L, state)
+    val after = OverviewStream.overview(spark, state).collect().head
+    assert(before == after)
+  }
+
+  test("file-source wrapper maintains the MV end-to-end") {
+    val state = tmp(); val in = tmp(); val ckpt = tmp()
+    val b0 = orders.filter(col("o_orderkey") % 3 === 0)
+    val b1 = orders.filter(col("o_orderkey") % 3 =!= 0)
+    b0.write.parquet(s"$in/drop0")
+    val q = OverviewStream.run(spark, s"$in/drop*", state, ckpt, orders)
+    q.processAllAvailable()
+    b1.write.parquet(s"$in/drop1")
+    q.processAllAvailable()
+    q.stop()
+    val mv = OverviewStream.overview(spark, state).collect().head
+    val twin = OverviewStream.overviewBatch(orders).collect().head
+    assert(mv == twin)
+  }
+}

@@ -61,6 +61,8 @@ object SparkEntry {
     "lineitem_pricing" -> Analytics.lineitemPricingSummary _,
     "orders_rollup" -> Analytics.ordersRollup _,
     "running_revenue" -> Analytics.runningRevenue _,
+    "orders_daily_delta" -> Analytics.ordersDailyDelta _,
+    "customer_quartiles" -> Analytics.customerQuartiles _,
     "orders_cube" -> Analytics.ordersCube _,
     "orders_grouping_sets" -> Analytics.ordersGroupingSets _,
     "orders_pivot" -> Analytics.ordersPivot _,
@@ -291,6 +293,8 @@ object SparkEntry {
     "lineitem_pricing" -> Analytics.lineitemPricingSummarySql,
     "orders_rollup" -> Analytics.ordersRollupSql,
     "running_revenue" -> Analytics.runningRevenueSql,
+    "orders_daily_delta" -> Analytics.ordersDailyDeltaSql,
+    "customer_quartiles" -> Analytics.customerQuartilesSql,
     "orders_cube" -> Analytics.ordersCubeSql,
     "orders_grouping_sets" -> Analytics.ordersGroupingSetsSql,
     "orders_pivot" -> Analytics.ordersPivotSql,

@@ -398,6 +398,57 @@ object Analytics {
       |FROM orders WHERE o_custkey <= 50
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // --- analytic window: day-over-day revenue delta (lag) --------------------
+  // The reference's daily time-series endpoint upgraded with the comparison
+  // column every dashboard wants. Delta is computed on the ROUNDED daily
+  // values so both engines subtract identical doubles. Aggregate first, lag
+  // over the (tiny) per-day frame — never lag over raw orders.
+  def ordersDailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("order_date"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(round(sum("o_totalprice"), 2).as("daily_revenue"))
+      .select(col("order_date"), col("daily_revenue"),
+        lag(col("daily_revenue"), 1).over(w).as("prev_revenue"))
+      .select(col("order_date"), col("daily_revenue"), col("prev_revenue"),
+        round(col("daily_revenue") - coalesce(col("prev_revenue"), col("daily_revenue")), 2)
+          .as("delta"))
+      .orderBy("order_date")
+  }
+
+  val ordersDailyDeltaSql: String =
+    s"""WITH d AS (SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+       |             ROUND(SUM(o_totalprice), 2) AS daily_revenue
+       |           FROM orders WHERE o_orderpriority = '$OrdersTenant' GROUP BY 1),
+       |l AS (SELECT *, LAG(daily_revenue, 1) OVER (ORDER BY order_date) AS prev_revenue FROM d)
+       |SELECT order_date, daily_revenue, prev_revenue,
+       |  ROUND(daily_revenue - COALESCE(prev_revenue, daily_revenue), 2) AS delta
+       |FROM l ORDER BY order_date""".stripMargin
+
+  // --- analytic window: customer spend quartiles (ntile) --------------------
+  // ntile over a TOTAL order (spent desc, custkey) is deterministic and both
+  // engines share the front-loaded-bucket NTILE semantics. Aggregate to one
+  // row per customer before ranking — the window sorts customers, not orders.
+  def customerQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("total_spent"))
+      .select(col("o_custkey"), col("total_spent"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey")
+  }
+
+  val customerQuartilesSql: String =
+    s"""SELECT o_custkey, total_spent,
+       |  NTILE(4) OVER (ORDER BY total_spent DESC, o_custkey) AS quartile
+       |FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+       |      FROM orders WHERE o_orderpriority = '$OrdersTenant' GROUP BY o_custkey) t
+       |ORDER BY o_custkey""".stripMargin
+
   // --- TPC-H Q1-shaped pricing summary ------------------------------------
   // Not in the reference (it has no lineitem analogue) but the headline
   // large-fact aggregation for the bench: one scan, map-side partial agg,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosinePairs, CosinePairsBounded, DotProduct, HammingPairsBounded, JaccardPairs, JaccardPairsBounded, Md5Prefix60, MinHashSig, SimHash64, WinnowingMins, WordShingles}
+import org.apache.spark.sql.graft.{BloomMightContain, CosinePairs, CosinePairsBounded, DotProduct, HammingPairsBounded, JaccardPairs, JaccardPairsBounded, Md5Prefix60, MinHashSig, SimHash64, WinnowingMins, WordShingles}
 
 /** SparkSessionExtensions hook exposing the engine's custom codegen
   * expressions to SQL users:
@@ -73,6 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (args: Seq[Expression]) =>
         WordShingles(args(0), GraftExtensions.litInt(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        BloomMightContain(args(0), args(1), GraftExtensions.litInt(args(2)))))
   }
 }
 

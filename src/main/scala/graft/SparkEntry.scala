@@ -101,6 +101,7 @@ object SparkEntry {
           (abs(col("approx") - col("n_distinct")).cast("double") / col("n_distinct")
             <= 0.15).as("approx_within_15pct"))),
     "custkeys_intersect" -> Analytics.custkeysIntersect _,
+    "custkeys_intersect_approx" -> Analytics.custkeysIntersectApprox _,
     "custkeys_except" -> Analytics.custkeysExcept _,
     // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
     "upsert_orders" -> (upsertOrders _),
@@ -314,6 +315,7 @@ object SparkEntry {
         |TRUE AS approx_within_15pct
         |FROM documents""".stripMargin,
     "custkeys_intersect" -> Analytics.custkeysIntersectSql,
+    "custkeys_intersect_approx" -> Analytics.custkeysIntersectApproxSql,
     "custkeys_except" -> Analytics.custkeysExceptSql,
     "upsert_orders" -> upsertOrdersSql,
     "ingest_normalize" -> Ingest.ingestNormalizeSql,

@@ -362,6 +362,45 @@ object Analytics {
       |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
       |ORDER BY o_custkey""".stripMargin
 
+  /** Sketched set algebra — the 100 TB companion to `custkeysIntersect`:
+    * |A∩B| estimated by inclusion-exclusion over three HLL++ sketches
+    * (E(A) + E(B) - E(A∪B)) in ONE pass with map-side-mergeable state,
+    * vs the exact INTERSECT's two distinct shuffles + join. The exact
+    * counts ride the same aggregate (|A∩B| = |A|+|B|-|A∪B| exactly), and
+    * the gate row asserts the estimate landed within a bound that holds
+    * with large margin for rsd=0.02 compounded over three sketches
+    * (Spark's HLL is deterministic per dataset, so the boolean is stable —
+    * same contract as `dedup_metrics_approx`).
+    */
+  def custkeysIntersectApprox(spark: SparkSession, dir: String): DataFrame = {
+    val a = when(year(col("o_orderdate")) === 1996, col("o_custkey"))
+    val b = when(year(col("o_orderdate")) === 1997, col("o_custkey"))
+    Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .agg(
+        countDistinct(a).as("n_1996"),
+        countDistinct(b).as("n_1997"),
+        countDistinct(col("o_custkey")).as("n_union"),
+        approx_count_distinct(a, 0.02).as("ea"),
+        approx_count_distinct(b, 0.02).as("eb"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("eu"))
+      .select(col("n_1996"), col("n_1997"),
+        (col("n_1996") + col("n_1997") - col("n_union")).as("n_intersect"),
+        (abs((col("ea") + col("eb") - col("eu")) -
+            (col("n_1996") + col("n_1997") - col("n_union"))).cast("double")
+          <= (col("n_1996") + col("n_1997") - col("n_union")).cast("double") * 0.25)
+          .as("approx_within_25pct"))
+  }
+
+  val custkeysIntersectApproxSql: String =
+    """SELECT CAST(COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1996 THEN o_custkey END) AS BIGINT) AS n_1996,
+      |CAST(COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1997 THEN o_custkey END) AS BIGINT) AS n_1997,
+      |CAST(COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1996 THEN o_custkey END)
+      | + COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1997 THEN o_custkey END)
+      | - COUNT(DISTINCT o_custkey) AS BIGINT) AS n_intersect,
+      |TRUE AS approx_within_25pct
+      |FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)""".stripMargin
+
   def custkeysExcept(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val y1 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")

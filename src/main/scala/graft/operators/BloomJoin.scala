@@ -55,6 +55,21 @@ object BloomJoin {
     override def outputEncoder: Encoder[BloomBuf] = Encoders.product[BloomBuf]
   }
 
+  /** Standard Bloom sizing: bits and probe count for an expected key count
+    * and target false-positive rate (m = -n·ln p / ln²2 rounded up to a
+    * 64-bit word, k = m/n·ln 2). At 100 TB the build-side key count comes
+    * from table stats or a first-pass count; fpp trades shuffle volume
+    * (p extra probe rows survive) against filter size — 1e-2 keeps the
+    * filter ~10 bits/key. */
+  def sizedFor(expectedKeys: Long, fpp: Double): (Int, Int) = {
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1)
+    val ln2 = math.log(2)
+    val mRaw = math.ceil(-expectedKeys * math.log(fpp) / (ln2 * ln2))
+    val m = (((mRaw.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong / 2).toInt
+    val k = math.max(1, math.round(m.toDouble / expectedKeys * ln2).toInt)
+    (m, k)
+  }
+
   /** Probe-side membership test (codegen expression, no false negatives). */
   def mightContain(bits: Column, keyHash: Column, numHashes: Int): Column =
     ColumnBridge.column(BloomMightContain(

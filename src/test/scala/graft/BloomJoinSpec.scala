@@ -39,6 +39,21 @@ class BloomJoinSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("sizedFor hits the target fpp on a disjoint probe set") {
+    val n = 5000L
+    val (m, k) = BloomJoin.sizedFor(n, 0.01)
+    assert(m % 64 == 0 && m >= 9 * n) // ln(.01)/ln²2 ≈ 9.59 bits/key at 1% fpp
+    val build = spark.range(0, n).select(col("id").as("k"))
+    val agg = udaf(new BloomJoin.BloomAgg(m, k), org.apache.spark.sql.Encoders.scalaLong)
+    val bloom = build.agg(agg(xxhash64(col("k"))).as("b"))
+    val probes = 50000L
+    val fp = spark.range(1000000, 1000000 + probes).select(col("id").as("k"))
+      .crossJoin(broadcast(bloom))
+      .filter(BloomJoin.mightContain(col("b.bits"), xxhash64(col("k")), k))
+      .count()
+    assert(fp < probes * 0.03, s"fpp ${fp.toDouble / probes} vs target 0.01")
+  }
+
   test("bloomPrunedJoin equals the plain join exactly") {
     val probe = spark.range(0, 10000)
       .select(col("id").as("pk"), (col("id") % 7).as("v"))

@@ -375,15 +375,23 @@ object Analytics {
   def custkeysIntersectApprox(spark: SparkSession, dir: String): DataFrame = {
     val a = when(year(col("o_orderdate")) === 1996, col("o_custkey"))
     val b = when(year(col("o_orderdate")) === 1997, col("o_custkey"))
-    Tables.orders(spark, dir)
+    def base = Tables.orders(spark, dir)
       .filter(year(col("o_orderdate")).isin(1996, 1997))
-      .agg(
-        countDistinct(a).as("n_1996"),
-        countDistinct(b).as("n_1997"),
-        countDistinct(col("o_custkey")).as("n_union"),
-        approx_count_distinct(a, 0.02).as("ea"),
-        approx_count_distinct(b, 0.02).as("eb"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("eu"))
+    // exact distincts and HLL sketches in SEPARATE aggregates: mixed in one
+    // agg, Catalyst plans the distincts via Expand and then evaluates the
+    // HLLs grouped by the Expand's distinct keys — one rsd=0.02 sketch
+    // buffer PER DISTINCT CUSTKEY (measured 2.3 s); split, the sketch agg
+    // is a clean single partial/final pass (0.3 s). The exact side is the
+    // gate harness — the production 100 TB query is the sketch agg alone.
+    val exact = base.agg(
+      countDistinct(a).as("n_1996"),
+      countDistinct(b).as("n_1997"),
+      countDistinct(col("o_custkey")).as("n_union"))
+    val approx = base.agg(
+      approx_count_distinct(a, 0.02).as("ea"),
+      approx_count_distinct(b, 0.02).as("eb"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("eu"))
+    exact.crossJoin(approx)
       .select(col("n_1996"), col("n_1997"),
         (col("n_1996") + col("n_1997") - col("n_union")).as("n_intersect"),
         (abs((col("ea") + col("eb") - col("eu")) -

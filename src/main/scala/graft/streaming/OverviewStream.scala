@@ -102,6 +102,11 @@ object OverviewStream {
 
   /** The materialized view: derive the overview row from the state logs. */
   def overview(spark: SparkSession, stateDir: String): DataFrame = {
+    // heal an interrupted compaction before reading (no-op otherwise)
+    Seq(s"$stateDir/order_deltas", s"$stateDir/seen_customers").foreach { root =>
+      val fs = graft.functions.FsUtils.fs(spark, root)
+      if (fs.exists(new org.apache.hadoop.fs.Path(root))) recoverCompact(fs, root)
+    }
     val totals = spark.read.parquet(s"$stateDir/order_deltas")
       .agg(
         sum("n_orders").cast("long").as("total_orders"),
@@ -111,6 +116,75 @@ object OverviewStream {
       .agg(count(lit(1)).as("distinct_customers"))
     totals.crossJoin(cust)
       .select("total_orders", "total_revenue", "currency", "distinct_customers")
+  }
+
+  /** Fold committed state into one partition per table — the maintenance
+    * pass that stops the `batch=` dir count growing with stream lifetime
+    * (cf. [[CurationStream.compactState]] / `Layout.compactPartitions`).
+    *
+    * The NEWEST batch dir is left untouched: after a crash, foreachBatch
+    * can only re-deliver the most recent epoch, and a replay recomputes
+    * against state excluding (then rewrites) its OWN partition — folding
+    * that partition away would turn the rewrite into data loss. Run with
+    * the stream stopped (like any table-maintenance pass).
+    *
+    * Crash safety: the consolidated rows are fully written to a hidden
+    * `.compact-<into>-<upto>.tmp` dir (invisible to partition discovery)
+    * BEFORE any source dir is deleted; a crash mid-delete or pre-rename is
+    * finished by the recovery scan on the next compact/overview call (the
+    * tmp name records which dirs it supersedes).
+    */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    compactLog(spark, s"$stateDir/order_deltas", df =>
+      df.agg(
+        coalesce(sum("n_orders"), lit(0L)).cast("long").as("n_orders"),
+        coalesce(sum("sum_price"), lit(0.0)).as("sum_price"),
+        min("min_status").as("min_status")))
+    compactLog(spark, s"$stateDir/seen_customers", identity)
+  }
+
+  private def compactLog(spark: SparkSession, root: String,
+      fold: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = graft.functions.FsUtils.fs(spark, root)
+    if (!fs.exists(new Path(root))) return
+    recoverCompact(fs, root)
+    val ids = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    if (ids.length <= 1) return
+    val upto = ids.max
+    val into = ids.min
+    val folded =
+      try fold(spark.read.parquet(root).filter(col("batch") < upto).drop("batch"))
+      catch { // every folded dir is file-less (all-empty batches): drop them
+        case e: AnalysisException if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          ids.filter(_ < upto).foreach(id => fs.delete(new Path(s"$root/batch=$id"), true))
+          return
+      }
+    val tmp = new Path(s"$root/.compact-$into-$upto.tmp")
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    ids.filter(_ < upto).foreach(id => fs.delete(new Path(s"$root/batch=$id"), true))
+    graft.functions.FsUtils.renameOrThrow(fs, tmp, new Path(s"$root/batch=$into"))
+    spark.catalog.refreshByPath(root)
+  }
+
+  /** Finish an interrupted [[compactState]] pass: the tmp dir is a complete
+    * superset of every `batch=<id < upto>` dir, so recovery deletes any of
+    * those still present and lands the tmp as `batch=<into>`. */
+  private def recoverCompact(fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(n => n.startsWith(".compact-") && n.endsWith(".tmp"))
+      .foreach { n =>
+        val Array(into, upto) =
+          n.stripPrefix(".compact-").stripSuffix(".tmp").split("-").map(_.toLong)
+        fs.listStatus(new Path(root)).map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+          .filter(_ < upto)
+          .foreach(id => fs.delete(new Path(s"$root/batch=$id"), true))
+        graft.functions.FsUtils.renameOrThrow(fs,
+          new Path(s"$root/$n"), new Path(s"$root/batch=$into"))
+      }
   }
 
   /** File-source wrapper: orders parquet drops → incremental MV. */

@@ -59,6 +59,46 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     assert(before == after)
   }
 
+  test("compactState folds committed batches, keeps the newest, MV unchanged") {
+    val state = tmp()
+    val splits = Seq(
+      orders.filter(col("o_orderkey") % 5 < 2),
+      orders.filter(col("o_orderkey") % 5 === 2),
+      orders.filter(col("o_orderkey") % 5 === 3),
+      orders.filter(col("o_orderkey") % 5 === 4))
+    splits.zipWithIndex.foreach { case (b, i) =>
+      OverviewStream.applyBatch(spark, b, i.toLong, state)
+    }
+    val before = OverviewStream.overview(spark, state).collect().head
+    OverviewStream.compactState(spark, state)
+    assert(OverviewStream.overview(spark, state).collect().head == before)
+    // dirs folded to (consolidated, newest); newest untouched for replay
+    for (t <- Seq("order_deltas", "seen_customers")) {
+      val dirs = new java.io.File(s"$state/$t").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted
+      assert(dirs.toSeq == Seq("batch=0", "batch=3"), t)
+    }
+    // replay of the newest batch still works after compaction
+    OverviewStream.applyBatch(spark, splits.last, 3L, state)
+    assert(OverviewStream.overview(spark, state).collect().head == before)
+  }
+
+  test("interrupted compaction (tmp landed, sources deleted) heals on read") {
+    val state = tmp()
+    OverviewStream.applyBatch(spark, orders.filter(col("o_orderkey") % 2 === 0), 0L, state)
+    OverviewStream.applyBatch(spark, orders.filter(col("o_orderkey") % 2 === 1), 1L, state)
+    val before = OverviewStream.overview(spark, state).collect().head
+    OverviewStream.compactState(spark, state)
+    // simulate the crash window by undoing the final rename: consolidated
+    // dir back to its tmp name (tmp present ≡ mid-compaction crash state)
+    for (t <- Seq("order_deltas", "seen_customers")) {
+      val root = new java.io.File(s"$state/$t")
+      assert(new java.io.File(root, "batch=0")
+        .renameTo(new java.io.File(root, ".compact-0-1.tmp")))
+    }
+    assert(OverviewStream.overview(spark, state).collect().head == before)
+  }
+
   test("file-source wrapper maintains the MV end-to-end") {
     val state = tmp(); val in = tmp(); val ckpt = tmp()
     val b0 = orders.filter(col("o_orderkey") % 3 === 0)

@@ -190,6 +190,7 @@ object SparkEntry {
     "split_assign" -> Sampling.splitAssign _,
     "sample_per_source" -> ((s: SparkSession, d: String) => Sampling.samplePerSource(s, d)),
     "pack_blocks" -> ((s: SparkSession, d: String) => Sampling.packBlocks(s, d)),
+    "pack_greedy" -> ((s: SparkSession, d: String) => Sampling.packGreedy(s, d)),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
     "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
     "pii_scrub" -> Prep.piiScrub _,
@@ -390,6 +391,7 @@ object SparkEntry {
     "split_assign" -> Sampling.splitAssignSql,
     "sample_per_source" -> Sampling.samplePerSourceSql,
     "pack_blocks" -> Sampling.packBlocksSql,
+    "pack_greedy" -> Sampling.packGreedySql,
     "chunk_overlap" -> Prep.chunkOverlapSql,
     "pii_scrub" -> Prep.piiScrubSql,
     "decontaminate" -> Prep.decontaminateSql,

@@ -97,6 +97,56 @@ object Sampling {
       .orderBy("source", "pack_id")
   }
 
+  /** EXACT greedy packing — the sequential-state escape hatch for the
+    * semantics [[packBlocks]] relaxes: a doc opens a new pack iff adding it
+    * would exceed the budget, so no pack ever overruns (docs larger than
+    * the budget sit alone). Running state per group is not expressible as
+    * a window; `flatMapSortedGroups` is the right Spark shape — one
+    * shuffle on `source`, iterators arrive doc_id-sorted WITHOUT a
+    * per-group sort buffer (the sort rides the exchange), and the fold is
+    * O(1) state per group. This is the (c)-tier custom-operator path the
+    * charter reserves for genuinely-sequential semantics; the DuckDB
+    * oracle replicates the fold with a recursive CTE.
+    */
+  def packGreedy(spark: SparkSession, dir: String, budget: Int = 500): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+        var acc = 0L; var pack = 0L; var first = true
+        it.map { case (_, id, n) =>
+          if (first) { first = false; acc = n }
+          else if (acc + n > budget) { pack += 1L; acc = n }
+          else acc += n
+          (src, pack, id, n)
+        }
+      }
+      .toDF("source", "pack_id", "doc_id", "n_tokens")
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  val packGreedySql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_tokens, rn, n_tokens AS acc, 0 AS pack_id
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+      |    CASE WHEN r.acc + t.n_tokens > 500 THEN t.n_tokens ELSE r.acc + t.n_tokens END,
+      |    CASE WHEN r.acc + t.n_tokens > 500 THEN r.pack_id + 1 ELSE r.pack_id END
+      |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+      |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM r GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   val packBlocksSql: String =
     """WITH t AS (SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens
       |           FROM documents),

@@ -207,6 +207,7 @@ object SparkEntry {
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
+    "token_freq_by_source" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqBySource(s, d)),
     // bloom-pruned join: probe side pre-filtered by a broadcast fixed-size
     // bloom of build keys, then the exact join — oracle is the plain join
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummary _,
@@ -399,6 +400,7 @@ object SparkEntry {
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
+    "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
     // as float — the gate's exact compare then fails against Spark's int64

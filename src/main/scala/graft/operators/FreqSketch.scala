@@ -96,4 +96,33 @@ object FreqSketch {
       .orderBy(col("freq").desc, col("token"))
       .limit(topN)
   }
+
+  /** GROUPED frequent items: one bounded sketch per group — the state per
+    * group is k entries regardless of group size, and partial buffers
+    * combine map-side, so a hot group ships #partitions × k entries, never
+    * its token stream. Per-group top-n presentation via row_number over the
+    * already-≤k sketch rows (a bounded window input by construction). Exact
+    * at k = 128 > per-source vocabulary here, like [[tokenFreqSketch]]. */
+  def tokenFreqBySource(spark: SparkSession, dir: String, k: Int = 128, topN: Int = 10): DataFrame = {
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("freq").desc, col("token"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("token"))
+      .groupBy(col("source"))
+      .agg(mg(col("token")).as("sk"))
+      .select(col("source"), explode(arrays_zip(col("sk.tokens"), col("sk.counts"))).as("z"))
+      .select(col("source"), col("z.tokens").as("token"), col("z.counts").as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .orderBy("source", "rank")
+  }
+
+  val tokenFreqBySourceSql: String =
+    """SELECT source, token, freq, rank FROM (
+      |  SELECT source, token, COUNT(*) AS freq,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, token) AS rank
+      |  FROM (SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS token FROM documents) t
+      |  GROUP BY source, token) r
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 }

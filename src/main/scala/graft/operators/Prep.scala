@@ -100,9 +100,12 @@ object Prep {
     * per-doc count. Shingles are hashed ([[h60]]) before the join so the
     * exchange carries 8-byte keys, never shingle strings.
     */
-  def decontaminate(spark: SparkSession, dir: String, hashFn: Column => Column = h60): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String, shingleK: Int = 3,
+      hashFn: Column => Column = h60): DataFrame = {
     def docs = Tables.documents(spark, dir)
-    def sh(c: Column) = array_distinct(Dedup.wordShingles(c, 3))
+    // k=3 suits this small-vocabulary corpus; production decontamination
+    // conventionally uses 13-grams (the gate query runs the default)
+    def sh(c: Column) = array_distinct(Dedup.wordShingles(c, shingleK))
     val isBench = pmod(col("doc_id"), lit(10)) === 0
     val bench = docs.filter(isBench)
       .select(explode(sh(col("text"))).as("s"))

@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
       (args: Seq[Expression]) =>
         BloomMightContain(args(0), args(1), GraftExtensions.litInt(args(2)))))
+    // optimizer rule: sink global sorts below computed projections so the
+    // range partitioner's sampling job re-reads the scan, not the pipeline
+    ext.injectOptimizerRule(_ => graft.plans.PushSortBelowProjects)
   }
 }
 

@@ -195,6 +195,8 @@ object SparkEntry {
     "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
     "pii_scrub" -> Prep.piiScrub _,
     "decontaminate" -> ((s: SparkSession, d: String) => Prep.decontaminate(s, d)),
+    // end-to-end retrieval composition: chunk -> dedup -> embed -> top-k
+    "chunk_embed_topk" -> ((s: SparkSession, d: String) => Prep.chunkEmbedTopk(s, d)),
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,
@@ -396,6 +398,7 @@ object SparkEntry {
     "chunk_overlap" -> Prep.chunkOverlapSql,
     "pii_scrub" -> Prep.piiScrubSql,
     "decontaminate" -> Prep.decontaminateSql,
+    "chunk_embed_topk" -> Prep.chunkEmbedTopkSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,

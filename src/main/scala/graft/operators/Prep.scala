@@ -42,16 +42,76 @@ object Prep {
         h60(concat_ws(" ", col("toks"))).as("chunk_hash"))
   }
 
+  /** Shared chunking CTE chain ending in `c(doc_id, ci, toks)` — reused by
+    * the chunk-embedding composition oracle. */
+  private val chunkCtes: String =
+    """t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
+      |    CASE WHEN LEN(STR_SPLIT(text, ' ')) <= 32 THEN 1
+      |         ELSE 1 + (LEN(STR_SPLIT(text, ' ')) - 32 + 23) // 24 END AS nc
+      |  FROM documents),
+      |x AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t),
+      |c AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x)""".stripMargin
+
   val chunkOverlapSql: String =
-    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
-       |    CASE WHEN LEN(STR_SPLIT(text, ' ')) <= 32 THEN 1
-       |         ELSE 1 + (LEN(STR_SPLIT(text, ' ')) - 32 + 23) // 24 END AS nc
-       |  FROM documents),
-       |x AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t),
-       |c AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x)
+    s"""WITH $chunkCtes
        |SELECT doc_id, ci AS chunk_idx, LEN(toks) AS n_tokens,
        |  ${h60Sql("array_to_string(toks, ' ')")} AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** End-to-end retrieval composition: chunk the corpus, embed every
+    * distinct chunk (stub arithmetic keyed on the chunk content hash — no
+    * model in the container, same contract as [[Multimodal.extractFeatures]]),
+    * and return the top-k most-similar chunks for each probe-document chunk.
+    * The pipeline shape is the production one: chunks dedup by content hash
+    * BEFORE embedding (never embed a duplicate), the probe set broadcasts,
+    * and candidates are scored in one pass. The embedding transform binds
+    * the hash once ([[graft.functions.ExprUtils.bindOnce]]) — CollapseProject
+    * would otherwise inline the chunk-hash md5 into all 16 dimension lambdas.
+    */
+  def chunkEmbedTopk(spark: SparkSession, dir: String, k: Int = 3,
+      probeDocs: Long = 3L, dim: Int = 16): DataFrame = {
+    import graft.functions.ExprUtils.bindOnce
+    val chunks = chunkOverlap(spark, dir).select("doc_id", "chunk_hash")
+    val embed = bindOnce(col("chunk_hash").cast("string")) { h =>
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        pmod(h60(concat_ws("-", h, i.cast("string"))), lit(2000L)).cast("double")
+          / 1000.0 - 1.0)
+    }
+    val cands = chunks.select("chunk_hash").distinct()
+      .select(col("chunk_hash"), embed.as("v"))
+    val probes = chunks.filter(col("doc_id") < probeDocs)
+      .select("chunk_hash").distinct()
+      .join(cands, "chunk_hash")
+      .select(col("chunk_hash").as("query_hash"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_hash")).orderBy(col("sim").desc, col("cand_hash"))
+    cands.join(broadcast(probes), col("query_hash") =!= col("chunk_hash"))
+      .select(col("query_hash"), col("chunk_hash").as("cand_hash"),
+        round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_hash"), col("sim").desc, col("cand_hash"))
+  }
+
+  val chunkEmbedTopkSql: String = {
+    val dimExpr =
+      s"""list_transform(range(0, 16), i ->
+         | CAST(${h60Sql("chunk_hash::VARCHAR || '-' || i::VARCHAR")} % 2000 AS DOUBLE)
+         |   / 1000.0 - 1.0)""".stripMargin.replace("\n", "")
+    s"""WITH $chunkCtes,
+       |ch AS (SELECT doc_id, ${h60Sql("array_to_string(toks, ' ')")} AS chunk_hash FROM c),
+       |u AS (SELECT DISTINCT chunk_hash FROM ch),
+       |e AS (SELECT chunk_hash, $dimExpr AS v FROM u),
+       |p AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id < 3),
+       |s AS (SELECT p.chunk_hash AS query_hash, e2.chunk_hash AS cand_hash,
+       |        ROUND(LIST_COSINE_SIMILARITY(e1.v, e2.v), 4) AS sim
+       |      FROM p JOIN e e1 ON e1.chunk_hash = p.chunk_hash
+       |             JOIN e e2 ON e2.chunk_hash <> p.chunk_hash)
+       |SELECT query_hash, cand_hash, sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_hash
+       |    ORDER BY sim DESC, cand_hash) AS rn FROM s) t
+       |WHERE rn <= 3 ORDER BY query_hash, sim DESC, cand_hash""".stripMargin
+  }
 
   // Conservative ASCII patterns, valid and identical under Java regex (Spark)
   // and RE2 (DuckDB): no \d, no backrefs, no lookaround.

@@ -24,16 +24,22 @@ object Prep {
     * content hash, not carried text — at 100 TB the chunk table rides ids
     * and hashes, and chunk text is re-derived on demand from the doc store.
     */
-  def chunkOverlap(spark: SparkSession, dir: String, win: Int = 32, stride: Int = 24): DataFrame = {
+  def chunkOverlap(spark: SparkSession, dir: String, win: Int = 32, stride: Int = 24): DataFrame =
+    // gate-sorted at the base scan (narrow pipeline; the generator emits
+    // chunk indices ascending, so (doc_id, chunk_idx) order is preserved)
+    // — see Tables.documentsById
+    chunkOverlapOf(Tables.documentsById(spark, dir), win, stride)
+
+  /** The transform alone (docs in, chunks out) — STATELESS, so the same
+    * plan runs unchanged under `readStream` (PrepStreamSpec pins batch ≡
+    * stream); the gate wrapper above adds only the sorted base scan. */
+  def chunkOverlapOf(docs: DataFrame, win: Int = 32, stride: Int = 24): DataFrame = {
     val words = split(col("text"), " ", -1)
     val n = size(words)
     val nc = when(n <= win, lit(1))
       .otherwise(lit(1) + ((n - lit(win) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
     val toks = slice(col("w"), col("ci") * stride + 1, lit(win))
-    // gate-sorted at the base scan (narrow pipeline; the generator emits
-    // chunk indices ascending, so (doc_id, chunk_idx) order is preserved)
-    // — see Tables.documentsById
-    Tables.documentsById(spark, dir)
+    docs
       .select(col("doc_id"), words.as("w"), nc.as("nc"))
       .select(col("doc_id"), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("ci"))
       .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"), toks.as("toks"))
@@ -125,12 +131,16 @@ object Prep {
     * before scrubbing — the scrub path (regex scan per document, narrow,
     * codegen) is exactly what runs on a real corpus.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    // gate-sorted at the base scan (narrow pipeline) — see Tables.documentsById
+    piiScrubOf(Tables.documentsById(spark, dir))
+
+  /** The transform alone — stateless, streaming-safe (PrepStreamSpec). */
+  def piiScrubOf(docs: DataFrame): DataFrame = {
     val synth = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com or 555-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-    // gate-sorted at the base scan (narrow pipeline) — see Tables.documentsById
-    Tables.documentsById(spark, dir)
+    docs
       .select(col("doc_id"), synth.as("synth"))
       .select(col("doc_id"),
         regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),

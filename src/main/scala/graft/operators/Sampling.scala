@@ -28,12 +28,15 @@ object Sampling {
     * narrow — at 100 TB this is a zero-shuffle projection that fuses into
     * whatever scan follows it.
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val b = pmod(h60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100))
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
     // gate-sorted at the base scan (narrow pipeline) — see Tables.documentsById
-    Tables.documentsById(spark, dir)
-      .select(col("doc_id"), col("source"),
-        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    splitAssignOf(Tables.documentsById(spark, dir))
+
+  /** The transform alone — stateless, streaming-safe (PrepStreamSpec). */
+  def splitAssignOf(docs: DataFrame): DataFrame = {
+    val b = pmod(h60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100))
+    docs.select(col("doc_id"), col("source"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
   }
 
   val splitAssignSql: String =

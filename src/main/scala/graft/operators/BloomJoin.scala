@@ -64,8 +64,12 @@ object BloomJoin {
   def sizedFor(expectedKeys: Long, fpp: Double): (Int, Int) = {
     require(expectedKeys > 0 && fpp > 0 && fpp < 1)
     val ln2 = math.log(2)
-    val mRaw = math.ceil(-expectedKeys * math.log(fpp) / (ln2 * ln2))
-    val m = (((mRaw.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong / 2).toInt
+    // clamp in double BEFORE the long conversion (a huge expectedKeys·ln p
+    // would overflow the toLong), and cap at 2^30 bits (128 MB, word-
+    // aligned — Int.MaxValue/2 is NOT a multiple of 64 and would fail
+    // BloomAgg's alignment require)
+    val mRaw = math.min(-expectedKeys.toDouble * math.log(fpp) / (ln2 * ln2), (1L << 30).toDouble)
+    val m = (((math.ceil(mRaw).toLong + 63) / 64) * 64).min(1L << 30).toInt
     val k = math.max(1, math.round(m.toDouble / expectedKeys * ln2).toInt)
     (m, k)
   }
@@ -82,6 +86,14 @@ object BloomJoin {
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    // the equi-join below would match across numeric widths via implicit
+    // cast, but xxhash64 hashes Int and Long DIFFERENTLY — mismatched key
+    // types would silently fail every membership probe (false negatives).
+    // Fail loudly instead; callers cast one side.
+    require(probe.schema(probeKey).dataType == build.schema(buildKey).dataType,
+      s"bloomPrunedJoin key types must match exactly (xxhash64 is not " +
+        s"cast-stable): $probeKey is ${probe.schema(probeKey).dataType}, " +
+        s"$buildKey is ${build.schema(buildKey).dataType}")
     val bloomUdaf = udaf(new BloomAgg(numBits, numHashes), Encoders.scalaLong)
     val bloomRow = build.agg(bloomUdaf(xxhash64(col(buildKey))).as("graft_bloom"))
     probe.crossJoin(broadcast(bloomRow))

@@ -111,9 +111,15 @@ object Sampling {
     * charter reserves for genuinely-sequential semantics; the DuckDB
     * oracle replicates the fold with a recursive CTE.
     */
-  def packGreedy(spark: SparkSession, dir: String, budget: Int = 500): DataFrame = {
+  def packGreedy(spark: SparkSession, dir: String, budget: Int = 500): DataFrame =
+    packGreedyOf(Tables.documents(spark, dir), budget)
+
+  /** The transform alone — see [[packGreedy]]; SamplingSpec drives it with
+    * a repartitioned input to pin partitioning-independence. */
+  def packGreedyOf(docs: DataFrame, budget: Int = 500): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
       .as[(String, Long, Long)]

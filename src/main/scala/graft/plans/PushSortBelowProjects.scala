@@ -33,6 +33,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Registered by [[graft.GraftExtensions]] (`injectOptimizerRule`); tests
   * mount it via `spark.experimental.extraOptimizations`.
+  *
+  * Deliberate division of labor: this repo's own gate queries KEEP their
+  * explicit base-scan sorts (`Tables.documentsById`) rather than relying on
+  * the rule — the oracle gate must not depend on an opt-in extension being
+  * mounted, and two of the queries (the ingest round trips) sort on aliased
+  * computations the rule correctly refuses to cross. The rule serves
+  * sessions running arbitrary user queries, where hand-tuning every sort
+  * site is not an option.
   */
 object PushSortBelowProjects extends Rule[LogicalPlan] {
 

@@ -63,15 +63,21 @@ object OverviewStream {
       excludeBatch: Long): DataFrame = {
     val path = s"$stateDir/seen_customers"
     val empty = spark.range(0).select(col("id").as("o_custkey"))
-    if (!graft.functions.FsUtils.fs(spark, path)
-        .exists(new org.apache.hadoop.fs.Path(path))) empty
-    else
+    val fs = graft.functions.FsUtils.fs(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) empty
+    else {
+      // heal an interrupted compactState FIRST: mid-compaction the log is
+      // only the hidden tmp dir, which partition discovery cannot see — an
+      // unguarded read would return empty and the replaying batch would
+      // re-mark every customer as new (permanent distinct overcount)
+      recoverCompact(fs, path)
       try spark.read.parquet(path).filter(col("batch") =!= excludeBatch)
         .select(col("o_custkey"))
       catch {
         case e: AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
       }
+    }
   }
 
   /** Fold one orders micro-batch into the state. Idempotent per batchId. */
@@ -100,18 +106,26 @@ object OverviewStream {
     spark.catalog.refreshByPath(s"$stateDir/seen_customers")
   }
 
-  /** The materialized view: derive the overview row from the state logs. */
+  /** The materialized view: derive the overview row from the state logs.
+    * Fresh state (no batch folded yet) reads as the zero row — the same
+    * answer the batch twin gives on zero orders. */
   def overview(spark: SparkSession, stateDir: String): DataFrame = {
     // heal an interrupted compaction before reading (no-op otherwise)
     Seq(s"$stateDir/order_deltas", s"$stateDir/seen_customers").foreach { root =>
       val fs = graft.functions.FsUtils.fs(spark, root)
       if (fs.exists(new org.apache.hadoop.fs.Path(root))) recoverCompact(fs, root)
     }
-    val totals = spark.read.parquet(s"$stateDir/order_deltas")
-      .agg(
-        sum("n_orders").cast("long").as("total_orders"),
-        round(coalesce(sum("sum_price"), lit(0.0)), 2).as("total_revenue"),
-        min("min_status").as("currency"))
+    val deltasPath = s"$stateDir/order_deltas"
+    val deltas =
+      if (graft.functions.FsUtils.fs(spark, deltasPath)
+          .exists(new org.apache.hadoop.fs.Path(deltasPath)))
+        spark.read.parquet(deltasPath)
+      else spark.range(0).select(lit(0L).as("n_orders"),
+        lit(0.0).as("sum_price"), lit(null).cast("string").as("min_status"))
+    val totals = deltas.agg(
+      coalesce(sum("n_orders"), lit(0L)).cast("long").as("total_orders"),
+      round(coalesce(sum("sum_price"), lit(0.0)), 2).as("total_revenue"),
+      min("min_status").as("currency"))
     val cust = seenCustomers(spark, stateDir, excludeBatch = -1L)
       .agg(count(lit(1)).as("distinct_customers"))
     totals.crossJoin(cust)

@@ -91,12 +91,27 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     OverviewStream.compactState(spark, state)
     // simulate the crash window by undoing the final rename: consolidated
     // dir back to its tmp name (tmp present ≡ mid-compaction crash state)
-    for (t <- Seq("order_deltas", "seen_customers")) {
-      val root = new java.io.File(s"$state/$t")
-      assert(new java.io.File(root, "batch=0")
-        .renameTo(new java.io.File(root, ".compact-0-1.tmp")))
-    }
+    def crash(): Unit =
+      for (t <- Seq("order_deltas", "seen_customers")) {
+        val root = new java.io.File(s"$state/$t")
+        assert(new java.io.File(root, "batch=0")
+          .renameTo(new java.io.File(root, ".compact-0-1.tmp")))
+      }
+    crash()
     assert(OverviewStream.overview(spark, state).collect().head == before)
+    // a batch REPLAY arriving while the state is mid-compaction must heal
+    // before its anti-join — otherwise every replayed customer re-counts
+    crash()
+    OverviewStream.applyBatch(spark, orders.filter(col("o_orderkey") % 2 === 1), 1L, state)
+    assert(OverviewStream.overview(spark, state).collect().head == before)
+    val cust = spark.read.parquet(s"$state/seen_customers").select("o_custkey")
+    assert(cust.count() == cust.distinct().count())
+  }
+
+  test("overview on fresh (absent) state returns the zero row") {
+    val row = OverviewStream.overview(spark, tmp() + "/none").collect().head
+    assert(row.getLong(0) == 0L && row.getDouble(1) == 0.0
+      && row.isNullAt(2) && row.getLong(3) == 0L)
   }
 
   test("file-source wrapper maintains the MV end-to-end") {

@@ -44,18 +44,18 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     val packs = Sampling.packGreedy(spark, Sf0001, budget)
       .as[(String, Long, Long, Long)].collect()
     assert(packs.map(_._3).sum == Tables.documents(spark, Sf0001).count())
-    val maxDoc = Tables.documents(spark, Sf0001)
-      .select(max(size(split(col("text"), " ", -1)))).as[Int].head()
     packs.foreach { case (src, _, nDocs, tokens) =>
       // exact greedy: a multi-doc pack never exceeds the budget (only an
       // oversized single doc may)
       assert(nDocs == 1 || tokens <= budget, s"$src")
     }
-    // partitioning-independence: same packs from a repartitioned input
-    val re = Sampling.packGreedy(spark, Sf0001, budget)
+    // partitioning-independence: same packs from a repartitioned AND
+    // reversed input (flatMapSortedGroups must re-sort, not trust arrival)
+    val re = Sampling.packGreedyOf(
+        Tables.documents(spark, Sf0001).orderBy(col("doc_id").desc).repartition(7),
+        budget)
       .as[(String, Long, Long, Long)].collect()
     assert(packs.sameElements(re))
-    assert(maxDoc > 0)
   }
 
   test("packBlocks covers every doc once and packs stay near budget") {

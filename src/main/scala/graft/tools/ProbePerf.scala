@@ -1,10 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-/** Scratch probe — current: does PushSortBelowProjects recover the
-  * sort-below win automatically on a sort-above formulation? */
+/** Scratch probe — current: does disabling constraint propagation cut the
+  * per-query Catalyst planning floor without changing results? */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,24 +15,20 @@ object ProbePerf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import graft.functions.TextFunctions._
-
-    def time(name: String)(f: => Unit): Unit = {
-      val reps = 7
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$name%-28s min=${times.min}%.3f med=${times.sorted.apply(reps / 2)}%.3f")
-    }
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    val docs = graft.Tables.documents(spark, sf)
-    docs.count()
-    def sortAbove = docs.select(col("doc_id"), langIdHeuristic(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
-
-    time("sort-above, no rule") { run(sortAbove) }
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.PushSortBelowProjects
-    time("sort-above, rule mounted") { run(sortAbove) }
+    def runSet(): Double = {
+      val names = Seq("point_lookup", "overview", "recent_orders", "docs_by_source",
+        "orders_by_date", "curation_pipeline", "minhash_dedup_keep", "events_asof")
+      val t0 = System.nanoTime()
+      names.foreach(n => run(graft.SparkEntry.queries(n)(spark, sf)))
+      (System.nanoTime() - t0) / 1e9
+    }
+    graft.Tables.orders(spark, sf).count()
+    runSet() // warm
+    val a = (1 to 3).map(_ => runSet()).min
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    val b = (1 to 3).map(_ => runSet()).min
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    println(f"8-query set: default=$a%.2f s, constraintProp-off=$b%.2f s")
   }
 }

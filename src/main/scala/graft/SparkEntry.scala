@@ -49,10 +49,13 @@ object SparkEntry {
     "orders_by_date_range" -> ((s: SparkSession, d: String) =>
       Analytics.ordersByDateRange(s, d,
         Some(Analytics.DateRangeStart), Some(Analytics.DateRangeEnd))),
-    // batch twin of the incrementally-materialized overview MV
-    // (streaming.OverviewStream; MV ≡ twin pinned by OverviewStreamSpec)
+    // batch twins of the incrementally-materialized per-tenant overview MV
+    // (streaming.OverviewStream; MV ≡ twin pinned by OverviewStreamSpec):
+    // the single-tenant endpoint shape and the all-tenant keyed MV shape
     "orders_overview_dc" -> ((s: SparkSession, d: String) =>
       streaming.OverviewStream.overviewBatch(Tables.orders(s, d))),
+    "orders_overview_by_tenant" -> ((s: SparkSession, d: String) =>
+      streaming.OverviewStream.overviewByTenant(Tables.orders(s, d))),
     "top_customers_intended" -> Analytics.topCustomersIntended _,
     "top_customers_faithful" -> Analytics.topCustomersFaithful _,
     "recent_orders" -> Analytics.recentOrders _,
@@ -289,6 +292,7 @@ object SparkEntry {
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
     "orders_overview_dc" -> streaming.OverviewStream.overviewBatchSql,
+    "orders_overview_by_tenant" -> streaming.OverviewStream.overviewByTenantSql,
     "orders_by_date_range" -> Analytics.ordersByDateRangeSql,
     "top_customers_intended" -> Analytics.topCustomersIntendedSql,
     "top_customers_faithful" -> Analytics.topCustomersFaithfulSql,

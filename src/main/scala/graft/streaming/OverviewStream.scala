@@ -7,24 +7,30 @@ import graft.operators.Analytics
 
 /** Incrementally-materialized overview endpoint (the reference's
   * `GET /api/overview` upgraded from recompute-per-request to a streaming
-  * materialized view): an orders file-stream folds each micro-batch into
-  * log-structured state, and the queryable overview row is derived from the
-  * state in O(#batches + #distinct customers) — it never rescans orders.
+  * materialized view), maintained for EVERY tenant at once — the reference
+  * is multi-tenant (`WHERE tenant_id = $1` on each endpoint), so the MV is
+  * keyed by tenant (`o_orderpriority` stands in) and a tenant's endpoint
+  * read is one partition-filtered row. An orders file-stream folds each
+  * micro-batch into log-structured state; the queryable rows derive from
+  * the state in O(#batches·#tenants + #distinct (tenant, customer)) — it
+  * never rescans orders.
   *
   * State layout under `stateDir` (both tables use the idempotent
   * `batch=<id>` overwrite commit of [[EmbeddingIndexStream]] — foreachBatch
   * is at-least-once, and a replayed batch rewrites its OWN subdirectory
   * instead of duplicating rows):
   *
-  *  - `order_deltas/batch=<id>` — ONE row per batch: (n_orders, sum_price,
-  *    min_status). The overview's count/sum/min fold over these tiny rows.
-  *  - `seen_customers/batch=<id>` — the batch's custkeys that were NOT in
-  *    any earlier batch (cross-batch-new, intra-batch-distinct), so the
-  *    exact distinct-customer count is a plain COUNT over the log — no
-  *    distinct recomputation, no sketch. The anti-join per batch reads the
-  *    accumulated key log; at 100 TB the log is the distinct-customer
-  *    dimension (orders-of-magnitude smaller than the fact stream) and the
-  *    `batch=` dirs double as `Layout.compactPartitions` units.
+  *  - `order_deltas/batch=<id>` — one row per TENANT per batch: (tenant,
+  *    n_orders, sum_price, min_status). The overview's count/sum/min fold
+  *    over these tiny rows, grouped by tenant.
+  *  - `seen_customers/batch=<id>` — the batch's (tenant, custkey) pairs
+  *    that were NOT in any earlier batch (cross-batch-new, intra-batch-
+  *    distinct), so the exact distinct-customer count per tenant is a
+  *    plain grouped COUNT over the log — no distinct recomputation, no
+  *    sketch. The anti-join per batch reads the accumulated key log; at
+  *    100 TB the log is the distinct-customer dimension (orders-of-
+  *    magnitude smaller than the fact stream) and the `batch=` dirs double
+  *    as `Layout.compactPartitions` units.
   *
   * Replay safety without a transaction log: a replayed batch N recomputes
   * its new-customer set against the state EXCLUDING its own `batch=N`
@@ -35,9 +41,9 @@ import graft.operators.Analytics
   */
 object OverviewStream {
 
-  /** Batch twin of the materialized view (the gate query
-    * `orders_overview_dc`): the overview aggregates plus the exact distinct
-    * ordering-customer count the MV maintains incrementally. */
+  /** Single-tenant batch twin (gate query `orders_overview_dc`): the
+    * overview aggregates plus the exact distinct ordering-customer count —
+    * the reference's per-request endpoint shape. */
   def overviewBatch(orders: DataFrame): DataFrame =
     orders.filter(col("o_orderpriority") === Analytics.OrdersTenant)
       .agg(
@@ -53,6 +59,25 @@ object OverviewStream {
        |COUNT(DISTINCT o_custkey) AS distinct_customers
        |FROM orders WHERE o_orderpriority = '${Analytics.OrdersTenant}'""".stripMargin
 
+  /** All-tenant batch twin of the keyed MV (gate query
+    * `orders_overview_by_tenant`): what [[overview]] must equal after
+    * folding every batch. */
+  def overviewByTenant(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority").as("tenant"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_revenue"),
+        min("o_orderstatus").as("currency"),
+        countDistinct(col("o_custkey")).as("distinct_customers"))
+      .orderBy("tenant")
+
+  val overviewByTenantSql: String =
+    """SELECT o_orderpriority AS tenant, COUNT(*) AS total_orders,
+      |ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_revenue,
+      |MIN(o_orderstatus) AS currency,
+      |COUNT(DISTINCT o_custkey) AS distinct_customers
+      |FROM orders GROUP BY o_orderpriority ORDER BY tenant""".stripMargin
+
   /** The accumulated seen-customer log, excluding `excludeBatch` (a replay
     * must not read the partition it is about to overwrite). Missing state
     * (explicit `fs.exists` check — EventsPipeline's pattern) and file-less
@@ -62,7 +87,8 @@ object OverviewStream {
   private def seenCustomers(spark: SparkSession, stateDir: String,
       excludeBatch: Long): DataFrame = {
     val path = s"$stateDir/seen_customers"
-    val empty = spark.range(0).select(col("id").as("o_custkey"))
+    val empty = spark.range(0).select(
+      lit("").as("tenant"), col("id").as("o_custkey"))
     val fs = graft.functions.FsUtils.fs(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) empty
     else {
@@ -72,7 +98,7 @@ object OverviewStream {
       // re-mark every customer as new (permanent distinct overcount)
       recoverCompact(fs, path)
       try spark.read.parquet(path).filter(col("batch") =!= excludeBatch)
-        .select(col("o_custkey"))
+        .select(col("tenant"), col("o_custkey"))
       catch {
         case e: AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
@@ -83,20 +109,20 @@ object OverviewStream {
   /** Fold one orders micro-batch into the state. Idempotent per batchId. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String): Unit = {
-    val b = batch.filter(col("o_orderpriority") === Analytics.OrdersTenant)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-    // always exactly one row (global aggregate) — an empty batch writes
-    // (0, 0.0, null) so the delta log marks every batch, and read-time
-    // min() ignores the null status
-    b.agg(
+    val b = batch.select(col("o_orderpriority").as("tenant"),
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    // one row per tenant present in the batch (an empty batch writes a
+    // file-less dir — the read side tolerates those)
+    b.groupBy(col("tenant"))
+      .agg(
         count(lit(1)).as("n_orders"),
         coalesce(sum("o_totalprice"), lit(0.0)).as("sum_price"),
         min("o_orderstatus").as("min_status"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$stateDir/order_deltas/batch=$batchId")
-    val newCust = b.select(col("o_custkey")).distinct()
+    val newCust = b.select(col("tenant"), col("o_custkey")).distinct()
       .join(seenCustomers(spark, stateDir, excludeBatch = batchId),
-        Seq("o_custkey"), "left_anti")
+        Seq("tenant", "o_custkey"), "left_anti")
       // materialize BEFORE the overwrite: on replay the anti-join's plan
       // reads sibling batch= files under the directory being written
       // (pruned, but the write invalidates the shared FileStatusCache)
@@ -106,9 +132,9 @@ object OverviewStream {
     spark.catalog.refreshByPath(s"$stateDir/seen_customers")
   }
 
-  /** The materialized view: derive the overview row from the state logs.
-    * Fresh state (no batch folded yet) reads as the zero row — the same
-    * answer the batch twin gives on zero orders. */
+  /** The materialized view: one overview row per tenant, derived from the
+    * state logs. Fresh state (no batch folded yet) reads as zero tenants —
+    * the same answer the by-tenant twin gives on zero orders. */
   def overview(spark: SparkSession, stateDir: String): DataFrame = {
     // heal an interrupted compaction before reading (no-op otherwise)
     Seq(s"$stateDir/order_deltas", s"$stateDir/seen_customers").foreach { root =>
@@ -120,16 +146,18 @@ object OverviewStream {
       if (graft.functions.FsUtils.fs(spark, deltasPath)
           .exists(new org.apache.hadoop.fs.Path(deltasPath)))
         spark.read.parquet(deltasPath)
-      else spark.range(0).select(lit(0L).as("n_orders"),
+      else spark.range(0).select(lit("").as("tenant"), lit(0L).as("n_orders"),
         lit(0.0).as("sum_price"), lit(null).cast("string").as("min_status"))
-    val totals = deltas.agg(
-      coalesce(sum("n_orders"), lit(0L)).cast("long").as("total_orders"),
+    val totals = deltas.groupBy(col("tenant")).agg(
+      sum("n_orders").cast("long").as("total_orders"),
       round(coalesce(sum("sum_price"), lit(0.0)), 2).as("total_revenue"),
       min("min_status").as("currency"))
     val cust = seenCustomers(spark, stateDir, excludeBatch = -1L)
-      .agg(count(lit(1)).as("distinct_customers"))
-    totals.crossJoin(cust)
-      .select("total_orders", "total_revenue", "currency", "distinct_customers")
+      .groupBy(col("tenant")).agg(count(lit(1)).as("distinct_customers"))
+    totals.join(cust, Seq("tenant"), "left")
+      .select(col("tenant"), col("total_orders"), col("total_revenue"),
+        col("currency"), coalesce(col("distinct_customers"), lit(0L)).as("distinct_customers"))
+      .orderBy("tenant")
   }
 
   /** Fold committed state into one partition per table — the maintenance
@@ -150,7 +178,7 @@ object OverviewStream {
     */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     compactLog(spark, s"$stateDir/order_deltas", df =>
-      df.agg(
+      df.groupBy(col("tenant")).agg(
         coalesce(sum("n_orders"), lit(0L)).cast("long").as("n_orders"),
         coalesce(sum("sum_price"), lit(0.0)).as("sum_price"),
         min("min_status").as("min_status")))

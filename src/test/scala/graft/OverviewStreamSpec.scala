@@ -2,13 +2,15 @@ package graft
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.streaming.OverviewStream
 
-/** The incrementally-materialized overview MV is proven by batch
-  * equivalence: after folding any prefix of batches, the MV row must equal
-  * the batch twin computed over the union of those batches (the twin itself
-  * is oracle-checked as `orders_overview_dc`). */
+/** The incrementally-materialized per-tenant overview MV is proven by batch
+  * equivalence: after folding any prefix of batches, the MV rows must equal
+  * the by-tenant batch twin computed over the union of those batches (the
+  * twin is oracle-checked as `orders_overview_by_tenant`; the single-tenant
+  * endpoint shape as `orders_overview_dc`). */
 class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
 
   private def tmp(): String =
@@ -16,9 +18,14 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
 
   private def orders = Tables.orders(spark, Sf0001)
 
-  test("MV equals the batch twin after every batch of an uneven split") {
+  private def mvRows(state: String): Seq[Row] =
+    OverviewStream.overview(spark, state).collect().toSeq
+
+  private def twinRows(df: DataFrame): Seq[Row] =
+    OverviewStream.overviewByTenant(df).collect().toSeq
+
+  test("MV equals the by-tenant twin after every batch of an uneven split") {
     val state = tmp()
-    // three uneven slices by order key ranges (deterministic, disjoint, total)
     val splits = Seq(
       orders.filter(col("o_orderkey") % 7 < 2),
       orders.filter(col("o_orderkey") % 7 >= 2 && col("o_orderkey") % 7 < 6),
@@ -27,10 +34,13 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     splits.zipWithIndex.foreach { case (b, i) =>
       OverviewStream.applyBatch(spark, b, i.toLong, state)
       folded = folded.unionAll(b)
-      val mv = OverviewStream.overview(spark, state).collect().head
-      val twin = OverviewStream.overviewBatch(folded).collect().head
-      assert(mv == twin, s"after batch $i")
+      assert(mvRows(state) == twinRows(folded), s"after batch $i")
     }
+    // the single-tenant endpoint row is one filtered MV row
+    val one = OverviewStream.overview(spark, state)
+      .filter(col("tenant") === operators.Analytics.OrdersTenant)
+      .drop("tenant").collect().head
+    assert(one == OverviewStream.overviewBatch(orders).collect().head)
   }
 
   test("replaying a batch is a no-op (idempotent batch=<id> commits)") {
@@ -39,24 +49,23 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     val b1 = orders.filter(col("o_orderkey") % 2 === 1)
     OverviewStream.applyBatch(spark, b0, 0L, state)
     OverviewStream.applyBatch(spark, b1, 1L, state)
-    val before = OverviewStream.overview(spark, state).collect().head
+    val before = mvRows(state)
     OverviewStream.applyBatch(spark, b0, 0L, state) // crash-recovery replay
-    val after = OverviewStream.overview(spark, state).collect().head
-    assert(before == after)
-    // replay did not duplicate any customer key
-    val cust = spark.read.parquet(s"$state/seen_customers").select("o_custkey")
+    assert(mvRows(state) == before)
+    // replay did not duplicate any (tenant, customer) pair
+    val cust = spark.read.parquet(s"$state/seen_customers")
+      .select("tenant", "o_custkey")
     assert(cust.count() == cust.distinct().count())
   }
 
   test("empty and tenant-free batches fold without error and change nothing") {
     val state = tmp()
     OverviewStream.applyBatch(spark, orders, 0L, state)
-    val before = OverviewStream.overview(spark, state).collect().head
+    val before = mvRows(state)
     OverviewStream.applyBatch(spark, orders.limit(0), 1L, state)
     OverviewStream.applyBatch(spark,
       orders.filter(col("o_orderpriority") === "no-such-tenant"), 2L, state)
-    val after = OverviewStream.overview(spark, state).collect().head
-    assert(before == after)
+    assert(mvRows(state) == before)
   }
 
   test("compactState folds committed batches, keeps the newest, MV unchanged") {
@@ -69,9 +78,9 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     splits.zipWithIndex.foreach { case (b, i) =>
       OverviewStream.applyBatch(spark, b, i.toLong, state)
     }
-    val before = OverviewStream.overview(spark, state).collect().head
+    val before = mvRows(state)
     OverviewStream.compactState(spark, state)
-    assert(OverviewStream.overview(spark, state).collect().head == before)
+    assert(mvRows(state) == before)
     // dirs folded to (consolidated, newest); newest untouched for replay
     for (t <- Seq("order_deltas", "seen_customers")) {
       val dirs = new java.io.File(s"$state/$t").listFiles()
@@ -80,14 +89,14 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     }
     // replay of the newest batch still works after compaction
     OverviewStream.applyBatch(spark, splits.last, 3L, state)
-    assert(OverviewStream.overview(spark, state).collect().head == before)
+    assert(mvRows(state) == before)
   }
 
   test("interrupted compaction (tmp landed, sources deleted) heals on read") {
     val state = tmp()
     OverviewStream.applyBatch(spark, orders.filter(col("o_orderkey") % 2 === 0), 0L, state)
     OverviewStream.applyBatch(spark, orders.filter(col("o_orderkey") % 2 === 1), 1L, state)
-    val before = OverviewStream.overview(spark, state).collect().head
+    val before = mvRows(state)
     OverviewStream.compactState(spark, state)
     // simulate the crash window by undoing the final rename: consolidated
     // dir back to its tmp name (tmp present ≡ mid-compaction crash state)
@@ -98,20 +107,19 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
           .renameTo(new java.io.File(root, ".compact-0-1.tmp")))
       }
     crash()
-    assert(OverviewStream.overview(spark, state).collect().head == before)
+    assert(mvRows(state) == before)
     // a batch REPLAY arriving while the state is mid-compaction must heal
     // before its anti-join — otherwise every replayed customer re-counts
     crash()
     OverviewStream.applyBatch(spark, orders.filter(col("o_orderkey") % 2 === 1), 1L, state)
-    assert(OverviewStream.overview(spark, state).collect().head == before)
-    val cust = spark.read.parquet(s"$state/seen_customers").select("o_custkey")
+    assert(mvRows(state) == before)
+    val cust = spark.read.parquet(s"$state/seen_customers")
+      .select("tenant", "o_custkey")
     assert(cust.count() == cust.distinct().count())
   }
 
-  test("overview on fresh (absent) state returns the zero row") {
-    val row = OverviewStream.overview(spark, tmp() + "/none").collect().head
-    assert(row.getLong(0) == 0L && row.getDouble(1) == 0.0
-      && row.isNullAt(2) && row.getLong(3) == 0L)
+  test("overview on fresh (absent) state returns zero tenants") {
+    assert(OverviewStream.overview(spark, tmp() + "/none").collect().isEmpty)
   }
 
   test("file-source wrapper maintains the MV end-to-end") {
@@ -124,8 +132,6 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     b1.write.parquet(s"$in/drop1")
     q.processAllAvailable()
     q.stop()
-    val mv = OverviewStream.overview(spark, state).collect().head
-    val twin = OverviewStream.overviewBatch(orders).collect().head
-    assert(mv == twin)
+    assert(mvRows(state) == twinRows(orders))
   }
 }

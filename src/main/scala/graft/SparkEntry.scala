@@ -192,6 +192,8 @@ object SparkEntry {
     // RNG state, task-retry-stable, backfill-reproducible)
     "split_assign" -> Sampling.splitAssign _,
     "sample_per_source" -> ((s: SparkSession, d: String) => Sampling.samplePerSource(s, d)),
+    // hot-group-safe aggregator variant — same contract, same oracle
+    "sample_per_source_agg" -> ((s: SparkSession, d: String) => Sampling.samplePerSourceAgg(s, d)),
     "pack_blocks" -> ((s: SparkSession, d: String) => Sampling.packBlocks(s, d)),
     "pack_greedy" -> ((s: SparkSession, d: String) => Sampling.packGreedy(s, d)),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
@@ -397,6 +399,7 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "split_assign" -> Sampling.splitAssignSql,
     "sample_per_source" -> Sampling.samplePerSourceSql,
+    "sample_per_source_agg" -> Sampling.samplePerSourceSql,
     "pack_blocks" -> Sampling.packBlocksSql,
     "pack_greedy" -> Sampling.packGreedySql,
     "chunk_overlap" -> Prep.chunkOverlapSql,

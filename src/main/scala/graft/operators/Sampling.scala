@@ -67,6 +67,85 @@ object Sampling {
       .orderBy("source", "sample_rank")
   }
 
+  /** One (hash, id) candidate. */
+  case class HashedId(hk: Long, doc_id: Long)
+
+  /** Bounded ascending (hk, id) buffer, length ≤ k — same primitive-array
+    * product-encoder shape as [[TopK.TopKBuf]]. */
+  case class BottomKBuf(hks: Array[Long], ids: Array[Long])
+
+  /** Keeps the k smallest (hk, doc_id) pairs per group — O(1) reject once
+    * full, O(k) shift-insert, two-pointer merge. The aggregator counterpart
+    * of the sample window: map-side combinable, so a hot group ships
+    * partitions × k pairs instead of funneling every row into one window
+    * task. */
+  class BottomKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[HashedId, BottomKBuf, BottomKBuf] {
+    private def less(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && i1 < i2)
+
+    override def zero: BottomKBuf = BottomKBuf(Array.emptyLongArray, Array.emptyLongArray)
+
+    override def reduce(b: BottomKBuf, x: HashedId): BottomKBuf = {
+      val n = b.hks.length
+      if (k == 0) b
+      else if (n == k && !less(x.hk, x.doc_id, b.hks(n - 1), b.ids(n - 1))) b
+      else {
+        var pos = n
+        while (pos > 0 && less(x.hk, x.doc_id, b.hks(pos - 1), b.ids(pos - 1))) pos -= 1
+        val m = math.min(n + 1, k)
+        val hks = new Array[Long](m); val ids = new Array[Long](m)
+        System.arraycopy(b.hks, 0, hks, 0, pos)
+        System.arraycopy(b.ids, 0, ids, 0, pos)
+        hks(pos) = x.hk; ids(pos) = x.doc_id
+        val tail = m - pos - 1
+        if (tail > 0) {
+          System.arraycopy(b.hks, pos, hks, pos + 1, tail)
+          System.arraycopy(b.ids, pos, ids, pos + 1, tail)
+        }
+        BottomKBuf(hks, ids)
+      }
+    }
+
+    override def merge(a: BottomKBuf, b: BottomKBuf): BottomKBuf = {
+      if (b.hks.isEmpty) return a
+      if (a.hks.isEmpty) return b
+      val m = math.min(a.hks.length + b.hks.length, k)
+      val hks = new Array[Long](m); val ids = new Array[Long](m)
+      var ia = 0; var ib = 0; var o = 0
+      while (o < m) {
+        val takeA = ib >= b.hks.length ||
+          (ia < a.hks.length && less(a.hks(ia), a.ids(ia), b.hks(ib), b.ids(ib)))
+        if (takeA) { hks(o) = a.hks(ia); ids(o) = a.ids(ia); ia += 1 }
+        else { hks(o) = b.hks(ib); ids(o) = b.ids(ib); ib += 1 }
+        o += 1
+      }
+      BottomKBuf(hks, ids)
+    }
+
+    override def finish(r: BottomKBuf): BottomKBuf = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[BottomKBuf] =
+      org.apache.spark.sql.Encoders.product[BottomKBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[BottomKBuf] =
+      org.apache.spark.sql.Encoders.product[BottomKBuf]
+  }
+
+  /** [[samplePerSource]] via the bounded aggregator — identical contract
+    * and oracle (the buffer's ascending position IS the sample rank), hot-
+    * group-safe: partial buffers combine map-side before the group shuffle.
+    */
+  def samplePerSourceAgg(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val bk = udaf(new BottomKAgg(k), org.apache.spark.sql.Encoders.product[HashedId])
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        h60(concat(col("doc_id").cast("string"), lit(":sample"))).as("hk"))
+      .groupBy(col("source"))
+      .agg(bk(col("hk"), col("doc_id")).as("s"))
+      .select(col("source"), posexplode(arrays_zip(col("s.hks"), col("s.ids"))).as(Seq("pos", "z")))
+      .select(col("source"), col("z.ids").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
   val samplePerSourceSql: String =
     s"""SELECT source, doc_id, sample_rank FROM (
        |  SELECT source, doc_id,

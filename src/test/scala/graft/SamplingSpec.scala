@@ -39,6 +39,29 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(s.collect().sameElements(Sampling.samplePerSource(spark, Sf0001, k).collect()))
   }
 
+  test("samplePerSourceAgg equals the window formulation exactly") {
+    for (k <- Seq(1, 5, 20)) {
+      val win = Sampling.samplePerSource(spark, Sf0001, k)
+        .as[(String, Long, Long)].collect()
+      val agg = Sampling.samplePerSourceAgg(spark, Sf0001, k)
+        .as[(String, Long, Long)].collect()
+      assert(agg.sameElements(win), s"k=$k")
+    }
+  }
+
+  test("BottomKAgg merge equals single-pass build on adversarial splits") {
+    val agg = new Sampling.BottomKAgg(7)
+    val xs = (0 until 200).map(i =>
+      Sampling.HashedId(hk = (i * 2654435761L) % 97, doc_id = i.toLong))
+    val single = xs.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- Seq(1, 50, 199)) {
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.hks.sameElements(single.hks) && merged.ids.sameElements(single.ids), s"cut=$cut")
+    }
+  }
+
   test("packGreedy never overruns the budget and covers every doc once") {
     val budget = 200
     val packs = Sampling.packGreedy(spark, Sf0001, budget)

@@ -173,17 +173,33 @@ object Prep {
   def decontaminate(spark: SparkSession, dir: String, shingleK: Int = 3,
       hashFn: Column => Column = h60): DataFrame = {
     def docs = Tables.documents(spark, dir)
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    decontaminateAgainst(docs.filter(!isBench),
+        benchShingleHashes(docs.filter(isBench), shingleK, hashFn), shingleK, hashFn)
+      .orderBy("doc_id")
+  }
+
+  /** Distinct shingle-hash set of a benchmark (eval) corpus — the small,
+    * broadcastable side of decontamination, and the unit the STREAMING
+    * variant accumulates per batch ([[graft.streaming.DecontamStream]]). */
+  def benchShingleHashes(benchDocs: DataFrame, shingleK: Int = 3,
+      hashFn: Column => Column = h60): DataFrame = {
     // k=3 suits this small-vocabulary corpus; production decontamination
     // conventionally uses 13-grams (the gate query runs the default)
     def sh(c: Column) = array_distinct(Dedup.wordShingles(c, shingleK))
-    val isBench = pmod(col("doc_id"), lit(10)) === 0
-    val bench = docs.filter(isBench)
-      .select(explode(sh(col("text"))).as("s"))
+    benchDocs.select(explode(sh(col("text"))).as("s"))
       .select(hashFn(col("s")).as("sh")).distinct()
-    val hits = docs.filter(!isBench)
+  }
+
+  /** Flag `trainDocs` against an arbitrary benchmark-hash set (column `sh`).
+    * Unordered output — callers add their gate sort or batch commit. */
+  def decontaminateAgainst(trainDocs: DataFrame, benchHashes: DataFrame,
+      shingleK: Int = 3, hashFn: Column => Column = h60): DataFrame = {
+    def sh(c: Column) = array_distinct(Dedup.wordShingles(c, shingleK))
+    val hits = trainDocs
       .select(col("doc_id"), explode(sh(col("text"))).as("s"))
       .select(col("doc_id"), hashFn(col("s")).as("sh"))
-      .join(broadcast(bench), "sh")
+      .join(broadcast(benchHashes), "sh")
       // distinct AFTER the membership join, not before: the join only
       // filters, so the result is identical, but the pre-join side then has
       // NO exchange — at 100 TB the corpus-wide (doc_id, hash) shuffle this
@@ -192,11 +208,10 @@ object Prep {
       // in h60, both engines count one hit.
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    docs.filter(!isBench).select(col("doc_id"))
+    trainDocs.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .select(col("doc_id"), (col("n_shared") > 0).as("contaminated"), col("n_shared"))
-      .orderBy("doc_id")
   }
 
   val decontaminateSql: String = {

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.DecontamStream
+import graft.operators.Prep
+
+class DecontamStreamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("decontam").toString
+  private def docs = Tables.documents(spark, Sf0001)
+
+  private def flags(out: String): Set[(Long, Boolean, Long)] =
+    DecontamStream.readFlags(spark, out).as[(Long, Boolean, Long)].collect().toSet
+
+  private def batchRun: Set[(Long, Boolean, Long)] =
+    Prep.decontaminate(spark, Sf0001).as[(Long, Boolean, Long)].collect().toSet
+
+  test("benchmark-first delivery reproduces the batch decontaminate exactly") {
+    val state = tmp(); val out = tmp()
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    DecontamStream.applyBatch(spark, docs.filter(isBench), 0L, state, out)
+    DecontamStream.applyBatch(spark,
+      docs.filter(!isBench && col("doc_id") % 3 === 1), 1L, state, out)
+    DecontamStream.applyBatch(spark,
+      docs.filter(!isBench && col("doc_id") % 3 =!= 1), 2L, state, out)
+    assert(flags(out) == batchRun)
+  }
+
+  test("late benchmark docs only under-flag, never over-flag; replay is a no-op") {
+    val state = tmp(); val out = tmp()
+    // interleave: half the benchmark arrives AFTER most training docs
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    DecontamStream.applyBatch(spark,
+      docs.filter(isBench && col("doc_id") < 250), 0L, state, out)
+    DecontamStream.applyBatch(spark, docs.filter(!isBench), 1L, state, out)
+    DecontamStream.applyBatch(spark,
+      docs.filter(isBench && col("doc_id") >= 250), 2L, state, out)
+    val streamed = flags(out)
+    val full = batchRun
+    val fullByDoc = full.map(f => f._1 -> f).toMap
+    assert(streamed.map(_._1) == full.map(_._1)) // same training docs
+    streamed.foreach { case (id, flag, n) =>
+      val (_, fullFlag, fullN) = fullByDoc(id)
+      assert(n <= fullN, s"doc $id over-counted")
+      assert(!flag || fullFlag, s"doc $id over-flagged")
+    }
+    // crash-recovery replay of the middle batch rewrites identical flags
+    val before = streamed
+    DecontamStream.applyBatch(spark, docs.filter(!isBench), 1L, state, out)
+    assert(flags(out) == before)
+  }
+
+  test("file-source wrapper flags end-to-end") {
+    val state = tmp(); val out = tmp(); val in = tmp(); val ckpt = tmp()
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    docs.filter(isBench).write.parquet(s"$in/drop0")
+    val q = DecontamStream.run(spark, s"$in/drop*", state, out, ckpt, docs)
+    q.processAllAvailable()
+    docs.filter(!isBench).write.parquet(s"$in/drop1")
+    q.processAllAvailable()
+    q.stop()
+    assert(flags(out) == batchRun)
+  }
+}

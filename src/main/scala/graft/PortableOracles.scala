@@ -170,6 +170,30 @@ object PortableOracles {
        |            JOIN e eb ON eb.vec_id = cand.id_b) t
        |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
+  /** Bucket CTE shared by the hyperplane-LSH oracles: every (vec_id, tbl,
+    * bucket) assignment from the same seeded planes the Spark side bakes
+    * into HyperplaneBuckets. */
+  private def hyperplaneBucketCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pl AS (SELECT $planesLit AS ps),
+       |b AS (SELECT vec_id, v, tbl,
+       |  CAST(list_sum(list_transform(range(0, 4), i ->
+       |    CASE WHEN list_dot_product(v, ps[tbl*4 + i + 1]) >= 0
+       |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+       |  FROM e, pl, (SELECT unnest(range(0, 16)) AS tbl) t)""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.embeddingDedupKeep]]: bucket-min
+    * election + per-vector min over its buckets (the minhashDedupKeepSql
+    * pattern over hyperplane buckets). */
+  val embeddingDedupKeepSql: String =
+    s"""WITH $hyperplaneBucketCtes,
+       |bmin AS (SELECT tbl, bucket, MIN(vec_id) AS bucket_min
+       |         FROM b GROUP BY tbl, bucket)
+       |SELECT b.vec_id, MIN(m.bucket_min) AS rep_id,
+       |       MIN(m.bucket_min) = b.vec_id AS keep
+       |FROM b JOIN bmin m ON b.tbl = m.tbl AND b.bucket = m.bucket
+       |GROUP BY b.vec_id ORDER BY vec_id""".stripMargin
+
   /** Full IVF replica: per-label mean centroids, argmin assignment (d, then
     * cluster id as tie-break — the lexicographic struct-min rule), nprobe=3
     * probe lists, round-4 cosine top-3. Centroid means differ from Spark's

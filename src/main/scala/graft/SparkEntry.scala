@@ -238,6 +238,11 @@ object SparkEntry {
     "embedding_near_dup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDupExact(Tables.embeddings(s, d), maxId = 300L, threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // linear keep-filter (the 100 TB embedding-dedup path — bucket-min
+    // election, no pair materialization; pairs audit is the LSH query)
+    "embedding_dedup_keep" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingDedupKeep(Tables.embeddings(s, d), dim = 64)
+        .orderBy("vec_id")),
     "embedding_near_dup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), dim = 64,
           threshold = 0.35)
@@ -290,6 +295,7 @@ object SparkEntry {
     "multimodal_features_topk" -> PortableOracles.multimodalFeaturesTopkSql,
     "curation_pipeline" -> PortableOracles.curationPipelineSql,
     "embedding_near_dup_lsh" -> PortableOracles.embeddingNearDupLshSql,
+    "embedding_dedup_keep" -> PortableOracles.embeddingDedupKeepSql,
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,

@@ -229,6 +229,33 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Linear embedding-dedup keep-filter — the embedding counterpart of
+    * [[Dedup.lshDedupKeep]], completing the {minhash, embedding} ×
+    * {pairs-audit, keep-filter} matrix: elect the min vec_id per
+    * (table, bucket) via partial-aggregating groupBy (never a window — a
+    * mega-bucket would funnel into one task), keep a vector iff it is the
+    * elected representative of every bucket it occupies. No pair
+    * materialization and no verify pass — the same linear recall/precision
+    * trade `lshDedupKeep` makes for MinHash; the pair-level audit with
+    * exact cosine verification is [[embeddingNearDupLsh]].
+    */
+  def embeddingDedupKeep(embeddings: DataFrame, dim: Int,
+      nTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val allPlanes = hyperplanes(dim, nTables * bitsPerTable)
+    import org.apache.spark.sql.graft.{ColumnBridge, HyperplaneBuckets}
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(col("v")), allPlanes.toArray, bitsPerTable))
+    val b = e.select(col("vec_id"), posexplode(bucketsCol).as(Seq("tbl", "bucket")))
+    val bucketMin = b.groupBy(col("tbl"), col("bucket"))
+      .agg(min(col("vec_id")).as("bucket_min"))
+    b.join(bucketMin, Seq("tbl", "bucket"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("bucket_min")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("vec_id"))
+  }
+
   /** Exact near-duplicate pairs over a bounded id slice — the oracle-checked
     * correctness twin of [[embeddingNearDupLsh]] (brute force is exact; the
     * slice keeps it O(slice²) regardless of corpus size).

@@ -220,6 +220,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(agg.merge(agg.zero, buf).ids.toSeq == buf.ids.toSeq)
   }
 
+  test("embeddingDedupKeep: total, deterministic, identical vectors collapse to min id") {
+    val base = Tables.embeddings(spark, Sf0001)
+    // plant an exact duplicate of vec 0 with a larger id
+    val dupId = 999999L
+    val dup = base.filter(col("vec_id") === 0L)
+      .select(lit(dupId).as("vec_id"), col("embedding"),
+        col("label"))
+    val e = base.unionByName(dup)
+    val kept = Similarity.embeddingDedupKeep(e, dim = 64)
+    assert(kept.count() == e.count()) // one verdict per vector
+    val verdicts = kept.filter(col("vec_id").isin(0L, dupId))
+      .orderBy("vec_id")
+      .select("vec_id", "rep_id", "keep").as[(Long, Long, Boolean)].collect()
+    // identical vectors share every bucket: the min id is kept, the dup is
+    // dropped and points at (at most) the min as representative
+    assert(verdicts.exists(v => v._1 == dupId && !v._3))
+    assert(verdicts.find(_._1 == dupId).get._2 <= 0L)
+    // partitioning-independent
+    val a = kept.orderBy("vec_id").collect()
+    val b = Similarity.embeddingDedupKeep(e.repartition(7), dim = 64)
+      .orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("centroids are elementwise means (unit check on a tiny frame)") {
     val e = Seq(
       (0L, Seq(0.0f, 2.0f), 0), (1L, Seq(2.0f, 0.0f), 0),

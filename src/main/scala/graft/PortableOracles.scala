@@ -81,6 +81,23 @@ object PortableOracles {
        |            JOIN fp fb ON fb.doc_id = cand.id_b) t
        |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.simhashDedupKeep]] over the full
+    * corpus: band-bucket min-id election on the h60 simhash fingerprint
+    * (the minhashDedupKeepSql pattern over simhash bands; fp bits ≥ 60 are
+    * structurally 0 so arithmetic shifts match Spark's). */
+  val simhashDedupKeepSql: String =
+    s"""WITH hs AS (SELECT doc_id, list_transform(STR_SPLIT(text, ' '),
+       |              s -> ${h60Sql("s")}) AS hl FROM documents),
+       |fp AS (SELECT doc_id, ${simhashFpExpr("hl")} AS f FROM hs),
+       |banded AS (SELECT doc_id, bi, (f >> (bi*8)) & 255 AS bk
+       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 8)) AS bi)),
+       |bmin AS (SELECT bi, bk, MIN(doc_id) AS bucket_min
+       |         FROM banded GROUP BY bi, bk)
+       |SELECT b.doc_id, MIN(m.bucket_min) AS rep_id,
+       |       MIN(m.bucket_min) = b.doc_id AS keep
+       |FROM banded b JOIN bmin m ON b.bi = m.bi AND b.bk = m.bk
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   private val wordsExpr = "STR_SPLIT(text, ' ')"
   /** 3-word shingles with the whole-text fallback for short docs —
     * [[Dedup.wordShingles]] k=3. Shared with the decontamination oracle

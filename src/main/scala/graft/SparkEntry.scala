@@ -179,6 +179,11 @@ object SparkEntry {
           numPerm = 64, bands = 8, shingleK = 1,
           hashFn = graft.functions.Hashing.h60)
         .orderBy("doc_id")),
+    // linear simhash keep-filter (matrix-completing production path)
+    "simhash_dedup_keep" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashDedupKeep(Tables.documents(s, d), "text", "doc_id",
+          hashFn = graft.functions.Hashing.h60)
+        .orderBy("doc_id")),
     "simhash_near_dup" -> ((s: SparkSession, d: String) =>
       Dedup.simhashNearDupPairs(
           Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
@@ -290,6 +295,7 @@ object SparkEntry {
     "minhash_dedup_keep" -> PortableOracles.minhashDedupKeepSql,
     "minhash_near_dup" -> PortableOracles.minhashNearDupSql,
     "simhash_near_dup" -> PortableOracles.simhashNearDupSql,
+    "simhash_dedup_keep" -> PortableOracles.simhashDedupKeepSql,
     "doc_fingerprint" -> PortableOracles.docFingerprintSql,
     "multimodal_frames" -> PortableOracles.multimodalFramesSql,
     "multimodal_features_topk" -> PortableOracles.multimodalFeaturesTopkSql,

@@ -269,6 +269,35 @@ object Dedup {
     * shuffle volume on a degenerate corpus; per-task memory here is bounded
     * by the triangle-split.
     */
+  /** Linear SimHash dedup keep-filter — band-bucket min-id election over
+    * the 64-bit fingerprint's bands, completing the {minhash, simhash,
+    * embedding} × {pairs-audit, keep-filter} matrix (same election shape
+    * as [[lshDedupKeep]] / `Similarity.embeddingDedupKeep`; the Hamming-
+    * verified pair audit is [[simhashNearDupPairs]]). Aggregate election,
+    * never a window: a hot band bucket shrinks map-side. */
+  def simhashDedupKeep(docs: DataFrame, textCol: String, idCol: String,
+                       bands: Int = 8,
+                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val chunk = 64 / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
+    val fps = docs.select(col(idCol), simhash(col(textCol), hashFn).as("fp"))
+    val bandArr = bindOnce(array(col("fp"))) { fpArr =>
+      transform(sequence(lit(0), lit(bands - 1)), bi =>
+        struct(bi.cast("int").as("band_idx"),
+          call_function("shiftright", element_at(fpArr, 1), bi * lit(chunk))
+            .bitwiseAND(lit(mask)).as("band_key")))
+    }
+    val b = fps.select(col(idCol), explode(bandArr).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.band_key"))
+    val bucketMin = b.groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col(idCol)).as("bucket_min"))
+    b.join(bucketMin, Seq("band_idx", "band_key"))
+      .groupBy(col(idCol))
+      .agg(min(col("bucket_min")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col(idCol))
+  }
+
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           maxDist: Int = 7, bands: Int = 8,
                           hashFn: Column => Column = xxhash64(_),

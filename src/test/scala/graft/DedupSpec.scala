@@ -27,6 +27,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("simhashDedupKeep: exact duplicates collapse to min id; verdicts total and stable") {
+    val kept = Dedup.simhashDedupKeep(docs, "text", "doc_id")
+    assert(kept.count() == docs.count())
+    val v = kept.orderBy("doc_id")
+      .select("doc_id", "rep_id", "keep").as[(Long, Long, Boolean)].collect()
+    // docs 0 and 1 are exact dups: identical fingerprints share every band
+    assert(v(0) == (0L, 0L, true))
+    assert(v(1)._1 == 1L && !v(1)._3 && v(1)._2 == 0L)
+    // partitioning-independent
+    val re = Dedup.simhashDedupKeep(docs.repartition(5), "text", "doc_id")
+      .orderBy("doc_id").select("doc_id", "rep_id", "keep").as[(Long, Long, Boolean)].collect()
+    assert(v.sameElements(re))
+  }
+
   test("wordShingles produces k-grams; short docs fall back to whole text") {
     val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
       .filter(col("doc_id") === 0L).select("sh").as[Seq[String]].head()

@@ -67,9 +67,7 @@ object PortableOracles {
 
   val simhashNearDupSql: String =
     s"""WITH docs0 AS (SELECT * FROM documents WHERE doc_id < 500),
-       |hs AS (SELECT doc_id, list_transform(STR_SPLIT(text, ' '), s -> ${h60Sql("s")}) AS hl
-       |       FROM docs0),
-       |fp AS (SELECT doc_id, ${simhashFpExpr("hl")} AS f FROM hs),
+       |${simhashFpCtes("docs0")},
        |banded AS (SELECT doc_id, bi, (f >> (bi*8)) & 255 AS bk
        |           FROM fp CROSS JOIN (SELECT unnest(range(0, 8)) AS bi)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -81,14 +79,19 @@ object PortableOracles {
        |            JOIN fp fb ON fb.doc_id = cand.id_b) t
        |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared simhash fingerprint CTE chain over `src(doc_id, text)` —
+    * h60 token hashes → 64-way sign count (fp bits ≥ 60 structurally 0, so
+    * arithmetic shifts match Spark's). Ends in `fp(doc_id, f)`. */
+  private def simhashFpCtes(src: String): String =
+    s"""hs AS (SELECT doc_id, list_transform(STR_SPLIT(text, ' '),
+       |         s -> ${h60Sql("s")}) AS hl FROM $src),
+       |fp AS (SELECT doc_id, ${simhashFpExpr("hl")} AS f FROM hs)""".stripMargin
+
   /** Mirror of [[graft.operators.Dedup.simhashDedupKeep]] over the full
     * corpus: band-bucket min-id election on the h60 simhash fingerprint
-    * (the minhashDedupKeepSql pattern over simhash bands; fp bits ≥ 60 are
-    * structurally 0 so arithmetic shifts match Spark's). */
+    * (the minhashDedupKeepSql pattern over simhash bands). */
   val simhashDedupKeepSql: String =
-    s"""WITH hs AS (SELECT doc_id, list_transform(STR_SPLIT(text, ' '),
-       |              s -> ${h60Sql("s")}) AS hl FROM documents),
-       |fp AS (SELECT doc_id, ${simhashFpExpr("hl")} AS f FROM hs),
+    s"""WITH ${simhashFpCtes("documents")},
        |banded AS (SELECT doc_id, bi, (f >> (bi*8)) & 255 AS bk
        |           FROM fp CROSS JOIN (SELECT unnest(range(0, 8)) AS bi)),
        |bmin AS (SELECT bi, bk, MIN(doc_id) AS bucket_min
@@ -171,13 +174,7 @@ object PortableOracles {
       .mkString("[", ",", "]")
 
   val embeddingNearDupLshSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |pl AS (SELECT $planesLit AS ps),
-       |b AS (SELECT vec_id, v, tbl,
-       |  CAST(list_sum(list_transform(range(0, 4), i ->
-       |    CASE WHEN list_dot_product(v, ps[tbl*4 + i + 1]) >= 0
-       |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-       |  FROM e, pl, (SELECT unnest(range(0, 16)) AS tbl) t),
+    s"""WITH $hyperplaneBucketCtes,
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
        |         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |         WHERE a.vec_id < b2.vec_id)

@@ -201,13 +201,21 @@ object Dedup {
                    hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK, hashFn)
     val b = lshBands(sigs, idCol, numPerm, bands)
-    // groupBy-min (map-side partial agg) + join back, NOT a window over the
-    // bucket: a window would funnel a mega-bucket into one task, while the
-    // partial aggregate shrinks it on the map side and AQE splits any skewed
-    // join partition
-    val bucketMin = b.groupBy(col("band_idx"), col("band_key"))
+    electKeep(b, idCol, Seq("band_idx", "band_key"))
+  }
+
+  /** The shared bucket-min election tail of every linear keep-filter
+    * ([[lshDedupKeep]], [[simhashDedupKeep]],
+    * `Similarity.embeddingDedupKeep`): groupBy-min (map-side partial agg)
+    * + join back, NOT a window over the bucket — a window would funnel a
+    * mega-bucket into one task, while the partial aggregate shrinks it on
+    * the map side and AQE splits any skewed join partition. Keeps a row
+    * iff it is the elected minimum of every bucket it occupies. */
+  private[operators] def electKeep(bucketed: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val bucketMin = bucketed.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("bucket_min"))
-    b.join(bucketMin, Seq("band_idx", "band_key"))
+    bucketed.join(bucketMin, keyCols)
       .groupBy(col(idCol))
       .agg(min(col("bucket_min")).as("rep_id"))
       .withColumn("keep", col("rep_id") === col(idCol))
@@ -269,35 +277,6 @@ object Dedup {
     * shuffle volume on a degenerate corpus; per-task memory here is bounded
     * by the triangle-split.
     */
-  /** Linear SimHash dedup keep-filter — band-bucket min-id election over
-    * the 64-bit fingerprint's bands, completing the {minhash, simhash,
-    * embedding} × {pairs-audit, keep-filter} matrix (same election shape
-    * as [[lshDedupKeep]] / `Similarity.embeddingDedupKeep`; the Hamming-
-    * verified pair audit is [[simhashNearDupPairs]]). Aggregate election,
-    * never a window: a hot band bucket shrinks map-side. */
-  def simhashDedupKeep(docs: DataFrame, textCol: String, idCol: String,
-                       bands: Int = 8,
-                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val chunk = 64 / bands
-    val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
-    val fps = docs.select(col(idCol), simhash(col(textCol), hashFn).as("fp"))
-    val bandArr = bindOnce(array(col("fp"))) { fpArr =>
-      transform(sequence(lit(0), lit(bands - 1)), bi =>
-        struct(bi.cast("int").as("band_idx"),
-          call_function("shiftright", element_at(fpArr, 1), bi * lit(chunk))
-            .bitwiseAND(lit(mask)).as("band_key")))
-    }
-    val b = fps.select(col(idCol), explode(bandArr).as("b"))
-      .select(col(idCol), col("b.band_idx"), col("b.band_key"))
-    val bucketMin = b.groupBy(col("band_idx"), col("band_key"))
-      .agg(min(col(idCol)).as("bucket_min"))
-    b.join(bucketMin, Seq("band_idx", "band_key"))
-      .groupBy(col(idCol))
-      .agg(min(col("bucket_min")).as("rep_id"))
-      .withColumn("keep", col("rep_id") === col(idCol))
-  }
-
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           maxDist: Int = 7, bands: Int = 8,
                           hashFn: Column => Column = xxhash64(_),
@@ -326,5 +305,28 @@ object Dedup {
     grouped.select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Linear SimHash dedup keep-filter — band-bucket min-id election over
+    * the 64-bit fingerprint's bands, completing the {minhash, simhash,
+    * embedding} × {pairs-audit, keep-filter} matrix (election shape shared
+    * via [[electKeep]]; the Hamming-verified pair audit is
+    * [[simhashNearDupPairs]] above). */
+  def simhashDedupKeep(docs: DataFrame, textCol: String, idCol: String,
+                       bands: Int = 8,
+                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val chunk = 64 / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
+    val fps = docs.select(col(idCol), simhash(col(textCol), hashFn).as("fp"))
+    val bandArr = bindOnce(array(col("fp"))) { fpArr =>
+      transform(sequence(lit(0), lit(bands - 1)), bi =>
+        struct(bi.cast("int").as("band_idx"),
+          call_function("shiftright", element_at(fpArr, 1), bi * lit(chunk))
+            .bitwiseAND(lit(mask)).as("band_key")))
+    }
+    val b = fps.select(col(idCol), explode(bandArr).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.band_key"))
+    electKeep(b, idCol, Seq("band_idx", "band_key"))
   }
 }

@@ -170,12 +170,16 @@ object Prep {
     * per-doc count. Shingles are hashed ([[h60]]) before the join so the
     * exchange carries 8-byte keys, never shingle strings.
     */
+  /** The benchmark-membership stand-in shared by the batch query and
+    * [[graft.streaming.DecontamStream]] — ONE definition, so the
+    * streaming ≡ batch contract cannot silently diverge. */
+  val isBenchDoc: Column = pmod(col("doc_id"), lit(10)) === 0
+
   def decontaminate(spark: SparkSession, dir: String, shingleK: Int = 3,
       hashFn: Column => Column = h60): DataFrame = {
     def docs = Tables.documents(spark, dir)
-    val isBench = pmod(col("doc_id"), lit(10)) === 0
-    decontaminateAgainst(docs.filter(!isBench),
-        benchShingleHashes(docs.filter(isBench), shingleK, hashFn), shingleK, hashFn)
+    decontaminateAgainst(docs.filter(!isBenchDoc),
+        benchShingleHashes(docs.filter(isBenchDoc), shingleK, hashFn), shingleK, hashFn)
       .orderBy("doc_id")
   }
 

@@ -248,12 +248,7 @@ object Similarity {
     val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
       ColumnBridge.expression(col("v")), allPlanes.toArray, bitsPerTable))
     val b = e.select(col("vec_id"), posexplode(bucketsCol).as(Seq("tbl", "bucket")))
-    val bucketMin = b.groupBy(col("tbl"), col("bucket"))
-      .agg(min(col("vec_id")).as("bucket_min"))
-    b.join(bucketMin, Seq("tbl", "bucket"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("bucket_min")).as("rep_id"))
-      .withColumn("keep", col("rep_id") === col("vec_id"))
+    Dedup.electKeep(b, "vec_id", Seq("tbl", "bucket"))
   }
 
   /** Exact near-duplicate pairs over a bounded id slice — the oracle-checked

@@ -52,8 +52,7 @@ object DecontamStream {
     * per batchId. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String): Unit = {
-    val isBench = pmod(col("doc_id"), lit(10)) === 0
-    Prep.benchShingleHashes(batch.filter(isBench))
+    Prep.benchShingleHashes(batch.filter(Prep.isBenchDoc))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$stateDir/bench_shingles/batch=$batchId")
     spark.catalog.refreshByPath(s"$stateDir/bench_shingles")
@@ -63,14 +62,26 @@ object DecontamStream {
     // distinct over batch dirs because the same shingle may enter the
     // state in several batches
     val bench = benchState(spark, stateDir, uptoBatch = batchId).distinct()
-    Prep.decontaminateAgainst(batch.filter(!isBench), bench)
+    Prep.decontaminateAgainst(batch.filter(!Prep.isBenchDoc), bench)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
 
-  /** The accumulated flag table (one row per delivered training doc). */
-  def readFlags(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("batch")
+  /** The accumulated flag table (one row per delivered training doc).
+    * Fresh or file-less output (no training doc delivered yet) reads as
+    * empty, like the state reads. */
+  def readFlags(spark: SparkSession, outDir: String): DataFrame = {
+    val empty = spark.range(0).select(col("id").as("doc_id"),
+      lit(false).as("contaminated"), lit(0L).as("n_shared"))
+    if (!graft.functions.FsUtils.fs(spark, outDir)
+        .exists(new org.apache.hadoop.fs.Path(outDir))) empty
+    else
+      try spark.read.parquet(outDir).drop("batch")
+      catch {
+        case e: AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+      }
+  }
 
   /** File-source wrapper: document parquet drops → incremental flags. */
   def run(spark: SparkSession, inDir: String, stateDir: String, outDir: String,

@@ -142,12 +142,17 @@ object OverviewStream {
       if (fs.exists(new org.apache.hadoop.fs.Path(root))) recoverCompact(fs, root)
     }
     val deltasPath = s"$stateDir/order_deltas"
+    val emptyDeltas = spark.range(0).select(lit("").as("tenant"), lit(0L).as("n_orders"),
+      lit(0.0).as("sum_price"), lit(null).cast("string").as("min_status"))
     val deltas =
-      if (graft.functions.FsUtils.fs(spark, deltasPath)
-          .exists(new org.apache.hadoop.fs.Path(deltasPath)))
-        spark.read.parquet(deltasPath)
-      else spark.range(0).select(lit("").as("tenant"), lit(0L).as("n_orders"),
-        lit(0.0).as("sum_price"), lit(null).cast("string").as("min_status"))
+      if (!graft.functions.FsUtils.fs(spark, deltasPath)
+          .exists(new org.apache.hadoop.fs.Path(deltasPath))) emptyDeltas
+      else
+        try spark.read.parquet(deltasPath)
+        catch { // every batch so far was empty → all delta dirs file-less
+          case e: AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyDeltas
+        }
     val totals = deltas.groupBy(col("tenant")).agg(
       sum("n_orders").cast("long").as("total_orders"),
       round(coalesce(sum("sum_price"), lit(0.0)), 2).as("total_revenue"),

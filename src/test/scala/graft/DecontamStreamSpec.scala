@@ -53,6 +53,15 @@ class DecontamStreamSpec extends AnyFunSuite with SparkSuite {
     assert(flags(out) == before)
   }
 
+  test("readFlags is empty on fresh state and after bench-only delivery") {
+    assert(DecontamStream.readFlags(spark, tmp() + "/none").collect().isEmpty)
+    val state = tmp(); val out = tmp()
+    // benchmark-only batch: training side is empty -> file-less out dir
+    DecontamStream.applyBatch(spark,
+      docs.filter(Prep.isBenchDoc), 0L, state, out)
+    assert(DecontamStream.readFlags(spark, out).collect().isEmpty)
+  }
+
   test("file-source wrapper flags end-to-end") {
     val state = tmp(); val out = tmp(); val in = tmp(); val ckpt = tmp()
     val isBench = pmod(col("doc_id"), lit(10)) === 0

@@ -122,6 +122,15 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     assert(OverviewStream.overview(spark, tmp() + "/none").collect().isEmpty)
   }
 
+  test("an empty FIRST batch leaves readable (zero-tenant) state") {
+    val state = tmp()
+    OverviewStream.applyBatch(spark, orders.limit(0), 0L, state)
+    // all delta dirs are file-less — overview must read as empty, not crash
+    assert(OverviewStream.overview(spark, state).collect().isEmpty)
+    OverviewStream.applyBatch(spark, orders, 1L, state)
+    assert(mvRows(state) == twinRows(orders))
+  }
+
   test("file-source wrapper maintains the MV end-to-end") {
     val state = tmp(); val in = tmp(); val ckpt = tmp()
     val b0 = orders.filter(col("o_orderkey") % 3 === 0)

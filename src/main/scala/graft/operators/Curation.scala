@@ -17,6 +17,15 @@ import graft.functions.TextFunctions._
   * Every stage is narrow (id + flags/scores shuffle at most); document text
   * rides only the first scan and the final projection. Output is one row
   * per surviving document.
+  *
+  * Round-6 note: two single-scan fusions of this pipeline (the exact stage
+  * as an extra election "band", stats riding the election as grouping keys
+  * / re-attached by a signature-free second scan) were built and measured
+  * SLOWER than this sequential form at sf0.1 — see PLANS.md ("curation
+  * fusion A/B") for the numbers and why. The sequential form also keeps the
+  * exact stage strictly md5-keyed. The big round-6 win here came instead
+  * from [[Dedup.electKeep]]'s shared-exchange election (signatures computed
+  * once, not once per election branch).
   */
 object Curation {
 

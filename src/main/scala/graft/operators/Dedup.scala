@@ -201,7 +201,7 @@ object Dedup {
                    hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK, hashFn)
     val b = lshBands(sigs, idCol, numPerm, bands)
-    electKeep(b, idCol, Seq("band_idx", "band_key"))
+    electKeep(b, idCol, Seq("band_idx", "band_key"), shareInput = true)
   }
 
   /** The shared bucket-min election tail of every linear keep-filter
@@ -211,12 +211,34 @@ object Dedup {
     * mega-bucket into one task, while the partial aggregate shrinks it on
     * the map side and AQE splits any skewed join partition. Keeps a row
     * iff it is the elected minimum of every bucket it occupies. */
+  /** @param shareInput when true, the bucketed input — consumed by BOTH the
+    *   bucket-min aggregate and the probe side of the join-back — is
+    *   repartitioned on the bucket keys so the two branches read ONE shared
+    *   exchange (AQE stage reuse) instead of each re-executing the subtree
+    *   from the scan. Worth it when building the buckets is expensive (the
+    *   MinHash signature Generate); a loss when it is cheap (hyperplane
+    *   buckets over a narrow embeddings scan) — then the extra full-width
+    *   exchange costs more than the recompute it saves.
+    * @param carryCols per-id-constant scalars to ride through the election's
+    *   shuffles (grouping keys, not first() aggregates: a string in the
+    *   aggregation BUFFER would demote the whole aggregate to SortAggregate).
+    */
   private[operators] def electKeep(bucketed: DataFrame, idCol: String,
-      keyCols: Seq[String]): DataFrame = {
-    val bucketMin = bucketed.groupBy(keyCols.map(col): _*)
+      keyCols: Seq[String], carryCols: Seq[String] = Nil,
+      shareInput: Boolean = false): DataFrame = {
+    // the explicit isNotNull matters under shareInput: a consumer above
+    // (e.g. a semi-join on the elected ids) infers isnotnull(id) and pushes
+    // it down the PROBE branch only — the two branches then canonicalize
+    // differently and stage reuse is lost. Filtering null ids symmetrically
+    // (they can't win or matter in an election) keeps the subtrees identical.
+    val parted =
+      if (shareInput) bucketed.filter(col(idCol).isNotNull)
+        .repartition(keyCols.map(col): _*)
+      else bucketed
+    val bucketMin = parted.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("bucket_min"))
-    bucketed.join(bucketMin, keyCols)
-      .groupBy(col(idCol))
+    parted.join(bucketMin, keyCols)
+      .groupBy((idCol +: carryCols).map(col): _*)
       .agg(min(col("bucket_min")).as("rep_id"))
       .withColumn("keep", col("rep_id") === col(idCol))
   }
@@ -314,7 +336,8 @@ object Dedup {
     * [[simhashNearDupPairs]] above). */
   def simhashDedupKeep(docs: DataFrame, textCol: String, idCol: String,
                        bands: Int = 8,
-                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+                       hashFn: Column => Column = xxhash64(_),
+                       shareInput: Boolean = true): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val chunk = 64 / bands
     val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
@@ -327,6 +350,6 @@ object Dedup {
     }
     val b = fps.select(col(idCol), explode(bandArr).as("b"))
       .select(col(idCol), col("b.band_idx"), col("b.band_key"))
-    electKeep(b, idCol, Seq("band_idx", "band_key"))
+    electKeep(b, idCol, Seq("band_idx", "band_key"), shareInput = shareInput)
   }
 }

@@ -240,7 +240,8 @@ object Similarity {
     * exact cosine verification is [[embeddingNearDupLsh]].
     */
   def embeddingDedupKeep(embeddings: DataFrame, dim: Int,
-      nTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+      nTables: Int = 16, bitsPerTable: Int = 4,
+      shareInput: Boolean = true): DataFrame = {
     val allPlanes = hyperplanes(dim, nTables * bitsPerTable)
     import org.apache.spark.sql.graft.{ColumnBridge, HyperplaneBuckets}
     val e = embeddings
@@ -248,7 +249,7 @@ object Similarity {
     val bucketsCol = ColumnBridge.column(HyperplaneBuckets(
       ColumnBridge.expression(col("v")), allPlanes.toArray, bitsPerTable))
     val b = e.select(col("vec_id"), posexplode(bucketsCol).as(Seq("tbl", "bucket")))
-    Dedup.electKeep(b, "vec_id", Seq("tbl", "bucket"))
+    Dedup.electKeep(b, "vec_id", Seq("tbl", "bucket"), shareInput = shareInput)
   }
 
   /** Exact near-duplicate pairs over a bounded id slice — the oracle-checked

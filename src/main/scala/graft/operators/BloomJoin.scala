@@ -102,6 +102,21 @@ object BloomJoin {
       .join(build, col(probeKey) === col(buildKey))
   }
 
+  /** [[bloomPrunedJoin]] with the filter SIZED for the build side's key
+    * count (from table stats or a first-pass count) instead of the fixed
+    * 1-Mbit default. The fixed default quietly saturates once the build
+    * side outgrows ~100k keys — FPP → 1, the filter prunes nothing, and
+    * the "pruned" join degrades to the plain join plus wasted hashing
+    * (measured: the round-6 ScaleBench 64× amplification). At 100 TB,
+    * sizing from stats is the difference between a bloom join and a no-op.
+    */
+  def bloomPrunedJoinSized(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val (m, k) = sizedFor(expectedKeys, fpp)
+    bloomPrunedJoin(probe, build, probeKey, buildKey, numBits = m, numHashes = k)
+  }
+
   /** Gate query: lineitem rows of URGENT orders, summarized by return flag.
     * The orders build side is re-derived for the bloom and the join (a bare
     * pushed-filter scan — cheaper than caching at this size); the lineitem

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (round-6 item 1): measure how the linear dedup /
+  * decontamination / bloom-join paths GROW when the corpus is
+  * union-amplified 8× and 64× with re-keyed ids (the SkewBench pattern —
+  * values repeat, keys stay unique, so every LSH/content bucket grows by
+  * the amplification factor: a dup-heavy worst case, not a friendly one).
+  *
+  * For each (query, factor) it records wall time (min of 2), total shuffle
+  * write, and spill; the scaling exponent alpha = log(t64/t8)/log(8) is
+  * the 8×→64× slope — ~1.0 is linear growth, and the fixed-overhead floor
+  * in the 1× point is excluded by construction. A planted mega-bucket
+  * variant (30% of all docs share ONE text) stresses the election's
+  * degenerate-skew path beyond anything amplification produces naturally.
+  *
+  * Results → STRESS.md.
+  */
+object ScaleBench {
+
+  /** Aggregates shuffle/spill across all stages between snapshots. */
+  private class Metrics extends SparkListener {
+    @volatile var shufWrite = 0L
+    @volatile var spill = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite += m.shuffleWriteMetrics.bytesWritten
+        spill += m.memoryBytesSpilled + m.diskBytesSpilled
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    import graft.operators.{BloomJoin, Dedup, Prep, Similarity}
+    import graft.Tables
+
+    /** k exact copies of every row, ids re-keyed to stay unique. */
+    def amplify(df: DataFrame, idCol: String, k: Int): DataFrame =
+      df.select(col("*"), explode(sequence(lit(0L), lit(k - 1L))).as("rep"))
+        .withColumn(idCol, col(idCol) * k + col("rep"))
+        .drop("rep")
+
+    def docsX(k: Int) = amplify(Tables.documents(spark, sf), "doc_id", k)
+    def embsX(k: Int) = amplify(Tables.embeddings(spark, sf), "vec_id", k)
+    // 30% of ALL rows share one text -> one content/LSH bucket holds 0.3n
+    // members in EVERY band
+    def megaDocs(k: Int) = docsX(k).withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) < 3, lit("the shared mega bucket document text"))
+        .otherwise(col("text")))
+
+    /** Fixed-1Mbit vs stats-sized bloom: the fixed filter saturates at 64×
+      * (1.9M build keys into 2^20 bits — FPP→1, prunes nothing). */
+    def bloomCase(k: Int, sized: Boolean): DataFrame = {
+      val probe = amplify(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_returnflag",
+          "l_quantity", "l_extendedprice"), "l_orderkey", k)
+      val dim = amplify(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey"), "o_orderkey", k)
+      val joined =
+        if (sized) BloomJoin.bloomPrunedJoinSized(probe, dim, "l_orderkey", "o_orderkey",
+          expectedKeys = dim.count()) // the "from stats" count, measured in-run
+        else BloomJoin.bloomPrunedJoin(probe, dim, "l_orderkey", "o_orderkey")
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }
+
+    val factors = Seq(1, 8, 64)
+    val cases: Seq[(String, Int => DataFrame)] = Seq(
+      "minhash_dedup_keep" -> (k => Dedup.lshDedupKeep(docsX(k), "text", "doc_id",
+        numPerm = 64, bands = 8, shingleK = 1)),
+      "simhash_dedup_keep" -> (k => Dedup.simhashDedupKeep(docsX(k), "text", "doc_id")),
+      "embedding_dedup_keep" -> (k => Similarity.embeddingDedupKeep(embsX(k), dim = 64)),
+      "decontaminate" -> { k =>
+        val docs = Tables.documents(spark, sf)
+        val isBench = pmod(col("doc_id"), lit(20)) === 0
+        Prep.decontaminateAgainst(
+          amplify(docs.filter(!isBench), "doc_id", k),
+          Prep.benchShingleHashes(docs.filter(isBench), hashFn = xxhash64(_)),
+          hashFn = xxhash64(_))
+      },
+      "bloom_join_fixed_1mbit" -> (k => bloomCase(k, sized = false)),
+      "bloom_join_sized" -> (k => bloomCase(k, sized = true)),
+      "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
+        numPerm = 64, bands = 8, shingleK = 1)))
+
+    def run(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    Tables.documents(spark, sf).count() // warm IO
+    println("case,factor,sec_min_of_2,shuffle_mb,spill_mb,out_rows")
+    val rows = for ((name, mk) <- cases; k <- factors) yield {
+      run(mk(k)) // warm codegen/plan for this (case, k)
+      metrics.shufWrite = 0; metrics.spill = 0
+      val t1 = run(mk(k))
+      val (s1, p1) = (metrics.shufWrite, metrics.spill)
+      metrics.shufWrite = 0; metrics.spill = 0
+      val t2 = run(mk(k))
+      val t = math.min(t1, t2)
+      val (s, p) = (s1, p1) // metrics of a single full run
+      val line = f"$name,$k,$t%.2f,${s / 1e6}%.1f,${p / 1e6}%.1f"
+      println(line)
+      (name, k, t)
+    }
+    println("---- scaling exponents (8x -> 64x slope; 1.0 = linear) ----")
+    for ((name, _) <- cases) {
+      val ts = rows.filter(_._1 == name).map(r => r._2 -> r._3).toMap
+      val alpha = math.log(ts(64) / ts(8)) / math.log(8.0)
+      println(f"$name%-22s t1=${ts(1)}%.2f t8=${ts(8)}%.2f t64=${ts(64)}%.2f alpha=$alpha%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -105,6 +105,7 @@ object SparkEntry {
             <= 0.15).as("approx_within_15pct"))),
     "custkeys_intersect" -> Analytics.custkeysIntersect _,
     "custkeys_intersect_approx" -> Analytics.custkeysIntersectApprox _,
+    "custkeys_intersect_theta" -> Analytics.custkeysIntersectTheta _,
     "custkeys_except" -> Analytics.custkeysExcept _,
     // ingestion / merge (SURVEY §2.1 S1+S4, §2.6 F5-F9)
     "upsert_orders" -> (upsertOrders _),
@@ -338,6 +339,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "custkeys_intersect" -> Analytics.custkeysIntersectSql,
     "custkeys_intersect_approx" -> Analytics.custkeysIntersectApproxSql,
+    "custkeys_intersect_theta" -> Analytics.custkeysIntersectThetaSql,
     "custkeys_except" -> Analytics.custkeysExceptSql,
     "upsert_orders" -> upsertOrdersSql,
     "ingest_normalize" -> Ingest.ingestNormalizeSql,

@@ -409,6 +409,42 @@ object Analytics {
       |TRUE AS approx_within_25pct
       |FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)""".stripMargin
 
+  /** Theta-sketch upgrade of [[custkeysIntersectApprox]]: HLL only unions
+    * (the intersect needed inclusion-exclusion across three sketches, whose
+    * errors ADD); a theta sketch intersects directly with its own bound.
+    * Gate contract is the same — exact counts are the harness, the sketch
+    * estimate is asserted within the documented bound (deterministic: the
+    * k smallest distinct hashes don't depend on order or partitioning).
+    * The production 100 TB query is the two sketch aggregates alone: one
+    * pass each, 8 KB mergeable state, no distinct shuffle.
+    */
+  def custkeysIntersectTheta(spark: SparkSession, dir: String): DataFrame = {
+    def base = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+    val exact = base.agg(
+      countDistinct(when(year(col("o_orderdate")) === 1996, col("o_custkey"))).as("n_1996"),
+      countDistinct(when(year(col("o_orderdate")) === 1997, col("o_custkey"))).as("n_1997"),
+      countDistinct(col("o_custkey")).as("n_union"))
+    def yearSketch(y: Int, as: String) =
+      base.filter(year(col("o_orderdate")) === y)
+        .agg(ThetaSketch.sketch(xxhash64(col("o_custkey"))).as(as))
+    val est = ThetaSketch.intersectionEstimate(col("sa"), col("sb"))
+    val nInter = (col("n_1996") + col("n_1997") - col("n_union")).cast("double")
+    exact.crossJoin(yearSketch(1996, "sa")).crossJoin(yearSketch(1997, "sb"))
+      .select(col("n_1996"), col("n_1997"),
+        nInter.cast("long").as("n_intersect"),
+        (abs(est - nInter) <= nInter * 0.25).as("theta_within_25pct"))
+  }
+
+  val custkeysIntersectThetaSql: String =
+    """SELECT CAST(COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1996 THEN o_custkey END) AS BIGINT) AS n_1996,
+      |CAST(COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1997 THEN o_custkey END) AS BIGINT) AS n_1997,
+      |CAST(COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1996 THEN o_custkey END)
+      | + COUNT(DISTINCT CASE WHEN YEAR(o_orderdate) = 1997 THEN o_custkey END)
+      | - COUNT(DISTINCT o_custkey) AS BIGINT) AS n_intersect,
+      |TRUE AS theta_within_25pct
+      |FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)""".stripMargin
+
   def custkeysExcept(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val y1 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")

@@ -188,4 +188,54 @@ object Ingest {
       |ROUND(AVG(p_retailprice), 2) AS avg_price,
       |ROUND(SUM(p_retailprice), 2) AS total_price
       |FROM part GROUP BY p_brand ORDER BY vendor""".stripMargin
+
+  // --- paged REST fetch (`services/shopifyApi.js:17-45`) ---------------------
+  // The reference GETs one page (250-row cap) and stops; a faithful client
+  // follows the pagination cursor until exhausted. The fetch itself is
+  // driver-side and inherently sequential (each cursor comes from the
+  // previous response) — that is fine for what REST paging is for:
+  // dimension-sized syncs (customers, products). Corpus-scale ingest lands
+  // files and goes through the batch/streaming sources instead; this helper
+  // exists so the one reference behavior with no engine counterpart has a
+  // tested seam. Zero-egress container ⇒ the page function is injected
+  // (unit tests stub it; a real deployment passes an HTTP closure).
+
+  /** Paged fetch → one `payload` string column, ready for the
+    * `normalize*` decoders. Pages are pulled on the driver (sequential by
+    * nature of cursor paging; driver memory = one sync's payloads — the
+    * dimension-sized contract above), then distributed so decode +
+    * downstream transforms run on executors.
+    */
+  def pagedPayloads(spark: SparkSession,
+                    fetchPage: Option[String] => (Seq[String], Option[String]),
+                    numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(fetchAllPages(fetchPage)).toDF("payload")
+    if (numPartitions > 0) ds.repartition(numPartitions) else ds
+  }
+
+  /** Follow a cursor-paged fetch to exhaustion.
+    *
+    * @param fetchPage None = first page; Some(cursor) = continue. Returns
+    *   the page's raw payload documents and the next cursor (None = done).
+    * @param maxPages  runaway-pagination guard (a buggy server that echoes
+    *   a constant cursor would otherwise loop forever).
+    */
+  def fetchAllPages(
+      fetchPage: Option[String] => (Seq[String], Option[String]),
+      maxPages: Int = 100000): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var cursor: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done) {
+      require(pages < maxPages, s"pagination did not terminate within $maxPages pages")
+      val (rows, next) = fetchPage(cursor)
+      out ++= rows
+      pages += 1
+      cursor = next
+      done = next.isEmpty
+    }
+    out.result()
+  }
 }

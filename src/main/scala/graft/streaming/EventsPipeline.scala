@@ -198,10 +198,22 @@ object EventsPipeline {
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,
                     checkpointDir: String, schemaFrom: DataFrame,
                     runLogDir: Option[String] = None,
-                    dailyAggDir: Option[String] = None): StreamingQuery = {
-    val src = spark.readStream
-      .schema(schemaFrom.schema)
-      .parquet(inDir)
+                    dailyAggDir: Option[String] = None): StreamingQuery =
+    runStream(spark,
+      spark.readStream.schema(schemaFrom.schema).parquet(inDir),
+      outDir, checkpointDir, runLogDir, dailyAggDir)
+
+  /** The pipeline itself, source-agnostic: mount dedup → partitioned merge →
+    * MV refresh → run log on ANY streaming DataFrame with the events schema
+    * (file drop-dir above; Kafka would be `spark.readStream.format("kafka")…
+    * select(from_json(…))` — the connector jar is absent from this image,
+    * but nothing below the source line knows or cares; StreamingSpec proves
+    * the same pipeline from a MemoryStream with zero operator changes).
+    */
+  def runStream(spark: SparkSession, src: DataFrame, outDir: String,
+                checkpointDir: String,
+                runLogDir: Option[String] = None,
+                dailyAggDir: Option[String] = None): StreamingQuery = {
     dedupStreaming(src)
       .writeStream
       .option("checkpointLocation", checkpointDir)

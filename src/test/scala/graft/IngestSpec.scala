@@ -59,4 +59,33 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       .as[String].collect()
     assert(r.toSeq == Seq("Ada Lovelace", "Ada", "Lovelace", ""))
   }
+
+  test("paged fetch: stubbed 250-row pager reproduces ingest_customers exactly") {
+    // the wire payloads a cursor-paged REST sync would deliver, pre-sliced
+    // into pages (the reference caps pages at 250 rows,
+    // services/shopifyApi.js:24; 40 here so sf0.001's 150 customers span a
+    // real multi-page cursor chain)
+    val pages = Ingest.customerPayloadsFrom(
+        Tables.customer(spark, Sf0001).orderBy("c_custkey"))
+      .as[String].collect().grouped(40).toVector
+    var calls = 0
+    def pager(cursor: Option[String]): (Seq[String], Option[String]) = {
+      calls += 1
+      val i = cursor.map(_.toInt).getOrElse(0)
+      (pages(i).toSeq, if (i + 1 < pages.size) Some((i + 1).toString) else None)
+    }
+    val viaPaged = Ingest.normalizeCustomers(
+      Ingest.pagedPayloads(spark, pager, numPartitions = 4))
+    val direct = SparkEntry.queries("ingest_customers")(spark, Sf0001)
+    assert(calls == pages.size, "every page fetched exactly once")
+    assert(viaPaged.count() == direct.count())
+    assert(viaPaged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaPaged).count() == 0)
+  }
+
+  test("paged fetch: runaway cursor chain fails loudly") {
+    intercept[IllegalArgumentException] {
+      Ingest.fetchAllPages(_ => (Seq("x"), Some("same")), maxPages = 10)
+    }
+  }
 }

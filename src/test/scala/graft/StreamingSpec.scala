@@ -175,6 +175,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(runs.length >= 2 && runs.forall(_._2 == "completed"), runs.mkString(","))
   }
 
+  test("same pipeline from a NON-FILE source (MemoryStream), zero operator changes") {
+    // S6 source-agnosticism: runStream is the identical dedup + partitioned
+    // merge + run-log pipeline runFileStream mounts on a drop dir — here fed
+    // from an in-memory source the way a Kafka reader would feed it
+    val tmp = java.nio.file.Files.createTempDirectory("graft-memstream").toString
+    val outDir = s"$tmp/out"
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(sample.take(3): _*)
+    val q = EventsPipeline.runStream(spark, mem.toDF(), outDir, s"$tmp/ckpt",
+      runLogDir = Some(s"$tmp/runs"))
+    try {
+      q.processAllAvailable()
+      mem.addData(sample.drop(3) :+ Ev(4L, t("2024-01-02 10:00:00"), 5L, "view", 9.0, "{}"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L), s"got ${out.toSeq}")
+    val runs = spark.read.parquet(s"$tmp/runs").select("status").as[String].collect()
+    assert(runs.nonEmpty && runs.forall(_ == "completed"), runs.mkString(","))
+  }
+
   test("incremental daily aggregate equals the batch twin across arbitrary batch splits") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dailyagg").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"

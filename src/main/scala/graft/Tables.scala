@@ -15,8 +15,21 @@ import org.apache.spark.sql.functions._
   * (e.g. `orders/o_orderdate=.../`), where partition pruning kicks in on top.
   */
 object Tables {
+  /** One resolved scan DataFrame per (session, path): `spark.read.parquet`
+    * re-lists the directory and re-reads parquet footers on EVERY call, and
+    * a 75-query surface calls these loaders hundreds of times per run —
+    * that relation-construction floor is pure driver-side overhead. A
+    * catalog table gets exactly this caching from the metastore; these
+    * path-based loaders memoize the immutable driver testdata the same way.
+    * (DataFrames are immutable — sharing one across queries is safe; keyed
+    * by session so a stopped session's relations are never reused.)
+    */
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def p(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, path) => s.read.parquet(path) })
 
   def region(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "nation")

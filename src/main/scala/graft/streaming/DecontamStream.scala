@@ -50,10 +50,14 @@ object DecontamStream {
   /** Fold one document micro-batch: grow the benchmark state, then flag
     * the batch's training docs against the accumulated state. Idempotent
     * per batchId. */
+  /** @param stateWriteParts files per state/output write — O(batch
+    *   shingles) / O(batch docs) rows; raise it if a huge benchmark drop
+    *   would serialize the single write task (cf.
+    *   [[OverviewStream.applyBatch]]). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String): Unit = {
+      stateDir: String, outDir: String, stateWriteParts: Int = 1): Unit = {
     Prep.benchShingleHashes(batch.filter(Prep.isBenchDoc))
-      .coalesce(1)
+      .coalesce(stateWriteParts)
       .write.mode("overwrite").parquet(s"$stateDir/bench_shingles/batch=$batchId")
     spark.catalog.refreshByPath(s"$stateDir/bench_shingles")
     // state ≤ this batch: same-batch benchmark docs apply to same-batch
@@ -63,7 +67,7 @@ object DecontamStream {
     // state in several batches
     val bench = benchState(spark, stateDir, uptoBatch = batchId).distinct()
     Prep.decontaminateAgainst(batch.filter(!Prep.isBenchDoc), bench)
-      .coalesce(1)
+      .coalesce(stateWriteParts)
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
 

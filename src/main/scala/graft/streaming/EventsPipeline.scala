@@ -383,6 +383,30 @@ object EventsPipeline {
     fs.delete(tmpPath, true)
   }
 
+  /** Stateful-operator metrics from a (running or stopped) query's recent
+    * progress: one row per (micro-batch, state operator) with the state row
+    * count, rows updated, and memory footprint. This is the observability
+    * the run-log rows can't carry (foreachBatch runs BEFORE the trigger's
+    * progress is finalized): state growth must be watched, because
+    * `dropDuplicatesWithinWatermark` state is bounded by the watermark
+    * horizon — StreamingSpec asserts it stays O(horizon), not O(stream) —
+    * and a misconfigured watermark shows up here first.
+    */
+  def stateProgress(spark: SparkSession, q: StreamingQuery): DataFrame = {
+    import spark.implicits._
+    q.recentProgress.toSeq.flatMap { p =>
+      p.stateOperators.map(s =>
+        (p.batchId, s.operatorName, s.numRowsTotal, s.numRowsUpdated,
+          s.numRowsRemoved, s.memoryUsedBytes))
+    }.toDF("batch_id", "operator", "n_rows_total", "n_rows_updated",
+      "n_rows_removed", "memory_bytes")
+  }
+
+  /** Append [[stateProgress]] to a parquet log (companion to the per-batch
+    * run log; call on stop or on a timer). */
+  def logStateProgress(spark: SparkSession, q: StreamingQuery, dir: String): Unit =
+    stateProgress(spark, q).write.mode("append").parquet(dir)
+
   /** Batch-run bookkeeping — the reference's `ingestion_runs` table +
     * `last_backfill_at` (`migrations/init.sql:126-135,12`, SURVEY.md §2.7)
     * as an append-only parquet log, one row per micro-batch with status and

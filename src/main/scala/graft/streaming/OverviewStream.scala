@@ -106,9 +106,17 @@ object OverviewStream {
     }
   }
 
-  /** Fold one orders micro-batch into the state. Idempotent per batchId. */
+  /** Fold one orders micro-batch into the state. Idempotent per batchId.
+    *
+    * @param stateWriteParts output files per state write. The rows are
+    *   O(tenants in batch) / O(new customers in batch) — tiny for this
+    *   domain, so one file (one write task) is right. A very wide tenant
+    *   or customer universe would serialize that single task: raise this
+    *   to spread the write (the read side and compaction are
+    *   file-count-agnostic).
+    */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      stateDir: String): Unit = {
+      stateDir: String, stateWriteParts: Int = 1): Unit = {
     val b = batch.select(col("o_orderpriority").as("tenant"),
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
     // one row per tenant present in the batch (an empty batch writes a
@@ -118,7 +126,7 @@ object OverviewStream {
         count(lit(1)).as("n_orders"),
         coalesce(sum("o_totalprice"), lit(0.0)).as("sum_price"),
         min("o_orderstatus").as("min_status"))
-      .coalesce(1)
+      .coalesce(stateWriteParts)
       .write.mode("overwrite").parquet(s"$stateDir/order_deltas/batch=$batchId")
     val newCust = b.select(col("tenant"), col("o_custkey")).distinct()
       .join(seenCustomers(spark, stateDir, excludeBatch = batchId),
@@ -127,7 +135,7 @@ object OverviewStream {
       // reads sibling batch= files under the directory being written
       // (pruned, but the write invalidates the shared FileStatusCache)
       .localCheckpoint(true)
-    newCust.coalesce(1)
+    newCust.coalesce(stateWriteParts)
       .write.mode("overwrite").parquet(s"$stateDir/seen_customers/batch=$batchId")
     spark.catalog.refreshByPath(s"$stateDir/seen_customers")
   }

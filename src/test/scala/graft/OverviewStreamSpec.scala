@@ -43,6 +43,30 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     assert(one == OverviewStream.overviewBatch(orders).collect().head)
   }
 
+  test("state size is O(domain): log grows O(batch), compaction folds it back") {
+    val state = tmp()
+    // ten single-slice deliveries of the same orders table
+    val slices = (0 until 10).map(i => orders.filter(col("o_orderkey") % 10 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      OverviewStream.applyBatch(spark, b, i.toLong, state)
+    }
+    val tenants = orders.select("o_orderpriority").distinct().count()
+    val custPairs = orders.select(col("o_orderpriority"), col("o_custkey"))
+      .distinct().count()
+    // the append-only delta log grows with batches (≤ tenants per batch)...
+    val deltaRows = spark.read.parquet(s"$state/order_deltas").count()
+    assert(deltaRows <= 10 * tenants && deltaRows > tenants)
+    // ...but seen_customers NEVER re-records a customer: its total row count
+    // is exactly the distinct (tenant, custkey) domain however the stream
+    // was split — the anti-join keeps the log O(domain), not O(deliveries)
+    assert(spark.read.parquet(s"$state/seen_customers").count() == custPairs)
+    // compaction folds the delta log to O(tenants) + the newest batch
+    OverviewStream.compactState(spark, state)
+    val compacted = spark.read.parquet(s"$state/order_deltas").count()
+    assert(compacted <= 2 * tenants, s"delta log after compaction: $compacted rows")
+    assert(mvRows(state) == twinRows(orders), "MV unchanged by compaction")
+  }
+
   test("replaying a batch is a no-op (idempotent batch=<id> commits)") {
     val state = tmp()
     val b0 = orders.filter(col("o_orderkey") % 2 === 0)

@@ -196,6 +196,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(runs.nonEmpty && runs.forall(_ == "completed"), runs.mkString(","))
   }
 
+  test("dedup state is bounded by the watermark horizon, not stream length") {
+    // six day-spaced deliveries of 50 events each through the full pipeline;
+    // with a 1-hour watermark each delivery expires the previous one's keys,
+    // so dedup state must hover at O(one delivery), not O(all six)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-statebound").toString
+    val mem = MemoryStream[Ev](spark)
+    val q = EventsPipeline.runStream(spark, mem.toDF(), s"$tmp/out", s"$tmp/ckpt")
+    val perBatch = 50
+    try {
+      for (day <- 1 to 6) {
+        mem.addData((0 until perBatch).map { i =>
+          Ev(day * 1000L + i, t(f"2024-01-0$day 10:00:00"), i.toLong, "click", 1.0, "{}")
+        }: _*)
+        q.processAllAvailable()
+      }
+      EventsPipeline.logStateProgress(spark, q, s"$tmp/state_log")
+    } finally q.stop()
+    val log = spark.read.parquet(s"$tmp/state_log")
+    val lastTotal = log.orderBy(col("batch_id").desc)
+      .select("n_rows_total").as[Long].head()
+    val maxTotal = log.agg(max("n_rows_total")).as[Long].head()
+    assert(lastTotal <= 2L * perBatch,
+      s"state after 6 deliveries holds $lastTotal rows — not bounded by the watermark horizon")
+    assert(maxTotal < 6L * perBatch,
+      s"state peaked at $maxTotal — grew with stream length")
+    // all six deliveries actually landed
+    assert(spark.read.parquet(s"$tmp/out").count() == 6L * perBatch)
+  }
+
   test("incremental daily aggregate equals the batch twin across arbitrary batch splits") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dailyagg").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"

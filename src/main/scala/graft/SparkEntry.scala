@@ -256,6 +256,17 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKCached(Tables.embeddings(s, d), d, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
+    // same contract against the cluster-partitioned ON-DISK index (built
+    // idempotently under /tmp per sf dir): the candidate scan lists and
+    // opens only the probed `cluster=` directories — partition pruning is
+    // the plan, not a comment (SimilaritySpec asserts PartitionFilters)
+    "ann_ivf_topk_indexed" -> ((s: SparkSession, d: String) => {
+      val cents = Similarity.trainedCentroids(Tables.embeddings(s, d), d)
+      val path = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.buildIndex(Tables.embeddings(s, d), cents, path)
+      Similarity.ivfTopKIndexed(s, path, cents, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [EXT] multimodal plumbing (meta/resize are narrow → gate-sorted at the
     // base scan, see Tables.documentsById; frames keeps orderBy — it has a
     // join below, so sampling reuses its shuffle instead of re-executing)
@@ -304,6 +315,7 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> PortableOracles.embeddingNearDupLshSql,
     "embedding_dedup_keep" -> PortableOracles.embeddingDedupKeepSql,
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
+    "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
     "orders_overview_dc" -> streaming.OverviewStream.overviewBatchSql,

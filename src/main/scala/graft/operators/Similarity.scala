@@ -122,15 +122,22 @@ object Similarity {
     * partition BY cluster (partition pruning then serves the nprobe scan).
     */
   def ivfTopKAssigned(assigned: DataFrame, cents: Seq[(Int, Seq[Double])],
-                      probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    // nprobe nearest clusters per probe: sort the literal dist structs
-    // in-expression, take the first nprobe — no crossJoin, no window
-    val probes = assigned.filter(col("vec_id").isin(probeIds: _*))
+                      probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    ivfScoreTail(probeClusters(assigned, cents, probeIds, nprobe),
+      assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster")), k)
+
+  /** nprobe nearest clusters per probe: sort the literal dist structs
+    * in-expression, take the first nprobe — no crossJoin, no window. */
+  private def probeClusters(assigned: DataFrame, cents: Seq[(Int, Seq[Double])],
+                            probeIds: Seq[Long], nprobe: Int): DataFrame =
+    assigned.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(slice(array_sort(distStructs(col("v"), cents)), 1, nprobe)
           .getField("cluster")).as("cluster"))
 
-    val cands = assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
+  /** Shared scoring tail: broadcast tiny probes into the inverted lists,
+    * exact cosine, bounded per-probe top-k. */
+  private def ivfScoreTail(probes: DataFrame, cands: DataFrame, k: Int): DataFrame =
     broadcast(probes).join(cands, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
@@ -139,6 +146,34 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rn") <= k)
       .select("query_id", "cand_id", "sim")
+
+  /** Materialize the inverted-list index CLUSTER-PARTITIONED on disk —
+    * `path/cluster=<id>/…` — so a query's candidate read lists and opens
+    * ONLY its nprobe inverted lists (PartitionFilters, proven in
+    * SimilaritySpec). At 100 TB this is the layout that makes nprobe/k of
+    * the corpus the read cost instead of a full scan with a post-filter.
+    */
+  def buildIndex(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                 path: String): Unit =
+    assign(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** IVF top-k against a [[buildIndex]]-materialized on-disk index. The
+    * probe rows are looked up by id (row-group-stat skip; a service would
+    * carry the query vectors client-side instead), their nprobe inverted
+    * lists resolved to a STATIC cluster list (O(probes·nprobe) driver
+    * rows), and the candidate scan is partition-pruned to exactly those
+    * `cluster=` directories.
+    */
+  def ivfTopKIndexed(spark: SparkSession, path: String, cents: Seq[(Int, Seq[Double])],
+                     probeIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val probes = probeClusters(idx, cents, probeIds, nprobe)
+    val probed = probes.select("cluster").distinct().collect()
+      .map(_.get(0) match { case n: java.lang.Number => n.intValue }).toSeq
+    val cands = idx.filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
+    ivfScoreTail(probes, cands, k)
   }
 
   /** Incremental index maintenance: assign a batch of NEW embeddings
@@ -150,7 +185,7 @@ object Similarity {
   def appendAssigned(newEmbeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                      assignedPath: String): Unit =
     assign(newEmbeddings, cents)
-      .write.mode("append").parquet(assignedPath)
+      .write.mode("append").partitionBy("cluster").parquet(assignedPath)
 
   /** Convenience: train-or-reuse the quantizer via the session cache. */
   def ivfTopKCached(embeddings: DataFrame, cacheKey: String,

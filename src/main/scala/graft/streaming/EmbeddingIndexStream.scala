@@ -33,8 +33,11 @@ object EmbeddingIndexStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // cluster-partitioned inside the idempotent batch dir: queries
+        // partition-prune to their nprobe `cluster=` dirs across all batches
         Similarity.assign(batch, cents)
-          .write.mode("overwrite").parquet(s"$assignedDir/batch=$batchId")
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$assignedDir/batch=$batchId")
         ()
       }
       .start()

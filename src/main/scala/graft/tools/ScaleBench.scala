@@ -81,8 +81,12 @@ object ScaleBench {
         .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
     }
 
-    val factors = Seq(1, 8, 64)
-    val cases: Seq[(String, Int => DataFrame)] = Seq(
+    // e.g. SPARK_GRAFT_SCALE_FACTORS=1,8,64,256 SPARK_GRAFT_SCALE_CASES=minhash_dedup_keep,mega_bucket_election
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,8,64")
+      .split(",").map(_.trim.toInt).toSeq
+    val caseFilter = sys.env.get("SPARK_GRAFT_SCALE_CASES")
+      .map(_.split(",").map(_.trim).toSet)
+    val allCases: Seq[(String, Int => DataFrame)] = Seq(
       "minhash_dedup_keep" -> (k => Dedup.lshDedupKeep(docsX(k), "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1)),
       "simhash_dedup_keep" -> (k => Dedup.simhashDedupKeep(docsX(k), "text", "doc_id")),
@@ -99,6 +103,7 @@ object ScaleBench {
       "bloom_join_sized" -> (k => bloomCase(k, sized = true)),
       "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1)))
+    val cases = caseFilter.fold(allCases)(f => allCases.filter(c => f(c._1)))
 
     def run(df: DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -121,11 +126,14 @@ object ScaleBench {
       println(line)
       (name, k, t)
     }
-    println("---- scaling exponents (8x -> 64x slope; 1.0 = linear) ----")
+    println("---- scaling exponents (slope between the two LARGEST factors; 1.0 = linear) ----")
     for ((name, _) <- cases) {
       val ts = rows.filter(_._1 == name).map(r => r._2 -> r._3).toMap
-      val alpha = math.log(ts(64) / ts(8)) / math.log(8.0)
-      println(f"$name%-22s t1=${ts(1)}%.2f t8=${ts(8)}%.2f t64=${ts(64)}%.2f alpha=$alpha%.2f")
+      val sorted = factors.sorted
+      val (lo, hi) = (sorted(sorted.size - 2), sorted.last)
+      val alpha = math.log(ts(hi) / ts(lo)) / math.log(hi.toDouble / lo)
+      val pts = sorted.map(f => f"t$f=${ts(f)}%.2f").mkString(" ")
+      println(f"$name%-22s $pts alpha($lo->$hi)=$alpha%.2f")
     }
     spark.stop()
   }

@@ -57,6 +57,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(inc == oneShot)
   }
 
+  test("cluster-partitioned index: candidate scan partition-prunes to the probed lists") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-part").toString + "/idx"
+    Similarity.buildIndex(e, cents, path)
+    val probes = Seq(0L, 1L, 2L)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, cents, probes, 3, nprobe = 3)
+    // same answers as the in-memory assigned path
+    val viaAssigned = Similarity.ivfTopKAssigned(
+        Similarity.assign(e, cents), cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == viaAssigned)
+    // and the candidate scan is partition-pruned: its FileScan carries a
+    // PartitionFilters entry on cluster (the static IN list), so only the
+    // probed cluster= directories are listed/opened
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no cluster partition filter in plan:\n${plan.take(2000)}")
+  }
+
   test("streaming index maintenance: streamed-in batches answer IVF like one-shot") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

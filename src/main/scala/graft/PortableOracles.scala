@@ -57,6 +57,37 @@ object PortableOracles {
        |            JOIN sets sb ON sb.doc_id = cand.id_b) t
        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  /** Transitive duplicate clusters over the same verified minhash pair
+    * graph as [[minhashNearDupSql]]: recursive-CTE transitive closure →
+    * min reachable id per node (both edge directions seeded, so every
+    * non-singleton node reaches its component minimum), singletons label
+    * themselves. Mirrors `Components.componentLabels` (whose large-star/
+    * small-star fixpoint provably lands on the same component minima). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE docs0 AS (SELECT * FROM documents WHERE doc_id < 500),
+       |${minhashCtes("docs0")},
+       |sets AS (SELECT doc_id, list_distinct(list_transform(STR_SPLIT(text, ' '),
+       |           s -> ${h60Sql("s")})) AS sset FROM docs0),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b ON a.bi = b.bi AND a.bs = b.bs
+       |         WHERE a.doc_id < b.doc_id),
+       |p AS (SELECT id_a, id_b FROM (
+       |  SELECT id_a, id_b,
+       |    ROUND(CAST(LEN(LIST_INTERSECT(sa.sset, sb.sset)) AS DOUBLE)
+       |          / CAST(LEN(LIST_DISTINCT(sa.sset || sb.sset)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+       |            JOIN sets sb ON sb.doc_id = cand.id_b) t
+       |  WHERE jaccard >= 0.9),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(LEAST(comp.m, d.doc_id), d.doc_id) AS BIGINT) AS component
+       |FROM docs0 d LEFT JOIN comp USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** SimHash fingerprint CTE over `src`: h60 token hashes → 64-way sign
     * count. Bits 60–63 of h60 are structurally 0 ⇒ those fingerprint bits
     * are 0 (sum = -n < 0), so the loop covers bits 0–59 only. */

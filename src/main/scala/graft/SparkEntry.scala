@@ -190,6 +190,18 @@ object SparkEntry {
           Tables.documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
           maxDist = 7, bands = 8, hashFn = graft.functions.Hashing.h60)
         .orderBy("id_a", "id_b")),
+    // transitive duplicate clusters: alternating large-star/small-star
+    // connected components (SoCC'14) over the verified minhash pair graph —
+    // the clustering tail the greedy keep-filters approximate; same bounded
+    // slice + h60 as the pair audit, so the oracle replays the whole chain
+    "dedup_clusters" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+        hashFn = graft.functions.Hashing.h60)
+      Components.componentLabels(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
     // [EXT] end-to-end curation pipeline (exact dedup → LSH keep-filter →
     // quality/language gates → token stats)
     "curation_pipeline" -> ((s: SparkSession, d: String) =>
@@ -306,6 +318,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "minhash_dedup_keep" -> PortableOracles.minhashDedupKeepSql,
     "minhash_near_dup" -> PortableOracles.minhashNearDupSql,
+    "dedup_clusters" -> PortableOracles.dedupClustersSql,
     "simhash_near_dup" -> PortableOracles.simhashNearDupSql,
     "simhash_dedup_keep" -> PortableOracles.simhashDedupKeepSql,
     "doc_fingerprint" -> PortableOracles.docFingerprintSql,

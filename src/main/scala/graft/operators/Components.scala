@@ -43,12 +43,14 @@ object Components {
       .distinct()
       .localCheckpoint()
 
-    // convergence = the edge SET is stable; compare (count, hash-sum)
+    // convergence = the edge SET is stable; compare (count, hash-xor)
     // signatures instead of a full except() — one cheap agg over the
-    // already-checkpointed frame per round
+    // already-checkpointed frame per round. XOR, not SUM: summing random
+    // 64-bit hashes overflows under ANSI mode (Spark 4 default); xor is
+    // equally order/partitioning-insensitive and cannot overflow.
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
 

@@ -81,6 +81,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("lshCandidatePairs: banding equivalence — every verified pair is a candidate") {
+    val docs = Tables.documents(spark, Sf0001).filter(col("doc_id") < 200)
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
+      numPerm = 64, shingleK = 1, hashFn = graft.functions.Hashing.h60)
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numPerm = 64, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    val verified = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+        hashFn = graft.functions.Hashing.h60)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.nonEmpty && verified.subsetOf(cands),
+      s"${(verified -- cands).size} verified pairs missing from the candidate join")
+  }
+
   test("simhash: identical texts equal; near-dups closer than unrelated") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

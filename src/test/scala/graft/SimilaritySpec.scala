@@ -141,6 +141,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 (found ${lsh.size}/${exact.size})")
   }
 
+  test("auto-width LSH: derived bits match the calibrated gate width at this scale") {
+    val e = Tables.embeddings(spark, Sf0001)
+    // 500 vectors / 1024 target -> floor of 4 bits, i.e. the gate's width:
+    // the auto entry point must then produce the identical pair set
+    assert(Similarity.bitsPerTableFor(e.count(), 1024L) == 4)
+    assert(Similarity.bitsPerTableFor(1L << 24, 1024L) == 14) // 16M rows -> 14 bits
+    val auto = Similarity.embeddingNearDupLshAuto(e, dim = 64, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fixed = Similarity.embeddingNearDupLsh(e, dim = 64, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("bucket cap: degenerate corpus (one dominant bucket) — bounded sub-tasks, unchanged pairs") {
     // 400 near-identical vectors: every hyperplane signs them the same way,
     // so ALL of them land in ONE bucket per table — the round-3 mega-bucket

@@ -95,6 +95,14 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"${(verified -- cands).size} verified pairs missing from the candidate join")
   }
 
+  test("election shareInput modes are result-identical (plan-only difference)") {
+    val docs = Tables.documents(spark, Sf0001)
+    def run(share: Boolean) =
+      Dedup.simhashDedupKeep(docs, "text", "doc_id", shareInput = share)
+        .as[(Long, Long, Boolean)].collect().toSet
+    assert(run(true) == run(false))
+  }
+
   test("simhash: identical texts equal; near-dups closer than unrelated") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

@@ -173,6 +173,44 @@ object OverviewStream {
       .orderBy("tenant")
   }
 
+  // --- sketched distinct-customer state (the beyond-O(domain) path) --------
+
+  /** Per-tenant KMV theta-sketch state for the distinct-customer count —
+    * the alternative when even the exact key log is too much state: the
+    * exact `seen_customers` log is O(distinct (tenant, customer)) (the
+    * right choice for this domain, and what the oracle-checked MV uses);
+    * this variant's state is **O(tenants · k) regardless of the customer
+    * universe** (k longs per tenant per batch, folding to k per tenant).
+    * Cost: ~1/√(k−2) relative error and no exact count — which is why it
+    * is a separate opt-in state table, not a silent replacement.
+    * Idempotent per batch like every other state table here.
+    */
+  def applyBatchSketched(spark: SparkSession, batch: DataFrame, batchId: Long,
+      stateDir: String, k: Int = 1024): Unit =
+    batch.select(col("o_orderpriority").as("tenant"),
+        xxhash64(col("o_custkey")).as("h"))
+      .groupBy("tenant")
+      .agg(graft.operators.ThetaSketch.sketch(col("h"), k).as("sk"))
+      .select(col("tenant"), col("sk.theta_t").as("theta_t"), col("sk.ks").as("ks"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/cust_sketches/batch=$batchId")
+
+  /** Fold the per-batch sketches to one estimate per tenant. KMV merge IS
+    * "k smallest distinct of the union of retained values", so the fold is
+    * the same aggregator over the exploded retained sets (values stored in
+    * the transformed domain are mapped back to raw hashes first). */
+  def distinctCustomersSketched(spark: SparkSession, stateDir: String,
+      k: Int = 1024): DataFrame = {
+    import graft.operators.ThetaSketch
+    spark.read.parquet(s"$stateDir/cust_sketches")
+      .select(col("tenant"), explode(col("ks")).as("v"))
+      .select(col("tenant"), col("v").bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .groupBy("tenant")
+      .agg(ThetaSketch.sketch(col("h"), k).as("sk"))
+      .select(col("tenant"),
+        ThetaSketch.estimate(col("sk")).as("distinct_customers_est"))
+  }
+
   /** Fold committed state into one partition per table — the maintenance
     * pass that stops the `batch=` dir count growing with stream lifetime
     * (cf. [[CurationStream.compactState]] / `Layout.compactPartitions`).

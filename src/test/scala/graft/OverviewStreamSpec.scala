@@ -12,6 +12,7 @@ import graft.streaming.OverviewStream
   * twin is oracle-checked as `orders_overview_by_tenant`; the single-tenant
   * endpoint shape as `orders_overview_dc`). */
 class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
 
   private def tmp(): String =
     Files.createTempDirectory("overview_mv").toString
@@ -65,6 +66,37 @@ class OverviewStreamSpec extends AnyFunSuite with SparkSuite {
     val compacted = spark.read.parquet(s"$state/order_deltas").count()
     assert(compacted <= 2 * tenants, s"delta log after compaction: $compacted rows")
     assert(mvRows(state) == twinRows(orders), "MV unchanged by compaction")
+  }
+
+  test("sketched distinct-customer state: O(tenants·k) rows, exact under k, bound above k") {
+    val state = tmp()
+    // exact regime: per-tenant distincts at sf0.001 are far below k=1024,
+    // so the folded estimate must EQUAL the exact count on any batch split
+    val slices = (0 until 4).map(i => orders.filter(col("o_orderkey") % 4 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      OverviewStream.applyBatchSketched(spark, b, i.toLong, state)
+    }
+    val tenants = orders.select("o_orderpriority").distinct().count()
+    assert(spark.read.parquet(s"$state/cust_sketches").count() <= 4 * tenants)
+    val est = OverviewStream.distinctCustomersSketched(spark, state)
+      .as[(String, Double)].collect().toMap
+    val exact = orders.groupBy(col("o_orderpriority").as("tenant"))
+      .agg(countDistinct("o_custkey").cast("double").as("n"))
+      .as[(String, Double)].collect().toMap
+    assert(est == exact, s"exact-regime fold diverged: $est vs $exact")
+
+    // estimation regime: one tenant, 50k synthetic customers in 5 batches
+    // of 10k — bound ≤ 5/√(k−2), state stays ≤ k rows per batch
+    val state2 = tmp()
+    (0 until 5).foreach { i =>
+      val b = spark.range(i * 10000L, (i + 1) * 10000L)
+        .select(lit("T").as("o_orderpriority"), col("id").as("o_custkey"))
+      OverviewStream.applyBatchSketched(spark, b, i.toLong, state2)
+    }
+    val e2 = OverviewStream.distinctCustomersSketched(spark, state2)
+      .as[(String, Double)].collect().head._2
+    val rse = 1.0 / math.sqrt(1024 - 2)
+    assert(math.abs(e2 - 50000) / 50000 <= 5 * rse, s"est $e2 vs 50000")
   }
 
   test("replaying a batch is a no-op (idempotent batch=<id> commits)") {

@@ -47,8 +47,9 @@ object ScaleBench {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
 
-    import graft.operators.{BloomJoin, Dedup, Prep, Similarity}
+    import graft.operators.{BloomJoin, Dedup, FreqSketch, Prep, Sampling, Similarity, Temporal}
     import graft.Tables
+    import org.apache.spark.sql.Encoders
 
     /** k exact copies of every row, ids re-keyed to stay unique. */
     def amplify(df: DataFrame, idCol: String, k: Int): DataFrame =
@@ -101,6 +102,30 @@ object ScaleBench {
       },
       "bloom_join_fixed_1mbit" -> (k => bloomCase(k, sized = false)),
       "bloom_join_sized" -> (k => bloomCase(k, sized = true)),
+      // different operator classes than the elections: windowed as-of (one
+      // shuffle, per-user partitions grow k×), session windows, bounded
+      // token sketch, and the per-group SEQUENTIAL greedy fold (each source
+      // is one task — the deliberate worst case for a driver-ish pattern)
+      "events_asof" -> { k =>
+        val ev = amplify(Tables.events(spark, sf), "event_id", k)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value", "event_id")
+        Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts", "value", "event_id")
+          .groupBy("user_id").agg(count(lit(1)).as("n"), sum("asof_value").as("s"))
+      },
+      "events_sessions" -> { k =>
+        val ev = amplify(Tables.events(spark, sf), "event_id", k)
+        graft.streaming.EventsPipeline.sessionize(ev, gap = "6 hours")
+      },
+      "token_freq_sketch" -> { k =>
+        val mg = udaf(new FreqSketch.MisraGries(128), Encoders.STRING)
+        docsX(k).select(explode(split(col("text"), " ", -1)).as("token"))
+          .agg(mg(col("token")).as("sk"))
+          .select(explode(col("sk.tokens")).as("t"))
+      },
+      "pack_greedy" -> (k => Sampling.packGreedyOf(docsX(k), budget = 500)),
       "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1)))
     val cases = caseFilter.fold(allCases)(f => allCases.filter(c => f(c._1)))

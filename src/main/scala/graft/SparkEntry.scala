@@ -229,6 +229,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "docs_by_source" -> TextAnalysis.docsBySource _,
     "token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
+    "token_familiarity" -> TextAnalysis.tokenFamiliarity _,
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
@@ -448,6 +449,7 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,
+    "token_familiarity" -> TextAnalysis.tokenFamiliaritySql,
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
     "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,

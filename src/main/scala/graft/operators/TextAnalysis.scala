@@ -164,6 +164,49 @@ object TextAnalysis {
       |SELECT UNNEST(STR_SPLIT(text, ' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
+  // --- corpus-trained familiarity score ------------------------------------
+
+  /** Mean corpus frequency of a document's tokens — the two-pass
+    * "train stats, then score" composition every corpus-relative quality
+    * signal needs (rare-token-heavy docs — gibberish, OCR noise — score
+    * low). Pass 1 aggregates the token distribution; pass 2 bakes it into
+    * a LITERAL map and scores each doc in one narrow projection — the
+    * same ship-the-small-model shape as the IVF quantizer: no join, no
+    * shuffle above the scan in the scoring pass.
+    *
+    * Vocabulary contract: the collected table is O(vocab) driver rows
+    * (bounded here; an open vocabulary caps it with the Misra-Gries top-k
+    * from [[graft.operators.FreqSketch]] plus a floor frequency for
+    * out-of-table tokens — same bounded-driver-state contract as
+    * `Similarity.trainedCentroids`). Portable arithmetic: counts and IEEE
+    * divisions only, summed in token order on both engines (no libm).
+    */
+  def tokenFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsById(spark, dir)
+    val freq = docs.select(explode(split(col("text"), " ", -1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .collect() // O(vocab)
+    val total = freq.map(_.getLong(1)).sum.toDouble
+    val fm = map(freq.sortBy(_.getString(0)).flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1) / total))): _*)
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(
+        transform(split(col("text"), " ", -1), t => element_at(fm, t))) { fr =>
+        round(aggregate(fr, lit(0.0), (a, x) => a + x) / size(fr), 4)
+      }.as("familiarity"))
+  }
+
+  /** Same stats, same token-order summation, via DuckDB's MAP type. */
+  val tokenFamiliaritySql: String =
+    """WITH tok AS (SELECT UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents),
+      |freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(n) AS tt FROM freq),
+      |m AS (SELECT MAP(list(t ORDER BY t), list(n ORDER BY t)) AS fm FROM freq)
+      |SELECT doc_id,
+      |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> fm[x][1] / tt))
+      |      / LEN(STR_SPLIT(text, ' ')), 4) AS familiarity
+      |FROM documents, m, tot ORDER BY doc_id""".stripMargin
+
   // --- document fingerprint (rolling hash) -------------------------------------
   // Built on the portable h60 hash so the whole sketch — content hash,
   // simhash, winnowing mins — gets an exact DuckDB oracle (the xxhash64

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
@@ -41,5 +42,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
       .select(TextFunctions.qualityScore(col("t")).as("q")).as[Double].collect()
     assert(r.forall(q => q >= 0.0 && q <= 1.0))
     assert(r(0) > r(1))
+  }
+
+  test("token familiarity: literal-map scoring equals the join formulation") {
+    val viaMap = TextAnalysis.tokenFamiliarity(spark, Sf0001)
+      .as[(Long, Double)].collect().toMap
+    // order-insensitive reference: explode + join + per-doc average
+    val docs = Tables.documents(spark, Sf0001)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum("n")).as[Long].head().toDouble
+    val viaJoin = tok.join(broadcast(freq), "t")
+      .groupBy("doc_id")
+      .agg((sum(col("n") / lit(total)) / count(lit(1))).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaMap.keySet == viaJoin.keySet)
+    assert(viaMap.forall { case (id, v) =>
+      v > 0.0 && v <= 1.0 && math.abs(v - viaJoin(id)) < 5e-5 })
   }
 }

@@ -230,6 +230,8 @@ object SparkEntry {
     "docs_by_source" -> TextAnalysis.docsBySource _,
     "token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
     "token_familiarity" -> TextAnalysis.tokenFamiliarity _,
+    "repetition_ratio" -> TextAnalysis.repetitionRatio _,
+    "gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
@@ -450,6 +452,8 @@ object SparkEntry {
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,
     "token_familiarity" -> TextAnalysis.tokenFamiliaritySql,
+    "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
+    "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
     "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,

@@ -164,6 +164,89 @@ object TextAnalysis {
       |SELECT UNNEST(STR_SPLIT(text, ' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
+  // --- repetition ratio (C4/Gopher-style duplicate-n-gram signal) ----------
+
+  /** Fraction of repeated word 3-grams per document: 1 − distinct/total
+    * (the published duplicate-n-gram filters — Raffel et al. C4, Rae et al.
+    * Gopher — flag high-repetition docs as boilerplate/spam). Pure narrow
+    * expression over the shared shingle primitive; integer counts + one
+    * division keep it engine-portable.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsById(spark, dir).select(
+      col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(Dedup.wordShingles(col("text"), 3)) { g =>
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4)
+      }.as("rep_ratio"))
+
+  val repetitionRatioSql: String =
+    s"""SELECT doc_id,
+       |ROUND(1.0 - CAST(LEN(LIST_DISTINCT($shingles3SqlExpr)) AS DOUBLE)
+       |      / LEN($shingles3SqlExpr), 4) AS rep_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def shingles3SqlExpr: String = graft.PortableOracles.shingles3Expr
+
+  // --- Gopher quality rules (Rae et al. 2021, §A1.1 — public heuristics) ---
+
+  /** The Gopher paper's document-quality gates, per doc as rule booleans +
+    * the conjunction: word-count bounds, mean word length bounds,
+    * alphabetic-word fraction, and stop-word presence. All integer counts
+    * and exact divisions (portable); thresholds are the published ones
+    * (word counts scaled to this corpus's short synthetic docs).
+    */
+  def gopherRules(spark: SparkSession, dir: String,
+                  minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val out = Tables.documentsById(spark, dir).select(
+      col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(words) { w =>
+        val n = size(w).cast("double")
+        val meanLen = aggregate(transform(w, x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x).cast("double") / n
+        val alphaFrac = size(filter(w, x => x.rlike("[a-z]"))).cast("double") / n
+        struct(
+          n.cast("long").as("n_words"),
+          round(meanLen, 4).as("mean_word_len"),
+          round(alphaFrac, 4).as("alpha_word_frac"),
+          (n >= minWords && n <= maxWords).as("ok_word_count"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_len"),
+          (alphaFrac >= 0.8).as("ok_alpha"))
+      }.as("r"),
+      (occurrences(concat(lit(" "), col("text"), lit(" ")), " the ") +
+        occurrences(concat(lit(" "), col("text"), lit(" ")), " and ") +
+        occurrences(concat(lit(" "), col("text"), lit(" ")), " of ") >= 2)
+        .as("ok_stopwords"))
+    out.select(col("doc_id"), col("r.n_words"), col("r.mean_word_len"),
+        col("r.alpha_word_frac"), col("r.ok_word_count"), col("r.ok_mean_len"),
+        col("r.ok_alpha"), col("ok_stopwords"),
+        (col("r.ok_word_count") && col("r.ok_mean_len") && col("r.ok_alpha") &&
+          col("ok_stopwords")).as("gopher_pass"))
+  }
+
+  val gopherRulesSql: String = {
+    val words = "STR_SPLIT(text, ' ')"
+    val occ = (m: String) =>
+      s"CAST((LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', '$m', ''))) / LENGTH('$m') AS BIGINT)"
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST(LEN($words) AS DOUBLE) AS n,
+       |  CAST(list_sum(list_transform($words, x -> LENGTH(x))) AS DOUBLE) AS cl,
+       |  CAST(LEN(list_filter($words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS na,
+       |  ${occ(" the ")} + ${occ(" and ")} + ${occ(" of ")} AS stws
+       |  FROM documents)
+       |SELECT doc_id,
+       |CAST(n AS BIGINT) AS n_words,
+       |ROUND(cl / n, 4) AS mean_word_len,
+       |ROUND(na / n, 4) AS alpha_word_frac,
+       |(n >= 5 AND n <= 100000) AS ok_word_count,
+       |(cl / n >= 3.0 AND cl / n <= 10.0) AS ok_mean_len,
+       |(na / n >= 0.8) AS ok_alpha,
+       |(stws >= 2) AS ok_stopwords,
+       |((n >= 5 AND n <= 100000) AND (cl / n >= 3.0 AND cl / n <= 10.0)
+       |  AND (na / n >= 0.8) AND (stws >= 2)) AS gopher_pass
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   // --- corpus-trained familiarity score ------------------------------------
 
   /** Mean corpus frequency of a document's tokens — the two-pass

@@ -261,7 +261,7 @@ object EventsPipeline {
     val fs = graft.functions.FsUtils.fs(spark, aggDir)
     val aggPath = new Path(aggDir)
     val tmpPath = new Path(aggDir + ".tmp")
-    recoverOrphans(fs, tmpPath, aggPath, "day=")
+    recoverOrphans(fs, tmpPath, aggPath, Seq("day="))
     val slice = spark.read.parquet(rawDir)
       .filter(col("event_date").isin(dates: _*)) // partition-pruned scan
     // group by to_date(ts) — NOT window(): window() buckets are UTC-epoch-
@@ -275,7 +275,7 @@ object EventsPipeline {
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
     agg.write.mode("overwrite").partitionBy("day").parquet(tmpPath.toString)
-    swapPartitionDirs(fs, tmpPath, aggPath, "day=")
+    swapPartitionDirs(fs, tmpPath, aggPath, Seq("day="))
     spark.catalog.refreshByPath(aggDir)
   }
 
@@ -312,30 +312,47 @@ object EventsPipeline {
     * explicit existence check, not an exception path.
     */
   def mergePartitioned(spark: SparkSession, batch: DataFrame, outDir: String,
-                       knownDates: Option[Seq[java.sql.Date]] = None): Long = {
+                       knownDates: Option[Seq[java.sql.Date]] = None,
+                       hourShard: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
     val fs = graft.functions.FsUtils.fs(spark, outDir)
     val outPath = new Path(outDir)
     val tmpPath = new Path(outDir + ".tmp")
-    recoverOrphans(fs, tmpPath, outPath, "event_date=")
+    // `hourShard` = the documented hot-day mitigation, implemented: the
+    // sink is laid out event_date=…/event_hour=… and a micro-batch rewrites
+    // only its touched HOURS — a day receiving events all day no longer
+    // re-merges its whole partition every batch, only ~1/24 of it
+    val partCols = if (hourShard) Seq("event_date", "event_hour") else Seq("event_date")
+    val prefixes = partCols.map(_ + "=")
+    recoverOrphans(fs, tmpPath, outPath, prefixes)
 
     val withDate = batch.withColumn("event_date", to_date(col("ts")))
-    // O(days in batch) — driver-safe; callers that already collected the
-    // batch's dates pass them in instead of re-scanning the batch
-    val dates = knownDates.getOrElse(
-      withDate.select(col("event_date")).distinct()
-        .collect().map(_.getDate(0)).toSeq)
+    val withParts =
+      if (hourShard) withDate.withColumn("event_hour", hour(col("ts")))
+      else withDate
+    // O(partitions in batch) — driver-safe; day-granularity callers that
+    // already collected the batch's dates pass them in instead of
+    // re-scanning the batch
+    val touched: Seq[Seq[Any]] = knownDates match {
+      case Some(ds) if !hourShard => ds.map(Seq(_))
+      case _ => withParts.select(partCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSeq
+    }
     // no-data batch (watermark tick): nothing to merge, touch nothing
-    if (dates.isEmpty) return 0L
+    if (touched.isEmpty) return 0L
+    // exact touched-partition predicate (an isin per column would
+    // cross-product dates × hours and rewrite untouched corners)
+    val touchedCond = touched.map(t =>
+      partCols.zip(t).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
     val slice =
-      if (!fs.exists(outPath)) withDate.limit(0)
-      else spark.read.parquet(outDir)
-        .filter(col("event_date").isin(dates: _*)) // partition-pruned scan
+      if (!fs.exists(outPath)) withParts.limit(0)
+      else spark.read.parquet(outDir).filter(touchedCond) // partition-pruned scan
     // version = ts: last-write-wins per event_id across batches
-    val merged = Merge.upsert(slice, withDate, Seq("event_id"), "ts")
-    merged.write.mode("overwrite").partitionBy("event_date").parquet(tmpPath.toString)
+    val merged = Merge.upsert(slice, withParts, Seq("event_id"), "ts")
+    merged.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmpPath.toString)
     val n = spark.read.parquet(tmpPath.toString).count()
-    swapPartitionDirs(fs, tmpPath, outPath, "event_date=")
+    swapPartitionDirs(fs, tmpPath, outPath, prefixes)
     // drop the stale file listing for the swapped partitions (the shared
     // FileStatusCache would otherwise serve deleted part files to the next
     // batch's pruned read)
@@ -343,43 +360,56 @@ object EventsPipeline {
     n
   }
 
+  /** The staged LEAF partition dirs under `root`, one listStatus level per
+    * prefix (e.g. `Seq("event_date=", "event_hour=")` walks
+    * `event_date=…/event_hour=…`), with their paths relative to `root`. */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                prefixes: Seq[String]): Seq[(String, org.apache.hadoop.fs.Path)] = {
+    val leaves = prefixes.foldLeft(Seq(root)) { (dirs, pre) =>
+      dirs.flatMap(d => fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(pre)))
+    }
+    // URI paths, not toString: listStatus returns scheme-qualified paths
+    // (file:/…) while the root may be bare — a string strip would no-op and
+    // the "relative" path would silently be absolute
+    val base = root.toUri.getPath
+    leaves.map(p => (p.toUri.getPath.stripPrefix(base).stripPrefix("/"), p))
+  }
+
   /** Restore partitions orphaned by a crash between a swap's delete and
-    * rename (the dir exists under `.tmp` but not under the sink), then drop
-    * the staging dir. Shared by every partition-scoped swap site. */
+    * rename (the leaf dir exists under `.tmp` but not under the sink), then
+    * drop the staging dir. Shared by every partition-scoped swap site. */
   private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem,
                              tmpPath: org.apache.hadoop.fs.Path,
                              outPath: org.apache.hadoop.fs.Path,
-                             prefix: String): Unit = {
+                             prefixes: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     if (fs.exists(tmpPath)) {
-      fs.listStatus(tmpPath).iterator
-        .filter(_.getPath.getName.startsWith(prefix))
-        .foreach { st =>
-          val dst = new Path(outPath, st.getPath.getName)
-          if (!fs.exists(dst)) {
-            fs.mkdirs(outPath)
-            graft.functions.FsUtils.renameOrThrow(fs, st.getPath, dst)
-          }
+      leafPartitionDirs(fs, tmpPath, prefixes).foreach { case (rel, src) =>
+        val dst = new Path(outPath, rel)
+        if (!fs.exists(dst)) {
+          fs.mkdirs(dst.getParent)
+          graft.functions.FsUtils.renameOrThrow(fs, src, dst)
         }
+      }
       fs.delete(tmpPath, true)
     }
   }
 
-  /** Move every staged `prefix` partition dir into the sink (delete-then-
+  /** Move every staged leaf partition dir into the sink (delete-then-
     * rename per dir), then drop the staging dir. Untouched partitions are
     * never listed, read, or moved. */
   private def swapPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
                                 tmpPath: org.apache.hadoop.fs.Path,
                                 outPath: org.apache.hadoop.fs.Path,
-                                prefix: String): Unit = {
+                                prefixes: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    fs.mkdirs(outPath)
-    fs.listStatus(tmpPath).iterator
-      .filter(_.getPath.getName.startsWith(prefix))
-      .foreach { st =>
-        val dst = new Path(outPath, st.getPath.getName)
-        graft.functions.FsUtils.replaceDir(fs, st.getPath, dst)
-      }
+    leafPartitionDirs(fs, tmpPath, prefixes).foreach { case (rel, src) =>
+      val dst = new Path(outPath, rel)
+      fs.mkdirs(dst.getParent)
+      graft.functions.FsUtils.replaceDir(fs, src, dst)
+    }
     fs.delete(tmpPath, true)
   }
 

@@ -265,6 +265,42 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(aggRows() == expected)
   }
 
+  test("hour-sharded merge rewrites only batch-affected HOUR partitions") {
+    // the documented hot-day mitigation: a day receiving events all day
+    // must not re-merge its whole partition per batch — only touched hours
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hmerge").toString
+    val outDir = s"$tmp/out"
+    EventsPipeline.mergePartitioned(spark, sample.toDF(), outDir, hourShard = true)
+    val h10 = new java.io.File(s"$outDir/event_date=2024-01-01/event_hour=10")
+    val h11 = new java.io.File(s"$outDir/event_date=2024-01-01/event_hour=11")
+    assert(h10.isDirectory && h11.isDirectory)
+    def fileState(d: java.io.File): Set[(String, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val h10Before = fileState(h10)
+    Thread.sleep(1100)
+    // same DAY, different hour: hour 10's files must be untouched
+    val b2 = Seq(Ev(7L, t("2024-01-01 11:30:00"), 6L, "view", 7.0, "{}")).toDF()
+    EventsPipeline.mergePartitioned(spark, b2, outDir, hourShard = true)
+    assert(fileState(h10) == h10Before,
+      "same-day different-hour batch rewrote an untouched hour partition")
+    // cross-batch redelivery of event 1 (hour 10) still merges exactly-once
+    val b3 = sample.take(1).toDF()
+    EventsPipeline.mergePartitioned(spark, b3, outDir, hourShard = true)
+    val got = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 7L), s"got ${got.toSeq}")
+    // crash recovery heals a nested-orphaned hour dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$outDir.tmp/event_date=2024-01-01"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/event_date=2024-01-01/event_hour=10"),
+      new org.apache.hadoop.fs.Path(s"$outDir.tmp/event_date=2024-01-01/event_hour=10"))
+    val b4 = Seq(Ev(8L, t("2024-01-03 08:00:00"), 6L, "click", 1.0, "{}")).toDF()
+    EventsPipeline.mergePartitioned(spark, b4, outDir, hourShard = true)
+    val healed = spark.read.parquet(outDir).select("event_id").as[Long].collect().sorted
+    assert(healed.toSeq == Seq(1L, 2L, 3L, 7L, 8L), s"got ${healed.toSeq}")
+  }
+
   test("partition-scoped merge rewrites only batch-affected date partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pmerge").toString
     val outDir = s"$tmp/out"

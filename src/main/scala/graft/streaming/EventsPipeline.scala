@@ -250,9 +250,9 @@ object EventsPipeline {
     * to the batch's dates (PartitionFilters), never a full-table scan, and
     * only the touched day partitions of the results table are rewritten —
     * the rest are never read or listed. At 100 TB a hot day re-aggregates
-    * its partition per micro-batch; widen the trigger interval (or shard the
-    * partition layout to day+hour) if a single day's volume makes that pass
-    * expensive.
+    * its partition per micro-batch; widen the trigger interval — and for
+    * the RAW sink's own merge cost, `mergePartitioned(hourShard = true)`
+    * shards to day+hour so a batch rewrites ~1/24 of a hot day.
     */
   def refreshDailyAgg(spark: SparkSession, rawDir: String, aggDir: String,
                       dates: Seq[java.sql.Date]): Unit = {

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds the most recent `connectedComponents` call took to converge —
+    * a diagnostic for scale probes (ScaleBench) and specs. Round count is a
+    * function of graph STRUCTURE (diameter), not volume: amplifying a
+    * corpus k× must not grow it. */
+  @volatile var lastRounds: Int = 0
+
   /** Connected components of the undirected graph given as a pair list.
     * Returns one row per NON-ROOT node: (id, component) where component is
     * the minimum node id of its component. Roots (component minima) and
@@ -84,6 +90,7 @@ object Components {
       it += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    lastRounds = it
     // at the fixpoint every edge is (member, component-min)
     edges.select(col("u").as("id"), col("v").as("component"))
   }

@@ -1,11 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Scratch probe main — rewritten per investigation. Current: round-6
-  * interleaved timing of the election family after the shareInput decision
-  * (shared-box noise is ±25%, so variants are timed round-robin and
-  * compared on min AND median; the full A/B record lives in PLANS.md). */
+/** Scratch probe main — rewritten per investigation. Current: round-count
+  * vs volume for the iterative connected components on ScaleBench's
+  * synthetic skip-chain + hub graph. The scale claim under test: rounds
+  * are a function of graph STRUCTURE (diameter), not edge count — so
+  * amplifying the corpus k× adds per-round volume but not rounds. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,28 +18,22 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def time(f: => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    // the ScaleBench connected_components graph, verbatim
+    def edges(k: Int): DataFrame = {
+      val n = k * 1000000L
+      spark.range(n).select(
+        col("id").as("a"),
+        when(pmod(xxhash64(col("id")), lit(100)) < 1, pmod(xxhash64(col("id"), lit(1)), lit(1000)))
+          .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
+          .as("b"))
     }
-    val variants: Seq[(String, () => DataFrame)] = Seq(
-      "curation_pipeline" -> (() => graft.SparkEntry.queries("curation_pipeline")(spark, sf)),
-      "minhash_dedup_keep" -> (() => graft.SparkEntry.queries("minhash_dedup_keep")(spark, sf)),
-      "simhash_dedup_keep" -> (() => graft.SparkEntry.queries("simhash_dedup_keep")(spark, sf)),
-      "embedding_dedup_keep" -> (() => graft.SparkEntry.queries("embedding_dedup_keep")(spark, sf)),
-      "dedup_clusters" -> (() => graft.SparkEntry.queries("dedup_clusters")(spark, sf)))
-
-    graft.Tables.documents(spark, sf).count() // warm
-    variants.foreach { case (_, f) => time(f()) } // warm codegen per variant
-    val reps = 7
-    val results = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
-    for (_ <- 1 to reps; (n, f) <- variants) results(n) = results(n) :+ time(f())
-    for ((n, _) <- variants) {
-      val ts = results(n).sorted
-      println(f"$n%-20s min=${ts.head}%.2f med=${ts(ts.size / 2)}%.2f all=${results(n).map(t => f"$t%.2f").mkString(",")}")
+    for (k <- Seq(1, 4, 16)) {
+      val t0 = System.nanoTime()
+      graft.operators.Components.connectedComponents(edges(k), "a", "b")
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"factor=$k rounds=${graft.operators.Components.lastRounds} single_run_sec=$t%.1f")
     }
     spark.stop()
   }

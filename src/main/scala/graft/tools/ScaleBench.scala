@@ -127,17 +127,34 @@ object ScaleBench {
       },
       "pack_greedy" -> (k => Sampling.packGreedyOf(docsX(k), budget = 500)),
       "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
-        numPerm = 64, bands = 8, shingleK = 1)))
+        numPerm = 64, bands = 8, shingleK = 1)),
+      // iterative large-star/small-star at volume: k × 1M synthetic edges —
+      // skip-chains (components of ~thousands, MANY rounds to converge) plus
+      // 1% hub edges (one giant component). Deterministic via xxhash64.
+      "connected_components" -> { k =>
+        val n = k * 1000000L
+        val edges = spark.range(n).select(
+          col("id").as("a"),
+          when(pmod(xxhash64(col("id")), lit(100)) < 1, pmod(xxhash64(col("id"), lit(1)), lit(1000)))
+            .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
+            .as("b"))
+        val out = graft.operators.Components.connectedComponents(edges, "a", "b")
+        println(s"  [connected_components ${k}x: rounds=${graft.operators.Components.lastRounds}]")
+        out
+      })
     val cases = caseFilter.fold(allCases)(f => allCases.filter(c => f(c._1)))
 
-    def run(df: DataFrame): Double = {
+    // by-name: construction runs INSIDE the timed region — iterative
+    // operators (connected_components) do their real work eagerly while
+    // building the result frame, not at the final noop write
+    def run(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
     Tables.documents(spark, sf).count() // warm IO
-    println("case,factor,sec_min_of_2,shuffle_mb,spill_mb,out_rows")
+    println("case,factor,sec_min_of_2,shuffle_mb,spill_mb")
     val rows = for ((name, mk) <- cases; k <- factors) yield {
       run(mk(k)) // warm codegen/plan for this (case, k)
       metrics.shufWrite = 0; metrics.spill = 0

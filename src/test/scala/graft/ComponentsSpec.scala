@@ -58,6 +58,15 @@ class ComponentsSpec extends AnyFunSuite with SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("round count tracks diameter, not volume: a clique converges fast") {
+    // near-clique (the dedup-graph shape): 40 nodes all paired to node 0
+    // plus ring edges — converges in a couple of star rounds regardless of
+    // how many members the clique has
+    val clique = (1L to 40L).map(i => (0L, i)) ++ (1L until 40L).map(i => (i, i + 1))
+    Components.connectedComponents(clique.toDF("a", "b"), "a", "b").collect()
+    assert(Components.lastRounds <= 4, s"clique took ${Components.lastRounds} rounds")
+  }
+
   test("result is invariant under edge order and direction flips") {
     val base = Seq((1L, 5L), (5L, 9L), (9L, 13L), (2L, 4L))
     val flipped = base.map { case (a, b) => (b, a) }.reverse

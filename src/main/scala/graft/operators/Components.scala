@@ -39,7 +39,8 @@ object Components {
     * minima) regardless of partitioning or iteration interleaving.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          shareExchange: Boolean = true): DataFrame = {
     // canonical directed form (u, v): u > v, deduped, self-loops dropped
     var edges = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
@@ -64,23 +65,34 @@ object Components {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // shareExchange: repartition on u makes ONE exchange feed dedupe,
+      // groupBy-min AND the join-back — HashPartitioning(u) satisfies the
+      // distinct's ClusteredDistribution(u, v) (u ⊆ keys) and both star
+      // consumers, and ReusedExchange dedupes the two identical branches
+      // (the electKeep pattern, Dedup.scala). Trade-off: the groupBy loses
+      // its pre-shuffle partial aggregate, but the probe branch ships the
+      // full row set over the same keys anyway, so net exchanges per star
+      // step drop ~3 → 1. Escape hatch kept for plans where AQE reuse
+      // can't fire.
+      def keyedOn(df: DataFrame): DataFrame =
+        if (shareExchange) df.repartition(col("u")) else df
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u}); each
       // undirected edge is emitted by exactly one of its two directions
-      val both = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val both = keyedOn(edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"))))
       val nbrMin = both.groupBy("u").agg(min("v").as("mn"))
-      val ls = both.join(nbrMin, "u")
+      val ls = keyedOn(both.join(nbrMin, "u")
         .filter(col("v") > col("u"))
-        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v")))
         .distinct()
       // small-star: u and all smaller neighbors link to min(Γ⁻(u) ∪ {u})
       // (= min(Γ⁻(u)) since every v < u); drop the root's self-loop
       val mins = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(mins, "u")
+      val ss = keyedOn(ls.join(mins, "u")
         .select(col("v"), col("m"))
         .union(mins.select(col("u").as("v"), col("m")))
         .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
+        .select(col("v").as("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
       val next = signature(ss)

@@ -3,11 +3,13 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch probe main — rewritten per investigation. Current: round-count
-  * vs volume for the iterative connected components on ScaleBench's
-  * synthetic skip-chain + hub graph. The scale claim under test: rounds
-  * are a function of graph STRUCTURE (diameter), not edge count — so
-  * amplifying the corpus k× adds per-round volume but not rounds. */
+/** Scratch probe main — rewritten per investigation. Current: A/B of
+  * Components.connectedComponents shareExchange (one repartition-on-u
+  * exchange feeding dedupe + groupBy-min + join-back per star step, the
+  * electKeep pattern) vs the unshared 3-exchanges-per-step form, on
+  * ScaleBench's synthetic skip-chain graph at 4x (4M edges). Shared-box
+  * noise is ±25%, so variants run round-robin and compare on min AND
+  * median. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -19,7 +21,6 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // the ScaleBench connected_components graph, verbatim
     def edges(k: Int): DataFrame = {
       val n = k * 1000000L
       spark.range(n).select(
@@ -28,12 +29,19 @@ object Probe {
           .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
           .as("b"))
     }
-    for (k <- Seq(1, 4, 16)) {
+    def run(share: Boolean): Double = {
       val t0 = System.nanoTime()
-      graft.operators.Components.connectedComponents(edges(k), "a", "b")
+      graft.operators.Components.connectedComponents(edges(4), "a", "b", shareExchange = share)
         .write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      println(f"factor=$k rounds=${graft.operators.Components.lastRounds} single_run_sec=$t%.1f")
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(share = false); run(share = true) // warm
+    val results = collection.mutable.Map[Boolean, Vector[Double]]().withDefaultValue(Vector())
+    for (_ <- 1 to 3; share <- Seq(false, true)) results(share) = results(share) :+ run(share)
+    for (share <- Seq(false, true)) {
+      val ts = results(share).sorted
+      println(f"shareExchange=$share%-5s min=${ts.head}%.1f med=${ts(ts.size / 2)}%.1f " +
+        f"all=${results(share).map(t => f"$t%.1f").mkString(",")} rounds=${graft.operators.Components.lastRounds}")
     }
     spark.stop()
   }

@@ -47,6 +47,16 @@ class ComponentsSpec extends AnyFunSuite with SparkSuite {
     })
   }
 
+  test("shareExchange=false agrees with the shared-exchange default") {
+    val es = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L), (9L, 7L), (5L, 1L))
+    val shared = Components.connectedComponents(es.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val unshared = Components.connectedComponents(es.toDF("a", "b"), "a", "b",
+        shareExchange = false)
+      .as[(Long, Long)].collect().toMap
+    assert(shared == unshared)
+  }
+
   test("chain + clique + singleton: labels and roots are exact") {
     // chain 1-2-3-4, clique {10,11,12}, singleton 20
     val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))

@@ -186,13 +186,13 @@ object OverviewStream {
     * Idempotent per batch like every other state table here.
     */
   def applyBatchSketched(spark: SparkSession, batch: DataFrame, batchId: Long,
-      stateDir: String, k: Int = 1024): Unit =
+      stateDir: String, k: Int = 1024, stateWriteParts: Int = 1): Unit =
     batch.select(col("o_orderpriority").as("tenant"),
         xxhash64(col("o_custkey")).as("h"))
       .groupBy("tenant")
       .agg(graft.operators.ThetaSketch.sketch(col("h"), k).as("sk"))
       .select(col("tenant"), col("sk.theta_t").as("theta_t"), col("sk.ks").as("ks"))
-      .coalesce(1)
+      .coalesce(stateWriteParts) // O(tenants · k-longs) rows; raise for a wide tenant universe
       .write.mode("overwrite").parquet(s"$stateDir/cust_sketches/batch=$batchId")
 
   /** Fold the per-batch sketches to one estimate per tenant. KMV merge IS

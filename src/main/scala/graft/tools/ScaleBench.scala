@@ -126,6 +126,16 @@ object ScaleBench {
           .select(explode(col("sk.tokens")).as("t"))
       },
       "pack_greedy" -> (k => Sampling.packGreedyOf(docsX(k), budget = 500)),
+      // ANN at volume: quantizer trained ONCE on the base table (offline
+      // training, the production path — session-cached), then IVF top-k
+      // over the k×-amplified corpus: assignment is a narrow projection
+      // scan, probes broadcast, scoring bounded to the nprobe lists
+      "ann_ivf_topk" -> { k =>
+        val cents = Similarity.trainedCentroids(
+          Tables.embeddings(spark, sf), "scalebench-quantizer")
+        Similarity.ivfTopK(embsX(k), cents,
+          probeIds = (1L to 10L).map(_ * k), k = 10, nprobe = 4)
+      },
       "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1)),
       // iterative large-star/small-star at volume: k × 1M synthetic edges —

@@ -212,6 +212,8 @@ object SparkEntry {
     "sample_per_source" -> ((s: SparkSession, d: String) => Sampling.samplePerSource(s, d)),
     // hot-group-safe aggregator variant — same contract, same oracle
     "sample_per_source_agg" -> ((s: SparkSession, d: String) => Sampling.samplePerSourceAgg(s, d)),
+    // token-mass-proportional sample (Efraimidis–Spirakis exponential race)
+    "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     "pack_blocks" -> ((s: SparkSession, d: String) => Sampling.packBlocks(s, d)),
     "pack_greedy" -> ((s: SparkSession, d: String) => Sampling.packGreedy(s, d)),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
@@ -442,6 +444,7 @@ object SparkEntry {
     "split_assign" -> Sampling.splitAssignSql,
     "sample_per_source" -> Sampling.samplePerSourceSql,
     "sample_per_source_agg" -> Sampling.samplePerSourceSql,
+    "sample_weighted" -> Sampling.sampleWeightedSql,
     "pack_blocks" -> Sampling.packBlocksSql,
     "pack_greedy" -> Sampling.packGreedySql,
     "chunk_overlap" -> Prep.chunkOverlapSql,

@@ -154,6 +154,51 @@ object Sampling {
        |  FROM documents) t
        |WHERE sample_rank <= 20 ORDER BY source, sample_rank""".stripMargin
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each doc races with key `ln(u)/w` — `u` hash-uniform in (0,1],
+    * `w` its token count — and the n largest keys win, which makes
+    * inclusion probability proportional to token MASS, not doc count (the
+    * corpus-mixing primitive: "give me ~n docs sampled by token budget").
+    * RNG-free like [[splitAssign]]: the race key is re-derived per row from
+    * [[h60]], so task retries and backfills reproduce the identical sample.
+    *
+    * Plan shape at 100 TB: narrow projection → TakeOrderedAndProject(n) —
+    * no corpus-wide sort or window; each partition ships only its local
+    * top-n. The rank window afterwards orders the n survivors (bounded by
+    * construction). Key rounded to 4 (repo float rule) with doc_id
+    * tie-break so the DuckDB oracle is exact.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    sampleWeightedOf(Tables.documents(spark, dir), n)
+
+  /** The transform alone — see [[sampleWeighted]]. */
+  def sampleWeightedOf(docs: DataFrame, n: Int = 50): DataFrame = {
+    val twoTo60 = 1152921504606846976.0 // 2^60, exactly representable
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("wkey", round(
+        log((h60(concat(col("doc_id").cast("string"), lit(":wsample"))) + 1).cast("double")
+          / lit(twoTo60)) / col("n_tokens").cast("double"), 4))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(n)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("wkey").desc, col("doc_id"))).cast("long"))
+      .select("source", "doc_id", "n_tokens", "sample_rank")
+  }
+
+  val sampleWeightedSql: String =
+    s"""SELECT source, doc_id, n_tokens, sample_rank FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY wkey DESC, doc_id) AS sample_rank
+       |  FROM (SELECT source, doc_id,
+       |          CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       |          ROUND(LN((${h60Sql("doc_id::VARCHAR || ':wsample'")} + 1)::DOUBLE
+       |            / 1152921504606846976.0)
+       |            / LEN(STR_SPLIT(text, ' ')), 4) AS wkey
+       |        FROM documents) t) s
+       |WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin
+
   /** Contiguous token-budget packing: docs ordered by id within each source,
     * pack boundary every `budget` tokens of running sum (a doc straddling a
     * boundary joins the pack its first token falls in, so packs can overrun

@@ -82,6 +82,16 @@ object ScaleBench {
         .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
     }
 
+    /** k× orders with every o_totalprice DISTINCT (per-replica perturbation). */
+    def quantCase(k: Int, aggs: Column*): DataFrame =
+      Tables.orders(spark, sf)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("rep"))
+        .select(col("o_orderpriority"),
+          (col("o_totalprice") + col("rep") * 0.0001).as("o_totalprice"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(aggs.head.as("q0"), aggs.tail.map(_.as("q1")): _*)
+
     // e.g. SPARK_GRAFT_SCALE_FACTORS=1,8,64,256 SPARK_GRAFT_SCALE_CASES=minhash_dedup_keep,mega_bucket_election
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,8,64")
       .split(",").map(_.trim.toInt).toSeq
@@ -126,6 +136,15 @@ object ScaleBench {
           .select(explode(col("sk.tokens")).as("t"))
       },
       "pack_greedy" -> (k => Sampling.packGreedyOf(docsX(k), budget = 500)),
+      // exact percentile's partial state is a value→count map — duplicate
+      // values count-compress (plain `amplify` showed FLAT 2.7 MB shuffle
+      // at 64×), so the honest worst case perturbs each replica to keep
+      // every value DISTINCT: exact state grows O(distinct per group), GK
+      // ships a bounded mergeable summary (rank error 1e-4) at any volume
+      "quantiles_exact" -> (k => quantCase(k, expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile(o_totalprice, 0.9)"))),
+      "quantiles_gk" -> (k => quantCase(k, expr("approx_percentile(o_totalprice, 0.5, 10000)"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)"))),
       // ANN at volume: quantizer trained ONCE on the base table (offline
       // training, the production path — session-cached), then IVF top-k
       // over the k×-amplified corpus: assignment is a narrow projection

@@ -171,8 +171,12 @@ object Sampling {
   def sampleWeighted(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
     sampleWeightedOf(Tables.documents(spark, dir), n)
 
-  /** The transform alone — see [[sampleWeighted]]. */
-  def sampleWeightedOf(docs: DataFrame, n: Int = 50): DataFrame = {
+  /** The per-doc race keys (source, doc_id, n_tokens, wkey) — shared by
+    * the batch sample and the streaming reservoir
+    * ([[graft.streaming.ReservoirStream]]): a doc's key is a pure function
+    * of its id and token count, which is what makes the streaming fold
+    * equal the batch sample under ANY batch split or arrival order. */
+  def weightedRaceKeys(docs: DataFrame): DataFrame = {
     val twoTo60 = 1152921504606846976.0 // 2^60, exactly representable
     docs
       .select(col("source"), col("doc_id"),
@@ -180,12 +184,21 @@ object Sampling {
       .withColumn("wkey", round(
         log((h60(concat(col("doc_id").cast("string"), lit(":wsample"))) + 1).cast("double")
           / lit(twoTo60)) / col("n_tokens").cast("double"), 4))
+  }
+
+  /** Global top-n of a race-key frame, ranked — the shared tail of the
+    * batch sample and the reservoir's queryable view. */
+  def raceTopN(keys: DataFrame, n: Int): DataFrame =
+    keys
       .orderBy(col("wkey").desc, col("doc_id"))
       .limit(n)
       .withColumn("sample_rank", row_number().over(
         Window.orderBy(col("wkey").desc, col("doc_id"))).cast("long"))
       .select("source", "doc_id", "n_tokens", "sample_rank")
-  }
+
+  /** The transform alone — see [[sampleWeighted]]. */
+  def sampleWeightedOf(docs: DataFrame, n: Int = 50): DataFrame =
+    raceTopN(weightedRaceKeys(docs), n)
 
   val sampleWeightedSql: String =
     s"""SELECT source, doc_id, n_tokens, sample_rank FROM (

@@ -214,6 +214,8 @@ object SparkEntry {
     "sample_per_source_agg" -> ((s: SparkSession, d: String) => Sampling.samplePerSourceAgg(s, d)),
     // token-mass-proportional sample (Efraimidis–Spirakis exponential race)
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
+    // same race, ranked within each source (the mixture-building shape)
+    "sample_weighted_per_source" -> ((s: SparkSession, d: String) => Sampling.sampleWeightedPerSource(s, d)),
     "pack_blocks" -> ((s: SparkSession, d: String) => Sampling.packBlocks(s, d)),
     "pack_greedy" -> ((s: SparkSession, d: String) => Sampling.packGreedy(s, d)),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
@@ -445,6 +447,7 @@ object SparkEntry {
     "sample_per_source" -> Sampling.samplePerSourceSql,
     "sample_per_source_agg" -> Sampling.samplePerSourceSql,
     "sample_weighted" -> Sampling.sampleWeightedSql,
+    "sample_weighted_per_source" -> Sampling.sampleWeightedPerSourceSql,
     "pack_blocks" -> Sampling.packBlocksSql,
     "pack_greedy" -> Sampling.packGreedySql,
     "chunk_overlap" -> Prep.chunkOverlapSql,

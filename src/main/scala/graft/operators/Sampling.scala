@@ -200,6 +200,37 @@ object Sampling {
   def sampleWeightedOf(docs: DataFrame, n: Int = 50): DataFrame =
     raceTopN(weightedRaceKeys(docs), n)
 
+  /** Per-source weighted sample: k docs per source, token-mass-proportional
+    * WITHIN each source — the mixture-building shape ("each source
+    * contributes k docs, drawn by token budget"). Same race keys as
+    * [[sampleWeighted]], ranked per group; one shuffle on `source`. For a
+    * hot group, the same contract runs as a [[BottomKAgg]]-style bounded
+    * aggregator over the order-preserving long bits of `-wkey` (positive
+    * doubles compare identically as raw bits) — the window form is the
+    * readable default, as with [[samplePerSource]].
+    */
+  def sampleWeightedPerSource(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    weightedRaceKeys(Tables.documents(spark, dir))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("wkey").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select("source", "doc_id", "n_tokens", "sample_rank")
+      .orderBy("source", "sample_rank")
+
+  val sampleWeightedPerSourceSql: String =
+    s"""SELECT source, doc_id, n_tokens, sample_rank FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id)
+       |      AS sample_rank
+       |  FROM (SELECT source, doc_id,
+       |          CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       |          ROUND(LN((${h60Sql("doc_id::VARCHAR || ':wsample'")} + 1)::DOUBLE
+       |            / 1152921504606846976.0)
+       |            / LEN(STR_SPLIT(text, ' ')), 4) AS wkey
+       |        FROM documents) t) s
+       |WHERE sample_rank <= 10 ORDER BY source, sample_rank""".stripMargin
+
   val sampleWeightedSql: String =
     s"""SELECT source, doc_id, n_tokens, sample_rank FROM (
        |  SELECT source, doc_id, n_tokens,

@@ -100,6 +100,25 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(sampleMean > corpusMean)
   }
 
+  test("sampleWeightedPerSource: dense per-source ranks agreeing with the global keys") {
+    val k = 5
+    val s = Sampling.sampleWeightedPerSource(spark, Sf0001, k)
+    val per = s.groupBy("source").agg(
+      count(lit(1)).as("n"), max("sample_rank").as("mx"), min("sample_rank").as("mn"))
+      .as[(String, Long, Long, Long)].collect()
+    per.foreach { case (_, n, mx, mn) => assert(n <= k && mx == n && mn == 1L) }
+    // rank-1 winner per source = that source's best GLOBAL race key
+    val bestPerSource = Sampling.weightedRaceKeys(graft.Tables.documents(spark, Sf0001))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("wkey").desc, col("doc_id"))))
+      .filter(col("rn") === 1).select("source", "doc_id")
+      .as[(String, Long)].collect().toSet
+    val got = s.filter(col("sample_rank") === 1).select("source", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(got == bestPerSource)
+  }
+
   test("packGreedy never overruns the budget and covers every doc once") {
     val budget = 200
     val packs = Sampling.packGreedy(spark, Sf0001, budget)

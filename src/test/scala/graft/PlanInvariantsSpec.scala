@@ -66,6 +66,23 @@ class PlanInvariantsSpec extends AnyFunSuite with SparkSuite {
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("sample_weighted: bounded TakeOrdered below the rank window, pruned scan") {
+    val plan = executed("sample_weighted")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(takeIdx >= 0, "no TakeOrderedAndProject — the race would sort the corpus")
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0 && windowIdx < takeIdx,
+      "rank window not ABOVE the bounded top-n (it would window the corpus)")
+    // column pruning: the scan must not read the full document row
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out)) {
+      SparkEntry.queries("sample_weighted")(spark, Sf0001).explain("formatted")
+    }
+    val read = out.toString.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && read.contains("source")
+      && !read.contains("lang"), s"scan not pruned to the 3 needed columns: $read")
+  }
+
   test("token_freq_sketch: partial Misra-Gries buffers combine BELOW the exchange") {
     val plan = executed("token_freq_sketch")
     val partialIdx = plan.indexOf("partial_misragries")

@@ -217,6 +217,8 @@ object SparkEntry {
     // same race, ranked within each source (the mixture-building shape)
     "sample_weighted_per_source" -> ((s: SparkSession, d: String) => Sampling.sampleWeightedPerSource(s, d)),
     "pack_blocks" -> ((s: SparkSession, d: String) => Sampling.packBlocks(s, d)),
+    // end-to-end mixture build: weighted per-source sample -> greedy packing
+    "mixture_pipeline" -> ((s: SparkSession, d: String) => Sampling.mixturePipeline(s, d)),
     "pack_greedy" -> ((s: SparkSession, d: String) => Sampling.packGreedy(s, d)),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
     "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
@@ -448,6 +450,7 @@ object SparkEntry {
     "sample_per_source_agg" -> Sampling.samplePerSourceSql,
     "sample_weighted" -> Sampling.sampleWeightedSql,
     "sample_weighted_per_source" -> Sampling.sampleWeightedPerSourceSql,
+    "mixture_pipeline" -> Sampling.mixturePipelineSql,
     "pack_blocks" -> Sampling.packBlocksSql,
     "pack_greedy" -> Sampling.packGreedySql,
     "chunk_overlap" -> Prep.chunkOverlapSql,

@@ -307,6 +307,48 @@ object Sampling {
       .orderBy("source", "pack_id")
   }
 
+  /** End-to-end mixture build: per-source token-mass-weighted sample
+    * ([[sampleWeightedPerSource]]) → exact greedy packing ([[packGreedyOf]])
+    * of the sampled docs into token-budget blocks — the "draw a training
+    * mixture and shard it into sequences" composition. The sample side is
+    * a bounded per-group window; the packed side sees only k·sources docs,
+    * joined back by a semi-join on ids (no text column rides the sample).
+    */
+  def mixturePipeline(spark: SparkSession, dir: String,
+                      k: Int = 10, budget: Int = 500): DataFrame = {
+    val ids = sampleWeightedPerSource(spark, dir, k).select("doc_id")
+    packGreedyOf(Tables.documents(spark, dir).join(ids, Seq("doc_id"), "left_semi"),
+      budget)
+  }
+
+  val mixturePipelineSql: String =
+    s"""WITH RECURSIVE sampled AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id)
+       |        AS sample_rank
+       |    FROM (SELECT source, doc_id,
+       |            ROUND(LN((${h60Sql("doc_id::VARCHAR || ':wsample'")} + 1)::DOUBLE
+       |              / 1152921504606846976.0)
+       |              / LEN(STR_SPLIT(text, ' ')), 4) AS wkey
+       |          FROM documents) a) b
+       |  WHERE sample_rank <= 10),
+       |t AS (
+       |  SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM sampled)),
+       |r AS (
+       |  SELECT source, doc_id, n_tokens, rn, n_tokens AS acc, 0 AS pack_id
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+       |    CASE WHEN r.acc + t.n_tokens > 500 THEN t.n_tokens ELSE r.acc + t.n_tokens END,
+       |    CASE WHEN r.acc + t.n_tokens > 500 THEN r.pack_id + 1 ELSE r.pack_id END
+       |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+       |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM r GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   val packGreedySql: String =
     """WITH RECURSIVE t AS (
       |  SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,

@@ -119,6 +119,19 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     assert(got == bestPerSource)
   }
 
+  test("mixturePipeline packs exactly the weighted sample, never overrunning") {
+    val budget = 500
+    val packed = Sampling.mixturePipeline(spark, Sf0001, k = 5, budget = budget)
+      .as[(String, Long, Long, Long)].collect()
+    val sampled = Sampling.sampleWeightedPerSource(spark, Sf0001, k = 5)
+    // every sampled doc lands in exactly one pack
+    assert(packed.map(_._3).sum == sampled.count())
+    // a pack overruns only when a single doc alone exceeds the budget
+    packed.filter(_._4 > budget).foreach { case (_, _, nDocs, _) =>
+      assert(nDocs == 1L)
+    }
+  }
+
   test("packGreedy never overruns the budget and covers every doc once") {
     val budget = 200
     val packs = Sampling.packGreedy(spark, Sf0001, budget)

@@ -2,10 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch probe main — rewritten per investigation. Current: plan-shape
-  * audit of sample_weighted — the 100 TB claim is narrow projection →
-  * TakeOrderedAndProject(n) with no corpus-wide sort/window below the
-  * bounded top-n. */
+/** Scratch probe main — rewritten per investigation. Current: driver-
+  * contract smoke — SparkEntry.entry on sf0.001 must return rows. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,9 +14,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val df = graft.SparkEntry.queries("sample_weighted")(spark, sf)
-    df.explain("formatted")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"entry rows=$n")
+    require(n > 0)
     spark.stop()
   }
 }

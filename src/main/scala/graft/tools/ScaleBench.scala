@@ -198,7 +198,7 @@ object ScaleBench {
       (name, k, t)
     }
     println("---- scaling exponents (slope between the two LARGEST factors; 1.0 = linear) ----")
-    for ((name, _) <- cases) {
+    for ((name, _) <- cases if factors.size >= 2) {
       val ts = rows.filter(_._1 == name).map(r => r._2 -> r._3).toMap
       val sorted = factors.sorted
       val (lo, hi) = (sorted(sorted.size - 2), sorted.last)

@@ -80,6 +80,20 @@ class ReservoirStreamSpec extends AnyFunSuite with SparkSuite {
     assert(sample(tmp) == expected) // orphan healed on read
   }
 
+  test("file-source streaming wrapper folds to the exact batch sample") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-res-stream").toString
+    val docs = Tables.documents(spark, Sf0001)
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(s"$tmp/in/b1")
+    val q = ReservoirStream.runFileStream(spark, s"$tmp/in/*", s"$tmp/state",
+      s"$tmp/ckpt", docs, N)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).coalesce(1).write.parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sample(s"$tmp/state") == batchTwin())
+  }
+
   test("growth bound: state is O(n) rows per batch, not O(batch)") {
     val docs = Tables.documents(spark, Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft-res-bound").toString

@@ -1,22 +1,34 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Scratch probe main — rewritten per investigation. Current: driver-
-  * contract smoke — SparkEntry.entry on sf0.001 must return rows. */
+/** Scratch probe main — rewritten per investigation. Current: single-shot
+  * 64× point (64M edges) for the connected-components scale table —
+  * extends the 1/4/16 min-of-2 sweep one more 4× step; single run, labeled
+  * as such in STRESS.md. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val n = graft.SparkEntry.entry(spark).count()
-    println(s"entry rows=$n")
-    require(n > 0)
+
+    val k = sys.env.getOrElse("SPARK_GRAFT_CC_FACTOR", "64").toInt
+    val n = k * 1000000L
+    val edges: DataFrame = spark.range(n).select(
+      col("id").as("a"),
+      when(pmod(xxhash64(col("id")), lit(100)) < 1, pmod(xxhash64(col("id"), lit(1)), lit(1000)))
+        .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
+        .as("b"))
+    val t0 = System.nanoTime()
+    graft.operators.Components.connectedComponents(edges, "a", "b")
+      .write.format("noop").mode("overwrite").save()
+    val t = (System.nanoTime() - t0) / 1e9
+    println(f"factor=$k rounds=${graft.operators.Components.lastRounds} single_run_sec=$t%.1f")
     spark.stop()
   }
 }

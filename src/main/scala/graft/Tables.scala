@@ -23,13 +23,27 @@ object Tables {
     * path-based loaders memoize the immutable driver testdata the same way.
     * (DataFrames are immutable — sharing one across queries is safe; keyed
     * by session so a stopped session's relations are never reused.)
+    *
+    * CONTRACT — immutable inputs only: the cached relation snapshots the
+    * file listing at first load, so a directory rewritten mid-session would
+    * be served stale through this cache. These loaders are exclusively for
+    * the driver's read-only testdata; state/output/sink directories must
+    * never be routed through them (none are — streaming state readers use
+    * `spark.read.parquet` + `refreshByPath` directly).
+    *
+    * Eviction: entries of stopped sessions are purged on every access, so a
+    * long-running host cycling many sessions doesn't retain dead sessions
+    * (and their relation trees) for the process lifetime.
     */
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val it = scanCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, path) => s.read.parquet(path) })
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = p(spark, dir, "nation")

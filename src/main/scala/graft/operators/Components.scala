@@ -24,12 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Rounds the most recent `connectedComponents` call took to converge —
-    * a diagnostic for scale probes (ScaleBench) and specs. Round count is a
-    * function of graph STRUCTURE (diameter), not volume: amplifying a
-    * corpus k× must not grow it. */
-  @volatile var lastRounds: Int = 0
-
   /** Connected components of the undirected graph given as a pair list.
     * Returns one row per NON-ROOT node: (id, component) where component is
     * the minimum node id of its component. Roots (component minima) and
@@ -40,7 +34,18 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          shareExchange: Boolean = true): DataFrame = {
+                          shareExchange: Boolean = true): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, shareExchange)._1
+
+  /** [[connectedComponents]] plus the number of star rounds the call took
+    * to converge — returned PER CALL (no shared mutable diagnostic: a
+    * JVM-global would race concurrent invocations and report whichever call
+    * finished last). Round count is a function of graph STRUCTURE
+    * (diameter), not volume: amplifying a corpus k× must not grow it —
+    * ScaleBench and ComponentsSpec pin that. */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+                                    maxIter: Int = 25,
+                                    shareExchange: Boolean = true): (DataFrame, Int) = {
     // canonical directed form (u, v): u > v, deduped, self-loops dropped
     var edges = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
@@ -102,9 +107,8 @@ object Components {
       it += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
-    lastRounds = it
     // at the fixpoint every edge is (member, component-min)
-    edges.select(col("u").as("id"), col("v").as("component"))
+    (edges.select(col("u").as("id"), col("v").as("component")), it)
   }
 
   /** Every node of `nodes` labeled with its duplicate-cluster id: the

@@ -219,12 +219,9 @@ object Dedup {
     *   MinHash signature Generate); a loss when it is cheap (hyperplane
     *   buckets over a narrow embeddings scan) — then the extra full-width
     *   exchange costs more than the recompute it saves.
-    * @param carryCols per-id-constant scalars to ride through the election's
-    *   shuffles (grouping keys, not first() aggregates: a string in the
-    *   aggregation BUFFER would demote the whole aggregate to SortAggregate).
     */
   private[operators] def electKeep(bucketed: DataFrame, idCol: String,
-      keyCols: Seq[String], carryCols: Seq[String] = Nil,
+      keyCols: Seq[String],
       shareInput: Boolean = false): DataFrame = {
     // the explicit isNotNull matters under shareInput: a consumer above
     // (e.g. a semi-join on the elected ids) infers isnotnull(id) and pushes
@@ -238,7 +235,7 @@ object Dedup {
     val bucketMin = parted.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("bucket_min"))
     parted.join(bucketMin, keyCols)
-      .groupBy((idCol +: carryCols).map(col): _*)
+      .groupBy(col(idCol))
       .agg(min(col("bucket_min")).as("rep_id"))
       .withColumn("keep", col("rep_id") === col(idCol))
   }

@@ -299,9 +299,18 @@ object EventsPipeline {
     * Untouched partitions are never read, never rewritten (StreamingSpec
     * asserts their files keep their timestamps).
     *
-    * Invariant: an event_id's event time is fixed across redeliveries (a
-    * delivery timestamp doesn't move dates), so the per-key merge never
-    * needs to look outside the batch's own partitions.
+    * CONTRACT — `ts` is immutable per `event_id`: an event's event time is
+    * fixed across redeliveries (a delivery timestamp doesn't move dates or
+    * hours), so the per-key merge never needs to look outside the batch's
+    * own partitions. This matters doubly under `hourShard`: a redelivery
+    * whose ts moved to a different hour would leave the OLD hour's copy in
+    * place (the pruned slice never reads that hour), persisting both
+    * versions — and the exposure is 24× wider than at day granularity.
+    * Upstreams that mutate event time must route through a stable partition
+    * attribute (e.g. first-seen ts) or a full-key merge instead; reading
+    * "wherever the batch's event_ids already live" here would be an
+    * all-partition anti-join scan per micro-batch — exactly the O(corpus)
+    * cost this partition-pruned merge exists to avoid.
     *
     * Crash safety: the danger window is between per-partition delete and
     * rename. On entry we restore any partition that exists under `.tmp` but

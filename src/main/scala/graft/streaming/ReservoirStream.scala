@@ -53,7 +53,13 @@ object ReservoirStream {
     val fs = FsUtils.fs(spark, path)
     val dst = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
     if (fs.exists(dst)) return
-    val cands = Sampling.weightedRaceKeys(batch)
+    // Dedup WITHIN the batch before taking the top-n: at-least-once delivery
+    // can land the same doc twice in one micro-batch, and a duplicate would
+    // occupy two of the n candidate slots, evicting a distinct doc that
+    // belongs to the global top-n (cross-batch redelivery is handled
+    // read-side, but read-side dedup can't resurrect a doc that never made
+    // it into the candidate log).
+    val cands = Sampling.weightedRaceKeys(batch.dropDuplicates("doc_id"))
       .orderBy(col("wkey").desc, col("doc_id"))
       .limit(n)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-batch-$batchId")

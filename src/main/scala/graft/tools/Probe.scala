@@ -25,10 +25,11 @@ object Probe {
         .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
         .as("b"))
     val t0 = System.nanoTime()
-    graft.operators.Components.connectedComponents(edges, "a", "b")
-      .write.format("noop").mode("overwrite").save()
+    val (cc, rounds) =
+      graft.operators.Components.connectedComponentsWithRounds(edges, "a", "b")
+    cc.write.format("noop").mode("overwrite").save()
     val t = (System.nanoTime() - t0) / 1e9
-    println(f"factor=$k rounds=${graft.operators.Components.lastRounds} single_run_sec=$t%.1f")
+    println(f"factor=$k rounds=$rounds single_run_sec=$t%.1f")
     spark.stop()
   }
 }

@@ -167,8 +167,9 @@ object ScaleBench {
           when(pmod(xxhash64(col("id")), lit(100)) < 1, pmod(xxhash64(col("id"), lit(1)), lit(1000)))
             .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
             .as("b"))
-        val out = graft.operators.Components.connectedComponents(edges, "a", "b")
-        println(s"  [connected_components ${k}x: rounds=${graft.operators.Components.lastRounds}]")
+        val (out, rounds) =
+          graft.operators.Components.connectedComponentsWithRounds(edges, "a", "b")
+        println(s"  [connected_components ${k}x: rounds=$rounds]")
         out
       })
     val cases = caseFilter.fold(allCases)(f => allCases.filter(c => f(c._1)))

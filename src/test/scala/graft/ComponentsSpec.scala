@@ -73,8 +73,10 @@ class ComponentsSpec extends AnyFunSuite with SparkSuite {
     // plus ring edges — converges in a couple of star rounds regardless of
     // how many members the clique has
     val clique = (1L to 40L).map(i => (0L, i)) ++ (1L until 40L).map(i => (i, i + 1))
-    Components.connectedComponents(clique.toDF("a", "b"), "a", "b").collect()
-    assert(Components.lastRounds <= 4, s"clique took ${Components.lastRounds} rounds")
+    val (cc, rounds) =
+      Components.connectedComponentsWithRounds(clique.toDF("a", "b"), "a", "b")
+    cc.collect()
+    assert(rounds <= 4, s"clique took $rounds rounds")
   }
 
   test("result is invariant under edge order and direction flips") {

@@ -66,6 +66,7 @@ object SparkEntry {
     "running_revenue" -> Analytics.runningRevenue _,
     "orders_daily_delta" -> Analytics.ordersDailyDelta _,
     "customer_quartiles" -> Analytics.customerQuartiles _,
+    "customer_quartiles_approx" -> Analytics.customerQuartilesApprox _,
     "orders_cube" -> Analytics.ordersCube _,
     "orders_grouping_sets" -> Analytics.ordersGroupingSets _,
     "orders_pivot" -> Analytics.ordersPivot _,
@@ -353,6 +354,7 @@ object SparkEntry {
     "running_revenue" -> Analytics.runningRevenueSql,
     "orders_daily_delta" -> Analytics.ordersDailyDeltaSql,
     "customer_quartiles" -> Analytics.customerQuartilesSql,
+    "customer_quartiles_approx" -> Analytics.customerQuartilesApproxSql,
     "orders_cube" -> Analytics.ordersCubeSql,
     "orders_grouping_sets" -> Analytics.ordersGroupingSetsSql,
     "orders_pivot" -> Analytics.ordersPivotSql,

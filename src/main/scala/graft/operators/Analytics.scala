@@ -532,6 +532,65 @@ object Analytics {
        |      FROM orders WHERE o_orderpriority = '$OrdersTenant' GROUP BY o_custkey) t
        |ORDER BY o_custkey""".stripMargin
 
+  // --- sketched quartiles (the 100 TB companion of customer_quartiles) -----
+  // The exact variant NTILEs over an UNPARTITIONED window: a global sort that
+  // funnels every customer through ONE task — the canonical scale-killer. The
+  // scale path computes three GK-sketch cut points (fixed-size mergeable
+  // state, one narrow agg) and assigns quartiles with a per-row comparison
+  // against the broadcast cut row: no window, no global sort, no shuffle
+  // beyond the customer rollup. Same gate pattern as price_quantiles_approx:
+  // the sketch values are engine-specific, so the gate row carries the EXACT
+  // cut points plus Spark-side error/balance booleans the oracle emits TRUE
+  // for — a 5% cut-point bound and a bucket-balance bound (each sketch-
+  // assigned quartile within max(2%·n, 8) of the ideal n/4; the slack
+  // absorbs boundary rows, where the un-interpolated sketch cut may sit one
+  // element off the interpolated exact cut).
+  def customerQuartilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === OrdersTenant)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("total_spent"))
+    val cuts = totals.agg(
+      expr("percentile(total_spent, 0.25)").as("e25"),
+      expr("percentile(total_spent, 0.5)").as("e50"),
+      expr("percentile(total_spent, 0.75)").as("e75"),
+      expr("approx_percentile(total_spent, 0.25, 10000)").as("a25"),
+      expr("approx_percentile(total_spent, 0.5, 10000)").as("a50"),
+      expr("approx_percentile(total_spent, 0.75, 10000)").as("a75"),
+      count(lit(1)).as("n"))
+    // quartile 1 = top spenders, mirroring the exact variant's DESC ntile
+    val assigned = totals.crossJoin(broadcast(cuts))
+      .select(col("n"),
+        when(col("total_spent") > col("a75"), 1)
+          .when(col("total_spent") > col("a50"), 2)
+          .when(col("total_spent") > col("a25"), 3)
+          .otherwise(4).as("quartile"))
+    val balance = assigned.groupBy("quartile")
+      .agg(count(lit(1)).as("sz"), first("n").as("n"))
+      .agg(max(abs(col("sz") - col("n") / lit(4.0))).as("max_dev"),
+           first("n").as("n"))
+      .select((col("max_dev") <= greatest(col("n") * 0.02, lit(8.0)))
+        .as("quartiles_balanced"))
+    cuts.crossJoin(balance).select(
+      round(col("e25"), 2).as("p25"), round(col("e50"), 2).as("p50"),
+      round(col("e75"), 2).as("p75"), col("n").as("n_customers"),
+      (abs(col("a25") - col("e25")) / col("e25") <= 0.05 &&
+       abs(col("a50") - col("e50")) / col("e50") <= 0.05 &&
+       abs(col("a75") - col("e75")) / col("e75") <= 0.05).as("approx_within_5pct"),
+      col("quartiles_balanced"))
+  }
+
+  val customerQuartilesApproxSql: String =
+    s"""SELECT ROUND(QUANTILE_CONT(total_spent, 0.25), 2) AS p25,
+       |  ROUND(QUANTILE_CONT(total_spent, 0.5), 2) AS p50,
+       |  ROUND(QUANTILE_CONT(total_spent, 0.75), 2) AS p75,
+       |  COUNT(*) AS n_customers,
+       |  TRUE AS approx_within_5pct,
+       |  TRUE AS quartiles_balanced
+       |FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+       |      FROM orders WHERE o_orderpriority = '$OrdersTenant'
+       |      GROUP BY o_custkey) t""".stripMargin
+
   // --- TPC-H Q1-shaped pricing summary ------------------------------------
   // Not in the reference (it has no lineitem analogue) but the headline
   // large-fact aggregation for the bench: one scan, map-side partial agg,

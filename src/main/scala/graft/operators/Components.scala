@@ -42,10 +42,24 @@ object Components {
     * JVM-global would race concurrent invocations and report whichever call
     * finished last). Round count is a function of graph STRUCTURE
     * (diameter), not volume: amplifying a corpus k× must not grow it —
-    * ScaleBench and ComponentsSpec pin that. */
+    * ScaleBench and ComponentsSpec pin that.
+    *
+    * @param checkpointEvery materialize (localCheckpoint) the edge set every
+    *   k-th round instead of every round. Un-checkpointed rounds leave their
+    *   lineage in place; the next round's jobs re-enter that lineage through
+    *   SHUFFLE REUSE (the exchanges were already executed by the signature
+    *   action), so the skipped materialization is not re-paid as recompute.
+    *   Measured at 16M edges (PLANS.md "CC constant"): k=2 cuts wall-clock
+    *   ~29% vs k=1. Bounded: lineage depth never exceeds k rounds.
+    * @param numPartitions shuffle width for the per-round exchanges; 0 =
+    *   session default. The iteration's working set is edges×16B per
+    *   exchange — at 16M+ edges the session's 32 partitions spill in the
+    *   per-round joins; scaling width with volume removes the spill. */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                                     maxIter: Int = 25,
-                                    shareExchange: Boolean = true): (DataFrame, Int) = {
+                                    shareExchange: Boolean = true,
+                                    checkpointEvery: Int = 1,
+                                    numPartitions: Int = 0): (DataFrame, Int) = {
     // canonical directed form (u, v): u > v, deduped, self-loops dropped
     var edges = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
@@ -80,7 +94,9 @@ object Components {
       // step drop ~3 → 1. Escape hatch kept for plans where AQE reuse
       // can't fire.
       def keyedOn(df: DataFrame): DataFrame =
-        if (shareExchange) df.repartition(col("u")) else df
+        if (shareExchange && numPartitions > 0) df.repartition(numPartitions, col("u"))
+        else if (shareExchange) df.repartition(col("u"))
+        else df
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u}); each
       // undirected edge is emitted by exactly one of its two directions
       val both = keyedOn(edges.select(col("u"), col("v"))
@@ -93,13 +109,14 @@ object Components {
       // small-star: u and all smaller neighbors link to min(Γ⁻(u) ∪ {u})
       // (= min(Γ⁻(u)) since every v < u); drop the root's self-loop
       val mins = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = keyedOn(ls.join(mins, "u")
+      val ssPlan = keyedOn(ls.join(mins, "u")
         .select(col("v"), col("m"))
         .union(mins.select(col("u").as("v"), col("m")))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+      val ss = if ((it + 1) % checkpointEvery == 0) ssPlan.localCheckpoint()
+               else ssPlan
       val next = signature(ss)
       converged = next == sig
       sig = next

@@ -1,0 +1,244 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.FsUtils
+import graft.operators.Components
+
+/** Incremental connected components — the streaming twin of
+  * [[graft.operators.Components.connectedComponents]]. The batch operator
+  * rebuilds transitive duplicate clusters from the WHOLE pair set; at
+  * 100 TB a stream consumer cannot pay that per delivery. This folds each
+  * micro-batch of new near-dup pairs into the existing labels with work
+  * proportional to the batch and the components it touches, never the
+  * corpus:
+  *
+  *  - `stars/batch=<id>`: APPEND-ONLY log of (id, component) star edges —
+  *    each batch appends one row per batch endpoint (its resolved root at
+  *    fold time), O(batch) rows. Star rows are never retracted: a row's
+  *    stored root may go stale when its component later merges, and stays
+  *    resolvable through the relabel map.
+  *  - `relabels`: the small (old_root → new_root) map of every root that
+  *    lost a merge since the last compaction, kept at DEPTH 1 by composing
+  *    each batch's new merges into the existing entries (an entry's target
+  *    is always a CURRENT root). Rewritten per batch via temp-swap — its
+  *    size is O(merge events since compaction), not O(corpus), and
+  *    [[compactState]] folds it back into the star log and empties it.
+  *
+  * Per-batch work: the batch's endpoint ids are broadcast against the star
+  * log (one narrow scan, no state shuffle) to fetch their stored roots;
+  * the root-graph of the batch — O(batch) pairs over RESOLVED roots — is
+  * run through the batch large-star/small-star operator (it converges in
+  * 1-2 rounds on so small a graph); losing roots become relabel entries
+  * and every endpoint gets a star row under its final root. A component
+  * that the batch does not touch is never read, shuffled, or rewritten.
+  *
+  * Resolution invariant (why stale star rows are safe): a star row stores
+  * the id's root AT APPEND TIME. Whenever a then-current root `c` later
+  * loses a merge, that batch writes `c → n` into the relabel map, and the
+  * per-batch composition keeps the entry pointed at the CURRENT root
+  * thereafter — so `coalesce(relabel[c], c)` is always the live root, and
+  * multiple star rows for one id (re-paired across batches) all resolve to
+  * the same label. An id with no star row is its own root unless the
+  * relabel map names it directly (an ex-root that was never re-paired).
+  *
+  * Crash safety / replay (ComponentsStreamSpec): per batch the relabel
+  * swap commits FIRST, the star append (idempotent `batch=<id>` dir,
+  * skip-if-exists) second. A replay after the relabel swap resolves every
+  * batch endpoint to the already-merged root, so the root graph degenerates
+  * to self-loops, no new relabels are produced, and only the missing star
+  * dir is (re)written — the fold is idempotent at every crash boundary.
+  *
+  * Consistency contract: after ANY batch split and ANY arrival order of an
+  * undirected pair set, [[currentLabels]] equals the batch
+  * [[Components.componentLabels]] over the union — components are
+  * order-insensitive (unions commute), so unlike the keep-filter streams
+  * there is no first-arrival caveat.
+  */
+object ComponentsStream {
+
+  private def starsPath(stateDir: String) = s"$stateDir/stars"
+  private def relabelsPath(stateDir: String) = s"$stateDir/relabels"
+
+  private def emptyPairs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
+  }
+
+  /** Read a state table, recovering a compaction orphan first (same heal
+    * pattern as every log-structured state table in this package). */
+  private def readStateOr(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
+    val fs = FsUtils.fs(spark, path)
+    val out = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
+    if (fs.exists(out)) spark.read.parquet(path) else like.limit(0)
+  }
+
+  private def readStars(spark: SparkSession, stateDir: String): DataFrame =
+    readStateOr(spark, starsPath(stateDir), emptyPairs(spark))
+      .select("id", "component") // drop the batch partition column
+
+  private def readRelabels(spark: SparkSession, stateDir: String): DataFrame =
+    readStateOr(spark, relabelsPath(stateDir),
+      emptyPairs(spark).select(col("id").as("old_root"), col("component").as("new_root")))
+      .select("old_root", "new_root")
+
+  /** Fold one micro-batch of undirected pairs into the component state.
+    * Returns the number of root-merge events the batch caused (0 on a
+    * replay or a batch of already-linked pairs). */
+  def applyBatch(spark: SparkSession, pairs: DataFrame, aCol: String, bCol: String,
+                 batchId: Long, stateDir: String): Long = {
+    val fs = FsUtils.fs(spark, stateDir)
+    val starsDst = new org.apache.hadoop.fs.Path(s"${starsPath(stateDir)}/batch=$batchId")
+    // the star append is the batch's LAST commit — its presence means the
+    // whole fold (relabels included) already happened
+    if (fs.exists(starsDst)) return 0L
+
+    val p = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // read for endpoints AND the root graph
+    val endpoints = p.select(col("x").as("id"))
+      .union(p.select(col("y").as("id"))).distinct()
+
+    // stored roots for the batch's endpoints: broadcast the (small) id set
+    // against the star log — BroadcastHashJoin streams the log's narrow
+    // scan, the accumulated state is never shuffled. Multiple rows per id
+    // resolve to the same root (invariant above); min picks one stored
+    // value to resolve, not the answer itself.
+    val stars = readStars(spark, stateDir)
+    val relabels = readRelabels(spark, stateDir)
+    val storedOf = stars.join(broadcast(endpoints), Seq("id"), "left_semi")
+      .groupBy("id").agg(min("component").as("c0"))
+    val rById = relabels.select(col("old_root").as("id"), col("new_root").as("idr"))
+    val rByC0 = relabels.select(col("old_root").as("c0"), col("new_root").as("c0r"))
+    val resolved = endpoints
+      .join(storedOf, Seq("id"), "left")
+      .join(broadcast(rByC0), Seq("c0"), "left")
+      .join(broadcast(rById), Seq("id"), "left")
+      .select(col("id"),
+        when(col("c0").isNotNull, coalesce(col("c0r"), col("c0")))
+          .otherwise(coalesce(col("idr"), col("id"))).as("root"))
+      .localCheckpoint(true)
+
+    // the batch's ROOT graph: O(batch) pairs over current roots — the only
+    // CC this fold ever runs. Links inside an existing component collapse
+    // to self-loops here and cost nothing further.
+    val rootPairs = p
+      .join(resolved.select(col("id").as("x"), col("root").as("rx")), Seq("x"))
+      .join(resolved.select(col("id").as("y"), col("root").as("ry")), Seq("y"))
+      .select(col("rx"), col("ry"))
+      .filter(col("rx") =!= col("ry"))
+    val (cc, _) = Components.connectedComponentsWithRounds(rootPairs, "rx", "ry")
+    val newRel = cc.select(col("id").as("old_root"), col("component").as("new_root"))
+      .localCheckpoint(true)
+    val merges = newRel.count()
+
+    // commit 1 (temp-swap): compose the merges into the relabel map —
+    // existing entries whose target just lost are repointed, keeping every
+    // entry at depth 1
+    if (merges > 0) {
+      val nrByTarget = newRel
+        .select(col("old_root").as("new_root"), col("new_root").as("nr2"))
+      val composed = relabels
+        .join(broadcast(nrByTarget), Seq("new_root"), "left")
+        .select(col("old_root"), coalesce(col("nr2"), col("new_root")).as("new_root"))
+        .unionByName(newRel)
+      val tmp = new org.apache.hadoop.fs.Path(relabelsPath(stateDir) + ".tmp")
+      val out = new org.apache.hadoop.fs.Path(relabelsPath(stateDir))
+      composed.write.mode("overwrite").parquet(tmp.toString)
+      FsUtils.replaceDir(fs, tmp, out)
+      spark.catalog.refreshByPath(relabelsPath(stateDir))
+    }
+
+    // commit 2 (idempotent dir append): every non-root endpoint's star row
+    // under its FINAL root
+    val nrByRoot = newRel.select(col("old_root").as("root"), col("new_root").as("rootFinal"))
+    val finalRows = resolved
+      .join(broadcast(nrByRoot), Seq("root"), "left")
+      .select(col("id"), coalesce(col("rootFinal"), col("root")).as("component"))
+      .filter(col("id") =!= col("component"))
+    val tmpStars = new org.apache.hadoop.fs.Path(s"${starsPath(stateDir)}.tmp-batch-$batchId")
+    finalRows.write.mode("overwrite").parquet(tmpStars.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(starsPath(stateDir)))
+    FsUtils.renameOrThrow(fs, tmpStars, starsDst)
+    spark.catalog.refreshByPath(starsPath(stateDir))
+    merges
+  }
+
+  /** Every node of `nodes` labeled with its duplicate-cluster id — the
+    * streaming read of [[Components.componentLabels]]: star rows resolved
+    * through the relabel map, ex-roots labeled directly, everything else
+    * its own singleton. */
+  def currentLabels(spark: SparkSession, stateDir: String,
+                    nodes: DataFrame, idCol: String): DataFrame = {
+    val stars = readStars(spark, stateDir)
+    val relabels = readRelabels(spark, stateDir)
+    val resolvedStars = stars
+      .join(broadcast(relabels.select(col("old_root").as("component"), col("new_root"))),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("new_root"), col("component")).as("sc"))
+      .groupBy("id").agg(min("sc").as("sc")) // duplicates agree post-resolve
+    val rById = relabels.select(col("old_root").as("id"), col("new_root").as("dc"))
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(resolvedStars, Seq("id"), "left")
+      .join(broadcast(rById), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("sc"), col("dc"), col("id")).as("component"))
+  }
+
+  /** Fold the state to its fixpoint: star rows resolved to current roots,
+    * relabel-only ex-roots materialized as star rows, the relabel map
+    * emptied. Read cost of [[currentLabels]] and the per-batch relabel
+    * rewrite both reset to the compacted size. Stars swap first (the
+    * resolved log carries all information), relabels are cleared second —
+    * a crash between the two leaves stale relabel entries whose sources no
+    * longer appear anywhere as stored components, so resolution is
+    * unaffected and the next compaction clears them. */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val fs = FsUtils.fs(spark, stateDir)
+    val sPath = new org.apache.hadoop.fs.Path(starsPath(stateDir))
+    if (!fs.exists(sPath)) return
+    val maxBatch = fs.listStatus(sPath)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .foldLeft(0L)(math.max)
+    val stars = readStars(spark, stateDir)
+    val relabels = readRelabels(spark, stateDir)
+    val resolved = stars
+      .join(broadcast(relabels.select(col("old_root").as("component"), col("new_root"))),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("new_root"), col("component")).as("component"))
+      .unionByName(relabels.select(col("old_root").as("id"), col("new_root").as("component")))
+      .filter(col("id") =!= col("component"))
+      .groupBy("id").agg(min("component").as("component"))
+    // keep the folded log under the max seen batch= dir so partition
+    // discovery stays uniform (cf. ReservoirStream.compactState)
+    val tmp = new org.apache.hadoop.fs.Path(starsPath(stateDir) + ".tmp")
+    resolved.write.mode("overwrite").parquet(s"$tmp/batch=$maxBatch")
+    FsUtils.replaceDir(fs, tmp, sPath)
+    spark.catalog.refreshByPath(starsPath(stateDir))
+    fs.delete(new org.apache.hadoop.fs.Path(relabelsPath(stateDir)), true)
+    spark.catalog.refreshByPath(relabelsPath(stateDir))
+  }
+
+  /** File-source streaming wrapper: near-dup pair parquet drops in `inDir`
+    * → per-micro-batch incremental component fold under `stateDir`. */
+  def runFileStream(spark: SparkSession, inDir: String, stateDir: String,
+                    checkpointDir: String, schemaFrom: DataFrame,
+                    aCol: String, bCol: String): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, aCol, bCol, batchId, stateDir)
+        ()
+      }
+      .start()
+}

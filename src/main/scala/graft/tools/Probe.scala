@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch probe main — rewritten per investigation. Current: single-shot
-  * 64× point (64M edges) for the connected-components scale table —
-  * extends the 1/4/16 min-of-2 sweep one more 4× step; single run, labeled
-  * as such in STRESS.md. */
+  * connected-components run at SPARK_GRAFT_CC_FACTOR × 1M edges with the
+  * round-7 constant levers exposed (SPARK_GRAFT_CC_CKPT_EVERY,
+  * SPARK_GRAFT_CC_PARTS) for the A/B in PLANS.md "CC constant". */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -24,12 +24,15 @@ object Probe {
       when(pmod(xxhash64(col("id")), lit(100)) < 1, pmod(xxhash64(col("id"), lit(1)), lit(1000)))
         .otherwise(col("id") + 1L + pmod(xxhash64(col("id"), lit(2)), lit(1000)))
         .as("b"))
+    val ckptEvery = sys.env.getOrElse("SPARK_GRAFT_CC_CKPT_EVERY", "1").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_CC_PARTS", "0").toInt
     val t0 = System.nanoTime()
     val (cc, rounds) =
-      graft.operators.Components.connectedComponentsWithRounds(edges, "a", "b")
+      graft.operators.Components.connectedComponentsWithRounds(edges, "a", "b",
+        checkpointEvery = ckptEvery, numPartitions = parts)
     cc.write.format("noop").mode("overwrite").save()
     val t = (System.nanoTime() - t0) / 1e9
-    println(f"factor=$k rounds=$rounds single_run_sec=$t%.1f")
+    println(f"factor=$k ckptEvery=$ckptEvery parts=$parts rounds=$rounds single_run_sec=$t%.1f")
     spark.stop()
   }
 }

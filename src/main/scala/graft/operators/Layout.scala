@@ -84,6 +84,72 @@ object Layout {
     l.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Sampled hot-key detection for [[saltedJoinAuto]]: a Misra-Gries sketch
+    * over a `sampleFraction` sample of the probe side's join keys finds
+    * every key holding ≥ `hotShare` of the rows. At 100 TB the hot tenant
+    * set DRIFTS — hardcoded hot keys go stale — so the targeted salt list
+    * must come from the data at build time. Cost: two narrow passes over
+    * the sample (sketch + count), ZERO shuffle — the MG buffer is k
+    * bounded entries combined map-side, same machinery as
+    * [[FreqSketch.MisraGries]].
+    *
+    * Guarantee: MG with k = ceil(4/hotShare) capacity undercounts any key
+    * by at most n/k, so every key with true share ≥ hotShare survives the
+    * `stored + n/k ≥ hotShare·n` test (no false negatives at the sample
+    * level); over-detection is capped by the candidate list's size (≤ k
+    * keys replicate a few extra build rows — cheap). Keys are compared in
+    * STRING form so one code path serves long and string keys (Spark's
+    * long→string cast is the canonical rendering on both sides).
+    */
+  def detectHotKeys(probe: DataFrame, key: String,
+                    sampleFraction: Double = 0.01,
+                    hotShare: Double = 0.05): Seq[String] = {
+    val k = math.max(16, math.ceil(4.0 / hotShare).toInt)
+    val mg = udaf(new FreqSketch.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val sample = probe.select(col(key).cast("string").as("__k"))
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+    val row = sample
+      .agg(mg(col("__k")).as("sk"), count(lit(1)).as("n"))
+      .select(col("sk.tokens"), col("sk.counts"), col("n"))
+      .head()
+    val (tokens, counts, n) =
+      (row.getSeq[String](0), row.getSeq[Long](1), row.getLong(2))
+    if (n == 0) return Nil
+    val slack = n.toDouble / k
+    tokens.zip(counts)
+      .filter { case (_, c) => c + slack >= hotShare * n }
+      .sortBy { case (t, c) => (-c, t) }
+      .map(_._1)
+  }
+
+  /** [[saltedJoinHot]] with the hot-key list DETECTED from a sample instead
+    * of passed in — the production form at 100 TB where the hot tenant set
+    * drifts between builds. Detection is one extra sketch pass over a 1%
+    * sample; the join itself is the targeted variant: only detected-hot
+    * probe rows are salted, only their build rows replicated. Row-identical
+    * to `large.join(small, Seq(key))` regardless of what the detector
+    * returns (LayoutSpec: empty, exact, and over-detected lists all agree).
+    */
+  def saltedJoinAuto(large: DataFrame, small: DataFrame, key: String,
+                     numSalts: Int, saltFrom: Column,
+                     sampleFraction: Double = 0.01,
+                     hotShare: Double = 0.05): DataFrame = {
+    val hot = detectHotKeys(large, key, sampleFraction, hotShare)
+    if (hot.isEmpty) large.join(small, Seq(key))
+    else {
+      val isHot = col(key).cast("string").isin(hot: _*)
+      val l = large.withColumn("__salt",
+        when(isHot, pmod(xxhash64(saltFrom), lit(numSalts.toLong)))
+          .otherwise(lit(0L)))
+      val s = small.withColumn("__salt",
+        explode(when(isHot,
+            transform(sequence(lit(0), lit(numSalts - 1)), i => i.cast("long")))
+          .otherwise(array(lit(0L)))))
+      l.join(s, Seq(key, "__salt")).drop("__salt")
+    }
+  }
+
   /** Small-file compaction for a date/tenant-partitioned parquet table —
     * the maintenance pass every streaming sink needs: each micro-batch
     * merge leaves `shuffle.partitions`-many small files per touched

@@ -74,6 +74,15 @@ object SkewBench {
       run(graft.operators.Layout.saltedJoinHot(l1, o1, "k",
         numSalts = 16, saltFrom = col("l_extendedprice"), hotKeys = Seq(HotKey)))
     }
+    // B'': auto-detected targeted salting — the 1% MG-sample detector
+    // picks the hot set at build time (round-7: the hot tenant set drifts
+    // at 100 TB, so the list can't be hardcoded). Detection runs INSIDE
+    // the timed region — its sample pass is part of the price.
+    time("salted join, auto-detect (AQE off)") {
+      run(graft.operators.Layout.saltedJoinAuto(l1, o1, "k",
+        numSalts = 16, saltFrom = col("l_extendedprice"),
+        sampleFraction = 0.01, hotShare = 0.05))
+    }
     // C: plain shuffle join, AQE on — runtime skew-split for comparison
     val sC = session(aqe = true)
     val (l2, o2) = skewed(sC)

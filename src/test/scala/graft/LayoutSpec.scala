@@ -75,6 +75,43 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("detectHotKeys finds exactly the planted hot keys from a sample") {
+    // 60% of rows on key 7, 20% on key 13, the rest spread over 10k keys —
+    // at hotShare=0.05 the detector must surface {7, 13} and nothing with
+    // real mass (MG over-detection is allowed but bounded; nothing else
+    // here clears the share test)
+    val skewed = spark.range(100000).select(
+      when(pmod(col("id"), lit(10)) < 6, lit(7L))
+        .when(pmod(col("id"), lit(10)) < 8, lit(13L))
+        .otherwise(pmod(xxhash64(col("id")), lit(10000)) + 100L).as("k"))
+    val hot = Layout.detectHotKeys(skewed, "k",
+      sampleFraction = 0.05, hotShare = 0.05)
+    assert(hot.take(2).toSet == Set("7", "13"), s"detected: $hot")
+    // a uniform key column detects nothing
+    val uniform = spark.range(100000)
+      .select(pmod(xxhash64(col("id")), lit(10000)).as("k"))
+    assert(Layout.detectHotKeys(uniform, "k",
+      sampleFraction = 0.05, hotShare = 0.05).isEmpty)
+  }
+
+  test("saltedJoinAuto is row-identical to the plain equi-join") {
+    val orders = Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, Sf0001).select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(cust, Seq("o_custkey"))
+    // sf0.001 custkeys are near-uniform → detector may return nothing
+    // (plain-join path) — and a forced low threshold over-detects; BOTH
+    // must stay row-identical
+    for (share <- Seq(0.5, 0.001)) {
+      val auto = Layout.saltedJoinAuto(orders, cust, "o_custkey",
+        numSalts = 8, saltFrom = col("o_orderkey"),
+        sampleFraction = 0.5, hotShare = share)
+      assert(auto.count() == plain.count(), s"share=$share")
+      assert(auto.exceptAll(plain).count() == 0, s"share=$share")
+      assert(plain.exceptAll(auto).count() == 0, s"share=$share")
+    }
+  }
+
   test("compaction rewrites only fragmented partitions and keeps rows identical") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val dir = s"$tmp/t"

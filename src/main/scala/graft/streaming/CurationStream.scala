@@ -99,7 +99,8 @@ object CurationStream {
                   outDir: Option[String] = None,
                   minQuality: Double = 0.3, lang: String = "en",
                   hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                    org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
+                    org.apache.spark.sql.functions.xxhash64(_),
+                  autoCompactFiles: Int = 0): DataFrame = {
     val hashesPath = s"$stateDir/hashes"
     val bucketsPath = s"$stateDir/buckets"
 
@@ -163,7 +164,32 @@ object CurationStream {
     freshHashes.select(col("content_hash"), col("doc_id").as("owner_id"))
       .write.mode("append").parquet(hashesPath)
     batchBands.write.mode("append").parquet(bucketsPath)
+
+    // retention policy (round 7): the band log otherwise grows every batch
+    // until someone remembers to compact. When the log's FILE count (a
+    // driver-side listing, no data read — each append lands
+    // shuffle.partitions-many files) crosses the threshold, fold it inline.
+    // Crash-safe at every point: compaction's temp-swap + the orphan heal
+    // in readStateOr cover a crash mid-fold, and a crash BEFORE the fold
+    // just leaves the log for the next batch's trigger.
+    if (autoCompactFiles > 0 && partFileCount(spark, bucketsPath) > autoCompactFiles)
+      compactState(spark, stateDir)
     result
+  }
+
+  /** Data-file count of a state log — the compaction trigger metric. A
+    * pure driver-side listing (the same metadata a scan would list), so
+    * checking it per batch costs no executor work. */
+  private def partFileCount(spark: SparkSession, path: String): Int = {
+    val fs = FsUtils.fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+      n
+    }
   }
 
   /** Fold the append-only state logs: one row per content hash / per
@@ -192,14 +218,16 @@ object CurationStream {
                     outDir: String, checkpointDir: String,
                     schemaFrom: DataFrame,
                     hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                      org.apache.spark.sql.functions.xxhash64(_)): StreamingQuery =
+                      org.apache.spark.sql.functions.xxhash64(_),
+                    autoCompactFiles: Int = 256): StreamingQuery =
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(spark, batch, stateDir, batchId, Some(outDir), hashFn = hashFn)
+        curateBatch(spark, batch, stateDir, batchId, Some(outDir), hashFn = hashFn,
+          autoCompactFiles = autoCompactFiles)
         ()
       }
       .start()

@@ -24,6 +24,9 @@ object StreamStress {
 
     val amp = sys.env.getOrElse("SPARK_GRAFT_STREAM_AMP", "8").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
+    // round 7: >0 turns on the inline retention policy — band-log file
+    // count crossing the threshold triggers compactState inside the fold
+    val autoCompact = sys.env.getOrElse("SPARK_GRAFT_STREAM_AUTOCOMPACT", "0").toInt
     // replicas get a per-rep suffix TOKEN: exact-distinct (every doc grows
     // the hash state) but near-duplicate (the band log still gets collisions
     // to elect over) — plain exact copies would fold to nothing after the
@@ -45,7 +48,8 @@ object StreamStress {
     }
     def fold(id: Long, df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      graft.streaming.CurationStream.curateBatch(spark, df, state, id, Some(out))
+      graft.streaming.CurationStream.curateBatch(spark, df, state, id, Some(out),
+        autoCompactFiles = autoCompact)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -47,6 +47,40 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     assert(redelivered.isEmpty, "re-delivery must add nothing")
   }
 
+  test("auto-compaction triggers on the file threshold and moves nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstream-auto").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val batchResult = rows(Curation.curate(spark, Sf0001, hashFn = h60))
+    val fs = graft.functions.FsUtils.fs(spark, tmp)
+    def bucketFiles: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/state/buckets")
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true); var n = 0
+        while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+        n
+      }
+    }
+    // threshold 1: EVERY batch crosses it → compaction runs inline after
+    // each append, so the log's file count stays at one fold's worth
+    // instead of growing per batch — and the output still equals the batch
+    // pipeline (id-ordered arrival, same contract as the manual test)
+    val cuts = Seq(0L, 150L, 300L, Long.MaxValue)
+    var maxFiles = 0
+    val streamed = cuts.sliding(2).zipWithIndex.flatMap { case (Seq(lo, hi), i) =>
+      val r = rows(CurationStream.curateBatch(spark,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), s"$tmp/state",
+        batchId = i, hashFn = h60, autoCompactFiles = 1))
+      maxFiles = math.max(maxFiles, bucketFiles)
+      r
+    }.toSet
+    assert(streamed == batchResult,
+      s"auto-compacted stream ${streamed.size} rows != batch ${batchResult.size}")
+    // bounded: never more than one compacted fold's file count (4 test
+    // shuffle partitions, plus a success marker filtered out above)
+    assert(maxFiles <= 8, s"band log grew to $maxFiles files despite auto-compaction")
+  }
+
   test("out-of-order arrival may over-keep but never drops a batch-kept doc") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cstream4").toString
     val docs = Tables.documents(spark, Sf0001)

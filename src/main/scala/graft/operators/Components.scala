@@ -45,29 +45,36 @@ object Components {
     * ScaleBench and ComponentsSpec pin that.
     *
     * @param checkpointEvery materialize (localCheckpoint) the edge set every
-    *   k-th round instead of every round. Un-checkpointed rounds leave their
-    *   lineage in place; the next round's jobs re-enter that lineage through
-    *   SHUFFLE REUSE (the exchanges were already executed by the signature
-    *   action), so the skipped materialization is not re-paid as recompute.
-    *   Measured at 16M edges (PLANS.md "CC constant"): k=2 cuts wall-clock
-    *   ~29% vs k=1. Bounded: lineage depth never exceeds k rounds.
+    *   k-th round instead of every round. MEASURED-REJECTED lever — keep 1:
+    *   un-materialized rounds re-execute under the next action (each action
+    *   is a fresh AQE query; shuffle reuse does not cross actions), so k=2
+    *   nearly DOUBLES wall-clock at 16M edges (356 vs 185 s; eager-ckpt
+    *   form 371 vs 200 s — PLANS.md "CC constant"). Kept as the A/B
+    *   harness knob that documents the rejection.
     * @param numPartitions shuffle width for the per-round exchanges; 0 =
-    *   session default. The iteration's working set is edges×16B per
-    *   exchange — at 16M+ edges the session's 32 partitions spill in the
-    *   per-round joins; scaling width with volume removes the spill. */
+    *   session default. MEASURED-REJECTED at local[32]/16M edges: wider
+    *   shuffles cost more in task scheduling than the ~800 MB spill they
+    *   remove (64 parts +14%, 128 parts +74% wall-clock vs the spilling
+    *   32). On a real cluster, size it so edges×16B/parts fits executor
+    *   memory — the knob exists for that, not for local mode. */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                                     maxIter: Int = 25,
                                     shareExchange: Boolean = true,
                                     checkpointEvery: Int = 1,
                                     numPartitions: Int = 0): (DataFrame, Int) = {
-    // canonical directed form (u, v): u > v, deduped, self-loops dropped
+    // canonical directed form (u, v): u > v, deduped, self-loops dropped.
+    // LAZY checkpoint: the signature aggregate below is the materializing
+    // action, so each round runs ONE job (materialize + signature in a
+    // single pass) instead of an eager-checkpoint job plus a signature
+    // job — with the large-star distinct removal below, measured
+    // 199.9 → 185.4 s at 16M edges (PLANS.md "CC constant").
     var edges = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
               least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // convergence = the edge SET is stable; compare (count, hash-xor)
     // signatures instead of a full except() — one cheap agg over the
@@ -102,10 +109,14 @@ object Components {
       val both = keyedOn(edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v"))))
       val nbrMin = both.groupBy("u").agg(min("v").as("mn"))
+      // NO distinct here: large-star duplicates ((v, least) emitted via two
+      // different u's) are harmless to its consumers — groupBy-min absorbs
+      // them and the join-back's extra rows wash out in ss's distinct — so
+      // the full dedup aggregate per round bought nothing (same fixpoint,
+      // same rounds; the A/B is in PLANS.md "CC constant")
       val ls = keyedOn(both.join(nbrMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v")))
-        .distinct()
       // small-star: u and all smaller neighbors link to min(Γ⁻(u) ∪ {u})
       // (= min(Γ⁻(u)) since every v < u); drop the root's self-loop
       val mins = ls.groupBy("u").agg(min("v").as("m"))
@@ -115,9 +126,9 @@ object Components {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")))
         .distinct()
-      val ss = if ((it + 1) % checkpointEvery == 0) ssPlan.localCheckpoint()
+      val ss = if ((it + 1) % checkpointEvery == 0) ssPlan.localCheckpoint(false)
                else ssPlan
-      val next = signature(ss)
+      val next = signature(ss) // materializes the lazy checkpoint in-pass
       converged = next == sig
       sig = next
       edges = ss

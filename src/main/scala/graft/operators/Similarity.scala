@@ -54,25 +54,28 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("cluster"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
-  /** Per-row distance/cluster structs against a literal centroid set. The
-    * coarse quantizer is O(k) driver data by construction (every IVF engine
-    * ships it to the workers); baking it into the expression avoids the
-    * crossJoin row amplification + per-vector window sort of the naive
-    * formulation — assignment becomes one narrow projection.
+  /** Assign each vector to its nearest centroid — argmin by squared L2,
+    * ties to the smaller cluster id, via the codegen
+    * [[org.apache.spark.sql.graft.NearestCentroid]] expression (centroid
+    * matrix as ONE reference object, primitive loops). The coarse quantizer
+    * is O(k) driver data by construction — every IVF engine ships it to the
+    * workers. The previous struct-literal formulation
+    * (`array_min(array(struct(l2Sq(v, c), id)...))`) interpreted an l2Sq
+    * lambda per element per centroid AND embedded k·dim literal doubles in
+    * the plan — measured 128× slower building the 64×-amplified index
+    * (695 s → 5.4 s at 640 clusters × 128k vectors, STRESS.md "On-disk IVF
+    * index"); it survives as the equivalence oracle in
+    * CatalystExpressionSpec.
     */
-  private def distStructs(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array(cents.map { case (cl, c) =>
-      struct(l2Sq(v, array(c.map(lit): _*)).as("d"), lit(cl).as("cluster"))
-    }: _*)
-
-  /** Assign each vector to its nearest centroid — argmin via `array_min`
-    * over (dist, cluster) structs (lexicographic struct ordering = min dist,
-    * cluster id as the deterministic tie-break).
-    */
-  def assign(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+  def assign(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, NearestCentroid}
+    val clusterCol = ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(col("v")),
+      cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("cluster", array_min(distStructs(col("v"), cents)).getField("cluster"))
+      .withColumn("cluster", clusterCol)
+  }
 
   /** Collect the trained quantizer (k tiny rows) for literal baking. */
   def centroidSeq(embeddings: DataFrame): Seq[(Int, Seq[Double])] =
@@ -126,14 +129,22 @@ object Similarity {
     ivfScoreTail(probeClusters(assigned, cents, probeIds, nprobe),
       assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster")), k)
 
-  /** nprobe nearest clusters per probe: sort the literal dist structs
-    * in-expression, take the first nprobe — no crossJoin, no window. */
+  /** nprobe nearest clusters per probe via the codegen
+    * [[org.apache.spark.sql.graft.NearestClusters]] (centroid matrix as a
+    * reference object) — no crossJoin, no window, and no k·dim literals in
+    * the plan: the literal-struct formulation pushed ~330k literal nodes
+    * through analysis/codegen PER QUERY at 2560 clusters, measured 62 s of
+    * driver-side cost per indexed query at 256× (STRESS.md). */
   private def probeClusters(assigned: DataFrame, cents: Seq[(Int, Seq[Double])],
-                            probeIds: Seq[Long], nprobe: Int): DataFrame =
+                            probeIds: Seq[Long], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, NearestClusters}
+    val nearest = ColumnBridge.column(NearestClusters(
+      ColumnBridge.expression(col("v")),
+      cents.map(_._2.toArray).toArray, cents.map(_._1).toArray, nprobe))
     assigned.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(slice(array_sort(distStructs(col("v"), cents)), 1, nprobe)
-          .getField("cluster")).as("cluster"))
+        explode(nearest).as("cluster"))
+  }
 
   /** Shared scoring tail: broadcast tiny probes into the inverted lists,
     * exact cosine, bounded per-probe top-k. */
@@ -155,7 +166,14 @@ object Similarity {
     */
   def buildIndex(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                  path: String): Unit =
+    // repartition ON the partition column first: the naive dynamic-partition
+    // write fans every write task across every cluster dir (tasks × clusters
+    // files — measured 41× build blowup 15→620 s from 8× to 64× at 640
+    // clusters, ~20k files; STRESS.md "On-disk IVF index"). One shuffle
+    // co-locates each inverted list into one task → ~1 file per cluster,
+    // which is also the read layout the pruned query wants.
     assign(embeddings, cents)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** IVF top-k against a [[buildIndex]]-materialized on-disk index. The
@@ -185,6 +203,7 @@ object Similarity {
   def appendAssigned(newEmbeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                      assignedPath: String): Unit =
     assign(newEmbeddings, cents)
+      .repartition(col("cluster")) // one file per touched cluster per batch
       .write.mode("append").partitionBy("cluster").parquet(assignedPath)
 
   /** Convenience: train-or-reuse the quantizer via the session cache. */

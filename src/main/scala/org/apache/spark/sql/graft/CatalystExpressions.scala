@@ -371,6 +371,187 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer assignment: the cluster id of the nearest centroid
+  * by squared L2, ties to the smaller id — exactly
+  * `array_min(array(struct(l2Sq(v, c_i), id_i)...)).cluster` (the
+  * lexicographic struct min; equivalence pinned in CatalystExpressionSpec)
+  * without that formulation's costs: the HOF l2Sq interprets a lambda per
+  * element per centroid and the struct array embeds k·dim literal doubles
+  * into the plan, which at 640 clusters × 128 dims measured 60× slower on
+  * the 128k-vector index build (STRESS.md "On-disk IVF index"). Here the
+  * centroid matrix rides as ONE reference object and assignment is a tight
+  * primitive loop — O(k·dim) multiply-adds per row at scalar-code speed,
+  * inside whole-stage codegen.
+  *
+  * Distance over the first min(len) elements per centroid (the zip_with
+  * convention for equal-length vectors; mismatched lengths don't occur in
+  * the embedding tables but must not throw here either).
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+                           ids: Array[Int])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData].toDoubleArray()
+    var bestD = Double.PositiveInfinity
+    var bestId = Int.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val m = math.min(vec.length, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { val x = vec(j) - c(j); d += x * x; j += 1 }
+      if (d < bestD || (d == bestD && ids(i) < bestId)) { bestD = d; bestId = ids(i) }
+      i += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val vec = ctx.freshName("vec")
+      val bestD = ctx.freshName("bestD")
+      val bestId = ctx.freshName("bestId")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cc = ctx.freshName("cc")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      s"""
+         |double[] $vec = $c.toDoubleArray();
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |int $bestId = Integer.MAX_VALUE;
+         |for (int $i = 0; $i < $centsRef.length; $i++) {
+         |  double[] $cc = $centsRef[$i];
+         |  int $m = java.lang.Math.min($vec.length, $cc.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double $x = $vec[$j] - $cc[$j];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD || ($d == $bestD && $idsRef[$i] < $bestId)) {
+         |    $bestD = $d; $bestId = $idsRef[$i];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The nprobe nearest centroids by squared L2 (ids ordered nearest-first,
+  * distance ties to the smaller id) — exactly
+  * `slice(array_sort(array(struct(l2Sq(v,c_i), id_i)...)), 1, nprobe).cluster`
+  * (equivalence pinned in CatalystExpressionSpec) without embedding
+  * k·dim literal doubles into the plan: with 2560 clusters × 128 dims the
+  * literal formulation put ~330k literal nodes through analysis/codegen on
+  * EVERY query — measured 62 s of driver-side cost per indexed ANN query at
+  * 256× (STRESS.md "On-disk IVF index"). Bounded insertion into an
+  * nprobe-slot buffer; the centroid matrix rides as one reference object.
+  */
+case class NearestClusters(child: Expression, cents: Array[Array[Double]],
+                           ids: Array[Int], nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nprobe > 0, "nprobe must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_clusters"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(nprobe, cents.length)
+    val bd = new Array[Double](n)
+    val bi = new Array[Int](n)
+    var filled = 0
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val m = math.min(vec.length, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { val x = vec(j) - c(j); d += x * x; j += 1 }
+      val id = ids(i)
+      // insert (d, id) if it beats the current worst (lexicographic order)
+      if (filled < n || d < bd(filled - 1) ||
+          (d == bd(filled - 1) && id < bi(filled - 1))) {
+        var p = if (filled < n) filled else n - 1
+        while (p > 0 && (bd(p - 1) > d || (bd(p - 1) == d && bi(p - 1) > id))) {
+          bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bd(p) = d; bi(p) = id
+        if (filled < n) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val vec = ctx.freshName("vec")
+      val n = ctx.freshName("n")
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      val filled = ctx.freshName("filled")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cc = ctx.freshName("cc")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val id = ctx.freshName("id")
+      val p = ctx.freshName("p")
+      s"""
+         |double[] $vec = $c.toDoubleArray();
+         |int $n = java.lang.Math.min($nprobe, $centsRef.length);
+         |double[] $bd = new double[$n];
+         |int[] $bi = new int[$n];
+         |int $filled = 0;
+         |for (int $i = 0; $i < $centsRef.length; $i++) {
+         |  double[] $cc = $centsRef[$i];
+         |  int $m = java.lang.Math.min($vec.length, $cc.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double $x = $vec[$j] - $cc[$j];
+         |    $d += $x * $x;
+         |  }
+         |  int $id = $idsRef[$i];
+         |  if ($filled < $n || $d < $bd[$filled - 1] ||
+         |      ($d == $bd[$filled - 1] && $id < $bi[$filled - 1])) {
+         |    int $p = ($filled < $n) ? $filled : $n - 1;
+         |    while ($p > 0 && ($bd[$p - 1] > $d ||
+         |           ($bd[$p - 1] == $d && $bi[$p - 1] > $id))) {
+         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $d; $bi[$p] = $id;
+         |    if ($filled < $n) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing selection: sliding-window minima over a k-gram hash array
   * (window size `w`), distinct and sorted — the document sketch of
   * Schleimer et al. Same values as the HOF

@@ -65,6 +65,45 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0)
   }
 
+  test("NearestCentroid ≡ the array_min struct formulation on trained centroids") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = graft.operators.Similarity.centroidSeq(e)
+    assert(cents.size > 1)
+    val v = col("embedding").cast("array<double>").as("v")
+    val fast = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.NearestCentroid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
+    val hof = array_min(array(cents.map { case (cl, c) =>
+      struct(VectorFunctions.l2Sq(col("v"), array(c.map(lit): _*)).as("d"),
+        lit(cl).as("cluster"))
+    }: _*)).getField("cluster")
+    val diff = e.select(v).select(fast.as("a"), hof.as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0, "codegen argmin must equal the lexicographic struct min")
+  }
+
+  test("NearestClusters ≡ slice(array_sort(struct list)) for nprobe 1, 4, and >k") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = graft.operators.Similarity.centroidSeq(e)
+    val structs = array(cents.map { case (cl, c) =>
+      struct(VectorFunctions.l2Sq(col("v"), array(c.map(lit): _*)).as("d"),
+        lit(cl).as("cluster"))
+    }: _*)
+    for (nprobe <- Seq(1, 4, cents.size + 3)) {
+      val fast = org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.graft.NearestClusters(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+          cents.map(_._2.toArray).toArray, cents.map(_._1).toArray, nprobe))
+      val hof = transform(slice(array_sort(structs), 1, nprobe),
+        s => s.getField("cluster"))
+      val diff = e.select(col("embedding").cast("array<double>").as("v"))
+        .select(fast.as("a"), hof.as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"nprobe=$nprobe: bounded insertion must equal full sort")
+    }
+  }
+
   test("WinnowingMins is identical to the HOF winnowing formulation") {
     val docs = Tables.documents(spark, Sf0001)
     val diff = docs.select(

@@ -100,7 +100,7 @@ object CurationStream {
                   minQuality: Double = 0.3, lang: String = "en",
                   hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                     org.apache.spark.sql.functions.xxhash64(_),
-                  autoCompactFiles: Int = 0): DataFrame = {
+                  autoCompactBytes: Long = 0L): DataFrame = {
     val hashesPath = s"$stateDir/hashes"
     val bucketsPath = s"$stateDir/buckets"
 
@@ -166,28 +166,35 @@ object CurationStream {
     batchBands.write.mode("append").parquet(bucketsPath)
 
     // retention policy (round 7): the band log otherwise grows every batch
-    // until someone remembers to compact. When the log's FILE count (a
-    // driver-side listing, no data read — each append lands
-    // shuffle.partitions-many files) crosses the threshold, fold it inline.
+    // until someone remembers to compact. When the log's BYTE size (a
+    // driver-side listing, no data read) crosses the threshold, fold it
+    // inline. Bytes, not file count: small appends coalesce to one file
+    // each (AQE), so a file-count trigger scales with batch CADENCE while
+    // the read cost it guards scales with accumulated ROWS — bytes track
+    // rows under any file layout (StreamStress measured 1 file/batch at
+    // toy batches vs shuffle.partitions-many at production ones).
     // Crash-safe at every point: compaction's temp-swap + the orphan heal
     // in readStateOr cover a crash mid-fold, and a crash BEFORE the fold
     // just leaves the log for the next batch's trigger.
-    if (autoCompactFiles > 0 && partFileCount(spark, bucketsPath) > autoCompactFiles)
+    if (autoCompactBytes > 0 && logBytes(spark, bucketsPath) > autoCompactBytes)
       compactState(spark, stateDir)
     result
   }
 
-  /** Data-file count of a state log — the compaction trigger metric. A
-    * pure driver-side listing (the same metadata a scan would list), so
-    * checking it per batch costs no executor work. */
-  private def partFileCount(spark: SparkSession, path: String): Int = {
+  /** Total data-file bytes of a state log — the compaction trigger metric.
+    * A pure driver-side listing (the same metadata a scan would list, sizes
+    * included), so checking it per batch costs no executor work. */
+  private def logBytes(spark: SparkSession, path: String): Long = {
     val fs = FsUtils.fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) 0
+    if (!fs.exists(p)) 0L
     else {
       val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) n += f.getLen
+      }
       n
     }
   }
@@ -219,7 +226,7 @@ object CurationStream {
                     schemaFrom: DataFrame,
                     hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                       org.apache.spark.sql.functions.xxhash64(_),
-                    autoCompactFiles: Int = 256): StreamingQuery =
+                    autoCompactBytes: Long = 64L << 20): StreamingQuery =
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
@@ -227,7 +234,7 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(spark, batch, stateDir, batchId, Some(outDir), hashFn = hashFn,
-          autoCompactFiles = autoCompactFiles)
+          autoCompactBytes = autoCompactBytes)
         ()
       }
       .start()

@@ -24,9 +24,9 @@ object StreamStress {
 
     val amp = sys.env.getOrElse("SPARK_GRAFT_STREAM_AMP", "8").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
-    // round 7: >0 turns on the inline retention policy — band-log file
-    // count crossing the threshold triggers compactState inside the fold
-    val autoCompact = sys.env.getOrElse("SPARK_GRAFT_STREAM_AUTOCOMPACT", "0").toInt
+    // round 7: >0 turns on the inline retention policy — band-log byte
+    // size crossing the threshold triggers compactState inside the fold
+    val autoCompact = sys.env.getOrElse("SPARK_GRAFT_STREAM_AUTOCOMPACT_KB", "0").toLong << 10
     // replicas get a per-rep suffix TOKEN: exact-distinct (every doc grows
     // the hash state) but near-duplicate (the band log still gets collisions
     // to elect over) — plain exact copies would fold to nothing after the
@@ -40,6 +40,17 @@ object StreamStress {
     val state = s"$tmp/state"
     val out = s"$tmp/out"
 
+    def stateFiles(name: String): Int = {
+      val path = s"$state/$name"
+      val fs = graft.functions.FsUtils.fs(spark, path)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(hp)) 0
+      else {
+        val it = fs.listFiles(hp, true); var n = 0
+        while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+        n
+      }
+    }
     def stateRows(name: String): Long = {
       val p = s"$state/$name"
       if (graft.functions.FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p)))
@@ -49,15 +60,15 @@ object StreamStress {
     def fold(id: Long, df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       graft.streaming.CurationStream.curateBatch(spark, df, state, id, Some(out),
-        autoCompactFiles = autoCompact)
+        autoCompactBytes = autoCompact)
       (System.nanoTime() - t0) / 1e9
     }
 
-    println("batch,sec,hashes_rows,buckets_rows")
+    println("batch,sec,hashes_rows,buckets_rows,buckets_files")
     val batches = (0 until nBatches).map(i => docs.filter(pmod(col("doc_id"), lit(nBatches)) === i))
     batches.zipWithIndex.foreach { case (b, i) =>
       val t = fold(i.toLong, b)
-      println(f"$i,$t%.2f,${stateRows("hashes")},${stateRows("buckets")}")
+      println(f"$i,$t%.2f,${stateRows("hashes")},${stateRows("buckets")},${stateFiles("buckets")}")
     }
     // maintenance pass, then one more batch against compacted state
     val t0 = System.nanoTime()

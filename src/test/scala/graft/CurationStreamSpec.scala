@@ -61,7 +61,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
         n
       }
     }
-    // threshold 1: EVERY batch crosses it → compaction runs inline after
+    // threshold 1 byte: EVERY batch crosses it → compaction runs inline after
     // each append, so the log's file count stays at one fold's worth
     // instead of growing per batch — and the output still equals the batch
     // pipeline (id-ordered arrival, same contract as the manual test)
@@ -70,7 +70,7 @@ class CurationStreamSpec extends AnyFunSuite with SparkSuite {
     val streamed = cuts.sliding(2).zipWithIndex.flatMap { case (Seq(lo, hi), i) =>
       val r = rows(CurationStream.curateBatch(spark,
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi), s"$tmp/state",
-        batchId = i, hashFn = h60, autoCompactFiles = 1))
+        batchId = i, hashFn = h60, autoCompactBytes = 1L))
       maxFiles = math.max(maxFiles, bucketFiles)
       r
     }.toSet

@@ -76,9 +76,20 @@ object SkewBench {
     }
     // B'': auto-detected targeted salting — the 1% MG-sample detector
     // picks the hot set at build time (round-7: the hot tenant set drifts
-    // at 100 TB, so the list can't be hardcoded). Detection runs INSIDE
-    // the timed region — its sample pass is part of the price.
-    time("salted join, auto-detect (AQE off)") {
+    // at 100 TB, so the list can't be hardcoded). Timed in its production
+    // shape: detection runs ONCE per build/maintenance pass and the list
+    // is reused across every query against that build, so the sample pass
+    // and the join are separate rows; "detect+join" is the worst case
+    // where a single query pays both.
+    val tDet0 = System.nanoTime()
+    val hotDetected = graft.operators.Layout.detectHotKeys(l1, "k",
+      sampleFraction = 0.01, hotShare = 0.05)
+    println(f"hot-key detection (1%% MG sample)   once=${(System.nanoTime() - tDet0) / 1e9}%.3f detected=$hotDetected")
+    time("salted join, detected keys (AQE off)") {
+      run(graft.operators.Layout.saltedJoinHot(l1, o1, "k",
+        numSalts = 16, saltFrom = col("l_extendedprice"), hotKeys = hotDetected.map(_.toLong)))
+    }
+    time("salted join, detect+join (AQE off)") {
       run(graft.operators.Layout.saltedJoinAuto(l1, o1, "k",
         numSalts = 16, saltFrom = col("l_extendedprice"),
         sampleFraction = 0.01, hotShare = 0.05))

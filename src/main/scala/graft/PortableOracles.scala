@@ -63,7 +63,7 @@ object PortableOracles {
     * non-singleton node reaches its component minimum), singletons label
     * themselves. Mirrors `Components.componentLabels` (whose large-star/
     * small-star fixpoint provably lands on the same component minima). */
-  val dedupClustersSql: String =
+  private def clusterCtes: String =
     s"""WITH RECURSIVE docs0 AS (SELECT * FROM documents WHERE doc_id < 500),
        |${minhashCtes("docs0")},
        |sets AS (SELECT doc_id, list_distinct(list_transform(STR_SPLIT(text, ' '),
@@ -83,10 +83,25 @@ object PortableOracles {
        |  SELECT a, b FROM e
        |  UNION
        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-       |comp AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a)
-       |SELECT d.doc_id,
+       |comp AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a),
+       |labels AS (SELECT d.doc_id,
        |  CAST(COALESCE(LEAST(comp.m, d.doc_id), d.doc_id) AS BIGINT) AS component
-       |FROM docs0 d LEFT JOIN comp USING (doc_id) ORDER BY doc_id""".stripMargin
+       |FROM docs0 d LEFT JOIN comp USING (doc_id))""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""$clusterCtes
+       |SELECT doc_id, component FROM labels ORDER BY doc_id""".stripMargin
+
+  /** [[dedupClustersSql]]'s labels + the split CASE keyed on the COMPONENT
+    * (mirrors `Sampling.splitLeakageSafeOf`): every transitive near-dup
+    * cluster lands in one split. */
+  val splitLeakageSafeSql: String =
+    s"""$clusterCtes
+       |SELECT doc_id, component,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, component,
+       |      ${h60Sql("component::VARCHAR || ':split'")} % 100 AS b FROM labels) t
+       |ORDER BY doc_id""".stripMargin
 
   /** SimHash fingerprint CTE over `src`: h60 token hashes → 64-way sign
     * count. Bits 60–63 of h60 are structurally 0 ⇒ those fingerprint bits

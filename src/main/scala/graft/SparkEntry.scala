@@ -207,6 +207,18 @@ object SparkEntry {
     // quality/language gates → token stats)
     "curation_pipeline" -> ((s: SparkSession, d: String) =>
       Curation.curate(s, d, hashFn = graft.functions.Hashing.h60)),
+    // leakage-safe split: assignment keyed on the duplicate-CLUSTER label,
+    // so no near-dup pair ever straddles train/test (the plain id-hash
+    // split leaks ~34% of near-dup pairs across splits)
+    "split_leakage_safe" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+        hashFn = graft.functions.Hashing.h60)
+      Sampling.splitLeakageSafeOf(
+          Components.componentLabels(docs, "doc_id", pairs, "id_a", "id_b"))
+        .orderBy("doc_id")
+    }),
     // [EXT] deterministic sampling / splitting / packing (hash-keyed — no
     // RNG state, task-retry-stable, backfill-reproducible)
     "split_assign" -> Sampling.splitAssign _,
@@ -448,6 +460,7 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "split_assign" -> Sampling.splitAssignSql,
+    "split_leakage_safe" -> PortableOracles.splitLeakageSafeSql,
     "sample_per_source" -> Sampling.samplePerSourceSql,
     "sample_per_source_agg" -> Sampling.samplePerSourceSql,
     "sample_weighted" -> Sampling.sampleWeightedSql,

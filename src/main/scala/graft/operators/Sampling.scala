@@ -46,6 +46,24 @@ object Sampling {
        |      ${h60Sql("doc_id::VARCHAR || ':split'")} % 100 AS b FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE split: assign by hashed duplicate-CLUSTER id, not doc id.
+    * [[splitAssignOf]] on a near-dup corpus leaks — two near-identical docs
+    * hash independently, so ~1−(0.8²+0.1²+0.1²) ≈ 34% of near-dup pairs
+    * straddle splits and the test set contains soft copies of training
+    * docs. Hashing the component label (the cluster's min doc id, from
+    * [[Components.componentLabels]]) sends every transitive duplicate
+    * cluster to ONE split; singletons (component = own id) degenerate to
+    * exactly [[splitAssignOf]]'s assignment stream (`:split` salt kept for
+    * that reason). At 100 TB the labels are already materialized by the
+    * dedup pass — this is then a narrow map over its output, same
+    * zero-shuffle profile as the plain split.
+    */
+  def splitLeakageSafeOf(labels: DataFrame): DataFrame = {
+    val b = pmod(h60(concat(col("component").cast("string"), lit(":split"))), lit(100))
+    labels.select(col("doc_id"), col("component"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+  }
+
   /** Deterministic k-per-group sample: rank docs within each source by
     * hashed id and keep the first k. Equivalent to a uniform random sample
     * per stratum, but reproducible and mergeable (the rank-≤k property

@@ -1,7 +1,8 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
@@ -11,18 +12,29 @@ import graft.operators.Similarity
   * in-memory variant in the scale table. This measures, per amplification
   * factor: index build cost, directory-listing time as the CLUSTER COUNT
   * grows (replicas are re-labeled, so 8×/64×/256× → 80/640/2560 clusters),
-  * query wall-clock (min-of-2), and actual bytes read vs the index's size
-  * on disk — the partition-pruning fraction, measured instead of claimed.
-  * Results → STRESS.md ("On-disk IVF index").
+  * query wall-clock (min-of-2), and the bytes each query's scans SELECT
+  * after partition pruning vs the index's size on disk — the pruning
+  * fraction, measured instead of claimed.
+  *
+  * Measurement note: scan volume comes from the executed plan's
+  * `FileSourceScanExec` metrics (`numFiles`/`filesSize`, i.e. what survived
+  * partition pruning), executed through the SAME QueryExecution that is
+  * inspected. The first draft summed `taskMetrics.inputMetrics.bytesRead`
+  * from a listener — which reads 0 for local-file parquet scans (neither
+  * stage- nor task-level input metrics are populated on this path, verified
+  * with a full-scan control), so its numbers were noise. filesSize counts
+  * post-pruning file bytes, not row-group skips — the right metric for a
+  * PARTITION-pruning claim. Results → STRESS.md ("On-disk IVF index").
   */
 object IndexedAnnStress {
 
-  private class Input extends SparkListener {
-    @volatile var bytesRead = 0L
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) bytesRead += m.inputMetrics.bytesRead
-    }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    // AQE hides completed stages behind QueryStageExec leaves (children =
+    // Nil) — without this case every scan under an exchange reads as absent
+    case st: QueryStageExec => scans(st.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other => (other.children ++ other.subqueries).flatMap(scans)
   }
 
   def main(args: Array[String]): Unit = {
@@ -34,8 +46,6 @@ object IndexedAnnStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val in = new Input
-    spark.sparkContext.addSparkListener(in)
 
     // k× the corpus with per-replica labels AND a per-replica vector nudge:
     // every replica set becomes its own genuine cluster, so the index's
@@ -54,9 +64,22 @@ object IndexedAnnStress {
       fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
     }
 
+    // run the frame through ITS OWN QueryExecution (a .write would plan a
+    // fresh one and leave these metrics unexecuted), then read the scans'
+    // post-pruning file counts/bytes
+    def runMeasured(df: DataFrame): (Double, Long, Double) = {
+      val qe = df.queryExecution
+      val t0 = System.nanoTime()
+      spark.sparkContext.runJob(qe.toRdd, (it: Iterator[_]) => it.size)
+      val t = (System.nanoTime() - t0) / 1e9
+      val ss = scans(qe.executedPlan)
+      (t, ss.map(_.metrics("numFiles").value).sum,
+        ss.map(_.metrics("filesSize").value).sum / 1e6)
+    }
+
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "8,64,256")
       .split(",").map(_.trim.toInt).toSeq
-    println("factor,vectors,clusters,train_sec,build_sec,listing_sec,query_sec_min2,bytes_read_mb,index_mb,probed_clusters")
+    println("factor,vectors,clusters,train_sec,build_sec,listing_sec,query_sec_min2,query_files,query_mb,index_mb,probed_clusters,vecquery_sec_min2,vecquery_files,vecquery_mb")
     for (k <- factors) {
       val c = corpus(k).localCheckpoint(true) // amplification cost stays out of every timing
       val nVec = c.count()
@@ -72,28 +95,27 @@ object IndexedAnnStress {
       spark.read.parquet(s"$tmp/index")
       val tList = (System.nanoTime() - t2) / 1e9
       val probeIds = (1L to 10L).map(_ * k)
+      val probePairs = c.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       // probed-cluster diagnostic: the probes' nprobe nearest centroids,
       // computed driver-side from the (tiny) quantizer — same argmin the
       // query bakes into its expression
-      val probeVecs = c.filter(col("vec_id").isin(probeIds: _*))
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](1))
-      val probed = probeVecs.flatMap { v =>
-        cents.sortBy { case (_, cv) =>
-          v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
-        }.take(4).map(_._1)
+      val probed = probePairs.flatMap { case (_, v) =>
+        Similarity.nearestClustersLocal(v, cents, 4)
       }.distinct.length
-      def q(): Unit =
+      def q(): (Double, Long, Double) = runMeasured(
         Similarity.ivfTopKIndexed(spark, s"$tmp/index", cents,
-          probeIds, k = 10, nprobe = 4)
-          .write.format("noop").mode("overwrite").save()
-      // warm + measure: bytesRead for the SECOND (steady-state) run only
-      val tA0 = System.nanoTime(); q(); val tA = (System.nanoTime() - tA0) / 1e9
-      in.bytesRead = 0
-      val tB0 = System.nanoTime(); q(); val tB = (System.nanoTime() - tB0) / 1e9
-      val mb = in.bytesRead / 1e6
+          probeIds, k = 10, nprobe = 4))
+      def qv(): (Double, Long, Double) = runMeasured(
+        Similarity.ivfTopKIndexedVectors(spark, s"$tmp/index", cents,
+          probePairs.toSeq, k = 10, nprobe = 4))
+      val (qa, qb) = (q(), q())       // warm + steady-state
+      val (va, vb) = (qv(), qv())
+      val (qT, qF, qMb) = if (qb._1 < qa._1) qb else qa
+      val (vT, vF, vMb) = if (vb._1 < va._1) vb else va
       val idxMb = dirSize(s"$tmp/index") / 1e6
-      println(f"$k,$nVec,${cents.size},$tTrain%.2f,$tBuild%.2f,$tList%.2f,${math.min(tA, tB)}%.2f,$mb%.1f,$idxMb%.1f,$probed")
+      println(f"$k,$nVec,${cents.size},$tTrain%.2f,$tBuild%.2f,$tList%.2f,$qT%.2f,$qF,$qMb%.1f,$idxMb%.1f,$probed,$vT%.2f,$vF,$vMb%.1f")
     }
     spark.stop()
   }

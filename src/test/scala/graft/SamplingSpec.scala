@@ -132,6 +132,33 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("splitLeakageSafe: no near-dup pair straddles splits; singletons match splitAssign") {
+    val docs = Tables.documents(spark, Sf0001).filter(col("doc_id") < 500)
+    val pairs = graft.operators.Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+      threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+      hashFn = graft.functions.Hashing.h60)
+    val labeled = Sampling.splitLeakageSafeOf(
+      graft.operators.Components.componentLabels(docs, "doc_id", pairs, "id_a", "id_b"))
+    val split = labeled.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the leakage property: every verified near-dup pair lands in ONE split
+    val ps = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // the plain id-hash split DOES leak on this corpus — the property is
+    // not vacuous (some pair disagrees under independent hashing)
+    val plain = Sampling.splitAssignOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ps.exists { case (a, b) => plain(a) != plain(b) },
+      "corpus has no straddling pair under plain split; property untested")
+    // singleton components (component = own id) get exactly the plain
+    // assignment — the two splits agree outside the clustered minority
+    split.foreach { case (id, (comp, s)) =>
+      if (comp == id) assert(s == plain(id), s"singleton $id diverges from splitAssign")
+    }
+  }
+
   test("packGreedy never overruns the budget and covers every doc once") {
     val budget = 200
     val packs = Sampling.packGreedy(spark, Sf0001, budget)

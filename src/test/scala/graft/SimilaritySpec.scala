@@ -78,6 +78,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"no cluster partition filter in plan:\n${plan.take(2000)}")
   }
 
+  test("client-carried query vectors answer identically to the id-lookup form") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-vec").toString + "/idx"
+    Similarity.buildIndex(e, cents, path)
+    val probeIds = Seq(0L, 1L, 2L)
+    val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val byId = Similarity.ivfTopKIndexed(spark, path, cents, probeIds, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val byVec = Similarity.ivfTopKIndexedVectors(spark, path, cents, vecs, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(byVec == byId, "vector-carried probes must answer exactly like id lookup")
+    // the driver-side cluster pick equals the codegen expression's pick
+    val exprPick = Similarity.assign(
+        e.filter(col("vec_id").isin(probeIds: _*)), cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.nearestClustersLocal(v, cents, 1).head == exprPick(id))
+    }
+  }
+
   test("streaming index maintenance: streamed-in batches answer IVF like one-shot") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

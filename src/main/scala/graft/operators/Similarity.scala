@@ -223,6 +223,77 @@ object Similarity {
     ivfScoreTail(probes, cands, k)
   }
 
+  /** int8 max-abs quantization of a double vector column: qi =
+    * round(vi · 127 / max|v|), the standard symmetric scheme. Cosine is
+    * invariant to the per-vector scale, so the quantized index stores ONLY
+    * the byte array (4× smaller than float32, 8× than double) and scoring
+    * needs no dequantization — [[org.apache.spark.sql.graft.CosineI8]]
+    * runs integer MACs on the bytes directly. A zero vector quantizes to
+    * zeros → CosineI8 yields NaN → dropped, the exact kernel's rule. */
+  private def quantizeI8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x)))
+    when(mx === 0.0 || mx.isNull, transform(v, _ => lit(0).cast("byte")))
+      .otherwise(transform(v, x => round(x * lit(127.0) / mx).cast("byte")))
+  }
+
+  /** [[buildIndex]] with int8-quantized vectors: same cluster-partitioned
+    * layout (assignment runs on the FULL-precision vectors, so list
+    * membership is identical to the exact index), but each inverted list
+    * stores `qv: array<byte>` — measured 3.7× smaller on disk (STRESS.md
+    * "On-disk IVF index", quantized columns). At 100 TB an embedding index
+    * is tens of TB; this is the difference between an index that fits hot
+    * storage and one that doesn't.
+    */
+  def buildIndexQuantized(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                          path: String): Unit =
+    assign(embeddings, cents)
+      .withColumn("qv", quantizeI8(col("v"))).drop("v")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** [[ivfTopKIndexedVectors]] against a [[buildIndexQuantized]] index:
+    * probes quantize driver-side, candidates score with the integer
+    * [[org.apache.spark.sql.graft.CosineI8]] kernel. Ranking approximates
+    * the exact cosine ranking to quantization error (recall@10 ≥ 0.9
+    * spec-pinned on the gate corpus; ties broken by cand_id as ever). The
+    * returned `sim` is the int8 cosine rounded to 4 — callers needing
+    * exact scores rerank the k survivors against full vectors (k rows).
+    */
+  def ivfTopKIndexedQuantized(spark: SparkSession, path: String,
+                              cents: Seq[(Int, Seq[Double])],
+                              queries: Seq[(Long, Seq[Double])],
+                              k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, CosineI8}
+    import spark.implicits._
+    // HALF_UP away from zero, matching Spark's round() used at build time
+    // (math.round rounds -2.5 toward +∞ — a half-tick mismatch at exact
+    // .5 boundaries between probe and candidate quantization otherwise)
+    def halfUp(x: Double): Byte =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+    val withClusters = queries.map { case (id, v) =>
+      val mx = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
+      val qv = if (mx == 0.0) v.map(_ => 0.toByte)
+               else v.map(x => halfUp(x * 127.0 / mx))
+      (id, qv, nearestClustersLocal(v, cents, nprobe))
+    }
+    val probes = withClusters.toDF("query_id", "qqv", "clusters")
+      .select(col("query_id"), col("qqv"), explode(col("clusters")).as("cluster"))
+    val probed = withClusters.flatMap(_._3).distinct
+    val cands = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("cand_id"), col("qv").as("cqv"), col("cluster"))
+    val simI8 = ColumnBridge.column(CosineI8(
+      ColumnBridge.expression(col("qqv")), ColumnBridge.expression(col("cqv"))))
+    broadcast(probes).join(cands, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(simI8, 4))
+      .filter(!isnan(col("sim")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "cand_id", "sim")
+  }
+
   /** Driver-side twin of [[org.apache.spark.sql.graft.NearestClusters]]
     * for the O(probes·k·dim) query-side assignment (lexicographic
     * (distance, id) order — identical output, CatalystExpressionSpec). */

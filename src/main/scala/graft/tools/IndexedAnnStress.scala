@@ -79,7 +79,7 @@ object IndexedAnnStress {
 
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "8,64,256")
       .split(",").map(_.trim.toInt).toSeq
-    println("factor,vectors,clusters,train_sec,build_sec,listing_sec,query_sec_min2,query_files,query_mb,index_mb,probed_clusters,vecquery_sec_min2,vecquery_files,vecquery_mb")
+    println("factor,vectors,clusters,train_sec,build_sec,listing_sec,query_sec_min2,query_files,query_mb,index_mb,probed_clusters,vecquery_sec_min2,vecquery_files,vecquery_mb,qindex_mb,qquery_sec_min2,qquery_mb,recall10")
     for (k <- factors) {
       val c = corpus(k).localCheckpoint(true) // amplification cost stays out of every timing
       val nVec = c.count()
@@ -115,7 +115,26 @@ object IndexedAnnStress {
       val (qT, qF, qMb) = if (qb._1 < qa._1) qb else qa
       val (vT, vF, vMb) = if (vb._1 < va._1) vb else va
       val idxMb = dirSize(s"$tmp/index") / 1e6
-      println(f"$k,$nVec,${cents.size},$tTrain%.2f,$tBuild%.2f,$tList%.2f,$qT%.2f,$qF,$qMb%.1f,$idxMb%.1f,$probed,$vT%.2f,$vF,$vMb%.1f")
+      // int8-quantized twin: same layout, byte vectors — size, query cost,
+      // and recall@10 against the exact indexed answer
+      Similarity.buildIndexQuantized(c, cents, s"$tmp/qindex")
+      val qIdxMb = dirSize(s"$tmp/qindex") / 1e6
+      def qq(): (Double, Long, Double) = runMeasured(
+        Similarity.ivfTopKIndexedQuantized(spark, s"$tmp/qindex", cents,
+          probePairs.toSeq, k = 10, nprobe = 4))
+      val (qqa, qqb) = (qq(), qq())
+      val (qqT, _, qqMb) = if (qqb._1 < qqa._1) qqb else qqa
+      def topSets(df: DataFrame): Map[Long, Set[Long]] = df.collect()
+        .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+      val exactTop = topSets(Similarity.ivfTopKIndexedVectors(spark, s"$tmp/index",
+        cents, probePairs.toSeq, k = 10, nprobe = 4))
+      val quantTop = topSets(Similarity.ivfTopKIndexedQuantized(spark, s"$tmp/qindex",
+        cents, probePairs.toSeq, k = 10, nprobe = 4))
+      val recalls = exactTop.map { case (id, ids) =>
+        quantTop.get(id).map(qs => (qs & ids).size.toDouble / ids.size).getOrElse(0.0)
+      }
+      val recall = recalls.sum / math.max(1, recalls.size)
+      println(f"$k,$nVec,${cents.size},$tTrain%.2f,$tBuild%.2f,$tList%.2f,$qT%.2f,$qF,$qMb%.1f,$idxMb%.1f,$probed,$vT%.2f,$vF,$vMb%.1f,$qIdxMb%.1f,$qqT%.2f,$qqMb%.1f,$recall%.3f")
     }
     spark.stop()
   }

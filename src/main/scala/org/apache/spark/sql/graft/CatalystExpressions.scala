@@ -62,6 +62,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity over int8-QUANTIZED vectors (`array<tinyint>`) — the
+  * scoring kernel of the quantized ANN index. Cosine is invariant to
+  * per-vector positive scaling, so max-abs/127 quantization needs no
+  * stored scale to score: cos(q_a, q_b) ≈ cos(a, b) with only the
+  * rounding error. Integer multiply-accumulate in the inner loop (exact in
+  * Long for any dim < 2³¹·127²), one sqrt at the end; NaN on a zero-norm
+  * side (ranks nowhere under the desc sort, same rule as the double
+  * kernel).
+  */
+case class CosineI8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val xa = x.getByte(i).toLong
+      val yb = y.getByte(i).toLong
+      dot += xa * yb; na += xa * xa; nb += yb * yb
+      i += 1
+    }
+    if (na == 0L || nb == 0L) Double.NaN
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xa = (long) $a.getByte($i);
+         |  long $yb = (long) $b.getByte($i);
+         |  $dot += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
+         |}
+         |${ev.value} = ($na == 0L || $nb == 0L) ? Double.NaN
+         |  : $dot / java.lang.Math.sqrt((double) $na * (double) $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** The portable 60-bit md5-prefix hash (`graft.functions.Hashing.h60`)
   * computed directly from digest bytes: top 60 bits of the first 8 digest
   * bytes (big-endian), i.e. exactly `('0x' || substr(md5(x),1,15))::BIGINT`

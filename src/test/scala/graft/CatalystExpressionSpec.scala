@@ -83,6 +83,31 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(diff == 0, "codegen argmin must equal the lexicographic struct min")
   }
 
+  test("CosineI8 equals the double kernel on byte vectors (and NaN on zero norm)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    // int8-quantize two adjacent vectors per row, score both kernels
+    val q = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = array_max(transform(col("v"), x => abs(x)))
+    val qv = when(mx === 0.0, transform(col("v"), _ => lit(0).cast("byte")))
+      .otherwise(transform(col("v"), x => round(x * lit(127.0) / mx).cast("byte")))
+    val a = q.select(col("vec_id").as("ia"), qv.as("qa"))
+    val b = q.select(col("vec_id").as("ib"), qv.as("qb"))
+    val pairs = a.join(b, col("ia") + 1 === col("ib"))
+    val i8 = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.CosineI8(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("qa")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("qb"))))
+    val dbl = VectorFunctions.cosine(
+      col("qa").cast("array<double>"), col("qb").cast("array<double>"))
+    val bad = pairs.select(i8.as("x"), dbl.as("y"))
+      .filter(!(isnan(col("x")) && isnan(col("y"))) &&
+        abs(col("x") - col("y")) > 1e-12).count()
+    assert(bad == 0, "integer kernel must match the double kernel to fp error")
+    // zero-norm → NaN, both sides
+    val z = Seq((Seq[Byte](0, 0), Seq[Byte](1, 2))).toDF("qa", "qb").select(i8.as("x"))
+    assert(z.collect().head.getDouble(0).isNaN)
+  }
+
   test("NearestClusters ≡ slice(array_sort(struct list)) for nprobe 1, 4, and >k") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = graft.operators.Similarity.centroidSeq(e)

@@ -102,6 +102,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("quantized index: 3x+ smaller, same list membership, recall@10 >= 0.9") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    Similarity.buildIndex(e, cents, s"$tmp/exact")
+    Similarity.buildIndexQuantized(e, cents, s"$tmp/quant")
+    def size(p: String): Long = {
+      val fs = graft.functions.FsUtils.fs(spark, p)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    assert(size(s"$tmp/exact") > 3 * size(s"$tmp/quant"),
+      s"quantized index not 3x smaller: ${size(s"$tmp/exact")} vs ${size(s"$tmp/quant")}")
+    // identical inverted-list membership (assignment ran on full precision)
+    val memE = spark.read.parquet(s"$tmp/exact").select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val memQ = spark.read.parquet(s"$tmp/quant").select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(memE == memQ)
+    // recall@10 of the int8 ranking vs the exact ranking, same probes
+    val probeIds = (0L until 20L).toSeq
+    val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val exact = Similarity.ivfTopKIndexedVectors(spark, s"$tmp/exact", cents, vecs, 10, nprobe = 3)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val quant = Similarity.ivfTopKIndexedQuantized(spark, s"$tmp/quant", cents, vecs, 10, nprobe = 3)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      quant.get(q).map(qs => (qs & ids).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-probe: ${recalls.toList.sorted})")
+  }
+
   test("streaming index maintenance: streamed-in batches answer IVF like one-shot") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

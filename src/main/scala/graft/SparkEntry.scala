@@ -301,6 +301,22 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, path, cents, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // int8-quantized index twin: same layout, byte vectors, integer cosine
+    // kernel — the oracle replays max-abs quantization and the exact
+    // integer arithmetic in SQL (values are small exact integers in
+    // doubles, so both engines compute bit-identical scores)
+    "ann_ivf_topk_quantized" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val path = "/tmp/graft-ivf-qindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.buildIndexQuantized(e, cents, path)
+      val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      Similarity.ivfTopKIndexedQuantized(s, path, cents, vecs, k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [EXT] multimodal plumbing (meta/resize are narrow → gate-sorted at the
     // base scan, see Tables.documentsById; frames keeps orderBy — it has a
     // join below, so sampling reuses its shuffle instead of re-executing)
@@ -350,6 +366,7 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> PortableOracles.embeddingNearDupLshSql,
     "embedding_dedup_keep" -> PortableOracles.embeddingDedupKeepSql,
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
+    "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,

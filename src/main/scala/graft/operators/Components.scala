@@ -63,18 +63,19 @@ object Components {
                                     checkpointEvery: Int = 1,
                                     numPartitions: Int = 0): (DataFrame, Int) = {
     // canonical directed form (u, v): u > v, deduped, self-loops dropped.
-    // LAZY checkpoint: the signature aggregate below is the materializing
-    // action, so each round runs ONE job (materialize + signature in a
-    // single pass) instead of an eager-checkpoint job plus a signature
-    // job — with the large-star distinct removal below, measured
-    // 199.9 → 185.4 s at 16M edges (PLANS.md "CC constant").
+    // EAGER checkpoint, deliberately: the lazy form (signature aggregate as
+    // the materializing action — one job/round instead of two) measured 7%
+    // faster at 16M edges but OOMs a 64M-edge run at the default 8g driver
+    // in every width config tried — the whole two-star pipeline, the cache
+    // write, AND the aggregate peak in ONE job. Measured-REVERTED; the A/B
+    // and the OOM evidence are in PLANS.md "CC constant".
     var edges = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
               least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint()
 
     // convergence = the edge SET is stable; compare (count, hash-xor)
     // signatures instead of a full except() — one cheap agg over the
@@ -88,6 +89,21 @@ object Components {
     }
 
     var sig = signature(edges)
+    // Self-tuning width (numPartitions = 0): the initial signature already
+    // paid for an exact edge count, so derive the per-round shuffle width
+    // from it — max(session width, edges / 1M). Below ~32M edges this IS
+    // the session default (the measured-fastest config at 16M); above it,
+    // the width grows so each task's join/aggregate working set stays
+    // bounded: without this, 64M edges OOM a heap that round-6 code
+    // survived (the large-star distinct removal moved the un-deduped
+    // intermediate out of an exchange and into per-task join state).
+    val sessionWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val width =
+      if (numPartitions > 0) numPartitions
+      else math.max(sessionWidth, (sig._1 / 1000000L).toInt)
+    // the newest materialized checkpoint; superseded ones unpersist as soon
+    // as a newer one lands (see below)
+    var lastCkpt = org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(edges)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -100,10 +116,13 @@ object Components {
       // full row set over the same keys anyway, so net exchanges per star
       // step drop ~3 → 1. Escape hatch kept for plans where AQE reuse
       // can't fire.
+      // un-numbered repartition stays AQE-coalescible (the measured-fastest
+      // 16M shape); an explicit width pins the exchange, so only use it
+      // when the derived width actually exceeds the session default
       def keyedOn(df: DataFrame): DataFrame =
-        if (shareExchange && numPartitions > 0) df.repartition(numPartitions, col("u"))
-        else if (shareExchange) df.repartition(col("u"))
-        else df
+        if (!shareExchange) df
+        else if (width == sessionWidth) df.repartition(col("u"))
+        else df.repartition(width, col("u"))
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u}); each
       // undirected edge is emitted by exactly one of its two directions
       val both = keyedOn(edges.select(col("u"), col("v"))
@@ -126,9 +145,21 @@ object Components {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")))
         .distinct()
-      val ss = if ((it + 1) % checkpointEvery == 0) ssPlan.localCheckpoint(false)
+      val ss = if ((it + 1) % checkpointEvery == 0) ssPlan.localCheckpoint()
                else ssPlan
-      val next = signature(ss) // materializes the lazy checkpoint in-pass
+      val next = signature(ss)
+      // a superseded checkpoint's blocks are dead the moment a NEWER one
+      // materializes (every later round reads that one) — without this
+      // unpersist the block manager holds ALL k rounds' working sets at
+      // once and a 64M-edge run OOMs around round 13 regardless of shuffle
+      // width (PLANS.md "CC constant" round-7 addendum). Keyed on the
+      // newest checkpoint, not the previous frame: with checkpointEvery>1
+      // the intermediate plan frames still read the older checkpoint.
+      val newCkpt = org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(ss)
+      if (newCkpt.isDefined) {
+        lastCkpt.foreach(_.unpersist(blocking = false))
+        lastCkpt = newCkpt
+      }
       converged = next == sig
       sig = next
       edges = ss

@@ -16,6 +16,22 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Access to the RDD cached by `Dataset.localCheckpoint` — the analyzed
+  * plan of a checkpointed Dataset is a `LogicalRDD` over the persisted
+  * blocks. Iterative operators need this to UNPERSIST a superseded round's
+  * blocks (`Dataset` exposes persist/unpersist only for `cache()`-style
+  * plans): without it, a k-round iteration accumulates k full working-set
+  * copies in the block manager and a 64M-edge connected-components run
+  * OOMs around round 13 (PLANS.md "CC constant", round-7 addendum).
+  */
+object DatasetInternals {
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+}
+
 /** Runtime SQL registration of the graft expressions for sessions that were
   * not built with `spark.sql.extensions=graft.GraftExtensions` (the config
   * path only applies at session construction — `getOrCreate` on a live

@@ -134,6 +134,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-probe: ${recalls.toList.sorted})")
+    // and the quantized candidate scan partition-prunes like the exact one
+    val qdf = Similarity.ivfTopKIndexedQuantized(spark, s"$tmp/quant", cents, vecs, 10, nprobe = 3)
+    qdf.collect()
+    val plan = qdf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no cluster partition filter in quantized plan:\n${plan.take(2000)}")
   }
 
   test("streaming index maintenance: streamed-in batches answer IVF like one-shot") {

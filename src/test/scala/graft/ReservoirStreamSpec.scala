@@ -94,6 +94,27 @@ class ReservoirStreamSpec extends AnyFunSuite with SparkSuite {
     assert(sample(s"$tmp/state") == batchTwin())
   }
 
+  test("in-batch duplicates cannot evict distinct docs from the sample") {
+    // At-least-once delivery can land the SAME doc many times inside one
+    // micro-batch. Without the in-batch dedup, N copies of the batch's top
+    // race winner fill all N candidate slots, the batch's other winners
+    // never reach the candidate log, and read-side doc_id dedup cannot
+    // resurrect them — the folded sample silently diverges from the batch
+    // twin. (This case fails on the pre-fix applyBatch.)
+    val docs = Tables.documents(spark, Sf0001)
+    val expected = batchTwin()
+    val half = docs.filter(col("doc_id") < 250)
+    val topId = Sampling.weightedRaceKeys(half)
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(1).select("doc_id").as[Long].head()
+    val dup = half.filter(col("doc_id") === topId)
+    val poisoned = (1 to N).foldLeft(half)((acc, _) => acc.union(dup))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-res-dup").toString
+    ReservoirStream.applyBatch(spark, poisoned, 0L, tmp, N)
+    ReservoirStream.applyBatch(spark, docs.filter(col("doc_id") >= 250), 1L, tmp, N)
+    assert(sample(tmp) == expected)
+  }
+
   test("growth bound: state is O(n) rows per batch, not O(batch)") {
     val docs = Tables.documents(spark, Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft-res-bound").toString

@@ -22,4 +22,24 @@ object FsUtils {
     fs.delete(dst, true)
     renameOrThrow(fs, src, dst)
   }
+
+  /** Total data-file bytes under `path` (recursive, `_`-prefixed metadata
+    * excluded) — the byte-size trigger metric for log-structured state
+    * compaction. A pure driver-side listing (the same metadata a scan
+    * would list, sizes included), so checking it per batch costs no
+    * executor work. Bytes, not file count: small appends coalesce to one
+    * file each, so a file-count trigger scales with batch CADENCE while
+    * the read cost it guards scales with accumulated ROWS — bytes track
+    * rows under any file layout. 0 for a missing dir. */
+  def dataBytes(fs: FileSystem, path: Path): Long =
+    if (!fs.exists(path)) 0L
+    else {
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) n += f.getLen
+      }
+      n
+    }
 }

@@ -545,6 +545,15 @@ object Analytics {
   // assigned quartile within max(2%·n, 8) of the ideal n/4; the slack
   // absorbs boundary rows, where the un-interpolated sketch cut may sit one
   // element off the interpolated exact cut).
+  //
+  // GATE-ONLY CAVEAT: the exact percentile() columns (e25/e50/e75) exist
+  // solely so the oracle can verify the sketch — Spark's exact percentile
+  // materializes an O(distinct-values) counts map in ONE final aggregation
+  // buffer, the very scale-killer this query exists to avoid. The
+  // production/scale form is this query MINUS the three percentile()
+  // aggregates and the comparison booleans: a25/a50/a75 (GK sketch,
+  // fixed-size mergeable state) + the balance check are the whole scale
+  // shape. Do not ship the exact columns past the gate.
   def customerQuartilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val totals = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === OrdersTenant)

@@ -118,11 +118,16 @@ object Components {
       // can't fire.
       // un-numbered repartition stays AQE-coalescible (the measured-fastest
       // 16M shape); an explicit width pins the exchange, so only use it
-      // when the derived width actually exceeds the session default
+      // when the derived width actually differs from the session default.
+      // The width applies on BOTH shareExchange paths: the escape hatch
+      // opts out of exchange REUSE, not of OOM sizing — numPartitions (and
+      // the self-tuned large-graph width) must hold either way. A
+      // numPartitions equal to the session default is indistinguishable
+      // from the default and takes the un-numbered branch.
       def keyedOn(df: DataFrame): DataFrame =
-        if (!shareExchange) df
-        else if (width == sessionWidth) df.repartition(col("u"))
-        else df.repartition(width, col("u"))
+        if (width != sessionWidth) df.repartition(width, col("u"))
+        else if (shareExchange) df.repartition(col("u"))
+        else df
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u}); each
       // undirected edge is emitted by exactly one of its two directions
       val both = keyedOn(edges.select(col("u"), col("v"))

@@ -19,36 +19,51 @@ import graft.operators.Components
   *    fold time), O(batch) rows. Star rows are never retracted: a row's
   *    stored root may go stale when its component later merges, and stays
   *    resolvable through the relabel map.
-  *  - `relabels`: the small (old_root → new_root) map of every root that
-  *    lost a merge since the last compaction, kept at DEPTH 1 by composing
-  *    each batch's new merges into the existing entries (an entry's target
-  *    is always a CURRENT root). Rewritten per batch via temp-swap — its
-  *    size is O(merge events since compaction), not O(corpus), and
-  *    [[compactState]] folds it back into the star log and empties it.
+  *  - `relabels`: the small (old_root → new_root) map of every
+  *    PRE-EXISTING root that lost a merge since the last compaction, kept
+  *    at DEPTH 1 by composing each batch's new merges into the existing
+  *    entries (an entry's target is always a CURRENT root). A losing root
+  *    that is FRESH to its batch gets NO entry: its star rows (written in
+  *    the same fold) already carry the post-merge root, and nothing in
+  *    prior state can reference it — so the map's size is O(cross-batch
+  *    merge events of pre-existing components since compaction), not
+  *    O(nodes ever folded). Batches that touch no pre-existing root (the
+  *    common append-mostly case) never rewrite the map at all; merge
+  *    batches rewrite it via temp-swap, and [[compactState]] folds it back
+  *    into the star log and empties it ([[applyBatch]]'s
+  *    `autoCompactBytes` triggers that fold automatically).
   *
   * Per-batch work: the batch's endpoint ids are broadcast against the star
   * log (one narrow scan, no state shuffle) to fetch their stored roots;
   * the root-graph of the batch — O(batch) pairs over RESOLVED roots — is
   * run through the batch large-star/small-star operator (it converges in
-  * 1-2 rounds on so small a graph); losing roots become relabel entries
-  * and every endpoint gets a star row under its final root. A component
+  * 1-2 rounds on so small a graph); pre-existing losing roots become
+  * relabel entries and every endpoint gets a star row under its final
+  * root. A component
   * that the batch does not touch is never read, shuffled, or rewritten.
   *
   * Resolution invariant (why stale star rows are safe): a star row stores
-  * the id's root AT APPEND TIME. Whenever a then-current root `c` later
-  * loses a merge, that batch writes `c → n` into the relabel map, and the
-  * per-batch composition keeps the entry pointed at the CURRENT root
-  * thereafter — so `coalesce(relabel[c], c)` is always the live root, and
-  * multiple star rows for one id (re-paired across batches) all resolve to
-  * the same label. An id with no star row is its own root unless the
-  * relabel map names it directly (an ex-root that was never re-paired).
+  * the id's root AT APPEND TIME. Whenever a then-current root `c` that
+  * prior state references later loses a merge, that batch writes `c → n`
+  * into the relabel map, and the per-batch composition keeps the entry
+  * pointed at the CURRENT root thereafter — so `coalesce(relabel[c], c)`
+  * is always the live root, and multiple star rows for one id (re-paired
+  * across batches) all resolve to the same label. An id with no star row
+  * is its own root unless the relabel map names it directly (an ex-root
+  * that was never re-paired). A root fresh to its batch needs no entry
+  * even when it loses: every reference to it (its own row and its
+  * within-batch peers) is written post-merge.
   *
   * Crash safety / replay (ComponentsStreamSpec): per batch the relabel
   * swap commits FIRST, the star append (idempotent `batch=<id>` dir,
-  * skip-if-exists) second. A replay after the relabel swap resolves every
-  * batch endpoint to the already-merged root, so the root graph degenerates
-  * to self-loops, no new relabels are produced, and only the missing star
-  * dir is (re)written — the fold is idempotent at every crash boundary.
+  * skip-if-exists) second. On a replay after the relabel swap, every
+  * endpoint that PRE-EXISTED resolves to its already-merged root (those
+  * merges degenerate to self-loops and produce no new relabel entries);
+  * endpoints fresh to the lost batch re-derive their within-batch merges —
+  * deterministically identical, filtered from the relabel map exactly as
+  * the first run filtered them — and the missing star dir is (re)written
+  * byte-identically. The fold is idempotent at every crash boundary; only
+  * the returned merge COUNT can repeat on a crash-window replay.
   *
   * Consistency contract: after ANY batch split and ANY arrival order of an
   * undirected pair set, [[currentLabels]] equals the batch
@@ -86,11 +101,32 @@ object ComponentsStream {
       emptyPairs(spark).select(col("id").as("old_root"), col("component").as("new_root")))
       .select("old_root", "new_root")
 
+  /** Unpersist the eager localCheckpoint blocks a fold pinned — without
+    * this a long-running [[runFileStream]] query accumulates checkpoint
+    * blocks in the block manager until driver GC happens to reclaim them
+    * (the same failure class [[graft.operators.Components]] fixed for its
+    * per-round checkpoints). Called after the batch's last commit. */
+  private def unpersistCkpts(dfs: Seq[DataFrame]): Unit =
+    dfs.foreach(df => org.apache.spark.sql.graft.DatasetInternals
+      .checkpointedRdd(df).foreach(_.unpersist(blocking = false)))
+
   /** Fold one micro-batch of undirected pairs into the component state.
-    * Returns the number of root-merge events the batch caused (0 on a
-    * replay or a batch of already-linked pairs). */
+    * Returns the number of root-merge events the batch caused (0 on a full
+    * replay or a batch of already-linked pairs; a crash-window replay of a
+    * lost star append re-counts the batch's fresh-node merges while
+    * changing no state).
+    *
+    * @param autoCompactBytes when > 0, run [[compactState]] inline after
+    *   the fold whenever the RELABEL map's data bytes exceed this bound.
+    *   The relabel map is the state that per-batch cost compounds on (it
+    *   is rewritten per merge batch and joined per fold); the star log
+    *   rides along in the same fold but is deliberately NOT the trigger
+    *   metric — its compacted size grows with the corpus, so a byte bound
+    *   on it would re-fire every batch at steady state and turn each fold
+    *   into an O(corpus) rewrite. */
   def applyBatch(spark: SparkSession, pairs: DataFrame, aCol: String, bCol: String,
-                 batchId: Long, stateDir: String): Long = {
+                 batchId: Long, stateDir: String,
+                 autoCompactBytes: Long = 0L): Long = {
     val fs = FsUtils.fs(spark, stateDir)
     val starsDst = new org.apache.hadoop.fs.Path(s"${starsPath(stateDir)}/batch=$batchId")
     // the star append is the batch's LAST commit — its presence means the
@@ -114,12 +150,18 @@ object ComponentsStream {
     val relabels = readRelabels(spark, stateDir)
     val storedOf = stars.join(broadcast(endpoints), Seq("id"), "left_semi")
       .groupBy("id").agg(min("component").as("c0"))
+    // relabel-map joins carry NO broadcast hint: the map is small by
+    // design (pre-existing-root merges since compaction, auto-compacted),
+    // so Spark's stats broadcast it anyway — but a forced hint would pin
+    // broadcast even if the map outgrew the threshold (compaction disabled,
+    // merge-storm workload) and OOM the driver instead of degrading to a
+    // shuffle join
     val rById = relabels.select(col("old_root").as("id"), col("new_root").as("idr"))
     val rByC0 = relabels.select(col("old_root").as("c0"), col("new_root").as("c0r"))
     val resolved = endpoints
       .join(storedOf, Seq("id"), "left")
-      .join(broadcast(rByC0), Seq("c0"), "left")
-      .join(broadcast(rById), Seq("id"), "left")
+      .join(rByC0, Seq("c0"), "left")
+      .join(rById, Seq("id"), "left")
       .select(col("id"),
         when(col("c0").isNotNull, coalesce(col("c0r"), col("c0")))
           .otherwise(coalesce(col("idr"), col("id"))).as("root"))
@@ -138,21 +180,43 @@ object ComponentsStream {
       .localCheckpoint(true)
     val merges = newRel.count()
 
-    // commit 1 (temp-swap): compose the merges into the relabel map —
-    // existing entries whose target just lost are repointed, keeping every
-    // entry at depth 1
+    // commit 1 (temp-swap): compose the merges into the relabel map.
+    // Persist ONLY losing roots that PRE-EXIST in state — stored as some
+    // star row's id or component, or named anywhere in the current map.
+    // A loser fresh to this batch needs no entry: its star rows (written
+    // below) already carry the post-merge root and nothing else references
+    // it — without this filter the map gains one entry per non-root node
+    // ever folded and the "O(merge events)" size claim is false. The
+    // existence probe is one extra narrow scan of the star log, paid only
+    // on batches that merged something.
+    var kept: Option[DataFrame] = None
     if (merges > 0) {
-      val nrByTarget = newRel
-        .select(col("old_root").as("new_root"), col("new_root").as("nr2"))
-      val composed = relabels
-        .join(broadcast(nrByTarget), Seq("new_root"), "left")
-        .select(col("old_root"), coalesce(col("nr2"), col("new_root")).as("new_root"))
-        .unionByName(newRel)
-      val tmp = new org.apache.hadoop.fs.Path(relabelsPath(stateDir) + ".tmp")
-      val out = new org.apache.hadoop.fs.Path(relabelsPath(stateDir))
-      composed.write.mode("overwrite").parquet(tmp.toString)
-      FsUtils.replaceDir(fs, tmp, out)
-      spark.catalog.refreshByPath(relabelsPath(stateDir))
+      val losing = newRel.select(col("old_root")).distinct()
+      val priorVs = stars
+        .select(explode(array(col("id"), col("component"))).as("old_root"))
+        .unionByName(relabels.select(col("old_root")))
+        .unionByName(relabels.select(col("new_root").as("old_root")))
+        .join(broadcast(losing), Seq("old_root"), "left_semi")
+        .distinct()
+      val keptRel = newRel.join(priorVs, Seq("old_root"), "left_semi")
+        .localCheckpoint(true) // counted, then written
+      kept = Some(keptRel)
+      // keptRel empty ⇒ no pre-existing root lost ⇒ every existing entry's
+      // target is still a current root ⇒ composition is the identity — skip
+      // the rewrite entirely (append-mostly streams never touch the map)
+      if (keptRel.count() > 0) {
+        val nrByTarget = newRel
+          .select(col("old_root").as("new_root"), col("new_root").as("nr2"))
+        val composed = relabels
+          .join(broadcast(nrByTarget), Seq("new_root"), "left")
+          .select(col("old_root"), coalesce(col("nr2"), col("new_root")).as("new_root"))
+          .unionByName(keptRel)
+        val tmp = new org.apache.hadoop.fs.Path(relabelsPath(stateDir) + ".tmp")
+        val out = new org.apache.hadoop.fs.Path(relabelsPath(stateDir))
+        composed.write.mode("overwrite").parquet(tmp.toString)
+        FsUtils.replaceDir(fs, tmp, out)
+        spark.catalog.refreshByPath(relabelsPath(stateDir))
+      }
     }
 
     // commit 2 (idempotent dir append): every non-root endpoint's star row
@@ -167,6 +231,10 @@ object ComponentsStream {
     fs.mkdirs(new org.apache.hadoop.fs.Path(starsPath(stateDir)))
     FsUtils.renameOrThrow(fs, tmpStars, starsDst)
     spark.catalog.refreshByPath(starsPath(stateDir))
+    unpersistCkpts(Seq(p, resolved, newRel) ++ kept)
+    if (autoCompactBytes > 0 && FsUtils.dataBytes(fs,
+        new org.apache.hadoop.fs.Path(relabelsPath(stateDir))) > autoCompactBytes)
+      compactState(spark, stateDir)
     merges
   }
 
@@ -179,14 +247,14 @@ object ComponentsStream {
     val stars = readStars(spark, stateDir)
     val relabels = readRelabels(spark, stateDir)
     val resolvedStars = stars
-      .join(broadcast(relabels.select(col("old_root").as("component"), col("new_root"))),
-        Seq("component"), "left")
+      .join(relabels.select(col("old_root").as("component"), col("new_root")),
+        Seq("component"), "left") // no broadcast hint — see applyBatch
       .select(col("id"), coalesce(col("new_root"), col("component")).as("sc"))
       .groupBy("id").agg(min("sc").as("sc")) // duplicates agree post-resolve
     val rById = relabels.select(col("old_root").as("id"), col("new_root").as("dc"))
     nodes.select(col(idCol).cast("long").as("id"))
       .join(resolvedStars, Seq("id"), "left")
-      .join(broadcast(rById), Seq("id"), "left")
+      .join(rById, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("sc"), col("dc"), col("id")).as("component"))
   }
@@ -210,8 +278,8 @@ object ComponentsStream {
     val stars = readStars(spark, stateDir)
     val relabels = readRelabels(spark, stateDir)
     val resolved = stars
-      .join(broadcast(relabels.select(col("old_root").as("component"), col("new_root"))),
-        Seq("component"), "left")
+      .join(relabels.select(col("old_root").as("component"), col("new_root")),
+        Seq("component"), "left") // no broadcast hint — see applyBatch
       .select(col("id"), coalesce(col("new_root"), col("component")).as("component"))
       .unionByName(relabels.select(col("old_root").as("id"), col("new_root").as("component")))
       .filter(col("id") =!= col("component"))
@@ -230,14 +298,16 @@ object ComponentsStream {
     * → per-micro-batch incremental component fold under `stateDir`. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,
                     checkpointDir: String, schemaFrom: DataFrame,
-                    aCol: String, bCol: String): StreamingQuery =
+                    aCol: String, bCol: String,
+                    autoCompactBytes: Long = 64L << 20): StreamingQuery =
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, batch, aCol, bCol, batchId, stateDir)
+        applyBatch(spark, batch, aCol, bCol, batchId, stateDir,
+          autoCompactBytes = autoCompactBytes)
         ()
       }
       .start()

@@ -181,23 +181,10 @@ object CurationStream {
     result
   }
 
-  /** Total data-file bytes of a state log — the compaction trigger metric.
-    * A pure driver-side listing (the same metadata a scan would list, sizes
-    * included), so checking it per batch costs no executor work. */
-  private def logBytes(spark: SparkSession, path: String): Long = {
-    val fs = FsUtils.fs(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) 0L
-    else {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) n += f.getLen
-      }
-      n
-    }
-  }
+  /** Total data-file bytes of a state log — the compaction trigger metric
+    * (shared implementation: [[FsUtils.dataBytes]]). */
+  private def logBytes(spark: SparkSession, path: String): Long =
+    FsUtils.dataBytes(FsUtils.fs(spark, path), new org.apache.hadoop.fs.Path(path))
 
   /** Fold the append-only state logs: one row per content hash / per
     * bucket. Read cost of [[curateBatch]] grows with the log until this

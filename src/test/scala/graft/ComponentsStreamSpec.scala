@@ -86,15 +86,23 @@ class ComponentsStreamSpec extends AnyFunSuite with SparkSuite {
     apply(batches(1), 1L, dir)
     assert(streamed(dir) == expected)
     // crash-window replay: relabels committed but the star append lost —
-    // simulate by deleting one batch's star dir; the rerun must heal
-    // (endpoints resolve to the merged roots, zero new merges, star rows
-    // rewritten identically)
+    // simulate by deleting one batch's star dir; the rerun must heal:
+    // pre-existing endpoints resolve to their merged roots, fresh-node
+    // merges are re-derived deterministically (and re-counted), star rows
+    // are rewritten identically, and the relabel map must not change (the
+    // re-derived losers are fresh, so they are filtered exactly as the
+    // first fold filtered them)
     val fs = graft.functions.FsUtils.fs(spark, dir)
+    def relabelRows(): Set[(Long, Long)] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/relabels")))
+        spark.read.parquet(s"$dir/relabels").as[(Long, Long)].collect().toSet
+      else Set.empty
+    val relBefore = relabelRows()
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stars/batch=1"), true)
     spark.catalog.refreshByPath(s"$dir/stars")
-    val merges = apply(batches(1), 1L, dir)
-    assert(merges == 0L, "healed replay must not re-merge")
+    apply(batches(1), 1L, dir)
     assert(streamed(dir) == expected)
+    assert(relabelRows() == relBefore, "healed replay must not grow the relabel map")
   }
 
   test("compaction folds state to fixpoint without moving labels") {
@@ -113,6 +121,50 @@ class ComponentsStreamSpec extends AnyFunSuite with SparkSuite {
     apply(Seq((4L, 40L)), 99L, dir)
     val after = streamed(dir)
     assert(after == expected.updated(40L, 1L))
+  }
+
+  test("fresh-only batches persist no relabel entries; pre-existing-root losses do") {
+    val dir = tmpDir("fresh")
+    val fs = graft.functions.FsUtils.fs(spark, dir)
+    def relabelsExist = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/relabels"))
+    // two fresh chains with in-batch merges (3 losing roots each batch) —
+    // every loser is fresh, so the relabel map must never be written
+    apply(Seq((2L, 1L), (3L, 2L), (4L, 3L)), 0L, dir)
+    assert(!relabelsExist, "fresh in-batch losers must not create relabel entries")
+    apply(Seq((21L, 20L), (22L, 21L)), 1L, dir)
+    assert(!relabelsExist)
+    // bridging the two PRE-EXISTING components: exactly the losing root
+    // (20, the higher min) gets an entry
+    apply(Seq((20L, 4L)), 2L, dir)
+    assert(relabelsExist)
+    assert(spark.read.parquet(s"$dir/relabels").as[(Long, Long)].collect().toSet
+      == Set((20L, 1L)))
+    val labels = ComponentsStream.currentLabels(spark, dir,
+      (1L to 4L).union(20L to 22L).toDF("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L))
+  }
+
+  test("auto-compaction bounds the relabel map with no manual call") {
+    val dir = tmpDir("autocompact")
+    val fs = graft.functions.FsUtils.fs(spark, dir)
+    // chain of cross-batch merges, each making the PREVIOUS winner lose to
+    // a smaller fresh root — every batch (after the first) adds a relabel
+    // entry; autoCompactBytes=1 folds the map away after each merge batch
+    val roots = Seq(100L, 90L, 80L, 70L, 60L)
+    apply(Seq((101L, 100L)), 0L, dir)
+    roots.sliding(2).zipWithIndex.foreach { case (Seq(hi, lo), i) =>
+      ComponentsStream.applyBatch(spark,
+        Seq((hi, lo)).toDF("a", "b"), "a", "b", i + 1L, dir,
+        autoCompactBytes = 1L)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/relabels")),
+      "auto-compaction must have cleared the relabel map")
+    val labels = ComponentsStream.currentLabels(spark, dir,
+      (roots :+ 101L).toDF("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == (roots :+ 101L).map(_ -> 60L).toMap)
   }
 
   test("a batch of already-linked pairs causes zero merges and no relabel growth") {

@@ -246,10 +246,17 @@ object Similarity {
     */
   def buildIndexQuantized(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                           path: String): Unit =
-    assign(embeddings, cents)
-      .withColumn("qv", quantizeI8(col("v"))).drop("v")
+    quantizedFromAssigned(assign(embeddings, cents))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** The quantized index row shape from an assigned (full-precision) frame:
+    * per-vector int8 max-abs quantization, full vector dropped. Shared by
+    * [[buildIndexQuantized]], [[appendAssignedQuantized]] and the streaming
+    * dual-write ([[graft.streaming.EmbeddingIndexStream]]) so every path
+    * produces byte-identical quantization. */
+  private[graft] def quantizedFromAssigned(assigned: DataFrame): DataFrame =
+    assigned.withColumn("qv", quantizeI8(col("v"))).drop("v")
 
   /** [[ivfTopKIndexedVectors]] against a [[buildIndexQuantized]] index:
     * probes quantize driver-side, candidates score with the integer
@@ -319,6 +326,19 @@ object Similarity {
     assign(newEmbeddings, cents)
       .repartition(col("cluster")) // one file per touched cluster per batch
       .write.mode("append").partitionBy("cluster").parquet(assignedPath)
+
+  /** Incremental maintenance for the QUANTIZED index — [[appendAssigned]]'s
+    * twin for [[buildIndexQuantized]] layouts. Assignment runs on the
+    * batch's full-precision vectors (so list membership stays identical to
+    * the exact index), quantization on the way in; the stored index never
+    * holds a full-precision vector. Without this the int8 index — the one
+    * that actually fits hot storage at 100 TB — is rebuild-only while the
+    * exact index streams. */
+  def appendAssignedQuantized(newEmbeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                              indexPath: String): Unit =
+    quantizedFromAssigned(assign(newEmbeddings, cents))
+      .repartition(col("cluster")) // one file per touched cluster per batch
+      .write.mode("append").partitionBy("cluster").parquet(indexPath)
 
   /** Convenience: train-or-reuse the quantizer via the session cache. */
   def ivfTopKCached(embeddings: DataFrame, cacheKey: String,

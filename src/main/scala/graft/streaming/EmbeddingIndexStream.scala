@@ -22,9 +22,19 @@ import graft.operators.Similarity
   */
 object EmbeddingIndexStream {
 
+  /** @param quantizedDir when set, each batch ALSO lands in an
+    *   int8-quantized index at this path (same `batch=/cluster=` layout,
+    *   `qv: array<byte>` instead of `v`). One assignment pass feeds both
+    *   writes — membership is identical by construction, quantization is
+    *   [[Similarity.buildIndexQuantized]]'s exact scheme (shared code), so
+    *   a quantized query against the streamed index equals one against a
+    *   from-scratch rebuild (SimilaritySpec pins both). The exact write
+    *   commits FIRST; a crash between the two replays the batch and
+    *   overwrites both `batch=<id>` dirs idempotently. */
   def run(spark: SparkSession, inDir: String, assignedDir: String,
           checkpointDir: String, schemaFrom: DataFrame,
-          centroidsPath: String): StreamingQuery = {
+          centroidsPath: String,
+          quantizedDir: Option[String] = None): StreamingQuery = {
     // O(k) driver rows, loaded once per stream start — not per batch
     val cents = Similarity.loadCentroids(spark, centroidsPath)
     spark.readStream
@@ -35,9 +45,19 @@ object EmbeddingIndexStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // cluster-partitioned inside the idempotent batch dir: queries
         // partition-prune to their nprobe `cluster=` dirs across all batches
-        Similarity.assign(batch, cents)
-          .write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$assignedDir/batch=$batchId")
+        val assigned = Similarity.assign(batch, cents)
+          .localCheckpoint(true) // one assignment pass feeds both writes
+        try {
+          assigned
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$assignedDir/batch=$batchId")
+          quantizedDir.foreach { qd =>
+            Similarity.quantizedFromAssigned(assigned)
+              .write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$qd/batch=$batchId")
+          }
+        } finally org.apache.spark.sql.graft.DatasetInternals
+          .checkpointedRdd(assigned).foreach(_.unpersist(blocking = false))
         ()
       }
       .start()

@@ -142,6 +142,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"no cluster partition filter in quantized plan:\n${plan.take(2000)}")
   }
 
+  test("incrementally-appended quantized index equals a one-shot rebuild") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-qinc").toString
+    Similarity.appendAssignedQuantized(e.filter(col("vec_id") < 250), cents, s"$tmp/inc")
+    Similarity.appendAssignedQuantized(e.filter(col("vec_id") >= 250), cents, s"$tmp/inc")
+    Similarity.buildIndexQuantized(e, cents, s"$tmp/full")
+    // identical inverted-list membership (assignment runs on full precision
+    // in both paths)
+    def members(p: String) = spark.read.parquet(p).select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(members(s"$tmp/inc") == members(s"$tmp/full"))
+    // identical quantized query answers, scores included (shared
+    // quantization code ⇒ byte-identical stored vectors)
+    val vecs = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def answers(p: String) =
+      Similarity.ivfTopKIndexedQuantized(spark, p, cents, vecs, 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(answers(s"$tmp/inc") == answers(s"$tmp/full"))
+  }
+
   test("streaming index maintenance: streamed-in batches answer IVF like one-shot") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)
@@ -149,8 +172,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val inDir = s"$tmp/in"; val idx = s"$tmp/assigned"; val ckpt = s"$tmp/ckpt"
     Similarity.saveCentroids(spark, cents, s"$tmp/centroids")
     e.filter(col("vec_id") < 250).write.mode("append").parquet(inDir)
+    val qidx = s"$tmp/quantized"
     val q = graft.streaming.EmbeddingIndexStream.run(
-      spark, inDir, idx, ckpt, e, s"$tmp/centroids")
+      spark, inDir, idx, ckpt, e, s"$tmp/centroids", quantizedDir = Some(qidx))
     try {
       q.processAllAvailable()
       e.filter(col("vec_id") >= 250).write.mode("append").parquet(inDir)
@@ -166,6 +190,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // per-batch dirs exist — the idempotent replay/compaction unit
     val batches = new java.io.File(idx).listFiles().filter(_.getName.startsWith("batch="))
     assert(batches.length >= 2)
+    // the dual-written QUANTIZED index: same membership as the exact one,
+    // and quantized queries equal a from-scratch quantized rebuild
+    def members(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(members(spark.read.parquet(qidx)) == members(spark.read.parquet(idx)))
+    Similarity.buildIndexQuantized(e, cents, s"$tmp/qfull")
+    val vecs = e.filter(col("vec_id").isin(probes: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def qAnswers(p: String) =
+      Similarity.ivfTopKIndexedQuantized(spark, p, cents, vecs, 3, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(qAnswers(qidx) == qAnswers(s"$tmp/qfull"))
   }
 
   test("trained quantizer round-trips through parquet persist/load") {

@@ -38,6 +38,22 @@ object Bench {
     // same code at 43 s and 73 s). The min of two back-to-back runs is the
     // query's cost, not the machine's load; reps is recorded in the JSON.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // load-calibration control: a fixed-size, SF-independent CPU+shuffle
+    // probe (hash 200M longs, one 32-way exchange, aggregate). Its cost is
+    // a property of the MACHINE at run time, not of any engine code — so
+    // cross-epoch query ratios divide by the calibration ratio before being
+    // read as regressions (round 7's r6→r7 "1.3× smear" was exactly this
+    // ambiguity). Measured min-of-2, before and after the query loop: a
+    // pre/post disagreement flags load ARRIVING mid-run.
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, 32)
+        .selectExpr("xxhash64(id) % 97 AS b", "xxhash64(id + 1) AS h")
+        .groupBy("b").agg(org.apache.spark.sql.functions.sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calPre = calibrate()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // rep 1 pays DataFrame construction + analysis; later reps reuse the
       // resolved frame (the prepared-statement shape a production service
@@ -49,12 +65,13 @@ object Bench {
         else (first +: (2 to reps).map(_ => timeOnce(name)(df)).filter(_ >= 0)).min
       name -> sec
     }
+    val calPost = calibrate()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"method":"min-of-reps","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"method":"min-of-reps","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-decorated stdout (sbt [info] prefixes broke
     // the round-1 driver parse): the same line lands in a known file

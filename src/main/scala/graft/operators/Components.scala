@@ -56,7 +56,18 @@ object Components {
     *   shuffles cost more in task scheduling than the ~800 MB spill they
     *   remove (64 parts +14%, 128 parts +74% wall-clock vs the spilling
     *   32). On a real cluster, size it so edges×16B/parts fits executor
-    *   memory — the knob exists for that, not for local mode. */
+    *   memory — the knob exists for that, not for local mode.
+    *
+    *   MEMORY FLOOR (measured, local single-JVM): per-round working state is
+    *   the doubled edge list in join/aggregate buffers plus the round's
+    *   eager checkpoint — ≈ edges × 16 B × ~4 (both directions, build +
+    *   probe + cached round) PER CONCURRENTLY-RESIDENT copy, and with 32
+    *   concurrent tasks the observed end-to-end floor is ≈ 0.5 GB heap per
+    *   1M edges: 16M edges runs in the 8 GB sbt fork, 64M OOMs it in every
+    *   width config tried and needs ~32 GB (PLANS.md "CC constant",
+    *   round-7 addendum). Size executor memory (or numPartitions, which
+    *   divides the per-task share) against that floor before scaling the
+    *   edge count. */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                                     maxIter: Int = 25,
                                     shareExchange: Boolean = true,

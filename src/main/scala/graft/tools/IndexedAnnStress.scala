@@ -134,11 +134,43 @@ object IndexedAnnStress {
         quantTop.get(id).map(qs => (qs & ids).size.toDouble / ids.size).getOrElse(0.0)
       }
       val recall = recalls.sum / math.max(1, recalls.size)
-      // incremental quantized append (round 8): land a 1/8-of-corpus batch
-      // of NEW ids into the existing quantized index and re-query — the
-      // cost must track the BATCH (assignment + one shuffle of batch rows),
-      // and the query's pruned read must stay in the same band (the batch
-      // adds ≤ one file per touched cluster)
+
+      // nprobe sweep (round 8, largest factor only): the recall-vs-cost
+      // curve a 100 TB operator tunes against. Ground truth = exact
+      // brute-force cosine top-10 over the amplified corpus; both index
+      // variants swept at the same nprobe settings. MUST run before the
+      // incremental-append step below: the append lands exact-duplicate
+      // vectors (same embeddings, fresh ids) into the quantized index
+      // only — a post-append sweep would let a probe's own duplicate
+      // (cosine 1.0) crowd the int8 top-10 and fake a recall penalty the
+      // exact index never pays. Output buffered so the per-factor CSV row
+      // (which includes append columns) still prints first.
+      val sweepLines = if (k == factors.max) {
+        val nprobes = sys.env.getOrElse("SPARK_GRAFT_NPROBE_LIST", "1,2,4,8,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val truth = topSets(Similarity.bruteForceTopK(c, probeIds, 10))
+        val lines = for (np <- nprobes; (variant, run) <- Seq(
+          ("exact", (n: Int) => Similarity.ivfTopKIndexedVectors(
+            spark, s"$tmp/index", cents, probePairs.toSeq, k = 10, nprobe = n)),
+          ("int8", (n: Int) => Similarity.ivfTopKIndexedQuantized(
+            spark, s"$tmp/qindex", cents, probePairs.toSeq, k = 10, nprobe = n)))) yield {
+          val (s1, s2) = (runMeasured(run(np)), runMeasured(run(np)))
+          val (sT, _, sMb) = if (s2._1 < s1._1) s2 else s1
+          val got = topSets(run(np))
+          val rs = truth.map { case (id, ids) =>
+            got.get(id).map(g => (g & ids).size.toDouble / ids.size).getOrElse(0.0)
+          }
+          val r = rs.sum / math.max(1, rs.size)
+          f"$np,$variant,$sT%.2f,$sMb%.1f,$r%.3f"
+        }
+        "nprobe,variant,query_sec_min2,query_mb,recall10" +: lines
+      } else Seq.empty[String]
+
+      // incremental quantized append: land a 1/8-of-corpus batch of NEW
+      // ids into the existing quantized index and re-query — the cost must
+      // track the BATCH (assignment + one shuffle of batch rows), and the
+      // query's pruned read must stay in the same band (the batch adds
+      // ≤ one file per touched cluster)
       val batch = c.filter(col("vec_id") % 8 === 0)
         .withColumn("vec_id", col("vec_id") + lit(nVec * 2))
       val t3 = System.nanoTime()
@@ -147,33 +179,7 @@ object IndexedAnnStress {
       val (pa, pb) = (qq(), qq())
       val (apT, _, apMb) = if (pb._1 < pa._1) pb else pa
       println(f"$k,$nVec,${cents.size},$tTrain%.2f,$tBuild%.2f,$tList%.2f,$qT%.2f,$qF,$qMb%.1f,$idxMb%.1f,$probed,$vT%.2f,$vF,$vMb%.1f,$qIdxMb%.1f,$qqT%.2f,$qqMb%.1f,$recall%.3f,$tApp%.2f,$apT%.2f,$apMb%.1f")
-
-      // nprobe sweep (round 8, largest factor only): the recall-vs-cost
-      // curve a 100 TB operator tunes against. Ground truth = exact
-      // brute-force cosine top-10 over the amplified corpus; both index
-      // variants swept at the same nprobe settings. The quantized index
-      // here includes the appended batch (harmless: fresh ids never enter
-      // any top-10 — their nudged vectors are the batch's own replicas).
-      if (k == factors.max) {
-        val nprobes = sys.env.getOrElse("SPARK_GRAFT_NPROBE_LIST", "1,2,4,8,16")
-          .split(",").map(_.trim.toInt).toSeq
-        val truth = topSets(Similarity.bruteForceTopK(c, probeIds, 10))
-        println("nprobe,variant,query_sec_min2,query_mb,recall10")
-        for (np <- nprobes; (variant, path, run) <- Seq(
-          ("exact", s"$tmp/index", (n: Int) => Similarity.ivfTopKIndexedVectors(
-            spark, s"$tmp/index", cents, probePairs.toSeq, k = 10, nprobe = n)),
-          ("int8", s"$tmp/qindex", (n: Int) => Similarity.ivfTopKIndexedQuantized(
-            spark, s"$tmp/qindex", cents, probePairs.toSeq, k = 10, nprobe = n)))) {
-          val (s1, s2) = (runMeasured(run(np)), runMeasured(run(np)))
-          val (sT, _, sMb) = if (s2._1 < s1._1) s2 else s1
-          val got = topSets(run(np))
-          val rs = truth.map { case (id, ids) =>
-            got.get(id).map(g => (g & ids).size.toDouble / ids.size).getOrElse(0.0)
-          }
-          val r = rs.sum / math.max(1, rs.size)
-          println(f"$np,$variant,$sT%.2f,$sMb%.1f,$r%.3f")
-        }
-      }
+      sweepLines.foreach(println)
     }
     spark.stop()
   }

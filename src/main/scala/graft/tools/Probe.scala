@@ -21,6 +21,20 @@ object Probe {
 
     val k = sys.env.getOrElse("SPARK_GRAFT_CC_FACTOR", "64").toInt
     val n = k * 1000000L
+    // refuse heaps the run cannot fit instead of OOMing 15 rounds in: the
+    // measured floor is ~0.5 GB heap per 1M edges (Components scaladoc —
+    // 16M fits the 8g sbt fork, 64M needs ~32g). Documented invocation:
+    //   java -Xmx32g -cp "$(ls -d /opt/spark/jars)/*:target/scala-2.13/classes" \
+    //     graft.tools.Probe       # SPARK_GRAFT_CC_FACTOR=64
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val floorGb = k / 2
+    if (heapGb < floorGb) {
+      System.err.println(
+        s"Probe: factor=$k (${k}M edges) needs ≈${floorGb}g heap; this JVM has " +
+        s"${heapGb}g (-Xmx). Re-run with an explicit -Xmx ≥ ${floorGb}g — " +
+        "refusing to start a run that will OOM mid-iteration.")
+      sys.exit(2)
+    }
     val edges: DataFrame = spark.range(n).select(
       col("id").as("a"),
       when(pmod(xxhash64(col("id")), lit(100)) < 1, pmod(xxhash64(col("id"), lit(1)), lit(1000)))

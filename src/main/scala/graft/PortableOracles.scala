@@ -322,4 +322,53 @@ object PortableOracles {
        |      AND list_sum(list_transform(pq.qv, x -> x * x)) > 0
        |      AND list_sum(list_transform(cq.qv, x -> x * x)) > 0) s) t
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
+  /** Two-stage rerank replica (`Similarity.ivfTopKQuantizedRerank`): the
+    * [[annIvfTopkQuantizedSql]] chain widened to a pool of poolMult·k = 12
+    * int8 candidates per probe, then rescored with EXACT cosine against the
+    * full-precision vectors and cut to top-3. The oracle replays the actual
+    * two-stage semantics (pool race int8, rerank exact, both tie-broken on
+    * cand_id) — it does not assume the pool contains the true top-3. */
+  val annIvfTopkRerankSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cm AS (SELECT label, i, AVG(v[i]) AS m
+       |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+       |cent AS (SELECT label AS cluster, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |dists AS (SELECT e.vec_id, e.v, cent.cluster,
+       |            list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+       |          FROM e CROSS JOIN cent),
+       |q AS (SELECT vec_id,
+       |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+       |             ELSE list_transform(v, x -> ROUND(x * 127.0 / mx)) END AS qv
+       |      FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+       |assign AS (SELECT vec_id, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3),
+       |pool AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS cand_id,
+       |      ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
+       |        / SQRT(list_sum(list_transform(pq.qv, x -> x * x))
+       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) AS sim
+       |    FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |         JOIN q pq ON pq.vec_id = p.query_id
+       |         JOIN q cq ON cq.vec_id = a.vec_id
+       |    WHERE p.query_id <> a.vec_id
+       |      AND list_sum(list_transform(pq.qv, x -> x * x)) > 0
+       |      AND list_sum(list_transform(cq.qv, x -> x * x)) > 0) s) t
+       |  WHERE rn <= 12)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT pl.query_id, pl.cand_id,
+       |    ROUND(LIST_COSINE_SIMILARITY(eq.v, ec.v), 4) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY pl.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(eq.v, ec.v), 4) DESC, pl.cand_id) AS rn
+       |  FROM pool pl JOIN e eq ON eq.vec_id = pl.query_id
+       |       JOIN e ec ON ec.vec_id = pl.cand_id
+       |  WHERE NOT ISNAN(LIST_COSINE_SIMILARITY(eq.v, ec.v))) t2
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
 }

@@ -317,6 +317,27 @@ object SparkEntry {
       Similarity.ivfTopKIndexedQuantized(s, path, cents, vecs, k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // two-stage retrieval: int8 pool scan (5.9× less hot-storage read) →
+    // exact-cosine rerank of the ≤ poolMult·k pool rows — exact scores at
+    // quantized read volume; the oracle replays BOTH stages
+    "ann_ivf_topk_rerank" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val qPath = "/tmp/graft-ivf-qindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.buildIndexQuantized(e, cents, qPath)
+      Similarity.buildIndex(e, cents, ePath)
+      val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      Similarity.ivfTopKQuantizedRerank(s, qPath, ePath, cents, vecs,
+          k = 3, nprobe = 3, poolMult = 4)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
+    // BM25 keyword retrieval: lexical top-k — two narrow passes + one
+    // broadcast stats row + TakeOrdered; nothing shuffles but the result
+    "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
     // [EXT] multimodal plumbing (meta/resize are narrow → gate-sorted at the
     // base scan, see Tables.documentsById; frames keeps orderBy — it has a
     // join below, so sampling reuses its shuffle instead of re-executing)
@@ -368,6 +389,8 @@ object SparkEntry {
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
+    "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,
+    "bm25_topk" -> TextAnalysis.bm25TopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
     "orders_overview_dc" -> streaming.OverviewStream.overviewBatchSql,

@@ -290,6 +290,87 @@ object TextAnalysis {
       |      / LEN(STR_SPLIT(text, ' ')), 4) AS familiarity
       |FROM documents, m, tot ORDER BY doc_id""".stripMargin
 
+  // --- BM25 keyword retrieval --------------------------------------------------
+
+  /** Gate-query terms: one rare token (`dup`, df ≈ 2% of docs — it carries
+    * the discriminating idf on this corpus) plus two mid-frequency ones. */
+  val Bm25Terms: Seq[String] = Seq("dup", "vector", "query")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 (Robertson–Spärck Jones idf, Lucene's +1 smoothing) top-k keyword
+    * retrieval over `documents` — the lexical half of a curation/retrieval
+    * stack (the dense half is the IVF family in [[Similarity]]).
+    *
+    * Scale shape: for a FIXED query-term list the whole score is two narrow
+    * passes and one k-row sort — per-doc `tf_i`/`dl` come from higher-order
+    * functions over one bound token split (no explode, no token shuffle);
+    * corpus stats (N, avgdl, df_i) are ONE map-side-combinable aggregate
+    * row, broadcast back via scalar cross join; ranking is
+    * TakeOrderedAndProject. Nothing shuffles but the ≤k result rows — the
+    * same plan at 100 TB, with the stats pass amortizable across queries
+    * (they are query-independent except df of the terms).
+    *
+    * Portable arithmetic: tf/df/N/dl are exact integers in doubles; avgdl
+    * is an exact-integer sum over an exact count; the only libm call is
+    * `ln`, identical left-to-right association on both engines, absorbed
+    * by round(_,4).
+    */
+  def bm25Topk(spark: SparkSession, dir: String,
+               terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val perDoc = Tables.documents(spark, dir).select(
+      col("doc_id") +: Seq(
+        graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
+          struct(
+            size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+            }: _*)
+        }.as("s")): _*)
+      .select(col("doc_id") +: col("s.dl").as("dl") +:
+        terms.indices.map(i => col(s"s.tf$i").as(s"tf$i")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("double")).as(s"df$i")): _*)
+    val b = lit(Bm25B)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val df = col(s"df$i")
+      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * lit(Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Line-for-line DuckDB mirror of [[bm25Topk]] (same association order). */
+  val bm25TopkSql: String = {
+    val terms = Bm25Terms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n|    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val score = terms.indices.map(i =>
+      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+      s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))").mkString("\n|  + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t)
+       |SELECT doc_id, ROUND(
+       |    $score, 4) AS bm25
+       |FROM t, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // --- document fingerprint (rolling hash) -------------------------------------
   // Built on the portable h60 hash so the whole sketch — content hash,
   // simhash, winnowing mins — gets an exact DuckDB oracle (the xxhash64

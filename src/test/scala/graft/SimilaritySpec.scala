@@ -142,6 +142,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"no cluster partition filter in quantized plan:\n${plan.take(2000)}")
   }
 
+  test("two-stage rerank: exhaustive pool equals the exact indexed query; 4k pool holds recall") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-rr").toString
+    Similarity.buildIndex(e, cents, s"$tmp/exact")
+    Similarity.buildIndexQuantized(e, cents, s"$tmp/quant")
+    val probeIds = (0L until 20L).toSeq
+    val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Similarity.ivfTopKIndexedVectors(
+      spark, s"$tmp/exact", cents, vecs, 10, nprobe = 3))
+    // a pool wide enough to hold every candidate in the probed lists makes
+    // stage 2 rescore exactly what the exact query scores — identical rows,
+    // sims included (same rounding, same cand_id tie-breaks)
+    val exhaustive = rows(Similarity.ivfTopKQuantizedRerank(
+      spark, s"$tmp/quant", s"$tmp/exact", cents, vecs, 10, nprobe = 3,
+      poolMult = 1000))
+    assert(exhaustive == exact)
+    // the production pool (4k): sims are EXACT cosines (every returned row
+    // must appear in the exhaustive scoring with the same sim) and recall
+    // vs the exact top-10 stays above the int8 bound
+    val rr = rows(Similarity.ivfTopKQuantizedRerank(
+      spark, s"$tmp/quant", s"$tmp/exact", cents, vecs, 10, nprobe = 3))
+    val exactByQc = exact.map(t => (t._1, t._2) -> t._3).toMap
+    rr.foreach { case (q, c, sim) =>
+      exactByQc.get((q, c)).foreach(es => assert(es == sim,
+        s"rerank sim $sim != exact sim $es for ($q,$c)")) }
+    val exTop = exact.groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2) }
+    val rrTop = rr.groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2) }
+    val recalls = exTop.map { case (q, ids) =>
+      rrTop.get(q).map(g => (g & ids).size.toDouble / ids.size).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"rerank mean recall@10 $mean < 0.9")
+  }
+
   test("incrementally-appended quantized index equals a one-shot rebuild") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

@@ -60,4 +60,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(viaMap.forall { case (id, v) =>
       v > 0.0 && v <= 1.0 && math.abs(v - viaJoin(id)) < 5e-5 })
   }
+
+  test("bm25Topk equals an independent driver-side BM25 over the same corpus") {
+    val terms = TextAnalysis.Bm25Terms
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // independent recompute, same formula association order as the operator
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val n = docs.length.toDouble
+    val dls = toks.map(_._2.length.toDouble)
+    val avgdl = dls.sum / n
+    val dfs = terms.map(t => toks.count(_._2.contains(t)).toDouble)
+    val k1 = TextAnalysis.Bm25K1; val b = TextAnalysis.Bm25B
+    val expected = toks.map { case (id, tk) =>
+      val dl = tk.length.toDouble
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      (id, math.round(score * 10000.0) / 10000.0) // HALF_UP, like round(_,4)
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val got = TextAnalysis.bm25Topk(spark, Sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected)
+    // the rare term's idf dominates: every scored-above-zero leader holds it
+    assert(got.head._2 > 0.0)
+  }
 }

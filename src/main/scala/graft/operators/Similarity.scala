@@ -265,6 +265,19 @@ object Similarity {
     * spec-pinned on the gate corpus; ties broken by cand_id as ever). The
     * returned `sim` is the int8 cosine rounded to 4 — callers needing
     * exact scores rerank the k survivors against full vectors (k rows).
+    *
+    * CHOOSING nprobe (measured curve: STRESS.md "Round-8 additions"): ANN
+    * error decomposes into CLUSTER-MISS (the true neighbour's list wasn't
+    * probed — controlled by nprobe) and QUANTIZATION ranking noise
+    * (measured ≤ 0.025 recall@10, and zero until ≥ 80% of clusters are
+    * probed). So: sweep nprobe on a held-out probe set of YOUR corpus
+    * against brute force (`tools/IndexedAnnStress` natural block is the
+    * harness), pick the knee that meets the recall target — the shape is
+    * a property of how well cluster structure aligns with similarity —
+    * and if the residual int8 gap matters, wrap with
+    * [[ivfTopKQuantizedRerank]] (exact scores at quantized read volume)
+    * rather than raising nprobe further: read cost is linear in nprobe,
+    * the rerank's extra read is O(pool).
     */
   def ivfTopKIndexedQuantized(spark: SparkSession, path: String,
                               cents: Seq[(Int, Seq[Double])],

@@ -181,6 +181,46 @@ object IndexedAnnStress {
       println(f"$k,$nVec,${cents.size},$tTrain%.2f,$tBuild%.2f,$tList%.2f,$qT%.2f,$qF,$qMb%.1f,$idxMb%.1f,$probed,$vT%.2f,$vF,$vMb%.1f,$qIdxMb%.1f,$qqT%.2f,$qqMb%.1f,$recall%.3f,$tApp%.2f,$apT%.2f,$apMb%.1f")
       sweepLines.foreach(println)
     }
+
+    // NATURAL-corpus recall curve: the amplified corpus above spreads each
+    // probe's true neighbours (its nudged replicas) across rep-clusters BY
+    // CONSTRUCTION — its recall-vs-brute-force numbers measure the
+    // amplifier's cluster structure, not the operator (both variants score
+    // identically there; the curve merely counts how many replica clusters
+    // nprobe covers). The tuning curve a deployment reads — recall vs
+    // latency vs bytes as a function of nprobe — comes from the
+    // unamplified corpus, whose label clusters reflect actual similarity.
+    {
+      val nat = graft.Tables.embeddings(spark, sf).localCheckpoint(true)
+      val cents = Similarity.centroidSeq(nat)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfnat").toString
+      Similarity.buildIndex(nat, cents, s"$tmp/index")
+      Similarity.buildIndexQuantized(nat, cents, s"$tmp/qindex")
+      val probeIds = (0L until 20L).toSeq
+      val probePairs = nat.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      def topSets(df: DataFrame): Map[Long, Set[Long]] = df.collect()
+        .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+      val truth = topSets(Similarity.bruteForceTopK(nat, probeIds, 10))
+      val nprobes = sys.env.getOrElse("SPARK_GRAFT_NPROBE_LIST", "1,2,4,8,16")
+        .split(",").map(_.trim.toInt).toSeq.map(math.min(_, cents.size)).distinct
+      println(s"nat_nprobe,variant,query_sec_min2,query_mb,recall10  (clusters=${cents.size})")
+      for (np <- nprobes; (variant, run) <- Seq(
+        ("exact", (n: Int) => Similarity.ivfTopKIndexedVectors(
+          spark, s"$tmp/index", cents, probePairs, k = 10, nprobe = n)),
+        ("int8", (n: Int) => Similarity.ivfTopKIndexedQuantized(
+          spark, s"$tmp/qindex", cents, probePairs, k = 10, nprobe = n)))) {
+        val (s1, s2) = (runMeasured(run(np)), runMeasured(run(np)))
+        val (sT, _, sMb) = if (s2._1 < s1._1) s2 else s1
+        val got = topSets(run(np))
+        val rs = truth.map { case (id, ids) =>
+          got.get(id).map(g => (g & ids).size.toDouble / ids.size).getOrElse(0.0)
+        }
+        val r = rs.sum / math.max(1, rs.size)
+        println(f"$np,$variant,$sT%.2f,$sMb%.1f,$r%.3f")
+      }
+    }
     spark.stop()
   }
 }

@@ -45,10 +45,12 @@ object Bench {
     // read as regressions (round 7's r6→r7 "1.3× smear" was exactly this
     // ambiguity). Measured min-of-2, before and after the query loop: a
     // pre/post disagreement flags load ARRIVING mid-run.
+    // pmod bounds the summand: summing raw 64-bit hashes overflows under
+    // ANSI mode (Spark 4 default) — same lesson as Components' signature
     def calibrate(): Double = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0, 200000000L, 1, 32)
-        .selectExpr("xxhash64(id) % 97 AS b", "xxhash64(id + 1) AS h")
+        .selectExpr("xxhash64(id) % 97 AS b", "pmod(xxhash64(id + 1), 1048576) AS h")
         .groupBy("b").agg(org.apache.spark.sql.functions.sum("h"))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

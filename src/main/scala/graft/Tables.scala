@@ -73,19 +73,42 @@ object Tables {
   def documentsById(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).orderBy("doc_id")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions that read
-    * events set `spark.sql.legacy.parquet.nanosAsLong=true` at BUILD time
-    * (Bench/Verify/SparkSuite/tools) — a loader must not mutate session
-    * config as a side effect (it would race concurrent queries and silently
-    * change semantics of unrelated reads mid-session). The long nanos are
-    * truncated to microseconds — the same truncation DuckDB applies when it
-    * reads the file, so oracle comparisons line up exactly.
+  /** Schema-ADAPTIVE events loader: the driver regenerates
+    * `events.parquet` between rounds and has shipped two physical types for
+    * `ts` so far — parquet TIMESTAMP(NANOS) (reads as `LongType` under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; the round-9 regeneration
+    * replaced it) and plain `timestamp[us]` with no UTC-adjustment flag
+    * (reads as `TimestampNTZType`). Hard-coding either generation turns a
+    * data refresh into 8 gate failures (round 9's lesson), so this loader
+    * branches on the file's ACTUAL read schema and normalizes every
+    * generation to session-TZ `TimestampType`:
+    *
+    *   - `LongType` (nanos-as-long): truncate to micros — the same
+    *     truncation DuckDB applies reading the nanos file, so oracle
+    *     comparisons line up exactly. Requires `nanosAsLong=true` at session
+    *     BUILD (Bench/Verify/SparkSuite set it; harmless when the file has
+    *     no nanos column) — a loader must not mutate session config as a
+    *     side effect (it would race concurrent queries mid-session).
+    *   - `TimestampNTZType`: cast to `timestamp`. Sessions are pinned UTC
+    *     (`spark.sql.session.timeZone`), so NTZ→TZ is wall-clock identical
+    *     and DuckDB (which reads the column as naive TIMESTAMP) hashes the
+    *     same values.
+    *   - `TimestampType`: pass through.
+    *
+    * All downstream consumers (EventsPipeline, Temporal, the 8 `events_*`
+    * gate queries) see one stable contract: `ts TIMESTAMP` in UTC.
+    * TablesSpec pins this against the real file so the next regeneration
+    * fails `sbt test` loudly instead of erring 8 queries at the gate.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
-    p(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw = p(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — extend Tables.events for this testdata generation")
+    }
   }
 }

@@ -9,7 +9,8 @@ trait SparkSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+    // backward-compat for nanos-generation events.parquet; harmless when
+    // the file carries a native timestamp (Tables.events is schema-adaptive)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

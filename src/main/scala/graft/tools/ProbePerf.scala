@@ -2,8 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Scratch probe — current: does disabling constraint propagation cut the
-  * per-query Catalyst planning floor without changing results? */
+/** Scratch probe — current: adjudicate the r9 bench-epoch outliers
+  * (`chunk_embed_topk`, `cosine_topk_agg`, `doc_fingerprint`) flagged in
+  * VERDICT.md: run each with many reps in one session and report the full
+  * distribution, so run-order luck and JIT warmup can't masquerade as a
+  * plan regression the way a loaded min-of-2 epoch can. */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,19 +19,17 @@ object ProbePerf {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    def runSet(): Double = {
-      val names = Seq("point_lookup", "overview", "recent_orders", "docs_by_source",
-        "orders_by_date", "curation_pipeline", "minhash_dedup_keep", "events_asof")
-      val t0 = System.nanoTime()
-      names.foreach(n => run(graft.SparkEntry.queries(n)(spark, sf)))
-      (System.nanoTime() - t0) / 1e9
+    // same setup Bench performs before timing
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sf/region.parquet").count()
+    graft.operators.Similarity.trainedCentroids(graft.Tables.embeddings(spark, sf), sf)
+    for (name <- Seq("doc_fingerprint", "cosine_topk_agg", "chunk_embed_topk")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val times = (1 to 7).map { _ =>
+        val t0 = System.nanoTime(); run(df); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-18s min=${times.min}%.3f  med=${times.sorted.apply(3)}%.3f  " +
+        f"max=${times.max}%.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
-    graft.Tables.orders(spark, sf).count()
-    runSet() // warm
-    val a = (1 to 3).map(_ => runSet()).min
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    val b = (1 to 3).map(_ => runSet()).min
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
-    println(f"8-query set: default=$a%.2f s, constraintProp-off=$b%.2f s")
   }
 }

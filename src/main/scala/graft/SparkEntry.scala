@@ -451,10 +451,13 @@ object SparkEntry {
         |AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         |ORDER BY click_id, purchase_id""".stripMargin,
     // window-union mirror of the as-of join (engine-portable; right rows
-    // sort before left at equal ts for >= semantics, event_id breaks ties)
+    // sort before left at equal ts for >= semantics, event_id breaks ties
+    // among right rows only — left rows take a constant tie because src
+    // already orders them after right rows and their null v cannot affect
+    // LAST_VALUE ... IGNORE NULLS)
     "events_asof" ->
       """WITH u AS (
-        |  SELECT user_id, ts, 1 AS src, 9223372036854775807 AS tie,
+        |  SELECT user_id, ts, 1 AS src, 0 AS tie,
         |         CAST(NULL AS DOUBLE) AS v, event_id
         |  FROM events WHERE event_type = 'click'
         |  UNION ALL

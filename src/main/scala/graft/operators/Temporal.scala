@@ -28,10 +28,17 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, valueCol: String,
                rightTieBreak: String): DataFrame = {
+    // __tie is only meaningful on the RIGHT side (deterministic winner among
+    // equal-ts right rows). Left rows take a constant: __src=1 already sorts
+    // them after every right row at equal ts, and left rows carry null __v,
+    // so their order among THEMSELVES cannot change any asof value — all
+    // left rows at one (key, ts) see the identical prefix of right rows.
+    // (A Long.MaxValue sentinel here would couple correctness to
+    // rightTieBreak < Long.MaxValue for no benefit.)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__src", lit(1))
-      .withColumn("__tie", lit(Long.MaxValue))
+      .withColumn("__tie", lit(0L))
       .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
     val r = right.select(
       col(key),

@@ -255,6 +255,13 @@ object SparkEntry {
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
     "token_freq_by_source" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqBySource(s, d)),
+    // cross-source vocabulary overlap: exact matrix + minhash-sketch twin
+    "source_overlap" -> CorpusOverlap.sourceOverlap _,
+    "source_overlap_sketch" -> ((s: SparkSession, d: String) =>
+      CorpusOverlap.sourceOverlapSketch(s, d)),
+    // embedding-space diversity per label (SemDeDup's measurement half)
+    "embedding_dispersion" -> ((s: SparkSession, d: String) =>
+      Similarity.labelDispersion(Tables.embeddings(s, d))),
     // bloom-pruned join: probe side pre-filtered by a broadcast fixed-size
     // bloom of build keys, then the exact join — oracle is the plain join
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummary _,
@@ -523,6 +530,9 @@ object SparkEntry {
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
     "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
+    "source_overlap" -> CorpusOverlap.sourceOverlapSql,
+    "source_overlap_sketch" -> CorpusOverlap.sourceOverlapSketchSql,
+    "embedding_dispersion" -> Similarity.labelDispersionSql,
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
     // as float — the gate's exact compare then fails against Spark's int64

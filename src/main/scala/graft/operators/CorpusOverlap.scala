@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExprUtils.bindOnce
+
+/** Cross-slice corpus overlap analytics: how much vocabulary do two slices
+  * of a corpus share? The question a training-data curator asks before
+  * mixing sources ("are these two crawls near-copies?"), before weighting a
+  * mixture (diversity across sources), and after splitting (did the split
+  * leak one source's idiom into both sides). The reference has no analogue
+  * — this is charter surface (LLM-pipeline corpus analytics), same family
+  * as `docs_by_source` / `token_freq_by_source` but SET algebra across
+  * slices instead of per-slice counts.
+  *
+  * Unit of overlap: word BIGRAMS, not unigrams. Unigram vocabularies
+  * saturate (any two large English corpora share ~all common words —
+  * measured 0.97–1.0 Jaccard on the driver corpus); bigram sets keep
+  * discriminating power (measured 0.54–0.70 here) and are the cheapest
+  * n-gram that does.
+  *
+  * Scale shape (100 TB posture):
+  *  - [[slices]]: explode bigrams → ONE distinct exchange on (slice, gram).
+  *    Everything downstream works on the deduplicated vocabulary, which is
+  *    sublinear in corpus size (vocabulary growth ~ Heaps' law).
+  *  - [[overlapExact]]: pairwise intersections via a gram-keyed equi-join
+  *    with partial-aggregated counts — linear in vocab, never in pairs;
+  *    slice sizes broadcast (one row per slice).
+  *  - [[overlapSketch]]: the exchange-free path — per-slice MinHash
+  *    signatures fold map-side to `numPerm` longs per slice (elementwise
+  *    min is commutative+associative), so the only shuffled state is
+  *    slices × numPerm longs REGARDLESS of corpus size. The estimate is
+  *    Broder's matching-component fraction. This is what runs at 100 TB;
+  *    the exact matrix is the audit.
+  */
+object CorpusOverlap {
+
+  /** Adjacent-word bigrams of `text`; a document with fewer than two words
+    * contributes nothing (empty array). zip_with over two offset slices —
+    * narrow, codegen, no explode until the caller asks.
+    */
+  def bigrams(text: Column): Column =
+    bindOnce(split(text, " ", -1)) { w =>
+      zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+
+  /** Distinct (slice, gram) vocabulary — the one exchange every overlap
+    * query shares.
+    *
+    * The explicit not-null filter is LOAD-BEARING for that sharing: the
+    * downstream consumers impose different implied constraints (the
+    * intersection join pushes `isnotnull(g)` into its branches, the size
+    * aggregate does not need it), and Catalyst pushes each consumer's
+    * constraints below the distinct — subtrees that canonicalize
+    * differently, which AQE stage reuse then can't merge. Measured on the
+    * executed `source_overlap` plan: without this filter 2 corpus scans /
+    * 2 reused exchanges; with it 1 scan / 3 reused — every branch of the
+    * diamond hangs off ONE exchange (spec-pinned in PlanInvariantsSpec).
+    */
+  def sliceVocab(docs: DataFrame, textCol: String, sliceCol: String): DataFrame =
+    docs.select(col(sliceCol).as("slice"), explode(bigrams(col(textCol))).as("g"))
+      .filter(col("slice").isNotNull && col("g").isNotNull)
+      .distinct()
+
+  /** Exact pairwise overlap matrix over slices: intersection size, Jaccard,
+    * and containment (intersection over the SMALLER side — the asymmetric
+    * "is A inside B" signal Jaccard dilutes when sizes differ).
+    */
+  def overlapExact(vocab: DataFrame): DataFrame = {
+    val sz = vocab.groupBy("slice").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.g") === col("b.g") && col("a.slice") < col("b.slice"))
+      .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sz.as("x")), col("slice_a") === col("x.slice"))
+      .join(broadcast(sz.as("y")), col("slice_b") === col("y.slice"))
+      .select(
+        col("slice_a"), col("slice_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("x.n") + col("y.n") - col("n_common")), 4).as("jaccard"),
+        round(col("n_common").cast("double") /
+          least(col("x.n"), col("y.n")), 4).as("containment"))
+  }
+
+  /** Per-slice MinHash signature over the bigram vocabulary: each
+    * (slice, gram) row contributes its `numPerm` permuted hashes; the slice
+    * signature is the elementwise min — commutative and associative, so
+    * Spark's partial aggregation folds it map-side and the exchange carries
+    * slices × numPerm longs, not the vocabulary. (Dedup's [[Dedup.minhashSignature]]
+    * mins WITHIN one row's shingle array; this mins ACROSS rows of a group —
+    * same permutation family, seeded identically.)
+    */
+  def sliceSignatures(vocab: DataFrame, numPerm: Int): DataFrame = {
+    val perms = Dedup.permutations(numPerm)
+    vocab
+      .withColumn("h", Dedup.minhashSignature(array(col("g")), perms))
+      .select(col("slice"), posexplode(col("h")).as(Seq("pos", "x")))
+      .groupBy("slice", "pos").agg(min("x").as("m"))
+      .groupBy("slice")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("slice"), transform(col("pm"), p => p.getField("m")).as("sig"))
+  }
+
+  /** Sketch-estimated overlap matrix with its own exact audit: emits, per
+    * slice pair, the exact Jaccard plus whether the MinHash estimate landed
+    * within `tol` of it (the `dedup_metrics_approx` gate pattern — the
+    * estimate itself is hash-seeded engine arithmetic DuckDB can't
+    * replicate, so the PORTABLE claim is the tolerance bound, with exact
+    * values carried alongside for the hash compare).
+    */
+  def overlapSketch(vocab: DataFrame, numPerm: Int, tol: Double): DataFrame = {
+    val sigs = sliceSignatures(vocab, numPerm)
+    val est = sigs.as("a")
+      .join(sigs.as("b"), col("a.slice") < col("b.slice"))
+      .select(
+        col("a.slice").as("slice_a"), col("b.slice").as("slice_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          m => m)).cast("double") / numPerm).as("est"))
+    overlapExact(vocab).as("e")
+      .join(est, Seq("slice_a", "slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("jaccard"),
+        (abs(col("est") - col("jaccard")) <= tol).as(s"est_within_tol"))
+  }
+
+  // --- gate queries ---------------------------------------------------------
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    overlapExact(sliceVocab(Tables.documents(spark, dir), "text", "source"))
+      .orderBy("slice_a", "slice_b")
+
+  def sourceOverlapSketch(spark: SparkSession, dir: String,
+                          numPerm: Int = 128, tol: Double = 0.15): DataFrame =
+    overlapSketch(sliceVocab(Tables.documents(spark, dir), "text", "source"),
+      numPerm, tol)
+      .orderBy("slice_a", "slice_b")
+
+  /** DuckDB mirror: bigrams via an index self-join (positions from
+    * GENERATE_SUBSCRIPTS), then the same distinct → intersect → ratio
+    * pipeline. */
+  val sourceOverlapSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, UNNEST(STR_SPLIT(text, ' ')) AS t,
+      |         GENERATE_SUBSCRIPTS(STR_SPLIT(text, ' '), 1) AS i
+      |  FROM documents),
+      |g AS (SELECT DISTINCT a.source AS slice, a.t || ' ' || b.t AS g
+      |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |sz AS (SELECT slice, COUNT(*) AS n FROM g GROUP BY slice),
+      |i AS (SELECT a.slice AS slice_a, b.slice AS slice_b, COUNT(*) AS n_common
+      |      FROM g a JOIN g b ON a.g = b.g AND a.slice < b.slice GROUP BY 1, 2)
+      |SELECT slice_a, slice_b, n_common,
+      |ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 4) AS jaccard,
+      |ROUND(CAST(n_common AS DOUBLE) / LEAST(x.n, y.n), 4) AS containment
+      |FROM i JOIN sz x ON slice_a = x.slice JOIN sz y ON slice_b = y.slice
+      |ORDER BY slice_a, slice_b""".stripMargin
+
+  /** Oracle for the sketch twin: exact Jaccard + the tolerance claim as a
+    * constant TRUE — the driver's hash compare then fails iff any engine
+    * estimate strays outside tol. */
+  val sourceOverlapSketchSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, UNNEST(STR_SPLIT(text, ' ')) AS t,
+      |         GENERATE_SUBSCRIPTS(STR_SPLIT(text, ' '), 1) AS i
+      |  FROM documents),
+      |g AS (SELECT DISTINCT a.source AS slice, a.t || ' ' || b.t AS g
+      |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |sz AS (SELECT slice, COUNT(*) AS n FROM g GROUP BY slice),
+      |i AS (SELECT a.slice AS slice_a, b.slice AS slice_b, COUNT(*) AS n_common
+      |      FROM g a JOIN g b ON a.g = b.g AND a.slice < b.slice GROUP BY 1, 2)
+      |SELECT slice_a, slice_b,
+      |ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 4) AS jaccard,
+      |TRUE AS est_within_tol
+      |FROM i JOIN sz x ON slice_a = x.slice JOIN sz y ON slice_b = y.slice
+      |ORDER BY slice_a, slice_b""".stripMargin
+}

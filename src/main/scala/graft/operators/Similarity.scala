@@ -97,6 +97,55 @@ object Similarity {
       (r.get(0) match { case n: java.lang.Number => n.intValue }, r.getSeq[Double](1))
     }
 
+  /** Embedding-space dispersion per label: how tight is each labeled group
+    * of vectors? The corpus-diversity read a curator takes before sampling
+    * from clusters (a collapsed cluster = redundant data; a diffuse one =
+    * noise or mixed concepts) — the measurement half of SemDeDup-style
+    * semantic dedup (Abbas et al. 2023: prune clusters whose members are
+    * mutually too similar).
+    *
+    * Dispersion is measured against each label's ANCHOR member (its
+    * min-`vec_id` vector), not the mean centroid: the anchor is a data
+    * point both engines select identically, so per-vector cosine stays
+    * bit-reproducible across engines (the proven round-4 pattern), while a
+    * mean centroid's floating-point coordinates depend on partial-agg
+    * summation order. The per-label MEAN of the rounded cosines is summed
+    * in DECIMAL — exact, order-independent — so the whole output is
+    * deterministic despite the cross-row aggregate.
+    *
+    * Scale shape: anchors are one tiny aggregate (k rows, broadcast back);
+    * scoring is one narrow pass over the corpus; the final rollup is a
+    * partial-aggregated groupBy on label. One shuffle above the scan.
+    */
+  def labelDispersion(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val anchors = e.groupBy("label")
+      .agg(min_by(col("v"), col("vec_id")).as("av"))
+    e.join(broadcast(anchors), Seq("label"))
+      .withColumn("c", round(cosine(col("v"), col("av")), 4))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("c").cast("decimal(14,4)")).cast("double") /
+          count(lit(1)), 4).as("mean_cos"),
+        min("c").as("min_cos"),
+        max("c").as("max_cos"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[labelDispersion]] — same anchor selection
+    * (ARG_MIN), same round-then-DECIMAL-sum determinism. */
+  val labelDispersionSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |a AS (SELECT label, ARG_MIN(v, vec_id) AS av FROM e GROUP BY label),
+      |c AS (SELECT e.label, ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) AS c
+      |      FROM e JOIN a ON e.label = a.label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |ROUND(CAST(SUM(CAST(c AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4) AS mean_cos,
+      |MIN(c) AS min_cos, MAX(c) AS max_cos
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
+
   /** Session-scoped trained-quantizer cache: the round-1 entry point
     * retrained the quantizer from the full corpus on EVERY invocation (a
     * full posexplode + two aggregations before the query proper — a full

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOverlap
+
+class CorpusOverlapSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("bigrams: adjacent pairs; short docs contribute nothing") {
+    val rows = Seq("a b c d", "solo", "", "x y")
+      .toDF("text")
+      .select(CorpusOverlap.bigrams(col("text")).as("g"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b", "b c", "c d"))
+    assert(rows(1).isEmpty)
+    assert(rows(2).isEmpty)
+    assert(rows(3) == Seq("x y"))
+  }
+
+  test("overlapExact: hand-checked jaccard and containment on a toy corpus") {
+    // s1 grams: {a b, b c}; s2 grams: {a b, b d}; s3 grams: {z z}
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a b"),
+      ("s2", "a b d"),
+      ("s3", "z z")).toDF("source", "text")
+    val m = CorpusOverlap.overlapExact(
+        CorpusOverlap.sliceVocab(docs, "text", "source"))
+      .orderBy("slice_a", "slice_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // s1 ∩ s2 = {a b}: jaccard 1/3, containment 1/2; s3 disjoint (no row)
+    assert(m == Seq(("s1", "s2", 1L, 0.3333, 0.5)))
+  }
+
+  private lazy val nPairs = {
+    val s = Tables.documents(spark, Sf0001).select("source").distinct().count()
+    (s * (s - 1) / 2).toInt
+  }
+
+  test("sketch estimate tracks exact jaccard within tolerance on real data") {
+    val out = SparkEntry.queries("source_overlap_sketch")(spark, Sf0001)
+    val rows = out.collect()
+    assert(rows.length == nPairs) // every source pair shares vocabulary here
+    assert(rows.forall(_.getBoolean(3)),
+      s"minhash estimate outside tolerance: ${rows.filterNot(_.getBoolean(3)).mkString(";")}")
+  }
+
+  test("exact overlap matrix is complete and ratio-consistent on real data") {
+    val rows = SparkEntry.queries("source_overlap")(spark, Sf0001).collect()
+    assert(rows.length == nPairs)
+    rows.foreach { r =>
+      val (j, c) = (r.getDouble(3), r.getDouble(4))
+      assert(j > 0 && j <= c && c <= 1.0, s"jaccard/containment violated: $r")
+    }
+  }
+}

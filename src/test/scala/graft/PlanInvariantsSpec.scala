@@ -43,6 +43,14 @@ class PlanInvariantsSpec extends AnyFunSuite with SparkSuite {
       "no ReusedExchange — the signature subtree is being computed twice")
   }
 
+  test("source_overlap: the vocab diamond shares ONE corpus scan (stage reuse)") {
+    val plan = executed("source_overlap")
+    assert("ReusedExchange".r.findAllIn(plan).length >= 3,
+      "vocab exchange not shared — intersection/size branches re-scan the corpus")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"expected ONE documents scan:\n${plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")}")
+  }
+
   test("customer_region: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = executed("customer_region")
     assert(plan.contains("BroadcastHashJoin"), "dim join did not broadcast")

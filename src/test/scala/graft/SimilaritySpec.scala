@@ -428,4 +428,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(c(0) == Seq(1.0, 1.0))
     assert(c(1) == Seq(4.0, 4.0))
   }
+
+  test("labelDispersion: anchor is min vec_id; collapsed label = all 1.0") {
+    val e = Seq(
+      // label 0: anchor (1,0); one copy, one orthogonal
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(2.0f, 0.0f), 0), (2L, Seq(0.0f, 3.0f), 0),
+      // label 1: all identical → dispersion collapsed at 1.0
+      (3L, Seq(1.0f, 1.0f), 1), (4L, Seq(2.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val d = Similarity.labelDispersion(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // label 0: cosines {1.0, 1.0, 0.0} → mean 0.6667
+    assert(d(0) == ((0, 3L, 0.6667, 0.0, 1.0)))
+    assert(d(1) == ((1, 2L, 1.0, 1.0, 1.0)))
+  }
+
+  test("labelDispersion is partitioning-independent (decimal-exact mean)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val a = Similarity.labelDispersion(e).collect()
+    val b = Similarity.labelDispersion(e.repartition(13)).collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.forall(r => r.getDouble(2) <= 1.0))
+  }
 }

@@ -157,6 +157,27 @@ object ScaleBench {
       },
       "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1)),
+      // cross-source overlap sketch at volume. Two regimes:
+      //  - replicated texts (plain amplify): vocabulary is CONSTANT in k —
+      //    measures the explode+distinct scan absorbing k× rows into a
+      //    fixed-size vocab (the common real case: more data, same idiom)
+      //  - per-replica gram injection: ' rN' appends ~2 fresh bigrams per
+      //    doc-replica, so the DISTINCT VOCAB itself grows ~k× — the
+      //    worst case for the signature fold and the distinct exchange
+      "source_overlap_sketch" -> (k =>
+        graft.operators.CorpusOverlap.overlapSketch(
+          graft.operators.CorpusOverlap.sliceVocab(docsX(k), "text", "source"),
+          numPerm = 128, tol = 0.15)),
+      "source_overlap_sketch_vocabgrow" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
+        graft.operators.CorpusOverlap.overlapSketch(
+          graft.operators.CorpusOverlap.sliceVocab(grown, "text", "source"),
+          numPerm = 128, tol = 0.15)
+      },
+      // dispersion at volume: labels stay fixed (anchor set constant),
+      // vectors grow k× — scoring is the linear pass being measured
+      "embedding_dispersion" -> (k => Similarity.labelDispersion(embsX(k))),
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -107,6 +107,17 @@ object CorpusOverlap {
       .select(col("slice"), transform(col("pm"), p => p.getField("m")).as("sig"))
   }
 
+  /** Broder's estimate from a signature table (slice, sig): pairwise
+    * fraction of matching components. Slices × slices rows of numPerm longs
+    * — driver-free, but tiny enough to broadcast-nested-loop. */
+  def estimateFromSignatures(sigs: DataFrame, numPerm: Int): DataFrame =
+    sigs.as("a")
+      .join(sigs.as("b"), col("a.slice") < col("b.slice"))
+      .select(
+        col("a.slice").as("slice_a"), col("b.slice").as("slice_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          m => m)).cast("double") / numPerm).as("est"))
+
   /** Sketch-estimated overlap matrix with its own exact audit: emits, per
     * slice pair, the exact Jaccard plus whether the MinHash estimate landed
     * within `tol` of it (the `dedup_metrics_approx` gate pattern — the
@@ -115,18 +126,25 @@ object CorpusOverlap {
     * values carried alongside for the hash compare).
     */
   def overlapSketch(vocab: DataFrame, numPerm: Int, tol: Double): DataFrame = {
-    val sigs = sliceSignatures(vocab, numPerm)
-    val est = sigs.as("a")
-      .join(sigs.as("b"), col("a.slice") < col("b.slice"))
-      .select(
-        col("a.slice").as("slice_a"), col("b.slice").as("slice_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          m => m)).cast("double") / numPerm).as("est"))
+    val est = estimateFromSignatures(sliceSignatures(vocab, numPerm), numPerm)
     overlapExact(vocab).as("e")
       .join(est, Seq("slice_a", "slice_b"))
       .select(col("slice_a"), col("slice_b"), col("jaccard"),
         (abs(col("est") - col("jaccard")) <= tol).as(s"est_within_tol"))
   }
+
+  /** Elementwise-min merge of signature rows sharing a slice — the fold
+    * that makes signatures INCREMENTAL: min is associative, commutative,
+    * and idempotent, so signatures computed over any partition of the
+    * corpus into batches (including replayed batches) merge to exactly the
+    * whole-corpus signature. [[graft.streaming.OverlapStream]] builds on
+    * this. */
+  def mergeSignatures(sigs: DataFrame): DataFrame =
+    sigs.select(col("slice"), posexplode(col("sig")).as(Seq("pos", "x")))
+      .groupBy("slice", "pos").agg(min("x").as("m"))
+      .groupBy("slice")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("slice"), transform(col("pm"), p => p.getField("m")).as("sig"))
 
   // --- gate queries ---------------------------------------------------------
 

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOverlap
+import graft.streaming.OverlapStream
+
+class OverlapStreamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("overlap").toString
+  private def docs = Tables.documents(spark, Sf0001)
+  private val P = 64 // cheaper than the gate's 128; equality is exact anyway
+
+  private def sigsOf(df: DataFrame): Map[String, Seq[Long]] =
+    df.select("slice", "sig").as[(String, Seq[Long])].collect().toMap
+
+  private def batchSigs: Map[String, Seq[Long]] =
+    sigsOf(CorpusOverlap.sliceSignatures(
+      CorpusOverlap.sliceVocab(docs, "text", "source"), P))
+
+  test("signatures folded over arbitrary batching equal the whole-corpus run") {
+    val state = tmp(); val out = tmp()
+    for (b <- 0 to 2)
+      OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 3 === b),
+        b.toLong, state, out, numPerm = P)
+    assert(sigsOf(OverlapStream.mergedState(spark, state)) == batchSigs)
+    // and the estimate snapshot of the LAST batch equals the batch estimate
+    val streamedEst = spark.read.parquet(s"$out/batch=2").drop("batch")
+      .as[(String, String, Double)].collect().toSet
+    val batchEst = CorpusOverlap.estimateFromSignatures(
+        CorpusOverlap.sliceSignatures(
+          CorpusOverlap.sliceVocab(docs, "text", "source"), P), P)
+      .as[(String, String, Double)].collect().toSet
+    assert(streamedEst == batchEst)
+  }
+
+  test("replay of any batch is a no-op (idempotent min-fold)") {
+    val state = tmp(); val out = tmp()
+    for (b <- 0 to 2)
+      OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 3 === b),
+        b.toLong, state, out, numPerm = P)
+    val before = sigsOf(OverlapStream.mergedState(spark, state))
+    OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 3 === 1),
+      1L, state, out, numPerm = P)
+    assert(sigsOf(OverlapStream.mergedState(spark, state)) == before)
+  }
+
+  test("uptoBatch bounds a replay's view to its own prefix of state") {
+    val state = tmp(); val out = tmp()
+    for (b <- 0 to 2)
+      OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 3 === b),
+        b.toLong, state, out, numPerm = P)
+    val prefix = sigsOf(OverlapStream.mergedState(spark, state, uptoBatch = 1))
+    val prefixDirect = sigsOf(CorpusOverlap.sliceSignatures(
+      CorpusOverlap.sliceVocab(docs.filter(col("doc_id") % 3 <= 1),
+        "text", "source"), P))
+    assert(prefix == prefixDirect)
+  }
+
+  test("compactState folds dirs without changing the merged signature") {
+    val state = tmp(); val out = tmp()
+    for (b <- 0 to 3)
+      OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 4 === b),
+        b.toLong, state, out, numPerm = P)
+    val before = sigsOf(OverlapStream.mergedState(spark, state))
+    OverlapStream.compactState(spark, state)
+    val fs = graft.functions.FsUtils.fs(spark, s"$state/sigs")
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/sigs"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(dirs == Seq("batch=3"))
+    assert(sigsOf(OverlapStream.mergedState(spark, state)) == before)
+  }
+
+  test("file-source stream produces the same state as direct applyBatch") {
+    val in = tmp(); val state = tmp(); val out = tmp(); val ckpt = tmp()
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$in/d0")
+    val q = OverlapStream.run(spark, s"$in/d*", state, out, ckpt, docs, numPerm = P)
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$in/d1")
+    q.processAllAvailable()
+    q.stop()
+    assert(sigsOf(OverlapStream.mergedState(spark, state)) == batchSigs)
+  }
+
+  test("fresh state reads empty") {
+    assert(OverlapStream.mergedState(spark, tmp() + "/none").collect().isEmpty)
+  }
+}

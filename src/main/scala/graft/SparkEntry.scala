@@ -262,6 +262,9 @@ object SparkEntry {
     // embedding-space diversity per label (SemDeDup's measurement half)
     "embedding_dispersion" -> ((s: SparkSession, d: String) =>
       Similarity.labelDispersion(Tables.embeddings(s, d))),
+    // DSIR importance weights against the en-language target distribution
+    "dsir_weights" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirWeights(s, d)),
     // bloom-pruned join: probe side pre-filtered by a broadcast fixed-size
     // bloom of build keys, then the exact join — oracle is the plain join
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummary _,
@@ -533,6 +536,7 @@ object SparkEntry {
     "source_overlap" -> CorpusOverlap.sourceOverlapSql,
     "source_overlap_sketch" -> CorpusOverlap.sourceOverlapSketchSql,
     "embedding_dispersion" -> Similarity.labelDispersionSql,
+    "dsir_weights" -> TextAnalysis.dsirWeightsSql,
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
     // as float — the gate's exact compare then fails against Spark's int64

@@ -290,6 +290,75 @@ object TextAnalysis {
       |      / LEN(STR_SPLIT(text, ' ')), 4) AS familiarity
       |FROM documents, m, tot ORDER BY doc_id""".stripMargin
 
+  // --- DSIR importance weighting -------------------------------------------
+
+  /** Importance weight of each document against a TARGET distribution
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): log w(x) = Σ_tokens [ln p_target(t) − ln p_raw(t)]
+    * under add-α-smoothed unigram models — here target = the `targetLang`
+    * slice of the corpus, raw = the whole corpus (DSIR's hashed-ngram
+    * models reduce to this at unigram granularity; the selection step is
+    * the existing [[Sampling]] weighted race over exp(logw), composed in
+    * DsirSpec). Docs whose token mix resembles the target score high;
+    * selection by weight is how a curator tilts a raw crawl toward a
+    * target domain without a trained classifier.
+    *
+    * Same two-pass "train stats, then score" shape as [[tokenFamiliarity]]
+    * — pass 1 aggregates per-token (raw, target) counts once; pass 2 bakes
+    * the smoothed probability RATIO into a literal map and scores each doc
+    * in one narrow projection (no join, no shuffle above the scan), under
+    * the same documented bounded-vocabulary contract (cap with
+    * [[FreqSketch]] top-k + a floor ratio for out-of-table tokens at open
+    * vocabulary).
+    *
+    * Portability: each map value is three IEEE double divisions of exact
+    * integer(±0.5) operands evaluated in the same order on both engines —
+    * bitwise identical. The only libm call is `ln`, applied per token and
+    * summed left-to-right in token order on both engines (the BM25
+    * precedent), absorbed by round(_, 4).
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.documentsById(spark, dir)
+    val freq = docs.select(explode(split(col("text"), " ", -1)).as("t"),
+        (col("lang") === targetLang).as("tgt"))
+      .groupBy("t").agg(count(lit(1)).as("nr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+      .collect() // O(vocab)
+    val tr = freq.map(_.getLong(1)).sum.toDouble
+    val tt = freq.map(_.getLong(2)).sum.toDouble
+    val v = freq.length.toDouble
+    val rm = map(freq.sortBy(_.getString(0)).flatMap { r =>
+      val ratio = ((r.getLong(2) + alpha) / (tt + alpha * v)) /
+                  ((r.getLong(1) + alpha) / (tr + alpha * v))
+      Seq(lit(r.getString(0)), lit(ratio))
+    }: _*)
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ts =>
+        struct(
+          size(ts).cast("long").as("n_tokens"),
+          round(aggregate(transform(ts, t => log(element_at(rm, t))),
+            lit(0.0), (a, x) => a + x), 4).as("logw"))
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.logw").as("logw"))
+  }
+
+  /** DuckDB mirror — identical smoothing arithmetic, identical token-order
+    * summation, MAP-typed ratio table like [[tokenFamiliaritySql]]. */
+  val dsirWeightsSql: String =
+    """WITH tok AS (SELECT UNNEST(STR_SPLIT(text, ' ')) AS t, lang = 'en' AS tgt FROM documents),
+      |freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS nr,
+      |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+      |         FROM tok GROUP BY t),
+      |c AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+      |m AS (SELECT MAP(list(t ORDER BY t),
+      |        list(((nt + 0.5) / (tt + 0.5 * v)) / ((nr + 0.5) / (tr + 0.5 * v)) ORDER BY t)) AS rm
+      |      FROM freq, c)
+      |SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
+      |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(rm[x][1]))), 4) AS logw
+      |FROM documents, m ORDER BY doc_id""".stripMargin
+
   // --- BM25 keyword retrieval --------------------------------------------------
 
   /** Gate-query terms: one rare token (`dup`, df ≈ 2% of docs — it carries

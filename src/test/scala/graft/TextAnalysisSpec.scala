@@ -87,4 +87,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     // the rare term's idf dominates: every scored-above-zero leader holds it
     assert(got.head._2 > 0.0)
   }
+
+  test("dsir_weights: target-language docs outscore the rest; deterministic") {
+    val w = TextAnalysis.dsirWeights(spark, Sf0001)
+      .join(Tables.documents(spark, Sf0001).select("doc_id", "lang"), "doc_id")
+      .select(col("lang") === "en", col("logw"))
+      .as[(Boolean, Double)].collect()
+    val (en, rest) = w.partition(_._1)
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(Boolean, Double)]) = xs.map(_._2).sum / xs.length
+    // the importance weight's whole job: the target slice scores higher
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} not above non-en mean ${mean(rest)}")
+    // stable under re-partitioning (driver-side stats + narrow scoring)
+    val a = TextAnalysis.dsirWeights(spark, Sf0001).collect()
+    val b = TextAnalysis.dsirWeights(spark, Sf0001).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("dsir_weights composes with the weighted race for DSIR selection") {
+    // DSIR's selection step: weighted sample proportional to exp(logw) —
+    // here just check the composition runs and prefers target-like docs
+    val w = TextAnalysis.dsirWeights(spark, Sf0001)
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "lang")
+    val top = w.join(docs, "doc_id")
+      .orderBy(col("logw").desc, col("doc_id")).limit(50)
+    val enFrac = top.filter(col("lang") === "en").count() / 50.0
+    val baseFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(enFrac > baseFrac,
+      s"top-50 en fraction $enFrac not above corpus base rate $baseFrac")
+  }
 }

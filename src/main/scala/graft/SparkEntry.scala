@@ -265,6 +265,10 @@ object SparkEntry {
     // DSIR importance weights against the en-language target distribution
     "dsir_weights" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirWeights(s, d)),
+    // SemDeDup pruning: drop members semantically redundant with their
+    // cluster anchor (tau tuned to this synthetic corpus's spread)
+    "semantic_dedup_keep" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDedupKeep(Tables.embeddings(s, d), tau = 0.2)),
     // bloom-pruned join: probe side pre-filtered by a broadcast fixed-size
     // bloom of build keys, then the exact join — oracle is the plain join
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummary _,
@@ -537,6 +541,7 @@ object SparkEntry {
     "source_overlap_sketch" -> CorpusOverlap.sourceOverlapSketchSql,
     "embedding_dispersion" -> Similarity.labelDispersionSql,
     "dsir_weights" -> TextAnalysis.dsirWeightsSql,
+    "semantic_dedup_keep" -> Similarity.semanticDedupKeepSql(0.2),
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
     // as float — the gate's exact compare then fails against Spark's int64

@@ -146,6 +146,41 @@ object Similarity {
       |MIN(c) AS min_cos, MAX(c) AS max_cos
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
+  /** SemDeDup's pruning half (Abbas et al. 2023): within each label
+    * cluster, drop members whose cosine to the cluster anchor is ≥ `tau`
+    * (semantically redundant with it), keeping the anchor itself. Linear —
+    * one broadcast anchor join, one narrow filter; no pairwise comparison
+    * (the published algorithm's within-cluster pair matrix is what the
+    * anchor formulation removes, at the cost of only catching redundancy
+    * WITH the anchor — the multi-representative extension is rerunning on
+    * the kept set). Emits every vector with its verdict so downstream
+    * picks `keep`; threshold compares the ROUNDED cosine, making the
+    * boundary engine-portable.
+    */
+  def semanticDedupKeep(embeddings: DataFrame, tau: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val anchors = e.groupBy("label").agg(
+      min_by(col("v"), col("vec_id")).as("av"), min("vec_id").as("anchor_id"))
+    e.join(broadcast(anchors), Seq("label"))
+      .withColumn("cos_anchor", round(cosine(col("v"), col("av")), 4))
+      .select(col("vec_id"), col("label"), col("cos_anchor"),
+        (col("vec_id") === col("anchor_id") ||
+          col("cos_anchor") < tau).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[semanticDedupKeep]]. */
+  def semanticDedupKeepSql(tau: Double): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |a AS (SELECT label, ARG_MIN(v, vec_id) AS av, MIN(vec_id) AS anchor_id
+       |      FROM e GROUP BY label)
+       |SELECT e.vec_id, e.label,
+       |ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) AS cos_anchor,
+       |(e.vec_id = a.anchor_id OR
+       | ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) < $tau) AS keep
+       |FROM e JOIN a ON e.label = a.label ORDER BY e.vec_id""".stripMargin
+
   /** Session-scoped trained-quantizer cache: the round-1 entry point
     * retrained the quantizer from the full corpus on EVERY invocation (a
     * full posexplode + two aggregations before the query proper — a full

@@ -443,6 +443,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(d(1) == ((1, 2L, 1.0, 1.0, 1.0)))
   }
 
+  test("semanticDedupKeep: anchors always kept; redundant members dropped") {
+    val e = Seq(
+      // label 0: anchor (1,0); vec 1 is a scaled copy (cos 1.0 → drop);
+      // vec 2 orthogonal (cos 0 → keep)
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(3.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      // label 1: lone anchor keeps itself (cos 1.0 but IS the anchor)
+      (3L, Seq(1.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedupKeep(e, tau = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("labelDispersion is partitioning-independent (decimal-exact mean)") {
     val e = Tables.embeddings(spark, Sf0001)
     val a = Similarity.labelDispersion(e).collect()

@@ -540,7 +540,7 @@ object SparkEntry {
     "source_overlap" -> CorpusOverlap.sourceOverlapSql,
     "source_overlap_sketch" -> CorpusOverlap.sourceOverlapSketchSql,
     "embedding_dispersion" -> Similarity.labelDispersionSql,
-    "dsir_weights" -> TextAnalysis.dsirWeightsSql,
+    "dsir_weights" -> TextAnalysis.dsirWeightsSql(),
     "semantic_dedup_keep" -> Similarity.semanticDedupKeepSql(0.2),
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders

@@ -69,6 +69,13 @@ object CorpusOverlap {
   /** Exact pairwise overlap matrix over slices: intersection size, Jaccard,
     * and containment (intersection over the SMALLER side — the asymmetric
     * "is A inside B" signal Jaccard dilutes when sizes differ).
+    *
+    * COMPLETE over slice pairs: the pair frame comes from the size
+    * aggregate's self-join (every slice appears there), and disjoint pairs
+    * survive the left join as n_common = 0 / jaccard 0.0. Deriving pairs
+    * from the intersection join instead would silently drop exactly the
+    * zero-overlap pairs — the ones where a nonzero sketch estimate is the
+    * false positive [[overlapSketch]]'s tolerance audit exists to catch.
     */
   def overlapExact(vocab: DataFrame): DataFrame = {
     val sz = vocab.groupBy("slice").agg(count(lit(1)).as("n"))
@@ -77,15 +84,18 @@ object CorpusOverlap {
         col("a.g") === col("b.g") && col("a.slice") < col("b.slice"))
       .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sz.as("x")), col("slice_a") === col("x.slice"))
-      .join(broadcast(sz.as("y")), col("slice_b") === col("y.slice"))
+    val pairs = sz.as("x").join(sz.as("y"), col("x.slice") < col("y.slice"))
+      .select(col("x.slice").as("slice_a"), col("y.slice").as("slice_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    pairs.join(broadcast(inter), Seq("slice_a", "slice_b"), "left")
       .select(
-        col("slice_a"), col("slice_b"), col("n_common"),
-        round(col("n_common").cast("double") /
-          (col("x.n") + col("y.n") - col("n_common")), 4).as("jaccard"),
-        round(col("n_common").cast("double") /
-          least(col("x.n"), col("y.n")), 4).as("containment"))
+        col("slice_a"), col("slice_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("n_common"), lit(0L))), 4)
+          .as("jaccard"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          least(col("na"), col("nb")), 4).as("containment"))
   }
 
   /** Per-slice MinHash signature over the bigram vocabulary: each
@@ -96,16 +106,11 @@ object CorpusOverlap {
     * mins WITHIN one row's shingle array; this mins ACROSS rows of a group —
     * same permutation family, seeded identically.)
     */
-  def sliceSignatures(vocab: DataFrame, numPerm: Int): DataFrame = {
-    val perms = Dedup.permutations(numPerm)
-    vocab
-      .withColumn("h", Dedup.minhashSignature(array(col("g")), perms))
-      .select(col("slice"), posexplode(col("h")).as(Seq("pos", "x")))
-      .groupBy("slice", "pos").agg(min("x").as("m"))
-      .groupBy("slice")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("slice"), transform(col("pm"), p => p.getField("m")).as("sig"))
-  }
+  def sliceSignatures(vocab: DataFrame, numPerm: Int): DataFrame =
+    mergeSignatures(
+      vocab.select(col("slice"),
+        Dedup.minhashSignature(array(col("g")), Dedup.permutations(numPerm))
+          .as("sig")))
 
   /** Broder's estimate from a signature table (slice, sig): pairwise
     * fraction of matching components. Slices × slices rows of numPerm longs
@@ -169,13 +174,15 @@ object CorpusOverlap {
       |g AS (SELECT DISTINCT a.source AS slice, a.t || ' ' || b.t AS g
       |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
       |sz AS (SELECT slice, COUNT(*) AS n FROM g GROUP BY slice),
+      |p AS (SELECT x.slice AS slice_a, y.slice AS slice_b, x.n AS na, y.n AS nb
+      |      FROM sz x JOIN sz y ON x.slice < y.slice),
       |i AS (SELECT a.slice AS slice_a, b.slice AS slice_b, COUNT(*) AS n_common
       |      FROM g a JOIN g b ON a.g = b.g AND a.slice < b.slice GROUP BY 1, 2)
-      |SELECT slice_a, slice_b, n_common,
-      |ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 4) AS jaccard,
-      |ROUND(CAST(n_common AS DOUBLE) / LEAST(x.n, y.n), 4) AS containment
-      |FROM i JOIN sz x ON slice_a = x.slice JOIN sz y ON slice_b = y.slice
-      |ORDER BY slice_a, slice_b""".stripMargin
+      |SELECT p.slice_a, p.slice_b, COALESCE(i.n_common, 0) AS n_common,
+      |ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE) / (na + nb - COALESCE(i.n_common, 0)), 4) AS jaccard,
+      |ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE) / LEAST(na, nb), 4) AS containment
+      |FROM p LEFT JOIN i ON p.slice_a = i.slice_a AND p.slice_b = i.slice_b
+      |ORDER BY 1, 2""".stripMargin
 
   /** Oracle for the sketch twin: exact Jaccard + the tolerance claim as a
     * constant TRUE — the driver's hash compare then fails iff any engine
@@ -188,11 +195,13 @@ object CorpusOverlap {
       |g AS (SELECT DISTINCT a.source AS slice, a.t || ' ' || b.t AS g
       |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
       |sz AS (SELECT slice, COUNT(*) AS n FROM g GROUP BY slice),
+      |p AS (SELECT x.slice AS slice_a, y.slice AS slice_b, x.n AS na, y.n AS nb
+      |      FROM sz x JOIN sz y ON x.slice < y.slice),
       |i AS (SELECT a.slice AS slice_a, b.slice AS slice_b, COUNT(*) AS n_common
       |      FROM g a JOIN g b ON a.g = b.g AND a.slice < b.slice GROUP BY 1, 2)
-      |SELECT slice_a, slice_b,
-      |ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 4) AS jaccard,
+      |SELECT p.slice_a, p.slice_b,
+      |ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE) / (na + nb - COALESCE(i.n_common, 0)), 4) AS jaccard,
       |TRUE AS est_within_tol
-      |FROM i JOIN sz x ON slice_a = x.slice JOIN sz y ON slice_b = y.slice
-      |ORDER BY slice_a, slice_b""".stripMargin
+      |FROM p LEFT JOIN i ON p.slice_a = i.slice_a AND p.slice_b = i.slice_b
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -118,8 +118,17 @@ object Similarity {
     * partial-aggregated groupBy on label. One shuffle above the scan.
     */
   def labelDispersion(embeddings: DataFrame): DataFrame = {
+    // zero-norm vectors are excluded UP FRONT, before anchor selection:
+    // they score NaN against everything (cosine's zero-denominator guard),
+    // which would deflate the DECIMAL mean (NaN→DECIMAL casts to null while
+    // count(1) still counts the row) and error the DuckDB mirror's cast —
+    // and a zero-norm vector winning the min-vec_id anchor race would NaN
+    // out its whole label. Same guard class as bruteForceTopK's !isnan
+    // filter; n_vecs counts SCOREABLE vectors, and every cosine downstream
+    // is NaN-free by construction (both norms > 0).
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
+      .filter(dot(col("v"), col("v")) > 0.0)
     val anchors = e.groupBy("label")
       .agg(min_by(col("v"), col("vec_id")).as("av"))
     e.join(broadcast(anchors), Seq("label"))
@@ -137,7 +146,8 @@ object Similarity {
   /** DuckDB mirror of [[labelDispersion]] — same anchor selection
     * (ARG_MIN), same round-then-DECIMAL-sum determinism. */
   val labelDispersionSql: String =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
       |a AS (SELECT label, ARG_MIN(v, vec_id) AS av FROM e GROUP BY label),
       |c AS (SELECT e.label, ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) AS c
       |      FROM e JOIN a ON e.label = a.label)
@@ -160,26 +170,45 @@ object Similarity {
   def semanticDedupKeep(embeddings: DataFrame, tau: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-    val anchors = e.groupBy("label").agg(
-      min_by(col("v"), col("vec_id")).as("av"), min("vec_id").as("anchor_id"))
-    e.join(broadcast(anchors), Seq("label"))
+    // anchors race over SCOREABLE (non-zero-norm) vectors only: a zero
+    // vector can't witness redundancy, so it must not be the yardstick
+    val anchors = e.filter(dot(col("v"), col("v")) > 0.0)
+      .groupBy("label").agg(
+        min_by(col("v"), col("vec_id")).as("av"), min("vec_id").as("anchor_id"))
+    // LEFT join: a label whose vectors are ALL zero-norm has no anchor —
+    // its members score null and fall to the keep branch below
+    e.join(broadcast(anchors), Seq("label"), "left")
       .withColumn("cos_anchor", round(cosine(col("v"), col("av")), 4))
+      // normalize "unscoreable" to null (the SQL mirror's CASE does the
+      // same): NaN (zero-norm member) and null (anchorless label) collapse
+      // to one representation for the gate's value compare
+      .withColumn("cos_anchor",
+        when(isnan(col("cos_anchor")), lit(null).cast("double"))
+          .otherwise(col("cos_anchor")))
       .select(col("vec_id"), col("label"), col("cos_anchor"),
-        (col("vec_id") === col("anchor_id") ||
+        // unscoreable KEEPS: a zero vector is similar to NOTHING
+        // (bruteForceTopK's rule), so it cannot be "redundant with the
+        // anchor". Spark orders NaN above every double, so `cos < tau`
+        // alone would have silently DROPPED them.
+        (col("vec_id") === col("anchor_id") || col("cos_anchor").isNull ||
           col("cos_anchor") < tau).as("keep"))
       .orderBy("vec_id")
   }
 
-  /** DuckDB mirror of [[semanticDedupKeep]]. */
+  /** DuckDB mirror of [[semanticDedupKeep]] — same scoreable-anchor race,
+    * same keep-on-NaN/null rule for zero-norm members and anchorless
+    * labels. */
   def semanticDedupKeepSql(tau: Double): String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |a AS (SELECT label, ARG_MIN(v, vec_id) AS av, MIN(vec_id) AS anchor_id
-       |      FROM e GROUP BY label)
-       |SELECT e.vec_id, e.label,
-       |ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) AS cos_anchor,
-       |(e.vec_id = a.anchor_id OR
-       | ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) < $tau) AS keep
-       |FROM e JOIN a ON e.label = a.label ORDER BY e.vec_id""".stripMargin
+       |      FROM e WHERE list_sum(list_transform(v, x -> x * x)) > 0 GROUP BY label),
+       |s AS (SELECT e.vec_id, e.label, a.anchor_id,
+       |        CASE WHEN list_sum(list_transform(e.v, x -> x * x)) > 0 AND a.anchor_id IS NOT NULL
+       |             THEN ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) END AS cos_anchor
+       |      FROM e LEFT JOIN a ON e.label = a.label)
+       |SELECT vec_id, label, cos_anchor,
+       |(vec_id = COALESCE(anchor_id, -1) OR cos_anchor IS NULL OR cos_anchor < $tau) AS keep
+       |FROM s ORDER BY vec_id""".stripMargin
 
   /** Session-scoped trained-quantizer cache: the round-1 entry point
     * retrained the quantizer from the full corpus on EVERY invocation (a

@@ -318,8 +318,13 @@ object TextAnalysis {
     * precedent), absorbed by round(_, 4).
     */
   def dsirWeights(spark: SparkSession, dir: String,
-                  targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
-    val docs = Tables.documentsById(spark, dir)
+                  targetLang: String = "en", alpha: Double = 0.5): DataFrame =
+    dsirWeightsOf(Tables.documentsById(spark, dir), targetLang, alpha)
+
+  /** [[dsirWeights]] over an arbitrary document frame (the composable
+    * form — also what lets specs prove partitioning-independence). */
+  def dsirWeightsOf(docs: DataFrame,
+                    targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
     val freq = docs.select(explode(split(col("text"), " ", -1)).as("t"),
         (col("lang") === targetLang).as("tgt"))
       .groupBy("t").agg(count(lit(1)).as("nr"),
@@ -345,19 +350,21 @@ object TextAnalysis {
   }
 
   /** DuckDB mirror — identical smoothing arithmetic, identical token-order
-    * summation, MAP-typed ratio table like [[tokenFamiliaritySql]]. */
-  val dsirWeightsSql: String =
-    """WITH tok AS (SELECT UNNEST(STR_SPLIT(text, ' ')) AS t, lang = 'en' AS tgt FROM documents),
-      |freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS nr,
-      |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
-      |         FROM tok GROUP BY t),
-      |c AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
-      |m AS (SELECT MAP(list(t ORDER BY t),
-      |        list(((nt + 0.5) / (tt + 0.5 * v)) / ((nr + 0.5) / (tr + 0.5 * v)) ORDER BY t)) AS rm
-      |      FROM freq, c)
-      |SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
-      |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(rm[x][1]))), 4) AS logw
-      |FROM documents, m ORDER BY doc_id""".stripMargin
+    * summation, MAP-typed ratio table like [[tokenFamiliaritySql]].
+    * Parameterized exactly like the Scala side so a non-default call can't
+    * silently pair with an 'en'/0.5 oracle. */
+  def dsirWeightsSql(targetLang: String = "en", alpha: Double = 0.5): String =
+    s"""WITH tok AS (SELECT UNNEST(STR_SPLIT(text, ' ')) AS t, lang = '$targetLang' AS tgt FROM documents),
+       |freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS nr,
+       |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+       |         FROM tok GROUP BY t),
+       |c AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+       |m AS (SELECT MAP(list(t ORDER BY t),
+       |        list(((nt + $alpha) / (tt + $alpha * v)) / ((nr + $alpha) / (tr + $alpha * v)) ORDER BY t)) AS rm
+       |      FROM freq, c)
+       |SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
+       |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(rm[x][1]))), 4) AS logw
+       |FROM documents, m ORDER BY doc_id""".stripMargin
 
   // --- BM25 keyword retrieval --------------------------------------------------
 

@@ -69,12 +69,27 @@ object OverlapStream {
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
   }
 
-  /** Fold the per-batch signature dirs into one base dir when their COUNT
-    * grows (each batch adds sources × numPerm longs — bytes are never the
-    * problem, file/dir listing is). Crash-safe: the fold writes
-    * `batch=<maxId>` content equal to the merge of all dirs ≤ maxId, then
-    * removes the others — a crash between the two steps leaves extra dirs
-    * whose re-merge is idempotent (min of mins). */
+  /** Fold the per-batch signature dirs into one when their COUNT grows
+    * (each batch adds sources × numPerm longs — bytes are never the
+    * problem, file/dir listing is). The compacted merge lands in
+    * `batch=-1`: a dir NO replay can ever target (foreachBatch ids are
+    * ≥ 0), so a post-compaction replay of batch b overwrites only its own
+    * `batch=b` with content the min-fold has already absorbed — harmless
+    * duplication, never state loss. (Writing into `batch=<maxId>` instead
+    * would be destroyed by a replay of maxId — Structured Streaming
+    * re-executes the last batch after a crash-before-checkpoint as a
+    * matter of course.) Crash-safe: the merge (which includes any prior
+    * `batch=-1`) is localCheckpointed BEFORE the overwrite so the write
+    * never reads its own target, and a crash between write and deletes
+    * leaves extra dirs whose re-merge is idempotent (min of mins).
+    *
+    * Post-compaction caveat: `batch=-1` participates in every
+    * `uptoBatch`-bounded read (−1 ≤ everything), so a replayed batch's
+    * OUTPUT snapshot reflects the compacted state — a superset of what its
+    * first delivery saw — rather than the exact prefix. The merged
+    * signature itself is unaffected (idempotent fold); compaction trades
+    * prefix-exact replay snapshots for a bounded dir count.
+    */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     val path = s"$stateDir/sigs"
     val fs = graft.functions.FsUtils.fs(spark, path)
@@ -83,11 +98,10 @@ object OverlapStream {
     val dirs = fs.listStatus(base).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("batch="))
     if (dirs.length <= 1) return
-    val maxId = dirs.map(_.getName.stripPrefix("batch=").toLong).max
     val merged = CorpusOverlap.mergeSignatures(
       spark.read.parquet(path).select("slice", "sig")).localCheckpoint()
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/batch=$maxId")
-    dirs.filter(_.getName != s"batch=$maxId").foreach(fs.delete(_, true))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/batch=-1")
+    dirs.filter(_.getName != "batch=-1").foreach(fs.delete(_, true))
     spark.catalog.refreshByPath(path)
   }
 

@@ -29,8 +29,22 @@ class CorpusOverlapSpec extends AnyFunSuite with SparkSuite {
       .orderBy("slice_a", "slice_b")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))).toSeq
-    // s1 ∩ s2 = {a b}: jaccard 1/3, containment 1/2; s3 disjoint (no row)
-    assert(m == Seq(("s1", "s2", 1L, 0.3333, 0.5)))
+    // s1 ∩ s2 = {a b}: jaccard 1/3, containment 1/2; s3 DISJOINT from both
+    // but still listed (jaccard 0) — a dropped row would hide exactly the
+    // pairs where a sketch false positive needs auditing
+    assert(m == Seq(
+      ("s1", "s2", 1L, 0.3333, 0.5),
+      ("s1", "s3", 0L, 0.0, 0.0),
+      ("s2", "s3", 0L, 0.0, 0.0)))
+  }
+
+  test("sketch matrix is complete too: zero-overlap pairs carry their audit flag") {
+    val docs = Seq(("s1", "a b c"), ("s3", "z z")).toDF("source", "text")
+    val rows = CorpusOverlap.overlapSketch(
+        CorpusOverlap.sliceVocab(docs, "text", "source"), numPerm = 64, tol = 0.15)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(rows == Seq(("s1", "s3", 0.0, true)))
   }
 
   private lazy val nPairs = {

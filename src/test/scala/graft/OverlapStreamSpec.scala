@@ -70,7 +70,26 @@ class OverlapStreamSpec extends AnyFunSuite with SparkSuite {
     val fs = graft.functions.FsUtils.fs(spark, s"$state/sigs")
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/sigs"))
       .filter(_.isDirectory).map(_.getPath.getName).toSeq
-    assert(dirs == Seq("batch=3"))
+    assert(dirs == Seq("batch=-1"))
+    assert(sigsOf(OverlapStream.mergedState(spark, state)) == before)
+  }
+
+  test("a replay AFTER compaction cannot destroy accumulated state") {
+    // the crash-recovery interleaving: batches land, compaction runs during
+    // downtime, then Structured Streaming re-executes the LAST batch (its
+    // commit never reached the checkpoint). The replayed batch must only
+    // re-add content the fold already absorbed — never truncate it.
+    val state = tmp(); val out = tmp()
+    for (b <- 0 to 3)
+      OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 4 === b),
+        b.toLong, state, out, numPerm = P)
+    val before = sigsOf(OverlapStream.mergedState(spark, state))
+    OverlapStream.compactState(spark, state)
+    OverlapStream.applyBatch(spark, docs.filter(col("doc_id") % 4 === 3),
+      3L, state, out, numPerm = P) // replay of the last batch
+    assert(sigsOf(OverlapStream.mergedState(spark, state)) == before)
+    // double compaction (second one includes the prior batch=-1) is stable
+    OverlapStream.compactState(spark, state)
     assert(sigsOf(OverlapStream.mergedState(spark, state)) == before)
   }
 

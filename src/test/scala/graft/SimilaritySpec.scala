@@ -443,6 +443,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(d(1) == ((1, 2L, 1.0, 1.0, 1.0)))
   }
 
+  test("zero-norm vectors: excluded from dispersion stats, KEPT by semantic dedup") {
+    val e = Seq(
+      (0L, Seq(0.0f, 0.0f), 0),           // zero vector wins the min-id race...
+      (1L, Seq(1.0f, 0.0f), 0),           // ...but the anchor must be SCOREABLE
+      (2L, Seq(2.0f, 0.0f), 0),           // scaled copy of the real anchor
+      (3L, Seq(0.0f, 0.0f), 1)            // a label that is ALL zero-norm
+    ).toDF("vec_id", "embedding", "label")
+    // dispersion: label 0 counts only the 2 scoreable vectors (both cos 1.0
+    // to the non-zero anchor); label 1 has nothing scoreable and no row
+    val d = Similarity.labelDispersion(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(d.toSeq == Seq((0, 2L, 1.0)))
+    // semantic dedup: zero vectors are similar to NOTHING -> kept; the
+    // scoreable anchor keeps itself; its scaled copy is redundant -> dropped
+    val kept = Similarity.semanticDedupKeep(e, tau = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("semanticDedupKeep: anchors always kept; redundant members dropped") {
     val e = Seq(
       // label 0: anchor (1,0); vec 1 is a scaled copy (cos 1.0 → drop);

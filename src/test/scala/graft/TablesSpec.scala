@@ -74,6 +74,18 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
       assert(df.count() > 0)
     }
 
+  test("events: RAW physical type of ts is pinned (the loader's branch input)") {
+    // The normalized-schema test below can't see WHICH loader branch ran: a
+    // regeneration shipping ts as epoch-micros BIGINT would take the
+    // nanos-long branch (div 1000 → millisecond-scale values) and still
+    // present TimestampType. Pinning the raw type makes any physical-type
+    // regeneration a loud failure whose unit semantics a human must decide.
+    val raw = spark.read.parquet(s"$Sf0001/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType,
+      s"events.ts physical type drifted to ${raw.schema("ts").dataType} — " +
+      "decide its unit semantics and update Tables.events AND this pin")
+  }
+
   test("events: Tables.events normalizes ts to session-TZ TIMESTAMP on the real file") {
     val ev = Tables.events(spark, Sf0001)
     val actual = ev.schema.fields.map(f => f.name -> f.dataType).toSeq
@@ -85,11 +97,12 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
     assert(ev.count() > 0)
   }
 
-  // The gate path itself: registered events_* queries run end-to-end on the
-  // real file. Round 9's failure mode was an analysis-time exception in
+  // The gate path itself: ALL registered events_* queries run end-to-end on
+  // the real file. Round 9's failure mode was an analysis-time exception in
   // exactly these queries that no spec executed.
   for (q <- Seq("events_user_totals", "events_dedup", "events_daily",
-                "events_asof", "events_props_sum"))
+                "events_asof", "events_props_sum", "events_sliding",
+                "events_sessions", "events_stream_join"))
     test(s"gate query $q runs on the real events.parquet and returns rows") {
       assert(SparkEntry.queries(q)(spark, Sf0001).count() > 0)
     }

@@ -99,9 +99,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     // the importance weight's whole job: the target slice scores higher
     assert(mean(en) > mean(rest),
       s"en mean ${mean(en)} not above non-en mean ${mean(rest)}")
-    // stable under re-partitioning (driver-side stats + narrow scoring)
-    val a = TextAnalysis.dsirWeights(spark, Sf0001).collect()
-    val b = TextAnalysis.dsirWeights(spark, Sf0001).collect()
+    // stable under re-partitioning: the stats aggregate's exact long counts
+    // and the per-row token-order ln sum must not depend on partition order
+    val docs = Tables.documents(spark, Sf0001)
+    val a = TextAnalysis.dsirWeightsOf(docs.orderBy("doc_id"))
+      .orderBy("doc_id").collect()
+    val b = TextAnalysis.dsirWeightsOf(docs.repartition(13))
+      .orderBy("doc_id").collect()
     assert(a.sameElements(b))
   }
 

@@ -178,6 +178,15 @@ object ScaleBench {
       // dispersion at volume: labels stay fixed (anchor set constant),
       // vectors grow k× — scoring is the linear pass being measured
       "embedding_dispersion" -> (k => Similarity.labelDispersion(embsX(k))),
+      "semantic_dedup_keep" -> (k => Similarity.semanticDedupKeep(embsX(k), tau = 0.2)),
+      // DSIR at volume: per-replica suffixes add k distinct tokens to the
+      // vocabulary (stats collect + ratio-map literal grow with k, per the
+      // bounded-vocab contract) while the scored corpus grows k×
+      "dsir_weights" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
+        graft.operators.TextAnalysis.dsirWeightsOf(grown)
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -51,6 +51,26 @@ class PlanInvariantsSpec extends AnyFunSuite with SparkSuite {
       s"expected ONE documents scan:\n${plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")}")
   }
 
+  test("embedding_dispersion / semantic_dedup_keep: anchors broadcast, no shuffle join") {
+    for (q <- Seq("embedding_dispersion", "semantic_dedup_keep")) {
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: anchor join did not broadcast")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: anchor join fell back to a shuffle join")
+    }
+  }
+
+  test("dsir_weights: scoring pass is narrow — no exchange above the scan but the gate sort") {
+    val plan = executed("dsir_weights")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    // the range partitioner for the pre-sorted scan is the only exchange;
+    // the ratio map rides as a literal, so scoring never shuffles
+    assert(exchanges <= 1, s"narrow scoring pass grew $exchanges exchanges:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("customer_region: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = executed("customer_region")
     assert(plan.contains("BroadcastHashJoin"), "dim join did not broadcast")

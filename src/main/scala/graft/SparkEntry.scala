@@ -349,6 +349,28 @@ object SparkEntry {
           k = 3, nprobe = 3, poolMult = 4)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // product-quantized two-stage retrieval: 32×-compressed index chooses
+    // the pool, exact rerank restores exact scores. The pool is sized so
+    // it provably contains the exact IVF top-k on this corpus (PqSpec +
+    // tools/PqProbe containment sweep), making the output identical to
+    // the exact IVF query — which is what the oracle replays (trained PQ
+    // codebooks are 3 Lloyd iterations × 8 subspaces, not SQL-expressible)
+    "ann_ivf_topk_pq" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val cb = Pq.trainedCodebooks(e, d)
+      val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Pq.buildIndexPq(e, cents, cb, pqPath)
+      Similarity.buildIndex(e, cents, ePath)
+      val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, vecs,
+          k = 3, nprobe = 3, poolMult = 40)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -404,6 +426,9 @@ object SparkEntry {
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,
+    // PQ rerank returns exactly the exact-IVF top-k (pool containment
+    // measured per SF) — the oracle is the exact IVF replica
+    "ann_ivf_topk_pq" -> PortableOracles.annIvfTopkSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ExprUtils.bindOnce
+import graft.functions.VectorFunctions.{cosine, dot}
+
+/** Product quantization (Jégou, Douze, Schmid 2011) for the ANN index: the
+  * embedding is split into `m` subvectors, each encoded as its nearest
+  * codeword in a per-subspace codebook of ≤ 256 centroids, so a 64-dim
+  * float32 vector (256 B) stores as m=8 codes of 8 bits — ONE BIGINT,
+  * 32× smaller. This completes the engine's index-compression ladder:
+  * exact float (1×) → int8 max-abs ([[Similarity.buildIndexQuantized]],
+  * 4×) → PQ (32×). At 100 TB the exact index is tens of TB and even the
+  * int8 one strains hot storage; the PQ index of the same corpus is
+  * hundreds of GB.
+  *
+  * Spark-first shape, reusing the IVF machinery wholesale:
+  *  - TRAINING ([[trainCodebooks]]): deterministic Lloyd iterations per
+  *    subspace — seeds are the ks hash-least distinct subvectors (no RNG,
+  *    task-retry/rerun stable), each iteration one narrow assignment pass
+  *    ([[org.apache.spark.sql.graft.NearestCentroid]] on the subvector
+  *    slice, codebook as a reference object) + one partial-aggregated
+  *    mean. Offline, cached per (corpus key, shape) like
+  *    [[Similarity.trainedCentroids]].
+  *  - ENCODE ([[encodePacked]]): m codegen argmins + bit-packing — a
+  *    narrow projection, no shuffle.
+  *  - INDEX ([[buildIndexPq]]): same cluster-partitioned layout as every
+  *    other IVF index (coarse assignment runs on FULL-precision vectors,
+  *    so inverted-list membership is identical to the exact index and
+  *    partition pruning serves the same nprobe read).
+  *  - QUERY ([[ivfTopKPqRerank]]): partition-pruned PQ read → decode-then-
+  *    cosine pool ranking ([[org.apache.spark.sql.graft.PqDecode]]) →
+  *    exact rerank of the ≤ poolMult·k pool rows against the exact index
+  *    (the [[Similarity.ivfTopKQuantizedRerank]] two-stage shape: exact
+  *    scores at PQ read volume). Decode-then-dot is deliberate: PQ's win
+  *    here is I/O (8-byte rows), and decode costs the same FLOPs as exact
+  *    scoring — the classical LUT-ADC refinement matters when compute,
+  *    not storage, dominates.
+  *
+  * Cosine contract: vectors are unit-normalized BEFORE encoding (cosine is
+  * scale-invariant, and codebooks trained on raw magnitudes would spend
+  * their 256 cells modeling scale instead of direction). Zero-norm vectors
+  * are unindexable for cosine and are excluded at build, matching the
+  * "similar to NOTHING" rule everywhere else.
+  */
+object Pq {
+
+  /** Trained PQ model: `books(s)` = subspace s's codewords flattened
+    * (ks·sub doubles, ks ≤ 256 — the shape
+    * [[org.apache.spark.sql.graft.PqDecode]] reads). */
+  final case class Codebooks(sub: Int, books: Array[Array[Double]]) {
+    def m: Int = books.length
+    def dim: Int = m * sub
+  }
+
+  /** v / ‖v‖ — callers guarantee ‖v‖ > 0. */
+  private def unit(v: Column): Column =
+    bindOnce(sqrt(dot(v, v))) { n => transform(v, x => x / n) }
+
+  private def nearestCode(sv: Column, book: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, NearestCentroid}
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(sv), book, Array.tabulate(book.length)(identity)))
+  }
+
+  /** Deterministic per-subspace codebooks over the UNIT-normalized corpus.
+    * Fewer than `ks` distinct subvectors yields a smaller codebook
+    * (degenerate corpora still train); a cell that loses all members keeps
+    * its previous codeword (standard empty-cell handling, deterministic).
+    */
+  def trainCodebooks(embeddings: DataFrame, dim: Int = 64, m: Int = 8,
+                     ks: Int = 256, iters: Int = 3): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(m <= 8 && ks <= 256, "packed codes: ≤ 8 sub-codes of ≤ 8 bits")
+    val sub = dim / m
+    val vn = embeddings.select(col("embedding").cast("array<double>").as("v"))
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .select(unit(col("v")).as("vn"))
+    val books = Array.tabulate(m) { s =>
+      val sv = vn.select(slice(col("vn"), s * sub + 1, sub).as("sv"))
+      // seeds: the ks hash-least DISTINCT subvectors — deterministic under
+      // any partitioning; secondary sort on the array itself breaks the
+      // (negligible) hash-collision tie deterministically too
+      var cents: Array[Array[Double]] = sv.distinct()
+        .orderBy(xxhash64(col("sv")), col("sv")).limit(ks)
+        .collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val assigned = sv.withColumn("c", nearestCode(col("sv"), cents))
+        // means summed in DECIMAL: a double sum's value depends on
+        // partition/merge order in the last ulps, which cascades into
+        // different argmin assignments next iteration — the codebook would
+        // differ per partitioning (caught by PqSpec's determinism case).
+        // Unit-vector components are in [-1,1]: decimal(27,18) holds the
+        // per-value cast exactly enough and the corpus sum losslessly.
+        val means = assigned
+          .select(col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("c", "pos")
+          .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
+            count(lit(1))).as("mu"))
+          .groupBy("c")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+          .select(col("c"), transform(col("pm"), p => p.getField("mu")).as("cent"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+      }
+      cents.flatten
+    }
+    Codebooks(sub, books)
+  }
+
+  /** Session cache: train once per (corpus key, shape), reuse across
+    * queries — the offline-training production shape. */
+  private val bookCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int), Codebooks]
+  def trainedCodebooks(embeddings: DataFrame, cacheKey: String, dim: Int = 64,
+                       m: Int = 8, ks: Int = 256, iters: Int = 3): Codebooks =
+    bookCache.getOrElseUpdate((cacheKey, m, ks, iters),
+      trainCodebooks(embeddings, dim, m, ks, iters))
+
+  /** Pack a unit vector's m sub-codes into one BIGINT (sub-code s in bits
+    * [8s, 8s+8)). m codegen argmins + shifts — narrow, no shuffle. */
+  def encodePacked(vn: Column, cb: Codebooks): Column =
+    cb.books.indices.map { s =>
+      val book = cb.books(s).grouped(cb.sub).toArray
+      shiftleft(nearestCode(slice(vn, s * cb.sub + 1, cb.sub), book).cast("long"),
+        8 * s)
+    }.reduce(_ + _) // disjoint bit ranges: + ≡ bitwise OR
+
+  /** Decode a packed code column back to its codeword vector. */
+  def decodePacked(code: Column, cb: Codebooks): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, PqDecode}
+    ColumnBridge.column(PqDecode(ColumnBridge.expression(code), cb.books, cb.sub))
+  }
+
+  /** Cluster-partitioned PQ index: (vec_id, code BIGINT) per inverted
+    * list. Coarse assignment on FULL-precision vectors (list membership ≡
+    * exact index); zero-norm vectors excluded (unindexable for cosine). */
+  def buildIndexPq(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                   cb: Codebooks, path: String): Unit =
+    Similarity.assign(embeddings, cents)
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .withColumn("code", encodePacked(unit(col("v")), cb))
+      .select(col("vec_id"), col("code"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Raw PQ ranking (no rerank) — the recall-measurement surface: top-k
+    * per probe by decoded-codeword cosine over the probed clusters. */
+  def ivfTopKPqRaw(spark: SparkSession, pqPath: String,
+                   cents: Seq[(Int, Seq[Double])], cb: Codebooks,
+                   queries: Seq[(Long, Seq[Double])],
+                   k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    // each probe searches its OWN nprobe lists (the cluster equi-join —
+    // same IVF semantics as ivfTopKIndexedVectors), not the union of every
+    // probe's lists: a union-scoped scan would return candidates an
+    // exact-IVF query at the same nprobe never reads
+    val withClusters = queries.map { case (id, v) =>
+      (id, v, Similarity.nearestClustersLocal(v, cents, nprobe))
+    }
+    val probes = withClusters.toDF("query_id", "qv", "clusters")
+      .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
+    val probed = withClusters.flatMap(_._3).distinct
+    val cands = spark.read.parquet(pqPath)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("cand_id"),
+        decodePacked(col("code"), cb).as("cv"), col("cluster"))
+    broadcast(probes).join(cands, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("psim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("psim").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "cand_id", "psim")
+  }
+
+  /** Two-stage PQ retrieval: partition-pruned PQ pool (decode-then-cosine,
+    * top poolMult·k per probe) → exact rerank of the pool against the
+    * exact index. Returns exact cosine scores; the PQ stage only chooses
+    * WHICH ≤ poolMult·k vectors pay a full-precision read. Recall is
+    * governed by (nprobe, poolMult) — measured on the gate corpus in
+    * PqSpec / STRESS.md.
+    */
+  def ivfTopKPqRerank(spark: SparkSession, pqPath: String, exactPath: String,
+                      cents: Seq[(Int, Seq[Double])], cb: Codebooks,
+                      queries: Seq[(Long, Seq[Double])],
+                      k: Int, nprobe: Int, poolMult: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pool = ivfTopKPqRaw(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
+      .select(col("query_id"), col("cand_id"))
+    val probed = queries.flatMap { case (_, v) =>
+      Similarity.nearestClustersLocal(v, cents, nprobe)
+    }.distinct
+    val exact = spark.read.parquet(exactPath)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val qdf = queries.toDF("query_id", "qv")
+    exact.join(broadcast(pool), Seq("cand_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .filter(!isnan(col("sim")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "cand_id", "sim")
+  }
+}

@@ -1086,3 +1086,57 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Decode a packed product-quantization code — m sub-codes of 8 bits each
+  * in one BIGINT (m ≤ 8) — back to the concatenated codeword vector.
+  * `books(s)` holds subspace s's codewords FLATTENED (ks·sub doubles); the
+  * codebook rides as a reference object, not literals (the
+  * [[HyperplaneBuckets]] lesson: literal matrices bloat the plan and fall
+  * out of codegen). Scoring a PQ index is decode-then-dot: the win is the
+  * 8-byte index row (32× smaller than float32·64), not FLOPs — the LUT-ADC
+  * refinement (per-probe lookup tables) trades this expression for m table
+  * reads per row and matters only when scoring, not I/O, dominates.
+  */
+case class PqDecode(code: Expression, books: Array[Array[Double]], sub: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def child: Expression = code
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val c = input.asInstanceOf[Long]
+    val m = books.length
+    val out = new Array[Double](m * sub)
+    var s = 0
+    while (s < m) {
+      val cs = ((c >>> (8 * s)) & 255L).toInt
+      System.arraycopy(books(s), cs * sub, out, s * sub, sub)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val cs = ctx.freshName("cs")
+      s"""
+         |int $m = $booksRef.length;
+         |double[] $out = new double[$m * $sub];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $cs = (int) (($c >>> (8 * $s)) & 255L);
+         |  System.arraycopy($booksRef[$s], $cs * $sub, $out, $s * $sub, $sub);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(code = newChild)
+}

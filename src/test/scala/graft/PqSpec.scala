@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+class PqSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def embs = Tables.embeddings(spark, Sf0001)
+  private lazy val cents = Similarity.trainedCentroids(embs, Sf0001)
+  private lazy val cb = Pq.trainedCodebooks(embs, "pqspec")
+  private def tmp(): String = Files.createTempDirectory("pq").toString
+
+  private lazy val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+  private lazy val probes = embs.filter(col("vec_id").isin(probeIds: _*))
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  test("codebook training is deterministic and correctly shaped") {
+    val a = Pq.trainCodebooks(embs, iters = 2)
+    val b = Pq.trainCodebooks(embs.repartition(7), iters = 2)
+    assert(a.sub == 8 && a.m == 8 && a.dim == 64)
+    assert(a.books.zip(b.books).forall { case (x, y) => x.sameElements(y) },
+      "codebooks differ across partitionings — training is not deterministic")
+  }
+
+  test("encode→decode roundtrip reconstructs each subspace's nearest codeword") {
+    val pq = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    val decoded = spark.read.parquet(pq)
+      .select(col("vec_id"), Pq.decodePacked(col("code"), cb).as("dv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // driver-side recompute for a few vectors: normalize, then per
+    // subspace pick the L2-nearest codeword (smaller index on ties)
+    val sample = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    for ((id, v) <- sample) {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val vn = v.map(_ / n)
+      val expect = (0 until cb.m).flatMap { s =>
+        val sv = vn.slice(s * cb.sub, (s + 1) * cb.sub)
+        cb.books(s).grouped(cb.sub).zipWithIndex.map { case (cw, i) =>
+          (cw.zip(sv).map { case (c, x) => (c - x) * (c - x) }.sum, i, cw)
+        }.minBy(t => (t._1, t._2))._3.toSeq
+      }
+      assert(decoded(id) == expect, s"vec $id decoded ≠ nearest codewords")
+    }
+  }
+
+  test("32x compression: PQ index bytes well under the exact index's") {
+    val pq = tmp(); val ex = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    Similarity.buildIndex(embs, cents, ex)
+    def bytes(p: String): Long = {
+      val fs = graft.functions.FsUtils.fs(spark, p)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    val (b, e) = (bytes(pq), bytes(ex))
+    assert(b * 4 < e, s"PQ index $b B not ≪ exact $e B")
+  }
+
+  test("raw PQ ranking recalls most of the exact top-10; rerank returns exact scores") {
+    val pq = tmp(); val ex = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    Similarity.buildIndex(embs, cents, ex)
+    val nprobe = cents.length // exhaustive: isolate quantization error
+    val exact = Similarity.ivfTopK(embs, cents, probeIds, k = 10, nprobe = nprobe)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val raw = Pq.ivfTopKPqRaw(spark, pq, cents, cb, probes, k = 10, nprobe = nprobe)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recall = probeIds.map(q => (raw(q) & exact(q)).size).sum /
+      (10.0 * probeIds.size)
+    assert(recall >= 0.7, s"raw PQ recall@10 $recall below floor")
+    // rerank with an exhaustive pool reproduces exact IVF top-k EXACTLY
+    val reranked = Pq.ivfTopKPqRerank(spark, pq, ex, cents, cb, probes,
+        k = 3, nprobe = nprobe, poolMult = 40)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    val exact3 = Similarity.ivfTopK(embs, cents, probeIds, k = 3, nprobe = nprobe)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    assert(reranked == exact3)
+  }
+
+  test("gate settings: PQ pool contains the exact top-k (rerank ≡ exact IVF)") {
+    // poolMult 40 measured as the containment point on THIS corpus
+    // (tools/PqProbe: 5/5 probes at every SF; pm=4 fails at sf0.01+) — the
+    // synthetic near-random vectors are PQ's worst case, so the pool must
+    // be generous; a corpus with real cluster structure needs far less.
+    val pq = tmp(); val ex = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    Similarity.buildIndex(embs, cents, ex)
+    val got = Pq.ivfTopKPqRerank(spark, pq, ex, cents, cb, probes,
+        k = 3, nprobe = 3, poolMult = 40)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    val exact = Similarity.ivfTopK(embs, cents, probeIds, k = 3, nprobe = 3)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    assert(got == exact,
+      "PQ pool at gate settings misses exact top-k — raise poolMult/nprobe")
+  }
+}

@@ -146,6 +146,22 @@ object Pq {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Incremental maintenance — [[Similarity.appendAssignedQuantized]]'s
+    * twin for PQ layouts: assign the batch's full-precision vectors
+    * against the persisted coarse quantizer, encode against the persisted
+    * codebooks, append to the inverted-list table. O(batch) per batch; the
+    * codebooks are never retrained online (re-train offline when drift
+    * warrants, then rebuild — same contract as the coarse quantizer).
+    */
+  def appendAssignedPq(newEmbeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                       cb: Codebooks, indexPath: String): Unit =
+    Similarity.assign(newEmbeddings, cents)
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .withColumn("code", encodePacked(unit(col("v")), cb))
+      .select(col("vec_id"), col("code"), col("cluster"))
+      .repartition(col("cluster")) // one file per touched cluster per batch
+      .write.mode("append").partitionBy("cluster").parquet(indexPath)
+
   /** Raw PQ ranking (no rerank) — the recall-measurement surface: top-k
     * per probe by decoded-codeword cosine over the probed clusters. */
   def ivfTopKPqRaw(spark: SparkSession, pqPath: String,

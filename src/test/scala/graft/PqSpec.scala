@@ -85,6 +85,18 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(reranked == exact3)
   }
 
+  test("incremental appends: two-batch appended PQ index ≡ one-shot build") {
+    val whole = tmp(); val inc = tmp()
+    Pq.buildIndexPq(embs, cents, cb, whole)
+    Pq.appendAssignedPq(embs.filter(col("vec_id") % 2 === 0), cents, cb, inc)
+    Pq.appendAssignedPq(embs.filter(col("vec_id") % 2 === 1), cents, cb, inc)
+    val a = spark.read.parquet(whole).orderBy("vec_id")
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
+    val b = spark.read.parquet(inc).orderBy("vec_id")
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
+    assert(a == b)
+  }
+
   test("gate settings: PQ pool contains the exact top-k (rerank ≡ exact IVF)") {
     // poolMult 40 measured as the containment point on THIS corpus
     // (tools/PqProbe: 5/5 probes at every SF; pm=4 fails at sf0.01+) — the

@@ -134,15 +134,40 @@ object Pq {
     ColumnBridge.column(PqDecode(ColumnBridge.expression(code), cb.books, cb.sub))
   }
 
-  /** Cluster-partitioned PQ index: (vec_id, code BIGINT) per inverted
-    * list. Coarse assignment on FULL-precision vectors (list membership ≡
-    * exact index); zero-norm vectors excluded (unindexable for cosine). */
-  def buildIndexPq(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
-                   cb: Codebooks, path: String): Unit =
-    Similarity.assign(embeddings, cents)
+  /** Persist a trained model — m tiny rows of (subspace, sub, flat
+    * codewords) — so streams and queries never retrain (the
+    * [[Similarity.saveCentroids]] contract). */
+  def saveCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.map { case (flat, s) => (s, cb.sub, flat.toSeq) }
+      .toSeq.toDF("subspace", "sub", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    Codebooks(rows.head._2, rows.map(_._3))
+  }
+
+  /** The PQ index row shape from an assigned full-precision frame — shared
+    * by [[buildIndexPq]], [[appendAssignedPq]] and the streaming
+    * triple-write ([[graft.streaming.EmbeddingIndexStream]]) so every path
+    * produces byte-identical codes. Zero-norm vectors excluded
+    * (unindexable for cosine). */
+  private[graft] def pqFromAssigned(assigned: DataFrame, cb: Codebooks): DataFrame =
+    assigned
       .filter(dot(col("v"), col("v")) > 0.0)
       .withColumn("code", encodePacked(unit(col("v")), cb))
       .select(col("vec_id"), col("code"), col("cluster"))
+
+  /** Cluster-partitioned PQ index: (vec_id, code BIGINT) per inverted
+    * list. Coarse assignment on FULL-precision vectors (list membership ≡
+    * exact index). */
+  def buildIndexPq(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                   cb: Codebooks, path: String): Unit =
+    pqFromAssigned(Similarity.assign(embeddings, cents), cb)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
@@ -155,10 +180,7 @@ object Pq {
     */
   def appendAssignedPq(newEmbeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                        cb: Codebooks, indexPath: String): Unit =
-    Similarity.assign(newEmbeddings, cents)
-      .filter(dot(col("v"), col("v")) > 0.0)
-      .withColumn("code", encodePacked(unit(col("v")), cb))
-      .select(col("vec_id"), col("code"), col("cluster"))
+    pqFromAssigned(Similarity.assign(newEmbeddings, cents), cb)
       .repartition(col("cluster")) // one file per touched cluster per batch
       .write.mode("append").partitionBy("cluster").parquet(indexPath)
 

@@ -24,19 +24,29 @@ object EmbeddingIndexStream {
 
   /** @param quantizedDir when set, each batch ALSO lands in an
     *   int8-quantized index at this path (same `batch=/cluster=` layout,
-    *   `qv: array<byte>` instead of `v`). One assignment pass feeds both
+    *   `qv: array<byte>` instead of `v`). One assignment pass feeds all
     *   writes — membership is identical by construction, quantization is
     *   [[Similarity.buildIndexQuantized]]'s exact scheme (shared code), so
     *   a quantized query against the streamed index equals one against a
     *   from-scratch rebuild (SimilaritySpec pins both). The exact write
-    *   commits FIRST; a crash between the two replays the batch and
-    *   overwrites both `batch=<id>` dirs idempotently. */
+    *   commits FIRST; a crash between writes replays the batch and
+    *   overwrites every `batch=<id>` dir idempotently.
+    * @param pq when set to (indexDir, codebooksPath), each batch also
+    *   lands in a product-quantized index (packed BIGINT codes, 25× less
+    *   hot storage) — codebooks loaded once per stream start from
+    *   [[graft.operators.Pq.saveCodebooks]] output, never retrained
+    *   online, encoding shared with [[graft.operators.Pq.buildIndexPq]]
+    *   (byte-identical codes; PqSpec pins streamed ≡ one-shot). */
   def run(spark: SparkSession, inDir: String, assignedDir: String,
           checkpointDir: String, schemaFrom: DataFrame,
           centroidsPath: String,
-          quantizedDir: Option[String] = None): StreamingQuery = {
+          quantizedDir: Option[String] = None,
+          pq: Option[(String, String)] = None): StreamingQuery = {
     // O(k) driver rows, loaded once per stream start — not per batch
     val cents = Similarity.loadCentroids(spark, centroidsPath)
+    val pqLoaded = pq.map { case (dir, books) =>
+      (dir, graft.operators.Pq.loadCodebooks(spark, books))
+    }
     spark.readStream
       .schema(schemaFrom.schema)
       .parquet(inDir)
@@ -46,7 +56,7 @@ object EmbeddingIndexStream {
         // cluster-partitioned inside the idempotent batch dir: queries
         // partition-prune to their nprobe `cluster=` dirs across all batches
         val assigned = Similarity.assign(batch, cents)
-          .localCheckpoint(true) // one assignment pass feeds both writes
+          .localCheckpoint(true) // one assignment pass feeds all writes
         try {
           assigned
             .write.mode("overwrite").partitionBy("cluster")
@@ -55,6 +65,11 @@ object EmbeddingIndexStream {
             Similarity.quantizedFromAssigned(assigned)
               .write.mode("overwrite").partitionBy("cluster")
               .parquet(s"$qd/batch=$batchId")
+          }
+          pqLoaded.foreach { case (pd, cb) =>
+            graft.operators.Pq.pqFromAssigned(assigned, cb)
+              .write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$pd/batch=$batchId")
           }
         } finally org.apache.spark.sql.graft.DatasetInternals
           .checkpointedRdd(assigned).foreach(_.unpersist(blocking = false))

@@ -97,6 +97,30 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("codebooks round-trip through save/load; streamed PQ index ≡ one-shot") {
+    val base = tmp()
+    Pq.saveCodebooks(spark, cb, s"$base/books")
+    val loaded = Pq.loadCodebooks(spark, s"$base/books")
+    assert(loaded.sub == cb.sub &&
+      loaded.books.zip(cb.books).forall { case (x, y) => x.sameElements(y) })
+    Similarity.saveCentroids(spark, cents, s"$base/cents")
+    embs.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/in/d0")
+    val q = graft.streaming.EmbeddingIndexStream.run(spark, s"$base/in/d*",
+      s"$base/exact", s"$base/ckpt", embs, s"$base/cents",
+      pq = Some((s"$base/pq", s"$base/books")))
+    q.processAllAvailable()
+    embs.filter(col("vec_id") % 2 === 1).write.parquet(s"$base/in/d1")
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = tmp()
+    Pq.buildIndexPq(embs, cents, cb, oneShot)
+    val a = spark.read.parquet(oneShot).orderBy("vec_id")
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
+    val b = spark.read.parquet(s"$base/pq").orderBy("vec_id")
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
+    assert(a == b)
+  }
+
   test("gate settings: PQ pool contains the exact top-k (rerank ≡ exact IVF)") {
     // poolMult 40 measured as the containment point on THIS corpus
     // (tools/PqProbe: 5/5 probes at every SF; pm=4 fails at sf0.01+) — the

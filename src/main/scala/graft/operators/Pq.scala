@@ -75,9 +75,20 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(m <= 8 && ks <= 256, "packed codes: ≤ 8 sub-codes of ≤ 8 bits")
     val sub = dim / m
+    // cached: training runs m × (1 + iters) actions over this frame (8 × 4
+    // here) — without the cache each one re-reads the corpus and re-runs
+    // the zero-norm filter + normalization (~32 redundant full scans at
+    // the 100 TB framing where this is the dominant offline cost)
     val vn = embeddings.select(col("embedding").cast("array<double>").as("v"))
       .filter(dot(col("v"), col("v")) > 0.0)
       .select(unit(col("v")).as("vn"))
+      .cache()
+    try trainFromNormalized(vn, m, sub, ks, iters)
+    finally { vn.unpersist(blocking = false); () }
+  }
+
+  private def trainFromNormalized(vn: DataFrame, m: Int, sub: Int,
+                                  ks: Int, iters: Int): Codebooks = {
     val books = Array.tabulate(m) { s =>
       val sv = vn.select(slice(col("vn"), s * sub + 1, sub).as("sv"))
       // seeds: the ks hash-least DISTINCT subvectors — deterministic under
@@ -113,10 +124,10 @@ object Pq {
   /** Session cache: train once per (corpus key, shape), reuse across
     * queries — the offline-training production shape. */
   private val bookCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int), Codebooks]
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int), Codebooks]
   def trainedCodebooks(embeddings: DataFrame, cacheKey: String, dim: Int = 64,
                        m: Int = 8, ks: Int = 256, iters: Int = 3): Codebooks =
-    bookCache.getOrElseUpdate((cacheKey, m, ks, iters),
+    bookCache.getOrElseUpdate((cacheKey, dim, m, ks, iters),
       trainCodebooks(embeddings, dim, m, ks, iters))
 
   /** Pack a unit vector's m sub-codes into one BIGINT (sub-code s in bits
@@ -194,7 +205,9 @@ object Pq {
     // each probe searches its OWN nprobe lists (the cluster equi-join —
     // same IVF semantics as ivfTopKIndexedVectors), not the union of every
     // probe's lists: a union-scoped scan would return candidates an
-    // exact-IVF query at the same nprobe never reads
+    // exact-IVF query at the same nprobe never reads. Scoring via the
+    // SHARED ivfScoreTail — an earlier inlined copy dropped its NaN guard
+    // (zero-norm probes / zero codewords would rank first under desc).
     val withClusters = queries.map { case (id, v) =>
       (id, v, Similarity.nearestClustersLocal(v, cents, nprobe))
     }
@@ -205,13 +218,8 @@ object Pq {
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id").as("cand_id"),
         decodePacked(col("code"), cb).as("cv"), col("cluster"))
-    broadcast(probes).join(cands, Seq("cluster"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("psim", round(cosine(col("qv"), col("cv")), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("psim").desc, col("cand_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "cand_id", "psim")
+    Similarity.ivfScoreTail(probes, cands, k)
+      .withColumnRenamed("sim", "psim")
   }
 
   /** Two-stage PQ retrieval: partition-pruned PQ pool (decode-then-cosine,
@@ -225,23 +233,8 @@ object Pq {
                       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
                       queries: Seq[(Long, Seq[Double])],
                       k: Int, nprobe: Int, poolMult: Int = 4): DataFrame = {
-    import spark.implicits._
     val pool = ivfTopKPqRaw(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
       .select(col("query_id"), col("cand_id"))
-    val probed = queries.flatMap { case (_, v) =>
-      Similarity.nearestClustersLocal(v, cents, nprobe)
-    }.distinct
-    val exact = spark.read.parquet(exactPath)
-      .filter(col("cluster").isin(probed: _*))
-      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
-    val qdf = queries.toDF("query_id", "qv")
-    exact.join(broadcast(pool), Seq("cand_id"))
-      .join(broadcast(qdf), Seq("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
-      .filter(!isnan(col("sim")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "cand_id", "sim")
+    Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
   }
 }

@@ -261,7 +261,7 @@ object Similarity {
 
   /** Shared scoring tail: broadcast tiny probes into the inverted lists,
     * exact cosine, bounded per-probe top-k. */
-  private def ivfScoreTail(probes: DataFrame, cands: DataFrame, k: Int): DataFrame =
+  private[graft] def ivfScoreTail(probes: DataFrame, cands: DataFrame, k: Int): DataFrame =
     broadcast(probes).join(cands, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
@@ -449,6 +449,18 @@ object Similarity {
     import spark.implicits._
     val pool = ivfTopKIndexedQuantized(spark, qPath, cents, queries, k * poolMult, nprobe)
       .select(col("query_id"), col("cand_id"))
+    rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
+  }
+
+  /** The shared rerank tail: exact-cosine rescore of a (query_id, cand_id)
+    * pool against the exact index, cluster-pruned to the probes' lists —
+    * one implementation for every compressed tier's second stage (int8 and
+    * PQ; a drifting copy of this tail is how the PQ tier briefly lost the
+    * NaN guard). */
+  private[graft] def rerankAgainstExact(spark: SparkSession, exactPath: String,
+      cents: Seq[(Int, Seq[Double])], queries: Seq[(Long, Seq[Double])],
+      pool: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
     val probed = queries.flatMap { case (_, v) =>
       nearestClustersLocal(v, cents, nprobe)
     }.distinct

@@ -74,6 +74,10 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
       assert(df.count() > 0)
     }
 
+  test("driver flagship entry() returns rows on the real sf0.001 data") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("events: RAW physical type of ts is pinned (the loader's branch input)") {
     // The normalized-schema test below can't see WHICH loader branch ran: a
     // regeneration shipping ts as epoch-micros BIGINT would take the

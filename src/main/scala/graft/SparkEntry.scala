@@ -311,7 +311,7 @@ object SparkEntry {
     "ann_ivf_topk_indexed" -> ((s: SparkSession, d: String) => {
       val cents = Similarity.trainedCentroids(Tables.embeddings(s, d), d)
       val path = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      Similarity.buildIndex(Tables.embeddings(s, d), cents, path)
+      Similarity.ensureBuilt(path)(Similarity.buildIndex(Tables.embeddings(s, d), cents, path))
       Similarity.ivfTopKIndexed(s, path, cents, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
@@ -323,7 +323,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val cents = Similarity.trainedCentroids(e, d)
       val path = "/tmp/graft-ivf-qindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      Similarity.buildIndexQuantized(e, cents, path)
+      Similarity.ensureBuilt(path)(Similarity.buildIndexQuantized(e, cents, path))
       val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
       val vecs = e.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -339,8 +339,8 @@ object SparkEntry {
       val cents = Similarity.trainedCentroids(e, d)
       val qPath = "/tmp/graft-ivf-qindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
       val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      Similarity.buildIndexQuantized(e, cents, qPath)
-      Similarity.buildIndex(e, cents, ePath)
+      Similarity.ensureBuilt(qPath)(Similarity.buildIndexQuantized(e, cents, qPath))
+      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
       val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
       val vecs = e.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -361,8 +361,8 @@ object SparkEntry {
       val cb = Pq.trainedCodebooks(e, d)
       val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
       val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      Pq.buildIndexPq(e, cents, cb, pqPath)
-      Similarity.buildIndex(e, cents, ePath)
+      Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
+      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
       val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
       val vecs = e.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -427,7 +427,14 @@ object SparkEntry {
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,
     // PQ rerank returns exactly the exact-IVF top-k (pool containment
-    // measured per SF) — the oracle is the exact IVF replica
+    // measured per SF) — the oracle is the exact IVF replica.
+    // REGENERATION RISK (unlike the int8 tier, whose oracle replays its
+    // own two-stage pipeline): this equivalence rests on the measured
+    // poolMult=40 pool containing the exact top-k on the CURRENT testdata.
+    // If the driver regenerates /root/testdata (the round-9 lesson),
+    // PqSpec's "pool contains exact top-k" containment test is the early
+    // warning — it fails before the gate does. If it fires, re-measure
+    // poolMult with tools/PqProbe and raise it here + in the spec.
     "ann_ivf_topk_pq" -> PortableOracles.annIvfTopkSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     "overview" -> Analytics.overviewSql,

@@ -99,29 +99,53 @@ object CorpusOverlap {
   }
 
   /** Per-slice MinHash signature over the bigram vocabulary: each
-    * (slice, gram) row contributes its `numPerm` permuted hashes; the slice
-    * signature is the elementwise min — commutative and associative, so
-    * Spark's partial aggregation folds it map-side and the exchange carries
-    * slices × numPerm longs, not the vocabulary. (Dedup's [[Dedup.minhashSignature]]
-    * mins WITHIN one row's shingle array; this mins ACROSS rows of a group —
-    * same permutation family, seeded identically.)
+    * (slice, gram) row is hashed ONCE (`pmod(xxhash64(g), 2³²)` — the same
+    * base hash [[Dedup.minhashSignature]] uses), and each of the `numPerm`
+    * signature components is a declarative `min((aᵢ·h + bᵢ) mod P)`
+    * aggregate over that one hash — the single-hash affine MinHash kernel.
+    * Min is commutative and associative, so Spark partial-aggregates all
+    * `numPerm` components map-side in ONE whole-stage-codegen hash
+    * aggregate and the exchange carries slices × numPerm longs, not the
+    * vocabulary. (Dedup's [[Dedup.minhashSignature]] mins WITHIN one row's
+    * shingle array; this mins ACROSS rows of a group — same permutation
+    * family, seeded identically, so the output is bit-identical to folding
+    * per-row signatures through [[mergeSignatures]]: the previous
+    * formulation, which paid a ×numPerm posexplode plus two extra
+    * aggregations — measured 6× slower at sf0.1 — and survives as the
+    * equivalence pin in OverlapStreamSpec.)
     */
-  def sliceSignatures(vocab: DataFrame, numPerm: Int): DataFrame =
-    mergeSignatures(
-      vocab.select(col("slice"),
-        Dedup.minhashSignature(array(col("g")), Dedup.permutations(numPerm))
-          .as("sig")))
+  def sliceSignatures(vocab: DataFrame, numPerm: Int): DataFrame = {
+    val perms = Dedup.permutations(numPerm)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MersennePrime))).as(s"m$i")
+    }
+    vocab.withColumn("h", pmod(xxhash64(col("g")), lit(1L << 32)))
+      .groupBy("slice")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("slice"),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Broder's estimate from a signature table (slice, sig): pairwise
     * fraction of matching components. Slices × slices rows of numPerm longs
-    * — driver-free, but tiny enough to broadcast-nested-loop. */
+    * — driver-free, but tiny enough to broadcast-nested-loop.
+    *
+    * The denominator is the ACTUAL signature width (and both sides must
+    * agree on it): persisted signatures written with a different numPerm
+    * than the reader assumes would otherwise null-pad through zip_with and
+    * silently mis-scale the estimate instead of erroring.
+    */
   def estimateFromSignatures(sigs: DataFrame, numPerm: Int): DataFrame =
     sigs.as("a")
       .join(sigs.as("b"), col("a.slice") < col("b.slice"))
       .select(
         col("a.slice").as("slice_a"), col("b.slice").as("slice_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          m => m)).cast("double") / numPerm).as("est"))
+          m => m)).cast("double") /
+          when(size(col("a.sig")) === numPerm && size(col("b.sig")) === numPerm,
+            lit(numPerm))
+            .otherwise(raise_error(concat(lit(s"signature width != numPerm=$numPerm for slices ("),
+              col("a.slice"), lit(", "), col("b.slice"), lit(")"))))).as("est"))
 
   /** Sketch-estimated overlap matrix with its own exact audit: emits, per
     * slice pair, the exact Jaccard plus whether the MinHash estimate landed

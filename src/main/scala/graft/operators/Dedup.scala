@@ -72,7 +72,7 @@ object Dedup {
     * over the low 32 bits of xxhash64(shingle). P > 2³², aᵢ < 2³¹ keeps the
     * product inside a long. Seeded — same params every run, every executor.
     */
-  private val MersennePrime = 4294967311L // smallest prime > 2^32
+  private[graft] val MersennePrime = 4294967311L // smallest prime > 2^32
   def permutations(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPerm)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,

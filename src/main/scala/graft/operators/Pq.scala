@@ -159,6 +159,8 @@ object Pq {
     val rows = spark.read.parquet(path).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(_._1)
+    require(rows.nonEmpty,
+      s"no PQ codebooks at $path — run saveCodebooks before starting readers")
     Codebooks(rows.head._2, rows.map(_._3))
   }
 

@@ -2,11 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Scratch probe — current: adjudicate the r9 bench-epoch outliers
-  * (`chunk_embed_topk`, `cosine_topk_agg`, `doc_fingerprint`) flagged in
-  * VERDICT.md: run each with many reps in one session and report the full
-  * distribution, so run-order luck and JIT warmup can't masquerade as a
-  * plan regression the way a loaded min-of-2 epoch can. */
+/** Scratch probe — current: decompose the two BENCH_r10 outliers.
+  * `source_overlap_sketch` (3.9 s) is broken into its pipeline stages to
+  * find which stage carries the cost; `ann_ivf_topk_indexed` (3.7 s) is
+  * re-run twice to confirm the session build-once registry moved the index
+  * build out of the query path. */
 object ProbePerf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -19,17 +19,25 @@ object ProbePerf {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    def time(name: String, reps: Int = 6)(mk: => DataFrame): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); run(mk); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s min=${times.min}%.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
     // same setup Bench performs before timing
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sf/region.parquet").count()
     graft.operators.Similarity.trainedCentroids(graft.Tables.embeddings(spark, sf), sf)
-    for (name <- Seq("doc_fingerprint", "cosine_topk_agg", "chunk_embed_topk")) {
-      val df = graft.SparkEntry.queries(name)(spark, sf)
-      val times = (1 to 7).map { _ =>
-        val t0 = System.nanoTime(); run(df); (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$name%-18s min=${times.min}%.3f  med=${times.sorted.apply(3)}%.3f  " +
-        f"max=${times.max}%.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
+
+    import graft.operators.CorpusOverlap._
+    val docs = graft.Tables.documents(spark, sf)
+    time("source_overlap_sketch") { graft.SparkEntry.queries("source_overlap_sketch")(spark, sf) }
+    time("ann_ivf_topk_indexed") { graft.SparkEntry.queries("ann_ivf_topk_indexed")(spark, sf) }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      val df = graft.SparkEntry.queries("source_overlap_sketch")(spark, sf)
+      df.collect() // finalize AQE stages on df's own execution
+      println(df.queryExecution.executedPlan.toString)
     }
   }
 }

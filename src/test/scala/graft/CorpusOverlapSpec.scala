@@ -47,6 +47,36 @@ class CorpusOverlapSpec extends AnyFunSuite with SparkSuite {
     assert(rows == Seq(("s1", "s3", 0.0, true)))
   }
 
+  test("single-hash affine kernel equals folding per-row MinHash signatures") {
+    // the previous sliceSignatures formulation: one MinHashSig array per
+    // (slice, gram) row, elementwise-min-folded by mergeSignatures. The
+    // declarative min((a·h+b) mod P) aggregate must be bit-identical —
+    // OverlapStream state persisted by either formulation stays mergeable.
+    val vocab = CorpusOverlap.sliceVocab(
+      Tables.documents(spark, Sf0001), "text", "source")
+    val fast = CorpusOverlap.sliceSignatures(vocab, 64)
+      .as[(String, Seq[Long])].collect().toMap
+    val folded = CorpusOverlap.mergeSignatures(
+        vocab.select(col("slice"),
+          graft.operators.Dedup.minhashSignature(array(col("g")),
+            graft.operators.Dedup.permutations(64)).as("sig")))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(fast == folded)
+  }
+
+  test("estimateFromSignatures errors on a signature-width mismatch") {
+    // persisted state written at one numPerm read back at another must fail
+    // loudly, not silently scale the estimate by the null-padded zip
+    val sigs = Seq(("s1", Seq(1L, 2L, 3L)), ("s2", Seq(1L, 9L, 3L, 4L)))
+      .toDF("slice", "sig")
+    val e = intercept[Exception] {
+      CorpusOverlap.estimateFromSignatures(sigs, 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("signature width")))
+  }
+
   private lazy val nPairs = {
     val s = Tables.documents(spark, Sf0001).select("source").distinct().count()
     (s * (s - 1) / 2).toInt

@@ -248,7 +248,15 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "docs_by_source" -> TextAnalysis.docsBySource _,
     "token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
-    "token_familiarity" -> TextAnalysis.tokenFamiliarity _,
+    // capped-vocabulary path is the DEFAULT (bounded driver state at any
+    // vocabulary; cap non-binding on this corpus, oracle replays the cap
+    // so a testdata regeneration with a larger vocab stays green)
+    "token_familiarity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenFamiliarityCapped(s, d)),
+    // binding-cap twin: k=16 < |vocab|=31, so the floor path actually
+    // fires at the gate and the oracle replays the same top-16 + floor
+    "token_familiarity_capped" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenFamiliarityCapped(s, d, k = 16, sketchKOpt = 128)),
     "repetition_ratio" -> TextAnalysis.repetitionRatio _,
     "gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
@@ -263,8 +271,11 @@ object SparkEntry {
     "embedding_dispersion" -> ((s: SparkSession, d: String) =>
       Similarity.labelDispersion(Tables.embeddings(s, d))),
     // DSIR importance weights against the en-language target distribution
+    // (capped-vocabulary default — see token_familiarity note)
     "dsir_weights" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.dsirWeights(s, d)),
+      TextAnalysis.dsirWeightsCapped(s, d)),
+    "dsir_weights_capped" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirWeightsCapped(s, d, k = 16, sketchKOpt = 128)),
     // SemDeDup pruning: drop members semantically redundant with their
     // cluster anchor (tau tuned to this synthetic corpus's spread)
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) =>
@@ -564,7 +575,8 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,
-    "token_familiarity" -> TextAnalysis.tokenFamiliaritySql,
+    "token_familiarity" -> TextAnalysis.tokenFamiliarityCappedSql(),
+    "token_familiarity_capped" -> TextAnalysis.tokenFamiliarityCappedSql(k = 16),
     "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
@@ -572,7 +584,8 @@ object SparkEntry {
     "source_overlap" -> CorpusOverlap.sourceOverlapSql,
     "source_overlap_sketch" -> CorpusOverlap.sourceOverlapSketchSql,
     "embedding_dispersion" -> Similarity.labelDispersionSql,
-    "dsir_weights" -> TextAnalysis.dsirWeightsSql(),
+    "dsir_weights" -> TextAnalysis.dsirWeightsCappedSql(),
+    "dsir_weights_capped" -> TextAnalysis.dsirWeightsCappedSql(k = 16),
     "semantic_dedup_keep" -> Similarity.semanticDedupKeepSql(0.2),
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders

@@ -257,11 +257,13 @@ object TextAnalysis {
     * same ship-the-small-model shape as the IVF quantizer: no join, no
     * shuffle above the scan in the scoring pass.
     *
-    * Vocabulary contract: the collected table is O(vocab) driver rows
-    * (bounded here; an open vocabulary caps it with the Misra-Gries top-k
-    * from [[graft.operators.FreqSketch]] plus a floor frequency for
-    * out-of-table tokens — same bounded-driver-state contract as
-    * `Similarity.trainedCentroids`). Portable arithmetic: counts and IEEE
+    * Vocabulary contract: this exact path collects O(vocab) driver rows —
+    * use it when the vocabulary is known-bounded (closed tag sets, language
+    * codes). The DEFAULT scale path is [[tokenFamiliarityCappedOf]], which
+    * caps driver state at k rows via the Misra-Gries candidate sketch
+    * ([[cappedVocabStats]]) plus a smoothed-zero floor for out-of-table
+    * tokens — same bounded-driver-state contract as
+    * `Similarity.trainedCentroids`. Portable arithmetic: counts and IEEE
     * divisions only, summed in token order on both engines (no libm).
     */
   def tokenFamiliarity(spark: SparkSession, dir: String): DataFrame = {
@@ -278,6 +280,117 @@ object TextAnalysis {
         round(aggregate(fr, lit(0.0), (a, x) => a + x) / size(fr), 4)
       }.as("familiarity"))
   }
+
+  // --- capped-vocabulary statistics (bounded driver state) -------------------
+
+  /** Bounded vocabulary table: at most k (token, rawCount, targetCount)
+    * rows plus one totals row, regardless of corpus vocabulary size.
+    * `provablyExact` records whether the retained rows are PROVABLY the
+    * exact global top-k by raw count (see [[cappedVocabStats]]). */
+  case class CappedVocab(tokens: Array[String], nr: Array[Long], nt: Array[Long],
+                         totalRaw: Long, totalTarget: Long, distinct: Long,
+                         provablyExact: Boolean) {
+    def tr: Double = totalRaw.toDouble
+    def tt: Double = totalTarget.toDouble
+    def v: Double = distinct.toDouble
+  }
+
+  /** Bounded-driver-state vocabulary statistics — the capped path promised
+    * by the [[tokenFamiliarity]]/[[dsirWeights]] vocabulary contract.
+    *
+    * Three bounded passes:
+    *  1. Misra–Gries candidate sketch ([[FreqSketch.MisraGries]], size
+    *     sketchK): map-side-combining, ships ≤ sketchK entries per
+    *     partition — the token stream itself never shuffles by token.
+    *  2. Exact (raw, target) counts restricted to the ≤ sketchK broadcast
+    *     candidates; deterministic top-k by (count desc, token asc) via
+    *     TakeOrderedAndProject — ≤ k driver rows.
+    *  3. One single-row totals aggregate (total tokens, target tokens,
+    *     exact distinct count) — the smoothing denominators.
+    *
+    * Exactness proof (what lets a SQL oracle replay the cap as a plain
+    * ORDER BY/LIMIT): Misra–Gries guarantees every token with true count
+    * > total/(sketchK+1) is in the sketch. So if the k-th retained EXACT
+    * count exceeds that bound — or the table holds the whole vocabulary —
+    * no non-candidate token can outrank the retained set, and the capped
+    * table IS the exact global top-k. On heavy-tailed token distributions
+    * (any natural-language corpus) this holds for sketchK a small multiple
+    * of k; `strict` callers require it so a silent approximation can never
+    * pair with an exact oracle.
+    *
+    * Driver state: ≤ k + sketchK rows. At 100 TB the uncapped collect is
+    * O(vocabulary) (billions for raw n-grams); this is O(k), period. */
+  def cappedVocabStats(docs: DataFrame, targetLang: String,
+                       k: Int, sketchK: Int): CappedVocab = {
+    import org.apache.spark.sql.Encoders
+    require(k > 0 && sketchK >= k, s"need sketchK >= k > 0, got k=$k sketchK=$sketchK")
+    val toks = docs.select(explode(split(col("text"), " ", -1)).as("t"),
+      (col("lang") === targetLang).as("tgt"))
+    val mg = udaf(new FreqSketch.MisraGries(sketchK), Encoders.STRING)
+    val cand = toks.agg(mg(col("t")).as("sk"))
+      .select(explode(col("sk.tokens")).as("t"))
+    val top = toks.join(broadcast(cand), "t")
+      .groupBy("t").agg(count(lit(1)).as("nr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+      .orderBy(col("nr").desc, col("t")).limit(k)
+      .collect() // ≤ k rows — the bounded-driver-state contract
+    val tot = toks.agg(count(lit(1)).as("tr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
+      count_distinct(col("t")).as("v")).collect()(0)
+    val totalRaw = tot.getLong(0)
+    val kthBound = totalRaw.toDouble / (sketchK + 1).toDouble
+    val provable = top.length.toLong == tot.getLong(2) ||
+      (top.nonEmpty && top.last.getLong(1).toDouble > kthBound)
+    CappedVocab(top.map(_.getString(0)), top.map(_.getLong(1)), top.map(_.getLong(2)),
+      totalRaw, tot.getLong(1), tot.getLong(2), provable)
+  }
+
+  /** [[tokenFamiliarity]] with the capped-vocabulary path: frequencies of
+    * the top-k tokens exactly as the uncapped map would hold them
+    * (n/total), out-of-table tokens at the add-α smoothed-zero floor
+    * α/(total + α·v). With k ≥ vocabulary the floor never fires and the
+    * result is bit-identical to [[tokenFamiliarity]] (spec-pinned);
+    * with a binding cap the oracle replays the same top-k + floor. */
+  def tokenFamiliarityCapped(spark: SparkSession, dir: String,
+                             k: Int = 10000, alpha: Double = 0.5,
+                             sketchKOpt: Int = -1): DataFrame =
+    tokenFamiliarityCappedOf(Tables.documentsById(spark, dir), k, alpha, sketchKOpt)
+
+  def tokenFamiliarityCappedOf(docs: DataFrame, k: Int = 10000,
+                               alpha: Double = 0.5, sketchKOpt: Int = -1,
+                               strict: Boolean = true): DataFrame = {
+    val sketchK = if (sketchKOpt > 0) sketchKOpt else 8 * k
+    val cv = cappedVocabStats(docs, targetLang = "en", k, sketchK)
+    if (strict) require(cv.provablyExact,
+      s"capped vocab (k=$k, sketchK=$sketchK) not provably the exact top-$k — " +
+        "raise sketchK or use strict=false for the approximate model")
+    val total = cv.tr
+    val floorP = (0 + alpha) / (total + alpha * cv.v)
+    val idx = cv.tokens.indices.sortBy(cv.tokens)
+    val fm = map(idx.flatMap(i =>
+      Seq(lit(cv.tokens(i)), lit(cv.nr(i) / total))): _*)
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(
+        transform(split(col("text"), " ", -1),
+          t => coalesce(element_at(fm, t), lit(floorP)))) { fr =>
+        round(aggregate(fr, lit(0.0), (a, x) => a + x) / size(fr), 4)
+      }.as("familiarity"))
+  }
+
+  /** DuckDB replay of [[tokenFamiliarityCappedOf]]: same top-k selection
+    * (ORDER BY count DESC, token LIMIT k — valid because the Spark side
+    * REQUIRES provable exactness), same floor arithmetic. */
+  def tokenFamiliarityCappedSql(k: Int = 10000, alpha: Double = 0.5): String =
+    s"""WITH tok AS (SELECT UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents),
+       |freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY t),
+       |c AS (SELECT SUM(n) AS tt, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+       |top AS (SELECT t, n FROM freq ORDER BY n DESC, t LIMIT $k),
+       |m AS (SELECT MAP(list(t ORDER BY t), list(n ORDER BY t)) AS fm FROM top),
+       |f AS (SELECT (0 + $alpha) / (tt + $alpha * v) AS pf FROM c)
+       |SELECT doc_id,
+       |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> COALESCE(fm[x][1] / tt, pf)))
+       |      / LEN(STR_SPLIT(text, ' ')), 4) AS familiarity
+       |FROM documents, m, c, f ORDER BY doc_id""".stripMargin
 
   /** Same stats, same token-order summation, via DuckDB's MAP type. */
   val tokenFamiliaritySql: String =
@@ -306,10 +419,11 @@ object TextAnalysis {
     * Same two-pass "train stats, then score" shape as [[tokenFamiliarity]]
     * — pass 1 aggregates per-token (raw, target) counts once; pass 2 bakes
     * the smoothed probability RATIO into a literal map and scores each doc
-    * in one narrow projection (no join, no shuffle above the scan), under
-    * the same documented bounded-vocabulary contract (cap with
-    * [[FreqSketch]] top-k + a floor ratio for out-of-table tokens at open
-    * vocabulary).
+    * in one narrow projection (no join, no shuffle above the scan). This
+    * exact path collects O(vocab) driver rows; the DEFAULT scale path is
+    * [[dsirWeightsCappedOf]] (Misra-Gries-pruned exact top-k table +
+    * smoothed-zero floor ratio for out-of-table tokens — O(k) driver state
+    * and plan size at any vocabulary).
     *
     * Portability: each map value is three IEEE double divisions of exact
     * integer(±0.5) operands evaluated in the same order on both engines —
@@ -338,16 +452,87 @@ object TextAnalysis {
                   ((r.getLong(1) + alpha) / (tr + alpha * v))
       Seq(lit(r.getString(0)), lit(ratio))
     }: _*)
+    // Out-of-table tokens score at the smoothed-zero ratio (nt = nr = 0
+    // under the same add-α models) instead of silently nulling the doc's
+    // logw — on the shared training frame the floor never fires, but it
+    // makes scoring a DIFFERENT frame well-defined.
+    val floorRatio = ((0 + alpha) / (tt + alpha * v)) /
+                     ((0 + alpha) / (tr + alpha * v))
     docs.select(col("doc_id"),
       graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ts =>
         struct(
           size(ts).cast("long").as("n_tokens"),
-          round(aggregate(transform(ts, t => log(element_at(rm, t))),
+          round(aggregate(
+            transform(ts, t => log(coalesce(element_at(rm, t), lit(floorRatio)))),
             lit(0.0), (a, x) => a + x), 4).as("logw"))
       }.as("s"))
       .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
         col("s.logw").as("logw"))
   }
+
+  /** [[dsirWeightsOf]] with the capped-vocabulary path
+    * ([[cappedVocabStats]]): the ratio map holds at most k entries,
+    * out-of-table tokens score at the smoothed-zero floor ratio
+    * ((0+α)/(tt+αv)) / ((0+α)/(tr+αv)) — the importance ratio of a token
+    * neither model has seen, under the SAME add-α smoothing (so the capped
+    * model is the exact model restricted to the top-k support). With
+    * k ≥ vocabulary this is bit-identical to [[dsirWeightsOf]]
+    * (spec-pinned); with a binding cap the oracle replays the same
+    * top-k + floor. Driver state and literal-plan size: O(k), not
+    * O(vocabulary). */
+  def dsirWeightsCapped(spark: SparkSession, dir: String,
+                        targetLang: String = "en", alpha: Double = 0.5,
+                        k: Int = 10000, sketchKOpt: Int = -1): DataFrame =
+    dsirWeightsCappedOf(Tables.documentsById(spark, dir), targetLang, alpha, k, sketchKOpt)
+
+  def dsirWeightsCappedOf(docs: DataFrame,
+                          targetLang: String = "en", alpha: Double = 0.5,
+                          k: Int = 10000, sketchKOpt: Int = -1,
+                          strict: Boolean = true): DataFrame = {
+    val sketchK = if (sketchKOpt > 0) sketchKOpt else 8 * k
+    val cv = cappedVocabStats(docs, targetLang, k, sketchK)
+    if (strict) require(cv.provablyExact,
+      s"capped vocab (k=$k, sketchK=$sketchK) not provably the exact top-$k — " +
+        "raise sketchK or use strict=false for the approximate model")
+    val (tr, tt, v) = (cv.tr, cv.tt, cv.v)
+    val idx = cv.tokens.indices.sortBy(cv.tokens)
+    val rm = map(idx.flatMap { i =>
+      val ratio = ((cv.nt(i) + alpha) / (tt + alpha * v)) /
+                  ((cv.nr(i) + alpha) / (tr + alpha * v))
+      Seq(lit(cv.tokens(i)), lit(ratio))
+    }: _*)
+    val floorRatio = ((0 + alpha) / (tt + alpha * v)) /
+                     ((0 + alpha) / (tr + alpha * v))
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ts =>
+        struct(
+          size(ts).cast("long").as("n_tokens"),
+          round(aggregate(
+            transform(ts, t => log(coalesce(element_at(rm, t), lit(floorRatio)))),
+            lit(0.0), (a, x) => a + x), 4).as("logw"))
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.logw").as("logw"))
+  }
+
+  /** DuckDB replay of [[dsirWeightsCappedOf]]: same top-k selection (valid
+    * because the Spark side requires provable exactness), same smoothing
+    * and floor arithmetic, same token-order summation. */
+  def dsirWeightsCappedSql(targetLang: String = "en", alpha: Double = 0.5,
+                           k: Int = 10000): String =
+    s"""WITH tok AS (SELECT UNNEST(STR_SPLIT(text, ' ')) AS t, lang = '$targetLang' AS tgt FROM documents),
+       |freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS nr,
+       |         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+       |         FROM tok GROUP BY t),
+       |c AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt, CAST(COUNT(*) AS DOUBLE) AS v FROM freq),
+       |top AS (SELECT t, nr, nt FROM freq ORDER BY nr DESC, t LIMIT $k),
+       |m AS (SELECT MAP(list(t ORDER BY t),
+       |        list(((nt + $alpha) / (tt + $alpha * v)) / ((nr + $alpha) / (tr + $alpha * v)) ORDER BY t)) AS rm
+       |      FROM top, c),
+       |f AS (SELECT ((0 + $alpha) / (tt + $alpha * v)) / ((0 + $alpha) / (tr + $alpha * v)) AS fr FROM c)
+       |SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
+       |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(COALESCE(rm[x][1], fr)))), 4) AS logw
+       |FROM documents, m, f ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror — identical smoothing arithmetic, identical token-order
     * summation, MAP-typed ratio table like [[tokenFamiliaritySql]].

@@ -187,6 +187,27 @@ object ScaleBench {
           concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
         graft.operators.TextAnalysis.dsirWeightsOf(grown)
       },
+      // capped twin on the SAME grown corpus: driver state / literal map
+      // pinned at 16 entries whatever the vocabulary does
+      "dsir_weights_capped" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
+        graft.operators.TextAnalysis.dsirWeightsCappedOf(grown, k = 16, sketchKOpt = 128)
+      },
+      // ADVERSARIAL vocabulary growth: every doc-replica appends a token
+      // unique to itself, so |vocab| = 31 + n_docs·k — the uncapped path's
+      // driver collect AND literal-map plan node grow linearly with the
+      // CORPUS, the capped path's stay at 16 entries + a 128-entry sketch
+      "dsir_vocabgrow_uncapped" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" u"), col("doc_id")))
+        graft.operators.TextAnalysis.dsirWeightsOf(grown)
+      },
+      "dsir_vocabgrow_capped" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" u"), col("doc_id")))
+        graft.operators.TextAnalysis.dsirWeightsCappedOf(grown, k = 16, sketchKOpt = 128)
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

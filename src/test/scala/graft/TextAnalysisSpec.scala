@@ -109,6 +109,82 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("capped vocab: non-binding cap is bit-identical to the exact path") {
+    val docs = Tables.documentsById(spark, Sf0001)
+    // k = 10000 >> |vocab| = 31: the floor never fires, v/tr/tt identical,
+    // so capped must reproduce the exact path EXACTLY (same doubles)
+    val exactD = TextAnalysis.dsirWeightsOf(docs).orderBy("doc_id").collect()
+    val cappedD = TextAnalysis.dsirWeightsCappedOf(docs).orderBy("doc_id").collect()
+    assert(exactD.sameElements(cappedD))
+    val exactF = TextAnalysis.tokenFamiliarity(spark, Sf0001).orderBy("doc_id").collect()
+    val cappedF = TextAnalysis.tokenFamiliarityCappedOf(docs).orderBy("doc_id").collect()
+    assert(exactF.sameElements(cappedF))
+  }
+
+  test("capped vocab: binding cap (k=16 < vocab) floors OOV tokens, matches driver recompute") {
+    val docs = Tables.documentsById(spark, Sf0001)
+    val alpha = 0.5
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent driver-side recompute of the top-16 + floor model
+    val rows = docs.select("doc_id", "text", "lang").as[(Long, String, String)].collect()
+    val toks = rows.flatMap { case (_, t, l) => t.split(" ", -1).map(x => (x, l == "en")) }
+    val freq = toks.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.count(_._2).toLong) }.toArray
+    assert(freq.length > 16, "corpus vocab must exceed the cap for this test")
+    val tr = toks.length.toDouble
+    val tt = toks.count(_._2).toDouble
+    val v = freq.length.toDouble
+    val top = freq.sortBy { case (t, nr, _) => (-nr, t) }.take(16)
+    val rm = top.map { case (t, nr, nt) =>
+      t -> ((nt + alpha) / (tt + alpha * v)) / ((nr + alpha) / (tr + alpha * v)) }.toMap
+    val floor = ((0 + alpha) / (tt + alpha * v)) / ((0 + alpha) / (tr + alpha * v))
+    val expD = rows.map { case (id, t, _) =>
+      val ts = t.split(" ", -1)
+      (id, ts.length.toLong, r4(ts.map(x => math.log(rm.getOrElse(x, floor))).sum))
+    }.sortBy(_._1).toSeq
+    val gotD = TextAnalysis.dsirWeightsCappedOf(docs, k = 16, sketchKOpt = 128)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(gotD == expD)
+    // the floor path must actually fire: capped != uncapped on this corpus
+    val exactD = TextAnalysis.dsirWeightsOf(docs).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotD != exactD)
+    // familiarity twin: in-table n/total, OOV at the smoothed-zero floor
+    val fm = top.map { case (t, nr, _) => t -> nr / tr }.toMap
+    val pf = (0 + alpha) / (tr + alpha * v)
+    val expF = rows.map { case (id, t, _) =>
+      val ts = t.split(" ", -1)
+      (id, r4(ts.map(x => fm.getOrElse(x, pf)).sum / ts.length))
+    }.sortBy(_._1).toSeq
+    val gotF = TextAnalysis.tokenFamiliarityCappedOf(docs, k = 16, sketchKOpt = 128)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(gotF == expF)
+    // partition-order independence of the capped stats + scoring
+    val a = TextAnalysis.dsirWeightsCappedOf(docs, k = 16, sketchKOpt = 128)
+      .orderBy("doc_id").collect()
+    val b = TextAnalysis.dsirWeightsCappedOf(
+        Tables.documents(spark, Sf0001).repartition(13), k = 16, sketchKOpt = 128)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("cappedVocabStats: bounded size, exact heavy-hitter counts, provable exactness") {
+    val docs = Tables.documents(spark, Sf0001)
+    val cv = TextAnalysis.cappedVocabStats(docs, "en", k = 16, sketchK = 128)
+    assert(cv.tokens.length == 16)
+    assert(cv.provablyExact, "MG presence bound must prove the top-16 on this corpus")
+    // counts must be the EXACT global counts of those tokens (the MG sketch
+    // only selects candidates; the second pass recounts exactly)
+    val exact = docs.select(explode(split(col("text"), " ", -1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    cv.tokens.zip(cv.nr).foreach { case (t, n) => assert(exact(t) == n) }
+    // and they are the true top-16 by (count desc, token asc)
+    val trueTop = exact.toArray.sortBy { case (t, n) => (-n, t) }.take(16).map(_._1)
+    assert(cv.tokens.sameElements(trueTop))
+  }
+
   test("dsir_weights composes with the weighted race for DSIR selection") {
     // DSIR's selection step: weighted sample proportional to exp(logw) —
     // here just check the composition runs and prefers target-like docs

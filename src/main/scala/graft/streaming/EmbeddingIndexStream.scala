@@ -1,8 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.FsUtils
 import graft.operators.Similarity
 
 /** Streaming maintenance of the IVF inverted-list index (the streaming
@@ -17,10 +19,118 @@ import graft.operators.Similarity
   * would duplicate a replayed batch's rows. Each batch instead OVERWRITES
   * its own `batch=<id>` subdirectory — a replay rewrites the same files
   * (same batchId from the checkpoint), so the index holds each delivered
-  * vector exactly once. At 100 TB the batch= dirs double as compaction
-  * units for `Layout.compactPartitions`.
+  * vector exactly once.
+  *
+  * File-count debt: after N batches each probed `cluster=` value is spread
+  * over N small files, so the pruned nprobe-read opens nprobe×N files —
+  * at 100 TB the listing/open cost, not bytes, becomes the query tax.
+  * [[compactIndex]] folds committed batch dirs into `batch=-1` (a dir no
+  * replay can ever target — foreachBatch ids are ≥ 0, the OverlapStream
+  * precedent) with ONE file per cluster; `autoCompactBatches` triggers it
+  * from the stream itself once the dir count passes the threshold.
   */
 object EmbeddingIndexStream {
+
+  /** One micro-batch into the index layouts — the unit `run` executes per
+    * foreachBatch and stress harnesses drive directly. Cluster-partitioned
+    * inside the idempotent `batch=` dir: queries partition-prune to their
+    * nprobe `cluster=` dirs across all batches. The exact write commits
+    * FIRST; a crash between writes replays the batch and overwrites every
+    * `batch=<id>` dir idempotently. */
+  def applyBatch(batch: DataFrame, batchId: Long,
+                 cents: Seq[(Int, Seq[Double])], assignedDir: String,
+                 quantizedDir: Option[String] = None,
+                 pqLoaded: Option[(String, graft.operators.Pq.Codebooks)] = None,
+                 autoCompactBatches: Int = 0): Unit = {
+    val assigned = Similarity.assign(batch, cents)
+      .localCheckpoint(true) // one assignment pass feeds all writes
+    try {
+      assigned
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$assignedDir/batch=$batchId")
+      quantizedDir.foreach { qd =>
+        Similarity.quantizedFromAssigned(assigned)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$qd/batch=$batchId")
+      }
+      pqLoaded.foreach { case (pd, cb) =>
+        graft.operators.Pq.pqFromAssigned(assigned, cb)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$pd/batch=$batchId")
+      }
+    } finally org.apache.spark.sql.graft.DatasetInternals
+      .checkpointedRdd(assigned).foreach(_.unpersist(blocking = false))
+    if (autoCompactBatches > 0) {
+      val spark = batch.sparkSession
+      (Seq(assignedDir) ++ quantizedDir ++ pqLoaded.map(_._1)).foreach { dir =>
+        // fold only batches < batchId: the CURRENT batch is the one a
+        // crash-before-checkpoint replays, so it must stay un-folded
+        if (batchDirCount(spark, dir) > autoCompactBatches)
+          compactIndex(spark, dir, uptoExclusive = batchId)
+      }
+    }
+  }
+
+  private def batchDirCount(spark: SparkSession, indexDir: String): Int = {
+    val fs = FsUtils.fs(spark, indexDir)
+    val base = new Path(indexDir)
+    if (!fs.exists(base)) 0
+    else fs.listStatus(base).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+  }
+
+  /** Fold committed `batch=` dirs (ids in [0, uptoExclusive) plus any prior
+    * `batch=-1`) into ONE `batch=-1` dir with one file per cluster — the
+    * probed read goes back to nprobe file-opens regardless of how many
+    * batches have streamed in.
+    *
+    * Crash safety (single compacting writer — the stream itself):
+    *  - the merge is written to a hidden `.compact-tmp` (invisible to
+    *    partition discovery), then swapped into `batch=-1` and the folded
+    *    source dirs deleted;
+    *  - a crash BEFORE the swap leaves state untouched (stale tmp deleted
+    *    on the next run);
+    *  - a crash INSIDE the swap (dst deleted, tmp not yet renamed) is the
+    *    classic replaceDir orphan: the recovery preamble completes the
+    *    rename next run — a committed `.compact-tmp/_SUCCESS` with no
+    *    `batch=-1` IS the swap's redo log;
+    *  - a crash AFTER the swap but before the source deletes leaves
+    *    duplicates visible until the next compaction; the fold dedups by
+    *    vec_id (duplicate rows are bit-identical by construction), so
+    *    re-compaction converges. Like OverlapStream's compaction, this
+    *    trades a transient post-crash window for a bounded file count.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   uptoExclusive: Long = Long.MaxValue): Unit = {
+    val fs = FsUtils.fs(spark, indexDir)
+    val base = new Path(indexDir)
+    if (!fs.exists(base)) return
+    val tmp = new Path(base, ".compact-tmp")
+    val dst = new Path(base, "batch=-1")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dst) && fs.exists(new Path(tmp, "_SUCCESS")))
+        FsUtils.renameOrThrow(fs, tmp, dst) // finish an interrupted swap
+      else fs.delete(tmp, true) // stale partial merge — refold below
+    }
+    val foldable = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") && {
+          val id = p.getName.stripPrefix("batch=").toLong
+          id == -1L || (id >= 0L && id < uptoExclusive)
+        }
+      }
+    if (foldable.length <= 1) return
+    spark.read.option("basePath", indexDir)
+      .parquet(foldable.map(_.toString).toIndexedSeq: _*)
+      .drop("batch")
+      .dropDuplicates("vec_id") // heals a crash-window re-fold
+      .repartition(col("cluster")) // one file per cluster dir
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(tmp.toString)
+    FsUtils.replaceDir(fs, tmp, dst)
+    foldable.filter(_.getName != "batch=-1").foreach(fs.delete(_, true))
+    spark.catalog.refreshByPath(indexDir)
+  }
 
   /** @param quantizedDir when set, each batch ALSO lands in an
     *   int8-quantized index at this path (same `batch=/cluster=` layout,
@@ -28,20 +138,22 @@ object EmbeddingIndexStream {
     *   writes — membership is identical by construction, quantization is
     *   [[Similarity.buildIndexQuantized]]'s exact scheme (shared code), so
     *   a quantized query against the streamed index equals one against a
-    *   from-scratch rebuild (SimilaritySpec pins both). The exact write
-    *   commits FIRST; a crash between writes replays the batch and
-    *   overwrites every `batch=<id>` dir idempotently.
+    *   from-scratch rebuild (SimilaritySpec pins both).
     * @param pq when set to (indexDir, codebooksPath), each batch also
     *   lands in a product-quantized index (packed BIGINT codes, 25× less
     *   hot storage) — codebooks loaded once per stream start from
     *   [[graft.operators.Pq.saveCodebooks]] output, never retrained
     *   online, encoding shared with [[graft.operators.Pq.buildIndexPq]]
-    *   (byte-identical codes; PqSpec pins streamed ≡ one-shot). */
+    *   (byte-identical codes; PqSpec pins streamed ≡ one-shot).
+    * @param autoCompactBatches fold the index's `batch=` dirs via
+    *   [[compactIndex]] whenever their count exceeds this (0 = off).
+    *   Applied per index layout, never to the in-flight batch. */
   def run(spark: SparkSession, inDir: String, assignedDir: String,
           checkpointDir: String, schemaFrom: DataFrame,
           centroidsPath: String,
           quantizedDir: Option[String] = None,
-          pq: Option[(String, String)] = None): StreamingQuery = {
+          pq: Option[(String, String)] = None,
+          autoCompactBatches: Int = 0): StreamingQuery = {
     // O(k) driver rows, loaded once per stream start — not per batch
     val cents = Similarity.loadCentroids(spark, centroidsPath)
     val pqLoaded = pq.map { case (dir, books) =>
@@ -53,27 +165,8 @@ object EmbeddingIndexStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // cluster-partitioned inside the idempotent batch dir: queries
-        // partition-prune to their nprobe `cluster=` dirs across all batches
-        val assigned = Similarity.assign(batch, cents)
-          .localCheckpoint(true) // one assignment pass feeds all writes
-        try {
-          assigned
-            .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$assignedDir/batch=$batchId")
-          quantizedDir.foreach { qd =>
-            Similarity.quantizedFromAssigned(assigned)
-              .write.mode("overwrite").partitionBy("cluster")
-              .parquet(s"$qd/batch=$batchId")
-          }
-          pqLoaded.foreach { case (pd, cb) =>
-            graft.operators.Pq.pqFromAssigned(assigned, cb)
-              .write.mode("overwrite").partitionBy("cluster")
-              .parquet(s"$pd/batch=$batchId")
-          }
-        } finally org.apache.spark.sql.graft.DatasetInternals
-          .checkpointedRdd(assigned).foreach(_.unpersist(blocking = false))
-        ()
+        applyBatch(batch, batchId, cents, assignedDir, quantizedDir,
+          pqLoaded, autoCompactBatches)
       }
       .start()
   }

@@ -244,6 +244,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(qAnswers(qidx) == qAnswers(s"$tmp/qfull"))
   }
 
+  test("index compaction: bounded batch dirs, one file per cluster, replay- and crash-safe") {
+    import graft.streaming.EmbeddingIndexStream
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    val idx = s"$tmp/assigned"
+    val parts = (0 until 5).map(i => e.filter(pmod(col("vec_id"), lit(5)) === i))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      EmbeddingIndexStream.applyBatch(b, i, cents, idx, autoCompactBatches = 3)
+    }
+    // auto-compaction fired at batch 3 (4 dirs > 3): dir count stays bounded
+    def batchDirs() = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(batchDirs() == Seq("batch=-1", "batch=3", "batch=4"))
+    // the compacted dir holds ONE data file per cluster — the probed read
+    // is back to nprobe file-opens however many batches streamed in
+    for (c <- new java.io.File(s"$idx/batch=-1").listFiles()
+         if c.getName.startsWith("cluster=")) {
+      assert(c.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${c.getName} not compacted to a single file")
+    }
+    // compacted index answers exactly like the one-shot build
+    val probes = Seq(0L, 1L, 2L)
+    def answers() = Similarity.ivfTopKAssigned(
+        EmbeddingIndexStream.readIndex(spark, idx), cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Similarity.ivfTopK(e, cents, probes, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(answers() == oneShot)
+    // REPLAY after compaction: the last (never-folded) batch re-delivers and
+    // overwrites only its own dir — no duplicates, answers unchanged
+    EmbeddingIndexStream.applyBatch(parts(4), 4, cents, idx, autoCompactBatches = 3)
+    assert(answers() == oneShot)
+    val dupes = EmbeddingIndexStream.readIndex(spark, idx)
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dupes == 0L)
+    // CRASH inside the swap: the tmp merge committed but batch=-1 was
+    // deleted before the rename — the recovery preamble must redo it
+    EmbeddingIndexStream.compactIndex(spark, idx) // fold everything to batch=-1
+    assert(batchDirs() == Seq("batch=-1"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$idx/batch=-1"),
+      java.nio.file.Paths.get(s"$idx/.compact-tmp"))
+    EmbeddingIndexStream.compactIndex(spark, idx)
+    assert(batchDirs() == Seq("batch=-1"))
+    assert(answers() == oneShot)
+  }
+
   test("trained quantizer round-trips through parquet persist/load") {
     val e = Tables.embeddings(spark, Sf0001)
     val cents = Similarity.centroidSeq(e)

@@ -34,10 +34,11 @@ import graft.functions.VectorFunctions.{cosine, dot}
   *    cosine pool ranking ([[org.apache.spark.sql.graft.PqDecode]]) →
   *    exact rerank of the ≤ poolMult·k pool rows against the exact index
   *    (the [[Similarity.ivfTopKQuantizedRerank]] two-stage shape: exact
-  *    scores at PQ read volume). Decode-then-dot is deliberate: PQ's win
-  *    here is I/O (8-byte rows), and decode costs the same FLOPs as exact
-  *    scoring — the classical LUT-ADC refinement matters when compute,
-  *    not storage, dominates.
+  *    scores at PQ read volume). Decode-then-dot is the DEFAULT (PQ's win
+  *    here is I/O — 8-byte rows); the classical LUT-ADC scorer
+  *    ([[ivfTopKPqRawAdc]], per-query lookup tables on the broadcast probe
+  *    side) is the compute-bound alternative: m table reads per candidate
+  *    instead of decode + dim-wide cosine.
   *
   * Cosine contract: vectors are unit-normalized BEFORE encoding (cosine is
   * scale-invariant, and codebooks trained on raw magnitudes would spend
@@ -224,19 +225,98 @@ object Pq {
       .withColumnRenamed("sim", "psim")
   }
 
+  // --- LUT-ADC scoring (asymmetric distance computation) --------------------
+
+  /** Flattened-table offset of each subspace's codewords (books can be
+    * smaller than ks on degenerate corpora, so offsets are cumulative). */
+  private def adcOffsets(cb: Codebooks): Array[Int] =
+    cb.books.map(_.length / cb.sub).scanLeft(0)(_ + _).init
+
+  /** Query-independent codeword norm² table, [[adcOffsets]] layout — the
+    * denominator half of the ADC cosine, shipped once as a reference
+    * object (O(m·ks) doubles, part of the model like the codebooks). */
+  private def nlutOf(cb: Codebooks): Array[Double] =
+    cb.books.flatMap { flat =>
+      flat.grouped(cb.sub).map(cw => cw.map(x => x * x).sum)
+    }
+
+  /** Per-query lookup table: lut[off(s)+j] = ⟨unit(q)ₛ, codeword j of book
+    * s⟩ — m·ks dots over the O(k) driver-side model, once per probe. */
+  private def lutOf(q: Seq[Double], cb: Codebooks): Array[Double] = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    val qn = q.map(_ / n).toArray
+    val out = Array.newBuilder[Double]
+    var s = 0
+    while (s < cb.m) {
+      val flat = cb.books(s)
+      var j = 0
+      while (j * cb.sub < flat.length) {
+        var d = 0; var acc = 0.0
+        while (d < cb.sub) { acc += qn(s * cb.sub + d) * flat(j * cb.sub + d); d += 1 }
+        out += acc
+        j += 1
+      }
+      s += 1
+    }
+    out.result()
+  }
+
+  /** [[ivfTopKPqRaw]] scored via the classical LUT-ADC path
+    * ([[org.apache.spark.sql.graft.PqAdcCosine]]) instead of
+    * decode-then-cosine: per-query tables ride the broadcast probe side of
+    * the same cluster equi-join, and each candidate costs m table reads +
+    * adds instead of decoding sub·m doubles and a dim-wide cosine — the
+    * compute-bound alternative for when scoring, not I/O, dominates (rerank
+    * pools deep enough that the pool stage is CPU-bound). Same candidates,
+    * same NaN contract; scores regroup the identical products per subspace,
+    * so round(_,4) makes them equal to the decode path's (PqSpec pins set
+    * equality, plus a raw-ulp tolerance check).
+    */
+  def ivfTopKPqRawAdc(spark: SparkSession, pqPath: String,
+                      cents: Seq[(Int, Seq[Double])], cb: Codebooks,
+                      queries: Seq[(Long, Seq[Double])],
+                      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge, PqAdcCosine}
+    val withClusters = queries.map { case (id, v) =>
+      (id, lutOf(v, cb).toSeq, Similarity.nearestClustersLocal(v, cents, nprobe))
+    }
+    val probes = withClusters.toDF("query_id", "lut", "clusters")
+      .select(col("query_id"), col("lut"), explode(col("clusters")).as("cluster"))
+    val probed = withClusters.flatMap(_._3).distinct
+    val cands = spark.read.parquet(pqPath)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("cand_id"), col("code"), col("cluster"))
+    val sim = ColumnBridge.column(PqAdcCosine(
+      ColumnBridge.expression(col("code")),
+      ColumnBridge.expression(col("lut")),
+      adcOffsets(cb), nlutOf(cb)))
+    broadcast(probes).join(cands, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("psim", round(sim, 4))
+      .filter(!isnan(col("psim"))) // all-zero codewords rank nowhere
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("psim").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "cand_id", "psim")
+  }
+
   /** Two-stage PQ retrieval: partition-pruned PQ pool (decode-then-cosine,
-    * top poolMult·k per probe) → exact rerank of the pool against the
-    * exact index. Returns exact cosine scores; the PQ stage only chooses
-    * WHICH ≤ poolMult·k vectors pay a full-precision read. Recall is
-    * governed by (nprobe, poolMult) — measured on the gate corpus in
-    * PqSpec / STRESS.md.
+    * or LUT-ADC with `adc = true`; top poolMult·k per probe) → exact rerank
+    * of the pool against the exact index. Returns exact cosine scores; the
+    * PQ stage only chooses WHICH ≤ poolMult·k vectors pay a full-precision
+    * read. Recall is governed by (nprobe, poolMult) — measured on the gate
+    * corpus in PqSpec and swept to 64× in STRESS.md ("PQ recall curve").
     */
   def ivfTopKPqRerank(spark: SparkSession, pqPath: String, exactPath: String,
                       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
                       queries: Seq[(Long, Seq[Double])],
-                      k: Int, nprobe: Int, poolMult: Int = 4): DataFrame = {
-    val pool = ivfTopKPqRaw(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
-      .select(col("query_id"), col("cand_id"))
+                      k: Int, nprobe: Int, poolMult: Int = 4,
+                      adc: Boolean = false): DataFrame = {
+    val raw =
+      if (adc) ivfTopKPqRawAdc(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
+      else ivfTopKPqRaw(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
+    val pool = raw.select(col("query_id"), col("cand_id"))
     Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
   }
 }

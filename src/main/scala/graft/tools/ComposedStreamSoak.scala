@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, CorpusOverlap, Curation, Pq, Similarity}
+import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, OverlapStream}
+
+/** Composed streaming soak (round 11): the four stateful streams —
+  * OverlapStream, CurationStream, EmbeddingIndexStream (triple-write),
+  * ComponentsStream — consuming ONE shared document/embedding drop
+  * sequence in the same session for 50+ batches, with at-least-once
+  * replays injected at batch boundaries (including immediately after a
+  * compaction — the OverlapStream `batch=-1` lesson) and every stream's
+  * auto-compaction armed. Individual crash/replay behavior is spec-pinned
+  * per stream; what THIS measures is the composition: shared session, one
+  * arrival order, state folds and compactions interleaving, and at the end
+  * a full batch recompute over the union proving composed exactly-once —
+  * every stream's final state equals the one-shot batch answer.
+  *
+  * Batches are id-RANGES (in-order arrival) because CurationStream's
+  * batch-equality contract is exact only for in-order delivery
+  * (out-of-order degrades to documented first-arrival-wins).
+  * Results → STRESS.md ("Composed streaming soak").
+  */
+object ComposedStreamSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val amp = sys.env.getOrElse("SPARK_GRAFT_SOAK_AMP", "8").toInt
+    val nb = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "50").toInt
+    val numPerm = 64
+    val h = (c: org.apache.spark.sql.Column) => xxhash64(c)
+
+    def rekey(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("*"), explode(sequence(lit(0L), lit(amp - 1L))).as("rep"))
+        .withColumn(idCol, col(idCol) * amp + col("rep"))
+        .drop("rep")
+    val docs = rekey(graft.Tables.documents(spark, sf), "doc_id").localCheckpoint(true)
+    val embs = rekey(graft.Tables.embeddings(spark, sf), "vec_id").localCheckpoint(true)
+    val nDocs = docs.count()
+    val sz = (nDocs + nb - 1) / nb
+    def docB(i: Int) = docs.filter(col("doc_id") >= i * sz && col("doc_id") < (i + 1) * sz)
+    def embB(i: Int) = embs.filter(col("vec_id") >= i * sz && col("vec_id") < (i + 1) * sz)
+    // chains of 10 consecutive ids — components deliberately SPAN batches,
+    // so cross-batch root merges happen continuously
+    def pairB(i: Int) = docB(i).select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .filter(pmod(col("a"), lit(10)) =!= 9)
+
+    val base = graft.Tables.embeddings(spark, sf)
+    val cents = Similarity.centroidSeq(base)
+    val cb = Pq.trainedCodebooks(base, "soak")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val (ovState, ovOut) = (s"$tmp/ov-state", s"$tmp/ov-out")
+    val (curState, curOut) = (s"$tmp/cur-state", s"$tmp/cur-out")
+    val ccState = s"$tmp/cc-state"
+    val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
+
+    def oneBatch(i: Int): Double = {
+      val t0 = System.nanoTime()
+      OverlapStream.applyBatch(spark, docB(i), i.toLong, ovState, ovOut, numPerm)
+      CurationStream.curateBatch(spark, docB(i), curState, i.toLong,
+        outDir = Some(curOut), hashFn = h, autoCompactBytes = 512 * 1024)
+      EmbeddingIndexStream.applyBatch(embB(i), i.toLong, cents, idx,
+        quantizedDir = Some(qidx), pqLoaded = Some((pidx, cb)),
+        autoCompactBatches = 8)
+      ComponentsStream.applyBatch(spark, pairB(i), "a", "b", i.toLong, ccState,
+        autoCompactBytes = 256 * 1024)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println("batch,sec,note")
+    for (i <- 0 until nb) {
+      val t = oneBatch(i)
+      val notes = new scala.collection.mutable.ArrayBuffer[String]
+      // at-least-once kill simulation: crash-before-checkpoint re-delivers
+      // the SAME batch to every stream
+      if (i % 12 == 5) {
+        val tr = oneBatch(i)
+        notes += f"replay=$tr%.2f"
+      }
+      // overlap state has no inline trigger — dir-count maintenance pass,
+      // immediately followed by a replay of the just-folded tail batch
+      // (the batch=-1 regression's exact shape)
+      if (i % 16 == 15) {
+        OverlapStream.compactState(spark, ovState)
+        val tr = oneBatch(i)
+        notes += f"ov-compact+replay=$tr%.2f"
+      }
+      println(f"$i,$t%.2f,${notes.mkString(" ")}")
+    }
+
+    // ---- composed exactly-once: final state ≡ one-shot batch recompute ----
+    def check(name: String, ok: Boolean): Unit =
+      println(s"check,$name,${if (ok) "PASS" else "FAIL"}")
+
+    // overlap: merged signatures == whole-corpus signatures
+    val streamSigs = OverlapStream.mergedState(spark, ovState)
+      .as[(String, Seq[Long])].collect().toMap
+    val batchSigs = CorpusOverlap.sliceSignatures(
+        CorpusOverlap.sliceVocab(docs, "text", "source"), numPerm)
+      .as[(String, Seq[Long])].collect().toMap
+    check("overlap_sigs", streamSigs == batchSigs)
+
+    // curation: accumulated output == batch curate over the union corpus
+    val sfDir = s"$tmp/sf"
+    docs.write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val streamCur = spark.read.parquet(curOut).drop("batch")
+      .as[(Long, String, Double, Long, Long, Long)].collect().toSet
+    val batchCur = Curation.curate(spark, sfDir, hashFn = h)
+      .as[(Long, String, Double, Long, Long, Long)].collect().toSet
+    check("curation_rows", streamCur == batchCur)
+
+    // index: streamed+compacted membership == one-shot build; probed query ==
+    Similarity.buildIndex(embs, cents, s"$tmp/idx-oneshot")
+    def members(p: String) = spark.read.parquet(p).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toSet
+    check("index_membership", members(idx) == members(s"$tmp/idx-oneshot"))
+    val probes = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def ans(p: String) = Similarity.ivfTopKIndexedVectors(spark, p, cents, probes, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    check("index_query", ans(idx) == ans(s"$tmp/idx-oneshot"))
+    val pqStream = spark.read.parquet(pidx).select("vec_id", "code")
+      .as[(Long, Long)].collect().toSet
+    Pq.buildIndexPq(embs, cents, cb, s"$tmp/pq-oneshot")
+    val pqOne = spark.read.parquet(s"$tmp/pq-oneshot").select("vec_id", "code")
+      .as[(Long, Long)].collect().toSet
+    check("pq_codes", pqStream == pqOne)
+
+    // components: streamed labels == one-shot connected components
+    val allPairs = (0 until nb).map(pairB).reduce(_ unionByName _)
+    val nodes = allPairs.select(col("a").as("id"))
+      .union(allPairs.select(col("b").as("id"))).distinct()
+    val streamed = ComponentsStream.currentLabels(spark, ccState, nodes, "id")
+      .as[(Long, Long)].collect().toSet
+    val oneShot = Components.connectedComponents(allPairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    check("cc_labels", streamed == oneShot)
+    spark.stop()
+  }
+}

@@ -1087,6 +1087,75 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
     copy(left = newLeft, right = newRight)
 }
 
+/** LUT-ADC cosine for the PQ tier (Jégou 2011 §"asymmetric distance"):
+  * score(code, query) via per-query lookup tables instead of
+  * decode-then-dot. `lut` is the probe row's flattened table —
+  * lut[offsets(s) + j] = ⟨unit(q) subvector s, codeword j of book s⟩,
+  * built driver-side per query (m·ks dots over the O(k) model) and carried
+  * on the broadcast probe side of the cluster join; `nlut` (same layout)
+  * holds each codeword's norm², a query-INDEPENDENT model table that rides
+  * as a reference object. Per candidate row the score is m table reads +
+  * adds per sum — for dim=64/m=8 that's ~16 flops vs ~192 for
+  * decode-then-cosine: the compute-bound alternative when scoring, not
+  * I/O, dominates. Numerically it regroups the same products per subspace
+  * (IEEE non-associativity in the last ulps), absorbed by the caller's
+  * round(_, 4) like every libm difference. A code whose codewords are all
+  * zero yields 0/0 = NaN — the same "similar to nothing" contract as a
+  * zero-norm decoded candidate.
+  */
+case class PqAdcCosine(code: Expression, lut: Expression,
+                       offsets: Array[Int], nlut: Array[Double])
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def left: Expression = code
+  override def right: Expression = lut
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_cosine"
+
+  override protected def nullSafeEval(c0: Any, l0: Any): Any = {
+    val c = c0.asInstanceOf[Long]
+    val l = l0.asInstanceOf[ArrayData]
+    val m = offsets.length
+    var num = 0.0
+    var nn = 0.0
+    var s = 0
+    while (s < m) {
+      val idx = offsets(s) + ((c >>> (8 * s)) & 255L).toInt
+      num += l.getDouble(idx)
+      nn += nlut(idx)
+      s += 1
+    }
+    num / math.sqrt(nn)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    val nlutRef = ctx.addReferenceObj("nlut", nlut, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val num = ctx.freshName("num")
+      val nn = ctx.freshName("nn")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      s"""
+         |double $num = 0.0;
+         |double $nn = 0.0;
+         |for (int $s = 0; $s < $offRef.length; $s++) {
+         |  int $idx = $offRef[$s] + (int) (($c >>> (8 * $s)) & 255L);
+         |  $num += $l.getDouble($idx);
+         |  $nn += $nlutRef[$idx];
+         |}
+         |${ev.value} = $num / java.lang.Math.sqrt($nn);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(code = newLeft, lut = newRight)
+}
+
 /** Decode a packed product-quantization code — m sub-codes of 8 bits each
   * in one BIGINT (m ≤ 8) — back to the concatenated codeword vector.
   * `books(s)` holds subspace s's codewords FLATTENED (ks·sub doubles); the

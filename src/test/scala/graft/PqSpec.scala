@@ -85,6 +85,59 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(reranked == exact3)
   }
 
+  test("LUT-ADC scoring ≡ decode-then-cosine: same candidates, same rounded scores") {
+    val pq = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    val nprobe = cents.length // exhaustive: every candidate pair scored
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("query_id", "cand_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val dec = rows(Pq.ivfTopKPqRaw(spark, pq, cents, cb, probes, k = 10, nprobe = nprobe))
+    val adc = rows(Pq.ivfTopKPqRawAdc(spark, pq, cents, cb, probes, k = 10, nprobe = nprobe))
+    // round(_,4) absorbs the per-subspace regrouping's last-ulp drift:
+    // identical (query, cand, score) triples, identical ranking
+    assert(adc == dec)
+    // and the driver-side recompute agrees with the ADC identity:
+    // sum(lut) / sqrt(sum(nlut)) == cosine(unit(q), decoded) to ~1e-12
+    val q = probes.head
+    val decoded = spark.read.parquet(pq).filter(col("vec_id") === 7L)
+      .select(Pq.decodePacked(col("code"), cb).as("dv"))
+      .as[Seq[Double]].head()
+    val n = math.sqrt(q._2.map(x => x * x).sum)
+    val qn = q._2.map(_ / n)
+    val num = qn.zip(decoded).map { case (a, b) => a * b }.sum
+    val den = math.sqrt(decoded.map(x => x * x).sum)
+    val viaCos = num / den
+    val lutScore = {
+      // replicate the expression's walk over the packed code
+      val code = spark.read.parquet(pq).filter(col("vec_id") === 7L)
+        .select("code").as[Long].head()
+      val offs = cb.books.map(_.length / cb.sub).scanLeft(0)(_ + _).init
+      val nlut = cb.books.flatMap(_.grouped(cb.sub).map(_.map(x => x * x).sum))
+      val lut = (0 until cb.m).flatMap { s =>
+        cb.books(s).grouped(cb.sub).map(cw =>
+          cw.zipWithIndex.map { case (c, d) => c * qn(s * cb.sub + d) }.sum)
+      }
+      val (nu, nn) = (0 until cb.m).foldLeft((0.0, 0.0)) { case ((a, b), s) =>
+        val j = ((code >>> (8 * s)) & 255L).toInt
+        (a + lut(offs(s) + j), b + nlut(offs(s) + j))
+      }
+      nu / math.sqrt(nn)
+    }
+    assert(math.abs(viaCos - lutScore) < 1e-9)
+  }
+
+  test("two-stage rerank via ADC pool ≡ via decode pool") {
+    val pq = tmp(); val ex = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    Similarity.buildIndex(embs, cents, ex)
+    val nprobe = cents.length
+    def rows(adc: Boolean) = Pq.ivfTopKPqRerank(spark, pq, ex, cents, cb, probes,
+        k = 3, nprobe = nprobe, poolMult = 40, adc = adc)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    assert(rows(adc = true) == rows(adc = false))
+  }
+
   test("incremental appends: two-batch appended PQ index ≡ one-shot build") {
     val whole = tmp(); val inc = tmp()
     Pq.buildIndexPq(embs, cents, cb, whole)

@@ -92,6 +92,19 @@ object PortableOracles {
     s"""$clusterCtes
        |SELECT doc_id, component FROM labels ORDER BY doc_id""".stripMargin
 
+  /** [[dedupClustersSql]]'s labels + quality-elected representatives
+    * (mirrors `Curation.bestRepKeepOf`): highest quality per component
+    * keeps, ties to min doc_id. */
+  val bestRepKeepSql: String =
+    s"""$clusterCtes,
+       |q AS (SELECT doc_id, ${graft.operators.TextAnalysis.qualityExprSql} AS quality FROM docs0),
+       |j AS (SELECT l.doc_id, l.component, q.quality FROM labels l JOIN q USING (doc_id)),
+       |r AS (SELECT doc_id, component, quality,
+       |      ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn FROM j),
+       |win AS (SELECT component, doc_id AS keep_id FROM r WHERE rn = 1)
+       |SELECT j.doc_id, j.component, j.quality, j.doc_id = win.keep_id AS keep
+       |FROM j JOIN win USING (component) ORDER BY doc_id""".stripMargin
+
   /** [[dedupClustersSql]]'s labels + the split CASE keyed on the COMPONENT
     * (mirrors `Sampling.splitLeakageSafeOf`): every transitive near-dup
     * cluster lands in one split. */

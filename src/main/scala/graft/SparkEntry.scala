@@ -203,6 +203,14 @@ object SparkEntry {
       Components.componentLabels(docs, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
     }),
+    // repeated-substring dedup (Lee et al. 2021 cut semantics): corpus-wide
+    // duplicated L-token spans found on the hashed gram stream, covered
+    // tokens removed per doc
+    "substring_dedup" -> ((s: SparkSession, d: String) =>
+      SubstringDedup.repeatedSpansGate(s, d)),
+    // fuzzy dedup with quality-elected representatives (best copy keeps,
+    // not min-id) over the dedup_clusters pair graph
+    "dedup_best_keep" -> ((s: SparkSession, d: String) => Curation.bestRepKeep(s, d)),
     // [EXT] end-to-end curation pipeline (exact dedup → LSH keep-filter →
     // quality/language gates → token stats)
     "curation_pipeline" -> ((s: SparkSession, d: String) =>
@@ -233,6 +241,9 @@ object SparkEntry {
     // end-to-end mixture build: weighted per-source sample -> greedy packing
     "mixture_pipeline" -> ((s: SparkSession, d: String) => Sampling.mixturePipeline(s, d)),
     "pack_greedy" -> ((s: SparkSession, d: String) => Sampling.packGreedy(s, d)),
+    // deterministic global training-order shuffle into balanced shards
+    "shuffled_export" -> ((s: SparkSession, d: String) =>
+      Sampling.shuffledExportAssign(s, d)),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
     "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
     "pii_scrub" -> Prep.piiScrub _,
@@ -259,6 +270,13 @@ object SparkEntry {
       TextAnalysis.tokenFamiliarityCapped(s, d, k = 16, sketchKOpt = 128)),
     "repetition_ratio" -> TextAnalysis.repetitionRatio _,
     "gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    // hashed-feature models (O(K) state at ANY vocabulary — feature
+    // hashing, Weinberger 2009): NB-weighted linear classifier (the
+    // fastText-filter shape) and CCNet-style bigram-LM perplexity
+    "classifier_score" -> ((s: SparkSession, d: String) =>
+      HashedModel.classifierScores(s, d)),
+    "bigram_perplexity" -> ((s: SparkSession, d: String) =>
+      HashedModel.bigramPerplexity(s, d)),
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
@@ -579,6 +597,11 @@ object SparkEntry {
     "token_familiarity_capped" -> TextAnalysis.tokenFamiliarityCappedSql(k = 16),
     "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
+    "classifier_score" -> HashedModel.classifierScoresSql(),
+    "bigram_perplexity" -> HashedModel.bigramPerplexitySql(),
+    "substring_dedup" -> SubstringDedup.repeatedSpansSql(),
+    "dedup_best_keep" -> PortableOracles.bestRepKeepSql,
+    "shuffled_export" -> Sampling.shuffledExportAssignSql(),
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
     "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
     "source_overlap" -> CorpusOverlap.sourceOverlapSql,

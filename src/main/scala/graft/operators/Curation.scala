@@ -53,4 +53,39 @@ object Curation {
         reTokenCount(col("text")).as("re_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Fuzzy-dedup with QUALITY-elected representatives (the NeMo-Curator
+    * refinement of min-id election): label transitive near-dup clusters
+    * ([[Components.componentLabels]] over a verified pair graph), then keep
+    * the HIGHEST-quality member per cluster (ties → min doc_id) instead of
+    * the smallest id — a curator prefers the best copy, not the first.
+    *
+    * Scale shape: quality is a narrow per-doc expression; election is ONE
+    * map-side-combinable groupBy(component) max over a (quality, −id)
+    * struct — no per-cluster sort, no window — and the winner table joins
+    * back on the same component key (exchange reuse). Singleton docs are
+    * their own cluster (componentLabels' coalesce) and always keep.
+    */
+  def bestRepKeepOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Components.componentLabels(docs, "doc_id", pairs, "id_a", "id_b")
+    val scored = docs
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .join(labels, "doc_id")
+    val winners = scored.groupBy("component")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("w"))
+      .select(col("component"), (-col("w.neg_id")).as("keep_id"))
+    scored.join(winners, "component")
+      .select(col("doc_id"), col("component"), col("quality"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
+  /** Gate wrapper: same bounded slice + h60 pair graph as `dedup_clusters`,
+    * so the oracle replays the whole chain (clusters + quality election). */
+  def bestRepKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+      threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+      hashFn = graft.functions.Hashing.h60)
+    bestRepKeepOf(docs, pairs).orderBy("doc_id")
+  }
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing.{h60, h60Sql}
+
+/** Hashed-feature statistical models over `documents` — the "model-based
+  * filtering" tier of a curation stack (the fastText/classifier-scoring
+  * shape of FineWeb-Edu-style quality filters, and CCNet-style LM-perplexity
+  * filtering), built on FEATURE HASHING (Weinberger et al. 2009): every
+  * gram is bucketed by `h60(gram) mod K`, so model state is O(K) — a fixed
+  * few thousand doubles — REGARDLESS of corpus vocabulary. This is the
+  * structural answer to the open-vocabulary problem that
+  * [[TextAnalysis.cappedVocabStats]] solves by top-k truncation: hashing
+  * caps state by construction, with collision noise instead of a floor.
+  *
+  * Scale shape (both models):
+  *  - TRAIN is one explode → hash → groupBy(bucket) aggregate: map-side
+  *    combining collapses the token stream to ≤ K rows per partition before
+  *    the only shuffle, which carries ≤ K·partitions rows at any corpus
+  *    size; driver state is ≤ K rows (the
+  *    `Similarity.trainedCentroids` ship-the-small-model contract).
+  *  - SCORE is one narrow projection per doc — the bucket weights ride the
+  *    plan as an O(K) literal map, no join, no shuffle above the scan.
+  *
+  * Portability (the DSIR/BM25 precedent): bucket counts are exact integers,
+  * weights are IEEE divisions of exact operands in fixed order; the only
+  * libm calls (`ln`, `exp`) are applied identically per gram and summed
+  * left-to-right in gram order on both engines, absorbed by round(_, 4).
+  */
+object HashedModel {
+
+  /** Scoring features: unigrams + word bigrams, in document order (the
+    * unigram block then the bigram block — the oracle mirrors the same
+    * concatenation order so ordered summation matches). Docs with a single
+    * word contribute that word twice (wordShingles' n<k contract returns
+    * `[text]`) — deterministic and mirrored. */
+  def featureArray(textCol: Column): Column =
+    concat(split(textCol, " ", -1), Dedup.wordShingles(textCol, 2))
+
+  /** DuckDB mirror of [[featureArray]]. */
+  private val featuresSqlExpr: String = {
+    val w = "STR_SPLIT(text, ' ')"
+    s"""($w || CASE WHEN LEN($w) >= 2
+       | THEN list_transform(range(0, LEN($w) - 1), i -> $w[i+1] || ' ' || $w[i+2])
+       | ELSE [text] END)""".stripMargin.replace("\n", "")
+  }
+
+  /** Per-bucket (raw, target) gram counts — ≤ k rows, collected. */
+  private[operators] case class BucketStats(
+      buckets: Array[Int], nr: Array[Long], nt: Array[Long]) {
+    def totalRaw: Double = nr.sum.toDouble
+    def totalTgt: Double = nt.sum.toDouble
+  }
+
+  private def bucketStats(feats: DataFrame, k: Int): BucketStats = {
+    val rows = feats
+      .select(pmod(h60(col("g")), lit(k.toLong)).cast("int").as("b"), col("tgt"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("nr"), sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+      .collect() // ≤ k rows — bounded driver state by construction
+      .sortBy(_.getInt(0))
+    BucketStats(rows.map(_.getInt(0)), rows.map(_.getLong(1)), rows.map(_.getLong(2)))
+  }
+
+  // --- hashed naive-Bayes quality/domain classifier --------------------------
+
+  /** Hashed linear classifier score of each document against the
+    * `targetLang` slice: per-bucket multinomial naive-Bayes log-odds
+    *
+    *   w_b = ln( ((nt_b + α)/(tt + αK)) / ((nr_b + α)/(tr + αK)) )
+    *
+    * (nt/nr = target/raw gram counts in bucket b; tt/tr their totals), a
+    * document's log-odds = MEAN of its grams' bucket weights, probability
+    * through the logistic link. This is exactly the trainable half of a
+    * fastText-style filter — hashed bag-of-ngrams, linear weights — with
+    * closed-form NB weights standing in for SGD (no optimizer in-engine;
+    * externally trained weights drop into the same literal-map plan).
+    *
+    * Collision semantics: grams sharing a bucket share a weight (the
+    * documented feature-hashing trade) — the gate's K=128 on a ~31-token
+    * vocabulary actually exercises collisions while staying exact, because
+    * the oracle replays the SAME buckets.
+    */
+  def classifierScoresOf(docs: DataFrame, targetLang: String = "en",
+                         k: Int = 128, alpha: Double = 0.5): DataFrame = {
+    val feats = docs.select(explode(featureArray(col("text"))).as("g"),
+      (col("lang") === targetLang).as("tgt"))
+    val st = bucketStats(feats, k)
+    val (tr, tt) = (st.totalRaw, st.totalTgt)
+    val wOf = (nt: Long, nr: Long) =>
+      math.log(((nt + alpha) / (tt + alpha * k)) / ((nr + alpha) / (tr + alpha * k)))
+    val wm = map(st.buckets.indices.flatMap(i =>
+      Seq(lit(st.buckets(i)), lit(wOf(st.nt(i), st.nr(i))))): _*)
+    val floorW = wOf(0L, 0L) // empty bucket: ln((tr+αK)/(tt+αK))
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(featureArray(col("text"))) { fs =>
+        val mean = aggregate(
+          transform(fs, g => coalesce(
+            element_at(wm, pmod(h60(g), lit(k.toLong)).cast("int")), lit(floorW))),
+          lit(0.0), (a, x) => a + x) / size(fs)
+        struct(
+          size(fs).cast("long").as("n_feats"),
+          round(mean, 4).as("logodds"),
+          round(lit(1.0) / (lit(1.0) + exp(-mean)), 4).as("p_target"))
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_feats").as("n_feats"),
+        col("s.logodds").as("logodds"), col("s.p_target").as("p_target"))
+  }
+
+  def classifierScores(spark: SparkSession, dir: String): DataFrame =
+    classifierScoresOf(Tables.documentsById(spark, dir))
+
+  /** Line-for-line DuckDB replay: same buckets (h60 % K of the same gram
+    * list), same NB smoothing, same gram-order summation. */
+  def classifierScoresSql(targetLang: String = "en", k: Int = 128,
+                          alpha: Double = 0.5): String =
+    s"""WITH f AS (SELECT UNNEST($featuresSqlExpr) AS g, lang = '$targetLang' AS tgt FROM documents),
+       |agg AS (SELECT ${h60Sql("g")} % $k AS b, CAST(COUNT(*) AS DOUBLE) AS nr,
+       |        CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+       |        FROM f GROUP BY 1),
+       |c AS (SELECT SUM(nr) AS tr, SUM(nt) AS tt FROM agg),
+       |m AS (SELECT MAP(list(b ORDER BY b),
+       |        list(LN(((nt + $alpha) / (tt + $alpha * $k)) / ((nr + $alpha) / (tr + $alpha * $k))) ORDER BY b)) AS wm
+       |      FROM agg, c),
+       |fl AS (SELECT LN((tr + $alpha * $k) / (tt + $alpha * $k)) AS fw FROM c),
+       |sc AS (SELECT doc_id,
+       |  CAST(LEN($featuresSqlExpr) AS BIGINT) AS n_feats,
+       |  list_sum(list_transform($featuresSqlExpr,
+       |    x -> COALESCE(wm[${h60Sql("x")} % $k][1], fw)))
+       |    / LEN($featuresSqlExpr) AS mean
+       |  FROM documents, m, fl)
+       |SELECT doc_id, n_feats, ROUND(mean, 4) AS logodds,
+       |ROUND(1.0 / (1.0 + EXP(-mean)), 4) AS p_target
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // --- hashed bigram LM perplexity (CCNet-style filter signal) ---------------
+
+  /** Per-document perplexity under an add-α-smoothed HASHED bigram LM
+    * trained on the corpus itself (CCNet filters on a reference-corpus LM;
+    * the reference corpus here is the whole frame — swapping in a filtered
+    * slice is a one-arg change):
+    *
+    *   p(t_i | t_{i-1}) = (c_bg[h(t_{i-1}·t_i)] + α) / (c_ug[h(t_{i-1})] + αK)
+    *   avg_logp = mean over i≥2 of ln p,   ppl = exp(−avg_logp)
+    *
+    * Both count tables are hashed to K buckets — O(K) state, collisions
+    * shared by model and scorer (and oracle), so the signal is exact for
+    * the model AS TRAINED. Single-word docs have no bigrams: n_bigrams = 0,
+    * avg_logp/ppl NULL on both engines.
+    */
+  def bigramPerplexityOf(docs: DataFrame, k: Int = 2048,
+                         alpha: Double = 0.5): DataFrame = {
+    val ug = bucketStats(docs.select(
+      explode(split(col("text"), " ", -1)).as("g"), lit(false).as("tgt")), k)
+    val bg = bucketStats(docs.select(
+      explode(Dedup.wordShingles(col("text"), 2)).as("g"), lit(false).as("tgt"))
+      .filter(size(split(col("g"), " ", -1)) === 2), k)
+    // NOTE the bigram filter: wordShingles' n<2 contract emits [text] for
+    // single-word docs — those pseudo-grams are NOT bigrams and must not
+    // train the model; the oracle's range() formulation never emits them.
+    val ugm = map(ug.buckets.indices.flatMap(i =>
+      Seq(lit(ug.buckets(i)), lit(ug.nr(i).toDouble))): _*)
+    val bgm = map(bg.buckets.indices.flatMap(i =>
+      Seq(lit(bg.buckets(i)), lit(bg.nr(i).toDouble))): _*)
+    val b = (g: Column) => pmod(h60(g), lit(k.toLong)).cast("int")
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ws =>
+        val lps = transform(
+          sequence(lit(1), size(ws) - 1),
+          i => log(
+            (coalesce(element_at(bgm,
+              b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int"))))), lit(0.0))
+              + alpha) /
+            (coalesce(element_at(ugm, b(element_at(ws, i))), lit(0.0))
+              + alpha * k)))
+        val n = size(ws) - 1
+        val avg = aggregate(lps, lit(0.0), (a, x) => a + x) / n
+        struct(
+          n.cast("long").as("n_bigrams"),
+          when(n > 0, round(avg, 4)).as("avg_logp"),
+          when(n > 0, round(exp(-avg), 4)).as("ppl"))
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.avg_logp").as("avg_logp"), col("s.ppl").as("ppl"))
+  }
+
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame =
+    bigramPerplexityOf(Tables.documentsById(spark, dir))
+
+  def bigramPerplexitySql(k: Int = 2048, alpha: Double = 0.5): String = {
+    val w = "STR_SPLIT(text, ' ')"
+    val bigrams =
+      s"CASE WHEN LEN($w) >= 2 THEN list_transform(range(0, LEN($w) - 1), i -> $w[i+1] || ' ' || $w[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+    s"""WITH ug AS (SELECT ${h60Sql("g")} % $k AS b, CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM (SELECT UNNEST($w) AS g FROM documents) GROUP BY 1),
+       |bgr AS (SELECT ${h60Sql("g")} % $k AS b, CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM (SELECT UNNEST($bigrams) AS g FROM documents) GROUP BY 1),
+       |um AS (SELECT MAP(list(b ORDER BY b), list(n ORDER BY b)) AS m FROM ug),
+       |bm AS (SELECT MAP(list(b ORDER BY b), list(n ORDER BY b)) AS m FROM bgr),
+       |sc AS (SELECT doc_id, CAST(LEN($w) - 1 AS BIGINT) AS n_bigrams,
+       |  list_sum(list_transform(range(1, LEN($w)),
+       |    i -> LN((COALESCE(bm.m[${h60Sql(s"$w[i] || ' ' || $w[i+1]")} % $k][1], 0.0) + $alpha)
+       |          / (COALESCE(um.m[${h60Sql(s"$w[i]")} % $k][1], 0.0) + $alpha * $k))))
+       |    / (LEN($w) - 1) AS avg
+       |  FROM documents, um, bm)
+       |SELECT doc_id, n_bigrams,
+       |CASE WHEN n_bigrams > 0 THEN ROUND(avg, 4) END AS avg_logp,
+       |CASE WHEN n_bigrams > 0 THEN ROUND(EXP(-avg), 4) END AS ppl
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+}

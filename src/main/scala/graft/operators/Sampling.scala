@@ -384,6 +384,60 @@ object Sampling {
       |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       |FROM r GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** Deterministic global training-order shuffle with balanced shards —
+    * the export step after curation: every epoch-defining pipeline needs
+    * the corpus in a REPRODUCIBLE pseudo-random order, sharded into
+    * equal-mass files (readers stream shards sequentially; within-shard
+    * order is part of the contract). Order key = hashed id (`:shuffle`
+    * salt, independent of the `:split`/`:wsample` hash streams), shard =
+    * key mod nShards, position = rank of the key within the shard.
+    *
+    * Scale shape: ONE hash-partitioned exchange on shard + a
+    * within-partition sort (each shard is a sort-within-file, never a
+    * global sort); hash uniformity makes shard sizes even to O(√n) —
+    * SamplingSpec pins the balance bound. [[writeShuffled]] materializes
+    * exactly this plan via repartition(shard) + sortWithinPartitions.
+    */
+  def shuffledExportAssignOf(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val h = h60(concat(col("doc_id").cast("string"), lit(":shuffle")))
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), h.as("hkey"),
+        pmod(h, lit(nShards.toLong)).cast("int").as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("hkey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def shuffledExportAssign(spark: SparkSession, dir: String,
+                           nShards: Int = 16): DataFrame =
+    shuffledExportAssignOf(Tables.documents(spark, dir), nShards)
+      .orderBy("doc_id")
+
+  def shuffledExportAssignSql(nShards: Int = 16): String =
+    s"""SELECT doc_id, shard,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id, ${h60Sql("doc_id::VARCHAR || ':shuffle'")} AS hkey,
+       |      CAST(${h60Sql("doc_id::VARCHAR || ':shuffle'")} % $nShards AS INTEGER) AS shard
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Materialize [[shuffledExportAssignOf]]'s order: one file per shard,
+    * rows in (hkey, doc_id) order — `spark.read.parquet(dir)` under
+    * `shard=` partition pruning replays any shard in training order. */
+  def writeShuffled(docs: DataFrame, outDir: String, nShards: Int = 16): Unit = {
+    val h = h60(concat(col("doc_id").cast("string"), lit(":shuffle")))
+    docs.withColumn("hkey", h)
+      .withColumn("shard", pmod(col("hkey"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      // shard LEADS the sort: the dynamic-partition writer requires rows
+      // ordered by partition columns and would otherwise insert its own
+      // NON-STABLE sort on shard, scrambling the in-shard order — leading
+      // with shard satisfies that requirement so the (hkey, id) order
+      // survives into each file (SamplingSpec pins the replay)
+      .sortWithinPartitions(col("shard"), col("hkey"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   val packBlocksSql: String =
     """WITH t AS (SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens
       |           FROM documents),

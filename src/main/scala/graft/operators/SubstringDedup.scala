@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing.{h60, h60Sql}
+
+/** Repeated-substring deduplication (the ExactSubstr side of Lee et al.
+  * 2021, "Deduplicating Training Data Makes Language Models Better"):
+  * find every span of `L` consecutive words whose exact token sequence
+  * occurs MORE THAN ONCE in the corpus (across documents or repeated
+  * within one), and per document report the duplicated-span starts, the
+  * covered-token count, and the text with covered tokens REMOVED — the
+  * paper's cut semantics, not a whole-doc drop.
+  *
+  * Distributed design (vs the paper's single-node suffix array): the
+  * corpus's L-gram stream is hashed ([[graft.functions.Hashing.h60]] on
+  * the gate for oracle portability; xxhash64 in production via `hashFn`)
+  * and duplicate detection happens on the 60-bit gram hash — a
+  * hash-identical approximation of sequence-identity with ~2⁻⁶⁰
+  * per-pair false-positive rate, the standard trade for making this a
+  * linear shuffle problem instead of a global suffix sort.
+  *
+  * Scale shape (3 linear shuffles, no pair or span materialization
+  * beyond per-doc arrays):
+  *  1. gram stream → groupBy(gram hash) COUNT — map-side combinable, so
+  *     the only gh exchange carries partial counts, never the raw stream;
+  *     the duplicated-hash set semi-joins the stream back (broadcast while
+  *     it fits, shuffle beyond — see the in-method exchange note).
+  *  2. duplicated occurrences → groupBy(doc_id) collect sorted start
+  *     positions — per-doc state bounded by document length (documents
+  *     are the pipeline's bounded unit of work, same contract as every
+  *     per-doc HOF here).
+  *  3. one narrow left join back to the base scan; coverage and the cut
+  *     text are per-row HOFs over (tokens, starts).
+  *
+  * The 100 TB cost center is shuffle 1: one (doc_id, pos, hash) row per
+  * corpus token — the same order of volume a distributed suffix-array
+  * build moves, with none of its global-sort coordination.
+  */
+object SubstringDedup {
+
+  /** Per-document repeated-span report over `docs(idCol, textCol)`.
+    * Documents shorter than L words generate no grams (they can never
+    * contain an L-token span; exact dedup owns whole-short-doc copies). */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    L: Int = 5,
+                    hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      xxhash64(_)): DataFrame = {
+    val ws = split(col(textCol), " ", -1)
+    // Exchange economics of the diamond (aggregate + semi-join over one
+    // gram stream): the duplicate-count aggregate partial-aggregates
+    // map-side, so its gh exchange carries ≤ distinct-grams-per-partition
+    // rows, NOT the raw stream; the occurrence probe side re-derives grams
+    // narrowly (split+shingle+hash CPU, no shuffle) and — while the
+    // duplicated-hash set fits the broadcast threshold — joins with ZERO
+    // exchange of the raw stream. A forced shared raw-gram exchange (the
+    // electKeep pattern) was tried and REJECTED here: Catalyst pulls the
+    // repartition above the broadcast semi-join, and trading the partial
+    // aggregate's compression for a raw-stream shuffle is a loss whenever
+    // duplicate hashes are rarer than grams. Beyond broadcast scale the
+    // semi-join degrades to shuffle on gh — the plan a distributed
+    // suffix-array equivalent pays anyway.
+    val grams = docs.filter(size(ws) >= L)
+      .select(col(idCol), posexplode(Dedup.wordShingles(col(textCol), L)))
+      .select(col(idCol), col("pos"), hashFn(col("col")).as("gh"))
+    val dupHashes = grams.groupBy("gh")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("gh")
+    val starts = grams.join(dupHashes, Seq("gh"), "left_semi")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    docs.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col(textCol).as("__text"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col(idCol),
+        graft.functions.ExprUtils.bindOnce(split(col("__text"), " ", -1)) { toks =>
+          val n = size(toks)
+          val coveredIdx = filter(sequence(lit(0), n - 1),
+            i => exists(col("starts"), s => i >= s && i < s + L))
+          val uncoveredIdx = filter(sequence(lit(0), n - 1),
+            i => !exists(col("starts"), s => i >= s && i < s + L))
+          struct(
+            n.cast("long").as("n_tokens"),
+            size(col("starts")).cast("long").as("n_dup_spans"),
+            size(coveredIdx).cast("long").as("covered_tokens"),
+            round(size(coveredIdx).cast("double") / n, 4).as("dup_ratio"),
+            array_join(transform(uncoveredIdx,
+              i => element_at(toks, (i + 1).cast("int"))), " ").as("cleaned_text"))
+        }.as("s"))
+      .select(col(idCol), col("s.n_tokens").as("n_tokens"),
+        col("s.n_dup_spans").as("n_dup_spans"),
+        col("s.covered_tokens").as("covered_tokens"),
+        col("s.dup_ratio").as("dup_ratio"),
+        col("s.cleaned_text").as("cleaned_text"))
+  }
+
+  /** Gate wrapper: h60 hash (exact DuckDB oracle), sorted by doc_id. */
+  def repeatedSpansGate(spark: SparkSession, dir: String, L: Int = 5): DataFrame =
+    repeatedSpans(Tables.documents(spark, dir), "text", "doc_id", L, h60)
+      .orderBy("doc_id")
+
+  /** DuckDB replay: same grams (word L-windows joined by one space), same
+    * h60 hashes, same coverage/cut HOFs. */
+  def repeatedSpansSql(L: Int = 5): String = {
+    val ws = "STR_SPLIT(text, ' ')"
+    val coveredFilter =
+      s"i -> LEN(list_filter(starts, s -> i >= s AND i < s + $L)) > 0"
+    val uncoveredFilter =
+      s"i -> LEN(list_filter(starts, s -> i >= s AND i < s + $L)) = 0"
+    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |        ${h60Sql("array_to_string(ws[i+1:i+" + L + "], ' ')")} AS gh
+       |      FROM (SELECT doc_id, ws, UNNEST(range(0, LEN(ws) - $L + 1)) AS i
+       |            FROM w WHERE LEN(ws) >= $L)),
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+       |o AS (SELECT doc_id, pos FROM g JOIN d USING (gh)),
+       |st AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM o GROUP BY doc_id),
+       |f AS (SELECT w.doc_id, ws, LEN(ws) AS n,
+       |        COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+       |      FROM w LEFT JOIN st USING (doc_id))
+       |SELECT doc_id,
+       |CAST(n AS BIGINT) AS n_tokens,
+       |CAST(LEN(starts) AS BIGINT) AS n_dup_spans,
+       |CAST(LEN(list_filter(range(0, n), $coveredFilter)) AS BIGINT) AS covered_tokens,
+       |ROUND(CAST(LEN(list_filter(range(0, n), $coveredFilter)) AS DOUBLE) / n, 4) AS dup_ratio,
+       |COALESCE(array_to_string(list_transform(
+       |  list_filter(range(0, n), $uncoveredFilter), i -> ws[i+1]), ' '), '') AS cleaned_text
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+}

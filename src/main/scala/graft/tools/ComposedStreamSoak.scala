@@ -144,7 +144,10 @@ object ComposedStreamSoak {
       .union(allPairs.select(col("b").as("id"))).distinct()
     val streamed = ComponentsStream.currentLabels(spark, ccState, nodes, "id")
       .as[(Long, Long)].collect().toSet
-    val oneShot = Components.connectedComponents(allPairs, "a", "b")
+    // componentLabels, not raw connectedComponents: the fixpoint edge list
+    // has no (root, root) self-row, while currentLabels labels every node —
+    // compare like with like (the ComponentsStreamSpec contract)
+    val oneShot = Components.componentLabels(nodes, "id", allPairs, "a", "b")
       .as[(Long, Long)].collect().toSet
     check("cc_labels", streamed == oneShot)
     spark.stop()

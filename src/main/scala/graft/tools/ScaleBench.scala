@@ -208,6 +208,34 @@ object ScaleBench {
           concat(col("text"), lit(" u"), col("doc_id")))
         graft.operators.TextAnalysis.dsirWeightsCappedOf(grown, k = 16, sketchKOpt = 128)
       },
+      // repeated-substring dedup at volume. Plain amplify is the dup-heavy
+      // worst case: every replica duplicates EVERY gram, so all docs end
+      // fully covered and the occurrence join carries the whole gram
+      // stream. The fresh-gram variant appends a replica-unique tail so a
+      // constant fraction of grams stays unique (the real-corpus shape).
+      "substring_dedup" -> (k => graft.operators.SubstringDedup.repeatedSpans(
+        docsX(k), "text", "doc_id", L = 5)),
+      "substring_dedup_fresh" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" u"), col("doc_id"), lit(" v"), col("doc_id")))
+        graft.operators.SubstringDedup.repeatedSpans(grown, "text", "doc_id", L = 5)
+      },
+      // hashed-feature models under ADVERSARIAL vocabulary growth: every
+      // replica appends a token unique to itself (|vocab| grows with the
+      // corpus) — bucket hashing must keep driver state and plan size at
+      // O(K) regardless (the capped-vocab problem solved structurally)
+      "classifier_vocabgrow" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" u"), col("doc_id")))
+        graft.operators.HashedModel.classifierScoresOf(grown)
+      },
+      "bigram_ppl_vocabgrow" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" u"), col("doc_id")))
+        graft.operators.HashedModel.bigramPerplexityOf(grown)
+      },
+      // shuffled export at volume: one hash exchange + per-shard sort
+      "shuffled_export" -> (k => Sampling.shuffledExportAssignOf(docsX(k), nShards = 16)),
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

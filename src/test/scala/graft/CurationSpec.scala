@@ -40,4 +40,37 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       if (q.contains(id)) assert(r.getAs[Long]("ws_tokens") == q(id))
     }
   }
+
+  test("bestRepKeep: one keeper per cluster, and it is the max-quality member") {
+    import spark.implicits._
+    val r = Curation.bestRepKeep(spark, Sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byComp = r.groupBy(_._2)
+    byComp.foreach { case (_, members) =>
+      assert(members.count(_._4) == 1, "exactly one keeper per cluster")
+      val keeper = members.find(_._4).get
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(keeper == best, s"keeper $keeper is not argmax-quality $best")
+    }
+    // total: every doc in the slice appears once
+    assert(r.map(_._1).distinct.length == r.length)
+    // singleton components always keep
+    byComp.filter(_._2.length == 1).foreach { case (_, m) => assert(m.head._4) }
+    // sanity: the corpus actually has multi-member clusters to elect over
+    assert(byComp.exists(_._2.length > 1))
+  }
+
+  test("bestRepKeep keeps a (possibly different) member wherever min-id election keeps one") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).filter(col("doc_id") < 500)
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+      threshold = 0.9, numPerm = 64, bands = 8, shingleK = 1,
+      hashFn = graft.functions.Hashing.h60)
+    val best = Curation.bestRepKeepOf(docs, pairs)
+    // same cluster structure as componentLabels, same number of keepers
+    val nClusters = graft.operators.Components
+      .componentLabels(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("component").distinct().count()
+    assert(best.filter(col("keep")).count() == nClusters)
+  }
 }

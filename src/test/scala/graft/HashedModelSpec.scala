@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.HashedModel
+
+class HashedModelSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("classifier: deterministic, total, probabilities in (0,1), p = sigmoid(logodds)") {
+    val a = HashedModel.classifierScores(spark, Sf0001).collect()
+    val b = HashedModel.classifierScores(spark, Sf0001).collect()
+    assert(a.sameElements(b))
+    val df = HashedModel.classifierScores(spark, Sf0001)
+    assert(df.count() == Tables.documents(spark, Sf0001).count())
+    df.as[(Long, Long, Double, Double)].collect().foreach { case (_, nf, lo, p) =>
+      assert(nf > 0)
+      assert(p > 0.0 && p < 1.0)
+      // rounded columns are consistent with each other through the link
+      assert(math.abs(p - 1.0 / (1.0 + math.exp(-lo))) < 2e-4)
+    }
+  }
+
+  test("classifier: target-language docs score higher than the rest (model sanity)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val scored = HashedModel.classifierScoresOf(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byTgt = scored.groupBy(($"lang" === "en").as("tgt"))
+      .agg(avg("p_target").as("m")).as[(Boolean, Double)].collect().toMap
+    assert(byTgt(true) > byTgt(false),
+      s"en-mean ${byTgt(true)} should exceed non-en mean ${byTgt(false)}")
+  }
+
+  test("classifier: partitioning-independent") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = HashedModel.classifierScoresOf(docs).orderBy("doc_id").collect()
+    val b = HashedModel.classifierScoresOf(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("classifier: driver state and plan stay O(K) under a large synthetic vocabulary") {
+    // 20k distinct tokens >> K=32 buckets: the literal weight map must hold
+    // at most K entries no matter the vocabulary (the feature-hashing cap)
+    val docs = (0 until 500).map { i =>
+      (i.toLong, (0 until 40).map(j => s"tok${i * 40 + j}").mkString(" "),
+        if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val df = HashedModel.classifierScoresOf(docs, k = 32)
+    val planLen = df.queryExecution.analyzed.toString.length
+    assert(planLen < 200 * 1000, s"plan blew up: $planLen chars")
+    assert(df.count() == 500)
+  }
+
+  test("bigram LM: single-word docs yield null avg_logp/ppl; others finite") {
+    val docs = Seq((0L, "solo", "en"), (1L, "two words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = HashedModel.bigramPerplexityOf(docs).orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(r(0) == ((0L, 0L, None, None)))
+    assert(r(1)._2 == 1L && r(1)._3.isDefined && r(1)._4.exists(_ > 0.0))
+  }
+
+  test("bigram LM: frequent-bigram docs score lower perplexity than unseen-bigram docs") {
+    val base = (0 until 50).map(i => (i.toLong, "the quick brown fox", "en"))
+    val odd = Seq((100L, "zxq wvu tsr qpo", "en"))
+    val docs = (base ++ odd).toDF("doc_id", "text", "lang")
+    val ppl = HashedModel.bigramPerplexityOf(docs)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(ppl(0L) < ppl(100L),
+      s"frequent ${ppl(0L)} should beat unseen ${ppl(100L)}")
+  }
+
+  test("bigram LM: deterministic and partitioning-independent") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = HashedModel.bigramPerplexityOf(docs).orderBy("doc_id").collect()
+    val b = HashedModel.bigramPerplexityOf(docs.repartition(5)).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+}

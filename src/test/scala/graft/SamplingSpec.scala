@@ -200,4 +200,47 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("shuffledExportAssign: bijective, dense per-shard positions, balanced shards") {
+    val df = Sampling.shuffledExportAssign(spark, Sf0001)
+    val rows = df.as[(Long, Int, Long)].collect()
+    val n = Tables.documents(spark, Sf0001).count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    // (shard, pos) is a key: dense 1..n_s within each shard
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val ps = rs.map(_._3).sorted
+      assert(ps.head == 1L && ps.sameElements((1L to ps.length.toLong)))
+    }
+    // hash balance: no shard dominates (binomial spread around n/16)
+    val sizes = rows.groupBy(_._2).values.map(_.length.toDouble)
+    val mean = n.toDouble / 16
+    assert(sizes.max < mean * 1.8 && sizes.min > mean * 0.3,
+      s"imbalanced shards: min ${sizes.min}, max ${sizes.max}, mean $mean")
+    // deterministic
+    assert(rows.sameElements(Sampling.shuffledExportAssign(spark, Sf0001)
+      .as[(Long, Int, Long)].collect()))
+  }
+
+  test("writeShuffled materializes the assignment order: one sorted file per shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shuf").toString
+    val docs = Tables.documents(spark, Sf0001)
+    Sampling.writeShuffled(docs, out)
+    val assign = Sampling.shuffledExportAssignOf(docs)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // within every shard, file row order == pos order (training-order replay)
+    for (shard <- Seq(0, 7, 15)) {
+      val fileOrder = back.filter(col("shard") === shard)
+        .select("doc_id").as[Long].collect()
+      val posOrder = assign.filter(col("shard") === shard)
+        .orderBy("pos").select("doc_id").as[Long].collect()
+      assert(fileOrder.sameElements(posOrder), s"shard $shard out of order")
+    }
+    // one data file per shard dir
+    for (shard <- Seq(0, 15)) {
+      val files = new java.io.File(s"$out/shard=$shard")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $shard has ${files.length} files")
+    }
+  }
 }

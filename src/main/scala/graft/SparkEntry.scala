@@ -248,6 +248,13 @@ object SparkEntry {
     "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
     "pii_scrub" -> Prep.piiScrub _,
     "decontaminate" -> ((s: SparkSession, d: String) => Prep.decontaminate(s, d)),
+    // span-level decontamination: cut only the benchmark-overlapping spans
+    // (decontaminate's whole-doc drop refined to Lee-et-al cut semantics)
+    "contaminate_spans" -> ((s: SparkSession, d: String) =>
+      SubstringDedup.contaminationSpansGate(s, d)),
+    // fused model-based filter: hashed classifier + LM perplexity terciles
+    // (CCNet head/middle/tail) + repetition, one narrow scoring pass
+    "model_filter" -> ((s: SparkSession, d: String) => Curation.modelFilter(s, d)),
     // end-to-end retrieval composition: chunk -> dedup -> embed -> top-k
     "chunk_embed_topk" -> ((s: SparkSession, d: String) => Prep.chunkEmbedTopk(s, d)),
     // [EXT] text analysis
@@ -600,6 +607,8 @@ object SparkEntry {
     "classifier_score" -> HashedModel.classifierScoresSql(),
     "bigram_perplexity" -> HashedModel.bigramPerplexitySql(),
     "substring_dedup" -> SubstringDedup.repeatedSpansSql(),
+    "contaminate_spans" -> SubstringDedup.contaminationSpansSql(),
+    "model_filter" -> Curation.modelFilterSql(),
     "dedup_best_keep" -> PortableOracles.bestRepKeepSql,
     "shuffled_export" -> Sampling.shuffledExportAssignSql(),
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,

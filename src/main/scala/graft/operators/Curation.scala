@@ -88,4 +88,57 @@ object Curation {
       hashFn = graft.functions.Hashing.h60)
     bestRepKeepOf(docs, pairs).orderBy("doc_id")
   }
+
+  /** Model-based filter pass (the CCNet/FineWeb composition): hashed
+    * classifier probability + hashed-LM perplexity + repetition ratio,
+    * scored in ONE narrow projection (both models ride the plan as O(K)
+    * literal maps — no join between signals), then CCNet's
+    * perplexity TERCILE assignment (head/middle/tail by rank — ntile, the
+    * `customer_quartiles` global-window precedent) and a composite pass
+    * flag: classifier-positive AND not repetition-heavy AND not in the
+    * perplexity tail. Two bounded training aggregates + one window + one
+    * scan — the whole model stack costs one corpus pass at any scale.
+    *
+    * Null-perplexity docs (no bigrams) rank LAST in the tercile order on
+    * both engines (asc_nulls_last) — they land in the tail and fail `pass`
+    * unless everything ties: no-evidence docs are not silently kept.
+    */
+  def modelFilter(spark: SparkSession, dir: String,
+                  pTau: Double = 0.5, repMax: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cls = HashedModel.trainClassifier(docs)
+    val lm = HashedModel.trainBigramLm(docs)
+    val scored = docs.select(col("doc_id"),
+      HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
+      HashedModel.perplexityStruct(lm, col("text")).getField("ppl").as("ppl"),
+      graft.functions.ExprUtils.bindOnce(Dedup.wordShingles(col("text"), 3)) { g =>
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4)
+      }.as("rep_ratio"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("ppl_tercile", ntile(3).over(
+        Window.orderBy(col("ppl").asc_nulls_last, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("p_target"), col("ppl"), col("rep_ratio"),
+        col("ppl_tercile"),
+        (col("p_target") >= pTau && col("rep_ratio") <= repMax &&
+          col("ppl_tercile") <= 2).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[modelFilter]]: the standalone classifier/LM oracles
+    * as subqueries joined on doc_id (the fused projection computes exactly
+    * their values), NTILE over the same null-last order, same flags. */
+  def modelFilterSql(pTau: Double = 0.5, repMax: Double = 0.5): String =
+    s"""WITH c AS (${HashedModel.classifierScoresSql()}),
+       |p AS (${HashedModel.bigramPerplexitySql()}),
+       |r AS (SELECT doc_id,
+       |  ROUND(1.0 - CAST(LEN(LIST_DISTINCT(${graft.PortableOracles.shingles3Expr})) AS DOUBLE)
+       |        / LEN(${graft.PortableOracles.shingles3Expr}), 4) AS rep_ratio
+       |  FROM documents),
+       |j AS (SELECT c.doc_id, c.p_target, p.ppl, r.rep_ratio,
+       |  NTILE(3) OVER (ORDER BY p.ppl ASC NULLS LAST, c.doc_id) AS ppl_tercile
+       |  FROM c JOIN p USING (doc_id) JOIN r USING (doc_id))
+       |SELECT doc_id, p_target, ppl, rep_ratio, ppl_tercile,
+       |(p_target >= $pTau AND rep_ratio <= $repMax AND ppl_tercile <= 2) AS pass
+       |FROM j ORDER BY doc_id""".stripMargin
 }

@@ -84,7 +84,18 @@ object HashedModel {
     * the oracle replays the SAME buckets.
     */
   def classifierScoresOf(docs: DataFrame, targetLang: String = "en",
-                         k: Int = 128, alpha: Double = 0.5): DataFrame = {
+                         k: Int = 128, alpha: Double = 0.5): DataFrame =
+    docs.select(col("doc_id"),
+        classifierStruct(trainClassifier(docs, targetLang, k, alpha), col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_feats").as("n_feats"),
+        col("s.logodds").as("logodds"), col("s.p_target").as("p_target"))
+
+  /** Trained classifier as a shippable O(K) literal model — the unit the
+    * fused pipeline ([[Curation.modelFilter]]) composes without a join. */
+  private[operators] case class ClassifierModel(wm: Column, floorW: Double, k: Int)
+
+  private[operators] def trainClassifier(docs: DataFrame, targetLang: String = "en",
+                                         k: Int = 128, alpha: Double = 0.5): ClassifierModel = {
     val feats = docs.select(explode(featureArray(col("text"))).as("g"),
       (col("lang") === targetLang).as("tgt"))
     val st = bucketStats(feats, k)
@@ -93,21 +104,22 @@ object HashedModel {
       math.log(((nt + alpha) / (tt + alpha * k)) / ((nr + alpha) / (tr + alpha * k)))
     val wm = map(st.buckets.indices.flatMap(i =>
       Seq(lit(st.buckets(i)), lit(wOf(st.nt(i), st.nr(i))))): _*)
-    val floorW = wOf(0L, 0L) // empty bucket: ln((tr+αK)/(tt+αK))
-    docs.select(col("doc_id"),
-      graft.functions.ExprUtils.bindOnce(featureArray(col("text"))) { fs =>
-        val mean = aggregate(
-          transform(fs, g => coalesce(
-            element_at(wm, pmod(h60(g), lit(k.toLong)).cast("int")), lit(floorW))),
-          lit(0.0), (a, x) => a + x) / size(fs)
-        struct(
-          size(fs).cast("long").as("n_feats"),
-          round(mean, 4).as("logodds"),
-          round(lit(1.0) / (lit(1.0) + exp(-mean)), 4).as("p_target"))
-      }.as("s"))
-      .select(col("doc_id"), col("s.n_feats").as("n_feats"),
-        col("s.logodds").as("logodds"), col("s.p_target").as("p_target"))
+    ClassifierModel(wm, wOf(0L, 0L), k) // floor: ln((tr+αK)/(tt+αK))
   }
+
+  /** Per-document scoring struct (n_feats, logodds, p_target) — one narrow
+    * expression over `textCol`, fusable into any projection. */
+  private[operators] def classifierStruct(m: ClassifierModel, textCol: Column): Column =
+    graft.functions.ExprUtils.bindOnce(featureArray(textCol)) { fs =>
+      val mean = aggregate(
+        transform(fs, g => coalesce(
+          element_at(m.wm, pmod(h60(g), lit(m.k.toLong)).cast("int")), lit(m.floorW))),
+        lit(0.0), (a, x) => a + x) / size(fs)
+      struct(
+        size(fs).cast("long").as("n_feats"),
+        round(mean, 4).as("logodds"),
+        round(lit(1.0) / (lit(1.0) + exp(-mean)), 4).as("p_target"))
+    }
 
   def classifierScores(spark: SparkSession, dir: String): DataFrame =
     classifierScoresOf(Tables.documentsById(spark, dir))
@@ -151,7 +163,17 @@ object HashedModel {
     * avg_logp/ppl NULL on both engines.
     */
   def bigramPerplexityOf(docs: DataFrame, k: Int = 2048,
-                         alpha: Double = 0.5): DataFrame = {
+                         alpha: Double = 0.5): DataFrame =
+    docs.select(col("doc_id"),
+        perplexityStruct(trainBigramLm(docs, k, alpha), col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.avg_logp").as("avg_logp"), col("s.ppl").as("ppl"))
+
+  /** Trained bigram LM as a shippable O(K) literal model. */
+  private[operators] case class BigramLm(ugm: Column, bgm: Column, k: Int, alpha: Double)
+
+  private[operators] def trainBigramLm(docs: DataFrame, k: Int = 2048,
+                                       alpha: Double = 0.5): BigramLm = {
     val ug = bucketStats(docs.select(
       explode(split(col("text"), " ", -1)).as("g"), lit(false).as("tgt")), k)
     val bg = bucketStats(docs.select(
@@ -164,26 +186,29 @@ object HashedModel {
       Seq(lit(ug.buckets(i)), lit(ug.nr(i).toDouble))): _*)
     val bgm = map(bg.buckets.indices.flatMap(i =>
       Seq(lit(bg.buckets(i)), lit(bg.nr(i).toDouble))): _*)
-    val b = (g: Column) => pmod(h60(g), lit(k.toLong)).cast("int")
-    docs.select(col("doc_id"),
-      graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ws =>
-        val lps = transform(
-          sequence(lit(1), size(ws) - 1),
-          i => log(
-            (coalesce(element_at(bgm,
-              b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int"))))), lit(0.0))
-              + alpha) /
-            (coalesce(element_at(ugm, b(element_at(ws, i))), lit(0.0))
-              + alpha * k)))
-        val n = size(ws) - 1
-        val avg = aggregate(lps, lit(0.0), (a, x) => a + x) / n
-        struct(
-          n.cast("long").as("n_bigrams"),
-          when(n > 0, round(avg, 4)).as("avg_logp"),
-          when(n > 0, round(exp(-avg), 4)).as("ppl"))
-      }.as("s"))
-      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
-        col("s.avg_logp").as("avg_logp"), col("s.ppl").as("ppl"))
+    BigramLm(ugm, bgm, k, alpha)
+  }
+
+  /** Per-document scoring struct (n_bigrams, avg_logp, ppl) — one narrow
+    * expression over `textCol`, fusable into any projection. */
+  private[operators] def perplexityStruct(m: BigramLm, textCol: Column): Column = {
+    val b = (g: Column) => pmod(h60(g), lit(m.k.toLong)).cast("int")
+    graft.functions.ExprUtils.bindOnce(split(textCol, " ", -1)) { ws =>
+      val lps = transform(
+        sequence(lit(1), size(ws) - 1),
+        i => log(
+          (coalesce(element_at(m.bgm,
+            b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int"))))), lit(0.0))
+            + m.alpha) /
+          (coalesce(element_at(m.ugm, b(element_at(ws, i))), lit(0.0))
+            + m.alpha * m.k)))
+      val n = size(ws) - 1
+      val avg = aggregate(lps, lit(0.0), (a, x) => a + x) / n
+      struct(
+        n.cast("long").as("n_bigrams"),
+        when(n > 0, round(avg, 4)).as("avg_logp"),
+        when(n > 0, round(exp(-avg), 4)).as("ppl"))
+    }
   }
 
   def bigramPerplexity(spark: SparkSession, dir: String): DataFrame =

@@ -69,6 +69,18 @@ object SubstringDedup {
     val starts = grams.join(dupHashes, Seq("gh"), "left_semi")
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    coverageReport(docs, starts, textCol, idCol, L,
+      "n_dup_spans", "covered_tokens", "dup_ratio")
+  }
+
+  /** Shared span-coverage tail: left-join per-doc sorted span `starts`
+    * back to the base scan, compute interval-union coverage and the cut
+    * text via HOFs (O(n_tokens × n_spans) per row — bounded by document
+    * size, the pipeline's unit of work). */
+  private def coverageReport(docs: DataFrame, starts: DataFrame,
+                             textCol: String, idCol: String, L: Int,
+                             spansCol: String, coveredCol: String,
+                             ratioCol: String): DataFrame =
     docs.join(starts, Seq(idCol), "left")
       .select(col(idCol), col(textCol).as("__text"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
@@ -81,17 +93,88 @@ object SubstringDedup {
             i => !exists(col("starts"), s => i >= s && i < s + L))
           struct(
             n.cast("long").as("n_tokens"),
-            size(col("starts")).cast("long").as("n_dup_spans"),
-            size(coveredIdx).cast("long").as("covered_tokens"),
-            round(size(coveredIdx).cast("double") / n, 4).as("dup_ratio"),
+            size(col("starts")).cast("long").as(spansCol),
+            size(coveredIdx).cast("long").as(coveredCol),
+            round(size(coveredIdx).cast("double") / n, 4).as(ratioCol),
             array_join(transform(uncoveredIdx,
               i => element_at(toks, (i + 1).cast("int"))), " ").as("cleaned_text"))
         }.as("s"))
       .select(col(idCol), col("s.n_tokens").as("n_tokens"),
-        col("s.n_dup_spans").as("n_dup_spans"),
-        col("s.covered_tokens").as("covered_tokens"),
-        col("s.dup_ratio").as("dup_ratio"),
+        col(s"s.$spansCol").as(spansCol),
+        col(s"s.$coveredCol").as(coveredCol),
+        col(s"s.$ratioCol").as(ratioCol),
         col("s.cleaned_text").as("cleaned_text"))
+
+  /** Span-level decontamination (the cut refinement of
+    * [[Prep.decontaminateAgainst]]'s whole-doc drop): mark every L-token
+    * span of a TRAINING doc whose gram appears in the BENCHMARK gram set,
+    * report coverage, and cut exactly the contaminated spans — modern
+    * decontamination keeps the clean remainder of a touched doc instead of
+    * discarding it. Same shapes as [[repeatedSpans]], except duplicate
+    * detection is replaced by a membership join against the (small,
+    * broadcast) benchmark hash set — no corpus-wide aggregate at all, so
+    * the ONLY shuffle is the per-doc start collection.
+    */
+  def contaminationSpans(trainDocs: DataFrame, benchHashes: DataFrame,
+                         textCol: String, idCol: String, L: Int = 3,
+                         hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                           h60): DataFrame = {
+    val ws = split(col(textCol), " ", -1)
+    val grams = trainDocs.filter(size(ws) >= L)
+      .select(col(idCol), posexplode(Dedup.wordShingles(col(textCol), L)))
+      .select(col(idCol), col("pos"), hashFn(col("col")).as("sh"))
+    val starts = grams.join(broadcast(benchHashes), Seq("sh"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    coverageReport(trainDocs, starts, textCol, idCol, L,
+      "n_contam_spans", "contam_tokens", "contam_ratio")
+  }
+
+  /** Gate wrapper: bench = the [[Prep.isBenchDoc]] slice (decontaminate's
+    * convention, k=3 grams), train = the rest; h60 end-to-end. */
+  def contaminationSpansGate(spark: SparkSession, dir: String, L: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationSpans(docs.filter(!Prep.isBenchDoc),
+      Prep.benchShingleHashes(docs.filter(Prep.isBenchDoc), L, h60),
+      "text", "doc_id", L, h60)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay: bench gram-hash set from the same slice, membership
+    * (not multiplicity) drives the spans, same coverage/cut lambdas. */
+  def contaminationSpansSql(L: Int = 3): String = {
+    val ws = "STR_SPLIT(text, ' ')"
+    val coveredFilter =
+      s"i -> LEN(list_filter(starts, s -> i >= s AND i < s + $L)) > 0"
+    val uncoveredFilter =
+      s"i -> LEN(list_filter(starts, s -> i >= s AND i < s + $L)) = 0"
+    // benchmark shingles use wordShingles' n<k contract ([text] for short
+    // docs) — mirror it; training grams only exist for n >= L
+    val benchGrams =
+      s"""CASE WHEN LEN($ws) >= $L
+         | THEN list_transform(range(0, LEN($ws) - $L + 1),
+         |   i -> array_to_string(($ws)[i+1:i+$L], ' '))
+         | ELSE [text] END""".stripMargin.replace("\n", "")
+    s"""WITH bench AS (SELECT DISTINCT ${h60Sql("g")} AS sh FROM (
+       |    SELECT UNNEST($benchGrams) AS g FROM documents WHERE doc_id % 10 = 0)),
+       |w AS (SELECT doc_id, $ws AS ws FROM documents WHERE doc_id % 10 <> 0),
+       |g AS (SELECT doc_id, i AS pos,
+       |        ${h60Sql("array_to_string(ws[i+1:i+" + L + "], ' ')")} AS sh
+       |      FROM (SELECT doc_id, ws, UNNEST(range(0, LEN(ws) - $L + 1)) AS i
+       |            FROM w WHERE LEN(ws) >= $L)),
+       |o AS (SELECT doc_id, pos FROM g JOIN bench USING (sh)),
+       |st AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM o GROUP BY doc_id),
+       |f AS (SELECT w.doc_id, ws, LEN(ws) AS n,
+       |        COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+       |      FROM w LEFT JOIN st USING (doc_id))
+       |SELECT doc_id,
+       |CAST(n AS BIGINT) AS n_tokens,
+       |CAST(LEN(starts) AS BIGINT) AS n_contam_spans,
+       |CAST(LEN(list_filter(range(0, n), $coveredFilter)) AS BIGINT) AS contam_tokens,
+       |ROUND(CAST(LEN(list_filter(range(0, n), $coveredFilter)) AS DOUBLE) / n, 4) AS contam_ratio,
+       |COALESCE(array_to_string(list_transform(
+       |  list_filter(range(0, n), $uncoveredFilter), i -> ws[i+1]), ' '), '') AS cleaned_text
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   /** Gate wrapper: h60 hash (exact DuckDB oracle), sorted by doc_id. */

@@ -140,14 +140,16 @@ object ComposedStreamSoak {
 
     // components: streamed labels == one-shot connected components
     val allPairs = (0 until nb).map(pairB).reduce(_ unionByName _)
-    val nodes = allPairs.select(col("a").as("id"))
-      .union(allPairs.select(col("b").as("id"))).distinct()
-    val streamed = ComponentsStream.currentLabels(spark, ccState, nodes, "id")
+    // node column deliberately NOT named "id": componentLabels' left join
+    // would hit ambiguity against the labels frame's own "id"
+    val nodes = allPairs.select(col("a").as("node_id"))
+      .union(allPairs.select(col("b").as("node_id"))).distinct()
+    val streamed = ComponentsStream.currentLabels(spark, ccState, nodes, "node_id")
       .as[(Long, Long)].collect().toSet
     // componentLabels, not raw connectedComponents: the fixpoint edge list
     // has no (root, root) self-row, while currentLabels labels every node —
     // compare like with like (the ComponentsStreamSpec contract)
-    val oneShot = Components.componentLabels(nodes, "id", allPairs, "a", "b")
+    val oneShot = Components.componentLabels(nodes, "node_id", allPairs, "a", "b")
       .as[(Long, Long)].collect().toSet
     check("cc_labels", streamed == oneShot)
     spark.stop()

@@ -73,4 +73,27 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .select("component").distinct().count()
     assert(best.filter(col("keep")).count() == nClusters)
   }
+
+  test("modelFilter: terciles balanced, pass is the stated conjunction, null-ppl in tail") {
+    import spark.implicits._
+    val r = Curation.modelFilter(spark, Sf0001)
+      .as[(Long, Double, Option[Double], Double, Long, Boolean)].collect()
+    assert(r.nonEmpty && r.map(_._1).distinct.length == r.length)
+    // ntile(3): tercile sizes differ by at most 1
+    val sizes = r.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // pass == stated conjunction, recomputed per row
+    r.foreach { case (_, p, _, rep, terc, pass) =>
+      assert(pass == (p >= 0.5 && rep <= 0.5 && terc <= 2))
+    }
+    // null-perplexity docs (if any) rank last -> tercile 3
+    r.filter(_._3.isEmpty).foreach { row => assert(row._5 == 3L) }
+    // terciles follow ppl order: max ppl of tercile 1 <= min ppl of tercile 3
+    val t1 = r.filter(x => x._5 == 1L && x._3.isDefined).map(_._3.get)
+    val t3 = r.filter(x => x._5 == 3L && x._3.isDefined).map(_._3.get)
+    if (t1.nonEmpty && t3.nonEmpty) assert(t1.max <= t3.min)
+    // the filter actually separates: some pass, some fail
+    assert(r.exists(_._6) && r.exists(!_._6))
+  }
 }

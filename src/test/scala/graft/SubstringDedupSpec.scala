@@ -86,4 +86,33 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("SortMergeJoin [gh"),
       "occurrence join shuffled the raw gram stream at broadcast scale")
   }
+
+  test("contaminationSpans: bench-overlapping spans are cut, clean docs untouched") {
+    import graft.operators.Prep
+    val bench = Seq((0L, "secret eval answer")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "aa bb secret eval answer cc"),   // contains the bench 3-gram at pos 2
+      (11L, "xx yy zz ww vv")                 // clean
+    ).toDF("doc_id", "text")
+    val r = SubstringDedup.contaminationSpans(train,
+        Prep.benchShingleHashes(bench, 3), "text", "doc_id", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+    assert(r(0) == ((10L, 6L, 1L, 3L, 0.5, "aa bb cc")))
+    assert(r(1) == ((11L, 5L, 0L, 0L, 0.0, "xx yy zz ww vv")))
+  }
+
+  test("contaminationSpans gate: train slice excludes bench docs; ratios well-formed") {
+    val df = SubstringDedup.contaminationSpansGate(spark, Sf0001)
+    val rows = df.as[(Long, Long, Long, Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 10 != 0), "bench docs must not appear in the report")
+    rows.foreach { case (_, n, spans, cov, ratio, cleaned) =>
+      assert(cov <= n && ratio >= 0.0 && ratio <= 1.0)
+      if (spans == 0) assert(cov == 0 && ratio == 0.0)
+      if (cov == n) assert(cleaned.isEmpty)
+    }
+    // the synthetic corpus shares grams across the split: contamination fires
+    assert(rows.exists(_._3 > 0))
+  }
 }

@@ -24,6 +24,11 @@ import graft.functions.Hashing.{h60, h60Sql}
   *  - SCORE is one narrow projection per doc — the bucket weights ride the
   *    plan as an O(K) literal map, no join, no shuffle above the scan.
   *
+  * Hash knob: every entry point takes `hashFn` (default [[h60]] so the
+  * gate gets an exact DuckDB oracle; production callers pass `xxhash64` —
+  * the Dedup convention — for the same plan at a fraction of the per-gram
+  * cost, the dominant constant in the perplexity scorer's sweep).
+  *
   * Portability (the DSIR/BM25 precedent): bucket counts are exact integers,
   * weights are IEEE divisions of exact operands in fixed order; the only
   * libm calls (`ln`, `exp`) are applied identically per gram and summed
@@ -54,9 +59,10 @@ object HashedModel {
     def totalTgt: Double = nt.sum.toDouble
   }
 
-  private def bucketStats(feats: DataFrame, k: Int): BucketStats = {
+  private def bucketStats(feats: DataFrame, k: Int,
+                          hashFn: Column => Column): BucketStats = {
     val rows = feats
-      .select(pmod(h60(col("g")), lit(k.toLong)).cast("int").as("b"), col("tgt"))
+      .select(pmod(hashFn(col("g")), lit(k.toLong)).cast("int").as("b"), col("tgt"))
       .groupBy("b")
       .agg(count(lit(1)).as("nr"), sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
       .collect() // ≤ k rows — bounded driver state by construction
@@ -84,27 +90,30 @@ object HashedModel {
     * the oracle replays the SAME buckets.
     */
   def classifierScoresOf(docs: DataFrame, targetLang: String = "en",
-                         k: Int = 128, alpha: Double = 0.5): DataFrame =
+                         k: Int = 128, alpha: Double = 0.5,
+                         hashFn: Column => Column = h60): DataFrame =
     docs.select(col("doc_id"),
-        classifierStruct(trainClassifier(docs, targetLang, k, alpha), col("text")).as("s"))
+        classifierStruct(trainClassifier(docs, targetLang, k, alpha, hashFn), col("text")).as("s"))
       .select(col("doc_id"), col("s.n_feats").as("n_feats"),
         col("s.logodds").as("logodds"), col("s.p_target").as("p_target"))
 
   /** Trained classifier as a shippable O(K) literal model — the unit the
     * fused pipeline ([[Curation.modelFilter]]) composes without a join. */
-  private[operators] case class ClassifierModel(wm: Column, floorW: Double, k: Int)
+  private[operators] case class ClassifierModel(wm: Column, floorW: Double, k: Int,
+                                                hashFn: Column => Column)
 
   private[operators] def trainClassifier(docs: DataFrame, targetLang: String = "en",
-                                         k: Int = 128, alpha: Double = 0.5): ClassifierModel = {
+                                         k: Int = 128, alpha: Double = 0.5,
+                                         hashFn: Column => Column = h60): ClassifierModel = {
     val feats = docs.select(explode(featureArray(col("text"))).as("g"),
       (col("lang") === targetLang).as("tgt"))
-    val st = bucketStats(feats, k)
+    val st = bucketStats(feats, k, hashFn)
     val (tr, tt) = (st.totalRaw, st.totalTgt)
     val wOf = (nt: Long, nr: Long) =>
       math.log(((nt + alpha) / (tt + alpha * k)) / ((nr + alpha) / (tr + alpha * k)))
     val wm = map(st.buckets.indices.flatMap(i =>
       Seq(lit(st.buckets(i)), lit(wOf(st.nt(i), st.nr(i))))): _*)
-    ClassifierModel(wm, wOf(0L, 0L), k) // floor: ln((tr+αK)/(tt+αK))
+    ClassifierModel(wm, wOf(0L, 0L), k, hashFn) // floor: ln((tr+αK)/(tt+αK))
   }
 
   /** Per-document scoring struct (n_feats, logodds, p_target) — one narrow
@@ -113,7 +122,7 @@ object HashedModel {
     graft.functions.ExprUtils.bindOnce(featureArray(textCol)) { fs =>
       val mean = aggregate(
         transform(fs, g => coalesce(
-          element_at(m.wm, pmod(h60(g), lit(m.k.toLong)).cast("int")), lit(m.floorW))),
+          element_at(m.wm, pmod(m.hashFn(g), lit(m.k.toLong)).cast("int")), lit(m.floorW))),
         lit(0.0), (a, x) => a + x) / size(fs)
       struct(
         size(fs).cast("long").as("n_feats"),
@@ -163,22 +172,25 @@ object HashedModel {
     * avg_logp/ppl NULL on both engines.
     */
   def bigramPerplexityOf(docs: DataFrame, k: Int = 2048,
-                         alpha: Double = 0.5): DataFrame =
+                         alpha: Double = 0.5,
+                         hashFn: Column => Column = h60): DataFrame =
     docs.select(col("doc_id"),
-        perplexityStruct(trainBigramLm(docs, k, alpha), col("text")).as("s"))
+        perplexityStruct(trainBigramLm(docs, k, alpha, hashFn), col("text")).as("s"))
       .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
         col("s.avg_logp").as("avg_logp"), col("s.ppl").as("ppl"))
 
   /** Trained bigram LM as a shippable O(K) literal model. */
-  private[operators] case class BigramLm(ugm: Column, bgm: Column, k: Int, alpha: Double)
+  private[operators] case class BigramLm(ugm: Column, bgm: Column, k: Int, alpha: Double,
+                                         hashFn: Column => Column)
 
   private[operators] def trainBigramLm(docs: DataFrame, k: Int = 2048,
-                                       alpha: Double = 0.5): BigramLm = {
+                                       alpha: Double = 0.5,
+                                       hashFn: Column => Column = h60): BigramLm = {
     val ug = bucketStats(docs.select(
-      explode(split(col("text"), " ", -1)).as("g"), lit(false).as("tgt")), k)
+      explode(split(col("text"), " ", -1)).as("g"), lit(false).as("tgt")), k, hashFn)
     val bg = bucketStats(docs.select(
       explode(Dedup.wordShingles(col("text"), 2)).as("g"), lit(false).as("tgt"))
-      .filter(size(split(col("g"), " ", -1)) === 2), k)
+      .filter(size(split(col("g"), " ", -1)) === 2), k, hashFn)
     // NOTE the bigram filter: wordShingles' n<2 contract emits [text] for
     // single-word docs — those pseudo-grams are NOT bigrams and must not
     // train the model; the oracle's range() formulation never emits them.
@@ -186,13 +198,13 @@ object HashedModel {
       Seq(lit(ug.buckets(i)), lit(ug.nr(i).toDouble))): _*)
     val bgm = map(bg.buckets.indices.flatMap(i =>
       Seq(lit(bg.buckets(i)), lit(bg.nr(i).toDouble))): _*)
-    BigramLm(ugm, bgm, k, alpha)
+    BigramLm(ugm, bgm, k, alpha, hashFn)
   }
 
   /** Per-document scoring struct (n_bigrams, avg_logp, ppl) — one narrow
     * expression over `textCol`, fusable into any projection. */
   private[operators] def perplexityStruct(m: BigramLm, textCol: Column): Column = {
-    val b = (g: Column) => pmod(h60(g), lit(m.k.toLong)).cast("int")
+    val b = (g: Column) => pmod(m.hashFn(g), lit(m.k.toLong)).cast("int")
     graft.functions.ExprUtils.bindOnce(split(textCol, " ", -1)) { ws =>
       val lps = transform(
         sequence(lit(1), size(ws) - 1),

@@ -76,4 +76,13 @@ class HashedModelSpec extends AnyFunSuite with SparkSuite {
     val b = HashedModel.bigramPerplexityOf(docs.repartition(5)).orderBy("doc_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("hash knob: xxhash64 production variant runs, deterministic, same plan shape") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = HashedModel.classifierScoresOf(docs, hashFn = xxhash64(_)).orderBy("doc_id").collect()
+    val b = HashedModel.classifierScoresOf(docs, hashFn = xxhash64(_)).orderBy("doc_id").collect()
+    assert(a.sameElements(b) && a.nonEmpty)
+    val p = HashedModel.bigramPerplexityOf(docs, hashFn = xxhash64(_)).orderBy("doc_id").collect()
+    assert(p.length == docs.count())
+  }
 }

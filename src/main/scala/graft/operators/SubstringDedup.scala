@@ -47,7 +47,6 @@ object SubstringDedup {
                     L: Int = 5,
                     hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                       xxhash64(_)): DataFrame = {
-    val ws = split(col(textCol), " ", -1)
     // Exchange economics of the diamond (aggregate + semi-join over one
     // gram stream): the duplicate-count aggregate partial-aggregates
     // map-side, so its gh exchange carries ≤ distinct-grams-per-partition
@@ -61,23 +60,47 @@ object SubstringDedup {
     // duplicate hashes are rarer than grams. Beyond broadcast scale the
     // semi-join degrades to shuffle on gh — the plan a distributed
     // suffix-array equivalent pays anyway.
-    val grams = docs.filter(size(ws) >= L)
-      .select(col(idCol), posexplode(Dedup.wordShingles(col(textCol), L)))
-      .select(col(idCol), col("pos"), hashFn(col("col")).as("gh"))
+    val grams = gramStream(docs, textCol, idCol, L, hashFn)
     val dupHashes = grams.groupBy("gh")
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("gh")
-    val starts = grams.join(dupHashes, Seq("gh"), "left_semi")
+    spansAgainst(docs, dupHashes, textCol, idCol, L, hashFn,
+      "n_dup_spans", "covered_tokens", "dup_ratio")
+  }
+
+  /** Gram stream of `docs`: one (idCol, pos, gh) row per L-word window.
+    * Shared by the batch operator, [[contaminationSpans]], and the
+    * incremental stream ([[graft.streaming.SubstringDedupStream]]). */
+  private[graft] def gramStream(docs: DataFrame, textCol: String, idCol: String,
+                                L: Int,
+                                hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val ws = split(col(textCol), " ", -1)
+    docs.filter(size(ws) >= L)
+      .select(col(idCol), posexplode(Dedup.wordShingles(col(textCol), L)))
+      .select(col(idCol), col("pos"), hashFn(col("col")).as("gh"))
+  }
+
+  /** Span report of `docs` against an arbitrary flagged-hash set (column
+    * `gh`): occurrences of flagged grams → per-doc sorted starts →
+    * [[coverageReport]]. `broadcastFlags` hints the membership join for
+    * known-small sets (the contamination case). */
+  private[graft] def spansAgainst(docs: DataFrame, flaggedHashes: DataFrame,
+                                  textCol: String, idCol: String, L: Int,
+                                  hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                  spansCol: String, coveredCol: String, ratioCol: String,
+                                  broadcastFlags: Boolean = false): DataFrame = {
+    val flags = if (broadcastFlags) broadcast(flaggedHashes) else flaggedHashes
+    val starts = gramStream(docs, textCol, idCol, L, hashFn)
+      .join(flags, Seq("gh"), "left_semi")
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    coverageReport(docs, starts, textCol, idCol, L,
-      "n_dup_spans", "covered_tokens", "dup_ratio")
+    coverageReport(docs, starts, textCol, idCol, L, spansCol, coveredCol, ratioCol)
   }
 
   /** Shared span-coverage tail: left-join per-doc sorted span `starts`
     * back to the base scan, compute interval-union coverage and the cut
     * text via HOFs (O(n_tokens × n_spans) per row — bounded by document
     * size, the pipeline's unit of work). */
-  private def coverageReport(docs: DataFrame, starts: DataFrame,
+  private[graft] def coverageReport(docs: DataFrame, starts: DataFrame,
                              textCol: String, idCol: String, L: Int,
                              spansCol: String, coveredCol: String,
                              ratioCol: String): DataFrame =
@@ -118,17 +141,10 @@ object SubstringDedup {
   def contaminationSpans(trainDocs: DataFrame, benchHashes: DataFrame,
                          textCol: String, idCol: String, L: Int = 3,
                          hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                           h60): DataFrame = {
-    val ws = split(col(textCol), " ", -1)
-    val grams = trainDocs.filter(size(ws) >= L)
-      .select(col(idCol), posexplode(Dedup.wordShingles(col(textCol), L)))
-      .select(col(idCol), col("pos"), hashFn(col("col")).as("sh"))
-    val starts = grams.join(broadcast(benchHashes), Seq("sh"))
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    coverageReport(trainDocs, starts, textCol, idCol, L,
-      "n_contam_spans", "contam_tokens", "contam_ratio")
-  }
+                           h60): DataFrame =
+    spansAgainst(trainDocs, benchHashes.select(col("sh").as("gh")),
+      textCol, idCol, L, hashFn,
+      "n_contam_spans", "contam_tokens", "contam_ratio", broadcastFlags = true)
 
   /** Gate wrapper: bench = the [[Prep.isBenchDoc]] slice (decontaminate's
     * convention, k=3 grams), train = the rest; h60 end-to-end. */

@@ -281,8 +281,14 @@ object Pq {
     val withClusters = queries.map { case (id, v) =>
       (id, lutOf(v, cb).toSeq, Similarity.nearestClustersLocal(v, cents, nprobe))
     }
-    val probes = withClusters.toDF("query_id", "lut", "clusters")
-      .select(col("query_id"), col("lut"), explode(col("clusters")).as("cluster"))
+    // lut attached by query_id AFTER the cluster join: carrying it on the
+    // exploded probe side would ship nprobe copies of each m·ks-double
+    // table through the broadcast relation for nothing
+    val probes = withClusters.map { case (id, _, cls) => (id, cls) }
+      .toDF("query_id", "clusters")
+      .select(col("query_id"), explode(col("clusters")).as("cluster"))
+    val luts = withClusters.map { case (id, l, _) => (id, l) }
+      .toDF("query_id", "lut")
     val probed = withClusters.flatMap(_._3).distinct
     val cands = spark.read.parquet(pqPath)
       .filter(col("cluster").isin(probed: _*))
@@ -291,14 +297,13 @@ object Pq {
       ColumnBridge.expression(col("code")),
       ColumnBridge.expression(col("lut")),
       adcOffsets(cb), nlutOf(cb)))
-    broadcast(probes).join(cands, Seq("cluster"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("psim", round(sim, 4))
-      .filter(!isnan(col("psim"))) // all-zero codewords rank nowhere
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("psim").desc, col("cand_id"))))
-      .filter(col("rn") <= k)
-      .select("query_id", "cand_id", "psim")
+    // SHARED rankTail (self-pair filter, NaN guard, bounded top-k) — the
+    // decode path ranks through the same code, so the two scorers cannot
+    // drift (PqSpec pins ADC ≡ decode)
+    Similarity.rankTail(
+      broadcast(probes).join(cands, Seq("cluster"))
+        .join(broadcast(luts), Seq("query_id")),
+      k, sim, "psim")
   }
 
   /** Two-stage PQ retrieval: partition-pruned PQ pool (decode-then-cosine,

@@ -227,11 +227,22 @@ object Similarity {
     * change), not query latency, so a query that needs `path` goes through
     * here: the first call per path this session builds (always fresh —
     * on-disk leftovers from earlier sessions are never trusted), the rest
-    * reuse the files. Build cost itself stays a measured STRESS.md row.
+    * reuse the files. A registry hit re-verifies the files still EXIST
+    * (local paths only — the /tmp layouts this serves): an externally
+    * cleaned dir (tmpwatch) rebuilds instead of failing the query.
+    * Residual limitation, documented: a registry hit cannot detect that
+    * the SOURCE corpus changed under an intact index mid-JVM (testdata
+    * regeneration happens between driver rounds, i.e. across JVMs, where
+    * the registry is empty anyway). Build cost stays a measured STRESS.md
+    * row.
     */
   private val builtIndexes = new scala.collection.concurrent.TrieMap[String, Unit]
-  def ensureBuilt(path: String)(build: => Unit): Unit =
+  def ensureBuilt(path: String)(build: => Unit): Unit = {
+    val u = new java.net.URI(path)
+    val local = u.getScheme == null || u.getScheme == "file"
+    if (local && !new java.io.File(u.getPath).exists()) builtIndexes.remove(path)
     builtIndexes.getOrElseUpdate(path, build)
+  }
 
   /** IVF approximate top-k against an already-trained quantizer: each probe
     * searches only its `nprobe` nearest inverted lists. The only
@@ -271,17 +282,28 @@ object Similarity {
         explode(nearest).as("cluster"))
   }
 
-  /** Shared scoring tail: broadcast tiny probes into the inverted lists,
-    * exact cosine, bounded per-probe top-k. */
-  private[graft] def ivfScoreTail(probes: DataFrame, cands: DataFrame, k: Int): DataFrame =
-    broadcast(probes).join(cands, Seq("cluster"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
-      .filter(!isnan(col("sim"))) // zero-norm candidates rank nowhere
+  /** Shared ranking tail over an already-joined (query × candidate) frame:
+    * self-pair filter, rounded score, NaN guard (zero-norm/all-zero
+    * candidates rank nowhere), bounded per-probe top-k. EVERY IVF scorer
+    * (exact, int8, PQ decode, PQ ADC) must rank through here — an earlier
+    * inlined copy dropped its NaN guard, which is the drift this shared
+    * tail exists to prevent. */
+  private[graft] def rankTail(joined: DataFrame, k: Int,
+                              sim: org.apache.spark.sql.Column,
+                              simCol: String): DataFrame =
+    joined.filter(col("query_id") =!= col("cand_id"))
+      .withColumn(simCol, round(sim, 4))
+      .filter(!isnan(col(simCol)))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+        Window.partitionBy("query_id").orderBy(col(simCol).desc, col("cand_id"))))
       .filter(col("rn") <= k)
-      .select("query_id", "cand_id", "sim")
+      .select("query_id", "cand_id", simCol)
+
+  /** [[rankTail]] preceded by the standard probe-broadcast cluster
+    * equi-join, exact-cosine scored. */
+  private[graft] def ivfScoreTail(probes: DataFrame, cands: DataFrame, k: Int): DataFrame =
+    rankTail(broadcast(probes).join(cands, Seq("cluster")), k,
+      cosine(col("qv"), col("cv")), "sim")
 
   /** Materialize the inverted-list index CLUSTER-PARTITIONED on disk —
     * `path/cluster=<id>/…` — so a query's candidate read lists and opens

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -320,29 +320,36 @@ object TextAnalysis {
     *
     * Driver state: ≤ k + sketchK rows. At 100 TB the uncapped collect is
     * O(vocabulary) (billions for raw n-grams); this is O(k), period. */
-  def cappedVocabStats(docs: DataFrame, targetLang: String,
+  def cappedVocabStats(docs: DataFrame, targetPred: Column,
                        k: Int, sketchK: Int): CappedVocab = {
     import org.apache.spark.sql.Encoders
     require(k > 0 && sketchK >= k, s"need sketchK >= k > 0, got k=$k sketchK=$sketchK")
+    // targetPred as a Column (not a lang string): target-free callers
+    // (tokenFamiliarity) pass lit(false) and need no `lang` column at all
     val toks = docs.select(explode(split(col("text"), " ", -1)).as("t"),
-      (col("lang") === targetLang).as("tgt"))
+      targetPred.as("tgt"))
     val mg = udaf(new FreqSketch.MisraGries(sketchK), Encoders.STRING)
-    val cand = toks.agg(mg(col("t")).as("sk"))
-      .select(explode(col("sk.tokens")).as("t"))
+    // ONE pass for sketch + smoothing denominators (the totals are
+    // corpus-wide and candidate-independent — a separate totals scan was
+    // pure waste); pass 2 exact-counts only the ≤ sketchK candidates
+    val row = toks.agg(mg(col("t")).as("sk"),
+      count(lit(1)).as("tr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
+      count_distinct(col("t")).as("v")).head()
+    val candTokens = row.getStruct(0).getSeq[String](
+      row.getStruct(0).fieldIndex("tokens"))
+    val cand = docs.sparkSession.createDataset(candTokens)(Encoders.STRING).toDF("t")
     val top = toks.join(broadcast(cand), "t")
       .groupBy("t").agg(count(lit(1)).as("nr"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
       .orderBy(col("nr").desc, col("t")).limit(k)
       .collect() // ≤ k rows — the bounded-driver-state contract
-    val tot = toks.agg(count(lit(1)).as("tr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
-      count_distinct(col("t")).as("v")).collect()(0)
-    val totalRaw = tot.getLong(0)
+    val totalRaw = row.getLong(1)
     val kthBound = totalRaw.toDouble / (sketchK + 1).toDouble
-    val provable = top.length.toLong == tot.getLong(2) ||
+    val provable = top.length.toLong == row.getLong(3) ||
       (top.nonEmpty && top.last.getLong(1).toDouble > kthBound)
     CappedVocab(top.map(_.getString(0)), top.map(_.getLong(1)), top.map(_.getLong(2)),
-      totalRaw, tot.getLong(1), tot.getLong(2), provable)
+      totalRaw, row.getLong(2), row.getLong(3), provable)
   }
 
   /** [[tokenFamiliarity]] with the capped-vocabulary path: frequencies of
@@ -360,7 +367,7 @@ object TextAnalysis {
                                alpha: Double = 0.5, sketchKOpt: Int = -1,
                                strict: Boolean = true): DataFrame = {
     val sketchK = if (sketchKOpt > 0) sketchKOpt else 8 * k
-    val cv = cappedVocabStats(docs, targetLang = "en", k, sketchK)
+    val cv = cappedVocabStats(docs, lit(false), k, sketchK) // target-free: no lang column needed
     if (strict) require(cv.provablyExact,
       s"capped vocab (k=$k, sketchK=$sketchK) not provably the exact top-$k — " +
         "raise sketchK or use strict=false for the approximate model")
@@ -490,7 +497,7 @@ object TextAnalysis {
                           k: Int = 10000, sketchKOpt: Int = -1,
                           strict: Boolean = true): DataFrame = {
     val sketchK = if (sketchKOpt > 0) sketchKOpt else 8 * k
-    val cv = cappedVocabStats(docs, targetLang, k, sketchK)
+    val cv = cappedVocabStats(docs, col("lang") === targetLang, k, sketchK)
     if (strict) require(cv.provablyExact,
       s"capped vocab (k=$k, sketchK=$sketchK) not provably the exact top-$k — " +
         "raise sketchK or use strict=false for the approximate model")

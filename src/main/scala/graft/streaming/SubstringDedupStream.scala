@@ -49,9 +49,28 @@ object SubstringDedupStream {
   private def emptyCounts(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("gh"), col("id").as("cnt"))
 
+  /** Complete any interrupted temp-swap (the ComponentsStream readStateOr
+    * heal, applied to BOTH state tables): `replaceDir`'s crash window
+    * between delete(dst) and rename leaves dst missing and `dst.tmp` as
+    * the sole surviving copy — without this preamble a crash inside
+    * [[compactState]]'s grams swap would silently zero all accumulated
+    * counts (and the already-committed watermark would suppress the
+    * replays that could rebuild them). Called on entry by every public
+    * state reader/writer; single-writer discipline is the package
+    * contract, as everywhere in this package. */
+  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
+    val fs = FsUtils.fs(spark, stateDir)
+    for (p <- Seq(gramsPath(stateDir), foldmetaPath(stateDir))) {
+      val out = new org.apache.hadoop.fs.Path(p)
+      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
+      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
+    }
+  }
+
   /** All accumulated (gh, cnt) rows — per-batch partials plus any folded
     * `batch=-1` dir; sum per gh for totals. */
   private def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverSwaps(spark, stateDir)
     val path = gramsPath(stateDir)
     if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
       emptyCounts(spark)
@@ -66,6 +85,7 @@ object SubstringDedupStream {
   /** Highest batch id the last compaction folded into `batch=-1`
     * (−1 when never compacted). */
   def foldedUpto(spark: SparkSession, stateDir: String): Long = {
+    recoverSwaps(spark, stateDir)
     val p = foldmetaPath(stateDir)
     if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
     else spark.read.parquet(p).agg(max("folded_upto")).head().getLong(0)
@@ -79,6 +99,7 @@ object SubstringDedupStream {
                  hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                    xxhash64(_),
                  autoCompactBatches: Int = 0): Boolean = {
+    recoverSwaps(spark, stateDir)
     val fs = FsUtils.fs(spark, stateDir)
     val dst = new org.apache.hadoop.fs.Path(s"${gramsPath(stateDir)}/batch=$batchId")
     if (fs.exists(dst) || batchId <= foldedUpto(spark, stateDir)) return false
@@ -142,8 +163,12 @@ object SubstringDedupStream {
     *  2. the whole grams dir is swapped for {batch=-1} in one rename.
     * A crash between 1 and 2 leaves the un-folded dirs in place — reads
     * still sum to the same totals, the watermark is merely early, and the
-    * next compaction redoes the (deterministic) fold. */
+    * next compaction redoes the (deterministic) fold. A crash INSIDE
+    * either swap (after delete, before rename) leaves the `.tmp` dir as
+    * the only copy — [[recoverSwaps]] completes the rename on the next
+    * state access, so the accumulated counts are never lost. */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
+    recoverSwaps(spark, stateDir)
     val fs = FsUtils.fs(spark, stateDir)
     val gPath = new org.apache.hadoop.fs.Path(gramsPath(stateDir))
     if (!fs.exists(gPath)) return

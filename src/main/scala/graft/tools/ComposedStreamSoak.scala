@@ -2,12 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, CorpusOverlap, Curation, Pq, Similarity}
-import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, OverlapStream}
+import graft.operators.{Components, CorpusOverlap, Curation, Pq, Similarity, SubstringDedup}
+import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, OverlapStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 11): the four stateful streams —
+/** Composed streaming soak (round 11): the five stateful streams —
   * OverlapStream, CurationStream, EmbeddingIndexStream (triple-write),
-  * ComponentsStream — consuming ONE shared document/embedding drop
+  * ComponentsStream, SubstringDedupStream — consuming ONE shared document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -63,6 +63,7 @@ object ComposedStreamSoak {
     val (ovState, ovOut) = (s"$tmp/ov-state", s"$tmp/ov-out")
     val (curState, curOut) = (s"$tmp/cur-state", s"$tmp/cur-out")
     val ccState = s"$tmp/cc-state"
+    val ssState = s"$tmp/ss-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -75,6 +76,8 @@ object ComposedStreamSoak {
         autoCompactBatches = 8)
       ComponentsStream.applyBatch(spark, pairB(i), "a", "b", i.toLong, ccState,
         autoCompactBytes = 256 * 1024)
+      SubstringDedupStream.applyBatch(spark, docB(i), i.toLong, ssState,
+        L = 5, autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -152,6 +155,13 @@ object ComposedStreamSoak {
     val oneShot = Components.componentLabels(nodes, "node_id", allPairs, "a", "b")
       .as[(Long, Long)].collect().toSet
     check("cc_labels", streamed == oneShot)
+
+    // substring dedup: currentSpans over the union ≡ batch repeatedSpans
+    val ssStream = SubstringDedupStream.currentSpans(spark, ssState, docs, L = 5)
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSet
+    val ssBatch = SubstringDedup.repeatedSpans(docs, "text", "doc_id", L = 5)
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSet
+    check("substring_spans", ssStream == ssBatch)
     spark.stop()
   }
 }

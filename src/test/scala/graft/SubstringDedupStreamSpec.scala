@@ -101,6 +101,29 @@ class SubstringDedupStreamSpec extends AnyFunSuite with SparkSuite {
       == batchAnswer)
   }
 
+  test("crash INSIDE the compaction swap: .tmp orphan heals, counts never lost") {
+    val state = tmp()
+    foldAll(state)
+    // simulate replaceDir's delete-then-rename window: grams/ deleted, the
+    // fold output stranded in grams.tmp, watermark already committed
+    SubstringDedupStream.compactState(spark, state)
+    val fs = graft.functions.FsUtils.fs(spark, state)
+    val g = new org.apache.hadoop.fs.Path(s"$state/grams")
+    val t = new org.apache.hadoop.fs.Path(s"$state/grams.tmp")
+    assert(fs.rename(g, t)) // out missing + tmp present == the crash window
+    // the heal preamble completes the rename on the next state access
+    assert(report(SubstringDedupStream.currentSpans(spark, state, docs, L))
+      == batchAnswer)
+    assert(fs.exists(g) && !fs.exists(t))
+    // and a replay arriving FIRST (before any read) heals too
+    assert(fs.rename(g, t))
+    val applied = SubstringDedupStream.applyBatch(spark,
+      docs.filter($"doc_id" % 3 === 1), 1L, state, None, L = L)
+    assert(!applied && fs.exists(g) && !fs.exists(t))
+    assert(report(SubstringDedupStream.currentSpans(spark, state, docs, L))
+      == batchAnswer)
+  }
+
   test("auto-compaction triggers on dir count and bounds the log") {
     val state = tmp()
     for (b <- 0 until 8)

@@ -171,7 +171,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
 
   test("cappedVocabStats: bounded size, exact heavy-hitter counts, provable exactness") {
     val docs = Tables.documents(spark, Sf0001)
-    val cv = TextAnalysis.cappedVocabStats(docs, "en", k = 16, sketchK = 128)
+    val cv = TextAnalysis.cappedVocabStats(docs, col("lang") === "en", k = 16, sketchK = 128)
     assert(cv.tokens.length == 16)
     assert(cv.provablyExact, "MG presence bound must prove the top-16 on this corpus")
     // counts must be the EXACT global counts of those tokens (the MG sketch

@@ -244,6 +244,13 @@ object SparkEntry {
     // deterministic global training-order shuffle into balanced shards
     "shuffled_export" -> ((s: SparkSession, d: String) =>
       Sampling.shuffledExportAssign(s, d)),
+    // capstone composition: curated survivors -> training-order export
+    // (what actually ships to the trainer: curate, then shard)
+    "curation_export" -> ((s: SparkSession, d: String) =>
+      Sampling.shuffledExportAssignOf(
+          Curation.curate(s, d, hashFn = graft.functions.Hashing.h60)
+            .select("doc_id"), nShards = 8)
+        .orderBy("doc_id")),
     // [EXT] document prep: chunking, PII scrubbing, decontamination
     "chunk_overlap" -> ((s: SparkSession, d: String) => Prep.chunkOverlap(s, d)),
     "pii_scrub" -> Prep.piiScrub _,
@@ -611,6 +618,8 @@ object SparkEntry {
     "model_filter" -> Curation.modelFilterSql(),
     "dedup_best_keep" -> PortableOracles.bestRepKeepSql,
     "shuffled_export" -> Sampling.shuffledExportAssignSql(),
+    "curation_export" -> s"""WITH cur AS (${PortableOracles.curationPipelineSql})
+      |${Sampling.shuffledExportAssignSql(nShards = 8, src = "cur")}""".stripMargin,
     "token_freq_sketch" -> TextAnalysis.tokenFreqSql,
     "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
     "source_overlap" -> CorpusOverlap.sourceOverlapSql,

@@ -413,12 +413,12 @@ object Sampling {
     shuffledExportAssignOf(Tables.documents(spark, dir), nShards)
       .orderBy("doc_id")
 
-  def shuffledExportAssignSql(nShards: Int = 16): String =
+  def shuffledExportAssignSql(nShards: Int = 16, src: String = "documents"): String =
     s"""SELECT doc_id, shard,
        |CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos
        |FROM (SELECT doc_id, ${h60Sql("doc_id::VARCHAR || ':shuffle'")} AS hkey,
        |      CAST(${h60Sql("doc_id::VARCHAR || ':shuffle'")} % $nShards AS INTEGER) AS shard
-       |      FROM documents) t
+       |      FROM $src) t
        |ORDER BY doc_id""".stripMargin
 
   /** Materialize [[shuffledExportAssignOf]]'s order: one file per shard,

@@ -186,19 +186,29 @@ object HashedModel {
   private[operators] def trainBigramLm(docs: DataFrame, k: Int = 2048,
                                        alpha: Double = 0.5,
                                        hashFn: Column => Column = h60): BigramLm = {
-    val ug = bucketStats(docs.select(
-      explode(split(col("text"), " ", -1)).as("g"), lit(false).as("tgt")), k, hashFn)
-    val bg = bucketStats(docs.select(
-      explode(Dedup.wordShingles(col("text"), 2)).as("g"), lit(false).as("tgt"))
-      .filter(size(split(col("g"), " ", -1)) === 2), k, hashFn)
-    // NOTE the bigram filter: wordShingles' n<2 contract emits [text] for
-    // single-word docs — those pseudo-grams are NOT bigrams and must not
-    // train the model; the oracle's range() formulation never emits them.
-    val ugm = map(ug.buckets.indices.flatMap(i =>
-      Seq(lit(ug.buckets(i)), lit(ug.nr(i).toDouble))): _*)
-    val bgm = map(bg.buckets.indices.flatMap(i =>
-      Seq(lit(bg.buckets(i)), lit(bg.nr(i).toDouble))): _*)
-    BigramLm(ugm, bgm, k, alpha, hashFn)
+    // ONE explode trains both tables: unigrams + TRUE bigrams in one gram
+    // stream, told apart by the embedded space (a split token can never
+    // contain one, a 2-shingle always does). The space filter also drops
+    // wordShingles' n<2 pseudo-gram ([text] for single-word docs), which
+    // is NOT a bigram and must not train the model — the oracle's range()
+    // formulation never emits it. groupBy (bucket, isBigram) stays ≤ 2K
+    // rows: the same bounded-exchange contract as one-table training.
+    val rows = docs.select(explode(concat(
+        split(col("text"), " ", -1),
+        filter(Dedup.wordShingles(col("text"), 2), g => instr(g, " ") > 0))).as("g"))
+      .select(pmod(hashFn(col("g")), lit(k.toLong)).cast("int").as("b"),
+        (instr(col("g"), " ") > 0).as("bg"))
+      .groupBy("b", "bg").agg(count(lit(1)).as("n"))
+      .collect() // ≤ 2k rows
+    def tableOf(isBg: Boolean): Column = {
+      val part = rows.filter(_.getBoolean(1) == isBg).sortBy(_.getInt(0))
+      // sentinel entry for a degenerate empty table (e.g. a corpus of
+      // single-word docs has no bigrams): bucket −1 can never be probed,
+      // and a zero-arg map() literal would be untyped
+      if (part.isEmpty) map(lit(-1), lit(0.0))
+      else map(part.flatMap(r => Seq(lit(r.getInt(0)), lit(r.getLong(2).toDouble))): _*)
+    }
+    BigramLm(tableOf(false), tableOf(true), k, alpha, hashFn)
   }
 
   /** Per-document scoring struct (n_bigrams, avg_logp, ppl) — one narrow

@@ -85,4 +85,19 @@ class HashedModelSpec extends AnyFunSuite with SparkSuite {
     val p = HashedModel.bigramPerplexityOf(docs, hashFn = xxhash64(_)).orderBy("doc_id").collect()
     assert(p.length == docs.count())
   }
+
+  test("scoring pass is narrow: no hash exchange in the executed plan") {
+    val df = HashedModel.classifierScoresOf(Tables.documents(spark, Sf0001))
+    df.collect()
+    val s0 = df.queryExecution.executedPlan.toString
+    val plan = { val c = s0.indexOf("== Initial Plan =="); if (c >= 0) s0.substring(0, c) else s0 }
+    assert(!plan.contains("hashpartitioning"),
+      "classifier scoring must be a narrow literal-map pass over the scan")
+    val p2 = HashedModel.bigramPerplexityOf(Tables.documents(spark, Sf0001))
+    p2.collect()
+    val s1 = p2.queryExecution.executedPlan.toString
+    val plan2 = { val c = s1.indexOf("== Initial Plan =="); if (c >= 0) s1.substring(0, c) else s1 }
+    assert(!plan2.contains("hashpartitioning"),
+      "perplexity scoring must be a narrow literal-map pass over the scan")
+  }
 }

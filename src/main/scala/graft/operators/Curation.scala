@@ -104,8 +104,11 @@ object Curation {
     * unless everything ties: no-evidence docs are not silently kept.
     */
   def modelFilter(spark: SparkSession, dir: String,
-                  pTau: Double = 0.5, repMax: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                  pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =
+    modelFilterOf(Tables.documents(spark, dir), pTau, repMax)
+
+  def modelFilterOf(docs: DataFrame,
+                    pTau: Double = 0.5, repMax: Double = 0.5): DataFrame = {
     val cls = HashedModel.trainClassifier(docs)
     val lm = HashedModel.trainBigramLm(docs)
     val scored = docs.select(col("doc_id"),
@@ -123,6 +126,51 @@ object Curation {
         (col("p_target") >= pTau && col("rep_ratio") <= repMax &&
           col("ppl_tercile") <= 2).as("pass"))
       .orderBy("doc_id")
+  }
+
+  /** [[modelFilter]]'s 100 TB twin: tercile boundaries from ONE mergeable
+    * GK quantile aggregate (`approx_percentile`, the `price_quantiles`
+    * path) instead of the single-partition ntile window — rank semantics
+    * become value semantics (docs AT a boundary value may land one
+    * tercile off vs ntile; null-ppl docs are excluded by the sketch and
+    * assigned the tail directly), which is why the GATE keeps ntile (exact
+    * rank ties are portable) and production at scale runs this. Shape:
+    * two bounded training aggregates + one quantile aggregate + one
+    * narrow pass — no global sort anywhere (spec pins the plan has no
+    * SinglePartition exchange and the terciles agree with ntile's up to
+    * boundary ties).
+    */
+  def modelFilterScaled(spark: SparkSession, dir: String,
+                        pTau: Double = 0.5, repMax: Double = 0.5,
+                        accuracy: Int = 10000): DataFrame =
+    modelFilterScaledOf(Tables.documents(spark, dir), pTau, repMax, accuracy)
+
+  def modelFilterScaledOf(docs: DataFrame,
+                          pTau: Double = 0.5, repMax: Double = 0.5,
+                          accuracy: Int = 10000): DataFrame = {
+    val cls = HashedModel.trainClassifier(docs)
+    val lm = HashedModel.trainBigramLm(docs)
+    val scored = docs.select(col("doc_id"),
+      HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
+      HashedModel.perplexityStruct(lm, col("text")).getField("ppl").as("ppl"),
+      graft.functions.ExprUtils.bindOnce(Dedup.wordShingles(col("text"), 3)) { g =>
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4)
+      }.as("rep_ratio"))
+    val bRow = scored.agg(expr(
+      s"approx_percentile(ppl, array(${1.0 / 3}, ${2.0 / 3}), $accuracy)").as("b")).head()
+    val bs = Option(bRow.getSeq[Double](0)).getOrElse(Seq.empty)
+    val tercile =
+      if (bs.length < 2) lit(3L) // degenerate: no scoreable ppl at all
+      else when(col("ppl").isNull, 3L)
+        .when(col("ppl") <= bs(0), 1L)
+        .when(col("ppl") <= bs(1), 2L)
+        .otherwise(3L)
+    scored
+      .withColumn("ppl_tercile", tercile)
+      .select(col("doc_id"), col("p_target"), col("ppl"), col("rep_ratio"),
+        col("ppl_tercile"),
+        (col("p_target") >= pTau && col("rep_ratio") <= repMax &&
+          col("ppl_tercile") <= 2).as("pass"))
   }
 
   /** DuckDB replay of [[modelFilter]]: the standalone classifier/LM oracles

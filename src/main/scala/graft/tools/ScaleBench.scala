@@ -47,7 +47,7 @@ object ScaleBench {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
 
-    import graft.operators.{BloomJoin, Dedup, FreqSketch, Prep, Sampling, Similarity, Temporal}
+    import graft.operators.{BloomJoin, Curation, Dedup, FreqSketch, Prep, Sampling, Similarity, Temporal}
     import graft.Tables
     import org.apache.spark.sql.Encoders
 
@@ -234,6 +234,11 @@ object ScaleBench {
           concat(col("text"), lit(" u"), col("doc_id")))
         graft.operators.HashedModel.bigramPerplexityOf(grown)
       },
+      // model-filter tercile A/B: the gate's exact-rank ntile (ONE global
+      // single-partition window sort) vs the GK-boundary scale path — the
+      // measured cost of rank semantics as the corpus grows
+      "model_filter_ntile" -> (k => Curation.modelFilterOf(docsX(k))),
+      "model_filter_scaled" -> (k => Curation.modelFilterScaledOf(docsX(k))),
       // shuffled export at volume: one hash exchange + per-shard sort
       "shuffled_export" -> (k => Sampling.shuffledExportAssignOf(docsX(k), nShards = 16)),
       // iterative large-star/small-star at volume: k × 1M synthetic edges —

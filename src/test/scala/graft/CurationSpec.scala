@@ -96,4 +96,35 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // the filter actually separates: some pass, some fail
     assert(r.exists(_._6) && r.exists(!_._6))
   }
+
+  test("modelFilterScaled: no single-partition window, terciles agree with ntile up to boundary ties") {
+    import spark.implicits._
+    val scaled = Curation.modelFilterScaled(spark, Sf0001)
+    scaled.collect()
+    val s0 = scaled.queryExecution.executedPlan.toString
+    val plan = { val c = s0.indexOf("== Initial Plan =="); if (c >= 0) s0.substring(0, c) else s0 }
+    assert(!plan.contains("SinglePartition"),
+      "scaled tercile must not pay a single-partition global window")
+    val byId = scaled.select("doc_id", "ppl", "ppl_tercile")
+      .as[(Long, Option[Double], Long)].collect().map(r => r._1 -> r).toMap
+    val exact = Curation.modelFilter(spark, Sf0001)
+      .select("doc_id", "ppl", "ppl_tercile")
+      .as[(Long, Option[Double], Long)].collect()
+    // boundary values of the exact terciles: ties AT a boundary may differ
+    val bounds = exact.filter(_._2.isDefined).groupBy(_._3)
+      .map { case (t, rs) => t -> rs.flatMap(_._2).max }
+    var mismatch = 0
+    exact.foreach { case (id, ppl, t) =>
+      val st = byId(id)._3
+      if (st != t) {
+        mismatch += 1
+        // every disagreement must sit ON an exact-tercile boundary value
+        assert(ppl.isDefined && bounds.values.exists(b => math.abs(ppl.get - b) < 1e-9),
+          s"doc $id: scaled tercile $st vs exact $t off-boundary (ppl=$ppl)")
+      }
+    }
+    assert(mismatch <= exact.length / 10, s"too many boundary mismatches: $mismatch")
+    // null-ppl docs land in the tail on both paths
+    exact.filter(_._2.isEmpty).foreach { case (id, _, _) => assert(byId(id)._3 == 3L) }
+  }
 }

@@ -299,6 +299,10 @@ object SparkEntry {
     "source_overlap" -> CorpusOverlap.sourceOverlap _,
     "source_overlap_sketch" -> ((s: SparkSession, d: String) =>
       CorpusOverlap.sourceOverlapSketch(s, d)),
+    // the serving form (no exact audit riding the query): h60 base hash
+    // makes the ESTIMATE itself oracle-exact
+    "source_overlap_sketch_serve" -> ((s: SparkSession, d: String) =>
+      CorpusOverlap.sourceOverlapSketchServe(s, d)),
     // embedding-space diversity per label (SemDeDup's measurement half)
     "embedding_dispersion" -> ((s: SparkSession, d: String) =>
       Similarity.labelDispersion(Tables.embeddings(s, d))),
@@ -624,6 +628,7 @@ object SparkEntry {
     "token_freq_by_source" -> FreqSketch.tokenFreqBySourceSql,
     "source_overlap" -> CorpusOverlap.sourceOverlapSql,
     "source_overlap_sketch" -> CorpusOverlap.sourceOverlapSketchSql,
+    "source_overlap_sketch_serve" -> CorpusOverlap.sourceOverlapSketchServeSql(),
     "embedding_dispersion" -> Similarity.labelDispersionSql,
     "dsir_weights" -> TextAnalysis.dsirWeightsCappedSql(),
     "dsir_weights_capped" -> TextAnalysis.dsirWeightsCappedSql(k = 16),

@@ -114,12 +114,13 @@ object CorpusOverlap {
     * aggregations — measured 6× slower at sf0.1 — and survives as the
     * equivalence pin in OverlapStreamSpec.)
     */
-  def sliceSignatures(vocab: DataFrame, numPerm: Int): DataFrame = {
+  def sliceSignatures(vocab: DataFrame, numPerm: Int,
+                      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val perms = Dedup.permutations(numPerm)
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MersennePrime))).as(s"m$i")
     }
-    vocab.withColumn("h", pmod(xxhash64(col("g")), lit(1L << 32)))
+    vocab.withColumn("h", pmod(hashFn(col("g")), lit(1L << 32)))
       .groupBy("slice")
       .agg(mins.head, mins.tail: _*)
       .select(col("slice"),
@@ -186,6 +187,49 @@ object CorpusOverlap {
     overlapSketch(sliceVocab(Tables.documents(spark, dir), "text", "source"),
       numPerm, tol)
       .orderBy("slice_a", "slice_b")
+
+
+  /** The SERVING form of the sketch — what a 100 TB monitor actually runs:
+    * signatures + Broder estimate ONLY, no exact-matrix audit riding the
+    * query. On the portable h60 base hash the whole pipeline is
+    * DuckDB-replicable (same permutation family interpolated as literals),
+    * so unlike the audited gate twin this one's ESTIMATE is hash-compared
+    * directly — and the query pays just the vocab scan + the flat
+    * slices × numPerm fold. */
+  def sourceOverlapSketchServe(spark: SparkSession, dir: String,
+                               numPerm: Int = 128): DataFrame =
+    estimateFromSignatures(
+        sliceSignatures(sliceVocab(Tables.documents(spark, dir), "text", "source"),
+          numPerm, graft.functions.Hashing.h60),
+        numPerm)
+      .select(col("slice_a"), col("slice_b"), round(col("est"), 4).as("est"))
+      .orderBy("slice_a", "slice_b")
+
+  /** Line-for-line mirror of [[sourceOverlapSketchServe]]: same bigram
+    * vocab, h60 % 2^32 base hash, the same (a·h + b) mod P permutation
+    * family as SQL literals, per-slice component minima, matching-component
+    * fraction. */
+  def sourceOverlapSketchServeSql(numPerm: Int = 128): String = {
+    val permsLit = Dedup.permutations(numPerm)
+      .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+    val P = Dedup.MersennePrime
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, UNNEST(STR_SPLIT(text, ' ')) AS t,
+       |         GENERATE_SUBSCRIPTS(STR_SPLIT(text, ' '), 1) AS i
+       |  FROM documents),
+       |g AS (SELECT DISTINCT a.source AS slice, a.t || ' ' || b.t AS g
+       |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |h AS (SELECT slice, ${graft.functions.Hashing.h60Sql("g")} % 4294967296 AS h FROM g),
+       |hs AS (SELECT slice, list(h) AS hl FROM h GROUP BY slice),
+       |s AS (SELECT slice, list_transform($permsLit,
+       |        pm -> list_min(list_transform(hl, x -> (pm[1] * x + pm[2]) % $P))) AS sig
+       |      FROM hs)
+       |SELECT a.slice AS slice_a, b.slice AS slice_b,
+       |ROUND(CAST(LEN(list_filter(range(1, $numPerm + 1), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+       |      / $numPerm, 4) AS est
+       |FROM s a JOIN s b ON a.slice < b.slice
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB mirror: bigrams via an index self-join (positions from
     * GENERATE_SUBSCRIPTS), then the same distinct → intersect → ratio

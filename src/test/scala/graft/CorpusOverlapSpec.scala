@@ -98,4 +98,20 @@ class CorpusOverlapSpec extends AnyFunSuite with SparkSuite {
       assert(j > 0 && j <= c && c <= 1.0, s"jaccard/containment violated: $r")
     }
   }
+
+  test("serving sketch: complete pair matrix, deterministic, estimates near exact jaccard") {
+    import spark.implicits._
+    val serve = graft.operators.CorpusOverlap.sourceOverlapSketchServe(spark, Sf0001)
+      .as[(String, String, Double)].collect()
+    val exact = graft.operators.CorpusOverlap.sourceOverlap(spark, Sf0001)
+      .select("slice_a", "slice_b", "jaccard")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(serve.map(r => (r._1, r._2)).toSet == exact.keySet, "pair matrix incomplete")
+    serve.foreach { case (a, b, est) =>
+      assert(math.abs(est - exact((a, b))) <= 0.2, s"($a,$b): est $est vs ${exact((a, b))}")
+    }
+    assert(serve.sameElements(
+      graft.operators.CorpusOverlap.sourceOverlapSketchServe(spark, Sf0001)
+        .as[(String, String, Double)].collect()))
+  }
 }

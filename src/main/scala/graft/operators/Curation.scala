@@ -96,8 +96,9 @@ object Curation {
     * perplexity TERCILE assignment (head/middle/tail by rank — ntile, the
     * `customer_quartiles` global-window precedent) and a composite pass
     * flag: classifier-positive AND not repetition-heavy AND not in the
-    * perplexity tail. Two bounded training aggregates + one window + one
-    * scan — the whole model stack costs one corpus pass at any scale.
+    * perplexity tail. ONE bounded training aggregate
+    * ([[HashedModel.trainModelStack]] — both models from one gram stream)
+    * + one window + one scoring scan.
     *
     * Null-perplexity docs (no bigrams) rank LAST in the tercile order on
     * both engines (asc_nulls_last) — they land in the tail and fail `pass`
@@ -109,8 +110,7 @@ object Curation {
 
   def modelFilterOf(docs: DataFrame,
                     pTau: Double = 0.5, repMax: Double = 0.5): DataFrame = {
-    val cls = HashedModel.trainClassifier(docs)
-    val lm = HashedModel.trainBigramLm(docs)
+    val (cls, lm) = HashedModel.trainModelStack(docs)
     val scored = docs.select(col("doc_id"),
       HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
       HashedModel.perplexityStruct(lm, col("text")).getField("ppl").as("ppl"),
@@ -148,8 +148,7 @@ object Curation {
   def modelFilterScaledOf(docs: DataFrame,
                           pTau: Double = 0.5, repMax: Double = 0.5,
                           accuracy: Int = 10000): DataFrame = {
-    val cls = HashedModel.trainClassifier(docs)
-    val lm = HashedModel.trainBigramLm(docs)
+    val (cls, lm) = HashedModel.trainModelStack(docs)
     val scored = docs.select(col("doc_id"),
       HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
       HashedModel.perplexityStruct(lm, col("text")).getField("ppl").as("ppl"),

@@ -36,20 +36,23 @@ import graft.functions.Hashing.{h60, h60Sql}
   */
 object HashedModel {
 
-  /** Scoring features: unigrams + word bigrams, in document order (the
-    * unigram block then the bigram block — the oracle mirrors the same
-    * concatenation order so ordered summation matches). Docs with a single
-    * word contribute that word twice (wordShingles' n<k contract returns
-    * `[text]`) — deterministic and mirrored. */
+  /** Scoring features: unigrams + TRUE word bigrams, in document order
+    * (the unigram block then the bigram block — the oracle mirrors the
+    * same concatenation order so ordered summation matches). The embedded
+    * space both identifies a bigram and drops wordShingles' n<2
+    * pseudo-gram (`[text]` for single-word docs) — those docs contribute
+    * their word exactly once. The same one-space-or-not split is what
+    * lets [[trainModelStack]] train classifier AND LM from one stream. */
   def featureArray(textCol: Column): Column =
-    concat(split(textCol, " ", -1), Dedup.wordShingles(textCol, 2))
+    concat(split(textCol, " ", -1),
+      filter(Dedup.wordShingles(textCol, 2), g => instr(g, " ") > 0))
 
   /** DuckDB mirror of [[featureArray]]. */
   private val featuresSqlExpr: String = {
     val w = "STR_SPLIT(text, ' ')"
     s"""($w || CASE WHEN LEN($w) >= 2
        | THEN list_transform(range(0, LEN($w) - 1), i -> $w[i+1] || ' ' || $w[i+2])
-       | ELSE [text] END)""".stripMargin.replace("\n", "")
+       | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin.replace("\n", "")
   }
 
   /** Per-bucket (raw, target) gram counts — ≤ k rows, collected. */
@@ -99,15 +102,19 @@ object HashedModel {
 
   /** Trained classifier as a shippable O(K) literal model — the unit the
     * fused pipeline ([[Curation.modelFilter]]) composes without a join. */
-  private[operators] case class ClassifierModel(wm: Column, floorW: Double, k: Int,
+  private[graft] case class ClassifierModel(wm: Column, floorW: Double, k: Int,
                                                 hashFn: Column => Column)
 
-  private[operators] def trainClassifier(docs: DataFrame, targetLang: String = "en",
+  private[graft] def trainClassifier(docs: DataFrame, targetLang: String = "en",
                                          k: Int = 128, alpha: Double = 0.5,
                                          hashFn: Column => Column = h60): ClassifierModel = {
     val feats = docs.select(explode(featureArray(col("text"))).as("g"),
       (col("lang") === targetLang).as("tgt"))
-    val st = bucketStats(feats, k, hashFn)
+    classifierFromStats(bucketStats(feats, k, hashFn), k, alpha, hashFn)
+  }
+
+  private def classifierFromStats(st: BucketStats, k: Int, alpha: Double,
+                                  hashFn: Column => Column): ClassifierModel = {
     val (tr, tt) = (st.totalRaw, st.totalTgt)
     val wOf = (nt: Long, nr: Long) =>
       math.log(((nt + alpha) / (tt + alpha * k)) / ((nr + alpha) / (tr + alpha * k)))
@@ -116,9 +123,48 @@ object HashedModel {
     ClassifierModel(wm, wOf(0L, 0L), k, hashFn) // floor: ln((tr+αK)/(tt+αK))
   }
 
+  /** Train the WHOLE model stack — classifier AND bigram LM — from ONE
+    * corpus explode pass: featureArray's gram stream already carries both
+    * models' units (unigrams and true bigrams, told apart by the embedded
+    * space), and because kCls divides kLm, the classifier's bucket of a
+    * gram is recoverable driver-side from the LM's (h mod kCls =
+    * (h mod kLm) mod kCls). One groupBy(bucketLm, isBigram) aggregate —
+    * ≤ 2·kLm rows — yields the LM's two count tables directly and folds
+    * down to the classifier's kCls stats in O(kLm) driver arithmetic.
+    * Bit-identical to training each model separately (spec-pinned); at
+    * 100 TB this halves the training scans of the fused filter pass. */
+  private[graft] def trainModelStack(docs: DataFrame, targetLang: String = "en",
+                                     kCls: Int = 128, kLm: Int = 2048,
+                                     alpha: Double = 0.5,
+                                     hashFn: Column => Column = h60): (ClassifierModel, BigramLm) = {
+    require(kLm % kCls == 0, s"kCls=$kCls must divide kLm=$kLm for bucket folding")
+    val rows = docs.select(explode(featureArray(col("text"))).as("g"),
+        (col("lang") === targetLang).as("tgt"))
+      .select(pmod(hashFn(col("g")), lit(kLm.toLong)).cast("int").as("b"),
+        (instr(col("g"), " ") > 0).as("bg"), col("tgt"))
+      .groupBy("b", "bg")
+      .agg(count(lit(1)).as("nr"), sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+      .collect() // ≤ 2·kLm rows
+    def lmTable(isBg: Boolean): Column = {
+      val part = rows.filter(_.getBoolean(1) == isBg).sortBy(_.getInt(0))
+      if (part.isEmpty) map(lit(-1), lit(0.0))
+      else map(part.flatMap(r => Seq(lit(r.getInt(0)), lit(r.getLong(2).toDouble))): _*)
+    }
+    val lm = BigramLm(lmTable(false), lmTable(true), kLm, alpha, hashFn)
+    val folded = scala.collection.mutable.LinkedHashMap[Int, (Long, Long)]()
+    rows.foreach { r =>
+      val b = r.getInt(0) % kCls
+      val (nr0, nt0) = folded.getOrElse(b, (0L, 0L))
+      folded(b) = (nr0 + r.getLong(2), nt0 + r.getLong(3))
+    }
+    val ks = folded.keys.toArray.sorted
+    val st = BucketStats(ks, ks.map(folded(_)._1), ks.map(folded(_)._2))
+    (classifierFromStats(st, kCls, alpha, hashFn), lm)
+  }
+
   /** Per-document scoring struct (n_feats, logodds, p_target) — one narrow
     * expression over `textCol`, fusable into any projection. */
-  private[operators] def classifierStruct(m: ClassifierModel, textCol: Column): Column =
+  private[graft] def classifierStruct(m: ClassifierModel, textCol: Column): Column =
     graft.functions.ExprUtils.bindOnce(featureArray(textCol)) { fs =>
       val mean = aggregate(
         transform(fs, g => coalesce(
@@ -180,10 +226,10 @@ object HashedModel {
         col("s.avg_logp").as("avg_logp"), col("s.ppl").as("ppl"))
 
   /** Trained bigram LM as a shippable O(K) literal model. */
-  private[operators] case class BigramLm(ugm: Column, bgm: Column, k: Int, alpha: Double,
+  private[graft] case class BigramLm(ugm: Column, bgm: Column, k: Int, alpha: Double,
                                          hashFn: Column => Column)
 
-  private[operators] def trainBigramLm(docs: DataFrame, k: Int = 2048,
+  private[graft] def trainBigramLm(docs: DataFrame, k: Int = 2048,
                                        alpha: Double = 0.5,
                                        hashFn: Column => Column = h60): BigramLm = {
     // ONE explode trains both tables: unigrams + TRUE bigrams in one gram
@@ -213,7 +259,7 @@ object HashedModel {
 
   /** Per-document scoring struct (n_bigrams, avg_logp, ppl) — one narrow
     * expression over `textCol`, fusable into any projection. */
-  private[operators] def perplexityStruct(m: BigramLm, textCol: Column): Column = {
+  private[graft] def perplexityStruct(m: BigramLm, textCol: Column): Column = {
     val b = (g: Column) => pmod(m.hashFn(g), lit(m.k.toLong)).cast("int")
     graft.functions.ExprUtils.bindOnce(split(textCol, " ", -1)) { ws =>
       val lps = transform(

@@ -100,4 +100,19 @@ class HashedModelSpec extends AnyFunSuite with SparkSuite {
     assert(!plan2.contains("hashpartitioning"),
       "perplexity scoring must be a narrow literal-map pass over the scan")
   }
+
+  test("trainModelStack is bit-identical to training each model separately") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001)
+    val (cls, lm) = HashedModel.trainModelStack(docs)
+    val sep = docs.select(col("doc_id"),
+        HashedModel.classifierStruct(HashedModel.trainClassifier(docs), col("text")).as("c"),
+        HashedModel.perplexityStruct(HashedModel.trainBigramLm(docs), col("text")).as("p"))
+      .orderBy("doc_id").collect()
+    val stk = docs.select(col("doc_id"),
+        HashedModel.classifierStruct(cls, col("text")).as("c"),
+        HashedModel.perplexityStruct(lm, col("text")).as("p"))
+      .orderBy("doc_id").collect()
+    assert(stk.sameElements(sep))
+  }
 }

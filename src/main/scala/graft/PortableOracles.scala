@@ -198,7 +198,7 @@ object PortableOracles {
     s"""WITH f AS (SELECT doc_id AS vec_id, CAST($feat AS DOUBLE[]) AS emb FROM documents)
        |SELECT query_id, cand_id, sim FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-       |  ROUND(LIST_COSINE_SIMILARITY(a.emb, b.emb), 4) AS sim,
+       |  (ROUND(LIST_COSINE_SIMILARITY(a.emb, b.emb), 4) + 0.0) AS sim,
        |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |    ORDER BY ROUND(LIST_COSINE_SIMILARITY(a.emb, b.emb), 4) DESC, b.vec_id) AS rn
        |  FROM f a JOIN f b ON a.vec_id <> b.vec_id
@@ -238,7 +238,7 @@ object PortableOracles {
        |         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
        |         WHERE a.vec_id < b2.vec_id)
        |SELECT id_a, id_b, sim FROM (
-       |  SELECT id_a, id_b, ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) AS sim
+       |  SELECT id_a, id_b, (ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) + 0.0) AS sim
        |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
        |            JOIN e eb ON eb.vec_id = cand.id_b) t
        |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
@@ -288,7 +288,7 @@ object PortableOracles {
        |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
        |SELECT query_id, cand_id, sim FROM (
        |  SELECT p.query_id, a.vec_id AS cand_id,
-       |    ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) AS sim,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
        |    ROW_NUMBER() OVER (PARTITION BY p.query_id
        |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
        |  FROM probes p JOIN assign a ON a.cluster = p.cluster
@@ -325,9 +325,9 @@ object PortableOracles {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
        |  FROM (
        |    SELECT p.query_id, a.vec_id AS cand_id,
-       |      ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
+       |      (ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
        |        / SQRT(list_sum(list_transform(pq.qv, x -> x * x))
-       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) AS sim
+       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) + 0.0) AS sim
        |    FROM probes p JOIN assign a ON a.cluster = p.cluster
        |         JOIN q pq ON pq.vec_id = p.query_id
        |         JOIN q cq ON cq.vec_id = a.vec_id
@@ -365,9 +365,9 @@ object PortableOracles {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
        |  FROM (
        |    SELECT p.query_id, a.vec_id AS cand_id,
-       |      ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
+       |      (ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
        |        / SQRT(list_sum(list_transform(pq.qv, x -> x * x))
-       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) AS sim
+       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) + 0.0) AS sim
        |    FROM probes p JOIN assign a ON a.cluster = p.cluster
        |         JOIN q pq ON pq.vec_id = p.query_id
        |         JOIN q cq ON cq.vec_id = a.vec_id
@@ -377,7 +377,7 @@ object PortableOracles {
        |  WHERE rn <= 12)
        |SELECT query_id, cand_id, sim FROM (
        |  SELECT pl.query_id, pl.cand_id,
-       |    ROUND(LIST_COSINE_SIMILARITY(eq.v, ec.v), 4) AS sim,
+       |    (ROUND(LIST_COSINE_SIMILARITY(eq.v, ec.v), 4) + 0.0) AS sim,
        |    ROW_NUMBER() OVER (PARTITION BY pl.query_id
        |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(eq.v, ec.v), 4) DESC, pl.cand_id) AS rn
        |  FROM pool pl JOIN e eq ON eq.vec_id = pl.query_id

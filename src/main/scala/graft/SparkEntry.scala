@@ -648,7 +648,7 @@ object SparkEntry {
     "cosine_topk" ->
       """SELECT query_id, cand_id, sim FROM (
         |SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim,
+        |(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0) AS sim,
         |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |WHERE a.vec_id IN (0, 1, 2, 3, 4)) t
@@ -656,7 +656,7 @@ object SparkEntry {
     "cosine_topk_agg" ->
       """SELECT query_id, cand_id, sim FROM (
         |SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim,
+        |(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0) AS sim,
         |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |WHERE a.vec_id IN (0, 1, 2, 3, 4)) t
@@ -664,7 +664,7 @@ object SparkEntry {
     "embedding_near_dup" ->
       """SELECT id_a, id_b, sim FROM (
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300) t
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashing.{h60, h60Sql}
+import graft.functions.ExprUtils.{roundz, roundzSql}
 
 /** Hashed-feature statistical models over `documents` — the "model-based
   * filtering" tier of a curation stack (the fastText/classifier-scoring
@@ -172,7 +173,7 @@ object HashedModel {
         lit(0.0), (a, x) => a + x) / size(fs)
       struct(
         size(fs).cast("long").as("n_feats"),
-        round(mean, 4).as("logodds"),
+        roundz(mean, 4).as("logodds"),
         round(lit(1.0) / (lit(1.0) + exp(-mean)), 4).as("p_target"))
     }
 
@@ -198,7 +199,7 @@ object HashedModel {
        |    x -> COALESCE(wm[${h60Sql("x")} % $k][1], fw)))
        |    / LEN($featuresSqlExpr) AS mean
        |  FROM documents, m, fl)
-       |SELECT doc_id, n_feats, ROUND(mean, 4) AS logodds,
+       |SELECT doc_id, n_feats, ${roundzSql("mean", 4)} AS logodds,
        |ROUND(1.0 / (1.0 + EXP(-mean)), 4) AS p_target
        |FROM sc ORDER BY doc_id""".stripMargin
 
@@ -262,8 +263,14 @@ object HashedModel {
   private[graft] def perplexityStruct(m: BigramLm, textCol: Column): Column = {
     val b = (g: Column) => pmod(m.hashFn(g), lit(m.k.toLong)).cast("int")
     graft.functions.ExprUtils.bindOnce(split(textCol, " ", -1)) { ws =>
+      // Safe by construction for single-word docs: sequence(1, 0) would
+      // produce the DESCENDING [1, 0] and element_at(ws, 0) throws — today
+      // only unreachable because every consumer sits under when(n > 0).
+      // Guard the index list itself so an unguarded refactor (or
+      // subexpression materialization) can't turn it into a runtime crash.
       val lps = transform(
-        sequence(lit(1), size(ws) - 1),
+        when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
+          .otherwise(lit(Array.empty[Int])),
         i => log(
           (coalesce(element_at(m.bgm,
             b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int"))))), lit(0.0))
@@ -274,7 +281,7 @@ object HashedModel {
       val avg = aggregate(lps, lit(0.0), (a, x) => a + x) / n
       struct(
         n.cast("long").as("n_bigrams"),
-        when(n > 0, round(avg, 4)).as("avg_logp"),
+        when(n > 0, roundz(avg, 4)).as("avg_logp"),
         when(n > 0, round(exp(-avg), 4)).as("ppl"))
     }
   }
@@ -299,7 +306,7 @@ object HashedModel {
        |    / (LEN($w) - 1) AS avg
        |  FROM documents, um, bm)
        |SELECT doc_id, n_bigrams,
-       |CASE WHEN n_bigrams > 0 THEN ROUND(avg, 4) END AS avg_logp,
+       |CASE WHEN n_bigrams > 0 THEN ${roundzSql("avg", 4)} END AS avg_logp,
        |CASE WHEN n_bigrams > 0 THEN ROUND(EXP(-avg), 4) END AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
   }

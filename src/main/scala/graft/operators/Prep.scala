@@ -93,7 +93,7 @@ object Prep {
       .partitionBy(col("query_hash")).orderBy(col("sim").desc, col("cand_hash"))
     cands.join(broadcast(probes), col("query_hash") =!= col("chunk_hash"))
       .select(col("query_hash"), col("chunk_hash").as("cand_hash"),
-        round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+        graft.functions.ExprUtils.roundz(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
       .orderBy(col("query_hash"), col("sim").desc, col("cand_hash"))
@@ -110,7 +110,7 @@ object Prep {
        |e AS (SELECT chunk_hash, $dimExpr AS v FROM u),
        |p AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id < 3),
        |s AS (SELECT p.chunk_hash AS query_hash, e2.chunk_hash AS cand_hash,
-       |        ROUND(LIST_COSINE_SIMILARITY(e1.v, e2.v), 4) AS sim
+       |        (ROUND(LIST_COSINE_SIMILARITY(e1.v, e2.v), 4) + 0.0) AS sim
        |      FROM p JOIN e e1 ON e1.chunk_hash = p.chunk_hash
        |             JOIN e e2 ON e2.chunk_hash <> p.chunk_hash)
        |SELECT query_hash, cand_hash, sim FROM (

@@ -31,7 +31,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
       .join(broadcast(probes), col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim", graft.functions.ExprUtils.roundz(cosine(col("qv"), col("cv")), 4))
       // zero-norm candidates score NaN, which Spark's desc sort ranks FIRST
       // — a zero vector must be similar to NOTHING, not everyone's top hit
       .filter(!isnan(col("sim")))
@@ -132,11 +132,11 @@ object Similarity {
     val anchors = e.groupBy("label")
       .agg(min_by(col("v"), col("vec_id")).as("av"))
     e.join(broadcast(anchors), Seq("label"))
-      .withColumn("c", round(cosine(col("v"), col("av")), 4))
+      .withColumn("c", graft.functions.ExprUtils.roundz(cosine(col("v"), col("av")), 4))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(sum(col("c").cast("decimal(14,4)")).cast("double") /
+        graft.functions.ExprUtils.roundz(sum(col("c").cast("decimal(14,4)")).cast("double") /
           count(lit(1)), 4).as("mean_cos"),
         min("c").as("min_cos"),
         max("c").as("max_cos"))
@@ -149,10 +149,10 @@ object Similarity {
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |           WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
       |a AS (SELECT label, ARG_MIN(v, vec_id) AS av FROM e GROUP BY label),
-      |c AS (SELECT e.label, ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) AS c
+      |c AS (SELECT e.label, (ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) + 0.0) AS c
       |      FROM e JOIN a ON e.label = a.label)
       |SELECT label, COUNT(*) AS n_vecs,
-      |ROUND(CAST(SUM(CAST(c AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4) AS mean_cos,
+      |(ROUND(CAST(SUM(CAST(c AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4) + 0.0) AS mean_cos,
       |MIN(c) AS min_cos, MAX(c) AS max_cos
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
@@ -178,7 +178,7 @@ object Similarity {
     // LEFT join: a label whose vectors are ALL zero-norm has no anchor —
     // its members score null and fall to the keep branch below
     e.join(broadcast(anchors), Seq("label"), "left")
-      .withColumn("cos_anchor", round(cosine(col("v"), col("av")), 4))
+      .withColumn("cos_anchor", graft.functions.ExprUtils.roundz(cosine(col("v"), col("av")), 4))
       // normalize "unscoreable" to null (the SQL mirror's CASE does the
       // same): NaN (zero-norm member) and null (anchorless label) collapse
       // to one representation for the gate's value compare
@@ -204,7 +204,7 @@ object Similarity {
        |      FROM e WHERE list_sum(list_transform(v, x -> x * x)) > 0 GROUP BY label),
        |s AS (SELECT e.vec_id, e.label, a.anchor_id,
        |        CASE WHEN list_sum(list_transform(e.v, x -> x * x)) > 0 AND a.anchor_id IS NOT NULL
-       |             THEN ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) END AS cos_anchor
+       |             THEN (ROUND(LIST_COSINE_SIMILARITY(e.v, a.av), 4) + 0.0) END AS cos_anchor
        |      FROM e LEFT JOIN a ON e.label = a.label)
        |SELECT vec_id, label, cos_anchor,
        |(vec_id = COALESCE(anchor_id, -1) OR cos_anchor IS NULL OR cos_anchor < $tau) AS keep
@@ -238,7 +238,9 @@ object Similarity {
     */
   private val builtIndexes = new scala.collection.concurrent.TrieMap[String, Unit]
   def ensureBuilt(path: String)(build: => Unit): Unit = {
-    val u = new java.net.URI(path)
+    // Hadoop's Path parser is lenient where java.net.URI is strict — a
+    // local path with a space is valid here and must not throw.
+    val u = new org.apache.hadoop.fs.Path(path).toUri
     val local = u.getScheme == null || u.getScheme == "file"
     if (local && !new java.io.File(u.getPath).exists()) builtIndexes.remove(path)
     builtIndexes.getOrElseUpdate(path, build)
@@ -292,7 +294,7 @@ object Similarity {
                               sim: org.apache.spark.sql.Column,
                               simCol: String): DataFrame =
     joined.filter(col("query_id") =!= col("cand_id"))
-      .withColumn(simCol, round(sim, 4))
+      .withColumn(simCol, graft.functions.ExprUtils.roundz(sim, 4))
       .filter(!isnan(col(simCol)))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col(simCol).desc, col("cand_id"))))
@@ -453,7 +455,7 @@ object Similarity {
       ColumnBridge.expression(col("qqv")), ColumnBridge.expression(col("cqv"))))
     broadcast(probes).join(cands, Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(simI8, 4))
+      .withColumn("sim", graft.functions.ExprUtils.roundz(simI8, 4))
       .filter(!isnan(col("sim")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
@@ -504,7 +506,7 @@ object Similarity {
     val qdf = queries.toDF("query_id", "qv")
     exact.join(broadcast(pool), Seq("cand_id"))
       .join(broadcast(qdf), Seq("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim", graft.functions.ExprUtils.roundz(cosine(col("qv"), col("cv")), 4))
       .filter(!isnan(col("sim")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
@@ -661,7 +663,7 @@ object Similarity {
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("sim", graft.functions.ExprUtils.roundz(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

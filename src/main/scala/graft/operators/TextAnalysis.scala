@@ -469,7 +469,7 @@ object TextAnalysis {
       graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ts =>
         struct(
           size(ts).cast("long").as("n_tokens"),
-          round(aggregate(
+          graft.functions.ExprUtils.roundz(aggregate(
             transform(ts, t => log(coalesce(element_at(rm, t), lit(floorRatio)))),
             lit(0.0), (a, x) => a + x), 4).as("logw"))
       }.as("s"))
@@ -514,7 +514,7 @@ object TextAnalysis {
       graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ts =>
         struct(
           size(ts).cast("long").as("n_tokens"),
-          round(aggregate(
+          graft.functions.ExprUtils.roundz(aggregate(
             transform(ts, t => log(coalesce(element_at(rm, t), lit(floorRatio)))),
             lit(0.0), (a, x) => a + x), 4).as("logw"))
       }.as("s"))
@@ -538,7 +538,7 @@ object TextAnalysis {
        |      FROM top, c),
        |f AS (SELECT ((0 + $alpha) / (tt + $alpha * v)) / ((0 + $alpha) / (tr + $alpha * v)) AS fr FROM c)
        |SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
-       |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(COALESCE(rm[x][1], fr)))), 4) AS logw
+       |(ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(COALESCE(rm[x][1], fr)))), 4) + 0.0) AS logw
        |FROM documents, m, f ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror — identical smoothing arithmetic, identical token-order
@@ -555,7 +555,7 @@ object TextAnalysis {
        |        list(((nt + $alpha) / (tt + $alpha * v)) / ((nr + $alpha) / (tr + $alpha * v)) ORDER BY t)) AS rm
        |      FROM freq, c)
        |SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens,
-       |ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(rm[x][1]))), 4) AS logw
+       |(ROUND(list_sum(list_transform(STR_SPLIT(text, ' '), x -> LN(rm[x][1]))), 4) + 0.0) AS logw
        |FROM documents, m ORDER BY doc_id""".stripMargin
 
   // --- BM25 keyword retrieval --------------------------------------------------

@@ -109,7 +109,8 @@ object TopK {
     val scored = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
       .join(broadcast(probes), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(graft.functions.VectorFunctions.cosine(col("qv"), col("cv")), 4).as("sim"))
+        graft.functions.ExprUtils.roundz(
+          graft.functions.VectorFunctions.cosine(col("qv"), col("cv")), 4).as("sim"))
       .filter(!isnan(col("sim"))) // zero-norm candidates rank nowhere (as bruteForceTopK)
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))

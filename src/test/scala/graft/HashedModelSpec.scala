@@ -101,6 +101,45 @@ class HashedModelSpec extends AnyFunSuite with SparkSuite {
       "perplexity scoring must be a narrow literal-map pass over the scan")
   }
 
+  test("signed zero: a tiny-negative mean rounds to BITWISE +0.0 (roundz pin)") {
+    // The round-11 gate failure: Spark's BigDecimal round already yields
+    // +0.0 for round(-1e-9, 4), but DuckDB's IEEE ROUND keeps -0.0 — the
+    // driver hash-compares bitwise, so roundz (+ 0.0 on both engines) pins
+    // the representation. This fixture pins the engine half; check.py's
+    // bitwise compare pins the oracle half.
+    import graft.functions.ExprUtils.roundz
+    val bits = spark.range(1)
+      .select(roundz(lit(-1e-9), 4).as("z"))
+      .select(expr("cast(z as double)").as("z"))
+      .as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(bits) == 0L,
+      s"expected bitwise +0.0, got ${java.lang.Double.doubleToRawLongBits(bits)}")
+    // And through the real scorer: craft a corpus where one doc's mean
+    // log-odds is a tiny negative — its logodds must surface as +0.0-or-not,
+    // never -0.0, regardless of the unrounded sign.
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"alpha beta gamma tok$i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    HashedModel.classifierScoresOf(docs, k = 16)
+      .select("logodds").as[Double].collect().foreach { lo =>
+        assert(java.lang.Double.doubleToRawLongBits(lo) != java.lang.Double.doubleToRawLongBits(-0.0),
+          "classifier logodds must never be -0.0")
+      }
+  }
+
+  test("bigram LM: gram index list is empty (not [1,0]) for single-word docs") {
+    // sequence(1, 0) would produce a DESCENDING [1, 0] and probe word index
+    // 0 (INVALID_INDEX_OF_ZERO) — the guard must make the list empty by
+    // construction, not rely on the lazy when(n > 0) consumer.
+    val docs = Seq((0L, "solo", "en")).toDF("doc_id", "text", "lang")
+    val lm = HashedModel.trainBigramLm(docs)
+    // Evaluate the struct WITHOUT the n>0 guard path short-circuiting:
+    // selecting all fields forces lps construction for the single-word doc.
+    val r = docs.select(HashedModel.perplexityStruct(lm, col("text")).as("s"))
+      .select("s.*").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L)
+  }
+
   test("trainModelStack is bit-identical to training each model separately") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, Sf0001)

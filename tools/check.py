@@ -59,14 +59,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL  {name}: rows {len(got)} != {len(exp)}")
             failures += 1
             continue
-        # value compare, exact (mimic hashing)
+        # value compare, BITWISE for floats (faithful to the driver's hash
+        # compare: -0.0 != +0.0 and NaN payloads matter — the round-11
+        # classifier_score signed-zero failure passed a == compare here)
+        import numpy as np
+
+        def same_mask(g, e):
+            if (np.issubdtype(g.dtype, np.floating)
+                    and np.issubdtype(e.dtype, np.floating)):
+                gb = g.values.astype(np.float64).view(np.int64)
+                eb = e.values.astype(np.float64).view(np.int64)
+                return gb == eb
+            try:
+                return (g.values == e.values) | (g.isna().values & e.isna().values)
+            except Exception:
+                return g.astype(str).values == e.astype(str).values
+
         mismatch = None
         for c in got.columns:
             g, e = got[c], exp[c]
-            try:
-                same = (g.values == e.values) | (g.isna().values & e.isna().values)
-            except Exception:
-                same = g.astype(str).values == e.astype(str).values
+            same = same_mask(g, e)
             if not same.all():
                 i = int((~same).argmax())
                 mismatch = (c, i, g.iloc[i], e.iloc[i], str(g.dtype), str(e.dtype))

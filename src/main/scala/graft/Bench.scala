@@ -80,5 +80,13 @@ object Bench {
     // the round-1 driver parse): the same line lands in a known file
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
+    // The driver archives only the LAST ~2000 chars of stdout; the full
+    // line above (~5 KB of per-query seconds) can never fit, so its front
+    // gets chopped and the driver records parsed:null (every round so
+    // far). Re-emit the totals WITHOUT the per-query map as the very last
+    // stdout line — it always lands complete inside the tail window; the
+    // per-query map stays on the full line and in BENCH_LOCAL.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"method":"min-of-reps","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir","n_queries":${results.size},"per_query":"BENCH_LOCAL.json"}""")
   }
 }

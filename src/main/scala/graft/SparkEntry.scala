@@ -262,6 +262,11 @@ object SparkEntry {
     // fused model-based filter: hashed classifier + LM perplexity terciles
     // (CCNet head/middle/tail) + repetition, one narrow scoring pass
     "model_filter" -> ((s: SparkSession, d: String) => Curation.modelFilter(s, d)),
+    // the 100 TB twin: GK approx_percentile tercile boundaries instead of
+    // the single-partition ntile window (no global sort anywhere); the
+    // oracle replays the engine's own boundaries as literals
+    "model_filter_scaled" -> ((s: SparkSession, d: String) =>
+      Curation.modelFilterScaled(s, d).orderBy("doc_id")),
     // end-to-end retrieval composition: chunk -> dedup -> embed -> top-k
     "chunk_embed_topk" -> ((s: SparkSession, d: String) => Prep.chunkEmbedTopk(s, d)),
     // [EXT] text analysis
@@ -418,6 +423,26 @@ object SparkEntry {
           k = 3, nprobe = 3, poolMult = 40)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // same two-stage retrieval with the pool scored by the LUT-ADC kernel
+    // (PqAdcCosine: per-query lookup tables, no decode) — spec-pinned
+    // equivalent to decode-then-dot, and the exact rerank restores
+    // oracle-expressible scores, so the exact-IVF oracle applies verbatim
+    "ann_ivf_topk_adc" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val cb = Pq.trainedCodebooks(e, d)
+      val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
+      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
+      val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, vecs,
+          k = 3, nprobe = 3, poolMult = 40, adc = true)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -483,6 +508,7 @@ object SparkEntry {
     // warning — it fails before the gate does. If it fires, re-measure
     // poolMult with tools/PqProbe and raise it here + in the spec.
     "ann_ivf_topk_pq" -> PortableOracles.annIvfTopkSql,
+    "ann_ivf_topk_adc" -> PortableOracles.annIvfTopkSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
@@ -620,6 +646,7 @@ object SparkEntry {
     "substring_dedup" -> SubstringDedup.repeatedSpansSql(),
     "contaminate_spans" -> SubstringDedup.contaminationSpansSql(),
     "model_filter" -> Curation.modelFilterSql(),
+    "model_filter_scaled" -> Curation.modelFilterScaledSql(),
     "dedup_best_keep" -> PortableOracles.bestRepKeepSql,
     "shuffled_export" -> Sampling.shuffledExportAssignSql(),
     "curation_export" -> s"""WITH cur AS (${PortableOracles.curationPipelineSql})

@@ -145,6 +145,15 @@ object Curation {
                         accuracy: Int = 10000): DataFrame =
     modelFilterScaledOf(Tables.documents(spark, dir), pTau, repMax, accuracy)
 
+  /** GK tercile boundaries of the LAST [[modelFilterScaledOf]] call in this
+    * JVM — read by [[modelFilterScaledSql]] to interpolate the engine's own
+    * boundaries into the oracle as literals. Sound for the gate because
+    * `Verify` runs every registered query BEFORE dumping `oracleSql`, so
+    * the recorded pair is the gate run's own; the boundaries are plain data
+    * elements (GK returns dataset values), so they print exactly. */
+  private val scaledBoundaries =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Double]](Seq.empty)
+
   def modelFilterScaledOf(docs: DataFrame,
                           pTau: Double = 0.5, repMax: Double = 0.5,
                           accuracy: Int = 10000): DataFrame = {
@@ -158,6 +167,7 @@ object Curation {
     val bRow = scored.agg(expr(
       s"approx_percentile(ppl, array(${1.0 / 3}, ${2.0 / 3}), $accuracy)").as("b")).head()
     val bs = Option(bRow.getSeq[Double](0)).getOrElse(Seq.empty)
+    scaledBoundaries.set(bs)
     val tercile =
       if (bs.length < 2) lit(3L) // degenerate: no scoreable ppl at all
       else when(col("ppl").isNull, 3L)
@@ -188,4 +198,37 @@ object Curation {
        |SELECT doc_id, p_target, ppl, rep_ratio, ppl_tercile,
        |(p_target >= $pTau AND rep_ratio <= $repMax AND ppl_tercile <= 2) AS pass
        |FROM j ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[modelFilterScaledOf]]: the engine's OWN GK tercile
+    * boundaries (recorded by the gate run — see [[scaledBoundaries]]) as
+    * double literals in a value-semantics CASE, over the same
+    * classifier/LM/repetition subqueries as [[modelFilterSql]]. GK returns
+    * actual dataset elements — 4-decimal-grid doubles that print exactly —
+    * so `ppl <= boundary` is bitwise-unambiguous on both engines. The
+    * no-boundary fallback (oracle dumped without the query having run)
+    * yields a deliberately-degenerate everything-is-tail oracle rather
+    * than throwing, because the `oracleSql` Map is constructed eagerly in
+    * specs that only look at its keys; `Verify`'s run order makes the
+    * fallback unreachable on the gate path. */
+  def modelFilterScaledSql(pTau: Double = 0.5, repMax: Double = 0.5): String = {
+    val bs = scaledBoundaries.get
+    val tercile =
+      if (bs.length < 2) "3"
+      else s"""CASE WHEN p.ppl IS NULL THEN 3
+              | WHEN p.ppl <= CAST(${bs(0)} AS DOUBLE) THEN 1
+              | WHEN p.ppl <= CAST(${bs(1)} AS DOUBLE) THEN 2
+              | ELSE 3 END""".stripMargin.replace("\n", "")
+    s"""WITH c AS (${HashedModel.classifierScoresSql()}),
+       |p AS (${HashedModel.bigramPerplexitySql()}),
+       |r AS (SELECT doc_id,
+       |  ROUND(1.0 - CAST(LEN(LIST_DISTINCT(${graft.PortableOracles.shingles3Expr})) AS DOUBLE)
+       |        / LEN(${graft.PortableOracles.shingles3Expr}), 4) AS rep_ratio
+       |  FROM documents),
+       |j AS (SELECT c.doc_id, c.p_target, p.ppl, r.rep_ratio,
+       |  CAST($tercile AS BIGINT) AS ppl_tercile
+       |  FROM c JOIN p USING (doc_id) JOIN r USING (doc_id))
+       |SELECT doc_id, p_target, ppl, rep_ratio, ppl_tercile,
+       |(p_target >= $pTau AND rep_ratio <= $repMax AND ppl_tercile <= 2) AS pass
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
 }

@@ -127,4 +127,15 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // null-ppl docs land in the tail on both paths
     exact.filter(_._2.isEmpty).foreach { case (id, _, _) => assert(byId(id)._3 == 3L) }
   }
+
+  test("modelFilterScaled oracle interpolates the gate run's own GK boundaries") {
+    // Verify's run order (queries first, oracleSql after) is what makes the
+    // literal-interpolation oracle sound — pin that a run records boundaries
+    // and the SQL carries them as CAST(double) literals, not the fallback.
+    val scaled = Curation.modelFilterScaled(spark, Sf0001)
+    scaled.collect()
+    val sql = Curation.modelFilterScaledSql()
+    assert(sql.contains("CAST(") && sql.contains("AS DOUBLE) THEN 1"),
+      s"oracle should carry interpolated boundary literals, got: ${sql.take(400)}")
+  }
 }

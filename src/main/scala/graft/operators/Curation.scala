@@ -106,11 +106,18 @@ object Curation {
     */
   def modelFilter(spark: SparkSession, dir: String,
                   pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =
-    modelFilterOf(Tables.documents(spark, dir), pTau, repMax)
+    modelFilterWith(HashedModel.trainedStack(spark, dir),
+      Tables.documents(spark, dir), pTau, repMax)
 
   def modelFilterOf(docs: DataFrame,
-                    pTau: Double = 0.5, repMax: Double = 0.5): DataFrame = {
-    val (cls, lm) = HashedModel.trainModelStack(docs)
+                    pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =
+    modelFilterWith(HashedModel.trainModelStack(docs), docs, pTau, repMax)
+
+  private def modelFilterWith(
+      stack: (HashedModel.ClassifierModel, HashedModel.BigramLm),
+      docs: DataFrame,
+      pTau: Double, repMax: Double): DataFrame = {
+    val (cls, lm) = stack
     val scored = docs.select(col("doc_id"),
       HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
       HashedModel.perplexityStruct(lm, col("text")).getField("ppl").as("ppl"),
@@ -143,7 +150,8 @@ object Curation {
   def modelFilterScaled(spark: SparkSession, dir: String,
                         pTau: Double = 0.5, repMax: Double = 0.5,
                         accuracy: Int = 10000): DataFrame =
-    modelFilterScaledOf(Tables.documents(spark, dir), pTau, repMax, accuracy)
+    modelFilterScaledWith(HashedModel.trainedStack(spark, dir),
+      Tables.documents(spark, dir), pTau, repMax, accuracy)
 
   /** GK tercile boundaries of the LAST [[modelFilterScaledOf]] call in this
     * JVM — read by [[modelFilterScaledSql]] to interpolate the engine's own
@@ -156,8 +164,15 @@ object Curation {
 
   def modelFilterScaledOf(docs: DataFrame,
                           pTau: Double = 0.5, repMax: Double = 0.5,
-                          accuracy: Int = 10000): DataFrame = {
-    val (cls, lm) = HashedModel.trainModelStack(docs)
+                          accuracy: Int = 10000): DataFrame =
+    modelFilterScaledWith(HashedModel.trainModelStack(docs), docs,
+      pTau, repMax, accuracy)
+
+  private def modelFilterScaledWith(
+      stack: (HashedModel.ClassifierModel, HashedModel.BigramLm),
+      docs: DataFrame,
+      pTau: Double, repMax: Double, accuracy: Int): DataFrame = {
+    val (cls, lm) = stack
     val scored = docs.select(col("doc_id"),
       HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
       HashedModel.perplexityStruct(lm, col("text")).getField("ppl").as("ppl"),

@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, CorpusOverlap, Curation, Pq, Similarity, SubstringDedup}
-import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, OverlapStream, SubstringDedupStream}
+import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
+import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, OverlapStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 11): the five stateful streams —
+/** Composed streaming soak (round 12): the six stateful streams —
   * OverlapStream, CurationStream, EmbeddingIndexStream (triple-write),
-  * ComponentsStream, SubstringDedupStream — consuming ONE shared document/embedding drop
+  * ComponentsStream, SubstringDedupStream, HashedModelStream — consuming
+  * ONE shared document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -64,6 +65,7 @@ object ComposedStreamSoak {
     val (curState, curOut) = (s"$tmp/cur-state", s"$tmp/cur-out")
     val ccState = s"$tmp/cc-state"
     val ssState = s"$tmp/ss-state"
+    val hmState = s"$tmp/hm-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -78,6 +80,8 @@ object ComposedStreamSoak {
         autoCompactBytes = 256 * 1024)
       SubstringDedupStream.applyBatch(spark, docB(i), i.toLong, ssState,
         L = 5, autoCompactBatches = 8)
+      HashedModelStream.applyBatch(spark, docB(i), i.toLong, hmState,
+        hashFn = h, autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -162,6 +166,17 @@ object ComposedStreamSoak {
     val ssBatch = SubstringDedup.repeatedSpans(docs, "text", "doc_id", L = 5)
       .as[(Long, Long, Long, Long, Double, String)].collect().toSet
     check("substring_spans", ssStream == ssBatch)
+
+    // hashed models: scores under the folded count state ≡ one-shot
+    // trainModelStack over the union — bit-identical literal models
+    val hmStream = HashedModelStream.currentScores(spark, hmState, docs, hashFn = h)
+      .as[(Long, Long, Double, Double, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    val hmBatch = HashedModelStream.scoreWith(
+        HashedModel.trainModelStack(docs, hashFn = h), docs)
+      .as[(Long, Long, Double, Double, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    check("hashed_model_scores", hmStream == hmBatch)
     spark.stop()
   }
 }

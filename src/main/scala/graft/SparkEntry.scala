@@ -266,7 +266,7 @@ object SparkEntry {
     // the single-partition ntile window (no global sort anywhere); the
     // oracle replays the engine's own boundaries as literals
     "model_filter_scaled" -> ((s: SparkSession, d: String) =>
-      Curation.modelFilterScaled(s, d).orderBy("doc_id")),
+      Curation.modelFilterScaledGate(s, d)),
     // end-to-end retrieval composition: chunk -> dedup -> embed -> top-k
     "chunk_embed_topk" -> ((s: SparkSession, d: String) => Prep.chunkEmbedTopk(s, d)),
     // [EXT] text analysis

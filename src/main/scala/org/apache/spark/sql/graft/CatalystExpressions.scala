@@ -1209,3 +1209,63 @@ case class PqDecode(code: Expression, books: Array[Array[Double]], sub: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(code = newChild)
 }
+
+/** O(1) token → ratio lookup against a driver-built hash table — the
+  * literal-MAP form (`coalesce(element_at(map(lit...), t), lit(floor))`)
+  * pays Spark's `GetMapValue` LINEAR key scan per lookup: O(k) UTF8String
+  * comparisons per token, which at the capped-vocabulary production size
+  * (k = 10 000) dominates DSIR/familiarity scoring. The table rides the
+  * expression as parallel arrays (plan-light, serializer-friendly) and is
+  * materialized into a per-JVM `java.util.HashMap` lazily; the ratio
+  * DOUBLES are exactly the ones the map form carried, and a hit returns
+  * the identical value, so scores are bit-identical (gate re-verified).
+  * Misses return `default` (the smoothed floor, or NaN where the caller
+  * proves totality) — non-null either way.
+  *
+  * Used inside `transform` lambdas, which Spark evaluates interpreted —
+  * the win is the O(1) `nullSafeEval`; `doGenCode` is provided for
+  * completeness when the expression lands in a codegen'd projection.
+  */
+case class TokenRatioLookup(child: Expression, tokens: Array[String],
+                            ratios: Array[Double], default: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(tokens.length == ratios.length,
+    s"tokens(${tokens.length}) and ratios(${ratios.length}) must align")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_token_ratio_lookup"
+
+  @transient private lazy val table
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double](
+      math.max(4, tokens.length * 2))
+    var i = 0
+    while (i < tokens.length) {
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(tokens(i)), ratios(i))
+      i += 1
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = table.get(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (v == null) default else v.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("table", table, "java.util.HashMap")
+    val defRef = ctx.addReferenceObj("default", java.lang.Double.valueOf(default),
+      "java.lang.Double")
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("v")
+      s"""
+         |java.lang.Double $v = (java.lang.Double) $tableRef.get($c);
+         |${ev.value} = ($v == null) ? $defRef.doubleValue() : $v.doubleValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -234,4 +234,34 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
       "SELECT graft_word_shingles(array('a', 'b', 'c'), 2) AS s").head().getSeq[String](0)
     assert(ws == Seq("a b", "b c"))
   }
+  test("TokenRatioLookup is bit-identical to the literal-map-with-floor form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{ColumnBridge, TokenRatioLookup}
+    val tokens = (0 until 500).map(i => s"tok$i").toArray
+    val ratios = tokens.indices.map(i => 1.0 / (i + 2)).toArray
+    val floor = 1.0e-7
+    val fm = map(tokens.indices.flatMap(i => Seq(lit(tokens(i)), lit(ratios(i)))): _*)
+    // hits, misses, and adversarial strings (empty, spaces-adjacent)
+    val docs = Seq("tok0 tok499 tokMISS tok250", "zzz tok1", "tokMISS2")
+      .toDF("text")
+    val mapForm = transform(split(col("text"), " ", -1),
+      t => coalesce(element_at(fm, t), lit(floor)))
+    val hashForm = transform(split(col("text"), " ", -1), t =>
+      ColumnBridge.column(TokenRatioLookup(ColumnBridge.expression(t), tokens, ratios, floor)))
+    val rows = docs.select(mapForm.as("a"), hashForm.as("b"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    rows.foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x)
+          == java.lang.Double.doubleToRawLongBits(y))
+      }
+    }
+    // and inside a codegen'd projection (not just the interpreted HOF path)
+    val one = docs.limit(1).select(
+      ColumnBridge.column(TokenRatioLookup(
+        ColumnBridge.expression(lit("tok3")), tokens, ratios, floor)).as("v"))
+      .head().getDouble(0)
+    assert(one == ratios(3))
+  }
 }

@@ -142,7 +142,7 @@ object Curation {
     * tercile off vs ntile; null-ppl docs are excluded by the sketch and
     * assigned the tail directly), which is why the GATE keeps ntile (exact
     * rank ties are portable) and production at scale runs this. Shape:
-    * two bounded training aggregates + one quantile aggregate + one
+    * one shared bounded training aggregate + one quantile aggregate + one
     * narrow pass — no global sort anywhere (spec pins the plan has no
     * SinglePartition exchange and the terciles agree with ntile's up to
     * boundary ties).

@@ -86,6 +86,25 @@ class HashedModelStreamSpec extends AnyFunSuite with SparkSuite {
     assert(b2 == batchAnswer.filter(r => b2ids.contains(r._1)))
   }
 
+  test("file-source end-to-end matches one-shot training over the union") {
+    val in = tmp(); val state = tmp(); val out = tmp(); val ckpt = tmp()
+    val q = HashedModelStream.runFileStream(spark, in, state, out, ckpt,
+      schemaFrom = docs, autoCompactBatches = 2)
+    try {
+      for (b <- 0 to 2) {
+        docs.filter($"doc_id" % 3 === b).coalesce(1)
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // runFileStream uses the production default hash (xxhash64) — compare
+    // against a batch answer trained with the same
+    assert(streamAnswer(state) == batchAnswer)
+    // per-batch scored outputs exist for every folded batch
+    assert((0 to 2).forall(b =>
+      spark.read.parquet(s"$out/batch=$b").count() > 0))
+  }
+
   test("crash windows: lost commit marker re-folds; interrupted swap heals") {
     val state = tmp(); val out = tmp()
     foldAll(state, Some(out))

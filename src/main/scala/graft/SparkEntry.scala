@@ -407,42 +407,14 @@ object SparkEntry {
     // tools/PqProbe containment sweep), making the output identical to
     // the exact IVF query — which is what the oracle replays (trained PQ
     // codebooks are 3 Lloyd iterations × 8 subspaces, not SQL-expressible)
-    "ann_ivf_topk_pq" -> ((s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val cents = Similarity.trainedCentroids(e, d)
-      val cb = Pq.trainedCodebooks(e, d)
-      val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
-      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
-      val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
-      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, vecs,
-          k = 3, nprobe = 3, poolMult = 40)
-        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
-    }),
+    // ONE body for both PQ retrieval gate forms (poolMult/nprobe and the
+    // recall contract live in one place; the adc flag is the only diff)
+    "ann_ivf_topk_pq" -> ((s: SparkSession, d: String) => pqRerankGate(s, d, adc = false)),
     // same two-stage retrieval with the pool scored by the LUT-ADC kernel
     // (PqAdcCosine: per-query lookup tables, no decode) — spec-pinned
     // equivalent to decode-then-dot, and the exact rerank restores
     // oracle-expressible scores, so the exact-IVF oracle applies verbatim
-    "ann_ivf_topk_adc" -> ((s: SparkSession, d: String) => {
-      val e = Tables.embeddings(s, d)
-      val cents = Similarity.trainedCentroids(e, d)
-      val cb = Pq.trainedCodebooks(e, d)
-      val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
-      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
-      val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
-      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, vecs,
-          k = 3, nprobe = 3, poolMult = 40, adc = true)
-        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
-    }),
+    "ann_ivf_topk_adc" -> ((s: SparkSession, d: String) => pqRerankGate(s, d, adc = true)),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -482,6 +454,28 @@ object SparkEntry {
     * pipelines run on the portable h60 hash and are replicated with DuckDB
     * list lambdas + interpolated seed constants ([[PortableOracles]]).
     */
+  /** Shared body of the two PQ-retrieval gate queries: 32×-compressed pool
+    * (decode-then-dot, or LUT-ADC when `adc`) sized so it provably contains
+    * the exact IVF top-k on this corpus (PqSpec + tools/PqProbe containment
+    * sweep), then exact rerank — output identical to the exact IVF query,
+    * which is what the shared oracle replays. */
+  private def pqRerankGate(s: SparkSession, d: String, adc: Boolean): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.trainedCentroids(e, d)
+    val cb = Pq.trainedCodebooks(e, d)
+    val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
+    Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, vecs,
+        k = 3, nprobe = 3, poolMult = 40, adc = adc)
+      .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "minhash_dedup_keep" -> PortableOracles.minhashDedupKeepSql,
     "minhash_near_dup" -> PortableOracles.minhashNearDupSql,

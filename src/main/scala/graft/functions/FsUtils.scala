@@ -5,8 +5,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Filesystem helpers for the parquet-pure swap/commit patterns. */
 object FsUtils {
 
+  /** Hadoop's Path parser is lenient where java.net.URI is strict — a
+    * local path containing a space (or other unescaped characters) is
+    * valid here and must not throw. Every state reader/writer in
+    * `graft.streaming` routes through this, so the leniency has to live
+    * HERE, not at individual call sites. */
   def fs(spark: org.apache.spark.sql.SparkSession, path: String): FileSystem =
-    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** `FileSystem.rename` reports most failures via `false`, not an
     * exception (missing source, vanished destination parent, cross-store

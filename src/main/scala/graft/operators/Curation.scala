@@ -153,14 +153,18 @@ object Curation {
     modelFilterScaledWith(HashedModel.trainedStack(spark, dir),
       Tables.documents(spark, dir), pTau, repMax, accuracy)
 
-  /** GK tercile boundaries of the LAST [[modelFilterScaledOf]] call in this
-    * JVM — read by [[modelFilterScaledSql]] to interpolate the engine's own
-    * boundaries into the oracle as literals. Sound for the gate because
-    * `Verify` runs every registered query BEFORE dumping `oracleSql`, so
-    * the recorded pair is the gate run's own; the boundaries are plain data
-    * elements (GK returns dataset values), so they print exactly. */
-  private val scaledBoundaries =
-    new java.util.concurrent.atomic.AtomicReference[Seq[Double]](Seq.empty)
+  /** GK tercile boundaries recorded by GATE runs only, keyed by testdata
+    * dir (the stackCache precedent) — read by [[modelFilterScaledSql]] to
+    * interpolate the gate run's OWN boundaries into the oracle as
+    * literals. Sound because `Verify` runs every registered query BEFORE
+    * dumping `oracleSql`, all on one dir; keying by dir plus restricting
+    * recording to [[modelFilterScaledGate]] means no spec- or
+    * library-driven `modelFilterScaled[Of]` call can overwrite the gate's
+    * pair (the boundaries are dataset elements, so they print exactly). */
+  private val gateBoundaries =
+    new scala.collection.concurrent.TrieMap[String, Seq[Double]]
+  private val lastGateDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   def modelFilterScaledOf(docs: DataFrame,
                           pTau: Double = 0.5, repMax: Double = 0.5,
@@ -177,12 +181,14 @@ object Curation {
                             pTau: Double = 0.5, repMax: Double = 0.5,
                             accuracy: Int = 10000): DataFrame =
     modelFilterScaledWith(HashedModel.trainedStack(spark, dir),
-      Tables.documentsById(spark, dir), pTau, repMax, accuracy)
+      Tables.documentsById(spark, dir), pTau, repMax, accuracy,
+      record = bs => { gateBoundaries.put(dir, bs); lastGateDir.set(dir) })
 
   private def modelFilterScaledWith(
       stack: (HashedModel.ClassifierModel, HashedModel.BigramLm),
       docs: DataFrame,
-      pTau: Double, repMax: Double, accuracy: Int): DataFrame = {
+      pTau: Double, repMax: Double, accuracy: Int,
+      record: Seq[Double] => Unit = _ => ()): DataFrame = {
     val (cls, lm) = stack
     val scored = docs.select(col("doc_id"),
       HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("p_target"),
@@ -193,7 +199,7 @@ object Curation {
     val bRow = scored.agg(expr(
       s"approx_percentile(ppl, array(${1.0 / 3}, ${2.0 / 3}), $accuracy)").as("b")).head()
     val bs = Option(bRow.getSeq[Double](0)).getOrElse(Seq.empty)
-    scaledBoundaries.set(bs)
+    record(bs)
     val tercile =
       if (bs.length < 2) lit(3L) // degenerate: no scoreable ppl at all
       else when(col("ppl").isNull, 3L)
@@ -237,7 +243,8 @@ object Curation {
     * specs that only look at its keys; `Verify`'s run order makes the
     * fallback unreachable on the gate path. */
   def modelFilterScaledSql(pTau: Double = 0.5, repMax: Double = 0.5): String = {
-    val bs = scaledBoundaries.get
+    val bs = Option(lastGateDir.get)
+      .flatMap(gateBoundaries.get).getOrElse(Seq.empty)
     val tercile =
       if (bs.length < 2) "3"
       else s"""CASE WHEN p.ppl IS NULL THEN 3

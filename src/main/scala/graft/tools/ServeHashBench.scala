@@ -21,9 +21,14 @@ object ServeHashBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // vocab is a def ON PURPOSE: the registered serve query builds the
+    // vocabulary inside the query, so both timed arms must pay the same
+    // scan+distinct — the comparison isolates the base-hash constant, not
+    // a cached-input best case. The count() below warms the session/JIT
+    // only.
     def vocab = CorpusOverlap.sliceVocab(
       graft.Tables.documents(spark, dir), "text", "source")
-    vocab.count() // warm
+    vocab.count()
     def timeIt(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -130,12 +130,20 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
 
   test("modelFilterScaled oracle interpolates the gate run's own GK boundaries") {
     // Verify's run order (queries first, oracleSql after) is what makes the
-    // literal-interpolation oracle sound — pin that a run records boundaries
-    // and the SQL carries them as CAST(double) literals, not the fallback.
-    val scaled = Curation.modelFilterScaled(spark, Sf0001)
+    // literal-interpolation oracle sound — pin that a GATE run records
+    // boundaries and the SQL carries them as CAST(double) literals, not the
+    // fallback — and that non-gate library calls can NOT overwrite them.
+    val scaled = Curation.modelFilterScaledGate(spark, Sf0001)
     scaled.collect()
     val sql = Curation.modelFilterScaledSql()
     assert(sql.contains("CAST(") && sql.contains("AS DOUBLE) THEN 1"),
       s"oracle should carry interpolated boundary literals, got: ${sql.take(400)}")
+    // a library call over a DIFFERENT frame must not disturb the gate pair
+    import spark.implicits._
+    val tiny = Seq((0L, "a b c d e f", "en"), (1L, "g h i j k l", "de"))
+      .toDF("doc_id", "text", "lang")
+    Curation.modelFilterScaledOf(tiny).collect()
+    assert(Curation.modelFilterScaledSql() == sql,
+      "non-gate modelFilterScaledOf overwrote the gate's oracle boundaries")
   }
 }

@@ -9,7 +9,23 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def same_mask(g, e):
+    """Bitwise for floats (faithful to the driver's hash compare: -0.0 !=
+    +0.0 and NaN payloads matter — the round-11 classifier_score
+    signed-zero failure passed a == compare here)."""
+    if (np.issubdtype(g.dtype, np.floating)
+            and np.issubdtype(e.dtype, np.floating)):
+        gb = g.values.astype(np.float64).view(np.int64)
+        eb = e.values.astype(np.float64).view(np.int64)
+        return gb == eb
+    try:
+        return (g.values == e.values) | (g.isna().values & e.isna().values)
+    except Exception:
+        return g.astype(str).values == e.astype(str).values
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -59,22 +75,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL  {name}: rows {len(got)} != {len(exp)}")
             failures += 1
             continue
-        # value compare, BITWISE for floats (faithful to the driver's hash
-        # compare: -0.0 != +0.0 and NaN payloads matter — the round-11
-        # classifier_score signed-zero failure passed a == compare here)
-        import numpy as np
-
-        def same_mask(g, e):
-            if (np.issubdtype(g.dtype, np.floating)
-                    and np.issubdtype(e.dtype, np.floating)):
-                gb = g.values.astype(np.float64).view(np.int64)
-                eb = e.values.astype(np.float64).view(np.int64)
-                return gb == eb
-            try:
-                return (g.values == e.values) | (g.isna().values & e.isna().values)
-            except Exception:
-                return g.astype(str).values == e.astype(str).values
-
+        # value compare, BITWISE for floats (see same_mask)
         mismatch = None
         for c in got.columns:
             g, e = got[c], exp[c]

@@ -42,6 +42,17 @@ class HashedModelStreamSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("state dirs with spaces work (FsUtils parses paths leniently, not via java.net.URI)") {
+    // regression pin for the shared-helper fix: a strict URI parse threw
+    // URISyntaxException on entry for any state path containing a space
+    val state = Files.createTempDirectory("hm stream spaced").toString
+    assert(state.contains(" "))
+    foldAll(state)
+    assert(streamAnswer(state) == batchAnswer)
+    HashedModelStream.compactState(spark, state)
+    assert(streamAnswer(state) == batchAnswer)
+  }
+
   test("replay of a folded batch is skipped; counts never double") {
     val state = tmp()
     foldAll(state)

@@ -269,6 +269,10 @@ object SparkEntry {
       Curation.modelFilterScaledGate(s, d)),
     // end-to-end retrieval composition: chunk -> dedup -> embed -> top-k
     "chunk_embed_topk" -> ((s: SparkSession, d: String) => Prep.chunkEmbedTopk(s, d)),
+    // [EXT] one-pass data-quality profiler (per-column n/null/distinct/
+    // min/max/mean in ONE aggregate + unpivot; exact-distinct gate form —
+    // the approx/no-Expand 100 TB form is Profile.profileApprox, spec-pinned)
+    "profile_columns" -> Profile.profileOrders _,
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,
@@ -628,6 +632,7 @@ object SparkEntry {
     "pii_scrub" -> Prep.piiScrubSql,
     "decontaminate" -> Prep.decontaminateSql,
     "chunk_embed_topk" -> Prep.chunkEmbedTopkSql,
+    "profile_columns" -> Profile.profileOrdersSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,

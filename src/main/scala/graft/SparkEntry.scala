@@ -147,6 +147,27 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 2))
         .orderBy("click_id", "purchase_id")
     }),
+    // range join through the gate: each click matched to the purchase
+    // INTERVALS [ts, ts+1h) it falls into per user (the inverse direction of
+    // events_stream_join's lookback) — key equi-join with the range as a
+    // post-join filter (Temporal.rangeJoin: hash join on user_id, never a
+    // cross product)
+    "events_range_join" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"),
+          col("value"))
+      Temporal.rangeJoin(clicks, purchases, "user_id", "click_ts", "p_start", "p_end")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"), round(col("value"), 2).as("value"))
+        .orderBy("click_id", "purchase_id")
+    }),
     "events_sliding" -> ((s: SparkSession, d: String) =>
       EventsPipeline.slidingAgg(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
@@ -300,6 +321,11 @@ object SparkEntry {
       HashedModel.classifierScores(s, d)),
     "bigram_perplexity" -> ((s: SparkSession, d: String) =>
       HashedModel.bigramPerplexity(s, d)),
+    // filter-threshold calibration: PR curve at every candidate cutoff —
+    // corpus collapses to the ≤10^4-row score GRID before the cumulative
+    // window (bounded-window contract; the election helper is spec-pinned)
+    "classifier_calibration" -> ((s: SparkSession, d: String) =>
+      HashedModel.calibration(s, d)),
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
@@ -567,6 +593,15 @@ object SparkEntry {
         |ON c.user_id = p.user_id
         |AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "events_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |ROUND(p.value, 2) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id
+        |AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // window-union mirror of the as-of join (engine-portable; right rows
     // sort before left at equal ts for >= semantics, event_id breaks ties
     // among right rows only — left rows take a constant tie because src
@@ -642,6 +677,7 @@ object SparkEntry {
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "classifier_score" -> HashedModel.classifierScoresSql(),
     "bigram_perplexity" -> HashedModel.bigramPerplexitySql(),
+    "classifier_calibration" -> HashedModel.calibrationSql(),
     "substring_dedup" -> SubstringDedup.repeatedSpansSql(),
     "contaminate_spans" -> SubstringDedup.contaminationSpansSql(),
     "model_filter" -> Curation.modelFilterSql(),

@@ -261,6 +261,89 @@ object HashedModel {
        |ROUND(1.0 / (1.0 + EXP(-mean)), 4) AS p_target
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --- filter-threshold calibration (PR curve over the score grid) -----------
+
+  /** Precision/recall/F1 at EVERY candidate classifier threshold — the
+    * "pick the filter cutoff" step a FineWeb-Edu-style quality filter runs
+    * before deployment (score a labeled slice, read the curve, choose the
+    * operating point).
+    *
+    * Scale shape: scores are already on the 1e-4 grid (`p_target` is
+    * rounded), so the corpus collapses to ≤ 10001 rows in ONE map-side-
+    * combinable aggregate BEFORE any window — the cumulative TP/FP window
+    * then runs over the bounded GRID, never the corpus (same bounded-window
+    * contract as the token-frequency top-k). Labels here are the `lang`
+    * ground truth the classifier was trained against; production callers
+    * score a held-out labeled frame through the same function.
+    *
+    * Output, one row per distinct score: threshold, tp/fp/fn (counts at
+    * "keep iff score ≥ threshold"), prec/rec/f1. F1 uses the integer
+    * formulation 2tp/(2tp+fp+fn) — exact operands, one division — rather
+    * than composing the two already-rounded ratios.
+    */
+  def calibrationOf(docs: DataFrame, targetLang: String = "en",
+                    cls: ClassifierModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      (col("lang") === targetLang).as("pos"),
+      classifierStruct(cls, col("text")).getField("p_target").as("threshold"))
+    val buckets = scored.groupBy("threshold").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val wCum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .select(col("threshold"),
+        sum("n_pos").over(wCum).as("tp"),
+        sum("n_neg").over(wCum).as("fp"),
+        (sum("n_pos").over(wAll) - sum("n_pos").over(wCum)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 4).as("prec"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 4).as("rec"),
+        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 4).as("f1"))
+      .orderBy("threshold")
+  }
+
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val (cls, _) = trainedStack(spark, dir)
+    calibrationOf(Tables.documents(spark, dir), "en", cls)
+  }
+
+  /** Smallest threshold meeting `minPrec` (ties to the smallest, i.e. the
+    * highest-recall operating point) — the election a deployment actually
+    * ships. Driver-side min over the ≤ grid-size curve. */
+  def electThreshold(curve: DataFrame, minPrec: Double): Option[Double] = {
+    val rows = curve.filter(col("prec") >= minPrec)
+      .agg(min("threshold")).collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) None else Some(rows.head.getDouble(0))
+  }
+
+  /** DuckDB replay: same scored grid (nests [[classifierScoresSql]], whose
+    * per-doc p_target is already gate-proven bitwise), same cumulative
+    * window over the bounded grid. Outer CASTs keep DuckDB's HUGEINT
+    * window sums out of pandas (the events_props_sum lesson). */
+  def calibrationSql(targetLang: String = "en"): String =
+    s"""WITH sc AS (${classifierScoresSql(targetLang)}),
+       |lab AS (SELECT d.lang = '$targetLang' AS pos, sc.p_target AS threshold
+       |        FROM sc JOIN documents d USING (doc_id)),
+       |b AS (SELECT threshold,
+       |        SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+       |        SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg
+       |      FROM lab GROUP BY 1),
+       |c AS (SELECT threshold,
+       |  SUM(n_pos) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS tp,
+       |  SUM(n_neg) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS fp,
+       |  SUM(n_pos) OVER () - SUM(n_pos) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS fn
+       |  FROM b)
+       |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |CAST(fn AS BIGINT) AS fn,
+       |ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) AS prec,
+       |ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4) AS rec,
+       |ROUND(2.0 * tp / (2.0 * tp + fp + fn), 4) AS f1
+       |FROM c ORDER BY threshold""".stripMargin
+
   // --- hashed bigram LM perplexity (CCNet-style filter signal) ---------------
 
   /** Per-document perplexity under an add-α-smoothed HASHED bigram LM

@@ -154,4 +154,50 @@ class HashedModelSpec extends AnyFunSuite with SparkSuite {
       .orderBy("doc_id").collect()
     assert(stk.sameElements(sep))
   }
+
+  test("calibration: counts reconcile against a driver-side recompute") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf0001)
+    val cls = HashedModel.trainClassifier(docs)
+    val scored = docs.select((col("lang") === "en").as("pos"),
+        HashedModel.classifierStruct(cls, col("text")).getField("p_target").as("t"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    val curve = HashedModel.calibrationOf(docs, "en", cls).collect()
+    val totalPos = scored.count(_._1)
+    assert(curve.map(_.getDouble(0)).toSeq == scored.map(_._2).distinct.sorted.toSeq)
+    curve.foreach { r =>
+      val t = r.getDouble(0)
+      val tp = scored.count(s => s._1 && s._2 >= t)
+      val fp = scored.count(s => !s._1 && s._2 >= t)
+      assert(r.getLong(1) == tp && r.getLong(2) == fp && r.getLong(3) == totalPos - tp)
+      // monotone sanity: recall non-increasing in threshold
+      assert(r.getDouble(5) <= 1.0 && r.getDouble(5) >= 0.0)
+    }
+    // lowest threshold keeps everything: recall 1, precision = base rate
+    val lo = curve.head
+    assert(lo.getDouble(5) == 1.0 && lo.getLong(3) == 0L)
+  }
+
+  test("calibration: the cumulative window runs over the aggregated grid, not the corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val cls = HashedModel.trainClassifier(docs)
+    val plan = HashedModel.calibrationOf(docs, "en", cls)
+      .queryExecution.executedPlan.toString
+    // the Window's child chain must contain the grid aggregate (i.e. an
+    // aggregate BELOW the window) — the corpus never reaches WindowExec
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0)
+    assert(plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"no aggregate below the window:\n$plan")
+  }
+
+  test("electThreshold picks the highest-recall cutoff meeting the precision floor") {
+    import spark.implicits._
+    val curve = Seq(
+      (0.2, 0.50, 1.00), (0.5, 0.80, 0.90), (0.7, 0.92, 0.60), (0.9, 0.99, 0.20))
+      .toDF("threshold", "prec", "rec")
+    assert(HashedModel.electThreshold(curve, 0.9).contains(0.7))
+    assert(HashedModel.electThreshold(curve, 0.999).isEmpty)
+    assert(HashedModel.electThreshold(curve, 0.4).contains(0.2))
+  }
 }

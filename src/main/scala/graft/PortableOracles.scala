@@ -267,13 +267,14 @@ object PortableOracles {
        |FROM b JOIN bmin m ON b.tbl = m.tbl AND b.bucket = m.bucket
        |GROUP BY b.vec_id ORDER BY vec_id""".stripMargin
 
-  /** Full IVF replica: per-label mean centroids, argmin assignment (d, then
-    * cluster id as tie-break — the lexicographic struct-min rule), nprobe=3
-    * probe lists, round-4 cosine top-3. Centroid means differ from Spark's
-    * in final ulps (summation order), which cannot flip an argmin whose
-    * cluster gaps are ~1e-2. */
-  val annIvfTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared IVF-replica prefix: per-label mean centroids, squared-L2
+    * distances, argmin assignment (d, then cluster id as tie-break — the
+    * lexicographic struct-min rule). Centroid means differ from Spark's in
+    * final ulps (summation order), which cannot flip an argmin whose
+    * cluster gaps are ~1e-2. Reused by [[annIvfTopkSql]] and
+    * [[clusterSampleSql]]. */
+  private val ivfAssignCtes: String =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cm AS (SELECT label, i, AVG(v[i]) AS m
        |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
        |cent AS (SELECT label AS cluster, list(m ORDER BY i) AS c FROM cm GROUP BY label),
@@ -282,7 +283,12 @@ object PortableOracles {
        |          FROM e CROSS JOIN cent),
        |assign AS (SELECT vec_id, v, cluster FROM (
        |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-       |             FROM dists) WHERE rn = 1),
+       |             FROM dists) WHERE rn = 1)""".stripMargin
+
+  /** Full IVF replica: the shared assignment prefix + nprobe=3 probe lists
+    * and round-4 cosine top-3. */
+  val annIvfTopkSql: String =
+    s"""WITH $ivfAssignCtes,
        |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
        |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
        |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
@@ -294,6 +300,21 @@ object PortableOracles {
        |  FROM probes p JOIN assign a ON a.cluster = p.cluster
        |  WHERE p.query_id <> a.vec_id) t
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.clusterSampleOf]]: the shared
+    * assignment prefix, per-cluster sizes, the salted-h60 within-cluster
+    * race, quota = ⌈√n_c⌉. */
+  val clusterSampleSql: String =
+    s"""WITH $ivfAssignCtes,
+       |cnt AS (SELECT cluster, COUNT(*) AS n_c FROM assign GROUP BY cluster),
+       |rk AS (SELECT vec_id, cluster,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster
+       |           ORDER BY ${graft.functions.Hashing.h60Sql("vec_id::VARCHAR || ':csample'")}, vec_id) AS rk
+       |       FROM assign)
+       |SELECT r.vec_id, CAST(r.cluster AS BIGINT) AS cluster, c.n_c,
+       |CAST(CEIL(SQRT(c.n_c)) AS BIGINT) AS quota, r.rk
+       |FROM rk r JOIN cnt c USING (cluster)
+       |WHERE r.rk <= CEIL(SQRT(c.n_c)) ORDER BY vec_id""".stripMargin
 
   /** [[annIvfTopkSql]]'s chain with int8 max-abs quantization on BOTH sides
     * and the integer cosine (mirrors `Similarity.ivfTopKIndexedQuantized` /

@@ -312,6 +312,11 @@ object SparkEntry {
     // fires at the gate and the oracle replays the same top-16 + floor
     "token_familiarity_capped" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenFamiliarityCapped(s, d, k = 16, sketchKOpt = 128)),
+    // token counting under a LEARNED BPE vocabulary: one word-count pass +
+    // driver-side merge learning on the bounded table + narrow O(1)-lookup
+    // scoring (the oracle replays the learned table as literals; merge
+    // learning itself is spec-pinned in BpeSpec)
+    "bpe_token_counts" -> Bpe.tokenCounts _,
     "repetition_ratio" -> TextAnalysis.repetitionRatio _,
     "gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     // hashed-feature models (O(K) state at ANY vocabulary — feature
@@ -351,6 +356,11 @@ object SparkEntry {
     // cluster anchor (tau tuned to this synthetic corpus's spread)
     "semantic_dedup_keep" -> ((s: SparkSession, d: String) =>
       Similarity.semanticDedupKeep(Tables.embeddings(s, d), tau = 0.2)),
+    // cluster-balanced (√-rebalanced, α=1/2 temperature) sampling over the
+    // trained IVF clusters — the data-mixing selection that flattens head
+    // clusters; deterministic salted-h60 race, RNG-free
+    "cluster_sample" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterSample(s, d)),
     // bloom-pruned join: probe side pre-filtered by a broadcast fixed-size
     // bloom of build keys, then the exact join — oracle is the plain join
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummary _,
@@ -673,6 +683,7 @@ object SparkEntry {
     "token_freq" -> TextAnalysis.tokenFreqSql,
     "token_familiarity" -> TextAnalysis.tokenFamiliarityCappedSql(),
     "token_familiarity_capped" -> TextAnalysis.tokenFamiliarityCappedSql(k = 16),
+    "bpe_token_counts" -> Bpe.tokenCountsSql(),
     "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "classifier_score" -> HashedModel.classifierScoresSql(),
@@ -695,6 +706,7 @@ object SparkEntry {
     "dsir_weights" -> TextAnalysis.dsirWeightsCappedSql(),
     "dsir_weights_capped" -> TextAnalysis.dsirWeightsCappedSql(k = 16),
     "semantic_dedup_keep" -> Similarity.semanticDedupKeepSql(0.2),
+    "cluster_sample" -> PortableOracles.clusterSampleSql,
     "lineitem_bloom_join" -> BloomJoin.urgentLineitemSummarySql,
     // outer CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders
     // as float — the gate's exact compare then fails against Spark's int64

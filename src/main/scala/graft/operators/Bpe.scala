@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer training + tokenizer-aware token counting —
+  * the charter's "token counting" upgraded from whitespace/regex proxies to
+  * counts under a LEARNED subword vocabulary (Sennrich et al. 2016), which
+  * is what a token-budget pipeline actually meters (packing, mixture
+  * weights, per-source budgets are all in tokenizer tokens, not words).
+  *
+  * Scale decomposition (the same shape every real BPE trainer uses):
+  *  - ONE distributed pass builds the word-frequency table (explode →
+  *    map-side-combinable groupBy → top-k by (count, word) — bounded driver
+  *    state at any corpus size via TakeOrdered; the Misra-Gries sketch in
+  *    [[TextAnalysis]] is the alternative when even the groupBy's vocabulary
+  *    exchange must stay bounded).
+  *  - Merge learning iterates over the BOUNDED word table driver-side —
+  *    O(k·maxlen) work per merge, zero cluster scans. This is not a
+  *    compromise: pair statistics over the weighted vocab are exactly pair
+  *    statistics over the corpus, so cluster-side iteration would buy
+  *    nothing and cost nMerges corpus scans.
+  *  - SCORING is one narrow projection: per word an O(1) hash-table lookup
+  *    of its learned token count ([[org.apache.spark.sql.graft.TokenRatioLookup]]),
+  *    summed per doc. Out-of-table words fall back to character count
+  *    (identity tokenization — the honest upper bound; exact when the table
+  *    covers the vocabulary, which the gate's k ≥ |vocab| guarantees).
+  *
+  * Determinism: merge election is (max pair count, then lexicographically
+  * smallest pair); word-table truncation is (count desc, word asc) — both
+  * total orders, so training is reproducible from equal inputs on any
+  * partitioning. No end-of-word marker (merges never span words here, and
+  * token COUNTS are marker-invariant for any fixed merge list learned under
+  * the same convention); documented so external vocabularies are not
+  * drop-in.
+  */
+object Bpe {
+
+  /** Learned tokenizer: ordered merge list + the word table it was trained
+    * from (words aligned with their under-tokenizer token counts). */
+  case class Tokenizer(merges: Seq[(String, String)],
+                       words: Array[String], tokenCounts: Array[Double])
+
+  /** One left-to-right merge pass: every adjacent (a, b) becomes a+b.
+    * A single pass is exact: merging (a,b)→ab can never create a NEW (a,b)
+    * adjacency (ab == a or ab == b is impossible for non-empty a, b), so
+    * the scan-once fold equals iterate-until-fixpoint. */
+  private[graft] def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = syms
+    while (i.nonEmpty) {
+      i match {
+        case x :: y :: rest if x == a && y == b => out += a + b; i = rest
+        case x :: rest => out += x; i = rest
+        case Nil => ()
+      }
+    }
+    out.toList
+  }
+
+  /** Tokenize one word under an ordered merge list: start from characters,
+    * apply each merge in learned order. */
+  def tokenizeWord(word: String, merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.map(_.toString).toList) { case (syms, (a, b)) =>
+      if (syms.lengthCompare(2) < 0) syms else applyMerge(syms, a, b)
+    }
+
+  /** Learn `nMerges` merges from a (word, count) table — the classic
+    * weighted-vocab BPE loop. Stops early when no pair remains. */
+  def trainMerges(wordCounts: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Seq[(List[String], Long)] =
+      wordCounts.map { case (w, n) => (w.map(_.toString).toList, n) }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var step = 0
+    while (step < nMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + n
+        }
+      }
+      if (pairs.isEmpty) step = nMerges
+      else {
+        // max count, ties to the lexicographically smallest pair — a total
+        // order, so training is independent of map iteration order
+        val best = pairs.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, n) => (applyMerge(syms, best._1, best._2), n) }
+        step += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** The distributed word-frequency pass: top-`k` words by (count desc,
+    * word asc). TakeOrdered keeps driver state at k rows regardless of
+    * vocabulary size. */
+  def wordCounts(docs: DataFrame, k: Int): Seq[(String, Long)] =
+    docs.select(explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Train a tokenizer from `docs`: one distributed word-count pass + the
+    * driver-side merge loop + the word→token-count table used by scoring. */
+  def train(docs: DataFrame, k: Int = 512, nMerges: Int = 24): Tokenizer = {
+    val wc = wordCounts(docs, k)
+    val merges = trainMerges(wc, nMerges)
+    val sorted = wc.map(_._1).sorted
+    Tokenizer(merges, sorted.toArray,
+      sorted.map(w => tokenizeWord(w, merges).length.toDouble).toArray)
+  }
+
+  /** Per-word learned token count as a Column: O(1) hash-table hit for
+    * in-table words, character-count identity fallback for the rest. */
+  private def tokenCountCol(tk: Tokenizer)(w: Column): Column = {
+    val hit = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.TokenRatioLookup(
+        org.apache.spark.sql.graft.ColumnBridge.expression(w),
+        tk.words, tk.tokenCounts, Double.NaN))
+    when(isnan(hit), length(w).cast("double")).otherwise(hit)
+  }
+
+  /** Per-document token accounting under tokenizer `tk`: whitespace words,
+    * learned-BPE tokens, non-space characters, chars-per-token compression.
+    * One narrow projection (the model-scoring shape — tokenizer rides the
+    * plan, no join, no shuffle above the scan). */
+  def tokenCountsOf(docs: DataFrame, tk: Tokenizer): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { ws =>
+        val toks = aggregate(transform(ws, w => tokenCountCol(tk)(w)), lit(0.0), (a, x) => a + x)
+        val chars = aggregate(transform(ws, w => length(w).cast("double")),
+          lit(0.0), (a, x) => a + x)
+        struct(
+          size(ws).cast("long").as("n_words"),
+          toks.cast("long").as("n_tokens"),
+          chars.cast("long").as("n_chars"),
+          round(chars / toks, 4).as("chars_per_token"))
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_words").as("n_words"),
+        col("s.n_tokens").as("n_tokens"), col("s.n_chars").as("n_chars"),
+        col("s.chars_per_token").as("chars_per_token"))
+
+  /** Session train-once registry (the trainedStack precedent) + the gate
+    * recording that lets [[tokenCountsSql]] replay the learned table as
+    * literals — sound for the same reason as the GK-boundary oracle:
+    * Verify dumps oracle SQL AFTER every query has run. */
+  private val tokenizerCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), Tokenizer]
+  private[graft] def trainedTokenizer(spark: SparkSession, dir: String,
+                                      k: Int = 512, nMerges: Int = 24): Tokenizer =
+    tokenizerCache.getOrElseUpdate((dir, k, nMerges),
+      train(Tables.documentsById(spark, dir), k, nMerges))
+
+  private val gateTables =
+    new scala.collection.concurrent.TrieMap[String, Tokenizer]
+  private val lastGateDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Gate query: token accounting under the tokenizer trained on the same
+    * corpus (k=512 ≥ the testdata vocabulary, so the table is total and the
+    * fallback can't fire — BpeSpec pins the binding-cap fallback). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val tk = trainedTokenizer(spark, dir)
+    gateTables.put(dir, tk); lastGateDir.set(dir)
+    tokenCountsOf(Tables.documentsById(spark, dir), tk)
+  }
+
+  /** DuckDB replay of the SCORING pass: the learned word→token-count table
+    * rides as a literal CASE (bounded: ≤ k entries), fallback LENGTH(w) —
+    * so the oracle independently verifies the distributed accounting while
+    * the driver-side merge learning is spec-pinned (BpeSpec hand-checked
+    * merges + tokenize totality). */
+  def tokenCountsSql(): String = {
+    val tk = Option(lastGateDir.get).flatMap(gateTables.get)
+      .getOrElse(Tokenizer(Nil, Array.empty, Array.empty))
+    def esc(s: String) = s.replace("'", "''")
+    val cases =
+      if (tk.words.isEmpty) "LENGTH(w)"
+      else tk.words.zip(tk.tokenCounts)
+        .map { case (w, c) => s"WHEN '${esc(w)}' THEN ${c.toLong}" }
+        .mkString("CASE w ", " ", " ELSE LENGTH(w) END")
+    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(LEN(ws) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(ws, w -> $cases)) AS BIGINT) AS n_tokens,
+       |  CAST(list_sum(list_transform(ws, w -> LENGTH(w))) AS BIGINT) AS n_chars
+       |  FROM t)
+       |SELECT doc_id, n_words, n_tokens, n_chars,
+       |ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+}

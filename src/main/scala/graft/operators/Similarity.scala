@@ -143,6 +143,45 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Cluster-balanced (√-rebalanced) sampling: assign each vector to its
+    * nearest trained centroid, then keep ⌈√n_c⌉ deterministically-chosen
+    * members per cluster — the "flatten the head clusters" selection a
+    * data-mixing pass runs over embedding clusters (temperature sampling
+    * with α = 1/2: a cluster 100× larger contributes only 10× the sample,
+    * so dominant modes stop drowning the tail — the multilingual
+    * temperature-rebalancing idea applied to semantic clusters).
+    *
+    * Deterministic and RNG-free like every sampler here: the within-cluster
+    * race key is `h60(vec_id · ":csample")`, so retries/backfills reproduce
+    * the sample. Scale shape: assignment is one narrow codegen pass
+    * (NearestCentroid, broadcast quantizer); cluster sizes are one
+    * map-side-combinable tiny aggregate broadcast back; the rank window
+    * shuffles once on cluster and sorts per cluster — the
+    * [[Sampling.samplePerSource]] shape (its bounded-aggregator variant is
+    * the hot-cluster escape hatch; quotas here are tiny by construction:
+    * √n per cluster).
+    */
+  def clusterSampleOf(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.Hashing.h60
+    val assigned = assign(embeddings, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(h60(concat(col("vec_id").cast("string"), lit(":csample"))), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("cluster"))
+      .withColumn("quota", ceil(sqrt(col("n_c").cast("double"))))
+      .filter(col("rk") <= col("quota"))
+      .select(col("vec_id"), col("cluster"), col("n_c"), col("quota"), col("rk"))
+      .orderBy("vec_id")
+  }
+
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+    clusterSampleOf(e, trainedCentroids(e, dir))
+  }
+
   /** DuckDB mirror of [[labelDispersion]] — same anchor selection
     * (ARG_MIN), same round-then-DECIMAL-sum determinism. */
   val labelDispersionSql: String =

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("trainMerges: hand-checked weighted-vocab example") {
+    // vocab {aaab:2, aab:1}. Pair counts: (a,a) = 2·2 + 1 = 5, (a,b) = 3.
+    // Merge 1 = (a,a). Vocab → {[aa,a,b]:2, [aa,b]:1}.
+    // Pair counts: (aa,a)=2, (a,b)=2, (aa,b)=1 — tie broken lexicographically
+    // → (a,b) < (aa,a). Merge 2 = (a,b).
+    val merges = Bpe.trainMerges(Seq("aaab" -> 2L, "aab" -> 1L), 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+    assert(Bpe.tokenizeWord("aaab", merges) == List("aa", "ab"))
+    assert(Bpe.tokenizeWord("aab", merges) == List("aa", "b"))
+    // OOV word under the same merges: merges still apply
+    assert(Bpe.tokenizeWord("aaaa", merges) == List("aa", "aa"))
+  }
+
+  test("trainMerges stops early when no pairs remain; single-char words survive") {
+    val merges = Bpe.trainMerges(Seq("ab" -> 3L, "x" -> 5L), 10)
+    assert(merges == Seq(("a", "b"))) // only one mergeable pair ever exists
+    assert(Bpe.tokenizeWord("x", merges) == List("x"))
+    assert(Bpe.tokenizeWord("", merges) == Nil)
+  }
+
+  test("single merge pass is exact: merging cannot re-create its own pair") {
+    // "aaa" with (a,a): leftmost merge wins, no re-scan needed
+    assert(Bpe.applyMerge(List("a", "a", "a"), "a", "a") == List("aa", "a"))
+    assert(Bpe.applyMerge(List("a", "a", "a", "a"), "a", "a") == List("aa", "aa"))
+    assert(Bpe.applyMerge(List("a", "b", "b"), "a", "b") == List("ab", "b"))
+  }
+
+  test("tokenize totality: tokens concatenate back to the word, count <= length") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tk = Bpe.train(docs, k = 512, nMerges = 24)
+    assert(tk.words.length <= 512 && tk.merges.nonEmpty)
+    tk.words.foreach { w =>
+      val toks = Bpe.tokenizeWord(w, tk.merges)
+      assert(toks.mkString == w)
+      assert(toks.length <= w.length && toks.nonEmpty)
+    }
+    // learned compression on the training vocab: merges actually fire
+    assert(tk.words.zip(tk.tokenCounts).exists { case (w, c) => c < w.length })
+  }
+
+  test("training is partitioning-independent (total orders everywhere)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = Bpe.train(docs.repartition(13), k = 256, nMerges = 12)
+    val b = Bpe.train(docs.coalesce(1), k = 256, nMerges = 12)
+    assert(a.merges == b.merges)
+    assert(a.words.toSeq == b.words.toSeq)
+    assert(a.tokenCounts.toSeq == b.tokenCounts.toSeq)
+  }
+
+  test("distributed token accounting equals a driver-side recompute") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tk = Bpe.train(docs, k = 512, nMerges = 24)
+    val got = Bpe.tokenCountsOf(docs, tk).orderBy("doc_id").collect()
+    val raw = docs.select("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val table = tk.words.zip(tk.tokenCounts).toMap
+    got.zip(raw).foreach { case (r, (id, text)) =>
+      val ws = text.split(" ", -1)
+      assert(r.getLong(0) == id)
+      assert(r.getLong(1) == ws.length)
+      val toks = ws.map(w => table.getOrElse(w, w.length.toDouble)).sum.toLong
+      assert(r.getLong(2) == toks)
+      assert(r.getLong(3) == ws.map(_.length).sum.toLong)
+    }
+  }
+
+  test("binding cap: out-of-table words fall back to character count") {
+    val docs = Seq((0L, "zz zz qqqq"), (1L, "zz")).toDF("doc_id", "text")
+    val tk = Bpe.train(docs, k = 1, nMerges = 4) // table = {zz} only
+    assert(tk.words.toSeq == Seq("zz"))
+    val out = Bpe.tokenCountsOf(docs, tk).orderBy("doc_id").collect()
+    // doc 0: zz → 1 learned token ((z,z) merged), qqqq → 4 chars fallback
+    assert(out(0).getLong(2) == 1 + 1 + 4)
+    assert(out(1).getLong(2) == 1)
+  }
+
+  test("scoring pass is narrow: no exchange in the executed plan") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tk = Bpe.train(docs, k = 128, nMerges = 8)
+    val plan = Bpe.tokenCountsOf(docs, tk).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+}

@@ -530,4 +530,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(a.sameElements(b))
     assert(a.nonEmpty && a.forall(r => r.getDouble(2) <= 1.0))
   }
+
+  test("clusterSample: quotas are ceil(sqrt(n_c)), winners are the hash-min members, repartition-stable") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val out = Similarity.clusterSampleOf(e, cents).collect()
+    // quota respected and met exactly per cluster (sample size = min(quota, n_c) = quota)
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (_, rows) =>
+      val nC = rows.head.getLong(2)
+      val quota = math.ceil(math.sqrt(nC.toDouble)).toLong
+      assert(rows.head.getLong(3) == quota)
+      assert(rows.length == quota)
+      assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to quota))
+    }
+    // winners = the quota smallest salted hashes per cluster (driver recompute)
+    import graft.functions.Hashing.h60
+    val assigned = Similarity.assign(e, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        h60(concat(col("vec_id").cast("string"), lit(":csample"))).as("hk"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    val expect = assigned.groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+      val q = math.ceil(math.sqrt(rows.length.toDouble)).toInt
+      rows.sortBy(r => (r._2, r._3)).take(q).map(r => (c, r._3)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getLong(1), r.getLong(0))).toSet == expect)
+    // deterministic under repartitioning
+    val again = Similarity.clusterSampleOf(e.repartition(11), cents).collect()
+    assert(out.sameElements(again))
+    // rebalancing: the sampling rate is ~n^(-1/2) — for clusters ≥4× apart
+    // the bigger one's rate must be strictly smaller (ceil can locally
+    // wiggle the rate between near-equal sizes, so only the asymptotic
+    // claim is assertable)
+    val rates = byCluster.values.map { rows =>
+      (rows.head.getLong(2), rows.head.getLong(3).toDouble / rows.head.getLong(2)) }.toSeq
+    for ((n1, r1) <- rates; (n2, r2) <- rates if n2 >= 4 * n1)
+      assert(r2 < r1, s"rate did not shrink: n=$n1 rate=$r1 vs n=$n2 rate=$r2")
+  }
 }

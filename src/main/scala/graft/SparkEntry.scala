@@ -294,6 +294,10 @@ object SparkEntry {
     // min/max/mean in ONE aggregate + unpivot; exact-distinct gate form —
     // the approx/no-Expand 100 TB form is Profile.profileApprox, spec-pinned)
     "profile_columns" -> Profile.profileOrders _,
+    // the mergeable/streaming form: distinct via KMV theta sketch on the
+    // portable h60 (k=256, so doc_id/text OVERFLOW and the θ-estimate path
+    // fires at the gate — and the oracle still hash-compares the estimate)
+    "profile_columns_sketched" -> Profile.profileDocumentsTheta _,
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,
@@ -678,6 +682,7 @@ object SparkEntry {
     "decontaminate" -> Prep.decontaminateSql,
     "chunk_embed_topk" -> Prep.chunkEmbedTopkSql,
     "profile_columns" -> Profile.profileOrdersSql,
+    "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,

@@ -116,6 +116,172 @@ object Profile {
   def profileOrders(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.orders(spark, dir), ordersCols)
 
+  // --- mergeable profile state (the streaming / incremental form) ------------
+  //
+  // Every stat above except exact n_distinct is a FOLD: counts and decimal
+  // sums add, min/max fold, and distinct becomes mergeable as a KMV theta
+  // sketch (the k smallest distinct hashes of a union are computable from
+  // the per-part k-minima — any value dropped from a part's top-k has k
+  // part-local values below it, so it cannot be among the union's k
+  // minima). [[profileState]] emits one mergeable row per column;
+  // [[mergeState]] folds state rows state-to-state (compaction shape);
+  // [[finishProfile]] presents merged state as the profile. Stream-fold ≡
+  // one-shot bit-identity is pinned in ProfileStreamSpec.
+
+  /** Hash choice for the distinct sketch: production = `xxhash64` (64-bit
+    * domain); gate/portable = [[graft.functions.Hashing.h60]] (60-bit
+    * domain, DuckDB-replicable so even the ESTIMATE is hash-compared). */
+  case class SketchHash(fn: Column => Column, bits: Int)
+  val Xx64: SketchHash = SketchHash(c => xxhash64(c), 64)
+  val H60: SketchHash = SketchHash(c => graft.functions.Hashing.h60(c), 60)
+
+  /** One mergeable state row per column: (col_name, n, n_nonnull, typed
+    * min/max, decimal sum, sorted retained hash minima `ks` in the
+    * sketch's transformed domain). ONE aggregate over `df`, same shape as
+    * [[profile]]. Hash input is the column's STRING rendering (portable
+    * across engines for integer/string/formatted-timestamp columns — the
+    * reason the gate profiles those kinds). */
+  def profileState(df: DataFrame, cols: Seq[(String, ColKind)],
+                   k: Int = 256, hash: SketchHash = H60): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { case (c, kind) =>
+      val base = Seq(
+        count(col(c)).as(s"__nn_$c"),
+        ThetaSketch.sketchNullable(hash.fn(col(c).cast("string")), k)
+          .getField("ks").as(s"__ks_$c"))
+      val typed = kind match {
+        case NumCol => Seq(
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"),
+          sum(col(c).cast("decimal(18,2)")).cast("decimal(28,2)").as(s"__sum_$c"))
+        case StrCol => Seq(
+          min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        case TsCol => Seq(
+          date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"__min_$c"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"__max_$c"))
+      }
+      base ++ typed
+    }
+    val one = df.groupBy().agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { case (c, kind) =>
+      val (minNum, maxNum, sumNum, minStr, maxStr) = kind match {
+        case NumCol => (col(s"__min_$c"), col(s"__max_$c"), col(s"__sum_$c"),
+          lit(null).cast("string"), lit(null).cast("string"))
+        case StrCol | TsCol => (lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("decimal(28,2)"), col(s"__min_$c"), col(s"__max_$c"))
+      }
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n"),
+        col(s"__nn_$c").as("n_nonnull"),
+        minNum.as("min_num"), maxNum.as("max_num"), sumNum.as("sum_num"),
+        minStr.as("min_str"), maxStr.as("max_str"),
+        col(s"__ks_$c").as("ks"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Fold state rows state-to-state: one output row per column. The ks
+    * merge takes the k smallest of the per-row sorted minima (exact — see
+    * the mergeability note above); everything else is a plain fold. */
+  def mergeState(state: DataFrame, k: Int): DataFrame =
+    state.groupBy("col_name").agg(
+      sum("n").as("n"),
+      sum("n_nonnull").as("n_nonnull"),
+      min("min_num").as("min_num"),
+      max("max_num").as("max_num"),
+      sum("sum_num").cast("decimal(28,2)").as("sum_num"),
+      min("min_str").as("min_str"),
+      max("max_str").as("max_str"),
+      slice(array_sort(array_distinct(flatten(collect_list("ks")))), 1, k).as("ks"))
+
+  /** Present merged state as the profile, with the sketch's distinct
+    * ESTIMATE (exact while distinct < k, else (k−1)/θ): column order and
+    * semantics match [[profile]] plus `n_distinct_est`. */
+  def finishProfile(state: DataFrame, k: Int, hash: SketchHash = H60): DataFrame = {
+    val merged = mergeState(state, k)
+    val thetaT = when(size(col("ks")) < k, lit(Long.MaxValue))
+      .otherwise(element_at(col("ks"), k))
+    // retained values live in the transformed domain (h ^ Long.MinValue);
+    // the estimate divides by the fraction of the HASH domain below θ
+    val frac = hash.bits match {
+      case 64 => (thetaT.cast("double") + lit(9.223372036854776e18)) /
+        lit(1.8446744073709552e19)
+      case 60 => when(thetaT === Long.MaxValue, lit(1.0))
+        .otherwise(thetaT.bitwiseXOR(lit(Long.MinValue)).cast("double") /
+          lit(1.152921504606846976e18))
+      case b => throw new IllegalArgumentException(s"unsupported hash domain: $b bits")
+    }
+    merged.select(
+        col("col_name"), col("n"),
+        (col("n") - col("n_nonnull")).as("n_null"),
+        round(size(filter(col("ks"), v => v < thetaT)).cast("double") / frac, 4)
+          .as("n_distinct_est"),
+        col("min_num"), col("max_num"),
+        round(col("sum_num").cast("double") / col("n_nonnull"), 4).as("avg_num"),
+        col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
+  /** One-shot sketched profile (the batch twin of the streaming fold). */
+  def profileTheta(df: DataFrame, cols: Seq[(String, ColKind)],
+                   k: Int = 256, hash: SketchHash = H60): DataFrame =
+    finishProfile(profileState(df, cols, k, hash), k, hash)
+
+  /** Column list for the `documents` sketched gate profile — integer and
+    * string kinds only: their STRING renderings (the sketch's hash input)
+    * are engine-portable, so the DuckDB oracle hash-compares even the
+    * estimates. Doubles stay on the production xxhash64 path (native-byte
+    * hashing; no portable rendering to anchor an oracle to). */
+  val documentsCols: Seq[(String, ColKind)] = Seq(
+    "doc_id" -> NumCol,
+    "lang" -> StrCol,
+    "n_chars" -> NumCol,
+    "source" -> StrCol,
+    "text" -> StrCol)
+
+  /** Gate k: small enough that doc_id/text OVERFLOW the sketch at sf0.01
+    * (the θ-estimate path actually fires at the gate), large enough that
+    * lang/source stay exact. */
+  val GateK = 256
+
+  /** Gate query: sketched profile of `documents` on the portable h60. */
+  def profileDocumentsTheta(spark: SparkSession, dir: String): DataFrame =
+    profileTheta(Tables.documents(spark, dir), documentsCols, GateK, H60)
+
+  /** DuckDB mirror: per column, the k smallest distinct h60 values of the
+    * string rendering replay the KMV rule exactly — θ = the kth minimum
+    * (or the full 60-bit domain while exact), estimate = |below θ| / (θ /
+    * 2^60). Integers and IEEE divisions only, so the estimate itself is
+    * hash-compared. */
+  def profileDocumentsThetaSql: String = {
+    val k = GateK
+    val selects = documentsCols.map { case (c, kind) =>
+      val h = graft.functions.Hashing.h60Sql(s"CAST($c AS VARCHAR)")
+      val typed = kind match {
+        case NumCol =>
+          s"""CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+             |ROUND(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c), 4) AS avg_num,
+             |CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str""".stripMargin
+        case _ =>
+          s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |CAST(NULL AS DOUBLE) AS avg_num,
+             |MIN($c) AS min_str, MAX($c) AS max_str""".stripMargin
+      }
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |COUNT(*) - COUNT($c) AS n_null,
+         |(SELECT ROUND(
+         |   CAST(LEN(list_filter(l[1:$k], x -> x < theta)) AS DOUBLE)
+         |     / (CAST(theta AS DOUBLE) / 1152921504606846976.0), 4)
+         | FROM (SELECT l,
+         |         CASE WHEN LEN(l) < $k THEN 1152921504606846976 ELSE l[$k] END AS theta
+         |       FROM (SELECT list_sort(list_distinct(list($h))) AS l
+         |             FROM documents WHERE $c IS NOT NULL))) AS n_distinct_est,
+         |$typed
+         |FROM documents""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Line-for-line DuckDB mirror: one SELECT per column UNION ALL'd.
     * `COUNT(*) - COUNT(c)` for nulls keeps everything BIGINT (DuckDB's
     * SUM(int) widens to HUGEINT, which pandas renders as float — the

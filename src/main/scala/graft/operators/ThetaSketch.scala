@@ -92,6 +92,26 @@ object ThetaSketch {
   def sketch(hashedCol: Column, k: Int = 1024): Column =
     udaf(new ThetaSketchAgg(k), Encoders.scalaLong)(hashedCol)
 
+  /** Null-SKIPPING variant for profiling nullable columns: a null hash
+    * contributes nothing (the primitive-encoder form would refuse the null
+    * at deserialization). Same buffer, same merge, same finish — sketches
+    * over the same non-null values are bit-identical to [[ThetaSketchAgg]]. */
+  class ThetaSketchAggNullable(k: Int)
+      extends Aggregator[java.lang.Long, ThetaBuf, ThetaRes] {
+    private val inner = new ThetaSketchAgg(k)
+    override def zero: ThetaBuf = inner.zero
+    override def reduce(buf: ThetaBuf, h: java.lang.Long): ThetaBuf =
+      if (h == null) buf else inner.reduce(buf, h.longValue)
+    override def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = inner.merge(a, b)
+    override def finish(r: ThetaBuf): ThetaRes = inner.finish(r)
+    override def bufferEncoder: Encoder[ThetaBuf] = Encoders.product[ThetaBuf]
+    override def outputEncoder: Encoder[ThetaRes] = Encoders.product[ThetaRes]
+  }
+
+  /** [[sketch]] over a NULLABLE hash column (nulls skipped). */
+  def sketchNullable(hashedCol: Column, k: Int = 1024): Column =
+    udaf(new ThetaSketchAggNullable(k), Encoders.LONG)(hashedCol)
+
   /** (transformed θ) → normalized fraction of the hash space in (0, 1]. */
   private def frac(thetaT: Column): Column =
     (thetaT.cast("double") + lit(9.223372036854776e18)) / lit(1.8446744073709552e19)

@@ -3,11 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, OverlapStream, SubstringDedupStream}
+import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, OverlapStream, ProfileStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 12): the six stateful streams —
-  * OverlapStream, CurationStream, EmbeddingIndexStream (triple-write),
-  * ComponentsStream, SubstringDedupStream, HashedModelStream — consuming
+/** Composed streaming soak (round 13: seven streams): OverlapStream,
+  * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
+  * SubstringDedupStream, HashedModelStream, ProfileStream — consuming
   * ONE shared document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
@@ -56,6 +56,10 @@ object ComposedStreamSoak {
     def pairB(i: Int) = docB(i).select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
       .filter(pmod(col("a"), lit(10)) =!= 9)
 
+    val profCols = Seq("doc_id" -> graft.operators.Profile.NumCol,
+      "lang" -> graft.operators.Profile.StrCol,
+      "source" -> graft.operators.Profile.StrCol,
+      "n_chars" -> graft.operators.Profile.NumCol)
     val base = graft.Tables.embeddings(spark, sf)
     val cents = Similarity.centroidSeq(base)
     val cb = Pq.trainedCodebooks(base, "soak")
@@ -66,6 +70,7 @@ object ComposedStreamSoak {
     val ccState = s"$tmp/cc-state"
     val ssState = s"$tmp/ss-state"
     val hmState = s"$tmp/hm-state"
+    val pfState = s"$tmp/pf-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -82,6 +87,8 @@ object ComposedStreamSoak {
         L = 5, autoCompactBatches = 8)
       HashedModelStream.applyBatch(spark, docB(i), i.toLong, hmState,
         hashFn = h, autoCompactBatches = 8)
+      ProfileStream.applyBatch(spark, docB(i), i.toLong, pfState, profCols,
+        k = 256, hash = graft.operators.Profile.Xx64, autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -177,6 +184,15 @@ object ComposedStreamSoak {
       .as[(Long, Long, Double, Double, Long, Option[Double], Option[Double])]
       .collect().toSet
     check("hashed_model_scores", hmStream == hmBatch)
+
+    // profiler: folded state presents the one-shot sketched profile
+    val pfStream = ProfileStream.currentProfile(spark, pfState,
+        k = 256, hash = graft.operators.Profile.Xx64)
+      .collect().toSeq
+    val pfBatch = graft.operators.Profile.profileTheta(docs, profCols,
+        k = 256, hash = graft.operators.Profile.Xx64)
+      .collect().toSeq
+    check("profile_columns", pfStream == pfBatch)
     spark.stop()
   }
 }

@@ -182,6 +182,10 @@ object SparkEntry {
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
         .orderBy("keep_id")),
+    // exact dedup on CANONICALIZED text (NFC + case + whitespace), proven
+    // end-to-end by perturbing the corpus in-query and replaying the same
+    // chain in the oracle
+    "dedup_exact_canonical" -> Dedup.canonicalDedupGate _,
     // word-level (k=1) sets: this synthetic corpus shares so much vocabulary
     // that 3-gram shingles never collide; τ=0.9 with 8 rows/band keeps the
     // candidate volume sane (collision prob .99 at j=.9, .13 at j=.6).
@@ -668,6 +672,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_exact_canonical" -> Dedup.canonicalDedupSql,
     "split_assign" -> Sampling.splitAssignSql,
     "split_leakage_safe" -> PortableOracles.splitLeakageSafeSql,
     "sample_per_source" -> Sampling.samplePerSourceSql,

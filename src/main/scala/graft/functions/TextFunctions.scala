@@ -74,4 +74,23 @@ object TextFunctions {
     val punctRatio = punct.cast("double") / greatest(chars, lit(1L)).cast("double")
     round(lengthCredit * lit(0.5) + stopRatio * lit(0.3) + (lit(1.0) - punctRatio) * lit(0.2), 4)
   }
+
+  /** Unicode NFC normalization (codegen
+    * [[org.apache.spark.sql.graft.NfcNormalize]]; DuckDB `NFC_NORMALIZE`). */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, NfcNormalize}
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+
+  /** Dedup canonicalization: NFC → lowercase → collapse `[ \t\n\r]+` runs
+    * to one space → trim. The narrow pre-pass every exact/fuzzy dedup
+    * should hash: visually-identical texts with different
+    * combining-character encodings, case, or spacing land in ONE content
+    * group. The whitespace class is spelled explicitly (not `\s`) because
+    * Java and RE2 disagree on `\s`'s members (`\x0B`); the listed chars
+    * behave identically in both engines. Idempotent (spec-pinned), so
+    * re-canonicalizing already-clean text is a no-op.
+    * DuckDB mirror: `TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(x)), '[ \t\n\r]+', ' ', 'g'))`. */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(lower(nfcNormalize(c)), "[ \\t\\n\\r]+", " "))
 }

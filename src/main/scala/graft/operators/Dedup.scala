@@ -23,6 +23,41 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup on CANONICALIZED text ([[graft.functions.TextFunctions
+    * .canonicalize]]: NFC → lowercase → whitespace collapse → trim) — the
+    * near-free canonicalization pre-pass that merges case/spacing/encoding
+    * variants of one document into a single content group before hashing.
+    * The gate corpus is already canonical, so the query PERTURBS it
+    * deterministically first (doc_id%3: uppercase / double-space / as-is —
+    * the pii_scrub synthesized-input precedent) and the oracle replays the
+    * identical perturb→canonicalize→group chain: if canonicalization
+    * failed to undo any perturbation, the groups (and the gate hash)
+    * diverge. Same narrow-map + one-aggregate shape as [[exactGroups]].
+    */
+  def canonicalDedupGate(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val perturbed = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, upper(col("text")))
+        .when(pmod(col("doc_id"), lit(3)) === 1, regexp_replace(col("text"), " ", "  "))
+        .otherwise(col("text")).as("text"))
+    exactGroups(
+        perturbed.withColumn("text", graft.functions.TextFunctions.canonicalize(col("text"))),
+        "text", "doc_id")
+      .orderBy("keep_id")
+  }
+
+  val canonicalDedupSql: String =
+    """WITH p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN UPPER(text)
+      |       WHEN doc_id % 3 = 1 THEN REGEXP_REPLACE(text, ' ', '  ', 'g')
+      |       ELSE text END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)), '[ \t\n\r]+', ' ', 'g')) AS text
+      |  FROM p)
+      |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      |FROM c GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
   /** Distinct-on-content filter: keeps the min-id row per content hash. */
   def dropExactDuplicates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val groups = exactGroups(docs, textCol, idCol).select(col("keep_id").as(idCol))

@@ -241,6 +241,42 @@ object ScaleBench {
       "model_filter_scaled" -> (k => Curation.modelFilterScaledOf(docsX(k))),
       // shuffled export at volume: one hash exchange + per-shard sort
       "shuffled_export" -> (k => Sampling.shuffledExportAssignOf(docsX(k), nShards = 16)),
+      // round-13 tier. Profiler: exact pays its Expand + second scan,
+      // approx is the one-pass form, theta the mergeable/streaming form —
+      // all fixed-size state per column at any volume
+      "profile_exact" -> (k => graft.operators.Profile.profile(
+        amplify(Tables.orders(spark, sf), "o_orderkey", k),
+        graft.operators.Profile.ordersCols)),
+      "profile_approx" -> (k => graft.operators.Profile.profileApprox(
+        amplify(Tables.orders(spark, sf), "o_orderkey", k),
+        graft.operators.Profile.ordersCols)),
+      "profile_theta" -> (k => graft.operators.Profile.profileTheta(
+        docsX(k), graft.operators.Profile.documentsCols, k = 256)),
+      // calibration: model trained ONCE on the base corpus (offline, the
+      // production shape), amplified corpus collapses to the ≤10^4-row
+      // score grid before the window
+      "classifier_calibration" -> { k =>
+        val cls = graft.operators.HashedModel.trainedStack(spark, sf)._1
+        graft.operators.HashedModel.calibrationOf(docsX(k), "en", cls)
+      },
+      // cluster-balanced sampling: quantizer trained once; assignment is a
+      // narrow pass, the rank window shuffles once on cluster
+      "cluster_sample" -> { k =>
+        val cents = Similarity.trainedCentroids(Tables.embeddings(spark, sf), sf)
+        Similarity.clusterSampleOf(embsX(k), cents)
+      },
+      // BPE: training re-runs its word-count pass at volume (top-k bounded
+      // driver state); scoring is the narrow O(1)-lookup pass under a
+      // tokenizer trained once on the base corpus
+      "bpe_train" -> { k =>
+        val tk = graft.operators.Bpe.train(docsX(k))
+        println(s"  [bpe_train ${k}x: merges=${tk.merges.length} words=${tk.words.length}]")
+        spark.range(1).toDF("ok") // work happens in train; noop the sink
+      },
+      "bpe_token_counts" -> { k =>
+        val tk = graft.operators.Bpe.train(Tables.documents(spark, sf))
+        graft.operators.Bpe.tokenCountsOf(docsX(k), tk)
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

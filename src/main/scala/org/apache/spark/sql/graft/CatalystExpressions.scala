@@ -168,6 +168,42 @@ case class Md5Prefix60(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) as a codegen
+  * expression — Spark ships no normalization built-in, and text
+  * canonicalization before dedup needs one (visually-identical strings
+  * with different combining-character encodings must hash identically).
+  * Fast path: `Normalizer.isNormalized` (no allocation) skips the
+  * round-trip for already-NFC input — which is ~all real text, including
+  * every pure-ASCII string. DuckDB mirror: `NFC_NORMALIZE`.
+  */
+object NfcNormalize {
+  /** Public — called from generated code. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.NfcNormalize$$.MODULE$$.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word k-shingles of a pre-split words array (`array<string>` →
   * `array<string>`): gram i = words[i..i+k) joined by single spaces; arrays
   * shorter than k collapse to ONE whole-join gram (≡ the original text,

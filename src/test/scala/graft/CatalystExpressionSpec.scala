@@ -264,4 +264,29 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
       .head().getDouble(0)
     assert(one == ratios(3))
   }
+
+  test("NfcNormalize: already-NFC input is returned as-is, decomposed input normalizes, codegen ≡ eval") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.nfcNormalize
+    val rows = Seq(
+      "plain ascii text",
+      "caf\u00e9",            // precomposed é — already NFC
+      "cafe\u0301",           // e + combining acute — NFC composes to é
+      "A\u030a",              // A + combining ring → Å
+      "")
+    val df = rows.toDF("s")
+    val got = df.select(nfcNormalize(col("s"))).as[String].collect().toSeq
+    val expect = rows.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got == expect)
+    assert(got(2) == "caf\u00e9" && got(3) == "\u00c5")
+    // null propagates
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(nfcNormalize(col("s"))).collect().head.isNullAt(0))
+    // interpreted eval agrees with the (codegen'd) projection
+    rows.foreach { r =>
+      val viaEval = org.apache.spark.sql.graft.NfcNormalize.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r)).toString
+      assert(viaEval == java.text.Normalizer.normalize(r, java.text.Normalizer.Form.NFC))
+    }
+  }
 }

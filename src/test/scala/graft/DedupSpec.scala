@@ -174,4 +174,32 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       Dedup.hammingDistance(lit(0xff00L), lit(0x0ff0L)).as("d")).as[Int].head()
     assert(d == java.lang.Long.bitCount(0xff00L ^ 0x0ff0L))
   }
+
+  test("canonicalize: NFC + case + whitespace variants collapse to one form; idempotent") {
+    import graft.functions.TextFunctions.canonicalize
+    val variants = Seq(
+      "Hello  World",
+      "hello world",
+      "HELLO\tWORLD",
+      " hello world ",
+      "hello\nworld")
+    val out = variants.toDF("s").select(canonicalize(col("s"))).as[String].collect().toSeq
+    assert(out.toSet == Set("hello world"))
+    // combining-char variant of the same visual string joins the group
+    val nfc = Seq("cafe\u0301 bar", "caf\u00e9 bar", "CAF\u00c9  bar")
+      .toDF("s").select(canonicalize(col("s"))).as[String].collect().toSeq
+    assert(nfc.toSet == Set("caf\u00e9 bar"))
+    // idempotent
+    val once = "Hello  World"
+    val df1 = Seq(once).toDF("s").select(canonicalize(col("s")).as("c"))
+    assert(df1.select(canonicalize(col("c"))).as[String].head() ==
+      df1.as[String].head())
+  }
+
+  test("canonical dedup undoes the gate perturbation: groups equal exact dedup of the pristine corpus") {
+    val pristine = Dedup.exactGroups(Tables.documents(spark, Sf0001), "text", "doc_id")
+      .orderBy("keep_id").collect().toSeq
+    val canonical = Dedup.canonicalDedupGate(spark, Sf0001).collect().toSeq
+    assert(canonical == pristine)
+  }
 }

@@ -294,6 +294,11 @@ object SparkEntry {
       Curation.modelFilterScaledGate(s, d)),
     // end-to-end retrieval composition: chunk -> dedup -> embed -> top-k
     "chunk_embed_topk" -> ((s: SparkSession, d: String) => Prep.chunkEmbedTopk(s, d)),
+    // Z-order (Morton) key for multi-dimensional clustered layout — the
+    // write built on it prunes files on EITHER range dimension
+    // (LayoutSpec measures the bytes-read A/B); bucketing min/max taken
+    // in-query so the oracle replays the identical chain
+    "zorder_key" -> Layout.zorderKeyGate _,
     // [EXT] one-pass data-quality profiler (per-column n/null/distinct/
     // min/max/mean in ONE aggregate + unpivot; exact-distinct gate form —
     // the approx/no-Expand 100 TB form is Profile.profileApprox, spec-pinned)
@@ -686,6 +691,7 @@ object SparkEntry {
     "pii_scrub" -> Prep.piiScrubSql,
     "decontaminate" -> Prep.decontaminateSql,
     "chunk_embed_topk" -> Prep.chunkEmbedTopkSql,
+    "zorder_key" -> Layout.zorderKeySql,
     "profile_columns" -> Profile.profileOrdersSql,
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
     "text_stats" -> TextAnalysis.textStatsSql,

@@ -54,6 +54,82 @@ object Layout {
     * the large side now lands on `numSalts` reducers instead of one.
     * Result is row-identical to `large.join(small, keys)` (LayoutSpec).
     */
+  // --- Z-order (Morton) layout: multi-dimensional file pruning -------------
+
+  /** Bucket an integer column to [0, 2^bits) by min/max scaling — exact
+    * integer-in-double arithmetic (values × 2^bits stay far under 2^52),
+    * so engines agree bit-for-bit. */
+  private def zbucket(c: Column, cmin: Column, cmax: Column, bits: Int): Column =
+    floor(((c - cmin) * lit(math.pow(2, bits))) / (cmax - cmin + lit(1))).cast("long")
+
+  /** Z-order key of two bucketed dimensions (codegen
+    * [[org.apache.spark.sql.graft.Interleave2]]). */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge, Interleave2}
+    ColumnBridge.column(Interleave2(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long")), bits))
+  }
+
+  /** Write `df` range-partitioned and sorted by the z-key of two integer
+    * columns: every output file then covers a tight min/max BOX in both
+    * dimensions, so parquet footer stats prune files/row-groups for range
+    * predicates on EITHER column — where a single-column sort prunes only
+    * its own column and scans everything for the other (measured A/B in
+    * LayoutSpec: bytes read drop ~linearly with the box selectivity on the
+    * non-sort dimension). The one tiny min/max aggregate is broadcast into
+    * the bucketing expressions; the only corpus-wide work is the range
+    * exchange + per-file sort any clustered write pays.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+                    nFiles: Int, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("long").as("amin"), max(col(colA)).cast("long").as("amax"),
+      min(col(colB)).cast("long").as("bmin"), max(col(colB)).cast("long").as("bmax")).head()
+    val (amin, amax, bmin, bmax) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val keyed = df.withColumn("__z", zorderKey(
+      zbucket(col(colA), lit(amin), lit(amax), bits),
+      zbucket(col(colB), lit(bmin), lit(bmax), bits), bits))
+    keyed.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Gate query: the z-key computation itself over `documents`
+    * (doc_id × n_chars, 16 bits per dimension), min/max taken IN-QUERY
+    * (one broadcast stats row) so the oracle replays the identical chain.
+    * The layout write built on this key is exercised + measured in
+    * LayoutSpec (pruning A/B). */
+  def zorderKeyGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documentsById(spark, dir)
+    val stats = docs.agg(
+      min(col("doc_id")).as("amin"), max(col("doc_id")).as("amax"),
+      min(col("n_chars")).as("bmin"), max(col("n_chars")).as("bmax"))
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        zbucket(col("doc_id"), col("amin"), col("amax"), 16).as("za"),
+        zbucket(col("n_chars"), col("bmin"), col("bmax"), 16).as("zb"))
+      .select(col("doc_id"), col("za"), col("zb"),
+        zorderKey(col("za"), col("zb"), 16).as("zkey"))
+  }
+
+  val zorderKeySql: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((za >> $i) & 1) << ${2 * i}) + (((zb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    """WITH s AS (SELECT MIN(doc_id) AS amin, MAX(doc_id) AS amax,
+      |                  MIN(n_chars) AS bmin, MAX(n_chars) AS bmax FROM documents),
+      |b AS (SELECT doc_id,
+      |  CAST(FLOOR((doc_id - amin) * 65536.0 / (amax - amin + 1)) AS BIGINT) AS za,
+      |  CAST(FLOOR((n_chars - bmin) * 65536.0 / (bmax - bmin + 1)) AS BIGINT) AS zb
+      |  FROM documents CROSS JOIN s)
+      |SELECT doc_id, za, zb,
+      |CAST(""".stripMargin + terms + """ AS BIGINT) AS zkey
+      |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  numSalts: Int, saltFrom: Column): DataFrame = {
     val l = large.withColumn("__salt", pmod(xxhash64(saltFrom), lit(numSalts.toLong)))

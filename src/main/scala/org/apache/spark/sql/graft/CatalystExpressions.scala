@@ -168,6 +168,48 @@ case class Md5Prefix60(child: Expression)
     copy(child = newChild)
 }
 
+/** Bit interleaving of two bucketed dimensions (Morton / Z-order curve):
+  * bit i of `a` lands at position 2i, bit i of `b` at 2i+1 — points close
+  * in BOTH dimensions get close z-keys, so range-partitioning + sorting a
+  * table by this key gives every file a tight min/max box in both columns
+  * and parquet row-group stats prune on either dimension (the multi-dim
+  * layout trick single-column sorting can't provide; measured A/B in
+  * LayoutSpec). Inputs must already be bucketed to [0, 2^bits); `bits` ≤
+  * 31 keeps the key in a positive long.
+  */
+object Interleave2 {
+  /** Public — called from generated code. */
+  def zkey(a: Long, b: Long, bits: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out |= ((a >> i) & 1L) << (2 * i)
+      out |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+}
+
+case class Interleave2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder_interleave"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Interleave2.zkey(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Interleave2$$.MODULE$$.zkey($a, $b, $bits);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode NFC normalization (java.text.Normalizer) as a codegen
   * expression — Spark ships no normalization built-in, and text
   * canonicalization before dedup needs one (visually-identical strings

@@ -289,4 +289,27 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
       assert(viaEval == java.text.Normalizer.normalize(r, java.text.Normalizer.Form.NFC))
     }
   }
+
+  test("Interleave2: hand cases + agreement with a bit-loop reference") {
+    import org.apache.spark.sql.graft.Interleave2
+    // a=101b (even positions), b=011b (odd positions): 1 + 16 + 2 + 8 = 27
+    assert(Interleave2.zkey(5L, 3L, 3) == 27L)
+    assert(Interleave2.zkey(0L, 0L, 16) == 0L)
+    assert(Interleave2.zkey((1L << 16) - 1, 0L, 16) == 0x55555555L)
+    assert(Interleave2.zkey(0L, (1L << 16) - 1, 16) == 0xAAAAAAAAL)
+    val rnd = new scala.util.Random(7)
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    (1 to 200).foreach { _ =>
+      val (a, b) = (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)
+      assert(Interleave2.zkey(a, b, 16) == ref(a, b, 16))
+    }
+    // column form (codegen path) agrees
+    import spark.implicits._
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.operators.Layout.zorderKey(col("a"), col("b"), 3))
+      .as[Long].head()
+    assert(got == 27L)
+  }
 }

@@ -183,4 +183,62 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     val top = graft.operators.Similarity.bruteForceTopK(feats, Seq(0L), 3).collect()
     assert(top.length == 3)
   }
+
+  test("z-order layout: per-file stat boxes are tight in BOTH dimensions (the pruning mechanism)") {
+    import graft.operators.Layout
+    val orders = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 100).cast("long").as("price_c"))
+    val nFiles = 16
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    Layout.writeZOrdered(orders, "o_custkey", "price_c", zDir, nFiles)
+    // linear baseline: same file count, sorted by custkey only
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // correctness: the z-written table holds exactly the same rows
+    val a = spark.read.parquet(zDir).orderBy("o_orderkey").collect().toSeq
+    val b = orders.orderBy("o_orderkey").collect().toSeq
+    assert(a == b)
+
+    // per-file (min,max) boxes — what parquet footer stats expose to the
+    // reader's row-group pruning
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("o_custkey"), max("o_custkey"), min("price_c"), max("price_c")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val zB = boxes(zDir); val lB = boxes(linDir)
+    assert(zB.size > 4 && lB.size > 4)
+    val (pLo, pHi) = {
+      val s = orders.agg(min("price_c"), max("price_c")).head()
+      (s.getLong(0), s.getLong(1))
+    }
+    // a narrow price band (~10% of the range): count files whose box
+    // intersects it — the files a stats-pruning reader must open
+    val bandLo = pLo + (pHi - pLo) * 45 / 100
+    val bandHi = pLo + (pHi - pLo) * 55 / 100
+    def hits(bs: Seq[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, lo, hi) => hi >= bandLo && lo <= bandHi }
+    // custkey-sorted layout: every file spans ~the whole price range
+    assert(hits(lB) == lB.size, s"linear layout unexpectedly selective: ${hits(lB)}/${lB.size}")
+    // z-order: at least 2× fewer files than the linear layout must open
+    // (16 files = ~2 z-bits per dimension, so each file spans ~1/4 of the
+    // price range; a 10% band intersects about half the files — the
+    // asymptotic win grows with file count, this pins the mechanism)
+    assert(hits(zB) * 2 <= hits(lB),
+      s"z-order not selective on the second dimension: ${hits(zB)}/${zB.size} vs linear ${hits(lB)}")
+    // and the FIRST dimension keeps (partial) selectivity too
+    val (cLo, cHi) = {
+      val s = orders.agg(min("o_custkey"), max("o_custkey")).head()
+      (s.getLong(0), s.getLong(1))
+    }
+    val cBandHi = cLo + (cHi - cLo) / 10
+    val zHitsA = zB.count { case (lo, hi, _, _) => hi >= cLo && lo <= cBandHi }
+    assert(zHitsA < zB.size, "z-order lost all first-dimension selectivity")
+  }
 }

@@ -82,15 +82,29 @@ object TextFunctions {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   }
 
-  /** Dedup canonicalization: NFC → lowercase → collapse `[ \t\n\r]+` runs
-    * to one space → trim. The narrow pre-pass every exact/fuzzy dedup
-    * should hash: visually-identical texts with different
-    * combining-character encodings, case, or spacing land in ONE content
-    * group. The whitespace class is spelled explicitly (not `\s`) because
-    * Java and RE2 disagree on `\s`'s members (`\x0B`); the listed chars
-    * behave identically in both engines. Idempotent (spec-pinned), so
-    * re-canonicalizing already-clean text is a no-op.
-    * DuckDB mirror: `TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(x)), '[ \t\n\r]+', ' ', 'g'))`. */
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
+
+  /** ASCII-range lowercase via `translate` — byte-exact on every engine.
+    * Full Unicode case folding is deliberately NOT applied: Java
+    * (`lower('ß')` via full mapping) and utf8proc/DuckDB (simple
+    * per-codepoint mapping) disagree on 1:n mappings (ß→ss) and
+    * dotted-İ, so a cross-engine-reproducible canonicalizer must pin its
+    * case rule to the range where the engines agree. Conservative for
+    * dedup: fewer merges, never wrong ones. */
+  def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+
+  /** Dedup canonicalization: NFC → ASCII-lowercase → collapse
+    * `[ \t\n\r]+` runs to one space → trim. The narrow pre-pass every
+    * exact/fuzzy dedup should hash: visually-identical texts with
+    * different combining-character encodings, (ASCII) case, or spacing
+    * land in ONE content group. Two portability pins: the whitespace
+    * class is spelled explicitly (not `\s`) because Java and RE2 disagree
+    * on `\s`'s members (`\x0B`), and lowercasing is ASCII-range
+    * `translate` (see [[asciiLower]] — Java vs utf8proc full case
+    * mappings diverge on ß/İ). Idempotent (spec-pinned), so
+    * re-canonicalizing already-clean text is a no-op. DuckDB mirror:
+    * `TRIM(REGEXP_REPLACE(TRANSLATE(NFC_NORMALIZE(x), 'A..Z', 'a..z'), '[ \t\n\r]+', ' ', 'g'))`. */
   def canonicalize(c: Column): Column =
-    trim(regexp_replace(lower(nfcNormalize(c)), "[ \\t\\n\\r]+", " "))
+    trim(regexp_replace(asciiLower(nfcNormalize(c)), "[ \\t\\n\\r]+", " "))
 }

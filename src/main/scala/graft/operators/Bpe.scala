@@ -137,7 +137,10 @@ object Bpe {
           size(ws).cast("long").as("n_words"),
           toks.cast("long").as("n_tokens"),
           chars.cast("long").as("n_chars"),
-          round(chars / toks, 4).as("chars_per_token"))
+          // explicit zero-token guard (empty/whitespace-only doc): Spark's
+          // non-ANSI Divide nulls on a zero divisor where DuckDB yields
+          // NaN — pin NULL on both engines
+          when(toks > 0, round(chars / toks, 4)).as("chars_per_token"))
       }.as("s"))
       .select(col("doc_id"), col("s.n_words").as("n_words"),
         col("s.n_tokens").as("n_tokens"), col("s.n_chars").as("n_chars"),
@@ -189,7 +192,8 @@ object Bpe {
        |  CAST(list_sum(list_transform(ws, w -> LENGTH(w))) AS BIGINT) AS n_chars
        |  FROM t)
        |SELECT doc_id, n_words, n_tokens, n_chars,
-       |ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |CASE WHEN n_tokens > 0
+       |     THEN ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) END AS chars_per_token
        |FROM c ORDER BY doc_id""".stripMargin
   }
 }

@@ -36,8 +36,12 @@ object Dedup {
     */
   def canonicalDedupGate(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
+    // ASCII-range translate on BOTH engines, for the perturbation as well
+    // as the canonicalizer: Java upper('ß')='SS' vs utf8proc UPPER('ß')='ß'
+    // would diverge the perturbed corpus itself on a non-ASCII regeneration
+    val up = translate(col("text"), ('a' to 'z').mkString, ('A' to 'Z').mkString)
     val perturbed = docs.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, upper(col("text")))
+      when(pmod(col("doc_id"), lit(3)) === 0, up)
         .when(pmod(col("doc_id"), lit(3)) === 1, regexp_replace(col("text"), " ", "  "))
         .otherwise(col("text")).as("text"))
     exactGroups(
@@ -46,17 +50,20 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  val canonicalDedupSql: String =
-    """WITH p AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN UPPER(text)
+  val canonicalDedupSql: String = {
+    val lo = ('a' to 'z').mkString
+    val hi = ('A' to 'Z').mkString
+    s"""WITH p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN TRANSLATE(text, '$lo', '$hi')
       |       WHEN doc_id % 3 = 1 THEN REGEXP_REPLACE(text, ' ', '  ', 'g')
       |       ELSE text END AS text
       |  FROM documents),
       |c AS (SELECT doc_id,
-      |  TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)), '[ \t\n\r]+', ' ', 'g')) AS text
+      |  TRIM(REGEXP_REPLACE(TRANSLATE(NFC_NORMALIZE(text), '$hi', '$lo'), '[ \t\n\r]+', ' ', 'g')) AS text
       |  FROM p)
       |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
       |FROM c GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+  }
 
   /** Distinct-on-content filter: keeps the min-id row per content hash. */
   def dropExactDuplicates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

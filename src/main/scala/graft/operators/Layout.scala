@@ -86,6 +86,12 @@ object Layout {
     val stats = df.agg(
       min(col(colA)).cast("long").as("amin"), max(col(colA)).cast("long").as("amax"),
       min(col(colB)).cast("long").as("bmin"), max(col(colB)).cast("long").as("bmax")).head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      // empty input (or an all-null key column): no stats to bucket by —
+      // write the frame as-is instead of NPE'ing on the null aggregate
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (amin, amax, bmin, bmax) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     val keyed = df.withColumn("__z", zorderKey(

@@ -1,12 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
-
 /** Focused gate iteration: run a SUBSET of SparkEntry queries and dump them
-  * plus their oracle SQL exactly like [[graft.Verify]], so
-  * `tools/check.py <sfDir> <outDir>` replays the driver gate for just the
-  * queries under development instead of the full surface.
+  * plus their oracle SQL through the SAME [[graft.Verify]] machinery the
+  * driver gate uses, so `tools/check.py <sfDir> <outDir>` replays the gate
+  * for just the queries under development.
   *
   * Usage: RunOne <sfDir> <outDir> <queryName> [<queryName> ...]
   */
@@ -14,42 +11,13 @@ object RunOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val names = args.drop(2).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    var failed = 0
-    names.foreach { name =>
-      graft.SparkEntry.queries.get(name) match {
-        case None =>
-          System.err.println(s"[runone] no such query: $name"); failed += 1
-        case Some(fn) =>
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[runone] $name failed: $e"); failed += 1 }
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val names = args.drop(2).toSet
+    val unknown = names -- graft.SparkEntry.queries.keySet
+    unknown.foreach(n => System.err.println(s"[runone] no such query: $n"))
+    val spark = graft.Verify.gateSession(defaultCpus = "8")
+    val failed = graft.Verify.dumpQueries(spark, sfDir, outDir, Some(names))
+    graft.Verify.writeOracles(outDir, Some(names))
     spark.stop()
-    if (failed > 0) sys.exit(1)
+    if (failed > 0 || unknown.nonEmpty) sys.exit(1)
   }
 }

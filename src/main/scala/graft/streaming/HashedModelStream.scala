@@ -123,6 +123,19 @@ object HashedModelStream {
                     hashFn: Column => Column = xxhash64(_)): DataFrame =
     scoreWith(currentStack(spark, stateDir, kCls, kLm, alpha, hashFn), docs)
 
+  /** PR-curve calibration of the STREAM-trained classifier over a labeled
+    * frame ([[graft.operators.HashedModel.calibrationOf]] on the folded
+    * stack): because the folded count state yields a bit-identical model
+    * to one-shot training, this equals batch calibration exactly
+    * (spec-pinned) — the continuously-retraining deployment re-reads its
+    * operating point from here after every fold. */
+  def currentCalibration(spark: SparkSession, stateDir: String, docs: DataFrame,
+                         targetLang: String = "en",
+                         kCls: Int = 128, kLm: Int = 2048, alpha: Double = 0.5,
+                         hashFn: Column => Column = xxhash64(_)): DataFrame =
+    HashedModel.calibrationOf(docs, targetLang,
+      currentStack(spark, stateDir, kCls, kLm, alpha, hashFn)._1)
+
   /** Fold one document micro-batch. Returns true when the batch folded,
     * false when the replay guards short-circuited it. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,

@@ -136,4 +136,14 @@ class HashedModelStreamSpec extends AnyFunSuite with SparkSuite {
     assert(streamAnswer(state) == batchAnswer)
     assert(fs.exists(c) && !fs.exists(t))
   }
+
+  test("currentCalibration over the folded stack equals batch calibration exactly") {
+    val st = tmp()
+    foldAll(st)
+    val streamed = HashedModelStream.currentCalibration(spark, st, docs, hashFn = xx)
+      .collect().toSeq
+    val oneShot = HashedModel.calibrationOf(docs, "en",
+      HashedModel.trainModelStack(docs, hashFn = xx)._1).collect().toSeq
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
 }

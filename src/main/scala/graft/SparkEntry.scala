@@ -344,6 +344,11 @@ object SparkEntry {
     // window (bounded-window contract; the election helper is spec-pinned)
     "classifier_calibration" -> ((s: SparkSession, d: String) =>
       HashedModel.calibration(s, d)),
+    // the full deployment loop in one query: train → calibrate → elect the
+    // highest-recall cutoff meeting the precision floor → flag keeps; the
+    // oracle replays the election as a scalar subquery over the same curve
+    "model_filter_calibrated" -> ((s: SparkSession, d: String) =>
+      HashedModel.calibratedFilter(s, d)),
     // bounded-memory Misra-Gries companion (exact at k=128 > |vocab|=31, so
     // it shares token_freq's exact oracle; lossy regime pinned by spec)
     "token_freq_sketch" -> ((s: SparkSession, d: String) => FreqSketch.tokenFreqSketch(s, d)),
@@ -705,6 +710,7 @@ object SparkEntry {
     "classifier_score" -> HashedModel.classifierScoresSql(),
     "bigram_perplexity" -> HashedModel.bigramPerplexitySql(),
     "classifier_calibration" -> HashedModel.calibrationSql(),
+    "model_filter_calibrated" -> HashedModel.calibratedFilterSql(),
     "substring_dedup" -> SubstringDedup.repeatedSpansSql(),
     "contaminate_spans" -> SubstringDedup.contaminationSpansSql(),
     "model_filter" -> Curation.modelFilterSql(),

@@ -320,6 +320,37 @@ object HashedModel {
     if (rows.isEmpty || rows.head.isNullAt(0)) None else Some(rows.head.getDouble(0))
   }
 
+  /** The full train → calibrate → elect → filter composition: score every
+    * doc, pick the highest-recall threshold meeting `minPrec` from the
+    * calibration curve, and flag keeps — the whole deployment loop of a
+    * quality filter in ONE query, with the election replayed by the oracle
+    * as a scalar subquery (no recorded literals needed). Output is total
+    * (every doc with its keep flag), so an unmeetable precision floor
+    * yields keep=false everywhere rather than an empty frame; the
+    * null-election comparison is pinned to FALSE on both engines. The
+    * default floor 0.7 is corpus-calibrated: this synthetic corpus's
+    * fuzzy classifier tops out near base-rate separation (curve read in
+    * PLANS round 13 — prec 0.71 keeps 143/500 at recall 0.47; 0.9 would
+    * keep 3 docs and gate a degenerate operating point). */
+  def calibratedFilter(spark: SparkSession, dir: String,
+                       minPrec: Double = 0.7): DataFrame = {
+    val (cls, _) = trainedStack(spark, dir)
+    val docs = Tables.documentsById(spark, dir)
+    val tau = electThreshold(calibrationOf(docs, "en", cls), minPrec)
+    docs.select(col("doc_id"),
+        classifierStruct(cls, col("text")).getField("p_target").as("p_target"))
+      .withColumn("tau", tau.map(lit).getOrElse(lit(null).cast("double")))
+      .withColumn("keep", tau.map(t => col("p_target") >= lit(t)).getOrElse(lit(false)))
+  }
+
+  def calibratedFilterSql(minPrec: Double = 0.7): String =
+    s"""WITH curve AS (${calibrationSql()}),
+       |t AS (SELECT MIN(threshold) AS tau FROM curve WHERE prec >= $minPrec),
+       |sc AS (${classifierScoresSql()})
+       |SELECT sc.doc_id, sc.p_target, t.tau,
+       |COALESCE(sc.p_target >= t.tau, FALSE) AS keep
+       |FROM sc CROSS JOIN t ORDER BY doc_id""".stripMargin
+
   /** DuckDB replay: same scored grid (nests [[classifierScoresSql]], whose
     * per-doc p_target is already gate-proven bitwise), same cumulative
     * window over the bounded grid. Outer CASTs keep DuckDB's HUGEINT

@@ -200,4 +200,28 @@ class HashedModelSpec extends AnyFunSuite with SparkSuite {
     assert(HashedModel.electThreshold(curve, 0.999).isEmpty)
     assert(HashedModel.electThreshold(curve, 0.4).contains(0.2))
   }
+
+  test("calibratedFilter: elected tau reproduces the curve's operating point; output is total") {
+    import org.apache.spark.sql.functions.col
+    val out = HashedModel.calibratedFilter(spark, Sf0001, minPrec = 0.7)
+      .collect()
+    val docs = Tables.documents(spark, Sf0001)
+    assert(out.length == docs.count())
+    val cls = HashedModel.trainedStack(spark, Sf0001)._1
+    val curve = HashedModel.calibrationOf(docs, "en", cls)
+    val tau = HashedModel.electThreshold(curve, 0.7)
+    assert(tau.isDefined && out.forall(r => r.getDouble(2) == tau.get))
+    out.foreach(r => assert(r.getBoolean(3) == (r.getDouble(1) >= tau.get)))
+    // achieved precision of the kept set meets the floor (the election's contract)
+    val byId = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kept = out.filter(_.getBoolean(3))
+    assert(kept.nonEmpty)
+    val prec = kept.count(r => byId(r.getLong(0)) == "en").toDouble / kept.length
+    assert(prec >= 0.7)
+    // an unmeetable floor keeps nothing but still returns every doc
+    val none = HashedModel.calibratedFilter(spark, Sf0001, minPrec = 1.01).collect()
+    assert(none.length == out.length && none.forall(!_.getBoolean(3)))
+    assert(none.forall(_.isNullAt(2)))
+  }
 }

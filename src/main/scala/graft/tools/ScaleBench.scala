@@ -277,6 +277,21 @@ object ScaleBench {
         val tk = graft.operators.Bpe.train(Tables.documents(spark, sf))
         graft.operators.Bpe.tokenCountsOf(docsX(k), tk)
       },
+      // adversarial OPEN-VOCABULARY growth (the classifier_vocabgrow
+      // shape): k× distinct synthetic tokens, training capped at 512
+      // words — the word-count exchange grows with vocabulary but driver
+      // state stays ≤ k rows by TakeOrdered, and the merge loop's cost is
+      // a function of the CAP, not the corpus vocabulary
+      "bpe_vocabgrow" -> { kf =>
+        val n = kf * 20000L
+        val docs = spark.range(n / 20).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", (0 until 20).map(j =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(n)))): _*).as("text"))
+        val tk = graft.operators.Bpe.train(docs, k = 512, nMerges = 24)
+        println(s"  [bpe_vocabgrow ${kf}x: words=${tk.words.length} merges=${tk.merges.length}]")
+        spark.range(1).toDF("ok")
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -185,6 +185,15 @@ object ComposedStreamSoak {
       .collect().toSet
     check("hashed_model_scores", hmStream == hmBatch)
 
+    // calibration read from the folded stack ≡ batch calibration (the
+    // continuously-retraining deployment's operating-point read)
+    val calStream = HashedModelStream.currentCalibration(spark, hmState, docs, hashFn = h)
+      .collect().toSeq
+    val calBatch = HashedModel.calibrationOf(docs, "en",
+        HashedModel.trainModelStack(docs, hashFn = h)._1)
+      .collect().toSeq
+    check("calibration_curve", calStream == calBatch && calStream.nonEmpty)
+
     // profiler: folded state presents the one-shot sketched profile
     val pfStream = ProfileStream.currentProfile(spark, pfState,
         k = 256, hash = graft.operators.Profile.Xx64)

@@ -61,4 +61,44 @@ class ExprPropertySpec extends AnyFunSuite with SparkSuite {
       }
     })
   }
+
+  test("Interleave2 laws: bijective on bucket pairs, monotone prefix locality, de-interleavable") {
+    import org.apache.spark.sql.graft.Interleave2
+    val pairGen = for {
+      bits <- Gen.choose(1, 31)
+      a <- Gen.choose(0L, (1L << bits) - 1)
+      b <- Gen.choose(0L, (1L << bits) - 1)
+    } yield (a, b, bits)
+    check(Prop.forAll(pairGen) { case (a, b, bits) =>
+      val z = Interleave2.zkey(a, b, bits)
+      // de-interleave recovers both inputs exactly (bijectivity witness)
+      val backA = (0 until bits).foldLeft(0L)((acc, i) => acc | (((z >> (2 * i)) & 1L) << i))
+      val backB = (0 until bits).foldLeft(0L)((acc, i) => acc | (((z >> (2 * i + 1)) & 1L) << i))
+      z >= 0 && backA == a && backB == b
+    })
+    // locality: halving both coordinates' top bit halves the key's top bits
+    // (same quadrant => same z prefix)
+    check(Prop.forAll(Gen.choose(0L, (1L << 16) - 1), Gen.choose(0L, (1L << 16) - 1)) { (a, b) =>
+      val z = Interleave2.zkey(a, b, 16)
+      val quadrant = ((a >> 15) & 1L) | (((b >> 15) & 1L) << 1)
+      (z >> 30) == quadrant
+    })
+  }
+
+  test("Bpe laws: tokenize is total and concatenation-preserving under random merges") {
+    import graft.operators.Bpe
+    val wordGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val corpusGen = Gen.listOfN(12, Gen.zip(wordGen, Gen.choose(1L, 9L)))
+    check(Prop.forAll(corpusGen, Gen.choose(0, 12)) { (wc, nMerges) =>
+      val merges = Bpe.trainMerges(wc, nMerges)
+      merges.length <= nMerges &&
+      wc.forall { case (w, _) =>
+        val toks = Bpe.tokenizeWord(w, merges)
+        toks.mkString == w && toks.length <= w.length &&
+          (w.isEmpty || toks.nonEmpty)
+      } &&
+      // determinism: retraining from the same table reproduces the merges
+      Bpe.trainMerges(wc, nMerges) == merges
+    })
+  }
 }

@@ -57,6 +57,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val calPre = calibrate()
+    // per-query UNTIMED warm-up (round 14, VERDICT r13 item 7): the first
+    // execution of a query on a fresh driver VM pays one-time JIT /
+    // codegen-compile / class-load costs that belong to the VM, not the
+    // query — r13's driver epoch showed 10-12× phantom regressions
+    // (bm25_topk 0.22→2.70 s) on queries whose code hadn't changed, and
+    // every such outlier costs an adjudication cycle. Warm-up + min-of-reps
+    // reports the query's steady-state cost, the number that actually
+    // predicts 100 TB behavior. Disable with SPARK_GRAFT_BENCH_WARMUP=0 to
+    // reproduce the old first-execution-included method.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
     val results = SparkEntry.queries.map { case (name, fn) =>
       // rep 1 pays DataFrame construction + analysis; later reps reuse the
       // resolved frame (the prepared-statement shape a production service
@@ -65,7 +75,12 @@ object Bench {
       val first = timeOnce(name) { df = fn(spark, sfDir); df }
       val sec =
         if (first < 0) first
-        else (first +: (2 to reps).map(_ => timeOnce(name)(df)).filter(_ >= 0)).min
+        else {
+          val timed =
+            if (warmup) (1 to reps).map(_ => timeOnce(name)(df)).filter(_ >= 0)
+            else first +: (2 to reps).map(_ => timeOnce(name)(df)).filter(_ >= 0)
+          if (timed.isEmpty) first else timed.min
+        }
       name -> sec
     }
     val calPost = calibrate()
@@ -74,7 +89,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"method":"min-of-reps","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"method":"${if (warmup) "warmup+min-of-reps" else "min-of-reps"}","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-decorated stdout (sbt [info] prefixes broke
     // the round-1 driver parse): the same line lands in a known file
@@ -87,6 +102,6 @@ object Bench {
     // stdout line — it always lands complete inside the tail window; the
     // per-query map stays on the full line and in BENCH_LOCAL.json.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"method":"min-of-reps","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir","n_queries":${results.size},"per_query":"BENCH_LOCAL.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"reps":$reps,"method":"${if (warmup) "warmup+min-of-reps" else "min-of-reps"}","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir","n_queries":${results.size},"per_query":"BENCH_LOCAL.json"}""")
   }
 }

@@ -299,6 +299,12 @@ object SparkEntry {
     // (LayoutSpec measures the bytes-read A/B); bucketing min/max taken
     // in-query so the oracle replays the identical chain
     "zorder_key" -> Layout.zorderKeyGate _,
+    // READ through the z-clustered layout (built idempotently under /tmp):
+    // a two-dimension range band over the clustered files — both
+    // dimensions prune via parquet footer stats (LayoutSpec asserts the
+    // executed scan reads fewer bytes than the unclustered copy)
+    "zorder_pruned_read" -> ((s: SparkSession, d: String) =>
+      Layout.zorderPrunedReadGate(s, d)),
     // [EXT] one-pass data-quality profiler (per-column n/null/distinct/
     // min/max/mean in ONE aggregate + unpivot; exact-distinct gate form —
     // the approx/no-Expand 100 TB form is Profile.profileApprox, spec-pinned)
@@ -697,6 +703,7 @@ object SparkEntry {
     "decontaminate" -> Prep.decontaminateSql,
     "chunk_embed_topk" -> Prep.chunkEmbedTopkSql,
     "zorder_key" -> Layout.zorderKeySql,
+    "zorder_pruned_read" -> Layout.zorderPrunedReadSql,
     "profile_columns" -> Profile.profileOrdersSql,
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
     "text_stats" -> TextAnalysis.textStatsSql,

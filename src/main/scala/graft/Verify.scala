@@ -56,8 +56,12 @@ object Verify {
 
   /** Write oracle_sql.json for `names` (or everything). Called AFTER the
     * queries have run — stateful oracles (gate-recorded literals) depend
-    * on that ordering. */
-  def writeOracles(outDir: String, names: Option[Set[String]] = None): Unit = {
+    * on that ordering; `sfDir` pins them to the dir actually being dumped
+    * (see [[OracleDir]]) so a session that gated several dirs can't emit
+    * a wrong-dir oracle. */
+  def writeOracles(outDir: String, names: Option[Set[String]] = None,
+                   sfDir: Option[String] = None): Unit = {
+    sfDir.foreach(OracleDir.set)
     val json = SparkEntry.oracleSql
       .filter(kv => names.forall(_.contains(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
@@ -67,8 +71,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = gateSession()
-    dumpQueries(spark, sfDir, outDir)
-    writeOracles(outDir)
+    val failed = dumpQueries(spark, sfDir, outDir)
+    writeOracles(outDir, sfDir = Some(sfDir))
     spark.stop()
+    // loud summary rather than a nonzero exit (ADVICE r13): the driver
+    // compares per-query dumps regardless, and a partial dump is strictly
+    // more gate signal than an aborted run — but the count must be visible
+    if (failed > 0)
+      System.err.println(s"[verify] WARNING: $failed of ${SparkEntry.queries.size} queries FAILED to dump")
+    else
+      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
   }
 }

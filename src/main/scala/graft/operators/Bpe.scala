@@ -32,8 +32,17 @@ import graft.Tables
   * total orders, so training is reproducible from equal inputs on any
   * partitioning. No end-of-word marker (merges never span words here, and
   * token COUNTS are marker-invariant for any fixed merge list learned under
-  * the same convention); documented so external vocabularies are not
-  * drop-in.
+  * the same convention). ALSO: [[tokenizeWord]] applies each merge exactly
+  * once in learned order, whereas canonical BPE re-scans the word for the
+  * highest-priority applicable merge until fixpoint. For a SELF-TRAINED
+  * list the two coincide on every input: list order here is symbol
+  * CREATION order, and merging (a,b)→ab only creates adjacencies involving
+  * ab — which only later-listed merges consume — so an already-passed merge
+  * can never re-become applicable. An EXTERNAL merge list need not be in
+  * creation order (merge i may consume a symbol merge j>i produces), and
+  * there the single pass can under-merge where priority iteration would
+  * not. Both conventions together mean external vocabularies are NOT
+  * drop-in; import requires the priority-iterated applier.
   */
 object Bpe {
 
@@ -177,8 +186,18 @@ object Bpe {
     * the driver-side merge learning is spec-pinned (BpeSpec hand-checked
     * merges + tokenize totality). */
   def tokenCountsSql(): String = {
-    val tk = Option(lastGateDir.get).flatMap(gateTables.get)
+    // resolve through the dump-dir context first (ADVICE r13: last-gate-run
+    // resolution emits a wrong-dir oracle when a session gates several dirs
+    // before dumping); fall back to last gate run for ad-hoc callers
+    val dir = graft.OracleDir.get.orElse(Option(lastGateDir.get))
+    val tk = dir.flatMap(gateTables.get)
       .getOrElse(Tokenizer(Nil, Array.empty, Array.empty))
+    if (tk.words.isEmpty)
+      // can't throw: SparkEntry.oracleSql is constructed eagerly by specs
+      // that only read its keys — but an un-gated dump must be LOUD, the
+      // LENGTH(w) fallback oracle only matches a gate that also fell back
+      System.err.println(
+        s"[bpe] WARNING: tokenCountsSql has no gate-recorded tokenizer for dir=$dir — emitting LENGTH(w) fallback oracle")
     def esc(s: String) = s.replace("'", "''")
     val cases =
       if (tk.words.isEmpty) "LENGTH(w)"

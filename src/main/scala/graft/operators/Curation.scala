@@ -243,8 +243,11 @@ object Curation {
     * specs that only look at its keys; `Verify`'s run order makes the
     * fallback unreachable on the gate path. */
   def modelFilterScaledSql(pTau: Double = 0.5, repMax: Double = 0.5): String = {
-    val bs = Option(lastGateDir.get)
+    val bs = graft.OracleDir.get.orElse(Option(lastGateDir.get))
       .flatMap(gateBoundaries.get).getOrElse(Seq.empty)
+    if (bs.length < 2)
+      System.err.println(
+        "[curation] WARNING: modelFilterScaledSql has no gate-recorded GK boundaries — emitting degenerate everything-is-tail oracle")
     val tercile =
       if (bs.length < 2) "3"
       else s"""CASE WHEN p.ppl IS NULL THEN 3

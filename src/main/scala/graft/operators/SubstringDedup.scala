@@ -98,8 +98,20 @@ object SubstringDedup {
 
   /** Shared span-coverage tail: left-join per-doc sorted span `starts`
     * back to the base scan, compute interval-union coverage and the cut
-    * text via HOFs (O(n_tokens × n_spans) per row — bounded by document
-    * size, the pipeline's unit of work). */
+    * text via HOFs.
+    *
+    * O(n_tokens + n_spans) per row (round 14; was O(n_tokens × n_spans)):
+    * because `starts` is SORTED and every span has fixed length L, the
+    * uncovered token ranges are exactly the gaps between consecutive
+    * starts that exceed L — one `zip_with` over (starts, starts-shifted)
+    * with sentinels -L (virtual span ending at 0) and n (virtual start at
+    * the end) yields each gap as a token slice; `flatten` concatenates
+    * them in order. The r13 form re-scanned the whole starts array per
+    * token (`exists`), which went quadratic exactly when dedup matters
+    * most — a fully-covered doc (every position a span start, the
+    * amplified-corpus profile measured in PLANS.md round 14: dup
+    * occurrences grow 100× under 10× amplification). Covered-token count
+    * falls out as n − |uncovered| — no second pass. */
   private[graft] def coverageReport(docs: DataFrame, starts: DataFrame,
                              textCol: String, idCol: String, L: Int,
                              spansCol: String, coveredCol: String,
@@ -110,17 +122,24 @@ object SubstringDedup {
       .select(col(idCol),
         graft.functions.ExprUtils.bindOnce(split(col("__text"), " ", -1)) { toks =>
           val n = size(toks)
-          val coveredIdx = filter(sequence(lit(0), n - 1),
-            i => exists(col("starts"), s => i >= s && i < s + L))
-          val uncoveredIdx = filter(sequence(lit(0), n - 1),
-            i => !exists(col("starts"), s => i >= s && i < s + L))
+          // sentinel-padded starts: virtual span at -L (covers nothing,
+          // ends at 0) and virtual start at n close the first/last gap
+          val all = concat(array(lit(-L)), col("starts"), array(n))
+          val m = size(all)
+          // gap after span at `cur` before next start `nxt`:
+          // tokens [cur+L, nxt) — empty (slice len 0) when spans overlap
+          // or touch; slice start is 1-based
+          val uncoveredToks = flatten(zip_with(
+            slice(all, lit(1), m - 1), slice(all, lit(2), m - 1),
+            (cur, nxt) => slice(toks, cur + L + 1,
+              greatest(nxt - cur - L, lit(0)))))
+          val covered = (n - size(uncoveredToks)).cast("long")
           struct(
             n.cast("long").as("n_tokens"),
             size(col("starts")).cast("long").as(spansCol),
-            size(coveredIdx).cast("long").as(coveredCol),
-            round(size(coveredIdx).cast("double") / n, 4).as(ratioCol),
-            array_join(transform(uncoveredIdx,
-              i => element_at(toks, (i + 1).cast("int"))), " ").as("cleaned_text"))
+            covered.as(coveredCol),
+            round(covered.cast("double") / n, 4).as(ratioCol),
+            array_join(uncoveredToks, " ").as("cleaned_text"))
         }.as("s"))
       .select(col(idCol), col("s.n_tokens").as("n_tokens"),
         col(s"s.$spansCol").as(spansCol),

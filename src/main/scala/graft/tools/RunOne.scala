@@ -16,7 +16,7 @@ object RunOne {
     unknown.foreach(n => System.err.println(s"[runone] no such query: $n"))
     val spark = graft.Verify.gateSession(defaultCpus = "8")
     val failed = graft.Verify.dumpQueries(spark, sfDir, outDir, Some(names))
-    graft.Verify.writeOracles(outDir, Some(names))
+    graft.Verify.writeOracles(outDir, Some(names), Some(sfDir))
     spark.stop()
     if (failed > 0 || unknown.nonEmpty) sys.exit(1)
   }

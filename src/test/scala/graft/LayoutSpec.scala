@@ -241,4 +241,59 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     val zHitsA = zB.count { case (lo, hi, _, _) => hi >= cLo && lo <= cBandHi }
     assert(zHitsA < zB.size, "z-order lost all first-dimension selectivity")
   }
+
+  test("zorder_pruned_read gate: rows are layout-invariant AND the executed scan skips row groups") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case st: QueryStageExec => scans(st.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    // run through the frame's OWN QueryExecution so scan metrics populate
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      spark.sparkContext.runJob(qe.toRdd, (it: Iterator[_]) => it.size)
+      scans(qe.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+
+    val gate = Layout.zorderPrunedReadGate(spark, Sf0001)
+    // correctness: the banded read over the CLUSTERED copy returns exactly
+    // the band over the original table (layout rewrite preserves rows)
+    val base = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val st = base.agg(min("o_custkey"), max("o_custkey"),
+      min("price_c"), max("price_c")).head()
+    val (cLo, cHi, pLo, pHi) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val expected = base
+      .filter(col("price_c").between(pLo + (pHi - pLo) * 45 / 100,
+                                     pLo + (pHi - pLo) * 55 / 100) &&
+              col("o_custkey").between(cLo + (cHi - cLo) * 45 / 100,
+                                       cLo + (cHi - cLo) * 55 / 100))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(expected.nonEmpty, "band predicate selected nothing — test is vacuous")
+    assert(gate.collect().toSeq == expected)
+
+    // physical claim: the z-clustered scan's pushed min/max band skips
+    // most row groups, where the same predicate over an UNCLUSTERED copy
+    // of the same data at the same file count skips (nearly) none
+    val total = base.count()
+    val unclustered = java.nio.file.Files.createTempDirectory("graft-nozorder").toString
+    base.repartition(64).write.mode("overwrite").parquet(unclustered)
+    val pred = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("price_c").between(pLo + (pHi - pLo) * 45 / 100,
+                                      pLo + (pHi - pLo) * 55 / 100) &&
+               col("o_custkey").between(cLo + (cHi - cLo) * 45 / 100,
+                                        cLo + (cHi - cLo) * 55 / 100))
+    val zRows = scanOutputRows(pred(spark.read.parquet(
+      "/tmp/graft-zorder-idx/" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_"))))
+    val uRows = scanOutputRows(pred(spark.read.parquet(unclustered)))
+    assert(zRows < total / 2,
+      s"z-clustered scan skipped nothing: $zRows of $total rows materialized")
+    assert(zRows * 2 <= uRows,
+      s"z-clustered scan ($zRows rows) not better than unclustered ($uRows rows)")
+  }
 }

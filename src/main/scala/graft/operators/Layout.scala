@@ -190,6 +190,88 @@ object Layout {
       |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // --- Profile-driven layout advisor (round 14, VERDICT r13 item 6) ------
+
+  /** What the advisor needs from one [[Profile.profile]] row. */
+  final case class ColProfile(name: String, n: Long, nNull: Long,
+                              nDistinct: Long,
+                              minNum: Option[Double], maxNum: Option[Double])
+
+  /** Adapter from a [[Profile.profile]] / [[Profile.profileApprox]] result
+    * (col_name, n, n_null, n_distinct[_est], min_num, max_num, …) — one
+    * bounded collect: the frame has one row per PROFILED COLUMN. */
+  def colProfiles(profile: DataFrame): Seq[ColProfile] = {
+    val ndCol =
+      if (profile.columns.contains("n_distinct")) "n_distinct" else "n_distinct_est"
+    // n_distinct_est is a rounded double in the θ-sketched form — normalize
+    profile.select(col("col_name"), col("n"), col("n_null"),
+        col(ndCol).cast("long"), col("min_num"), col("max_num"))
+      .collect().toSeq.map { r =>
+        ColProfile(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      }
+  }
+
+  final case class ZOrderAdvice(colA: String, colB: String, bits: Int,
+                                nFiles: Int, expectedHitFraction: Double)
+
+  /** Predicted fraction of files a stats-pruning reader opens for a
+    * fractional-width `band` predicate on ONE dimension of a two-dimension
+    * z-clustered layout: band + 2/resolution, where resolution is the
+    * per-dimension file grid √nFiles clamped by the weaker dimension's
+    * distinct count (a dim with ndv below the grid can't cut boxes finer
+    * than one value). The constant 2 absorbs z-range boxes straddling the
+    * band edge and the curve's range jumps — calibrated against
+    * ZOrderBench's MEASURED table (STRESS.md round 13: mean hit fraction
+    * 0.656 / 0.328 / 0.207 at 16 / 64 / 256 files vs this model's
+    * 0.600 / 0.350 / 0.225; LayoutSpec pins the fit to ±0.06). */
+  def zorderExpectedHitFraction(band: Double, nFiles: Int,
+                                minNdv: Long = Long.MaxValue): Double =
+    math.min(1.0, band + 2.0 / math.min(math.sqrt(nFiles.toDouble),
+      math.max(1L, minNdv).toDouble))
+
+  /** Pick the two columns that maximize z-order pruning benefit, from
+    * profile stats alone. Eligible: numeric min/max present, a nonzero
+    * range, ≥2 distinct values, and not all-null. Ranked by per-dimension
+    * achievable resolution min(ndv, √nFiles) — beyond the file grid, extra
+    * cardinality buys nothing, so ties break on raw ndv then name (total
+    * order ⇒ the advice is deterministic from equal profiles). Returns
+    * None when fewer than two columns are eligible — a single-dimension
+    * RANGE SORT dominates z-order there and the caller should fall back to
+    * `repartitionByRange + sortWithinPartitions`.
+    *
+    * The advisor ranks by PRUNABILITY only; it cannot know which columns
+    * user queries actually filter on. Callers restrict `cols` to the
+    * filter-bearing candidates first (the same contract as choosing any
+    * index). */
+  def adviseZOrder(cols: Seq[ColProfile], nFiles: Int,
+                   band: Double = 0.1): Option[ZOrderAdvice] = {
+    val grid = math.sqrt(nFiles.toDouble)
+    val eligible = cols.filter(c =>
+      c.minNum.isDefined && c.maxNum.isDefined &&
+        c.maxNum.get > c.minNum.get && c.nDistinct >= 2 && c.nNull < c.n)
+    val ranked = eligible.sortBy(c =>
+      (-math.min(c.nDistinct.toDouble, grid), -c.nDistinct, c.name))
+    ranked match {
+      case a +: b +: _ =>
+        val minNdv = math.min(a.nDistinct, b.nDistinct)
+        // bits beyond the weaker dim's cardinality (or the 16-bit key cap)
+        // are dead interleave positions
+        val bits = math.min(16,
+          math.max(1, math.ceil(math.log(minNdv.toDouble) / math.log(2)).toInt))
+        Some(ZOrderAdvice(a.name, b.name, bits, nFiles,
+          zorderExpectedHitFraction(band, nFiles, minNdv)))
+      case _ => None
+    }
+  }
+
+  /** One-call form: profile the filter-candidate columns, advise. */
+  def adviseZOrderFor(df: DataFrame, candidates: Seq[String], nFiles: Int,
+                      band: Double = 0.1): Option[ZOrderAdvice] =
+    adviseZOrder(colProfiles(Profile.profile(
+      df, candidates.map(_ -> Profile.NumCol))), nFiles, band)
+
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  numSalts: Int, saltFrom: Column): DataFrame = {
     val l = large.withColumn("__salt", pmod(xxhash64(saltFrom), lit(numSalts.toLong)))

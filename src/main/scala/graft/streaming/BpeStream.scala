@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.FsUtils
+import graft.operators.Bpe
+
+/** Streaming BPE vocabulary maintenance (round 14, VERDICT r13 item 5) —
+  * the continuously-ingesting curator's answer to "the tokenizer was
+  * session-cached forever": per-batch WORD COUNTS fold into an append-only
+  * state log (word counting is additive, so the folded table over the
+  * union of batches equals the one-shot [[Bpe.wordCounts]] table exactly),
+  * and merge election re-runs ONLY when the folded table's top-k actually
+  * changes — the drift trigger, not a wall clock.
+  *
+  * Scale decomposition mirrors batch [[Bpe.train]]:
+  *  - per batch: ONE map-side-combinable word-count aggregate over the
+  *    batch + one state write — O(batch), independent of accumulated
+  *    corpus size (the soak's flat-cost requirement).
+  *  - state: O(union vocabulary) rows on DISK, distributed — the same
+  *    volume the batch trainer's groupBy exchange carries; [[compactState]]
+  *    folds batch dirs into `batch=-1` by sum (lossless — truncating to
+  *    top-k at compaction would break stream ≡ batch for words that climb
+  *    back into the head later).
+  *  - driver: only the elected top-k (≤ k rows) ever leaves the cluster —
+  *    [[currentTokenizer]] reads the bounded head, compares it to the last
+  *    election's head, and reuses the cached merge list when nothing
+  *    changed (re-election is O(k·maxlen) driver work when it fires).
+  *
+  * Counts are NOT idempotent under re-fold, so this uses the
+  * [[ProfileStream]] / [[SubstringDedupStream]] commit discipline
+  * verbatim: batch-dir presence short-circuits at-least-once replays, a
+  * `foldmeta` watermark written BEFORE the compaction swap short-circuits
+  * replays of already-folded batches, and every public entry point heals
+  * interrupted temp-swaps first.
+  */
+object BpeStream {
+
+  private def wordsPath(stateDir: String) = s"$stateDir/words"
+  private def foldmetaPath(stateDir: String) = s"$stateDir/foldmeta"
+
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").cast("string").as("w"), col("id").as("n"))
+
+  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
+    val fs = FsUtils.fs(spark, stateDir)
+    for (p <- Seq(wordsPath(stateDir), foldmetaPath(stateDir))) {
+      val out = new org.apache.hadoop.fs.Path(p)
+      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
+      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
+    }
+  }
+
+  /** Accumulated (w, n) state rows — batch dirs plus any folded `batch=-1`. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverSwaps(spark, stateDir)
+    val path = wordsPath(stateDir)
+    if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      emptyState(spark)
+    else
+      try spark.read.parquet(path).select("w", "n")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyState(spark)
+      }
+  }
+
+  /** Highest batch id folded into `batch=-1` (−1 when never compacted). */
+  def foldedUpto(spark: SparkSession, stateDir: String): Long = {
+    recoverSwaps(spark, stateDir)
+    val p = foldmetaPath(stateDir)
+    if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
+    else spark.read.parquet(p).agg(max("folded_upto")).head().getLong(0)
+  }
+
+  /** Fold one micro-batch of documents: write its word-count rows
+    * (idempotent per batchId). Returns false when the replay guards
+    * short-circuited. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                 stateDir: String, textCol: String = "text",
+                 autoCompactBatches: Int = 0): Boolean = {
+    recoverSwaps(spark, stateDir)
+    val fs = FsUtils.fs(spark, stateDir)
+    val dst = new org.apache.hadoop.fs.Path(s"${wordsPath(stateDir)}/batch=$batchId")
+    if (fs.exists(dst) || batchId <= foldedUpto(spark, stateDir)) return false
+    val own = batch.select(explode(split(col(textCol), " ", -1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val tmp = new org.apache.hadoop.fs.Path(s"${wordsPath(stateDir)}.tmp-batch-$batchId")
+    own.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wordsPath(stateDir)))
+    FsUtils.renameOrThrow(fs, tmp, dst)
+    spark.catalog.refreshByPath(wordsPath(stateDir))
+    if (autoCompactBatches > 0) {
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(wordsPath(stateDir)))
+        .count(_.getPath.getName.startsWith("batch="))
+      if (dirs > autoCompactBatches) compactState(spark, stateDir)
+    }
+    true
+  }
+
+  /** Folded top-k word table — (count desc, word asc), the [[Bpe.wordCounts]]
+    * total order, so over the union of folded batches this is EXACTLY the
+    * table the one-shot trainer elects from. ≤ k rows reach the driver. */
+  def currentWordCounts(spark: SparkSession, stateDir: String,
+                        k: Int = 512): Seq[(String, Long)] =
+    readState(spark, stateDir)
+      .groupBy("w").agg(sum("n").as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  // last election per state dir: (top-k table, tokenizer, election count).
+  // The count is observability for the drift trigger (spec-pinned: folding
+  // new words re-elects, a quiet read does not).
+  private val elections = new scala.collection.concurrent.TrieMap[
+    String, (Seq[(String, Long)], Bpe.Tokenizer, Long)]
+
+  /** The live tokenizer over everything folded so far. Re-elects merges
+    * ONLY when the folded top-k table differs from the last election's —
+    * otherwise the cached merge list is reused (the drift trigger VERDICT
+    * r13 item 5 asked for). Over the union corpus the result equals
+    * [[Bpe.train]] bitwise (BpeStreamSpec): the folded counts are the
+    * union's counts, the top-k total order is shared, and merge election
+    * is deterministic from equal tables. */
+  def currentTokenizer(spark: SparkSession, stateDir: String,
+                       k: Int = 512, nMerges: Int = 24): Bpe.Tokenizer = {
+    val wc = currentWordCounts(spark, stateDir, k)
+    elections.get(stateDir) match {
+      case Some((prev, tk, _)) if prev == wc => tk
+      case prior =>
+        val merges = Bpe.trainMerges(wc, nMerges)
+        val sorted = wc.map(_._1).sorted
+        val tk = Bpe.Tokenizer(merges, sorted.toArray,
+          sorted.map(w => Bpe.tokenizeWord(w, merges).length.toDouble).toArray)
+        elections.put(stateDir, (wc, tk, prior.map(_._3).getOrElse(0L) + 1))
+        tk
+    }
+  }
+
+  /** How many times this session actually re-elected merges for `stateDir`. */
+  def electionCount(stateDir: String): Long =
+    elections.get(stateDir).map(_._3).getOrElse(0L)
+
+  /** Live token accounting under the CURRENT folded tokenizer — the
+    * continuously-maintained twin of the `bpe_token_counts` gate. */
+  def currentTokenCounts(spark: SparkSession, stateDir: String,
+                         docs: DataFrame, k: Int = 512,
+                         nMerges: Int = 24): DataFrame =
+    Bpe.tokenCountsOf(docs, currentTokenizer(spark, stateDir, k, nMerges))
+
+  /** Fold all batch dirs into `batch=-1` by word-count sum (lossless).
+    * Watermark BEFORE swap — the package-wide non-idempotent-count
+    * compaction discipline (crash between the two replays into a replay
+    * guard, never a double count). */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    recoverSwaps(spark, stateDir)
+    val fs = FsUtils.fs(spark, stateDir)
+    val wPath = new org.apache.hadoop.fs.Path(wordsPath(stateDir))
+    if (!fs.exists(wPath)) return
+    val maxBatch = fs.listStatus(wPath)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .foldLeft(-1L)(math.max)
+    if (maxBatch < 0) return
+    val folded = spark.read.parquet(wPath.toString)
+      .groupBy("w").agg(sum("n").as("n"))
+      .localCheckpoint(true)
+    val metaTmp = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir) + ".tmp")
+    val metaOut = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir))
+    import spark.implicits._
+    Seq(maxBatch).toDF("folded_upto")
+      .coalesce(1).write.mode("overwrite").parquet(metaTmp.toString)
+    FsUtils.replaceDir(fs, metaTmp, metaOut)
+    val tmp = new org.apache.hadoop.fs.Path(wordsPath(stateDir) + ".tmp")
+    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    FsUtils.replaceDir(fs, tmp, wPath)
+    spark.catalog.refreshByPath(wordsPath(stateDir))
+    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** File-source wrapper: parquet document drops → folded word state. */
+  def runFileStream(spark: SparkSession, inDir: String, stateDir: String,
+                    checkpointDir: String, schemaFrom: DataFrame,
+                    textCol: String = "text",
+                    autoCompactBatches: Int = 16): StreamingQuery =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, batchId, stateDir, textCol,
+          autoCompactBatches = autoCompactBatches)
+        ()
+      }
+      .start()
+}

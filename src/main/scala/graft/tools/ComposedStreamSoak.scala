@@ -3,12 +3,12 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, OverlapStream, ProfileStream, SubstringDedupStream}
+import graft.streaming.{BpeStream, ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, OverlapStream, ProfileStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 13: seven streams): OverlapStream,
+/** Composed streaming soak (round 14: eight streams): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
-  * SubstringDedupStream, HashedModelStream, ProfileStream — consuming
-  * ONE shared document/embedding drop
+  * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream —
+  * consuming ONE shared document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -71,6 +71,7 @@ object ComposedStreamSoak {
     val ssState = s"$tmp/ss-state"
     val hmState = s"$tmp/hm-state"
     val pfState = s"$tmp/pf-state"
+    val bpState = s"$tmp/bp-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -89,6 +90,8 @@ object ComposedStreamSoak {
         hashFn = h, autoCompactBatches = 8)
       ProfileStream.applyBatch(spark, docB(i), i.toLong, pfState, profCols,
         k = 256, hash = graft.operators.Profile.Xx64, autoCompactBatches = 8)
+      BpeStream.applyBatch(spark, docB(i), i.toLong, bpState,
+        autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -202,6 +205,20 @@ object ComposedStreamSoak {
         k = 256, hash = graft.operators.Profile.Xx64)
       .collect().toSeq
     check("profile_columns", pfStream == pfBatch)
+
+    // BPE: tokenizer elected from the folded word state ≡ one-shot train
+    // over the union (and the live token accounting matches the batch
+    // accounting under it)
+    val bpStream = BpeStream.currentTokenizer(spark, bpState)
+    val bpBatch = graft.operators.Bpe.train(docs)
+    check("bpe_tokenizer", bpStream.merges == bpBatch.merges &&
+      bpStream.words.sameElements(bpBatch.words) &&
+      bpStream.tokenCounts.sameElements(bpBatch.tokenCounts))
+    val tcStream = BpeStream.currentTokenCounts(spark, bpState, docs)
+      .orderBy("doc_id").collect().toSeq
+    val tcBatch = graft.operators.Bpe.tokenCountsOf(docs, bpBatch)
+      .orderBy("doc_id").collect().toSeq
+    check("bpe_token_counts", tcStream == tcBatch && tcStream.nonEmpty)
     spark.stop()
   }
 }

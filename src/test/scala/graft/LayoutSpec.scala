@@ -242,6 +242,52 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(zHitsA < zB.size, "z-order lost all first-dimension selectivity")
   }
 
+  test("z-order advisor: hit-fraction model pinned to ZOrderBench's measured table") {
+    // STRESS.md round 13 (ZOrderBench, orders sf0.1, 10% bands): mean of
+    // the price-band and custkey-band hit fractions per file count
+    val measured = Seq(16 -> (0.625 + 0.688) / 2,
+      64 -> (0.250 + 0.406) / 2, 256 -> (0.172 + 0.242) / 2)
+    for ((nf, m) <- measured) {
+      val p = Layout.zorderExpectedHitFraction(0.1, nf)
+      assert(math.abs(p - m) <= 0.06,
+        s"model $p vs measured $m at nFiles=$nf")
+    }
+    // ndv below the file grid clamps resolution: a 2-distinct dim cannot
+    // prune beyond halving, and the model must say so
+    assert(Layout.zorderExpectedHitFraction(0.1, 256, minNdv = 2) == 1.0)
+  }
+
+  test("z-order advisor: picks the two most prunable columns, deterministically") {
+    import graft.operators.Profile
+    // testdata orders has no low-cardinality NUMERIC column — derive one
+    // (constant region-style code) to exercise the ineligibility rule
+    val orders = Tables.orders(spark, Sf0001)
+      .withColumn("o_lowcard", pmod(col("o_orderkey"), lit(1L)))
+    // candidate set = the filter-bearing columns a user would offer
+    val prof = Profile.profile(orders, Seq(
+      "o_orderkey" -> Profile.NumCol, "o_custkey" -> Profile.NumCol,
+      "o_totalprice" -> Profile.NumCol, "o_lowcard" -> Profile.NumCol))
+    val cols = Layout.colProfiles(prof)
+    val advice = Layout.adviseZOrder(cols, nFiles = 64).get
+    // o_lowcard is single-valued — never advisable; the three high-ndv
+    // columns all exceed the √64 grid, so ties break on raw ndv:
+    // orderkey (unique) and totalprice (near-unique) win
+    assert(Set(advice.colA, advice.colB) == Set("o_orderkey", "o_totalprice"),
+      s"got ${advice.colA}, ${advice.colB}")
+    assert(advice.expectedHitFraction < 0.5 && advice.bits >= 8)
+    // deterministic from equal profiles
+    assert(Layout.adviseZOrder(cols, nFiles = 64).get == advice)
+    // restricting candidates steers the advice (the index-choice contract)
+    val a2 = Layout.adviseZOrderFor(orders,
+      Seq("o_custkey", "o_totalprice", "o_lowcard"), nFiles = 64).get
+    assert(Set(a2.colA, a2.colB) == Set("o_custkey", "o_totalprice"))
+    // fewer than two eligible dims → no z-order advice (range sort wins)
+    assert(Layout.adviseZOrder(
+      cols.filter(_.name == "o_custkey"), nFiles = 64).isEmpty)
+    assert(Layout.adviseZOrderFor(orders,
+      Seq("o_lowcard"), nFiles = 64).isEmpty)
+  }
+
   test("zorder_pruned_read gate: rows are layout-invariant AND the executed scan skips row groups") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -309,6 +309,10 @@ object SparkEntry {
     // min/max/mean in ONE aggregate + unpivot; exact-distinct gate form —
     // the approx/no-Expand 100 TB form is Profile.profileApprox, spec-pinned)
     "profile_columns" -> Profile.profileOrders _,
+    // distribution view: 16-bucket equi-width histograms, zero-filled —
+    // one tiny min/max row + one pass whose exchange carries <= cols x 16
+    // partial counts per partition (flat at any volume)
+    "profile_histogram" -> Profile.histogramDocuments _,
     // the mergeable/streaming form: distinct via KMV theta sketch on the
     // portable h60 (k=256, so doc_id/text OVERFLOW and the θ-estimate path
     // fires at the gate — and the oracle still hash-compares the estimate)
@@ -482,6 +486,10 @@ object SparkEntry {
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
+    // keyword extraction: per-doc top-5 TF-IDF terms, deterministic ties
+    // (rounded score desc, term asc); three linear exchanges, no driver state
+    "tfidf_topk_terms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTopTermsGate(s, d)),
     // [EXT] multimodal plumbing (meta/resize are narrow → gate-sorted at the
     // base scan, see Tables.documentsById; frames keeps orderBy — it has a
     // join below, so sampling reuses its shuffle instead of re-executing)
@@ -568,6 +576,7 @@ object SparkEntry {
     "ann_ivf_topk_pq" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_adc" -> PortableOracles.annIvfTopkSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
+    "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
     "orders_overview_dc" -> streaming.OverviewStream.overviewBatchSql,
@@ -705,6 +714,7 @@ object SparkEntry {
     "zorder_key" -> Layout.zorderKeySql,
     "zorder_pruned_read" -> Layout.zorderPrunedReadSql,
     "profile_columns" -> Profile.profileOrdersSql,
+    "profile_histogram" -> Profile.histogramDocumentsSql(),
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,

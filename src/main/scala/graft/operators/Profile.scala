@@ -127,6 +127,118 @@ object Profile {
   def profileOrders(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.orders(spark, dir), ordersCols)
 
+  // --- equi-width histograms (round 14) --------------------------------------
+
+  /** Per-column equi-width histogram — the profiler's DISTRIBUTION view
+    * (min/max/avg say nothing about shape; the layout advisor's band-width
+    * assumption and any skew diagnosis need bucket masses). One tiny
+    * min/max aggregate (one row to the driver) fixes the bucket grid, then
+    * ONE corpus pass buckets every value — the exchange carries ≤ cols ×
+    * nBuckets partial counts per partition (map-side combined), flat at
+    * any volume, zero spill risk. Counts are additive ⇒ the state is
+    * mergeable exactly like [[profileState]] (a streaming fold needs the
+    * grid pinned once up front — document-level min/max drift would
+    * re-bucket history, so a streaming histogram freezes its grid at
+    * deployment, the standard monitoring trade).
+    *
+    * Output: (col_name, bucket, lo, hi, cnt), all nBuckets rows per column
+    * (zero-filled), ordered. Null values are counted by [[profile]]'s
+    * n_null, not bucketed. Bucket index: least(K−1, floor((x − min) · K /
+    * (max − min))) in double arithmetic — the same expression the DuckDB
+    * oracle evaluates, so the gate compares bitwise. A constant column
+    * lands entirely in bucket 0.
+    */
+  def histogram(df: DataFrame, cols: Seq[String],
+                nBuckets: Int = 16): DataFrame = {
+    require(cols.nonEmpty && nBuckets >= 1)
+    val spark = df.sparkSession
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds: Map[String, Option[(Double, Double)]] = cols.map { c =>
+      val i = cols.indexOf(c) * 2
+      c -> (if (stats.isNullAt(i)) None
+            else Some((stats.getDouble(i), stats.getDouble(i + 1))))
+    }.toMap
+    val kD = nBuckets.toDouble
+    val entries = df.select(explode(array(cols.map { c =>
+        val b = bounds(c) match {
+          case None => lit(null).cast("long")
+          case Some((mn, mx)) if mn == mx =>
+            when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L))
+          case Some((mn, mx)) =>
+            when(col(c).isNull, lit(null).cast("long")).otherwise(
+              least(lit(nBuckets - 1L),
+                floor((col(c).cast("double") - lit(mn)) * lit(kD) / lit(mx - mn))))
+        }
+        struct(lit(c).as("col_name"), b.as("bucket"))
+      }: _*)).as("e"))
+      .select(col("e.col_name"), col("e.bucket"))
+      .filter(col("bucket").isNotNull)
+    val counts = entries.groupBy("col_name", "bucket").agg(count(lit(1)).as("cnt"))
+    // zero-fill grid with the bucket bounds as literals (≤ cols × nBuckets
+    // rows, driver-built); lo/hi arithmetic mirrors the oracle's
+    // mn + (bucket · (mx − mn)) / K exactly
+    import spark.implicits._
+    val grid = cols.flatMap { c =>
+      (0 until nBuckets).map { b =>
+        val (lo, hi) = bounds(c) match {
+          case Some((mn, mx)) =>
+            (Some(mn + b.toDouble * (mx - mn) / kD),
+             Some(mn + (b + 1).toDouble * (mx - mn) / kD))
+          case None => (None, None)
+        }
+        (c, b.toLong, lo, hi)
+      }
+    }.toDF("col_name", "bucket", "lo", "hi")
+    grid.join(counts, Seq("col_name", "bucket"), "left")
+      .select(col("col_name"), col("bucket"), col("lo"), col("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("col_name", "bucket")
+  }
+
+  /** Gate query: 16-bucket histograms of the `documents` numeric columns. */
+  def histogramDocuments(spark: SparkSession, dir: String): DataFrame =
+    histogram(Tables.documents(spark, dir), Seq("doc_id", "n_chars"))
+
+  /** DuckDB replay of [[histogramDocuments]] — same grid, same double
+    * arithmetic, zero-filled via a generated (col, bucket) frame. */
+  def histogramDocumentsSql(nBuckets: Int = 16): String = {
+    val cols = Seq("doc_id", "n_chars")
+    val statSel = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(MIN($c) AS DOUBLE) AS mn$i, CAST(MAX($c) AS DOUBLE) AS mx$i"
+    }.mkString(", ")
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS col_name,
+         |  CASE WHEN mx$i = mn$i THEN 0
+         |       ELSE LEAST(${nBuckets - 1}, CAST(FLOOR(
+         |         (CAST($c AS DOUBLE) - mn$i) * $nBuckets.0 / (mx$i - mn$i))
+         |         AS BIGINT)) END AS bucket
+         |FROM documents CROSS JOIN s WHERE $c IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val names = cols.map(c => s"('$c')").mkString(", ")
+    val loCase = cols.zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN mn$i + (g.bucket * (mx$i - mn$i)) / $nBuckets.0"
+    }.mkString(" ")
+    val hiCase = cols.zipWithIndex.map { case (c, i) =>
+      s"WHEN '$c' THEN mn$i + ((g.bucket + 1) * (mx$i - mn$i)) / $nBuckets.0"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT $statSel FROM documents),
+       |u AS ($entries),
+       |c AS (SELECT col_name, bucket, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+       |g AS (SELECT col_name, i AS bucket
+       |      FROM (VALUES $names) t(col_name)
+       |      CROSS JOIN (SELECT UNNEST(range(0, $nBuckets)) AS i))
+       |SELECT g.col_name, g.bucket,
+       |  CASE g.col_name $loCase END AS lo,
+       |  CASE g.col_name $hiCase END AS hi,
+       |  COALESCE(c.cnt, 0) AS cnt
+       |FROM g CROSS JOIN s
+       |LEFT JOIN c ON c.col_name = g.col_name AND c.bucket = g.bucket
+       |ORDER BY g.col_name, g.bucket""".stripMargin
+  }
+
   // --- mergeable profile state (the streaming / incremental form) ------------
   //
   // Every stat above except exact n_distinct is a FOLD: counts and decimal

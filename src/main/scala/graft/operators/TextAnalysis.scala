@@ -656,6 +656,60 @@ object TextAnalysis {
        |FROM t, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --- TF-IDF top-k terms per document (round 14) ------------------------------
+
+  /** Per-document top-k TF-IDF terms — the keyword-extraction primitive a
+    * curation pipeline uses for topic tagging, dedup explanation ("these
+    * two docs share their top terms"), and retrieval-corpus summaries.
+    * score = tf(term, doc) · ln(N / df(term)), ranked per doc with
+    * deterministic ties (rounded score desc, term asc).
+    *
+    * Scale shape — three LINEAR exchanges, no driver state:
+    *  1. (doc, term) exchange for the tf aggregate (map-side combined);
+    *  2. term exchange for the document-frequency aggregate — the df table
+    *     is vocabulary-sized and joins back BY TERM (broadcast while it
+    *     fits, shuffle beyond; never collected);
+    *  3. doc exchange for the per-doc top-k window — per-partition state
+    *     is one doc's distinct terms, the pipeline's bounded unit.
+    * N is one count scalar. The ln cross-engine precedent is [[bm25Topk]]
+    * (bitwise-green since round 9): both engines' libm agree on this data,
+    * and ranking happens on the ROUNDED score on both sides.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5): DataFrame = {
+    val n = docs.count().toDouble
+    val tf = docs.select(col(idCol), explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(lit(n) / col("dfc")), 4).as("score"))
+      // long rank: Spark's row_number is int32 where DuckDB's is int64
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(idCol, "rank", "term", "tf", "score")
+  }
+
+  /** Gate wrapper: top-5 terms per document, ordered. */
+  def tfidfTopTermsGate(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), "text", "doc_id", k)
+      .orderBy("doc_id", "rank")
+
+  def tfidfTopTermsSql(k: Int = 5): String =
+    s"""WITH w AS (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |sc AS (SELECT doc_id, term, tf,
+       |         ROUND(tf * LN(n / dfc), 4) AS score
+       |       FROM tf CROSS JOIN n JOIN dfq USING (term)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+       |SELECT doc_id, rank, term, tf, score FROM r
+       |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   // --- document fingerprint (rolling hash) -------------------------------------
   // Built on the portable h60 hash so the whole sketch — content hash,
   // simhash, winnowing mins — gets an exact DuckDB oracle (the xxhash64

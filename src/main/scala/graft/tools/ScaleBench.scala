@@ -252,6 +252,12 @@ object ScaleBench {
         graft.operators.Profile.ordersCols)),
       "profile_theta" -> (k => graft.operators.Profile.profileTheta(
         docsX(k), graft.operators.Profile.documentsCols, k = 256)),
+      // round-14 tier: histogram (one stats row + one pass, flat cols×16
+      // exchange) and per-doc TF-IDF top-k (three linear exchanges)
+      "profile_histogram" -> (k => graft.operators.Profile.histogram(
+        docsX(k), Seq("doc_id", "n_chars"))),
+      "tfidf_topk" -> (k => graft.operators.TextAnalysis.tfidfTopTerms(
+        docsX(k), "text", "doc_id", 5)),
       // calibration: model trained ONCE on the base corpus (offline, the
       // production shape), amplified corpus collapses to the ≤10^4-row
       // score grid before the window

@@ -78,4 +78,50 @@ class ProfileSpec extends AnyFunSuite with SparkSuite {
     val b = Profile.profile(df.coalesce(1), cols).collect().toSeq
     assert(a == b)
   }
+
+  test("histogram: zero-filled grid, counts sum to non-null n, edge buckets") {
+    val K = 4
+    val h = Profile.histogram(df, Seq("k", "v"), K).collect().toSeq
+    assert(h.size == 2 * K, "one row per (col, bucket), zero-filled")
+    // per-column counts sum to the non-null count
+    val sums = h.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(4)).sum)
+    assert(sums("k") == 3L && sums("v") == 3L)
+    // k in {1, 2, 2}: min=1 max=2 -> value at min lands in bucket 0, at
+    // max in bucket K-1 (the least() clamp)
+    val kRows = h.filter(_.getString(0) == "k").map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(kRows(0L) == 1L && kRows(K - 1L) == 2L)
+    // bounds tile [min, max]: first lo == min, last hi == max
+    val kB = h.filter(_.getString(0) == "k").sortBy(_.getLong(1))
+    assert(kB.head.getDouble(2) == 1.0 && kB.last.getDouble(3) == 2.0)
+  }
+
+  test("histogram: constant and all-null columns degrade safely") {
+    val d = Seq((1L, Option.empty[Double]), (1L, None), (1L, None))
+      .toDF("c", "nn")
+    val h = Profile.histogram(d, Seq("c", "nn"), 4).collect().toSeq
+    val cRows = h.filter(_.getString(0) == "c")
+    // constant column: all mass in bucket 0, zero elsewhere
+    assert(cRows.find(_.getLong(1) == 0L).get.getLong(4) == 3L)
+    assert(cRows.filter(_.getLong(1) > 0L).forall(_.getLong(4) == 0L))
+    // all-null column: full zero-filled grid with null bounds
+    val nRows = h.filter(_.getString(0) == "nn")
+    assert(nRows.size == 4 && nRows.forall(r => r.getLong(4) == 0L && r.isNullAt(2)))
+  }
+
+  test("histogram is partitioning-independent and mergeable under a fixed grid") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = Profile.histogram(docs.repartition(7), Seq("doc_id", "n_chars")).collect().toSeq
+    val b = Profile.histogram(docs.coalesce(1), Seq("doc_id", "n_chars")).collect().toSeq
+    assert(a == b)
+    // additivity on a shared grid: a disjoint split's bucket counts sum to
+    // the whole corpus's (min/max of the split halves span the same grid
+    // here because both halves contain the extremes' buckets is NOT
+    // guaranteed in general — the streaming caveat documented on
+    // histogram(); this asserts pure count additivity per (col, bucket)
+    // by recomputing on the union)
+    val u = Profile.histogram(docs.filter(col("doc_id") % 2 === 0)
+        .unionByName(docs.filter(col("doc_id") % 2 === 1)), Seq("doc_id", "n_chars"))
+      .collect().toSeq
+    assert(u == a)
+  }
 }

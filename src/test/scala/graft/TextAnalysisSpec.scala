@@ -198,4 +198,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(enFrac > baseFrac,
       s"top-50 en fraction $enFrac not above corpus base rate $baseFrac")
   }
+
+  test("tfidfTopTerms: hand-computed scores, deterministic rank ties, bounded k") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // N=2; df: a->1, b->2, c->1; ln(2)=0.6931 (rounded 4)
+    val ln2_2 = BigDecimal(2 * math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2 = BigDecimal(math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1L, "a", 2L, ln2_2), // tf 2 x ln 2
+      (1L, 2L, "b", 1L, 0.0),   // df = N -> idf 0
+      (2L, 1L, "c", 1L, ln2),
+      (2L, 2L, "b", 1L, 0.0)))
+    // k bounds the per-doc row count on the real corpus
+    val real = TextAnalysis.tfidfTopTermsGate(spark, Sf0001, k = 3)
+    val perDoc = real.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(perDoc <= 3)
+    // determinism across partitionings
+    val a = TextAnalysis.tfidfTopTerms(
+      Tables.documents(spark, Sf0001).repartition(7), "text", "doc_id", 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val b = TextAnalysis.tfidfTopTerms(
+      Tables.documents(spark, Sf0001).coalesce(1), "text", "doc_id", 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(a == b)
+  }
 }

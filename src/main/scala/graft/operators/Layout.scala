@@ -101,6 +101,99 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    writeZMeta(df.sparkSession, path,
+      ZMeta(colA, colB, amin, amax, bmin, bmax, bits, nFiles))
+  }
+
+  // --- incremental z-order maintenance (round 14) --------------------------
+
+  /** The clustering contract persisted with a z-ordered table (the
+    * HistogramStream frozen-grid principle applied to layout): appends
+    * MUST bucket into the grid the existing files were clustered under —
+    * re-deriving min/max per batch would scatter new rows across
+    * incompatible z ranges. Stored in a `_zmeta` subdir (leading
+    * underscore ⇒ invisible to parquet readers, the _SUCCESS convention). */
+  final case class ZMeta(colA: String, colB: String,
+                         amin: Long, amax: Long, bmin: Long, bmax: Long,
+                         bits: Int, nFiles: Int)
+
+  private def writeZMeta(spark: SparkSession, path: String, m: ZMeta): Unit = {
+    import spark.implicits._
+    Seq((m.colA, m.colB, m.amin, m.amax, m.bmin, m.bmax, m.bits, m.nFiles))
+      .toDF("colA", "colB", "amin", "amax", "bmin", "bmax", "bits", "nFiles")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zmeta")
+  }
+
+  /** The persisted clustering contract, or None for a pre-meta / plain
+    * table. */
+  def readZMeta(spark: SparkSession, path: String): Option[ZMeta] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_zmeta")
+    if (!graft.functions.FsUtils.fs(spark, path).exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      Some(ZMeta(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7)))
+    }
+  }
+
+  /** Append a batch into an existing z-ordered table WITHOUT reclustering
+    * it: the batch is z-keyed under the FROZEN persisted grid (values
+    * outside the original min/max clamp into the edge buckets — their
+    * files' stat boxes simply extend past the grid, still truthful for
+    * pruning) and lands as `nAppendFiles` additional internally-sorted
+    * files. Reads stay CORRECT unconditionally (predicates evaluate on
+    * real columns; layout only decides which files a stats-pruning reader
+    * opens); pruning EFFICIENCY degrades gradually as append generations
+    * accumulate — each generation adds its own box set — until
+    * [[needsRecluster]] trips and [[reclusterZOrdered]] restores the
+    * single-generation layout. This is the maintenance loop every
+    * clustered 100 TB table runs (Delta/Iceberg OPTIMIZE): cheap sorted
+    * appends at ingest cadence, full recluster amortized over many
+    * batches. */
+  def appendZOrdered(df: DataFrame, path: String, nAppendFiles: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val m = readZMeta(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no _zmeta — not a writeZOrdered table"))
+    val maxB = (1L << m.bits) - 1L
+    def frozen(c: String, mn: Long, mx: Long) =
+      greatest(lit(0L), least(lit(maxB),
+        zbucket(col(c), lit(mn), lit(mx), m.bits)))
+    val keyed = df.withColumn("__z", zorderKey(
+      frozen(m.colA, m.amin, m.amax), frozen(m.colB, m.bmin, m.bmax), m.bits))
+    keyed.repartitionByRange(nAppendFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("append").parquet(path)
+  }
+
+  /** True when the table holds more than `factor` × its design file count
+    * — the recluster trigger (one driver-side listing, O(files)). */
+  def needsRecluster(spark: SparkSession, path: String,
+                     factor: Double = 2.0): Boolean = {
+    val m = readZMeta(spark, path).getOrElse(return false)
+    val fs = graft.functions.FsUtils.fs(spark, path)
+    val n = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    n > m.nFiles * factor
+  }
+
+  /** Full recluster: re-elect the grid from the CURRENT data (appends may
+    * have stretched the value ranges), rewrite the whole table z-ordered,
+    * swap atomically (temp-swap next to the table root; a crash leaves
+    * either the old or the new table, never a mix — the compactPartitions
+    * discipline). */
+  def reclusterZOrdered(spark: SparkSession, path: String,
+                        nFilesOpt: Option[Int] = None): Unit = {
+    import graft.functions.FsUtils
+    val m = readZMeta(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no _zmeta — not a writeZOrdered table"))
+    val tmp = path + ".recluster.tmp"
+    writeZOrdered(spark.read.parquet(path), m.colA, m.colB, tmp,
+      nFilesOpt.getOrElse(m.nFiles), m.bits)
+    val fs = FsUtils.fs(spark, path)
+    FsUtils.replaceDir(fs, new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    spark.catalog.refreshByPath(path)
   }
 
   /** Gate query: the z-key computation itself over `documents`

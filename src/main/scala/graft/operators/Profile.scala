@@ -151,39 +151,67 @@ object Profile {
   def histogram(df: DataFrame, cols: Seq[String],
                 nBuckets: Int = 16): DataFrame = {
     require(cols.nonEmpty && nBuckets >= 1)
-    val spark = df.sparkSession
+    val grid = histogramGrid(df, cols)
+    finishHistogram(histogramState(df, grid, nBuckets),
+      df.sparkSession, grid, nBuckets)
+  }
+
+  /** The grid a histogram buckets into: per-column global min/max (None for
+    * an all-null column). ONE tiny aggregate row. A STREAMING fold freezes
+    * this at deployment ([[graft.streaming.HistogramStream]]) — re-deriving
+    * it per batch would re-bucket history. */
+  def histogramGrid(df: DataFrame,
+                    cols: Seq[String]): Seq[(String, Option[(Double, Double)])] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
       max(col(c)).cast("double").as(s"mx_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val bounds: Map[String, Option[(Double, Double)]] = cols.map { c =>
-      val i = cols.indexOf(c) * 2
+    cols.zipWithIndex.map { case (c, j) =>
+      val i = j * 2
       c -> (if (stats.isNullAt(i)) None
             else Some((stats.getDouble(i), stats.getDouble(i + 1))))
-    }.toMap
+    }
+  }
+
+  /** Additive histogram state of `df` under a FIXED grid: (col_name,
+    * bucket, cnt), non-empty buckets only — mergeable by plain count sum.
+    * Values OUTSIDE the grid clamp into the edge buckets (impossible when
+    * the grid came from this df's own min/max; under a frozen streaming
+    * grid, edge-bucket mass growth IS the drift signal). */
+  private[graft] def histogramState(df: DataFrame,
+      grid: Seq[(String, Option[(Double, Double)])],
+      nBuckets: Int): DataFrame = {
     val kD = nBuckets.toDouble
-    val entries = df.select(explode(array(cols.map { c =>
-        val b = bounds(c) match {
+    df.select(explode(array(grid.map { case (c, b0) =>
+        val b = b0 match {
           case None => lit(null).cast("long")
           case Some((mn, mx)) if mn == mx =>
             when(col(c).isNull, lit(null).cast("long")).otherwise(lit(0L))
           case Some((mn, mx)) =>
             when(col(c).isNull, lit(null).cast("long")).otherwise(
-              least(lit(nBuckets - 1L),
-                floor((col(c).cast("double") - lit(mn)) * lit(kD) / lit(mx - mn))))
+              greatest(lit(0L), least(lit(nBuckets - 1L),
+                floor((col(c).cast("double") - lit(mn)) * lit(kD) / lit(mx - mn)))))
         }
         struct(lit(c).as("col_name"), b.as("bucket"))
       }: _*)).as("e"))
       .select(col("e.col_name"), col("e.bucket"))
       .filter(col("bucket").isNotNull)
-    val counts = entries.groupBy("col_name", "bucket").agg(count(lit(1)).as("cnt"))
-    // zero-fill grid with the bucket bounds as literals (≤ cols × nBuckets
-    // rows, driver-built); lo/hi arithmetic mirrors the oracle's
-    // mn + (bucket · (mx − mn)) / K exactly
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Zero-filled presentation of histogram state: all nBuckets rows per
+    * column with bound columns; lo/hi arithmetic mirrors the oracle's
+    * mn + (bucket · (mx − mn)) / K exactly. Grid rows are driver-built
+    * literals (≤ cols × nBuckets). */
+  private[graft] def finishHistogram(state: DataFrame,
+      spark: SparkSession,
+      grid: Seq[(String, Option[(Double, Double)])],
+      nBuckets: Int): DataFrame = {
+    val kD = nBuckets.toDouble
     import spark.implicits._
-    val grid = cols.flatMap { c =>
+    val gridDf = grid.flatMap { case (c, b0) =>
       (0 until nBuckets).map { b =>
-        val (lo, hi) = bounds(c) match {
+        val (lo, hi) = b0 match {
           case Some((mn, mx)) =>
             (Some(mn + b.toDouble * (mx - mn) / kD),
              Some(mn + (b + 1).toDouble * (mx - mn) / kD))
@@ -192,7 +220,8 @@ object Profile {
         (c, b.toLong, lo, hi)
       }
     }.toDF("col_name", "bucket", "lo", "hi")
-    grid.join(counts, Seq("col_name", "bucket"), "left")
+    gridDf.join(state.groupBy("col_name", "bucket").agg(sum("cnt").as("cnt")),
+        Seq("col_name", "bucket"), "left")
       .select(col("col_name"), col("bucket"), col("lo"), col("hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("col_name", "bucket")

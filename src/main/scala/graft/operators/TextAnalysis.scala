@@ -664,11 +664,16 @@ object TextAnalysis {
     * score = tf(term, doc) · ln(N / df(term)), ranked per doc with
     * deterministic ties (rounded score desc, term asc).
     *
-    * Scale shape — three LINEAR exchanges, no driver state:
+    * Scale shape — ONE corpus scan, three LINEAR exchanges, no driver
+    * state:
     *  1. (doc, term) exchange for the tf aggregate (map-side combined);
-    *  2. term exchange for the document-frequency aggregate — the df table
-    *     is vocabulary-sized and joins back BY TERM (broadcast while it
-    *     fits, shuffle beyond; never collected);
+    *  2. term exchange for the document-frequency WINDOW — df(term) is the
+    *     tf table's row count per term, so a count window over the
+    *     vocabulary-keyed tf frame replaces a separate df aggregate joined
+    *     back by term, which Catalyst planned as a SECOND full corpus scan
+    *     (the shared tf subtree is not exchange-reused across the
+    *     self-join — measured in the round-14 plan audit: 2 FileScans,
+    *     4 hash exchanges for the join form vs 1 scan, 3 for this one);
     *  3. doc exchange for the per-doc top-k window — per-partition state
     *     is one doc's distinct terms, the pipeline's bounded unit.
     * N is one count scalar. The ln cross-engine precedent is [[bm25Topk]]
@@ -680,10 +685,10 @@ object TextAnalysis {
     val n = docs.count().toDouble
     val tf = docs.select(col(idCol), explode(split(col(textCol), " ", -1)).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.withColumn("dfc", count(lit(1)).over(wDf))
       .select(col(idCol), col("term"), col("tf"),
         round(col("tf") * log(lit(n) / col("dfc")), 4).as("score"))
       // long rank: Spark's row_number is int32 where DuckDB's is int64

@@ -3,12 +3,13 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{BpeStream, ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, OverlapStream, ProfileStream, SubstringDedupStream}
+import graft.streaming.{BpeStream, ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 14: eight streams): OverlapStream,
+/** Composed streaming soak (round 14: nine streams): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
-  * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream —
-  * consuming ONE shared document/embedding drop
+  * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
+  * HistogramStream (frozen grid) — consuming ONE shared
+  * document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -72,6 +73,7 @@ object ComposedStreamSoak {
     val hmState = s"$tmp/hm-state"
     val pfState = s"$tmp/pf-state"
     val bpState = s"$tmp/bp-state"
+    val hgState = s"$tmp/hg-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -92,8 +94,13 @@ object ComposedStreamSoak {
         k = 256, hash = graft.operators.Profile.Xx64, autoCompactBatches = 8)
       BpeStream.applyBatch(spark, docB(i), i.toLong, bpState,
         autoCompactBatches = 8)
+      HistogramStream.applyBatch(spark, docB(i), i.toLong, hgState,
+        autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
+
+    HistogramStream.ensureGrid(spark, hgState,
+      graft.operators.Profile.histogramGrid(docs, Seq("doc_id", "n_chars")), 16)
 
     println("batch,sec,note")
     for (i <- 0 until nb) {
@@ -219,6 +226,14 @@ object ComposedStreamSoak {
     val tcBatch = graft.operators.Bpe.tokenCountsOf(docs, bpBatch)
       .orderBy("doc_id").collect().toSeq
     check("bpe_token_counts", tcStream == tcBatch && tcStream.nonEmpty)
+
+    // histogram: frozen-grid fold over all batches ≡ one-shot histogram
+    val hgStream = HistogramStream.currentHistogram(spark, hgState)
+      .collect().toSeq
+    val hgBatch = graft.operators.Profile.histogram(
+        docs, Seq("doc_id", "n_chars"), 16)
+      .collect().toSeq
+    check("histogram_fold", hgStream == hgBatch && hgStream.nonEmpty)
     spark.stop()
   }
 }

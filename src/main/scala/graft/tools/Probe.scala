@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch probe main — rewritten per investigation. Current: round-13
+/** Scratch probe main — rewritten per investigation. Current: round-14
   * close-out plan audit — print the executed-plan operator skeleton of
   * each new gate query (evidence for the PLANS.md plan-audit section). */
 object Probe {
@@ -16,10 +16,8 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = Seq("profile_columns", "profile_columns_sketched",
-      "classifier_calibration", "model_filter_calibrated", "cluster_sample",
-      "bpe_token_counts", "dedup_exact_canonical", "zorder_key",
-      "events_range_join")
+    val names = Seq("zorder_pruned_read", "profile_histogram",
+      "tfidf_topk_terms", "substring_dedup")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -288,6 +288,59 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       Seq("o_lowcard"), nFiles = 64).isEmpty)
   }
 
+  test("z-order maintenance: frozen-grid append keeps reads exact; recluster restores the layout") {
+    val orders = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 100).cast("long").as("price_c"))
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val b1 = orders.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0)
+    // batch 2 DRIFTS beyond the original grid (stretched custkey) — appends
+    // must clamp into edge buckets, reads must stay exact regardless
+    val b2 = orders.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 =!= 0)
+      .withColumn("o_custkey", col("o_custkey") + 100000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zmaint").toString + "/t"
+    Layout.writeZOrdered(base, "o_custkey", "price_c", dir, nFiles = 8)
+    val meta = Layout.readZMeta(spark, dir).get
+    assert(meta.colA == "o_custkey" && meta.nFiles == 8)
+    Layout.appendZOrdered(b1, dir, nAppendFiles = 2)
+    Layout.appendZOrdered(b2, dir, nAppendFiles = 2)
+    // reads exact under the mixed layout, including the drifted rows
+    val expectAll = base.unionByName(b1).unionByName(b2)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq == expectAll)
+    val s = orders.agg(min("price_c"), max("price_c")).head()
+    val (pLo, pHi) = (s.getLong(0), s.getLong(1))
+    val band = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("price_c").between(pLo + (pHi - pLo) * 45 / 100,
+                                      pLo + (pHi - pLo) * 55 / 100))
+        .orderBy("o_orderkey").collect().toSeq
+    assert(band(spark.read.parquet(dir)) == band(expandFrame(expectAll)))
+    // recluster trigger: 8 design files + 4 appended
+    assert(Layout.needsRecluster(spark, dir, factor = 1.25))
+    Layout.reclusterZOrdered(spark, dir)
+    assert(!Layout.needsRecluster(spark, dir, factor = 1.25))
+    // rows identical after the swap; grid re-elected over the drifted range
+    assert(spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq == expectAll)
+    val m2 = Layout.readZMeta(spark, dir).get
+    assert(m2.amax > meta.amax, "recluster must re-elect the stretched grid")
+    val nF = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nF <= 8, s"recluster left $nF files")
+  }
+
+  // rebuild a DataFrame from collected rows (schema of the maintenance test)
+  private def expandFrame(rows: Seq[org.apache.spark.sql.Row]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_c",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   test("zorder_pruned_read gate: rows are layout-invariant AND the executed scan skips row groups") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

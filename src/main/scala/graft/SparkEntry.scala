@@ -400,6 +400,20 @@ object SparkEntry {
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    // behavioral analytics over the event archive: greedy ordered funnel +
+    // weekly cohort retention (one user-keyed aggregate each before any
+    // user-crossing exchange — Behavior scaladoc)
+    "events_funnel" -> Behavior.funnelGate _,
+    "events_retention" -> Behavior.retentionGate _,
+    // corpus snapshot diff: one full-outer equi-join on doc_id comparing a
+    // fixed-width content hash per side; v2 is the deterministic derived
+    // "next crawl" (the fixture — snapshotDiff itself is snapshot-agnostic)
+    "corpus_diff" -> Evolution.corpusDiff _,
+    // PMI collocation mining over adjacent bigrams (phrase vocabulary)
+    "pmi_bigrams" -> TextAnalysis.pmiBigramsGate _,
+    // content-defined (rolling-hash boundary) chunking + global chunk
+    // occurrence counts — the insertion-resilient dedup chunker
+    "cdc_chunks" -> ((s: SparkSession, d: String) => Prep.cdcChunksGate(s, d)),
     // [EXT] similarity search
     "cosine_topk" -> ((s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 3)
@@ -694,6 +708,11 @@ object SparkEntry {
     "events_user_totals" ->
       """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_funnel" -> Behavior.funnelSql,
+    "events_retention" -> Behavior.retentionSql,
+    "corpus_diff" -> Evolution.corpusDiffSql,
+    "pmi_bigrams" -> TextAnalysis.pmiBigramsSql(),
+    "cdc_chunks" -> Prep.cdcChunksSql(),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -218,6 +218,90 @@ object Prep {
       .select(col("doc_id"), (col("n_shared") > 0).as("contaminated"), col("n_shared"))
   }
 
+  // --- content-defined chunking (CDC) -------------------------------------
+
+  /** Content-defined chunking: split each document where the rolling hash
+    * of the trailing `win`-char window satisfies h % `divisor` == 0 — the
+    * Rabin-style boundary rule (LBFS, Muthitacharoen et al. SOSP'01; every
+    * dedup store from rsync to CAS backups). Unlike fixed-size chunking, an
+    * insertion shifts only the chunks it touches: boundaries re-synchronize
+    * within one window, so cross-version shared chunks keep their hashes —
+    * the chunk-level dedup property `chunk_overlap`'s fixed windows lack.
+    *
+    * Expected chunk length is `divisor` chars. Implementation is one narrow
+    * per-document HOF chain (boundary scan → start/end zip → substrings →
+    * explode), h60-hashed so the DuckDB oracle is exact; only fixed-width
+    * (doc_id, idx, hash, len) rows leave the generator. The gate query adds
+    * a global per-hash occurrence count as ONE window over that narrow
+    * table (single exchange, single scan — the tfidf no-self-join lesson);
+    * at open scale the same count is a groupBy + keyed join, trading a
+    * second shuffle for not sorting within hash groups.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String = "text",
+                win: Int = 8, divisor: Int = 64): DataFrame = {
+    val t = col(textCol)
+    // boundary cut positions: last char index of each matching window,
+    // excluding a cut at the very end (it would leave an empty tail chunk)
+    val cuts = filter(
+      transform(
+        when(length(t) >= win, sequence(lit(1), length(t) - (win - 1)))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)")),
+        p => p + (win - 1)),
+      c => (pmod(h60(t.substr(c - (win - 1), lit(win))), lit(divisor)) === 0)
+        && c < length(t))
+    val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
+    val ends = concat(cuts, array(length(t)))
+    docs
+      .withColumn("__chunks",
+        zip_with(starts, ends, (s, e) => t.substr(s, e - s + lit(1))))
+      .select(col("doc_id"),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "__c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        h60(col("__c")).as("chunk_hash"), length(col("__c")).cast("long").as("chunk_len"))
+  }
+
+  /** Gate form: CDC chunks over the full corpus with each chunk's global
+    * occurrence count (the dedup signal), output restricted to a bounded
+    * doc slice. The count window runs BEFORE the slice filter — counts are
+    * corpus-global. */
+  def cdcChunksGate(spark: SparkSession, dir: String, maxDoc: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = cdcChunks(Tables.documents(spark, dir))
+    chunks
+      .withColumn("n_occ", count(lit(1))
+        .over(Window.partitionBy("chunk_hash")))
+      .filter(col("doc_id") < maxDoc)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def cdcChunksSql(win: Int = 8, divisor: Int = 64, maxDoc: Int = 300): String = {
+    val wm1 = win - 1
+    s"""WITH cu AS (
+       |  SELECT doc_id, text, list_filter(
+       |    list_transform(range(1, GREATEST(LEN(text) - $wm1 + 1, 1)),
+       |                   p -> p + $wm1),
+       |    c -> ${h60Sql(s"SUBSTR(text, c - $wm1, $win)")} % $divisor = 0
+       |         AND c < LEN(text)) AS cuts
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_zip(list_prepend(1, list_transform(cuts, c -> c + 1)),
+       |               list_append(cuts, LEN(text))),
+       |      z -> SUBSTR(text, z[1], z[2] - z[1] + 1)) AS chunks
+       |  FROM cu),
+       |x AS (
+       |  SELECT doc_id, UNNEST(chunks) AS c,
+       |         CAST(UNNEST(range(0, LEN(chunks))) AS BIGINT) AS chunk_idx
+       |  FROM ch),
+       |h AS (SELECT doc_id, chunk_idx, ${h60Sql("c")} AS chunk_hash,
+       |             CAST(LEN(c) AS BIGINT) AS chunk_len FROM x)
+       |SELECT doc_id, chunk_idx, chunk_hash, chunk_len,
+       |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_occ
+       |FROM h QUALIFY doc_id < $maxDoc
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val decontaminateSql: String = {
     val sh3 = graft.PortableOracles.shingles3Expr
     s"""WITH bsh AS (SELECT DISTINCT UNNEST(LIST_DISTINCT($sh3)) AS s

@@ -715,6 +715,70 @@ object TextAnalysis {
        |SELECT doc_id, rank, term, tf, score FROM r
        |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  // --- PMI collocations (phrase mining) ------------------------------------
+
+  /** Top-k adjacent-bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus unigram/bigram
+    * frequencies, thresholded at `minCount` co-occurrences (Church & Hanks
+    * 1990 — the standard phrase-vocabulary miner feeding tokenizer merges
+    * and n-gram stopphrase lists).
+    *
+    * Scale shape: two map-side-combinable aggregates over ONE token stream
+    * (bigram counts; unigram counts), both vocabulary-sized; the corpus
+    * totals are one-row aggregates broadcast back, and the unigram table
+    * joins the bigram table BY WORD twice (broadcast while it fits, a
+    * keyed shuffle join at open vocabulary). Top-k is TakeOrdered on the
+    * rounded score — no global sort. The score is computed as one double
+    * expression (counts cast up front, identical operation order in the
+    * oracle) and rounded to 4, doc-ordered ties broken by the word pair —
+    * the bm25/dsir ln-portability precedent.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String = "text",
+                 minCount: Int = 5, k: Int = 50): DataFrame = {
+    val w = docs.select(split(col(textCol), " ", -1).as("ws"))
+    val uni = w.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = w.select(explode(expr(
+        """transform(
+          |  CASE WHEN size(ws) >= 2 THEN sequence(0, size(ws) - 2)
+          |       ELSE CAST(array() AS ARRAY<INT>) END,
+          |  i -> struct(ws[i] AS w1, ws[i+1] AS w2))""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = uni.agg(sum("c").cast("double").as("n_tok"))
+      .crossJoin(bi.agg(sum("n_pair").cast("double").as("n_bi")))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("n_tok") * col("n_tok")
+          / (col("n_bi") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def pmiBigramsGate(spark: SparkSession, dir: String): DataFrame =
+    pmiBigrams(Tables.documents(spark, dir))
+
+  def pmiBigramsSql(minCount: Int = 5, k: Int = 50): String =
+    s"""WITH w AS (SELECT STR_SPLIT(text, ' ') AS ws FROM documents),
+       |uni AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM (SELECT UNNEST(ws) AS w FROM w) u GROUP BY u.w),
+       |bi AS (SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |       FROM (SELECT UNNEST(list_transform(
+       |               range(0, GREATEST(LEN(ws) - 1, 0)),
+       |               i -> [ws[i+1], ws[i+2]])) AS p FROM w) t
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $minCount),
+       |tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_tok,
+       |               (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM bi) AS n_bi)
+       |SELECT w1, w2, n_pair,
+       |       ROUND(LN(CAST(n_pair AS DOUBLE) * n_tok * n_tok
+       |                / (n_bi * a.c * b.c)), 4) AS pmi
+       |FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2
+       |CROSS JOIN tot
+       |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+
   // --- document fingerprint (rolling hash) -------------------------------------
   // Built on the portable h60 hash so the whole sketch — content hash,
   // simhash, winnowing mins — gets an exact DuckDB oracle (the xxhash64

@@ -69,4 +69,69 @@ class PrepSpec extends AnyFunSuite with SparkSuite {
       assert(flag == (expected(id) > 0))
     }
   }
+
+  test("cdcChunks: chunks reassemble to the original text") {
+    val docs = Tables.documents(spark, Sf0001)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // re-derive chunk text from (start offsets implied by lengths) — the
+    // operator ships only hashes, so reassembly is checked via lengths +
+    // re-hashing the reconstructed slices
+    val rows = Prep.cdcChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    import graft.functions.Hashing.h60
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet)
+    val recheck = byDoc.toSeq.flatMap { case (id, cs) =>
+      val t = texts(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"doc $id chunk_idx gap")
+      assert(sorted.map(_._4).sum == t.length, s"doc $id length sum")
+      var off = 0
+      sorted.map { case (_, idx, hash, len) =>
+        val s = t.substring(off, off + len.toInt); off += len.toInt
+        (id, idx, s, hash)
+      }
+    }
+    // batch-verify the reconstructed chunk hashes through the same h60
+    val ver = recheck.toDF("doc_id", "chunk_idx", "s", "expected")
+      .withColumn("got", h60(col("s")))
+    assert(ver.filter(col("got") =!= col("expected")).count() == 0)
+  }
+
+  test("cdcChunks: boundaries re-synchronize after a prefix edit") {
+    // all cuts of T reappear (shifted) in prefix+T: a cut's window never
+    // overlaps the prefix (cut ≥ win), so the chunk sequence after T's
+    // first cut is a suffix of the edited doc's chunk sequence
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val multi = Prep.cdcChunks(docs).groupBy("doc_id").count()
+      .filter(col("count") >= 3).select("doc_id")
+      .as[Long].collect().toSet
+    assert(multi.nonEmpty, "need a doc with >= 3 chunks")
+    val pick = multi.min
+    val base = docs.filter(col("doc_id") === pick)
+    val edited = base.select(col("doc_id"),
+      concat(lit("EDIT INSERTED PREFIX "), col("text")).as("text"))
+    val h0 = Prep.cdcChunks(base).orderBy("chunk_idx")
+      .select("chunk_hash").as[Long].collect().toSeq
+    val h1 = Prep.cdcChunks(edited).orderBy("chunk_idx")
+      .select("chunk_hash").as[Long].collect().toSeq
+    assert(h1.endsWith(h0.drop(1)),
+      s"tail of $h0 not preserved in $h1")
+  }
+
+  test("cdcChunksGate: window occurrence count equals the groupBy count") {
+    val gate = Prep.cdcChunksGate(spark, Sf0001, maxDoc = 100)
+    val chunks = Prep.cdcChunks(Tables.documents(spark, Sf0001))
+    val agg = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("exp_occ"))
+    val bad = gate.join(agg, "chunk_hash")
+      .filter(col("n_occ") =!= col("exp_occ")).count()
+    assert(bad == 0)
+    assert(gate.filter(col("doc_id") >= 100).count() == 0)
+    // partitioning independence of the full chunk table
+    val a = Prep.cdcChunks(Tables.documents(spark, Sf0001).repartition(7))
+      .orderBy("doc_id", "chunk_idx").collect()
+    val b = chunks.orderBy("doc_id", "chunk_idx").collect()
+    assert(a.sameElements(b))
+  }
 }

@@ -227,4 +227,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
       .orderBy("doc_id", "rank").collect().toSeq
     assert(a == b)
   }
+
+  test("pmiBigrams: hand-computed PMI, threshold, and k bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, minCount = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // tokens a×3 b×3 (N=6); bigrams (a,b)×3 (b,a)×2 (M=5)
+    def pmi(cab: Long, ca: Long, cb: Long) =
+      BigDecimal(math.log(cab.toDouble * 6 * 6 / (5.0 * ca * cb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("a", "b", 3L, pmi(3, 3, 3)),
+      ("b", "a", 2L, pmi(2, 3, 3))))
+    // threshold: minCount=3 drops (b,a)
+    assert(TextAnalysis.pmiBigrams(docs, minCount = 3, k = 10).count() == 1)
+    // real corpus: k bounds rows, co-occurrence floor respected
+    val real = TextAnalysis.pmiBigramsGate(spark, Sf0001).collect()
+    assert(real.length <= 50)
+    assert(real.forall(_.getLong(2) >= 5))
+    // scores arrive sorted desc with the word tie-break
+    val keys = real.map(r => (-r.getDouble(3), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("pmiBigrams is partitioning-independent") {
+    val d = Tables.documents(spark, Sf0001)
+    val a = TextAnalysis.pmiBigrams(d.repartition(7), minCount = 5, k = 20).collect().toSeq
+    val b = TextAnalysis.pmiBigrams(d.coalesce(1), minCount = 5, k = 20).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -736,6 +736,18 @@ object TextAnalysis {
   def pmiBigrams(docs: DataFrame, textCol: String = "text",
                  minCount: Int = 5, k: Int = 50): DataFrame = {
     val w = docs.select(split(col(textCol), " ", -1).as("ws"))
+    // corpus totals come from ONE narrow no-explode scan (sum of per-doc
+    // token/bigram counts) — deriving them by re-aggregating the uni/bi
+    // subtrees would re-execute each of those corpus passes a second time
+    // (the tfidf no-exchange-reuse lesson; plan-audited)
+    val totals = w.agg(
+      sum(size(col("ws"))).cast("double").as("n_tok"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("n_bi"))
+    // the two by-word consumers broadcast the SAME single-key aggregate —
+    // canonicalization ignores the per-side renames, so the second join
+    // plans a ReusedExchange over the first broadcast and the unigram
+    // subtree executes ONCE (plan-audited; no electKeep repartition needed
+    // here, unlike the shuffle-side sharing cases)
     val uni = w.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val bi = w.select(explode(expr(
@@ -746,8 +758,6 @@ object TextAnalysis {
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
-    val totals = uni.agg(sum("c").cast("double").as("n_tok"))
-      .crossJoin(bi.agg(sum("n_pair").cast("double").as("n_bi")))
     bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(totals)
@@ -770,8 +780,9 @@ object TextAnalysis {
        |               range(0, GREATEST(LEN(ws) - 1, 0)),
        |               i -> [ws[i+1], ws[i+2]])) AS p FROM w) t
        |       GROUP BY 1, 2 HAVING COUNT(*) >= $minCount),
-       |tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_tok,
-       |               (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM bi) AS n_bi)
+       |tot AS (SELECT CAST(SUM(LEN(ws)) AS DOUBLE) AS n_tok,
+       |               CAST(SUM(GREATEST(LEN(ws) - 1, 0)) AS DOUBLE) AS n_bi
+       |        FROM w)
        |SELECT w1, w2, n_pair,
        |       ROUND(LN(CAST(n_pair AS DOUBLE) * n_tok * n_tok
        |                / (n_bi * a.c * b.c)), 4) AS pmi

@@ -298,6 +298,53 @@ object ScaleBench {
         println(s"  [bpe_vocabgrow ${kf}x: words=${tk.words.length} merges=${tk.merges.length}]")
         spark.range(1).toDF("ok")
       },
+      // round-14 late tier. Funnel: events amplify k× onto the SAME users,
+      // so per-user candidate lists grow k× — the honest worst case for
+      // the collect-then-scan aggregate. Retention: same amplification,
+      // but per-user state is the distinct-WEEK set (calendar-bounded) —
+      // the claim is that state does NOT grow with k.
+      "events_funnel" -> (k => graft.operators.Behavior.funnel(
+        amplify(Tables.events(spark, sf), "event_id", k))),
+      "events_retention" -> (k => graft.operators.Behavior.retention(
+        amplify(Tables.events(spark, sf), "event_id", k))),
+      // snapshot diff: both sides grow k× — one co-keyed full-outer join
+      // of fixed-width rows, linear by construction
+      "corpus_diff" -> { k =>
+        val base = docsX(k).select(col("doc_id"), col("text"), col("source"))
+        val v2 = base.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"), col("source"))
+        graft.operators.Evolution.snapshotDiff(
+          base.withColumn("fp", md5(col("text"))),
+          v2.withColumn("fp", md5(col("text"))))
+      },
+      // PMI: plain amplify keeps the vocab (and both aggregate outputs)
+      // CONSTANT while counts grow k×; the vocabgrow twin appends
+      // replica-unique tokens so the bigram/unigram tables themselves grow
+      "pmi_bigrams" -> (k => graft.operators.TextAnalysis.pmiBigrams(docsX(k))),
+      "pmi_bigrams_vocabgrow" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" u"), col("doc_id")))
+        graft.operators.TextAnalysis.pmiBigrams(grown)
+      },
+      // CDC chunking: narrow per-doc boundary scan + ONE window exchange
+      // on chunk_hash; amplification makes every chunk hash k×-hot — the
+      // adversarial case for the occurrence count
+      "cdc_chunks" -> (k => graft.operators.Prep.cdcChunks(docsX(k))
+        .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_chunks"), max("n").as("max_occ"))),
+      // the xxhash64 production hash on the same shape — measures the
+      // gate's h60/md5 constant directly
+      "cdc_chunks_xx" -> (k => graft.operators.Prep.cdcChunks(docsX(k),
+          hashFn = xxhash64(_))
+        .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_chunks"), max("n").as("max_occ"))),
+      // the codegen CdcCuts production path (no per-window substring
+      // allocation) on the same shape
+      "cdc_chunks_fast" -> (k => graft.operators.Prep.cdcChunksFast(docsX(k))
+        .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_chunks"), max("n").as("max_occ"))),
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -1347,3 +1347,106 @@ case class TokenRatioLookup(child: Expression, tokens: Array[String],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Content-defined-chunking boundary scan: all cut positions (1-based char
+  * index of a chunk's last character) where xxhash64(seed 42) of the
+  * trailing `win`-char window satisfies pmod(h, divisor) == 0, excluding a
+  * cut at the very end — bit-identical to the HOF formulation
+  * `filter(transform(sequence(...)), c -> pmod(xxhash64(substr(text,p,win)),
+  * divisor) = 0 AND c < len)` (pinned in CatalystExpressionSpec), without
+  * allocating a substring + hash expression evaluation per position: one
+  * char-offset walk, then one XXH64 call per window over the SAME UTF-8
+  * byte slice Spark's `xxhash64(substr(...))` would hash (substring copies
+  * bytes; the slice content is identical, so the hashes are too — including
+  * multi-byte characters, which is why the walk tracks BYTE offsets per
+  * char). Measured 9x the HOF formulation at sf0.1 and 33x at the 64x
+  * amplification (0.78 vs 6.9 s / 6.9 vs 227 s — ScaleBench
+  * `cdc_chunks_fast` vs `cdc_chunks_xx`): the per-position substring +
+  * expression-eval machinery, not the digest, was the cost (md5 vs
+  * xxhash64 HOF forms measured within 2% of each other).
+  */
+case class CdcCuts(child: Expression, win: Int, divisor: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(win >= 1 && divisor >= 1)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_cuts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes()
+    val nChars = s.numChars()
+    // byte offset of each char start (+ terminal)
+    val boff = new Array[Int](nChars + 1)
+    var b = 0
+    var ci = 0
+    while (ci < nChars) {
+      boff(ci) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      ci += 1
+    }
+    boff(nChars) = nBytes
+    // windows start at 0-based p < nChars - win (the cut at p + win must be
+    // strictly before the end); cut value is the 1-based last-char index
+    val nWin = math.max(nChars - win, 0)
+    val cuts = new Array[Int](nWin)
+    var k = 0
+    var p = 0
+    while (p < nWin) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, off + boff(p), boff(p + win) - boff(p), 42L)
+      if (((h % divisor) + divisor) % divisor == 0) { cuts(k) = p + win; k += 1 }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cuts, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val nBytes = ctx.freshName("nBytes")
+      val nChars = ctx.freshName("nChars")
+      val boff = ctx.freshName("boff")
+      val b = ctx.freshName("b")
+      val ci = ctx.freshName("ci")
+      val nWin = ctx.freshName("nWin")
+      val cuts = ctx.freshName("cuts")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      s"""
+         |Object $base = $c.getBaseObject();
+         |long $off = $c.getBaseOffset();
+         |int $nBytes = $c.numBytes();
+         |int $nChars = $c.numChars();
+         |int[] $boff = new int[$nChars + 1];
+         |int $b = 0;
+         |for (int $ci = 0; $ci < $nChars; $ci++) {
+         |  $boff[$ci] = $b;
+         |  $b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+         |    org.apache.spark.unsafe.Platform.getByte($base, $off + $b));
+         |}
+         |$boff[$nChars] = $nBytes;
+         |int $nWin = java.lang.Math.max($nChars - $win, 0);
+         |int[] $cuts = new int[$nWin];
+         |int $k = 0;
+         |for (int $p = 0; $p < $nWin; $p++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $base, $off + $boff[$p], $boff[$p + $win] - $boff[$p], 42L);
+         |  if ((($h % $divisor) + $divisor) % $divisor == 0) { $cuts[$k++] = $p + $win; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($cuts, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

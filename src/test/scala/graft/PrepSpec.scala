@@ -134,4 +134,26 @@ class PrepSpec extends AnyFunSuite with SparkSuite {
     val b = chunks.orderBy("doc_id", "chunk_idx").collect()
     assert(a.sameElements(b))
   }
+
+  test("cdcChunksFast ≡ cdcChunks(xxhash64) bit-exactly") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = Prep.cdcChunksFast(docs).orderBy("doc_id", "chunk_idx").collect()
+    val b = Prep.cdcChunks(docs, hashFn = xxhash64(_))
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("cdcChunks: production xxhash64 variant keeps the chunking invariants") {
+    val docs = Tables.documents(spark, Sf0001)
+    val xx = Prep.cdcChunks(docs, hashFn = xxhash64(_))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // full coverage: per-doc chunk lengths sum to the doc length, indices
+    // contiguous — hash choice changes WHERE cuts land, never the contract
+    xx.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._3).sum == lens(id))
+      assert(cs.map(_._2).sorted.toSeq == cs.indices.map(_.toLong))
+    }
+  }
 }

@@ -49,6 +49,14 @@ object Behavior {
     val staged = perUser
       .withColumn("s2", array_min(filter(col("l2"), t => t > col("s1"))))
       .withColumn("s3", array_min(filter(col("l3"), t => t > col("s2"))))
+    funnelSummary(staged, steps)
+  }
+
+  /** Stage counts + conversion over a per-user (s1, s2, s3) stage frame —
+    * shared with [[graft.streaming.FunnelStream]], whose state IS that
+    * frame maintained incrementally. */
+  def funnelSummary(staged: DataFrame, steps: Seq[String]): DataFrame = {
+    val Seq(a, b, c) = steps
     val flat = staged.agg(
       count(col("s1")).as("n1"), count(col("s2")).as("n2"),
       count(col("s3")).as("n3"))
@@ -92,11 +100,17 @@ object Behavior {
   /** Weekly cohort retention: users bucketed by the ISO week of their first
     * event; each (cohort_week, week_offset) cell counts distinct users from
     * that cohort active in that week. */
-  def retention(events: DataFrame): DataFrame = {
+  def retention(events: DataFrame): DataFrame =
+    retentionOfWeeks(events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk")))
+
+  /** The matrix over a (user_id, wk DATE) activity frame — shared with the
+    * streaming fold ([[graft.streaming.RetentionStream]]), whose state IS
+    * this frame accumulated across batches. */
+  def retentionOfWeeks(userWeeks: DataFrame): DataFrame = {
     // one exchange: per-user distinct-week set (calendar-bounded), cohort =
     // element 1 of the sorted set; explode back to (user, wk) rows
-    val perUser = events
-      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val perUser = userWeeks
       .groupBy("user_id")
       .agg(sort_array(collect_set(col("wk"))).as("wks"))
       .select(col("user_id"), element_at(col("wks"), 1).as("cohort"),

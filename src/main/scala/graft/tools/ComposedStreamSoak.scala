@@ -3,12 +3,12 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{BpeStream, ComponentsStream, CurationStream, EmbeddingIndexStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, SubstringDedupStream}
+import graft.streaming.{BpeStream, ComponentsStream, CurationStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, RetentionStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 14: nine streams): OverlapStream,
+/** Composed streaming soak (round 14: eleven streams): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
-  * HistogramStream (frozen grid) — consuming ONE shared
+  * HistogramStream (frozen grid), RetentionStream, FunnelStream — consuming ONE shared
   * document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
@@ -56,6 +56,26 @@ object ComposedStreamSoak {
     // so cross-batch root merges happen continuously
     def pairB(i: Int) = docB(i).select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
       .filter(pmod(col("a"), lit(10)) =!= 9)
+    // derived event stream for the retention fold: users recur across
+    // batches (mod key) and a user's EARLIEST week can arrive in any batch
+    // (ts is doc_id mod the calendar, not monotone per user) — continuous
+    // cohort revisions, the operator's hardest case
+    def evDerive(df: org.apache.spark.sql.DataFrame) = df.select(
+      pmod(col("doc_id"), lit(997)).as("user_id"),
+      to_timestamp(date_add(to_date(lit("2024-01-01")),
+        pmod(col("doc_id"), lit(365)).cast("int"))).as("ts"))
+    def evB(i: Int) = evDerive(docB(i))
+    // funnel's derived stream: ts MONOTONE in doc_id (batches are ascending
+    // id ranges ⇒ event-time in-order delivery, the FunnelStream contract);
+    // users recur via the mod key, stage types cycle so view→click→purchase
+    // sequences complete across batches
+    def fvDerive(df: org.apache.spark.sql.DataFrame) = df.select(
+      pmod(col("doc_id"), lit(499)).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("event_type"),
+      (to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, 0, doc_id)")).as("ts"))
+    def fvB(i: Int) = fvDerive(docB(i))
 
     val profCols = Seq("doc_id" -> graft.operators.Profile.NumCol,
       "lang" -> graft.operators.Profile.StrCol,
@@ -74,6 +94,8 @@ object ComposedStreamSoak {
     val pfState = s"$tmp/pf-state"
     val bpState = s"$tmp/bp-state"
     val hgState = s"$tmp/hg-state"
+    val rtState = s"$tmp/rt-state"
+    val fnState = s"$tmp/fn-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -96,6 +118,9 @@ object ComposedStreamSoak {
         autoCompactBatches = 8)
       HistogramStream.applyBatch(spark, docB(i), i.toLong, hgState,
         autoCompactBatches = 8)
+      RetentionStream.applyBatch(spark, evB(i), i.toLong, rtState,
+        autoCompactBatches = 8)
+      FunnelStream.applyBatch(spark, fvB(i), i.toLong, fnState)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -234,6 +259,20 @@ object ComposedStreamSoak {
         docs, Seq("doc_id", "n_chars"), 16)
       .collect().toSeq
     check("histogram_fold", hgStream == hgBatch && hgStream.nonEmpty)
+
+    // retention: folded (user, week) state ≡ one-shot cohort matrix over
+    // the union's derived events
+    val rtStream = RetentionStream.currentRetention(spark, rtState)
+      .collect().toSeq
+    val rtBatch = graft.operators.Behavior.retention(evDerive(docs))
+      .collect().toSeq
+    check("retention_fold", rtStream == rtBatch && rtStream.nonEmpty)
+
+    // funnel: O(1)-per-user state machine over in-order delivery ≡ the
+    // one-shot greedy funnel over the union's derived events
+    val fnStream = FunnelStream.currentFunnel(spark, fnState).collect().toSeq
+    val fnBatch = graft.operators.Behavior.funnel(fvDerive(docs)).collect().toSeq
+    check("funnel_fold", fnStream == fnBatch && fnStream.head.getLong(2) > 0)
     spark.stop()
   }
 }

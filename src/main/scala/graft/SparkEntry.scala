@@ -317,6 +317,11 @@ object SparkEntry {
     // portable h60 (k=256, so doc_id/text OVERFLOW and the θ-estimate path
     // fires at the gate — and the oracle still hash-compares the estimate)
     "profile_columns_sketched" -> Profile.profileDocumentsTheta _,
+    // monitoring: per-source PSI drift on the histogram grid (corpus
+    // collapses to the sources x 16 count matrix in one exchange) and
+    // daily-volume z-score anomalies (O(days) bounded window)
+    "source_drift" -> Monitor.sourceDriftDocuments _,
+    "events_anomaly" -> Monitor.dailyAnomaliesEvents _,
     // [EXT] text analysis
     "text_stats" -> TextAnalysis.textStats _,
     "lang_id" -> TextAnalysis.langId _,
@@ -735,6 +740,8 @@ object SparkEntry {
     "profile_columns" -> Profile.profileOrdersSql,
     "profile_histogram" -> Profile.histogramDocumentsSql(),
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
+    "source_drift" -> Monitor.sourceDriftDocumentsSql(),
+    "events_anomaly" -> Monitor.dailyAnomaliesSql(),
     "text_stats" -> TextAnalysis.textStatsSql,
     "docs_by_source" -> TextAnalysis.docsBySourceSql,
     "token_freq" -> TextAnalysis.tokenFreqSql,

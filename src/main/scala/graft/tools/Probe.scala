@@ -16,8 +16,7 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = Seq("events_funnel", "events_retention", "corpus_diff",
-      "pmi_bigrams", "cdc_chunks")
+    val names = Seq("source_drift", "events_anomaly")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -410,6 +410,12 @@ object SparkEntry {
     // user-crossing exchange — Behavior scaladoc)
     "events_funnel" -> Behavior.funnelGate _,
     "events_retention" -> Behavior.retentionGate _,
+    // SCD2 temporal state reconstruction: run-length collapse of each
+    // user's event_type sequence into gapless [valid_from, valid_to)
+    // intervals, plus the point-in-time as-of read — ONE user-keyed hash
+    // exchange total (lag/sum/groupBy/lead all share it — History scaladoc)
+    "state_history" -> History.stateHistoryEvents _,
+    "state_as_of" -> History.stateAsOfEvents _,
     // corpus snapshot diff: one full-outer equi-join on doc_id comparing a
     // fixed-width content hash per side; v2 is the deterministic derived
     // "next crawl" (the fixture — snapshotDiff itself is snapshot-agnostic)
@@ -715,6 +721,8 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_funnel" -> Behavior.funnelSql,
     "events_retention" -> Behavior.retentionSql,
+    "state_history" -> History.stateHistorySql,
+    "state_as_of" -> History.stateAsOfSql,
     "corpus_diff" -> Evolution.corpusDiffSql,
     "pmi_bigrams" -> TextAnalysis.pmiBigramsSql(),
     "cdc_chunks" -> Prep.cdcChunksSql(),

@@ -50,9 +50,19 @@ object Monitor {
                   sourceCol: String = "source",
                   nBuckets: Int = 16): DataFrame = {
     require(nBuckets >= 1)
-    val half = 0.5
-    val smooth = nBuckets * half
     val grid = Profile.histogramGrid(docs, Seq(valueCol)).head._2
+    finishDrift(driftState(docs, grid, nBuckets, valueCol, sourceCol), nBuckets)
+  }
+
+  /** Binned (source, bucket, cnt) counts under a FIXED grid — the additive
+    * half of [[sourceDrift]] and the per-batch fold of
+    * [[graft.streaming.DriftStream]] (counts are additive, so the folded
+    * state over a union of batches equals the one-shot counts exactly,
+    * provided every batch bins into the SAME grid — the
+    * [[graft.streaming.HistogramStream]] frozen-grid contract). */
+  def driftState(docs: DataFrame, grid: Option[(Double, Double)],
+                 nBuckets: Int, valueCol: String = "n_chars",
+                 sourceCol: String = "source"): DataFrame = {
     val bucket = grid match {
       case None => lit(null).cast("long") // all-null column: no rows bin
       case Some((mn, mx)) if mn == mx => lit(0L)
@@ -61,11 +71,19 @@ object Monitor {
           floor((col(valueCol).cast("double") - lit(mn)) *
             lit(nBuckets.toDouble) / lit(mx - mn))))
     }
-    val counts = docs
+    docs
       .filter(col(valueCol).isNotNull)
       .select(col(sourceCol).as("source"), bucket.as("bucket"))
       .filter(col("bucket").isNotNull)
       .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** PSI per source from binned (source, bucket, cnt) counts — the
+    * bounded-frame half: everything here runs on the ≤ sources×nBuckets
+    * matrix, never corpus rows. */
+  def finishDrift(counts: DataFrame, nBuckets: Int): DataFrame = {
+    val half = 0.5
+    val smooth = nBuckets * half
     // zero-fill WITHOUT a second corpus scan (a second pass is the tfidf
     // trap — Catalyst does not exchange-reuse an aggregated subtree): fold
     // each source's sparse bucket counts into a bounded ≤nBuckets map in
@@ -140,10 +158,21 @@ object Monitor {
     * over O(days) calendar-bounded rows — the bounded-frame contract.
     */
   def dailyAnomalies(events: DataFrame, lookback: Int = 7,
-                     minWindow: Int = 3, threshold: Double = 2.0): DataFrame = {
-    val daily = events
+                     minWindow: Int = 3, threshold: Double = 2.0): DataFrame =
+    finishAnomalies(dailyState(events), lookback, minWindow, threshold)
+
+  /** Per-day event counts — the additive half of [[dailyAnomalies]] and
+    * the per-batch fold of [[graft.streaming.AnomalyStream]] (day counts
+    * sum across batches to the union's day counts exactly). */
+  def dailyState(events: DataFrame): DataFrame =
+    events
       .select(to_date(col("ts")).as("day"))
       .groupBy("day").agg(count(lit(1)).as("n_events"))
+
+  /** Trailing-window z-scores over the O(days) daily frame — the
+    * bounded-frame half of [[dailyAnomalies]]. */
+  def finishAnomalies(daily: DataFrame, lookback: Int = 7,
+                      minWindow: Int = 3, threshold: Double = 2.0): DataFrame = {
     val w = Window.orderBy("day").rowsBetween(-lookback, -1)
     daily
       .withColumn("m", avg("n_events").over(w))

@@ -3,12 +3,14 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{BpeStream, ComponentsStream, CurationStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, RetentionStream, SubstringDedupStream}
+import graft.streaming.{AnomalyStream, BpeStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 14: eleven streams): OverlapStream,
+/** Composed streaming soak (round 14: fourteen streams): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
-  * HistogramStream (frozen grid), RetentionStream, FunnelStream — consuming ONE shared
+  * HistogramStream (frozen grid), RetentionStream, FunnelStream,
+  * DriftStream (frozen grid), AnomalyStream, StateHistoryStream
+  * (incremental SCD2) — consuming ONE shared
   * document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
@@ -76,6 +78,18 @@ object ComposedStreamSoak {
       (to_timestamp(lit("2024-01-01 00:00:00")) +
         expr("make_dt_interval(0, 0, 0, doc_id)")).as("ts"))
     def fvB(i: Int) = fvDerive(docB(i))
+    // SCD2's derived change log: same in-order contract as the funnel
+    // stream (ts monotone in doc_id), but the state changes only every
+    // THIRD event per user, so runs regularly SPAN batch boundaries —
+    // the cross-batch extend/close merge is exercised continuously
+    def shDerive(df: org.apache.spark.sql.DataFrame) = df.select(
+      pmod(col("doc_id"), lit(499)).as("user_id"),
+      col("doc_id").as("event_id"),
+      element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+        (pmod(floor(col("doc_id") / lit(499 * 3)), lit(4)) + 1).cast("int")).as("state"),
+      (to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_dt_interval(0, 0, 0, doc_id)")).as("ts"))
+    def shB(i: Int) = shDerive(docB(i))
 
     val profCols = Seq("doc_id" -> graft.operators.Profile.NumCol,
       "lang" -> graft.operators.Profile.StrCol,
@@ -96,6 +110,9 @@ object ComposedStreamSoak {
     val hgState = s"$tmp/hg-state"
     val rtState = s"$tmp/rt-state"
     val fnState = s"$tmp/fn-state"
+    val dfState = s"$tmp/df-state"
+    val anState = s"$tmp/an-state"
+    val shState = s"$tmp/sh-state"
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -121,11 +138,19 @@ object ComposedStreamSoak {
       RetentionStream.applyBatch(spark, evB(i), i.toLong, rtState,
         autoCompactBatches = 8)
       FunnelStream.applyBatch(spark, fvB(i), i.toLong, fnState)
+      DriftStream.applyBatch(spark, docB(i), i.toLong, dfState,
+        autoCompactBatches = 8)
+      AnomalyStream.applyBatch(spark, evB(i), i.toLong, anState,
+        autoCompactBatches = 8)
+      StateHistoryStream.applyBatch(spark, shB(i), i.toLong, shState,
+        autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
     HistogramStream.ensureGrid(spark, hgState,
       graft.operators.Profile.histogramGrid(docs, Seq("doc_id", "n_chars")), 16)
+    DriftStream.ensureGrid(spark, dfState,
+      graft.operators.Profile.histogramGrid(docs, Seq("n_chars")).head._2, 16)
 
     println("batch,sec,note")
     for (i <- 0 until nb) {
@@ -273,6 +298,32 @@ object ComposedStreamSoak {
     val fnStream = FunnelStream.currentFunnel(spark, fnState).collect().toSeq
     val fnBatch = graft.operators.Behavior.funnel(fvDerive(docs)).collect().toSeq
     check("funnel_fold", fnStream == fnBatch && fnStream.head.getLong(2) > 0)
+
+    // drift: frozen-grid folded PSI ≡ one-shot sourceDrift over the union
+    // (grid elected from the union's min/max, so the one-shot's
+    // self-derived grid coincides with the frozen one)
+    val dfStream = graft.streaming.DriftStream.currentDrift(spark, dfState)
+      .collect().toSeq
+    val dfBatch = graft.operators.Monitor.sourceDrift(docs).collect().toSeq
+    check("drift_fold", dfStream == dfBatch && dfStream.nonEmpty)
+
+    // anomaly: folded day counts ≡ one-shot dailyAnomalies over the
+    // union's derived events (days split across MANY batches — the
+    // additive-revision case)
+    val anStream = AnomalyStream.currentAnomalies(spark, anState)
+      .collect().toSeq
+    val anBatch = graft.operators.Monitor.dailyAnomalies(evDerive(docs))
+      .collect().toSeq
+    check("anomaly_fold", anStream == anBatch && anStream.nonEmpty)
+
+    // SCD2: folded interval history ≡ one-shot run-length collapse over
+    // the union change log (ordering included), with runs that crossed
+    // batch boundaries merged back into single intervals
+    val shStream = StateHistoryStream.currentHistory(spark, shState)
+      .collect().toSeq
+    val shBatch = graft.operators.History.stateHistory(shDerive(docs))
+      .collect().toSeq
+    check("scd2_fold", shStream == shBatch && shStream.nonEmpty)
     spark.stop()
   }
 }

@@ -317,6 +317,12 @@ object SparkEntry {
     // portable h60 (k=256, so doc_id/text OVERFLOW and the θ-estimate path
     // fires at the gate — and the oracle still hash-compares the estimate)
     "profile_columns_sketched" -> Profile.profileDocumentsTheta _,
+    // declarative constraint validation (Deequ-style): all row-local
+    // checks ride ONE keyless aggregate (a long vector per partition),
+    // exact uniqueness a separate long-only Expand aggregate (Profile
+    // split precedent), referential integrity one broadcast anti-join
+    // count — the oracle SQL is GENERATED from the same check list
+    "quality_report" -> Quality.qualityReport _,
     // monitoring: per-source PSI drift on the histogram grid (corpus
     // collapses to the sources x 16 count matrix in one exchange) and
     // daily-volume z-score anomalies (O(days) bounded window)
@@ -748,6 +754,7 @@ object SparkEntry {
     "profile_columns" -> Profile.profileOrdersSql,
     "profile_histogram" -> Profile.histogramDocumentsSql(),
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
+    "quality_report" -> Quality.qualityReportSql,
     "source_drift" -> Monitor.sourceDriftDocumentsSql(),
     "events_anomaly" -> Monitor.dailyAnomaliesSql(),
     "text_stats" -> TextAnalysis.textStatsSql,

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declarative data-quality constraint validation — the Deequ-style
+  * "unit tests for data" pass (Schelter et al., VLDB 2018) that gates every
+  * production ingest: assert completeness, uniqueness, ranges, accepted
+  * values, patterns, and referential integrity, and emit one auditable
+  * report row per constraint. The reference enforces its constraints in
+  * PostgreSQL DDL (NOT NULL / UNIQUE / REFERENCES, schema.sql); at 100 TB
+  * there is no transactional gatekeeper — validation IS a query, run
+  * before data is admitted to training.
+  *
+  * Scale shape (the whole point):
+  *  - ALL row-local checks (not-null, range, accepted values, pattern)
+  *    ride ONE keyless aggregate — per check a `sum(violation indicator)`,
+  *    so the only exchange carries one fixed-size long vector per
+  *    partition regardless of table size or check count.
+  *  - Exact uniqueness needs `countDistinct`, which plans an
+  *    Expand(#unique-cols); it runs as a SEPARATE long-only aggregate
+  *    cross-joined back (two 1-row sides) — fused with other aggregates
+  *    the mixed buffers force SortAggregate (the Profile split, measured
+  *    3.05 → 0.70 s). `exactUnique = false` swaps HLL
+  *    `approx_count_distinct` FUSED into the row-local pass: ONE scan
+  *    total at any width, the 100 TB default.
+  *  - Referential integrity is a broadcast LEFT ANTI join count per ref
+  *    check (dimension-sized ref side by construction — fact-sized refs
+  *    are a co-partitioned anti join, same code path without the hint).
+  *
+  * The report is deterministic: `check_id` is the constraint's position in
+  * the caller's list, fractions are ROUND(…, 6) of exact long ratios, and
+  * `passed` compares the unrounded ratio against the threshold with the
+  * identical double arithmetic on both engines ([[validateSql]] is
+  * generated from the SAME check list, so query and oracle cannot drift).
+  */
+object Quality {
+
+  /** One declarative constraint. `maxViolFrac` is the tolerated violation
+    * fraction (0.0 = hard constraint); a check passes when
+    * violations ≤ maxViolFrac · n. */
+  sealed trait Check { def col: String; def maxViolFrac: Double; def kind: String }
+  /** Null cells are violations. */
+  case class NotNull(col: String, maxViolFrac: Double = 0.0) extends Check {
+    val kind = "not_null" }
+  /** Non-null values outside [lo, hi] are violations. */
+  case class InRange(col: String, lo: Double, hi: Double,
+                     maxViolFrac: Double = 0.0) extends Check { val kind = "in_range" }
+  /** Non-null values outside the accepted set are violations. */
+  case class AcceptedValues(col: String, values: Seq[String],
+                            maxViolFrac: Double = 0.0) extends Check {
+    val kind = "accepted_values" }
+  /** Non-null values NOT matching the (anchored) regex are violations.
+    * Keep patterns in the Java∩RE2 common class (anchors, char classes,
+    * bounded repeats) — both engines must agree. */
+  case class MatchesPattern(col: String, pattern: String,
+                            maxViolFrac: Double = 0.0) extends Check {
+    val kind = "pattern" }
+  /** Duplicate non-null values are violations: count(col) − distinct(col). */
+  case class Unique(col: String, maxViolFrac: Double = 0.0) extends Check {
+    val kind = "unique" }
+  /** Non-null values with no match in `refTable.refCol` are violations
+    * (SQL NOT IN with a null-free ref side ≡ the anti join). */
+  case class RefIntegrity(col: String, refCol: String, refTable: String,
+                          maxViolFrac: Double = 0.0) extends Check {
+    val kind = "ref_integrity" }
+
+  private def violCond(c: Check): Column = c match {
+    case NotNull(col0, _)       => col(col0).isNull
+    case InRange(col0, lo, hi, _) =>
+      col(col0).isNotNull && (col(col0) < lit(lo) || col(col0) > lit(hi))
+    case AcceptedValues(col0, vs, _) =>
+      col(col0).isNotNull && !col(col0).isin(vs: _*)
+    case MatchesPattern(col0, p, _) =>
+      col(col0).isNotNull && !col(col0).rlike(p)
+    case _ => lit(false) // unique / RI counted by their own aggregates
+  }
+
+  /** Validate `df` against `checks`; one report row per check:
+    * (check_id, check_type, col_name, n, violations, frac_violations,
+    * passed), ordered by check_id. `refs` resolves each
+    * [[RefIntegrity]].refTable to its DataFrame. */
+  def validate(df: DataFrame, checks: Seq[Check],
+               refs: Map[String, DataFrame] = Map.empty,
+               exactUnique: Boolean = true): DataFrame = {
+    require(checks.nonEmpty, "no checks")
+    val idx = checks.zipWithIndex
+    val uniqueCols = checks.collect { case Unique(c, _) => c }.distinct
+
+    // row-local pass: n + one long violation counter per local check, plus
+    // (approx mode) the fused HLL distincts and per-unique-col non-null
+    // counts — a single narrow scan
+    val localAggs: Seq[Column] =
+      idx.collect { case (c @ (_: NotNull | _: InRange | _: AcceptedValues |
+                               _: MatchesPattern), i) =>
+        sum(when(violCond(c), 1L).otherwise(0L)).as(s"__v$i") } ++
+      uniqueCols.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c")) ++
+          (if (exactUnique) Nil
+           else Seq(approx_count_distinct(col(c)).as(s"__nd_$c"))) }
+    val local = df.groupBy().agg(count(lit(1)).as("__n"), localAggs: _*)
+
+    // exact uniqueness: separate long-only aggregate (Expand+HashAggregate),
+    // cross-joined 1-row × 1-row — the Profile split precedent
+    val withUnique =
+      if (uniqueCols.isEmpty || !exactUnique) local
+      else local.crossJoin(df.groupBy().agg(
+        countDistinct(col(uniqueCols.head)).as(s"__nd_${uniqueCols.head}"),
+        uniqueCols.tail.map(c => countDistinct(col(c)).as(s"__nd_$c")): _*))
+
+    // referential integrity: per check a broadcast anti-join count
+    val withRi = idx.collect { case (RefIntegrity(c, rc, rt, _), i) =>
+      val ref = refs.getOrElse(rt,
+        throw new IllegalArgumentException(s"no ref DataFrame for '$rt'"))
+      df.select(col(c)).filter(col(c).isNotNull)
+        .join(broadcast(ref.select(col(rc).as(c)).distinct), Seq(c), "left_anti")
+        .groupBy().agg(count(lit(1)).as(s"__v$i"))
+    }.foldLeft(withUnique)(_ crossJoin _)
+
+    val rows = idx.map { case (c, i) =>
+      val v: Column = c match {
+        case Unique(col0, _) => col(s"__nn_$col0") - col(s"__nd_$col0")
+        case _               => col(s"__v$i")
+      }
+      struct(
+        lit(i.toLong).as("check_id"),
+        lit(c.kind).as("check_type"),
+        lit(c.col).as("col_name"),
+        col("__n").as("n"),
+        v.cast("long").as("violations"),
+        round(v.cast("double") / col("__n"), 6).as("frac_violations"),
+        (v.cast("double") <= lit(c.maxViolFrac) * col("__n")).as("passed"))
+    }
+    withRi.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("check_id")
+  }
+
+  /** DuckDB oracle for [[validate]] over named views — generated from the
+    * SAME check list as the query, so constraint arithmetic exists once. */
+  def validateSql(table: String, checks: Seq[Check]): String = {
+    val idx = checks.zipWithIndex
+    val uniqueCols = checks.collect { case Unique(c, _) => c }.distinct
+    val localTerms = idx.collect {
+      case (c @ NotNull(col0, _), i) =>
+        s"CAST(SUM(CASE WHEN $col0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
+      case (InRange(col0, lo, hi, _), i) =>
+        s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND ($col0 < $lo OR $col0 > $hi) THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
+      case (AcceptedValues(col0, vs, _), i) =>
+        val set = vs.map(v => s"'$v'").mkString(", ")
+        s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND $col0 NOT IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
+      case (MatchesPattern(col0, p, _), i) =>
+        s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND NOT regexp_matches($col0, '$p') THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
+    }
+    val nnTerms = uniqueCols.map(c => s"CAST(COUNT($c) AS BIGINT) AS __nn_$c")
+    val localSql = (Seq(s"CAST(COUNT(*) AS BIGINT) AS __n") ++ localTerms ++ nnTerms)
+      .mkString(",\n    ")
+    val uqCte =
+      if (uniqueCols.isEmpty) ""
+      else ",\nuq AS (SELECT " + uniqueCols
+        .map(c => s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS __nd_$c")
+        .mkString(", ") + s" FROM $table)"
+    val riCtes = idx.collect { case (RefIntegrity(c, rc, rt, _), i) =>
+      s""",
+         |ri$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS __v$i FROM $table
+         |  WHERE $c IS NOT NULL AND $c NOT IN (SELECT $rc FROM $rt))""".stripMargin
+    }.mkString
+    val from = Seq("rl") ++ (if (uniqueCols.isEmpty) Nil else Seq("uq")) ++
+      idx.collect { case (_: RefIntegrity, i) => s"ri$i" }
+    val branches = idx.map { case (c, i) =>
+      val v = c match {
+        case Unique(col0, _) => s"(__nn_$col0 - __nd_$col0)"
+        case _               => s"__v$i"
+      }
+      s"""SELECT CAST($i AS BIGINT) AS check_id, '${c.kind}' AS check_type,
+         |  '${c.col}' AS col_name, __n AS n, CAST($v AS BIGINT) AS violations,
+         |  ROUND($v * 1.0 / __n, 6) AS frac_violations,
+         |  ($v * 1.0) <= ${c.maxViolFrac} * __n AS passed
+         |FROM ${from.mkString(", ")}""".stripMargin
+    }
+    s"""WITH rl AS (SELECT $localSql FROM $table)$uqCte$riCtes
+       |SELECT * FROM (
+       |${branches.mkString("\nUNION ALL\n")}
+       |) ORDER BY check_id""".stripMargin
+  }
+
+  /** Constraint suggestion from a [[Profile.profile]] report — the
+    * profile→constraints loop (Deequ's suggestion pass): a NotNull where no
+    * nulls were observed, a Unique where every non-null value was distinct
+    * (exact profiles only — HLL estimates must not mint hard uniqueness
+    * claims), and the observed [min, max] range for numerics. Driver-side
+    * planning over the BOUNDED profile frame (one row per column); the
+    * output order follows the profile's (col_name-sorted), suggestion kinds
+    * ordered not_null < unique < in_range per column — deterministic. */
+  def suggestChecks(profileRows: Seq[org.apache.spark.sql.Row],
+                    exactProfile: Boolean = true): Seq[Check] =
+    profileRows.flatMap { r =>
+      val c = r.getAs[String]("col_name")
+      val n = r.getAs[Long]("n")
+      val nNull = r.getAs[Long]("n_null")
+      val nd = r.getAs[Long]("n_distinct")
+      val nn = n - nNull
+      val notNull = if (nNull == 0 && n > 0) Seq(NotNull(c)) else Nil
+      val unique =
+        if (exactProfile && nn > 0 && nd == nn) Seq(Unique(c)) else Nil
+      val range = (Option(r.getAs[java.lang.Double]("min_num")),
+        Option(r.getAs[java.lang.Double]("max_num"))) match {
+        case (Some(mn), Some(mx)) => Seq(InRange(c, mn, mx))
+        case _                    => Nil
+      }
+      notNull ++ unique ++ range
+    }
+
+  // ---- gate form: orders validated against customer ------------------------
+
+  /** The gate's constraint suite over `orders` — every check kind once,
+    * including a deliberately failing hard range (o_totalprice has a long
+    * tail: ~80% exceed the tight cap) and the SAME range as a tolerance
+    * that passes (≤85% may exceed), so the report exercises both verdicts
+    * with nonzero violation counts. */
+  val ordersChecks: Seq[Check] = Seq(
+    NotNull("o_orderkey"),
+    Unique("o_orderkey"),
+    NotNull("o_custkey"),
+    RefIntegrity("o_custkey", "c_custkey", "customer"),
+    InRange("o_totalprice", 0.0, 100000.0),
+    InRange("o_totalprice", 0.0, 100000.0, maxViolFrac = 0.85),
+    AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+    MatchesPattern("o_orderpriority", "^[1-5]-[A-Z]+( [A-Z]+)?$"),
+    NotNull("o_orderdate"))
+
+  def qualityReport(spark: SparkSession, dir: String): DataFrame =
+    validate(Tables.orders(spark, dir), ordersChecks,
+      refs = Map("customer" -> Tables.customer(spark, dir)))
+
+  def qualityReportSql: String = validateSql("orders", ordersChecks)
+}

@@ -323,6 +323,11 @@ object SparkEntry {
     // split precedent), referential integrity one broadcast anti-join
     // count — the oracle SQL is GENERATED from the same check list
     "quality_report" -> Quality.qualityReport _,
+    // link-graph centrality: fixed-point INTEGER PageRank (exact long
+    // arithmetic ⇒ order-free, bitwise-reproducible on any partitioning;
+    // per iteration ONE edge⋈rank join + ONE dst aggregate + a 1-row
+    // dangling broadcast — all co-keyed on node id)
+    "doc_pagerank" -> Centrality.docPageRank _,
     // monitoring: per-source PSI drift on the histogram grid (corpus
     // collapses to the sources x 16 count matrix in one exchange) and
     // daily-volume z-score anomalies (O(days) bounded window)
@@ -755,6 +760,7 @@ object SparkEntry {
     "profile_histogram" -> Profile.histogramDocumentsSql(),
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
     "quality_report" -> Quality.qualityReportSql,
+    "doc_pagerank" -> Centrality.docPageRankSql(),
     "source_drift" -> Monitor.sourceDriftDocumentsSql(),
     "events_anomaly" -> Monitor.dailyAnomaliesSql(),
     "text_stats" -> TextAnalysis.textStatsSql,

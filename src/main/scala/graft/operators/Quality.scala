@@ -114,7 +114,7 @@ object Quality {
       val ref = refs.getOrElse(rt,
         throw new IllegalArgumentException(s"no ref DataFrame for '$rt'"))
       df.select(col(c)).filter(col(c).isNotNull)
-        .join(broadcast(ref.select(col(rc).as(c)).distinct), Seq(c), "left_anti")
+        .join(broadcast(ref.select(col(rc).as(c)).distinct()), Seq(c), "left_anti")
         .groupBy().agg(count(lit(1)).as(s"__v$i"))
     }.foldLeft(withUnique)(_ crossJoin _)
 
@@ -135,6 +135,92 @@ object Quality {
     withRi.select(explode(array(rows: _*)).as("r")).select("r.*")
       .orderBy("check_id")
   }
+
+  // ---- additive state + finish (the streaming split) -----------------------
+
+  /** Per-batch ADDITIVE validation state: one row per check —
+    * (check_id, n, viol, nn, ks). Local and RI checks carry violation
+    * counters (sums fold across batches exactly); Unique checks carry the
+    * non-null count plus a KMV θ-sketch retained set (`ks`, the k smallest
+    * distinct xxhash64 values — the union of per-batch retained sets folds
+    * to the one-shot retained set EXACTLY, so stream ≡ batch bitwise).
+    * The fold of this frame is [[foldState]]; the report is
+    * [[finishState]]; [[graft.streaming.QualityStream]] is the deployment. */
+  def qualityState(df: DataFrame, checks: Seq[Check],
+                   refs: Map[String, DataFrame] = Map.empty,
+                   thetaK: Int = 1024): DataFrame = {
+    val idx = checks.zipWithIndex
+    val uniqueCols = checks.collect { case Unique(c, _) => c }.distinct
+    val aggs: Seq[Column] =
+      idx.collect { case (c @ (_: NotNull | _: InRange | _: AcceptedValues |
+                               _: MatchesPattern), i) =>
+        sum(when(violCond(c), 1L).otherwise(0L)).as(s"__v$i") } ++
+      uniqueCols.flatMap { c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        ThetaSketch.sketchNullable(
+          when(col(c).isNotNull, xxhash64(col(c))), thetaK).as(s"__sk_$c")) }
+    val local = df.groupBy().agg(count(lit(1)).as("__n"), aggs: _*)
+    val withRi = idx.collect { case (RefIntegrity(c, rc, rt, _), i) =>
+      val ref = refs.getOrElse(rt,
+        throw new IllegalArgumentException(s"no ref DataFrame for '$rt'"))
+      df.select(col(c)).filter(col(c).isNotNull)
+        .join(broadcast(ref.select(col(rc).as(c)).distinct()), Seq(c), "left_anti")
+        .groupBy().agg(count(lit(1)).as(s"__v$i"))
+    }.foldLeft(local)(_ crossJoin _)
+    val rows = idx.map {
+      case (Unique(c, _), i) => struct(lit(i.toLong).as("check_id"),
+        col("__n").as("n"), lit(null).cast("long").as("viol"),
+        col(s"__nn_$c").as("nn"), col(s"__sk_$c").getField("ks").as("ks"))
+      case (_, i) => struct(lit(i.toLong).as("check_id"),
+        col("__n").as("n"), col(s"__v$i").as("viol"),
+        lit(null).cast("long").as("nn"),
+        lit(null).cast("array<long>").as("ks"))
+    }
+    withRi.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Fold state rows by check (associative, lossless): counters sum; the
+    * KMV retained sets union to the k smallest distinct — exactly the
+    * one-shot sketch of the union (the KMV property). Bounded input: a
+    * handful of rows per check. */
+  def foldState(state: DataFrame, thetaK: Int = 1024): DataFrame =
+    state.groupBy("check_id").agg(
+      sum("n").as("n"), sum("viol").as("viol"), sum("nn").as("nn"),
+      slice(array_sort(array_distinct(flatten(collect_list("ks")))),
+        1, thetaK).as("ks"))
+
+  /** Assemble the report from (folded) state — same schema and verdict
+    * arithmetic as [[validate]]; Unique violations come from the θ
+    * estimate (exact while the distinct count never overflowed k). */
+  def finishState(state: DataFrame, checks: Seq[Check],
+                  thetaK: Int = 1024): DataFrame = {
+    val folded = foldState(state, thetaK)
+      .withColumn("theta_t", when(size(col("ks")) < thetaK,
+        lit(Long.MaxValue)).otherwise(element_at(col("ks"), thetaK)))
+      .withColumn("est", ThetaSketch.estimate(
+        struct(col("theta_t").as("theta_t"), col("ks").as("ks"))))
+    val meta = checks.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.kind, c.col, c.maxViolFrac, c.isInstanceOf[Unique]) }
+    val metaDf = state.sparkSession.createDataFrame(meta)
+      .toDF("check_id", "check_type", "col_name", "max_frac", "is_unique")
+    folded.join(broadcast(metaDf), Seq("check_id"))
+      .withColumn("violations", when(col("is_unique"),
+          greatest(col("nn") - round(col("est")).cast("long"), lit(0L)))
+        .otherwise(col("viol")))
+      .select(col("check_id"), col("check_type"), col("col_name"), col("n"),
+        col("violations"),
+        round(col("violations").cast("double") / col("n"), 6).as("frac_violations"),
+        (col("violations").cast("double") <= col("max_frac") * col("n")).as("passed"))
+      .orderBy("check_id")
+  }
+
+  /** One-shot validate with θ-sketched uniqueness — the batch twin of the
+    * streaming fold (single aggregate pass; the sketch rides the row-local
+    * aggregate like the HLL form). */
+  def validateTheta(df: DataFrame, checks: Seq[Check],
+                    refs: Map[String, DataFrame] = Map.empty,
+                    thetaK: Int = 1024): DataFrame =
+    finishState(qualityState(df, checks, refs, thetaK), checks, thetaK)
 
   /** DuckDB oracle for [[validate]] over named views — generated from the
     * SAME check list as the query, so constraint arithmetic exists once. */

@@ -3,14 +3,15 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{AnomalyStream, BpeStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
+import graft.streaming.{AnomalyStream, BpeStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
 
 /** Composed streaming soak (round 14: fourteen streams): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
   * DriftStream (frozen grid), AnomalyStream, StateHistoryStream
-  * (incremental SCD2) — consuming ONE shared
+  * (incremental SCD2), QualityStream (constraint monitoring, frozen ref
+  * dim + fixed check suite) — consuming ONE shared
   * document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
@@ -113,6 +114,20 @@ object ComposedStreamSoak {
     val dfState = s"$tmp/df-state"
     val anState = s"$tmp/an-state"
     val shState = s"$tmp/sh-state"
+    val qlState = s"$tmp/ql-state"
+    // fixed check suite + frozen ref dim for the QualityStream fold (the
+    // contract: both constant for the state's lifetime)
+    val qlDim = docs.sparkSession.createDataFrame(
+      Seq(Tuple1("web"), Tuple1("books"), Tuple1("wiki"), Tuple1("code"),
+        Tuple1("forum"), Tuple1("news"))).toDF("s_name")
+    val qlChecks: Seq[graft.operators.Quality.Check] = Seq(
+      graft.operators.Quality.NotNull("doc_id"),
+      graft.operators.Quality.Unique("doc_id"),
+      graft.operators.Quality.Unique("source"),
+      graft.operators.Quality.InRange("n_chars", 0.0, 1e7),
+      graft.operators.Quality.MatchesPattern("source", "^[a-z]+$"),
+      graft.operators.Quality.RefIntegrity("source", "s_name", "dim"))
+    val qlRefs = Map("dim" -> qlDim)
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
 
     def oneBatch(i: Int): Double = {
@@ -144,6 +159,8 @@ object ComposedStreamSoak {
         autoCompactBatches = 8)
       StateHistoryStream.applyBatch(spark, shB(i), i.toLong, shState,
         autoCompactBatches = 8)
+      QualityStream.applyBatch(spark, docB(i), i.toLong, qlState, qlChecks,
+        qlRefs, autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -324,6 +341,17 @@ object ComposedStreamSoak {
     val shBatch = graft.operators.History.stateHistory(shDerive(docs))
       .collect().toSeq
     check("scd2_fold", shStream == shBatch && shStream.nonEmpty)
+
+    // quality: folded constraint report ≡ one-shot θ-validate over the
+    // union (KMV retained-set union + counter sums, bitwise); the amp'd
+    // doc_id rekey keeps ids unique, source cardinality is tiny — both
+    // Unique checks exercise the exact-θ regime, the RI check the frozen
+    // dim, and the folded verdicts must agree exactly
+    val qlStream = QualityStream.currentReport(spark, qlState, qlChecks)
+      .collect().toSeq
+    val qlBatch = graft.operators.Quality.validateTheta(docs, qlChecks, qlRefs)
+      .collect().toSeq
+    check("quality_fold", qlStream == qlBatch && qlStream.nonEmpty)
     spark.stop()
   }
 }

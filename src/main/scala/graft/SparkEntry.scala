@@ -328,6 +328,10 @@ object SparkEntry {
     // per iteration ONE edge⋈rank join + ONE dst aggregate + a 1-row
     // dangling broadcast — all co-keyed on node id)
     "doc_pagerank" -> Centrality.docPageRank _,
+    // seed-set (personalized) PageRank: teleport + dangling mass return
+    // ONLY to the seeds — proximity-to-seeds ranking for topical corpus
+    // expansion; same integer arithmetic + checkpoint discipline
+    "doc_ppr" -> Centrality.docPprGate _,
     // monitoring: per-source PSI drift on the histogram grid (corpus
     // collapses to the sources x 16 count matrix in one exchange) and
     // daily-volume z-score anomalies (O(days) bounded window)
@@ -761,6 +765,7 @@ object SparkEntry {
     "profile_columns_sketched" -> Profile.profileDocumentsThetaSql,
     "quality_report" -> Quality.qualityReportSql,
     "doc_pagerank" -> Centrality.docPageRankSql(),
+    "doc_ppr" -> Centrality.docPprSql(),
     "source_drift" -> Monitor.sourceDriftDocumentsSql(),
     "events_anomaly" -> Monitor.dailyAnomaliesSql(),
     "text_stats" -> TextAnalysis.textStatsSql,

@@ -86,6 +86,62 @@ object Centrality {
       (col("rank").cast("double") * lit(1.0 / scale)).as("rank"))
   }
 
+  /** Personalized (seed-set) PageRank — the topical-expansion variant
+    * (Haveliwala 2002): teleport mass returns only to `seeds`, so rank
+    * measures proximity to the seed set rather than global importance.
+    * This is the "grow a domain corpus from a few trusted documents"
+    * primitive (seed-based bootstrapping à la curated-crawl pipelines).
+    * Same fixed-point integer arithmetic and checkpoint discipline as
+    * [[pageRank]]; dangling mass teleports back to the seeds (the
+    * standard PPR convention — mass never leaks to off-topic nodes).
+    * Non-seed nodes with no incoming mass rank exactly 0 and keep the
+    * output sparse-ish under top-k consumption. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iterations: Int = 3,
+                           dampNum: Long = 85L,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val s = seeds.select(col("id")).distinct().localCheckpoint(true)
+    val nSeeds = s.count()
+    require(nSeeds > 0, "empty seed set")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val seedBase = (100L - dampNum) * scale / (100L * nSeeds)
+    def rdd(df: DataFrame) =
+      org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(df)
+    val seeded = nodes.select(col("id"))
+      .join(s.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    var rank = seeded
+      .select(col("id"),
+        when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val withDeg = rank.join(deg, rank("id") === deg("src"), "left")
+        .select(col("id"), col("rank"), col("deg"))
+      val contrib = e.join(withDeg.filter(col("deg").isNotNull),
+          e("src") === withDeg("id"))
+        .select(col("dst").as("id"), expr("rank div deg").as("share"))
+        .groupBy("id").agg(sum("share").as("insum"))
+      val dang = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val prev = rank
+      rank = seeded
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (expr(s"($dampNum * coalesce(insum, 0L)) div 100") +
+           when(col("is_seed"),
+             lit(seedBase) + expr(s"($dampNum * (dang div $nSeeds)) div 100"))
+             .otherwise(lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      rdd(prev).foreach(_.unpersist(blocking = false))
+    }
+    rank.select(col("id"), col("rank").as("rank_micro"),
+      (col("rank").cast("double") * lit(1.0 / scale)).as("rank"))
+  }
+
   // ---- gate form: deterministic citation graph over documents --------------
 
   /** Deterministic pseudo-random link fixture: doc i cites (7i+1) mod N
@@ -109,6 +165,17 @@ object Centrality {
     val docs = Tables.documents(spark, dir)
     val nodes = docs.select(col("doc_id").as("id"))
     pageRank(nodes, docEdges(docs, docs.count()), GateIterations)
+      .orderBy(col("rank_micro").desc, col("id"))
+  }
+
+  /** Gate seed predicate: every 97th doc (deterministic, ~1% of corpus). */
+  val GateSeedMod = 97L
+
+  def docPprGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nodes = docs.select(col("doc_id").as("id"))
+    personalizedPageRank(nodes, docEdges(docs, docs.count()),
+      nodes.filter(pmod(col("id"), lit(GateSeedMod)) === 0L), GateIterations)
       .orderBy(col("rank_micro").desc, col("id"))
   }
 
@@ -137,6 +204,43 @@ object Centrality {
        |  WHERE src <> dst),
        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |r0 AS (SELECT doc_id AS id, (SELECT $scale // n FROM nn) AS rank FROM documents)$iters
+       |SELECT id, rank AS rank_micro,
+       |  rank * ${1.0 / scale} AS rank
+       |FROM r$iterations ORDER BY rank_micro DESC, id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[docPprGate]] — same unrolled integer update with
+    * seed-only teleport (dangling mass returns to the seeds). */
+  def docPprSql(iterations: Int = GateIterations, dampNum: Long = 85L,
+                scale: Long = 1000000000L): String = {
+    val iters = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         |c$i AS (SELECT e.dst AS id, CAST(SUM($p.rank // deg.deg) AS BIGINT) AS insum
+         |  FROM e JOIN $p ON e.src = $p.id JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |d$i AS (SELECT CAST(COALESCE(SUM($p.rank), 0) AS BIGINT) AS dang
+         |  FROM $p LEFT JOIN deg ON $p.id = deg.src WHERE deg.src IS NULL),
+         |r$i AS (SELECT $p.id,
+         |    CAST(($dampNum * COALESCE(c$i.insum, 0)) // 100
+         |    + CASE WHEN $p.id % $GateSeedMod = 0 THEN
+         |        (SELECT CAST(100 - $dampNum AS BIGINT) * $scale // (100 * n) FROM ns)
+         |        + ($dampNum * (SELECT dang // n FROM d$i, ns)) // 100
+         |      ELSE 0 END AS BIGINT) AS rank
+         |  FROM $p LEFT JOIN c$i ON $p.id = c$i.id)""".stripMargin
+    }.mkString
+    s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+       |  WHERE doc_id % $GateSeedMod = 0),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * doc_id + 3) % (SELECT n FROM nn) FROM documents)
+       |  WHERE src <> dst),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT doc_id AS id,
+       |  CASE WHEN doc_id % $GateSeedMod = 0 THEN (SELECT $scale // n FROM ns)
+       |       ELSE 0 END AS rank FROM documents)$iters
        |SELECT id, rank AS rank_micro,
        |  rank * ${1.0 / scale} AS rank
        |FROM r$iterations ORDER BY rank_micro DESC, id""".stripMargin

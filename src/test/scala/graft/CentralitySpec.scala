@@ -49,6 +49,31 @@ class CentralitySpec extends AnyFunSuite with SparkSuite {
     assert(a === b)
   }
 
+  test("personalized: hand-computed seed-teleport updates (seed {1}, scale 1000)") {
+    // iter1: 1 shares 500 to {2,3}; dangling 0; seed base 150
+    //   → (150, 425, 425, 0)
+    // iter2: shares 75/75 from 1, 425 from 2; dangling rank(3)=425
+    //   teleports to the seed → 1 gets 150 + 361; 4 stays 0
+    def ppr(k: Int) = Centrality.personalizedPageRank(nodes, edges,
+        seeds = spark.createDataFrame(Seq(Tuple1(1L))).toDF("id"),
+        iterations = k, scale = 1000L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ppr(1) === Seq((1L, 150L), (2L, 425L), (3L, 425L), (4L, 0L)))
+    assert(ppr(2) === Seq((1L, 511L), (2L, 63L), (3L, 425L), (4L, 0L)))
+  }
+
+  test("personalized: nodes unreachable from the seeds rank exactly 0; bitwise under repartition") {
+    val s = spark.createDataFrame(Seq(Tuple1(1L))).toDF("id")
+    val a = Centrality.personalizedPageRank(nodes.repartition(5),
+      edges.repartition(3), s, iterations = 3).orderBy("id").collect().toSeq
+    val b = Centrality.personalizedPageRank(nodes, edges, s, iterations = 3)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(b.find(_.getLong(0) == 4L).get.getLong(1) === 0L) // isolated, non-seed
+    // all mass stays within the seed-reachable set (conservation w/ leak)
+    assert(b.map(_.getLong(1)).sum <= 1000000000L)
+  }
+
   test("gate fixture: one row per doc, ordered by rank desc, ranks vary") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables.documents(spark, dir).count()

@@ -150,7 +150,7 @@ object Centrality {
     * never — a regular graph would make PageRank uniform and the gate
     * vacuous). doc_ids are contiguous 0..N−1 in the testdata; self-loops
     * dropped, deduped. Fixture-only arithmetic (i² needs i < 3e9). */
-  private def docEdges(docs: DataFrame, n: Long): DataFrame = {
+  private[graft] def docEdges(docs: DataFrame, n: Long): DataFrame = {
     val ids = docs.select(col("doc_id").as("src"))
     ids.select(col("src"), pmod(col("src") * 7 + 1, lit(n)).as("dst"))
       .unionByName(ids.select(col("src"),

@@ -345,6 +345,40 @@ object ScaleBench {
       "cdc_chunks_fast" -> (k => graft.operators.Prep.cdcChunksFast(docsX(k))
         .groupBy("chunk_hash").agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_chunks"), max("n").as("max_occ"))),
+      // round-14 fourth/fifth tier. SCD2: events amplify k× onto the SAME
+      // users at the SAME timestamps (tie-heavy worst case: every run's
+      // n_events grows k×, per-user partitions grow k×) — the one
+      // user-keyed exchange is the whole corpus-sized cost
+      "state_history" -> (k => graft.operators.History.stateHistory(
+        amplify(Tables.events(spark, sf), "event_id", k),
+        stateCol = "event_type")),
+      // constraint validation at volume: o_orderkey rekeys stay unique, so
+      // the exact form pays its distinct aggregate honestly; theta carries
+      // a fixed-size retained set. RI ref (customer) stays base-sized.
+      "quality_exact" -> (k => graft.operators.Quality.validate(
+        amplify(Tables.orders(spark, sf), "o_orderkey", k),
+        graft.operators.Quality.ordersChecks,
+        refs = Map("customer" -> Tables.customer(spark, sf)))),
+      "quality_theta" -> (k => graft.operators.Quality.validateTheta(
+        amplify(Tables.orders(spark, sf), "o_orderkey", k),
+        graft.operators.Quality.ordersChecks,
+        refs = Map("customer" -> Tables.customer(spark, sf)))),
+      // integer PageRank at volume: the citation fixture over a k×-node
+      // graph (2 edges/node) — by-name timing captures the eager
+      // per-iteration checkpoints, i.e. the REAL iteration cost
+      "doc_pagerank" -> { k =>
+        val dx = docsX(k)
+        val nodes = dx.select(col("doc_id").as("id"))
+        graft.operators.Centrality.pageRank(nodes,
+          graft.operators.Centrality.docEdges(dx, dx.count()), 3)
+      },
+      "doc_ppr" -> { k =>
+        val dx = docsX(k)
+        val nodes = dx.select(col("doc_id").as("id"))
+        graft.operators.Centrality.personalizedPageRank(nodes,
+          graft.operators.Centrality.docEdges(dx, dx.count()),
+          nodes.filter(pmod(col("id"), lit(97L)) === 0L), 3)
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

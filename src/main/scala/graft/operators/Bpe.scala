@@ -69,7 +69,20 @@ object Bpe {
   }
 
   /** Tokenize one word under an ordered merge list: start from characters,
-    * apply each merge in learned order. */
+    * apply each merge in learned order.
+    *
+    * PORTABILITY NOTE (external merge lists are NOT drop-in): canonical
+    * BPE (Sennrich 2016) tokenizes by repeatedly applying the
+    * highest-PRIORITY merge present anywhere in the word until none
+    * applies; this implementation applies each merge exactly once in
+    * learned order. The two coincide for merge lists learned HERE (each
+    * merge is elected against the corpus state its predecessors produced,
+    * and a single pass is exact — see [[applyMerge]]), but an external
+    * vocabulary's merge list can tokenize out-of-table words differently:
+    * a later merge here never re-enables an earlier one, while
+    * priority-iteration would revisit it. Consumers importing a
+    * HuggingFace/SentencePiece merge table must re-train or switch the
+    * scoring path to priority-iterated application. */
   def tokenizeWord(word: String, merges: Seq[(String, String)]): List[String] =
     merges.foldLeft(word.map(_.toString).toList) { case (syms, (a, b)) =>
       if (syms.lengthCompare(2) < 0) syms else applyMerge(syms, a, b)

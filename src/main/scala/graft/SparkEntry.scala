@@ -332,6 +332,10 @@ object SparkEntry {
     // ONLY to the seeds — proximity-to-seeds ranking for topical corpus
     // expansion; same integer arithmetic + checkpoint discipline
     "doc_ppr" -> Centrality.docPprGate _,
+    // tier composition under ONE oracle: A-ES weighted sampling with
+    // PageRank mass as the weight (sample what the link graph endorses)
+    "sample_by_centrality" -> ((s: SparkSession, d: String) =>
+      Sampling.sampleByCentrality(s, d)),
     // monitoring: per-source PSI drift on the histogram grid (corpus
     // collapses to the sources x 16 count matrix in one exchange) and
     // daily-volume z-score anomalies (O(days) bounded window)
@@ -766,6 +770,7 @@ object SparkEntry {
     "quality_report" -> Quality.qualityReportSql,
     "doc_pagerank" -> Centrality.docPageRankSql(),
     "doc_ppr" -> Centrality.docPprSql(),
+    "sample_by_centrality" -> Sampling.sampleByCentralitySql(),
     "source_drift" -> Monitor.sourceDriftDocumentsSql(),
     "events_anomaly" -> Monitor.dailyAnomaliesSql(),
     "text_stats" -> TextAnalysis.textStatsSql,

@@ -179,10 +179,11 @@ object Centrality {
       .orderBy(col("rank_micro").desc, col("id"))
   }
 
-  /** DuckDB oracle with the SAME integer arithmetic, iterations unrolled —
-    * generated so the update rule exists once per engine, symmetrically. */
-  def docPageRankSql(iterations: Int = GateIterations,
-                     dampNum: Long = 85L, scale: Long = 1000000000L): String = {
+  /** The CTE prefix of [[docPageRankSql]] (nn/e/deg/r0..rK) — exposed so
+    * composition oracles (e.g. centrality-weighted sampling) can extend
+    * the SAME generated update rule with their own final select. */
+  def docPageRankCtes(iterations: Int = GateIterations,
+                      dampNum: Long = 85L, scale: Long = 1000000000L): String = {
     val iters = (1 to iterations).map { i =>
       val p = s"r${i - 1}"
       s""",
@@ -203,11 +204,17 @@ object Centrality {
        |  SELECT doc_id, (doc_id * doc_id + 3) % (SELECT n FROM nn) FROM documents)
        |  WHERE src <> dst),
        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-       |r0 AS (SELECT doc_id AS id, (SELECT $scale // n FROM nn) AS rank FROM documents)$iters
+       |r0 AS (SELECT doc_id AS id, (SELECT $scale // n FROM nn) AS rank FROM documents)$iters""".stripMargin
+  }
+
+  /** DuckDB oracle with the SAME integer arithmetic, iterations unrolled —
+    * generated so the update rule exists once per engine, symmetrically. */
+  def docPageRankSql(iterations: Int = GateIterations,
+                     dampNum: Long = 85L, scale: Long = 1000000000L): String =
+    s"""${docPageRankCtes(iterations, dampNum, scale)}
        |SELECT id, rank AS rank_micro,
        |  rank * ${1.0 / scale} AS rank
        |FROM r$iterations ORDER BY rank_micro DESC, id""".stripMargin
-  }
 
   /** DuckDB oracle for [[docPprGate]] — same unrolled integer update with
     * seed-only teleport (dangling mass returns to the seeds). */

@@ -261,6 +261,59 @@ object Sampling {
        |        FROM documents) t) s
        |WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin
 
+  /** Centrality-weighted sample — the [[sampleWeighted]] A-ES race with
+    * PageRank mass as the weight instead of token count: "sample ~n docs
+    * proportional to graph importance", the curated-crawl shape (weight
+    * what the link graph endorses, not what is merely long). Closes the
+    * Centrality→Sampling loop end-to-end under one oracle: the race key is
+    * `ln(u) / rank` with `rank = rank_micro × 1e-9` (the double rendering —
+    * dividing by the raw micro-units would collapse every key to 0.0000
+    * under the repo's round-4 float rule; the constant rescale preserves
+    * the A-ES ordering exactly). Zero-rank docs (unreachable under PPR
+    * semantics; impossible here where base mass is global, but the guard
+    * keeps the composition safe for any rank source) are excluded — a
+    * zero-weight doc must never win. Same RNG-free determinism and
+    * TakeOrdered(n) plan shape as [[sampleWeighted]]. */
+  def sampleByCentrality(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nodes = docs.select(col("doc_id").as("id"))
+    sampleByCentralityOf(
+      Centrality.pageRank(nodes,
+          Centrality.docEdges(docs, docs.count()), Centrality.GateIterations)
+        .select(col("id").as("doc_id"), col("rank_micro")), n)
+  }
+
+  /** The race alone, over any (doc_id, rank_micro) weight frame. */
+  def sampleByCentralityOf(pr: DataFrame, n: Int): DataFrame = {
+    val twoTo60 = 1152921504606846976.0 // 2^60, exactly representable
+    val keys = pr.filter(col("rank_micro") > 0L)
+      .withColumn("wkey", round(
+        log((h60(concat(col("doc_id").cast("string"), lit(":csample"))) + 1).cast("double")
+          / lit(twoTo60))
+          / (col("rank_micro").cast("double") * lit(1e-9)), 4))
+    keys
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(n)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("wkey").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_micro", "sample_rank")
+  }
+
+  def sampleByCentralitySql(n: Int = 50): String =
+    s"""${Centrality.docPageRankCtes()},
+       |pr AS (SELECT id AS doc_id, rank AS rank_micro
+       |       FROM r${Centrality.GateIterations} WHERE rank > 0),
+       |ck AS (SELECT doc_id, rank_micro,
+       |         ROUND(LN((${h60Sql("doc_id::VARCHAR || ':csample'")} + 1)::DOUBLE
+       |           / 1152921504606846976.0)
+       |           / (rank_micro * 1e-9), 4) AS wkey
+       |       FROM pr)
+       |SELECT doc_id, rank_micro, sample_rank FROM (
+       |  SELECT doc_id, rank_micro,
+       |    ROW_NUMBER() OVER (ORDER BY wkey DESC, doc_id) AS sample_rank
+       |  FROM ck) s
+       |WHERE sample_rank <= $n ORDER BY sample_rank""".stripMargin
+
   /** Contiguous token-budget packing: docs ordered by id within each source,
     * pack boundary every `budget` tokens of running sum (a doc straddling a
     * boundary joins the pack its first token falls in, so packs can overrun

@@ -243,4 +243,19 @@ class SamplingSpec extends AnyFunSuite with SparkSuite {
       assert(files.length == 1, s"shard $shard has ${files.length} files")
     }
   }
+
+  test("centrality-weighted race: zero-weight excluded, ranked, bitwise under repartition") {
+    import spark.implicits._
+    val pr = Seq((1L, 5000000L), (2L, 0L), (3L, 1000000L), (4L, 9000000L),
+      (5L, 2000000L)).toDF("doc_id", "rank_micro")
+    val all = graft.operators.Sampling.sampleByCentralityOf(pr, n = 10).collect()
+    // zero-weight doc 2 never wins, even with n > frame size
+    assert(all.length === 4 && !all.exists(_.getLong(0) == 2L))
+    // ranks are 1..4 in wkey order
+    assert(all.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val a = graft.operators.Sampling.sampleByCentralityOf(pr.repartition(7), n = 3)
+      .collect().toSeq
+    val b = graft.operators.Sampling.sampleByCentralityOf(pr, n = 3).collect().toSeq
+    assert(a === b)
+  }
 }

@@ -39,7 +39,8 @@ object Centrality {
     * and rank its double rendering rounded to 9 (one deterministic
     * division per row — the only float op anywhere). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 3,
-               dampNum: Long = 85L, scale: Long = 1000000000L): DataFrame = {
+               dampNum: Long = 85L, scale: Long = 1000000000L,
+               nKnown: Option[Long] = None): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
     // Iterative algorithm ⇒ MATERIALIZE, don't unroll: without the eager
     // checkpoints each iteration's rank frame is re-planned by its three
@@ -50,7 +51,7 @@ object Centrality {
     // discipline); the superseded iteration's blocks are unpersisted as
     // soon as the next is materialized.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val n = nodes.count()
+    val n = nKnown.getOrElse(nodes.count())
     require(n > 0, "empty node set")
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val base = (100L - dampNum) * scale / (100L * n)
@@ -80,6 +81,10 @@ object Centrality {
         .localCheckpoint(true)
       rdd(prev).foreach(_.unpersist(blocking = false))
     }
+    // the final rank frame is materialized — release the loop inputs
+    // (leaving them cached would leak edge-list-sized blocks per call)
+    rdd(e).foreach(_.unpersist(blocking = false))
+    rdd(deg).foreach(_.unpersist(blocking = false))
     // double rendering by ONE IEEE multiply (no rounding function — both
     // engines produce identical bits for long × the same double constant)
     rank.select(col("id"), col("rank").as("rank_micro"),
@@ -138,6 +143,8 @@ object Centrality {
         .localCheckpoint(true)
       rdd(prev).foreach(_.unpersist(blocking = false))
     }
+    Seq(e, s, deg, seeded).foreach(df =>
+      rdd(df).foreach(_.unpersist(blocking = false)))
     rank.select(col("id"), col("rank").as("rank_micro"),
       (col("rank").cast("double") * lit(1.0 / scale)).as("rank"))
   }
@@ -164,7 +171,8 @@ object Centrality {
   def docPageRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nodes = docs.select(col("doc_id").as("id"))
-    pageRank(nodes, docEdges(docs, docs.count()), GateIterations)
+    val n = docs.count() // shared by the fixture and the rank init
+    pageRank(nodes, docEdges(docs, n), GateIterations, nKnown = Some(n))
       .orderBy(col("rank_micro").desc, col("id"))
   }
 

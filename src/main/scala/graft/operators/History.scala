@@ -59,9 +59,14 @@ object History {
       .select(col(keyCol), col(stateCol).as("state"), col(tsCol).as("ts_"),
         col(tieCol).as("tie_"))
       .withColumn("prev", lag(col("state"), 1).over(byTime))
-      // null-safe: a leading null state and a null-to-null step both decide
-      // the same way in Spark and the oracle (IS DISTINCT FROM)
-      .withColumn("chg", when(!(col("prev") <=> col("state")), 1L).otherwise(0L))
+      // null-safe compare PLUS an explicit first-row change: with only the
+      // <=> test, a key whose FIRST state is null reads prev(null) <=>
+      // state(null) as "no change" and its first run gets grp = 0 — which
+      // breaks the 1-based-grp contract StateHistoryStream's per-key merge
+      // relies on (grp === 1 is "the batch's first run"). row_number rides
+      // the SAME window spec — no extra sort or exchange
+      .withColumn("chg", when(row_number().over(byTime) === 1 ||
+        !(col("prev") <=> col("state")), 1L).otherwise(0L))
       .withColumn("grp", sum("chg").over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("grp"))
       .agg(min(col("state")).as("state"), min(col("ts_")).as("valid_from"),
@@ -100,11 +105,12 @@ object History {
   private val runsCte =
     """WITH o AS (
       |  SELECT user_id, event_type, ts, event_id,
-      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events),
       |g AS (
       |  SELECT user_id, event_type, ts,
-      |    SUM(CASE WHEN prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+      |    SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
       |  FROM o),
       |r AS (

@@ -120,7 +120,11 @@ object Quality {
 
     val rows = idx.map { case (c, i) =>
       val v: Column = c match {
-        case Unique(col0, _) => col(s"__nn_$col0") - col(s"__nd_$col0")
+        // clamp at 0: HLL (exactUnique=false) can OVERestimate the distinct
+        // count, and a negative violation count is nonsense in an audit
+        // report (the exact path never goes negative — nd ≤ nn always)
+        case Unique(col0, _) =>
+          greatest(col(s"__nn_$col0") - col(s"__nd_$col0"), lit(0L))
         case _               => col(s"__v$i")
       }
       struct(
@@ -149,6 +153,7 @@ object Quality {
   def qualityState(df: DataFrame, checks: Seq[Check],
                    refs: Map[String, DataFrame] = Map.empty,
                    thetaK: Int = 1024): DataFrame = {
+    require(checks.nonEmpty, "no checks")
     val idx = checks.zipWithIndex
     val uniqueCols = checks.collect { case Unique(c, _) => c }.distinct
     val aggs: Seq[Column] =
@@ -227,16 +232,19 @@ object Quality {
   def validateSql(table: String, checks: Seq[Check]): String = {
     val idx = checks.zipWithIndex
     val uniqueCols = checks.collect { case Unique(c, _) => c }.distinct
+    // SQL string literals: double embedded single quotes, or a value like
+    // O'Brien (or a quote in a regex) generates broken oracle SQL
+    def q(s: String): String = s"'${s.replace("'", "''")}'"
     val localTerms = idx.collect {
       case (c @ NotNull(col0, _), i) =>
         s"CAST(SUM(CASE WHEN $col0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
       case (InRange(col0, lo, hi, _), i) =>
         s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND ($col0 < $lo OR $col0 > $hi) THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
       case (AcceptedValues(col0, vs, _), i) =>
-        val set = vs.map(v => s"'$v'").mkString(", ")
+        val set = vs.map(q).mkString(", ")
         s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND $col0 NOT IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
       case (MatchesPattern(col0, p, _), i) =>
-        s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND NOT regexp_matches($col0, '$p') THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
+        s"CAST(SUM(CASE WHEN $col0 IS NOT NULL AND NOT regexp_matches($col0, ${q(p)}) THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
     }
     val nnTerms = uniqueCols.map(c => s"CAST(COUNT($c) AS BIGINT) AS __nn_$c")
     val localSql = (Seq(s"CAST(COUNT(*) AS BIGINT) AS __n") ++ localTerms ++ nnTerms)

@@ -277,9 +277,10 @@ object Sampling {
   def sampleByCentrality(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nodes = docs.select(col("doc_id").as("id"))
+    val nDocs = docs.count()
     sampleByCentralityOf(
-      Centrality.pageRank(nodes,
-          Centrality.docEdges(docs, docs.count()), Centrality.GateIterations)
+      Centrality.pageRank(nodes, Centrality.docEdges(docs, nDocs),
+          Centrality.GateIterations, nKnown = Some(nDocs))
         .select(col("id").as("doc_id"), col("rank_micro")), n)
   }
 

@@ -116,7 +116,10 @@ object StateHistoryStream {
     if (batchId <= lastApplied(spark, stateDir)) return false
     val fs = FsUtils.fs(spark, stateDir)
 
+    // checkpointed: bruns feeds BOTH the closed-rows write and the open-MV
+    // rewrite — unmaterialized, the batch scan + window would run twice
     val bruns = History.runsOf(batch, "user_id", stateCol, "ts", tieCol)
+      .localCheckpoint(true)
     val open = readOpen(spark, stateDir)
     // per-key merge decision against the batch's FIRST run (grp = 1)
     val first = bruns.filter(col("grp") === 1L)
@@ -168,6 +171,8 @@ object StateHistoryStream {
     spark.catalog.refreshByPath(openPath(stateDir))
     org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(newOpen)
       .foreach(_.unpersist(blocking = false))
+    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(bruns)
+      .foreach(_.unpersist(blocking = false))
     if (autoCompactBatches > 0) {
       val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(closedPath(stateDir)))
         .count(_.getPath.getName.startsWith("batch="))
@@ -198,6 +203,16 @@ object StateHistoryStream {
     val fs = FsUtils.fs(spark, stateDir)
     val cPath = new org.apache.hadoop.fs.Path(closedPath(stateDir))
     if (!fs.exists(cPath)) return
+    // A closed/batch=N dir whose MV swap CRASHED (N > applied watermark) is
+    // not yet committed: folding it into batch=-1 would let the upcoming
+    // replay re-append it — every closed row of batch N twice. The window
+    // is one crashed batch wide and heals on the next applyBatch, so the
+    // safe move is to skip compaction until the state is consistent.
+    val applied = lastApplied(spark, stateDir)
+    val uncommitted = fs.listStatus(cPath)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).exists(_ > applied)
+    if (uncommitted) return
     val folded = spark.read.parquet(cPath.toString)
       .select("user_id", "run_idx", "state", "valid_from", "valid_to", "n_events")
       .localCheckpoint(true)

@@ -107,4 +107,13 @@ class QualitySpec extends AnyFunSuite with SparkSuite {
       refs = Map("dims" -> dims.repartition(3))).collect().toSeq
     assert(a === report().toSeq)
   }
+
+  test("validateSql escapes quotes in values and patterns") {
+    val sql = Quality.validateSql("t", Seq(
+      AcceptedValues("name", Seq("O'Brien", "plain")),
+      MatchesPattern("name", "^[a-z']+$")))
+    assert(sql.contains("'O''Brien'"))
+    assert(sql.contains("'^[a-z'']+$'"))
+    assert(!sql.contains("'O'Brien'"))
+  }
 }

@@ -139,4 +139,33 @@ class StateHistoryStreamSpec extends AnyFunSuite with SparkSuite {
     assert(StateHistoryStream.currentHistory(spark, st).collect().toSeq ==
       oneShot(df))
   }
+
+  test("leading-null-state batches fold correctly (grp is genuinely 1-based)") {
+    // regression: with the <=>-only change test, a key whose first event in
+    // a batch carries a NULL state got grp = 0, breaking the per-key merge
+    // (the stream reads grp === 1 as "the batch's first run"): run indices
+    // collided and a null-only batch minted a SECOND open row per key
+    val b0 = Seq((1L, 1L, Option("A"), ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "state", "ts")
+    // batch 1 opens with a null state, then B — the stored A run must close
+    // at the NULL run's start, not at B's
+    val b1 = Seq((1L, 2L, Option.empty[String], ts("2024-01-01 11:00:00")),
+      (1L, 3L, Option("B"), ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_id", "state", "ts")
+    // batch 2 is ONLY a null state for the key — must extend the open null
+    // run, never mint a second open row
+    val b2 = Seq((1L, 4L, Option.empty[String], ts("2024-01-01 13:00:00")))
+      .toDF("user_id", "event_id", "state", "ts")
+    val union = b0.unionByName(b1).unionByName(b2)
+    val st = tmp()
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      assert(StateHistoryStream.applyBatch(spark, b, i, st))
+    }
+    val got = StateHistoryStream.currentHistory(spark, st).collect().toSeq
+    assert(got == oneShot(union))
+    // exactly one open interval for the key; B closed by nothing yet? no:
+    // B then null → B closed at the null's ts; the null run is open
+    assert(got.count(_.isNullAt(3)) === 1)
+    assert(StateHistoryStream.readOpen(spark, st).count() === 1L)
+  }
 }

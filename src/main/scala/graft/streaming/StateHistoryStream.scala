@@ -86,6 +86,13 @@ object StateHistoryStream {
       emptyClosed(spark)
     else
       try spark.read.parquet(path)
+        // honor the commit point on READ too: a closed/batch=N appended by
+        // a crashed applyBatch (MV swap pending, N > applied watermark) is
+        // uncommitted — surfacing it would show batch N's closed rows NEXT
+        // TO the stale open row they superseded until the replay heals.
+        // The inferred `batch` partition column carries the id; -1
+        // (compacted) only exists once something committed.
+        .filter(col("batch") <= lastApplied(spark, stateDir))
         .select("user_id", "run_idx", "state", "valid_from", "valid_to", "n_events")
       catch {
         case e: org.apache.spark.sql.AnalysisException

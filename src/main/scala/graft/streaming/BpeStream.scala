@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.functions.FsUtils
 import graft.operators.Bpe
 
 /** Streaming BPE vocabulary maintenance (round 14, VERDICT r13 item 5) —
@@ -28,51 +27,27 @@ import graft.operators.Bpe
   *    election's head, and reuses the cached merge list when nothing
   *    changed (re-election is O(k·maxlen) driver work when it fires).
   *
-  * Counts are NOT idempotent under re-fold, so this uses the
-  * [[ProfileStream]] / [[SubstringDedupStream]] commit discipline
-  * verbatim: batch-dir presence short-circuits at-least-once replays, a
-  * `foldmeta` watermark written BEFORE the compaction swap short-circuits
-  * replays of already-folded batches, and every public entry point heals
-  * interrupted temp-swaps first.
+  * Counts are NOT idempotent under re-fold, so this rides the [[StateLog]]
+  * commit discipline: batch-dir presence short-circuits at-least-once
+  * replays, a `foldmeta` watermark written BEFORE the compaction swap
+  * short-circuits replays of already-folded batches, and every public
+  * entry point heals interrupted temp-swaps first.
   */
 object BpeStream {
 
-  private def wordsPath(stateDir: String) = s"$stateDir/words"
-  private def foldmetaPath(stateDir: String) = s"$stateDir/foldmeta"
+  private def log(spark: SparkSession, stateDir: String) =
+    new StateLog(spark, stateDir, "words")
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").cast("string").as("w"), col("id").as("n"))
 
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    for (p <- Seq(wordsPath(stateDir), foldmetaPath(stateDir))) {
-      val out = new org.apache.hadoop.fs.Path(p)
-      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
-      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    }
-  }
-
   /** Accumulated (w, n) state rows — batch dirs plus any folded `batch=-1`. */
-  def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwaps(spark, stateDir)
-    val path = wordsPath(stateDir)
-    if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      emptyState(spark)
-    else
-      try spark.read.parquet(path).select("w", "n")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyState(spark)
-      }
-  }
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    log(spark, stateDir).read(Seq("w", "n"), emptyState(spark))
 
   /** Highest batch id folded into `batch=-1` (−1 when never compacted). */
-  def foldedUpto(spark: SparkSession, stateDir: String): Long = {
-    recoverSwaps(spark, stateDir)
-    val p = foldmetaPath(stateDir)
-    if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
-    else spark.read.parquet(p).agg(max("folded_upto")).head().getLong(0)
-  }
+  def foldedUpto(spark: SparkSession, stateDir: String): Long =
+    log(spark, stateDir).foldedUpto()
 
   /** Fold one micro-batch of documents: write its word-count rows
     * (idempotent per batchId). Returns false when the replay guards
@@ -80,22 +55,12 @@ object BpeStream {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  stateDir: String, textCol: String = "text",
                  autoCompactBatches: Int = 0): Boolean = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val dst = new org.apache.hadoop.fs.Path(s"${wordsPath(stateDir)}/batch=$batchId")
-    if (fs.exists(dst) || batchId <= foldedUpto(spark, stateDir)) return false
+    val lg = log(spark, stateDir)
+    if (lg.alreadyApplied(batchId)) return false
     val own = batch.select(explode(split(col(textCol), " ", -1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val tmp = new org.apache.hadoop.fs.Path(s"${wordsPath(stateDir)}.tmp-batch-$batchId")
-    own.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(wordsPath(stateDir)))
-    FsUtils.renameOrThrow(fs, tmp, dst)
-    spark.catalog.refreshByPath(wordsPath(stateDir))
-    if (autoCompactBatches > 0) {
-      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(wordsPath(stateDir)))
-        .count(_.getPath.getName.startsWith("batch="))
-      if (dirs > autoCompactBatches) compactState(spark, stateDir)
-    }
+    lg.commitBatch(own, batchId)
+    lg.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
     true
   }
 
@@ -150,35 +115,12 @@ object BpeStream {
     Bpe.tokenCountsOf(docs, currentTokenizer(spark, stateDir, k, nMerges))
 
   /** Fold all batch dirs into `batch=-1` by word-count sum (lossless).
-    * Watermark BEFORE swap — the package-wide non-idempotent-count
-    * compaction discipline (crash between the two replays into a replay
-    * guard, never a double count). */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val wPath = new org.apache.hadoop.fs.Path(wordsPath(stateDir))
-    if (!fs.exists(wPath)) return
-    val maxBatch = fs.listStatus(wPath)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-    if (maxBatch < 0) return
-    val folded = spark.read.parquet(wPath.toString)
-      .groupBy("w").agg(sum("n").as("n"))
-      .localCheckpoint(true)
-    val metaTmp = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir) + ".tmp")
-    val metaOut = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir))
-    import spark.implicits._
-    Seq(maxBatch).toDF("folded_upto")
-      .coalesce(1).write.mode("overwrite").parquet(metaTmp.toString)
-    FsUtils.replaceDir(fs, metaTmp, metaOut)
-    val tmp = new org.apache.hadoop.fs.Path(wordsPath(stateDir) + ".tmp")
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    FsUtils.replaceDir(fs, tmp, wPath)
-    spark.catalog.refreshByPath(wordsPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
-      .foreach(_.unpersist(blocking = false))
-  }
+    * Watermark BEFORE swap — the non-idempotent-count [[StateLog.compact]]
+    * discipline (crash between the two replays into a replay guard, never
+    * a double count). */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    log(spark, stateDir).compact(
+      _.groupBy("w").agg(sum("n").as("n")))
 
   /** File-source wrapper: parquet document drops → folded word state. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,

@@ -85,11 +85,10 @@ object ComponentsStream {
   /** Read a state table, recovering a compaction orphan first (same heal
     * pattern as every log-structured state table in this package). */
   private def readStateOr(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
-    val fs = FsUtils.fs(spark, path)
-    val out = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    if (fs.exists(out)) spark.read.parquet(path) else like.limit(0)
+    StateLog.healSwaps(spark, path)
+    if (FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else like.limit(0)
   }
 
   private def readStars(spark: SparkSession, stateDir: String): DataFrame =

@@ -68,26 +68,18 @@ object CurationStream {
   /** Read a state table, recovering a compaction orphan (`path.tmp` left by
     * a crash between [[compactState]]'s delete and rename) first. */
   private def readStateOr(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
-    val fs = FsUtils.fs(spark, path)
-    val out = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    if (fs.exists(out)) spark.read.parquet(path) else like.limit(0)
+    StateLog.healSwaps(spark, path)
+    if (FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else like.limit(0)
   }
 
   /** Temp-swap overwrite for [[compactState]] (the compacted table is
     * derived from the files the swap deletes — tmp is written first, while
-    * they still exist). */
-  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val fs = FsUtils.fs(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    val out = new org.apache.hadoop.fs.Path(path)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    FsUtils.replaceDir(fs, tmp, out)
-    // the session-shared FileStatusCache still lists the deleted files —
-    // the next batch's read would fail with FILE_NOT_EXIST without this
-    spark.catalog.refreshByPath(path)
-  }
+    * they still exist; [[StateLog.swapWrite]]'s refresh also evicts the
+    * session-shared FileStatusCache entries for the deleted files). */
+  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit =
+    StateLog.swapWrite(spark, path, df, coalesce1 = false)
 
   /** Curate one batch of documents against (and appending to) the state
     * under `stateDir`; returns the kept curated rows (same schema as the

@@ -7,9 +7,11 @@ import graft.functions.FsUtils
 import graft.operators.Behavior
 
 /** Real-time funnel monitoring — the streaming twin of
-  * [[graft.operators.Behavior.funnel]], with O(1) state PER USER (three
+  * [[graft.operators.Behavior.funnel]], with O(1) state PER USER (k
   * nullable stage timestamps) instead of the batch operator's candidate
-  * lists.
+  * lists. Like the batch operator it folds over ANY k ≥ 2 steps; the step
+  * list must stay FIXED for a state dir's lifetime (the state schema is
+  * s1…sk — the QualityStream fixed-suite contract).
   *
   * The fold is a per-user state machine: a stage timestamp is set at most
   * once ("first touch"), from the earliest qualifying event strictly after
@@ -27,8 +29,8 @@ import graft.operators.Behavior
   *
   * Replays are idempotent: the merge only fills nulls, and refilling from
   * the same batch computes the same values. State is rewritten per batch
-  * behind the package temp-swap (+ heal preamble) — O(active users), the
-  * dashboard's own cardinality, the [[OverviewStream]] keyed-MV shape
+  * behind the [[StateLog]] temp-swap (+ heal preamble) — O(active users),
+  * the dashboard's own cardinality, the [[OverviewStream]] keyed-MV shape
   * rather than the append-log shape of the corpus streams.
   */
 object FunnelStream {
@@ -36,33 +38,29 @@ object FunnelStream {
   private def stPath(stateDir: String) = s"$stateDir/funnel"
   private def metaPath(stateDir: String) = s"$stateDir/meta"
 
-  private def emptyState(spark: SparkSession): DataFrame =
-    spark.range(0).select(col("id").as("user_id"),
-      col("id").cast("timestamp").as("s1"),
-      col("id").cast("timestamp").as("s2"),
-      col("id").cast("timestamp").as("s3"))
+  private def heal(spark: SparkSession, stateDir: String): Unit =
+    StateLog.healSwaps(spark, stPath(stateDir), metaPath(stateDir))
 
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    for (p <- Seq(stPath(stateDir), metaPath(stateDir))) {
-      val out = new org.apache.hadoop.fs.Path(p)
-      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
-      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    }
-  }
+  private def stageCols(k: Int): Seq[String] = (1 to k).map(i => s"s$i")
 
-  /** Per-user stage timestamps folded so far. */
-  def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwaps(spark, stateDir)
+  private def emptyState(spark: SparkSession, k: Int): DataFrame =
+    spark.range(0).select(
+      (col("id").as("user_id") +:
+        stageCols(k).map(s => col("id").cast("timestamp").as(s))): _*)
+
+  /** Per-user stage timestamps folded so far (k = funnel length the state
+    * dir was deployed with). */
+  def readState(spark: SparkSession, stateDir: String, k: Int = 3): DataFrame = {
+    heal(spark, stateDir)
     val path = stPath(stateDir)
     if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      emptyState(spark)
-    else spark.read.parquet(path).select("user_id", "s1", "s2", "s3")
+      emptyState(spark, k)
+    else spark.read.parquet(path).select(("user_id" +: stageCols(k)).map(col): _*)
   }
 
   /** Highest applied batch id (−1 before the first). */
   def lastApplied(spark: SparkSession, stateDir: String): Long = {
-    recoverSwaps(spark, stateDir)
+    heal(spark, stateDir)
     val p = metaPath(stateDir)
     if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
     else spark.read.parquet(p).agg(max("batch")).head().getLong(0)
@@ -73,36 +71,34 @@ object FunnelStream {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  stateDir: String,
                  steps: Seq[String] = Seq("view", "click", "purchase")): Boolean = {
-    recoverSwaps(spark, stateDir)
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    heal(spark, stateDir)
     if (batchId <= lastApplied(spark, stateDir)) return false
-    val Seq(a, b, c) = steps
-    val fs = FsUtils.fs(spark, stateDir)
-    val own = batch.groupBy("user_id").agg(
-      min(when(col("event_type") === a, col("ts"))).as("vb"),
-      collect_list(when(col("event_type") === b, col("ts"))).as("cb"),
-      collect_list(when(col("event_type") === c, col("ts"))).as("pb"))
-    val merged = readState(spark, stateDir)
+    val k = steps.size
+    // the batch's own candidates: first step folds to its min directly; the
+    // later steps keep candidate lists so an unset stage can resolve against
+    // same-batch events strictly after its (possibly just-set) predecessor
+    val aggs =
+      min(when(col("event_type") === steps.head, col("ts"))).as("c1") +:
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          collect_list(when(col("event_type") === s, col("ts"))).as(s"c${i + 2}")
+        }
+    val own = batch.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+    val joined = readState(spark, stateDir, k)
       .join(own, Seq("user_id"), "full_outer")
-      .withColumn("s1n", coalesce(col("s1"), col("vb")))
-      .withColumn("s2n", coalesce(col("s2"),
-        array_min(filter(col("cb"), t => t > col("s1n")))))
-      .withColumn("s3n", coalesce(col("s3"),
-        array_min(filter(col("pb"), t => t > col("s2n")))))
-      .select(col("user_id"), col("s1n").as("s1"),
-        col("s2n").as("s2"), col("s3n").as("s3"))
+      .withColumn("n1", coalesce(col("s1"), col("c1")))
+    val resolved = (2 to k).foldLeft(joined) { (df, i) =>
+      df.withColumn(s"n$i", coalesce(col(s"s$i"),
+        array_min(filter(col(s"c$i"), t => t > col(s"n${i - 1}")))))
+    }
+    val merged = resolved
+      .select((col("user_id") +:
+        (1 to k).map(i => col(s"n$i").as(s"s$i"))): _*)
       .localCheckpoint(true)
-    val tmp = new org.apache.hadoop.fs.Path(stPath(stateDir) + ".tmp")
-    val dst = new org.apache.hadoop.fs.Path(stPath(stateDir))
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    FsUtils.replaceDir(fs, tmp, dst)
+    StateLog.swapWrite(spark, stPath(stateDir), merged)
     import spark.implicits._
-    val metaTmp = new org.apache.hadoop.fs.Path(metaPath(stateDir) + ".tmp")
-    Seq(batchId).toDF("batch")
-      .coalesce(1).write.mode("overwrite").parquet(metaTmp.toString)
-    FsUtils.replaceDir(fs, metaTmp, new org.apache.hadoop.fs.Path(metaPath(stateDir)))
-    spark.catalog.refreshByPath(stPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(merged)
-      .foreach(_.unpersist(blocking = false))
+    StateLog.swapWrite(spark, metaPath(stateDir), Seq(batchId).toDF("batch"))
+    StateLog.release(merged)
     true
   }
 
@@ -110,7 +106,7 @@ object FunnelStream {
     * the one-shot [[Behavior.funnel]] exactly (FunnelStreamSpec). */
   def currentFunnel(spark: SparkSession, stateDir: String,
                     steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
-    Behavior.funnelSummary(readState(spark, stateDir), steps)
+    Behavior.funnelSummary(readState(spark, stateDir, steps.size), steps)
 
   /** File-source wrapper: parquet event drops → live funnel state. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,

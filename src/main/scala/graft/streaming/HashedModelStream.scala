@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.functions.FsUtils
 import graft.operators.HashedModel
 
 /** Incremental hashed-model training — the streaming twin of
@@ -25,15 +24,10 @@ import graft.operators.HashedModel
   *
   * State: `counts/batch=<id>` — the batch's own ≤ 2·kLm-row aggregate,
   * deterministic content. COUNT folding is not idempotent, so replay
-  * safety uses the [[SubstringDedupStream]] discipline verbatim:
-  *  - the counts dir is the batch's LAST commit (out/ writes first): its
-  *    presence short-circuits a replay entirely;
-  *  - [[compactState]] folds batch dirs into `batch=-1` and records the
-  *    folded-through id in a `foldmeta` sidecar WRITTEN BEFORE the swap,
-  *    so a replay of an already-folded batch is skipped via the watermark
-  *    even though its dir is gone;
-  *  - interrupted temp-swaps are healed by [[recoverSwaps]] on every
-  *    state access.
+  * safety rides the [[StateLog]] discipline: the counts dir is the batch's
+  * LAST commit (out/ writes first) and its presence short-circuits a
+  * replay; compaction's `foldmeta` watermark is written BEFORE the swap;
+  * interrupted temp-swaps are healed on every state access.
   *
   * Per-batch cost: one O(batch) explode→hash→groupBy aggregate (map-side
   * combined to ≤ 2·kLm rows before the only exchange) + an O(kLm) driver
@@ -43,47 +37,22 @@ import graft.operators.HashedModel
   */
 object HashedModelStream {
 
-  private def countsPath(stateDir: String) = s"$stateDir/counts"
-  private def foldmetaPath(stateDir: String) = s"$stateDir/foldmeta"
+  private def log(spark: SparkSession, stateDir: String) =
+    new StateLog(spark, stateDir, "counts")
 
   private def emptyCounts(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").cast("int").as("b"), lit(true).as("bg"),
       col("id").as("nr"), col("id").as("nt"))
 
-  /** Complete any interrupted temp-swap — see
-    * [[SubstringDedupStream.recoverSwaps]] (same crash window, same heal). */
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    for (p <- Seq(countsPath(stateDir), foldmetaPath(stateDir))) {
-      val out = new org.apache.hadoop.fs.Path(p)
-      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
-      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    }
-  }
-
   /** All accumulated (b, bg, nr, nt) partials — per-batch dirs plus any
     * folded `batch=-1`; sum per (b, bg) for the training totals. */
-  private def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwaps(spark, stateDir)
-    val path = countsPath(stateDir)
-    if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      emptyCounts(spark)
-    else
-      try spark.read.parquet(path).select("b", "bg", "nr", "nt")
-      catch { // dir mkdirs'ed but no batch committed yet (crash window)
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyCounts(spark)
-      }
-  }
+  private def readState(spark: SparkSession, stateDir: String): DataFrame =
+    log(spark, stateDir).read(Seq("b", "bg", "nr", "nt"), emptyCounts(spark))
 
   /** Highest batch id the last compaction folded into `batch=-1`
     * (−1 when never compacted). */
-  def foldedUpto(spark: SparkSession, stateDir: String): Long = {
-    recoverSwaps(spark, stateDir)
-    val p = foldmetaPath(stateDir)
-    if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
-    else spark.read.parquet(p).agg(max("folded_upto")).head().getLong(0)
-  }
+  def foldedUpto(spark: SparkSession, stateDir: String): Long =
+    log(spark, stateDir).foldedUpto()
 
   private def summedRows(counts: DataFrame): Seq[(Int, Boolean, Long, Long)] =
     counts.groupBy("b", "bg")
@@ -144,10 +113,8 @@ object HashedModelStream {
                  kCls: Int = 128, kLm: Int = 2048, alpha: Double = 0.5,
                  hashFn: Column => Column = xxhash64(_),
                  autoCompactBatches: Int = 0): Boolean = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val dst = new org.apache.hadoop.fs.Path(s"${countsPath(stateDir)}/batch=$batchId")
-    if (fs.exists(dst) || batchId <= foldedUpto(spark, stateDir)) return false
+    val lg = log(spark, stateDir)
+    if (lg.alreadyApplied(batchId)) return false
 
     val own = HashedModel.stackCounts(batch, targetLang, kLm, hashFn)
       .localCheckpoint(true) // read for the scoring output AND written as state
@@ -164,52 +131,19 @@ object HashedModelStream {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$o/batch=$batchId")
     }
-    val tmp = new org.apache.hadoop.fs.Path(s"${countsPath(stateDir)}.tmp-batch-$batchId")
-    own.write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(countsPath(stateDir)))
-    FsUtils.renameOrThrow(fs, tmp, dst)
-    spark.catalog.refreshByPath(countsPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(own)
-      .foreach(_.unpersist(blocking = false))
-    if (autoCompactBatches > 0) {
-      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(countsPath(stateDir)))
-        .count(_.getPath.getName.startsWith("batch="))
-      if (dirs > autoCompactBatches) compactState(spark, stateDir)
-    }
+    lg.commitBatch(own, batchId, coalesce1 = false)
+    StateLog.release(own)
+    lg.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
     true
   }
 
-  /** Fold all batch dirs into one `batch=-1` dir with exact summed counts.
-    * Commit order identical to [[SubstringDedupStream.compactState]] —
-    * watermark first (temp-swapped), then the one-rename dir swap; every
-    * crash window either redoes a deterministic fold or is healed by
-    * [[recoverSwaps]]. */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val cPath = new org.apache.hadoop.fs.Path(countsPath(stateDir))
-    if (!fs.exists(cPath)) return
-    val maxBatch = fs.listStatus(cPath)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-    if (maxBatch < 0) return // only batch=-1 left — nothing to fold
-    val folded = spark.read.parquet(cPath.toString)
-      .groupBy("b", "bg").agg(sum("nr").as("nr"), sum("nt").as("nt"))
-      .localCheckpoint(true) // materialize BEFORE the swap deletes sources
-    val metaTmp = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir) + ".tmp")
-    val metaOut = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir))
-    import spark.implicits._
-    Seq(maxBatch).toDF("folded_upto")
-      .coalesce(1).write.mode("overwrite").parquet(metaTmp.toString)
-    FsUtils.replaceDir(fs, metaTmp, metaOut)
-    val tmp = new org.apache.hadoop.fs.Path(countsPath(stateDir) + ".tmp")
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    FsUtils.replaceDir(fs, tmp, cPath)
-    spark.catalog.refreshByPath(countsPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
-      .foreach(_.unpersist(blocking = false))
-  }
+  /** Fold all batch dirs into one `batch=-1` dir with exact summed counts —
+    * the non-idempotent [[StateLog.compact]] discipline (watermark first,
+    * temp-swapped, then the one-rename dir swap; every crash window either
+    * redoes a deterministic fold or is healed on the next state access). */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    log(spark, stateDir).compact(
+      _.groupBy("b", "bg").agg(sum("nr").as("nr"), sum("nt").as("nt")))
 
   /** File-source wrapper: document parquet drops → per-batch scored docs
     * under `outDir`, count state under `stateDir`. */

@@ -22,28 +22,20 @@ import graft.operators.Profile
   * Per-batch cost: one narrow bucketing pass over the batch whose
   * aggregate exchange carries ≤ cols × nBuckets partial counts per
   * partition — O(batch), flat state. Counts are NOT idempotent under
-  * re-fold, so this uses the package commit discipline verbatim
-  * (batch-dir replay guard, foldmeta watermark BEFORE the compaction
-  * swap, temp-swap healing).
+  * re-fold, so this rides the [[StateLog]] commit discipline (batch-dir
+  * replay guard, foldmeta watermark BEFORE the compaction swap, temp-swap
+  * healing — the grid sidecar is registered for the heal too).
   */
 object HistogramStream {
 
-  private def histPath(stateDir: String) = s"$stateDir/hist"
+  private def log(spark: SparkSession, stateDir: String) =
+    new StateLog(spark, stateDir, "hist", sidecarNames = Seq("grid"))
+
   private def gridPath(stateDir: String) = s"$stateDir/grid"
-  private def foldmetaPath(stateDir: String) = s"$stateDir/foldmeta"
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").cast("string").as("col_name"),
       col("id").as("bucket"), col("id").as("cnt"))
-
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    for (p <- Seq(histPath(stateDir), gridPath(stateDir), foldmetaPath(stateDir))) {
-      val out = new org.apache.hadoop.fs.Path(p)
-      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
-      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    }
-  }
 
   /** Persist the elected grid (first deployment only — an existing grid is
     * authoritative and silently wins: the fold's correctness depends on
@@ -52,7 +44,7 @@ object HistogramStream {
   def ensureGrid(spark: SparkSession, stateDir: String,
                  grid: Seq[(String, Option[(Double, Double)])],
                  nBuckets: Int): Seq[(String, Option[(Double, Double)])] = {
-    recoverSwaps(spark, stateDir)
+    log(spark, stateDir).recoverSwaps()
     val fs = FsUtils.fs(spark, stateDir)
     val out = new org.apache.hadoop.fs.Path(gridPath(stateDir))
     if (!fs.exists(out)) {
@@ -70,7 +62,7 @@ object HistogramStream {
   /** The persisted grid + bucket count. */
   def activeGrid(spark: SparkSession,
                  stateDir: String): (Seq[(String, Option[(Double, Double)])], Int) = {
-    recoverSwaps(spark, stateDir)
+    log(spark, stateDir).recoverSwaps()
     val rows = spark.read.parquet(gridPath(stateDir))
       .select("col_name", "mn", "mx", "k").collect()
     val k = rows.head.getInt(3)
@@ -80,49 +72,24 @@ object HistogramStream {
     }, k)
   }
 
-  def foldedUpto(spark: SparkSession, stateDir: String): Long = {
-    recoverSwaps(spark, stateDir)
-    val p = foldmetaPath(stateDir)
-    if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
-    else spark.read.parquet(p).agg(max("folded_upto")).head().getLong(0)
-  }
+  def foldedUpto(spark: SparkSession, stateDir: String): Long =
+    log(spark, stateDir).foldedUpto()
 
   /** Fold one micro-batch under the persisted grid (idempotent per
     * batchId). Returns false when the replay guards short-circuited. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  stateDir: String,
                  autoCompactBatches: Int = 0): Boolean = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val dst = new org.apache.hadoop.fs.Path(s"${histPath(stateDir)}/batch=$batchId")
-    if (fs.exists(dst) || batchId <= foldedUpto(spark, stateDir)) return false
+    val lg = log(spark, stateDir)
+    if (lg.alreadyApplied(batchId)) return false
     val (grid, k) = activeGrid(spark, stateDir)
-    val own = Profile.histogramState(batch, grid, k)
-    val tmp = new org.apache.hadoop.fs.Path(s"${histPath(stateDir)}.tmp-batch-$batchId")
-    own.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(histPath(stateDir)))
-    FsUtils.renameOrThrow(fs, tmp, dst)
-    spark.catalog.refreshByPath(histPath(stateDir))
-    if (autoCompactBatches > 0) {
-      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(histPath(stateDir)))
-        .count(_.getPath.getName.startsWith("batch="))
-      if (dirs > autoCompactBatches) compactState(spark, stateDir)
-    }
+    lg.commitBatch(Profile.histogramState(batch, grid, k), batchId)
+    lg.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
     true
   }
 
-  private def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwaps(spark, stateDir)
-    val path = histPath(stateDir)
-    if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      emptyState(spark)
-    else
-      try spark.read.parquet(path).select("col_name", "bucket", "cnt")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyState(spark)
-      }
-  }
+  private def readState(spark: SparkSession, stateDir: String): DataFrame =
+    log(spark, stateDir).read(Seq("col_name", "bucket", "cnt"), emptyState(spark))
 
   /** The zero-filled histogram of everything folded so far — over the
     * union corpus (grid fixed to its min/max) this equals the one-shot
@@ -149,33 +116,10 @@ object HistogramStream {
   }
 
   /** Fold all batch dirs into `batch=-1` by count sum (lossless; watermark
-    * BEFORE swap — the package compaction discipline). */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val hPath = new org.apache.hadoop.fs.Path(histPath(stateDir))
-    if (!fs.exists(hPath)) return
-    val maxBatch = fs.listStatus(hPath)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-    if (maxBatch < 0) return
-    val folded = spark.read.parquet(hPath.toString)
-      .groupBy("col_name", "bucket").agg(sum("cnt").as("cnt"))
-      .localCheckpoint(true)
-    val metaTmp = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir) + ".tmp")
-    val metaOut = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir))
-    import spark.implicits._
-    Seq(maxBatch).toDF("folded_upto")
-      .coalesce(1).write.mode("overwrite").parquet(metaTmp.toString)
-    FsUtils.replaceDir(fs, metaTmp, metaOut)
-    val tmp = new org.apache.hadoop.fs.Path(histPath(stateDir) + ".tmp")
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    FsUtils.replaceDir(fs, tmp, hPath)
-    spark.catalog.refreshByPath(histPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
-      .foreach(_.unpersist(blocking = false))
-  }
+    * BEFORE swap — the [[StateLog.compact]] discipline). */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    log(spark, stateDir).compact(
+      _.groupBy("col_name", "bucket").agg(sum("cnt").as("cnt")))
 
   /** File-source wrapper: parquet drops → folded histogram state. The grid
     * must already be persisted via [[ensureGrid]]. */

@@ -37,11 +37,10 @@ object ReservoirStream {
   private def readCandidates(spark: SparkSession, stateDir: String,
                              like: DataFrame): DataFrame = {
     val path = candPath(stateDir)
-    val fs = FsUtils.fs(spark, path)
-    val out = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    if (fs.exists(out)) spark.read.parquet(path) else like.limit(0)
+    StateLog.healSwaps(spark, path)
+    if (FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else like.limit(0)
   }
 
   /** Fold one batch of documents: append the batch's own top-n race
@@ -49,10 +48,8 @@ object ReservoirStream {
     * existing dir means a replay — skip, the state already reflects it). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  stateDir: String, n: Int = 50): Unit = {
-    val path = candPath(stateDir)
-    val fs = FsUtils.fs(spark, path)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
-    if (fs.exists(dst)) return
+    val lg = new StateLog(spark, stateDir, "candidates")
+    if (lg.alreadyApplied(batchId)) return
     // Dedup WITHIN the batch before taking the top-n: at-least-once delivery
     // can land the same doc twice in one micro-batch, and a duplicate would
     // occupy two of the n candidate slots, evicting a distinct doc that
@@ -62,11 +59,7 @@ object ReservoirStream {
     val cands = Sampling.weightedRaceKeys(batch.dropDuplicates("doc_id"))
       .orderBy(col("wkey").desc, col("doc_id"))
       .limit(n)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-batch-$batchId")
-    cands.write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    FsUtils.renameOrThrow(fs, tmp, dst)
-    spark.catalog.refreshByPath(path)
+    lg.commitBatch(cands, batchId, coalesce1 = false)
   }
 
   /** The queryable sample: global top-n over the candidate log — identical

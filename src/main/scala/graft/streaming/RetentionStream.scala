@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.functions.FsUtils
 import graft.operators.Behavior
 
 /** Continuous cohort-retention monitoring — the streaming twin of
@@ -24,7 +23,7 @@ import graft.operators.Behavior
   * short-circuit exists purely to skip redundant work, and compaction
   * needs no foldmeta watermark: it is a lossless distinct fold landing in
   * `batch=-1` (never a foreachBatch target — the OverlapStream lesson)
-  * behind the package's temp-swap + heal discipline.
+  * behind the [[StateLog]] temp-swap + heal discipline.
   *
   * Per-batch cost: one distinct over the batch + one appended state dir —
   * O(batch) regardless of accumulated corpus size. State size: the
@@ -34,55 +33,29 @@ import graft.operators.Behavior
   */
 object RetentionStream {
 
-  private def uwPath(stateDir: String) = s"$stateDir/uw"
+  private def log(spark: SparkSession, stateDir: String) =
+    new StateLog(spark, stateDir, "uw")
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("user_id"),
       to_date(lit("2024-01-01")).as("wk"))
 
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    val out = new org.apache.hadoop.fs.Path(uwPath(stateDir))
-    val tmp = new org.apache.hadoop.fs.Path(uwPath(stateDir) + ".tmp")
-    if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-  }
-
   /** Deduplicated (user_id, wk) activity pairs folded so far. */
-  def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwaps(spark, stateDir)
-    val path = uwPath(stateDir)
-    if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      emptyState(spark)
-    else
-      try spark.read.parquet(path).select("user_id", "wk").distinct()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyState(spark)
-      }
-  }
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    log(spark, stateDir).read(Seq("user_id", "wk"), emptyState(spark)).distinct()
 
   /** Fold one micro-batch of events. Returns false when the batch dir
     * already exists (replay short-circuit — correctness never depends on
     * it; see scaladoc). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  stateDir: String, autoCompactBatches: Int = 0): Boolean = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val dst = new org.apache.hadoop.fs.Path(s"${uwPath(stateDir)}/batch=$batchId")
-    if (fs.exists(dst)) return false
+    val lg = log(spark, stateDir)
+    if (lg.alreadyApplied(batchId)) return false
     val own = batch
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct()
-    val tmp = new org.apache.hadoop.fs.Path(s"${uwPath(stateDir)}.tmp-batch-$batchId")
-    own.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(uwPath(stateDir)))
-    FsUtils.renameOrThrow(fs, tmp, dst)
-    spark.catalog.refreshByPath(uwPath(stateDir))
-    if (autoCompactBatches > 0) {
-      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(uwPath(stateDir)))
-        .count(_.getPath.getName.startsWith("batch="))
-      if (dirs > autoCompactBatches) compactState(spark, stateDir)
-    }
+    lg.commitBatch(own, batchId)
+    lg.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
     true
   }
 
@@ -92,24 +65,12 @@ object RetentionStream {
     Behavior.retentionOfWeeks(readState(spark, stateDir))
 
   /** Lossless distinct fold of all batch dirs into `batch=-1` behind the
-    * package temp-swap (+ heal on every public read). Idempotent state ⇒
-    * no fold watermark: a replay of an already-folded batch just rewrites
-    * pairs the distinct-on-read drops. */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val sPath = new org.apache.hadoop.fs.Path(uwPath(stateDir))
-    if (!fs.exists(sPath)) return
-    val folded = spark.read.parquet(sPath.toString)
-      .select("user_id", "wk").distinct()
-      .localCheckpoint(true)
-    val tmp = new org.apache.hadoop.fs.Path(uwPath(stateDir) + ".tmp")
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    FsUtils.replaceDir(fs, tmp, sPath)
-    spark.catalog.refreshByPath(uwPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
-      .foreach(_.unpersist(blocking = false))
-  }
+    * [[StateLog]] temp-swap (+ heal on every public read). Idempotent
+    * state ⇒ no fold watermark: a replay of an already-folded batch just
+    * rewrites pairs the distinct-on-read drops. */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    log(spark, stateDir).compact(
+      _.select("user_id", "wk").distinct(), watermark = false)
 
   /** File-source wrapper: parquet event drops → folded retention state. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,

@@ -60,14 +60,8 @@ object StateHistoryStream {
       col("id").cast("timestamp").as("valid_from"),
       col("id").cast("timestamp").as("valid_to"), col("id").as("n_events"))
 
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    for (p <- Seq(openPath(stateDir), closedPath(stateDir))) {
-      val out = new org.apache.hadoop.fs.Path(p)
-      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
-      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    }
-  }
+  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit =
+    StateLog.healSwaps(spark, openPath(stateDir), closedPath(stateDir))
 
   /** The open-interval MV (one row per key seen so far). */
   def readOpen(spark: SparkSession, stateDir: String): DataFrame = {
@@ -163,28 +157,15 @@ object StateHistoryStream {
     // 1. closed append — skipped when the dir survived a crashed attempt:
     // the replay recomputes identical rows (see scaladoc), keeping is the
     // idempotent choice
-    val dst = new org.apache.hadoop.fs.Path(s"${closedPath(stateDir)}/batch=$batchId")
-    if (!fs.exists(dst)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"${closedPath(stateDir)}.tmp-batch-$batchId")
-      closedRows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(closedPath(stateDir)))
-      FsUtils.renameOrThrow(fs, tmp, dst)
-      spark.catalog.refreshByPath(closedPath(stateDir))
-    }
+    val closedLog = new StateLog(spark, stateDir, "closed")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        s"${closedPath(stateDir)}/batch=$batchId")))
+      closedLog.commitBatch(closedRows, batchId)
     // 2. open MV swap = watermark advance, one atomic rename
-    val tmp = new org.apache.hadoop.fs.Path(openPath(stateDir) + ".tmp")
-    newOpen.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    FsUtils.replaceDir(fs, tmp, new org.apache.hadoop.fs.Path(openPath(stateDir)))
-    spark.catalog.refreshByPath(openPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(newOpen)
-      .foreach(_.unpersist(blocking = false))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(bruns)
-      .foreach(_.unpersist(blocking = false))
-    if (autoCompactBatches > 0) {
-      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(closedPath(stateDir)))
-        .count(_.getPath.getName.startsWith("batch="))
-      if (dirs > autoCompactBatches) compactState(spark, stateDir)
-    }
+    StateLog.swapWrite(spark, openPath(stateDir), newOpen)
+    StateLog.release(newOpen)
+    StateLog.release(bruns)
+    closedLog.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
     true
   }
 
@@ -207,28 +188,16 @@ object StateHistoryStream {
     * needed because replays are guarded by the open MV's commit point). */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val cPath = new org.apache.hadoop.fs.Path(closedPath(stateDir))
-    if (!fs.exists(cPath)) return
     // A closed/batch=N dir whose MV swap CRASHED (N > applied watermark) is
     // not yet committed: folding it into batch=-1 would let the upcoming
     // replay re-append it — every closed row of batch N twice. The window
     // is one crashed batch wide and heals on the next applyBatch, so the
-    // safe move is to skip compaction until the state is consistent.
-    val applied = lastApplied(spark, stateDir)
-    val uncommitted = fs.listStatus(cPath)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong).exists(_ > applied)
-    if (uncommitted) return
-    val folded = spark.read.parquet(cPath.toString)
-      .select("user_id", "run_idx", "state", "valid_from", "valid_to", "n_events")
-      .localCheckpoint(true)
-    val tmp = new org.apache.hadoop.fs.Path(closedPath(stateDir) + ".tmp")
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    FsUtils.replaceDir(fs, tmp, cPath)
-    spark.catalog.refreshByPath(closedPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
-      .foreach(_.unpersist(blocking = false))
+    // safe move is to skip compaction until the state is consistent
+    // (StateLog's skipAboveWatermark guard).
+    new StateLog(spark, stateDir, "closed").compact(
+      _.select("user_id", "run_idx", "state", "valid_from", "valid_to", "n_events"),
+      watermark = false,
+      skipAboveWatermark = Some(lastApplied(spark, stateDir)))
   }
 
   /** File-source wrapper: parquet change-log drops → live interval state. */

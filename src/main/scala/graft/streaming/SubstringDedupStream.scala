@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.functions.FsUtils
 import graft.operators.SubstringDedup
 
 /** Incremental repeated-substring detection — the streaming twin of
@@ -23,17 +22,12 @@ import graft.operators.SubstringDedup
   *
   * State: `grams/batch=<id>` — the batch's own (gh, cnt) aggregate,
   * deterministic content. Unlike OverlapStream's min-fold, COUNT folding is
-  * NOT idempotent, so replay safety needs the ComponentsStream commit
-  * discipline plus a fold watermark:
-  *  - the grams dir is the batch's LAST commit (out/ writes first): its
-  *    presence short-circuits a replay entirely;
-  *  - [[compactState]] folds batch dirs into `batch=-1` (a dir no
-  *    foreachBatch id can target) and records the folded-through id in a
-  *    `foldmeta` sidecar WRITTEN BEFORE the swap — a replay of a folded
-  *    batch is skipped via the watermark even though its dir is gone
-  *    (without it the replay would re-append counts the fold already
-  *    absorbed: the OverlapStream `batch=-1` lesson, sharpened for
-  *    non-idempotent state).
+  * NOT idempotent, so replay safety rides the [[StateLog]] discipline:
+  * the grams dir is the batch's LAST commit (out/ writes first) and its
+  * presence short-circuits a replay; compaction's `foldmeta` watermark is
+  * written BEFORE the swap so a replay of a folded batch is skipped even
+  * though its dir is gone (the OverlapStream `batch=-1` lesson, sharpened
+  * for non-idempotent state).
   *
   * Per-batch cost: O(batch) gram aggregate + ONE narrow scan of the state
   * log semi-joined against the batch's (broadcast) gram-hash set — counts
@@ -43,53 +37,21 @@ import graft.operators.SubstringDedup
   */
 object SubstringDedupStream {
 
-  private def gramsPath(stateDir: String) = s"$stateDir/grams"
-  private def foldmetaPath(stateDir: String) = s"$stateDir/foldmeta"
+  private def log(spark: SparkSession, stateDir: String) =
+    new StateLog(spark, stateDir, "grams")
 
   private def emptyCounts(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("gh"), col("id").as("cnt"))
 
-  /** Complete any interrupted temp-swap (the ComponentsStream readStateOr
-    * heal, applied to BOTH state tables): `replaceDir`'s crash window
-    * between delete(dst) and rename leaves dst missing and `dst.tmp` as
-    * the sole surviving copy — without this preamble a crash inside
-    * [[compactState]]'s grams swap would silently zero all accumulated
-    * counts (and the already-committed watermark would suppress the
-    * replays that could rebuild them). Called on entry by every public
-    * state reader/writer; single-writer discipline is the package
-    * contract, as everywhere in this package. */
-  private def recoverSwaps(spark: SparkSession, stateDir: String): Unit = {
-    val fs = FsUtils.fs(spark, stateDir)
-    for (p <- Seq(gramsPath(stateDir), foldmetaPath(stateDir))) {
-      val out = new org.apache.hadoop.fs.Path(p)
-      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
-      if (!fs.exists(out) && fs.exists(tmp)) FsUtils.renameOrThrow(fs, tmp, out)
-    }
-  }
-
   /** All accumulated (gh, cnt) rows — per-batch partials plus any folded
-    * `batch=-1` dir; sum per gh for totals. */
-  private def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwaps(spark, stateDir)
-    val path = gramsPath(stateDir)
-    if (!FsUtils.fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
-      emptyCounts(spark)
-    else
-      try spark.read.parquet(path).select("gh", "cnt")
-      catch { // dir mkdirs'ed but no batch committed yet (crash window)
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => emptyCounts(spark)
-      }
-  }
+    * `batch=-1`; sum per gh for totals. */
+  private def readState(spark: SparkSession, stateDir: String): DataFrame =
+    log(spark, stateDir).read(Seq("gh", "cnt"), emptyCounts(spark))
 
   /** Highest batch id the last compaction folded into `batch=-1`
     * (−1 when never compacted). */
-  def foldedUpto(spark: SparkSession, stateDir: String): Long = {
-    recoverSwaps(spark, stateDir)
-    val p = foldmetaPath(stateDir)
-    if (!FsUtils.fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))) -1L
-    else spark.read.parquet(p).agg(max("folded_upto")).head().getLong(0)
-  }
+  def foldedUpto(spark: SparkSession, stateDir: String): Long =
+    log(spark, stateDir).foldedUpto()
 
   /** Fold one document micro-batch. Returns true when the batch folded,
     * false when the replay guards short-circuited it. */
@@ -99,10 +61,8 @@ object SubstringDedupStream {
                  hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                    xxhash64(_),
                  autoCompactBatches: Int = 0): Boolean = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val dst = new org.apache.hadoop.fs.Path(s"${gramsPath(stateDir)}/batch=$batchId")
-    if (fs.exists(dst) || batchId <= foldedUpto(spark, stateDir)) return false
+    val lg = log(spark, stateDir)
+    if (lg.alreadyApplied(batchId)) return false
 
     val own = SubstringDedup.gramStream(batch, "text", "doc_id", L, hashFn)
       .groupBy("gh").agg(count(lit(1)).as("cnt"))
@@ -127,18 +87,9 @@ object SubstringDedupStream {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$o/batch=$batchId")
     }
-    val tmp = new org.apache.hadoop.fs.Path(s"${gramsPath(stateDir)}.tmp-batch-$batchId")
-    own.write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(gramsPath(stateDir)))
-    FsUtils.renameOrThrow(fs, tmp, dst)
-    spark.catalog.refreshByPath(gramsPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(own)
-      .foreach(_.unpersist(blocking = false))
-    if (autoCompactBatches > 0) {
-      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(gramsPath(stateDir)))
-        .count(_.getPath.getName.startsWith("batch="))
-      if (dirs > autoCompactBatches) compactState(spark, stateDir)
-    }
+    lg.commitBatch(own, batchId, coalesce1 = false)
+    StateLog.release(own)
+    lg.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
     true
   }
 
@@ -156,43 +107,13 @@ object SubstringDedupStream {
       "n_dup_spans", "covered_tokens", "dup_ratio")
   }
 
-  /** Fold all batch dirs into one `batch=-1` dir with exact summed counts.
-    * Commit order (crash-safe for NON-idempotent count state):
-    *  1. foldmeta (folded_upto = max folded id) via temp-swap — from this
-    *     instant any replay of a folded batch is skipped;
-    *  2. the whole grams dir is swapped for {batch=-1} in one rename.
-    * A crash between 1 and 2 leaves the un-folded dirs in place — reads
-    * still sum to the same totals, the watermark is merely early, and the
-    * next compaction redoes the (deterministic) fold. A crash INSIDE
-    * either swap (after delete, before rename) leaves the `.tmp` dir as
-    * the only copy — [[recoverSwaps]] completes the rename on the next
-    * state access, so the accumulated counts are never lost. */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    recoverSwaps(spark, stateDir)
-    val fs = FsUtils.fs(spark, stateDir)
-    val gPath = new org.apache.hadoop.fs.Path(gramsPath(stateDir))
-    if (!fs.exists(gPath)) return
-    val maxBatch = fs.listStatus(gPath)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max)
-    if (maxBatch < 0) return // only batch=-1 left — nothing to fold
-    val folded = spark.read.parquet(gPath.toString)
-      .groupBy("gh").agg(sum("cnt").as("cnt"))
-      .localCheckpoint(true) // materialize BEFORE the swap deletes sources
-    val metaTmp = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir) + ".tmp")
-    val metaOut = new org.apache.hadoop.fs.Path(foldmetaPath(stateDir))
-    import spark.implicits._
-    Seq(maxBatch).toDF("folded_upto")
-      .coalesce(1).write.mode("overwrite").parquet(metaTmp.toString)
-    FsUtils.replaceDir(fs, metaTmp, metaOut)
-    val tmp = new org.apache.hadoop.fs.Path(gramsPath(stateDir) + ".tmp")
-    folded.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    FsUtils.replaceDir(fs, tmp, gPath)
-    spark.catalog.refreshByPath(gramsPath(stateDir))
-    org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)
-      .foreach(_.unpersist(blocking = false))
-  }
+  /** Fold all batch dirs into one `batch=-1` dir with exact summed counts —
+    * the non-idempotent [[StateLog.compact]] discipline (watermark BEFORE
+    * the one-rename swap; every crash window either redoes a deterministic
+    * fold or is healed on the next state access). */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    log(spark, stateDir).compact(
+      _.groupBy("gh").agg(sum("cnt").as("cnt")))
 
   /** File-source wrapper: document parquet drops → per-batch incremental
     * span reports under `outDir`, gram-count state under `stateDir`. */

@@ -62,9 +62,14 @@ object Verify {
   def writeOracles(outDir: String, names: Option[Set[String]] = None,
                    sfDir: Option[String] = None): Unit = {
     sfDir.foreach(OracleDir.set)
-    val json = SparkEntry.oracleSql
-      .filter(kv => names.forall(_.contains(kv._1)))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // clear the pin once the map is materialized (ADVICE r14): a later
+    // ad-hoc stateful-oracle read in the same JVM must fall back to ITS
+    // last gate run, not this dump's dir
+    val json =
+      try SparkEntry.oracleSql
+        .filter(kv => names.forall(_.contains(kv._1)))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      finally OracleDir.set(null)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
 

@@ -43,7 +43,12 @@ object Evolution {
   /** Gate form: v2 is a deterministic "next crawl" derived from the same
     * documents table — doc_id % 7 == 0 dropped (removed), % 5 == 0 of the
     * survivors revised (changed), % 11 == 0 re-ingested under fresh ids
-    * (added). The derivation IS the test fixture; `snapshotDiff` itself is
+    * (added). Fresh ids are minted by NEGATION (−doc_id − 1): doc_ids are
+    * non-negative, so collision with a surviving id is impossible at ANY
+    * corpus size (ADVICE r14 — a fixed offset collides once the corpus
+    * reaches it, and the oracle replaying the same arithmetic would keep
+    * the gate green while the fixture semantics silently broke). The
+    * derivation IS the test fixture; `snapshotDiff` itself is
     * snapshot-agnostic. */
   def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -54,7 +59,7 @@ object Evolution {
           .otherwise(col("text")).as("text"),
         col("source"))
       .unionAll(docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(col("text"), lit(" [new]")).as("text"), col("source")))
     snapshotDiff(
       docs.withColumn("fp", md5(col("text"))),
@@ -68,7 +73,7 @@ object Evolution {
       |         source
       |  FROM documents WHERE doc_id % 7 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text || ' [new]', source
+      |  SELECT -doc_id - 1, text || ' [new]', source
       |  FROM documents WHERE doc_id % 11 = 0),
       |j AS (
       |  SELECT COALESCE(o.source, n.source) AS source,

@@ -239,11 +239,15 @@ object Profile {
       s"CAST(MIN($c) AS DOUBLE) AS mn$i, CAST(MAX($c) AS DOUBLE) AS mx$i"
     }.mkString(", ")
     val entries = cols.zipWithIndex.map { case (c, i) =>
+      // GREATEST(0, …) mirrors the Spark-side clamp exactly (ADVICE r14):
+      // identical today because this grid is self-derived (no value below
+      // mn), but the oracle must stay reusable against a frozen external
+      // grid where values can fall below the grid minimum
       s"""SELECT '$c' AS col_name,
          |  CASE WHEN mx$i = mn$i THEN 0
-         |       ELSE LEAST(${nBuckets - 1}, CAST(FLOOR(
+         |       ELSE GREATEST(0, LEAST(${nBuckets - 1}, CAST(FLOOR(
          |         (CAST($c AS DOUBLE) - mn$i) * $nBuckets.0 / (mx$i - mn$i))
-         |         AS BIGINT)) END AS bucket
+         |         AS BIGINT))) END AS bucket
          |FROM documents CROSS JOIN s WHERE $c IS NOT NULL""".stripMargin
     }.mkString("\nUNION ALL\n")
     val names = cols.map(c => s"('$c')").mkString(", ")

@@ -9,7 +9,8 @@ import graft.Tables
   * production ingest: assert completeness, uniqueness, ranges, accepted
   * values, patterns, and referential integrity, and emit one auditable
   * report row per constraint. The reference enforces its constraints in
-  * PostgreSQL DDL (NOT NULL / UNIQUE / REFERENCES, schema.sql); at 100 TB
+  * PostgreSQL DDL (NOT NULL / UNIQUE / REFERENCES, migrations/init.sql);
+  * at 100 TB
   * there is no transactional gatekeeper — validation IS a query, run
   * before data is admitted to training.
   *
@@ -127,14 +128,21 @@ object Quality {
           greatest(col(s"__nn_$col0") - col(s"__nd_$col0"), lit(0L))
         case _               => col(s"__v$i")
       }
+      // empty-input guard (ADVICE r14): SUM over zero rows is NULL and a
+      // /0 is engine-divergent — coalesce the counter, NULL the fraction,
+      // and define an empty table as passing every check (no row violated)
+      val vl = coalesce(v.cast("long"), lit(0L))
       struct(
         lit(i.toLong).as("check_id"),
         lit(c.kind).as("check_type"),
         lit(c.col).as("col_name"),
         col("__n").as("n"),
-        v.cast("long").as("violations"),
-        round(v.cast("double") / col("__n"), 6).as("frac_violations"),
-        (v.cast("double") <= lit(c.maxViolFrac) * col("__n")).as("passed"))
+        vl.as("violations"),
+        when(col("__n") === 0, lit(null).cast("double"))
+          .otherwise(round(vl.cast("double") / col("__n"), 6))
+          .as("frac_violations"),
+        (col("__n") === 0 ||
+          vl.cast("double") <= lit(c.maxViolFrac) * col("__n")).as("passed"))
     }
     withRi.select(explode(array(rows: _*)).as("r")).select("r.*")
       .orderBy("check_id")
@@ -209,13 +217,17 @@ object Quality {
     val metaDf = state.sparkSession.createDataFrame(meta)
       .toDF("check_id", "check_type", "col_name", "max_frac", "is_unique")
     folded.join(broadcast(metaDf), Seq("check_id"))
-      .withColumn("violations", when(col("is_unique"),
+      .withColumn("violations", coalesce(when(col("is_unique"),
           greatest(col("nn") - round(col("est")).cast("long"), lit(0L)))
-        .otherwise(col("viol")))
+        .otherwise(col("viol")), lit(0L)))
       .select(col("check_id"), col("check_type"), col("col_name"), col("n"),
         col("violations"),
-        round(col("violations").cast("double") / col("n"), 6).as("frac_violations"),
-        (col("violations").cast("double") <= col("max_frac") * col("n")).as("passed"))
+        // the validate() empty-input guard, mirrored for empty folded batches
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("violations").cast("double") / col("n"), 6))
+          .as("frac_violations"),
+        (col("n") === 0 ||
+          col("violations").cast("double") <= col("max_frac") * col("n")).as("passed"))
       .orderBy("check_id")
   }
 
@@ -267,9 +279,10 @@ object Quality {
         case _               => s"__v$i"
       }
       s"""SELECT CAST($i AS BIGINT) AS check_id, '${c.kind}' AS check_type,
-         |  '${c.col}' AS col_name, __n AS n, CAST($v AS BIGINT) AS violations,
-         |  ROUND($v * 1.0 / __n, 6) AS frac_violations,
-         |  ($v * 1.0) <= ${c.maxViolFrac} * __n AS passed
+         |  '${c.col}' AS col_name, __n AS n,
+         |  CAST(COALESCE($v, 0) AS BIGINT) AS violations,
+         |  ROUND(COALESCE($v, 0) * 1.0 / NULLIF(__n, 0), 6) AS frac_violations,
+         |  (__n = 0 OR COALESCE($v, 0) * 1.0 <= ${c.maxViolFrac} * __n) AS passed
          |FROM ${from.mkString(", ")}""".stripMargin
     }
     s"""WITH rl AS (SELECT $localSql FROM $table)$uqCte$riCtes

@@ -108,6 +108,19 @@ class QualitySpec extends AnyFunSuite with SparkSuite {
     assert(a === report().toSeq)
   }
 
+  test("empty input: zero violations, NULL fraction, every check passes (ADVICE r14)") {
+    val empty = users.limit(0)
+    for (r <- Seq(
+        Quality.validate(empty, checks, refs = Map("dims" -> dims)).collect(),
+        Quality.validateTheta(empty, checks, refs = Map("dims" -> dims)).collect())) {
+      assert(r.length === checks.length)
+      assert(r.forall(_.getLong(3) === 0L), "n must be 0")
+      assert(r.forall(_.getLong(4) === 0L), "violations must be 0, not NULL")
+      assert(r.forall(_.isNullAt(5)), "frac over zero rows is NULL (defined, both engines)")
+      assert(r.forall(_.getBoolean(6)), "an empty table violates nothing")
+    }
+  }
+
   test("validateSql escapes quotes in values and patterns") {
     val sql = Quality.validateSql("t", Seq(
       AcceptedValues("name", Seq("O'Brien", "plain")),

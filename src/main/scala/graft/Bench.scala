@@ -70,26 +70,48 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // rep 1 pays DataFrame construction + analysis; later reps reuse the
       // resolved frame (the prepared-statement shape a production service
-      // uses for a repeated query) and re-run only optimize/plan/execute
+      // uses for a repeated query) and re-run only optimize/plan/execute.
+      // EXCEPTION (VERDICT r14 item 3): eagerBuilt queries compute their
+      // iterative result AT construction — reusing the frame would time
+      // only re-reads of the checkpointed final ranks, so each rep
+      // rebuilds from scratch and the reported number is the real work.
+      val rebuild = SparkEntry.eagerBuilt(name)
       var df: org.apache.spark.sql.DataFrame = null
       val first = timeOnce(name) { df = fn(spark, sfDir); df }
       val sec =
         if (first < 0) first
         else {
+          def once() =
+            if (rebuild) timeOnce(name)(fn(spark, sfDir)) else timeOnce(name)(df)
           val timed =
-            if (warmup) (1 to reps).map(_ => timeOnce(name)(df)).filter(_ >= 0)
-            else first +: (2 to reps).map(_ => timeOnce(name)(df)).filter(_ >= 0)
+            if (warmup) (1 to reps).map(_ => once()).filter(_ >= 0)
+            else first +: (2 to reps).map(_ => once()).filter(_ >= 0)
           if (timed.isEmpty) first else timed.min
         }
       name -> sec
     }
+    // honest COLD cost for the registry-backed queries (VERDICT r14 item 3):
+    // one execution each with the session registries cleared, so the number
+    // includes quantizer/codebook retraining and the on-disk index / layout
+    // build the steady-state reps legitimately exclude. Reported as a
+    // separate "fresh" map — NOT added to the steady-state total.
+    val fresh = SparkEntry.registryBacked.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        SparkEntry.clearSessionRegistries()
+        name -> timeOnce(s"$name[fresh]")(fn(spark, sfDir))
+      }
+    }
     val calPost = calibrate()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val freshJs = fresh.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val eagerJs = SparkEntry.eagerBuilt.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"method":"${if (warmup) "warmup+min-of-reps" else "min-of-reps"}","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fresh":$freshJs,"eager_rebuilt_per_rep":$eagerJs,"failed":$failed,"reps":$reps,"method":"${if (warmup) "warmup+min-of-reps" else "min-of-reps"}","calibration":{"pre":$calPre,"post":$calPost},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-decorated stdout (sbt [info] prefixes broke
     // the round-1 driver parse): the same line lands in a known file

@@ -131,6 +131,9 @@ object Pq {
     bookCache.getOrElseUpdate((cacheKey, dim, m, ks, iters),
       trainCodebooks(embeddings, dim, m, ks, iters))
 
+  /** Drop the session cache (Bench fresh-cost mode) — next call retrains. */
+  def clearSessionCache(): Unit = bookCache.clear()
+
   /** Pack a unit vector's m sub-codes into one BIGINT (sub-code s in bits
     * [8s, 8s+8)). m codegen argmins + shifts — narrow, no shuffle. */
   def encodePacked(vn: Column, cb: Codebooks): Column =

@@ -276,6 +276,15 @@ object Similarity {
     * row.
     */
   private val builtIndexes = new scala.collection.concurrent.TrieMap[String, Unit]
+
+  /** Drop the session caches (Bench fresh-cost mode, VERDICT r14 item 3):
+    * the next call per key retrains the quantizer / rebuilds the index, so
+    * a timed execution after this carries the full offline-build cost. */
+  def clearSessionCaches(): Unit = {
+    centroidCache.clear()
+    builtIndexes.clear()
+  }
+
   def ensureBuilt(path: String)(build: => Unit): Unit = {
     // Hadoop's Path parser is lenient where java.net.URI is strict — a
     // local path with a space is valid here and must not throw.

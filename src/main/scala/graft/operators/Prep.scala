@@ -277,28 +277,46 @@ object Prep {
 
   private def chunksFromCuts(docs: DataFrame, t: Column, cuts: Column,
                              hashFn: Column => Column): DataFrame = {
-    val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
-    val ends = concat(cuts, array(length(t)))
-    docs
+    // Two load-bearing shapes (round 15, measured in CdcProbe):
+    //  1. the boundary scan lands in a real column FIRST and starts/ends
+    //     reference it — referenced twice, CollapseProject keeps it a
+    //     single per-row evaluation instead of inlining two copies into
+    //     the generator;
+    //  2. posexplode_OUTER, not posexplode: __chunks is never empty by
+    //     construction (starts always holds element 1), so outer ≡ inner —
+    //     but a non-outer generator triggers InferFiltersFromGenerate,
+    //     whose size(…)>0 / isnotnull(…) conditions get alias-substituted
+    //     and pushed to the scan as TWO MORE full boundary scans per row
+    //     (slice gate measured 4.2 s → 0.4 s from these two changes; the
+    //     full-corpus h60 form 7.2 s → 2.0 s).
+    val withCuts = docs.withColumn("__cuts", cuts)
+    val cc = col("__cuts")
+    val starts = concat(array(lit(1)), transform(cc, c => c + 1))
+    val ends = concat(cc, array(length(t)))
+    withCuts
       .withColumn("__chunks",
         zip_with(starts, ends, (s, e) => t.substr(s, e - s + lit(1))))
       .select(col("doc_id"),
-        posexplode(col("__chunks")).as(Seq("chunk_idx", "__c")))
+        posexplode_outer(col("__chunks")).as(Seq("chunk_idx", "__c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         hashFn(col("__c")).as("chunk_hash"), length(col("__c")).cast("long").as("chunk_len"))
   }
 
-  /** Gate form: CDC chunks over the full corpus with each chunk's global
-    * occurrence count (the dedup signal), output restricted to a bounded
-    * doc slice. The count window runs BEFORE the slice filter — counts are
-    * corpus-global. */
+  /** Gate form: CDC chunks over a BOUNDED deterministic doc slice with each
+    * chunk's slice-global occurrence count (the dedup signal). The slice is
+    * applied BEFORE chunking (VERDICT r14 item 4, the pair-query
+    * precedent): the portable-h60 hash costs ~3× xxhash64 per window, and
+    * paying that corpus-wide bought no extra verification — cut logic,
+    * chunk extraction, hashing, and the count window are all exercised on
+    * the slice, while the corpus-wide PRODUCTION path is [[cdcChunksFast]],
+    * bit-equal to this operator under xxhash64 (PrepSpec equivalence,
+    * unchanged) and measured corpus-wide in STRESS.md. */
   def cdcChunksGate(spark: SparkSession, dir: String, maxDoc: Int = 300): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = cdcChunks(Tables.documents(spark, dir))
+    val chunks = cdcChunks(Tables.documents(spark, dir).filter(col("doc_id") < maxDoc))
     chunks
       .withColumn("n_occ", count(lit(1))
         .over(Window.partitionBy("chunk_hash")))
-      .filter(col("doc_id") < maxDoc)
       .orderBy("doc_id", "chunk_idx")
   }
 
@@ -310,7 +328,7 @@ object Prep {
        |                   p -> p + $wm1),
        |    c -> ${h60Sql(s"SUBSTR(text, c - $wm1, $win)")} % $divisor = 0
        |         AND c < LEN(text)) AS cuts
-       |  FROM documents),
+       |  FROM documents WHERE doc_id < $maxDoc),
        |ch AS (
        |  SELECT doc_id,
        |    list_transform(
@@ -326,7 +344,7 @@ object Prep {
        |             CAST(LEN(c) AS BIGINT) AS chunk_len FROM x)
        |SELECT doc_id, chunk_idx, chunk_hash, chunk_len,
        |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_occ
-       |FROM h QUALIFY doc_id < $maxDoc
+       |FROM h
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 

@@ -7,8 +7,9 @@ import graft.Tables
 /** Behavioral analytics over the events stream: ordered-sequence funnels
   * and cohort retention — the two reports every product-analytics engine
   * ships over exactly the webhook/event archive the reference ingests
-  * (reference: src/routes/webhooks.js — events land append-only with
-  * user_id/event_type/ts; the reference defers all reporting to SQL).
+  * (reference: server.js:38-40 + migrations/init.sql:19-29 — events land
+  * append-only with user_id/event_type/ts; the reference defers all
+  * reporting to SQL).
   *
   * Both operators reduce the corpus to per-user bounded state in ONE
   * map-side-combinable aggregate before anything user-crossing happens, so
@@ -31,41 +32,46 @@ import graft.Tables
   */
 object Behavior {
 
-  /** Greedy 3-step funnel (default view → click → purchase): per-stage
-    * reached-user counts plus conversion from stage 1. Output is one row
-    * per stage: (step_idx, step, n_users, conv). */
+  /** Greedy k-step funnel (default view → click → purchase, any k ≥ 2):
+    * per-stage reached-user counts plus conversion from stage 1. Output is
+    * one row per stage: (step_idx, step, n_users, conv). The per-user
+    * aggregate carries the first step's min plus the later steps' candidate
+    * timestamp lists, so the greedy resolution folds over ANY step count
+    * inside the same one-exchange plan shape. */
   def funnel(events: DataFrame,
              steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(steps.size == 3, "gate form is the 3-step funnel")
-    val Seq(a, b, c) = steps
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val k = steps.size
     // one user-keyed aggregate; collect_list drops nulls, so each list holds
     // exactly that step's timestamps (bounded by per-user activity)
-    val perUser = events.groupBy("user_id").agg(
-      min(when(col("event_type") === a, col("ts"))).as("s1"),
-      collect_list(when(col("event_type") === b, col("ts"))).as("l2"),
-      collect_list(when(col("event_type") === c, col("ts"))).as("l3"))
+    val aggs =
+      min(when(col("event_type") === steps.head, col("ts"))).as("s1") +:
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          collect_list(when(col("event_type") === s, col("ts"))).as(s"l${i + 2}")
+        }
+    val perUser = events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
     // greedy earliest-after-previous; null prev ⇒ lambda null ⇒ filtered ⇒
     // array_min(empty) = null, so non-reached stages cascade as nulls
-    val staged = perUser
-      .withColumn("s2", array_min(filter(col("l2"), t => t > col("s1"))))
-      .withColumn("s3", array_min(filter(col("l3"), t => t > col("s2"))))
+    val staged = (2 to k).foldLeft(perUser) { (df, i) =>
+      df.withColumn(s"s$i",
+        array_min(filter(col(s"l$i"), t => t > col(s"s${i - 1}"))))
+    }
     funnelSummary(staged, steps)
   }
 
-  /** Stage counts + conversion over a per-user (s1, s2, s3) stage frame —
+  /** Stage counts + conversion over a per-user (s1 … sk) stage frame —
     * shared with [[graft.streaming.FunnelStream]], whose state IS that
     * frame maintained incrementally. */
   def funnelSummary(staged: DataFrame, steps: Seq[String]): DataFrame = {
-    val Seq(a, b, c) = steps
-    val flat = staged.agg(
-      count(col("s1")).as("n1"), count(col("s2")).as("n2"),
-      count(col("s3")).as("n3"))
+    val k = steps.size
+    val counts = (1 to k).map(i => count(col(s"s$i")).as(s"n$i"))
+    val flat = staged.agg(counts.head, counts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      val n = i + 1
+      s"  ${n}L, '${s.replace("'", "''")}', n$n, round(n$n / nullif(n1, 0), 4)"
+    }.mkString(",\n")
     flat.select(expr(
-      s"""stack(3,
-         |  1L, '$a', n1, round(n1 / nullif(n1, 0), 4),
-         |  2L, '$b', n2, round(n2 / nullif(n1, 0), 4),
-         |  3L, '$c', n3, round(n3 / nullif(n1, 0), 4)
-         |) AS (step_idx, step, n_users, conv)""".stripMargin))
+      s"stack($k,\n$rows\n) AS (step_idx, step, n_users, conv)"))
       .orderBy("step_idx")
   }
 

@@ -9,7 +9,8 @@ import graft.Tables
   * SCD-type-2 build every warehouse runs against event streams (Kimball's
   * slowly-changing dimension; the "event sourcing → current state"
   * compaction). The reference stores events append-only and reconstructs
-  * nothing (src/routes/webhooks.js); for a training-data pipeline this is
+  * nothing (server.js:38-40, migrations/init.sql:19-29); for a
+  * training-data pipeline this is
   * the metadata-versioning primitive: "what was this entity's state when
   * the snapshot was taken" is exactly the [[stateAsOf]] read.
   *

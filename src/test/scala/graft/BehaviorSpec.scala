@@ -51,6 +51,40 @@ class BehaviorSpec extends AnyFunSuite with SparkSuite {
     assert(n == Seq(2L, 1L, 0L))
   }
 
+  test("funnel: k=2 and k=5 step lists (VERDICT r14 item 5)") {
+    val events = ev(
+      // u1 walks all five stages in order
+      (1L, "a", "2024-01-01 10:00:00"),
+      (1L, "b", "2024-01-01 11:00:00"),
+      (1L, "c", "2024-01-01 12:00:00"),
+      (1L, "d", "2024-01-01 13:00:00"),
+      (1L, "e", "2024-01-01 14:00:00"),
+      // u2 stalls at stage 3: its d precedes its c, so stage 4 can't match
+      (2L, "a", "2024-01-02 10:00:00"),
+      (2L, "b", "2024-01-02 11:00:00"),
+      (2L, "d", "2024-01-02 11:30:00"),
+      (2L, "c", "2024-01-02 12:00:00"),
+      // u3 reaches stage 2 only
+      (3L, "a", "2024-01-03 10:00:00"),
+      (3L, "b", "2024-01-03 11:00:00"))
+    val k5 = Behavior.funnel(events, Seq("a", "b", "c", "d", "e")).collect()
+    assert(k5.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 2L), (4L, "d", 1L), (5L, "e", 1L)))
+    val k2 = Behavior.funnel(events, Seq("a", "b")).collect()
+    assert(k2.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 3L), (2L, "b", 3L)))
+    // the 3-step default is the same operator at k=3 (gate form unchanged)
+    val k3 = Behavior.funnel(events, Seq("a", "b", "c")).collect()
+    assert(k3.map(_.getLong(2)).toSeq == Seq(3L, 3L, 2L))
+    // step names with quotes survive the stack() literal escaping
+    val quoted = Behavior.funnel(
+      events.withColumn("event_type",
+        when(col("event_type") === "a", lit("o'view")).otherwise(col("event_type"))),
+      Seq("o'view", "b")).collect()
+    assert(quoted.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("o'view", 3L), ("b", 3L)))
+  }
+
   test("funnel: stage counts are monotone non-increasing on real data") {
     val out = Behavior.funnelGate(spark, Sf0001).collect()
     val ns = out.sortBy(_.getLong(0)).map(_.getLong(2))

@@ -68,6 +68,20 @@ class FunnelStreamSpec extends AnyFunSuite with SparkSuite {
     assert(funnel(st).map(_.getLong(2)) == Seq(3L, 2L, 1L))
   }
 
+  test("k-step fold: 5-step and 2-step streams ≡ one-shot k-step funnel") {
+    for (steps <- Seq(
+        Seq("signup", "view", "click", "purchase", "error"),
+        Seq("view", "purchase"))) {
+      val oneShot = Behavior.funnel(events, steps).collect().toSeq
+      val st = tmp()
+      orderedSplits(events, 3).zipWithIndex.foreach { case (b, i) =>
+        assert(FunnelStream.applyBatch(spark, b, i, st, steps))
+      }
+      assert(FunnelStream.currentFunnel(spark, st, steps).collect().toSeq
+        == oneShot, s"k=${steps.size} diverged")
+    }
+  }
+
   test("replay guard: batchId ≤ lastApplied is a no-op") {
     val st = tmp()
     val bs = orderedSplits(events, 3)

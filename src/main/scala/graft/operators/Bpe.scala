@@ -42,7 +42,8 @@ import graft.Tables
   * creation order (merge i may consume a symbol merge j>i produces), and
   * there the single pass can under-merge where priority iteration would
   * not. Both conventions together mean external vocabularies are NOT
-  * drop-in; import requires the priority-iterated applier.
+  * drop-in; [[importMerges]] is the import path — it scores through the
+  * canonical priority-iterated applier [[tokenizeWordCanonical]].
   */
 object Bpe {
 
@@ -81,12 +82,62 @@ object Bpe {
     * vocabulary's merge list can tokenize out-of-table words differently:
     * a later merge here never re-enables an earlier one, while
     * priority-iteration would revisit it. Consumers importing a
-    * HuggingFace/SentencePiece merge table must re-train or switch the
-    * scoring path to priority-iterated application. */
+    * HuggingFace/SentencePiece merge table go through [[importMerges]],
+    * which scores via [[tokenizeWordCanonical]]. */
   def tokenizeWord(word: String, merges: Seq[(String, String)]): List[String] =
     merges.foldLeft(word.map(_.toString).toList) { case (syms, (a, b)) =>
       if (syms.lengthCompare(2) < 0) syms else applyMerge(syms, a, b)
     }
+
+  /** Canonical (Sennrich 2016) PRIORITY-ITERATED tokenization — the
+    * applier external merge lists require (VERDICT r14 item 7): repeatedly
+    * apply the highest-priority (lowest-index) merge present anywhere in
+    * the word until none applies. For a SELF-TRAINED list this equals
+    * [[tokenizeWord]] on every input (creation order — the scaladoc
+    * argument above, spec-pinned on the gate corpus); for an external list
+    * it does NOT: merge i may consume a symbol only a later-listed merge
+    * j > i produces, which the single in-order pass has already walked
+    * past (BpeSpec demonstrates the divergence). O(len · merges-applied)
+    * per word — driver/codegen-side work over bounded word tables, same
+    * as the single-pass applier. */
+  def tokenizeWordCanonical(word: String,
+                            merges: Seq[(String, String)]): List[String] = {
+    // first listing of a pair wins (highest priority), matching the
+    // HuggingFace/SentencePiece merge-table convention
+    val rank = merges.zipWithIndex.foldLeft(
+      Map.empty[(String, String), Int]) { case (m, (p, i)) =>
+      if (m.contains(p)) m else m + (p -> i)
+    }
+    var syms = word.map(_.toString).toList
+    var done = syms.lengthCompare(2) < 0
+    while (!done) {
+      val best = syms.iterator.zip(syms.iterator.drop(1))
+        .flatMap(p => rank.get(p).map(r => (r, p)))
+        .minByOption(_._1)
+      best match {
+        case None => done = true
+        case Some((_, (a, b))) =>
+          syms = applyMerge(syms, a, b)
+          done = syms.lengthCompare(2) < 0
+      }
+    }
+    syms
+  }
+
+  /** Import an EXTERNAL merge list (HuggingFace/SentencePiece convention)
+    * as a scoring tokenizer: the word→token-count table is built by
+    * CANONICAL priority-iterated application over the corpus's top-k word
+    * table, so counts match what the external tokenizer would emit —
+    * [[tokenizeWord]]'s single pass can under-merge here (see its
+    * portability note). Same bounded driver cost as [[train]] minus the
+    * merge election. */
+  def importMerges(docs: DataFrame, merges: Seq[(String, String)],
+                   k: Int = 512): Tokenizer = {
+    val wc = wordCounts(docs, k)
+    val sorted = wc.map(_._1).sorted
+    Tokenizer(merges, sorted.toArray,
+      sorted.map(w => tokenizeWordCanonical(w, merges).length.toDouble).toArray)
+  }
 
   /** Learn `nMerges` merges from a (word, count) table — the classic
     * weighted-vocab BPE loop. Stops early when no pair remains. */

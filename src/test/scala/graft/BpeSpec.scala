@@ -47,6 +47,51 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(tk.words.zip(tk.tokenCounts).exists { case (w, c) => c < w.length })
   }
 
+  test("canonical applier: diverges from single-pass on out-of-order external lists (VERDICT r14 item 7)") {
+    // external-convention list: the HIGH-priority merge ("a","bc") consumes
+    // a symbol only the LOWER-priority merge ("b","c") produces — the
+    // single in-order pass has already walked past it and under-merges
+    val ext = Seq(("a", "bc"), ("b", "c"))
+    assert(Bpe.tokenizeWord("abc", ext) == List("a", "bc"))          // under-merged
+    assert(Bpe.tokenizeWordCanonical("abc", ext) == List("abc"))     // canonical
+    // priority order matters: reversed ranks re-merge differently on ties
+    val tie = Seq(("b", "c"), ("a", "b"))
+    // canonical fires ("b","c") first (rank 0) — "ab"+"c" never forms
+    assert(Bpe.tokenizeWordCanonical("abc", tie) == List("a", "bc"))
+    // duplicate pair listings: FIRST listing's priority wins
+    val dup = Seq(("a", "bc"), ("b", "c"), ("a", "bc"))
+    assert(Bpe.tokenizeWordCanonical("abc", dup) == List("abc"))
+    // totality on the degenerate inputs
+    assert(Bpe.tokenizeWordCanonical("", ext) == Nil)
+    assert(Bpe.tokenizeWordCanonical("x", ext) == List("x"))
+  }
+
+  test("canonical ≡ single-pass for SELF-TRAINED merge lists (creation order)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tk = Bpe.train(docs, k = 256, nMerges = 24)
+    tk.words.foreach { w =>
+      assert(Bpe.tokenizeWordCanonical(w, tk.merges) == Bpe.tokenizeWord(w, tk.merges),
+        s"divergence on self-trained list at word '$w'")
+    }
+    // importMerges over the SAME corpus + self-trained list therefore
+    // reproduces the trained scoring table exactly
+    val imported = Bpe.importMerges(docs, tk.merges, k = 256)
+    assert(imported.words.toSeq == tk.words.toSeq)
+    assert(imported.tokenCounts.toSeq == tk.tokenCounts.toSeq)
+  }
+
+  test("importMerges: external list scores through the canonical applier") {
+    val docs = Seq((1L, "abc abc xyz")).toDF("doc_id", "text")
+    val ext = Seq(("a", "bc"), ("b", "c"))
+    val tk = Bpe.importMerges(docs, ext, k = 16)
+    val counts = tk.words.zip(tk.tokenCounts).toMap
+    assert(counts("abc") == 1.0) // canonical: b+c → bc, then a+bc → abc
+    assert(counts("xyz") == 3.0) // untouched by the merge list
+    // the distributed accounting consumes the imported table end-to-end
+    val row = Bpe.tokenCountsOf(docs, tk).collect().head
+    assert(row.getLong(2) == 1L + 1L + 3L) // n_tokens = abc + abc + xyz
+  }
+
   test("training is partitioning-independent (total orders everywhere)") {
     val docs = Tables.documents(spark, Sf0001)
     val a = Bpe.train(docs.repartition(13), k = 256, nMerges = 12)

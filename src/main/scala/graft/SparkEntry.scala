@@ -391,6 +391,11 @@ object SparkEntry {
     // scoring (the oracle replays the learned table as literals; merge
     // learning itself is spec-pinned in BpeSpec)
     "bpe_token_counts" -> Bpe.tokenCounts _,
+    // the same accounting under an IMPORTED out-of-creation-order merge
+    // list (the reversed trained list), scored through the canonical
+    // priority-iterated applier — the external-vocabulary import path
+    // oracle-verified, not just spec-pinned
+    "bpe_token_counts_imported" -> Bpe.tokenCountsImported _,
     "repetition_ratio" -> TextAnalysis.repetitionRatio _,
     "gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     // hashed-feature models (O(K) state at ANY vocabulary — feature
@@ -806,6 +811,7 @@ object SparkEntry {
     "token_familiarity" -> TextAnalysis.tokenFamiliarityCappedSql(),
     "token_familiarity_capped" -> TextAnalysis.tokenFamiliarityCappedSql(k = 16),
     "bpe_token_counts" -> Bpe.tokenCountsSql(),
+    "bpe_token_counts_imported" -> Bpe.tokenCountsImportedSql(),
     "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "classifier_score" -> HashedModel.classifierScoresSql(),

@@ -232,6 +232,8 @@ object Bpe {
 
   private val gateTables =
     new scala.collection.concurrent.TrieMap[String, Tokenizer]
+  private val importedGateTables =
+    new scala.collection.concurrent.TrieMap[String, Tokenizer]
   private val lastGateDir =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
@@ -244,24 +246,66 @@ object Bpe {
     tokenCountsOf(Tables.documentsById(spark, dir), tk)
   }
 
+  /** The gate's deterministic "external" merge list: a two-step CHAIN over
+    * the corpus's most frequent ≥3-char word w — the HIGH-priority merge
+    * (w[0..1], w[2]) consumes the symbol only the LOW-priority merge
+    * (w[0], w[1]) produces. Out-of-creation-order by construction, so
+    * [[tokenizeWordCanonical]]'s fixpoint iteration is load-bearing (the
+    * single-pass applier under-merges w — BpeSpec pins the divergence),
+    * and the resulting token table provably differs from the trained one
+    * (only chain-substring words compress). */
+  private[graft] def gateImportList(wc: Seq[(String, Long)]): Seq[(String, String)] = {
+    val w = wc.collectFirst { case (s, _) if s.length >= 3 => s }
+      .getOrElse(throw new IllegalArgumentException("no >=3-char word in the corpus"))
+    Seq((w.substring(0, 2), w.substring(2, 3)), (w.substring(0, 1), w.substring(1, 2)))
+  }
+
+  private val importedCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Tokenizer]
+  private[graft] def importedTokenizer(spark: SparkSession, dir: String,
+                                       k: Int = 512): Tokenizer =
+    importedCache.getOrElseUpdate((dir, k), {
+      val docs = Tables.documentsById(spark, dir)
+      importMerges(docs, gateImportList(wordCounts(docs, k)), k)
+    })
+
+  /** Gate query (round 15, VERDICT r14 item 7 made oracle-verified): token
+    * accounting under an IMPORTED out-of-creation-order merge list, scored
+    * through the canonical priority-iterated applier. Same distributed
+    * scoring plan as [[tokenCounts]]; only the word→count table differs. */
+  def tokenCountsImported(spark: SparkSession, dir: String): DataFrame = {
+    val tk = importedTokenizer(spark, dir)
+    importedGateTables.put(dir, tk); lastGateDir.set(dir)
+    tokenCountsOf(Tables.documentsById(spark, dir), tk)
+  }
+
   /** DuckDB replay of the SCORING pass: the learned word→token-count table
     * rides as a literal CASE (bounded: ≤ k entries), fallback LENGTH(w) —
     * so the oracle independently verifies the distributed accounting while
     * the driver-side merge learning is spec-pinned (BpeSpec hand-checked
     * merges + tokenize totality). */
-  def tokenCountsSql(): String = {
+  def tokenCountsSql(): String = gateTableSql(gateTables, "tokenCountsSql")
+
+  /** DuckDB replay of the IMPORTED-list scoring pass — same literal-CASE
+    * mechanism; the table it replays was built by the canonical applier. */
+  def tokenCountsImportedSql(): String =
+    gateTableSql(importedGateTables, "tokenCountsImportedSql")
+
+  private def gateTableSql(
+      tables: scala.collection.concurrent.TrieMap[String, Tokenizer],
+      label: String): String = {
     // resolve through the dump-dir context first (ADVICE r13: last-gate-run
     // resolution emits a wrong-dir oracle when a session gates several dirs
     // before dumping); fall back to last gate run for ad-hoc callers
     val dir = graft.OracleDir.get.orElse(Option(lastGateDir.get))
-    val tk = dir.flatMap(gateTables.get)
+    val tk = dir.flatMap(tables.get)
       .getOrElse(Tokenizer(Nil, Array.empty, Array.empty))
     if (tk.words.isEmpty)
       // can't throw: SparkEntry.oracleSql is constructed eagerly by specs
       // that only read its keys — but an un-gated dump must be LOUD, the
       // LENGTH(w) fallback oracle only matches a gate that also fell back
       System.err.println(
-        s"[bpe] WARNING: tokenCountsSql has no gate-recorded tokenizer for dir=$dir — emitting LENGTH(w) fallback oracle")
+        s"[bpe] WARNING: $label has no gate-recorded tokenizer for dir=$dir — emitting LENGTH(w) fallback oracle")
     def esc(s: String) = s.replace("'", "''")
     val cases =
       if (tk.words.isEmpty) "LENGTH(w)"

@@ -92,6 +92,28 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(row.getLong(2) == 1L + 1L + 3L) // n_tokens = abc + abc + xyz
   }
 
+  test("imported gate fixture: out-of-order chain list diverges and differs from trained") {
+    val docs = Tables.documents(spark, Sf0001)
+    val trained = Bpe.train(docs, k = 512, nMerges = 24)
+    val wc = Bpe.wordCounts(docs, 512)
+    val ext = Bpe.gateImportList(wc)
+    val w = wc.collectFirst { case (s, _) if s.length >= 3 => s }.get
+    // the chain is genuinely out-of-creation-order: single-pass under-merges
+    // the anchor word, the canonical applier reaches the 3-char fusion
+    assert(Bpe.tokenizeWord(w, ext).length
+      == Bpe.tokenizeWordCanonical(w, ext).length + 1,
+      s"chain fixture did not diverge on '$w'")
+    val imported = Bpe.importMerges(docs, ext, k = 512)
+    assert(imported.words.toSeq == trained.words.toSeq) // same vocab, same order
+    // the imported table must differ from the trained one, otherwise the
+    // bpe_token_counts_imported gate would duplicate bpe_token_counts
+    assert(imported.tokenCounts.toSeq != trained.tokenCounts.toSeq)
+    // totality under the canonical applier
+    imported.words.take(50).foreach { s =>
+      assert(Bpe.tokenizeWordCanonical(s, ext).mkString == s)
+    }
+  }
+
   test("training is partitioning-independent (total orders everywhere)") {
     val docs = Tables.documents(spark, Sf0001)
     val a = Bpe.train(docs.repartition(13), k = 256, nMerges = 12)

@@ -3,16 +3,16 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{AnomalyStream, BpeStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
+import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 14: fourteen streams): OverlapStream,
+/** Composed streaming soak (round 15: sixteen streams): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
   * DriftStream (frozen grid), AnomalyStream, StateHistoryStream
   * (incremental SCD2), QualityStream (constraint monitoring, frozen ref
-  * dim + fixed check suite) — consuming ONE shared
-  * document/embedding drop
+  * dim + fixed check suite), CdcStream (chunk-dedup counts on the
+  * round-15 StateLog) — consuming ONE shared document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -115,6 +115,7 @@ object ComposedStreamSoak {
     val anState = s"$tmp/an-state"
     val shState = s"$tmp/sh-state"
     val qlState = s"$tmp/ql-state"
+    val cdState = s"$tmp/cd-state"
     // fixed check suite + frozen ref dim for the QualityStream fold (the
     // contract: both constant for the state's lifetime)
     val qlDim = docs.sparkSession.createDataFrame(
@@ -161,6 +162,8 @@ object ComposedStreamSoak {
         autoCompactBatches = 8)
       QualityStream.applyBatch(spark, docB(i), i.toLong, qlState, qlChecks,
         qlRefs, autoCompactBatches = 8)
+      CdcStream.applyBatch(spark, docB(i), i.toLong, cdState,
+        autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -352,6 +355,16 @@ object ComposedStreamSoak {
     val qlBatch = graft.operators.Quality.validateTheta(docs, qlChecks, qlRefs)
       .collect().toSeq
     check("quality_fold", qlStream == qlBatch && qlStream.nonEmpty)
+
+    // CDC: folded chunk-hash counts ≡ one-shot cdcChunksFast counts over
+    // the union corpus (count additivity — any batching, any order); the
+    // first stream written directly ON the round-15 StateLog helper
+    val cdStream = CdcStream.currentCounts(spark, cdState)
+      .orderBy("chunk_hash").as[(Long, Long)].collect().toSeq
+    val cdBatch = graft.operators.Prep.cdcChunksFast(docs)
+      .groupBy("chunk_hash").agg(count(lit(1)).as("cnt"))
+      .orderBy("chunk_hash").as[(Long, Long)].collect().toSeq
+    check("cdc_fold", cdStream == cdBatch && cdStream.nonEmpty)
     spark.stop()
   }
 }

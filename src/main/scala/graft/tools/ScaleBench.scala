@@ -305,6 +305,13 @@ object ScaleBench {
       // the claim is that state does NOT grow with k.
       "events_funnel" -> (k => graft.operators.Behavior.funnel(
         amplify(Tables.events(spark, sf), "event_id", k))),
+      // k-step form (round 15): five stages over the same amplified events
+      // — plan shape is identical (one user-keyed aggregate; one min + four
+      // candidate lists instead of two), so the claim is the SAME alpha as
+      // the 3-step row, not a new cost class
+      "events_funnel_k5" -> (k => graft.operators.Behavior.funnel(
+        amplify(Tables.events(spark, sf), "event_id", k),
+        Seq("signup", "view", "click", "purchase", "error"))),
       "events_retention" -> (k => graft.operators.Behavior.retention(
         amplify(Tables.events(spark, sf), "event_id", k))),
       // snapshot diff: both sides grow k× — one co-keyed full-outer join

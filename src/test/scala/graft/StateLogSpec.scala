@@ -109,6 +109,22 @@ class StateLogSpec extends AnyFunSuite with SparkSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$st/grid")), "sidecar heal failed")
   }
 
+  test("commitBatch crash window: a .tmp-batch orphan is overwritten by the replay") {
+    val st = tmp()
+    val fs = graft.functions.FsUtils.fs(spark, st)
+    // simulate a crash AFTER the tmp write but BEFORE the rename: the
+    // orphan must not be visible to reads, and the replay must overwrite
+    // it and commit normally (the rename is the commit point)
+    batch(1L -> 99L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$st/cnt.tmp-batch-0")
+    assert(!log(st).alreadyApplied(0), "an orphan tmp is NOT a commit")
+    assert(log(st).read(Seq("k", "n"), empty).count() == 0,
+      "orphan tmp leaked into reads")
+    log(st).commitBatch(batch(1L -> 4L), 0)
+    assert(folded(st) == Map(1L -> 4L), "replay did not supersede the orphan")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$st/cnt.tmp-batch-0")))
+  }
+
   test("swapWrite: atomic MV rewrite readable after an interrupted swap") {
     val st = tmp()
     val path = s"$st/mv"

@@ -17,12 +17,17 @@ import graft.functions.VectorFunctions.{cosine, dot}
   * hundreds of GB.
   *
   * Spark-first shape, reusing the IVF machinery wholesale:
-  *  - TRAINING ([[trainCodebooks]]): deterministic Lloyd iterations per
-  *    subspace — seeds are the ks hash-least distinct subvectors (no RNG,
-  *    task-retry/rerun stable), each iteration one narrow assignment pass
-  *    ([[org.apache.spark.sql.graft.NearestCentroid]] on the subvector
-  *    slice, codebook as a reference object) + one partial-aggregated
-  *    mean. Offline, cached per (corpus key, shape) like
+  *  - TRAINING ([[trainCodebooks]]): deterministic Lloyd per subspace over
+  *    a BOUNDED sample — the sampleN hash-least DISTINCT subvectors (no
+  *    RNG, task-retry/rerun stable; the first ks of the sample are the
+  *    seeds). ONE bounded action per subspace (TakeOrderedAndProject over
+  *    the partial-distinct exchange: partition-local heaps, the driver
+  *    merges numPartitions×sampleN rows); the Lloyd iterations then run
+  *    driver-side over the O(sampleN·sub) sample in fixed order. This is
+  *    the 100 TB posture — every production PQ trainer fits on a bounded
+  *    sample; full-corpus k-means per subspace (m×(1+iters) corpus scans)
+  *    is the wrong offline plan at any scale. Encoding/assignment stay
+  *    full-corpus. Cached per (corpus key, shape) like
   *    [[Similarity.trainedCentroids]].
   *  - ENCODE ([[encodePacked]]): m codegen argmins + bit-packing — a
   *    narrow projection, no shuffle.
@@ -66,70 +71,114 @@ object Pq {
       ColumnBridge.expression(sv), book, Array.tabulate(book.length)(identity)))
   }
 
-  /** Deterministic per-subspace codebooks over the UNIT-normalized corpus.
-    * Fewer than `ks` distinct subvectors yields a smaller codebook
-    * (degenerate corpora still train); a cell that loses all members keeps
-    * its previous codeword (standard empty-cell handling, deterministic).
+  /** Deterministic per-subspace codebooks over the UNIT-normalized corpus,
+    * trained on the sampleN hash-least distinct subvectors per subspace
+    * (sampleN/ks = 64 points per cell at the defaults — the usual
+    * Lloyd-fit band). Fewer than `ks` distinct subvectors yields a smaller
+    * codebook (degenerate corpora still train); a cell that loses all
+    * members keeps its previous codeword (standard empty-cell handling,
+    * deterministic).
     */
   def trainCodebooks(embeddings: DataFrame, dim: Int = 64, m: Int = 8,
-                     ks: Int = 256, iters: Int = 3): Codebooks = {
+                     ks: Int = 256, iters: Int = 3,
+                     sampleN: Int = 16384): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(m <= 8 && ks <= 256, "packed codes: ≤ 8 sub-codes of ≤ 8 bits")
     val sub = dim / m
-    // cached: training runs m × (1 + iters) actions over this frame (8 × 4
-    // here) — without the cache each one re-reads the corpus and re-runs
-    // the zero-norm filter + normalization (~32 redundant full scans at
-    // the 100 TB framing where this is the dominant offline cost)
+    // cached: sampling runs m bounded actions over this frame — without
+    // the cache each one re-reads the corpus and re-runs the zero-norm
+    // filter + normalization (m redundant full scans)
     val vn = embeddings.select(col("embedding").cast("array<double>").as("v"))
       .filter(dot(col("v"), col("v")) > 0.0)
       .select(unit(col("v")).as("vn"))
       .cache()
-    try trainFromNormalized(vn, m, sub, ks, iters)
+    try trainFromNormalized(vn, m, sub, ks, iters, sampleN)
     finally { vn.unpersist(blocking = false); () }
   }
 
   private def trainFromNormalized(vn: DataFrame, m: Int, sub: Int,
-                                  ks: Int, iters: Int): Codebooks = {
-    val books = Array.tabulate(m) { s =>
+                                  ks: Int, iters: Int, sampleN: Int): Codebooks = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val n = math.max(sampleN, ks)
+    // one independent bounded job + local Lloyd per subspace; subspaces run
+    // concurrently (Spark actions are thread-safe, each future fills its
+    // own slot, each book is internally deterministic)
+    val books = Await.result(Future.sequence((0 until m).map { s => Future {
       val sv = vn.select(slice(col("vn"), s * sub + 1, sub).as("sv"))
-      // seeds: the ks hash-least DISTINCT subvectors — deterministic under
-      // any partitioning; secondary sort on the array itself breaks the
-      // (negligible) hash-collision tie deterministically too
-      var cents: Array[Array[Double]] = sv.distinct()
-        .orderBy(xxhash64(col("sv")), col("sv")).limit(ks)
+      // sample: the n hash-least DISTINCT subvectors — deterministic under
+      // any partitioning (secondary sort on the array breaks the
+      // negligible hash-collision tie deterministically too), and a
+      // TakeOrderedAndProject over the partial-distinct exchange: the
+      // shuffle carries only per-partition-distinct rows, the sort is
+      // partition-local top-n heaps. The first ks of the sample are
+      // exactly the seeds the full-corpus trainer used.
+      val sample: Array[Array[Double]] = sv.distinct()
+        .orderBy(xxhash64(col("sv")), col("sv")).limit(n)
         .collect().map(_.getSeq[Double](0).toArray)
-      for (_ <- 1 to iters) {
-        val assigned = sv.withColumn("c", nearestCode(col("sv"), cents))
-        // means summed in DECIMAL: a double sum's value depends on
-        // partition/merge order in the last ulps, which cascades into
-        // different argmin assignments next iteration — the codebook would
-        // differ per partitioning (caught by PqSpec's determinism case).
-        // Unit-vector components are in [-1,1]: decimal(27,18) holds the
-        // per-value cast exactly enough and the corpus sum losslessly.
-        val means = assigned
-          .select(col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy("c", "pos")
-          .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
-            count(lit(1))).as("mu"))
-          .groupBy("c")
-          .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
-          .select(col("c"), transform(col("pm"), p => p.getField("mu")).as("cent"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
-      }
-      cents.flatten
-    }
+      lloydLocal(sample, sample.take(ks).map(_.clone()), iters).flatten
+    }}), Duration.Inf).toArray
     Codebooks(sub, books)
+  }
+
+  /** Driver-side Lloyd over the bounded sample: fixed iteration order makes
+    * plain double sums partition-independent (the distributed trainer
+    * needed a decimal dance for the same guarantee), so the codebook is a
+    * pure function of the sample. Ties assign to the LOWEST codeword index
+    * — the [[org.apache.spark.sql.graft.NearestCentroid]] contract the
+    * encode path and PqSpec's roundtrip recompute both use. */
+  private def lloydLocal(sample: Array[Array[Double]],
+                         seeds: Array[Array[Double]],
+                         iters: Int): Array[Array[Double]] = {
+    val sub = if (sample.isEmpty) 0 else sample(0).length
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val k = cents.length
+      val sums = Array.ofDim[Double](k, sub)
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < sample.length) {
+        val p = sample(i)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val c = cents(j)
+          var d = 0.0
+          var t = 0
+          while (t < sub) { val diff = c(t) - p(t); d += diff * diff; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        val srow = sums(best)
+        var t = 0
+        while (t < sub) { srow(t) += p(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0L) cents(j)
+        else {
+          val c = new Array[Double](sub)
+          var t = 0
+          while (t < sub) { c(t) = sums(j)(t) / counts(j); t += 1 }
+          c
+        }
+      }
+    }
+    cents
   }
 
   /** Session cache: train once per (corpus key, shape), reuse across
     * queries — the offline-training production shape. */
   private val bookCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int), Codebooks]
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int, Int), Codebooks]
   def trainedCodebooks(embeddings: DataFrame, cacheKey: String, dim: Int = 64,
-                       m: Int = 8, ks: Int = 256, iters: Int = 3): Codebooks =
-    bookCache.getOrElseUpdate((cacheKey, dim, m, ks, iters),
-      trainCodebooks(embeddings, dim, m, ks, iters))
+                       m: Int = 8, ks: Int = 256, iters: Int = 3,
+                       sampleN: Int = 16384): Codebooks =
+    bookCache.getOrElseUpdate((cacheKey, dim, m, ks, iters, sampleN),
+      trainCodebooks(embeddings, dim, m, ks, iters, sampleN))
 
   /** Drop the session cache (Bench fresh-cost mode) — next call retrains. */
   def clearSessionCache(): Unit = bookCache.clear()

@@ -392,7 +392,8 @@ object SparkEntry {
     // learning itself is spec-pinned in BpeSpec)
     "bpe_token_counts" -> Bpe.tokenCounts _,
     // the same accounting under an IMPORTED out-of-creation-order merge
-    // list (the reversed trained list), scored through the canonical
+    // list (the two-step chain over the corpus's top >=3-char word,
+    // Bpe.gateImportList), scored through the canonical
     // priority-iterated applier — the external-vocabulary import path
     // oracle-verified, not just spec-pinned
     "bpe_token_counts_imported" -> Bpe.tokenCountsImported _,
@@ -582,6 +583,32 @@ object SparkEntry {
           Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d))),
           Seq(0L, 1L, 2L), 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
+    // [r16] REAL image-kernel tier, oracle-verified: the media table is
+    // deterministic synthesized PNGs whose dimensions/pixels are pure
+    // integer functions of doc_id (Multimodal.synthesizePng), so DuckDB
+    // replays the arithmetic while Spark must genuinely DECODE the PNG
+    // bytes (javax.imageio) to match — a wrong decode hash-mismatches.
+    // All three are narrow mapPartitions chains over the gate-sorted base.
+    "multimodal_meta_png" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractMetaImage(
+        Multimodal.pngMediaFromDocuments(Tables.documentsById(s, d))
+          .select("doc_id", "payload"))),
+    // decode → bounding-box fit → nearest-neighbor resample → PNG
+    // re-encode → RE-DECODE: the output dims come from decoding the
+    // resized payload, so the whole encode/decode circle is load-bearing
+    "multimodal_resize_png" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractMetaImage(
+        Multimodal.resizeImage(
+            Multimodal.pngMediaFromDocuments(Tables.documentsById(s, d))
+              .select("doc_id", "payload"),
+            maxW = 12, maxH = 12)
+          .select("doc_id", "payload"))),
+    // decoded-pixel per-cell luminance sums — exact Long arithmetic, the
+    // integer core of the real feature kernel
+    "multimodal_cellsums_png" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractCellSums(
+        Multimodal.pngMediaFromDocuments(Tables.documentsById(s, d))
+          .select("doc_id", "payload"))),
   )
 
   /** First UTF-8 byte of `text`, derived from the first code point (DuckDB
@@ -889,5 +916,46 @@ object SparkEntry {
         |CASE OCTET_LENGTH(ENCODE(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |CAST(1 + OCTET_LENGTH(ENCODE(text)) % 24 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // [r16] real-kernel tier: the oracle replays the PNG SYNTHESIS
+    // arithmetic (dims/pixels are pure integer functions of doc_id —
+    // Multimodal.synthesizePng/pngDims); the Spark side must genuinely
+    // decode the encoded bytes to produce the same numbers.
+    "multimodal_meta_png" ->
+      """SELECT doc_id,
+        |CAST(16 + doc_id % 17 AS BIGINT) AS width,
+        |CAST(8 + doc_id % 13 AS BIGINT) AS height,
+        |'png' AS format, CAST(1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize_png" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |         CAST(8 + doc_id % 13 AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT *, LEAST(1.0, 12.0 / w, 12.0 / h) AS scale FROM m)
+        |SELECT doc_id,
+        |CAST(GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS BIGINT) AS width,
+        |CAST(GREATEST(1, CAST(FLOOR(h * scale) AS BIGINT)) AS BIGINT) AS height,
+        |'png' AS format, CAST(1 AS BIGINT) AS n_frames
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // per-pixel replica of the decoded raster: pixel v(doc,x,y) is the
+    // synthesis hash masked to 24-bit RGB; luma and 4x4 cell binning
+    // mirror Multimodal.cellSums exactly (all-integer, no float hazard)
+    "multimodal_cellsums_png" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |         CAST(8 + doc_id % 13 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w)) AS x, y
+        |  FROM (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM dims)),
+        |pv AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (xor(xor(doc_id * 1315423911, x * 2654435761), y * 40503) & 16777215) AS v
+        |  FROM px)
+        |SELECT doc_id,
+        |  ((y * 4 // h) * 4 + (x * 4 // w)) AS cell,
+        |  CAST(SUM(((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) AS BIGINT) AS lum_sum,
+        |  COUNT(*) AS n_px
+        |FROM pv GROUP BY doc_id, cell ORDER BY doc_id, cell""".stripMargin,
   )
 }

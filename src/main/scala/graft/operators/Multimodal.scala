@@ -5,14 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata extracted by a batched per-partition
-  * decoder (charter north-star). The container ships no image/audio codecs,
-  * so the decode kernel is a clearly-marked deterministic STUB — but the
-  * Spark-side plumbing is real and tested: binary column in, typed struct
-  * out, decoding batched per partition exactly where a JNI/FFmpeg/Pillow
-  * kernel would sit on a production cluster.
+  * decoder (charter north-star). Two kernel tiers share the same plumbing:
   *
-  * The stub arithmetic is intentionally SQL-expressible (byte length + first
-  * byte) so even this path gets an exact DuckDB oracle.
+  *  - REAL image kernels ([[decodeImage]], [[extractMetaImage]],
+  *    [[resizeImage]], [[extractFeaturesImage]]) on the JDK's
+  *    `javax.imageio` (PNG/JPEG/GIF/BMP decoders ship in every JRE — no
+  *    added jars). Spec territory: the gate corpus carries no real media,
+  *    so MultimodalSpec synthesizes deterministic PNGs/GIFs
+  *    ([[synthesizePng]], [[synthesizeGif]]) and pins decoded
+  *    metadata/rasters against the synthesis parameters, end-to-end into
+  *    [[Similarity.bruteForceTopK]].
+  *  - STUB kernel ([[decodeStub]]) for the DuckDB gate rows: intentionally
+  *    SQL-expressible arithmetic (byte length + first byte) over the
+  *    documents fixture's text bytes, because the oracle cannot decode
+  *    PNG. The gate verifies the PLUMBING (schema, batching, explode
+  *    shape, payload never riding exploded rows); the real-kernel specs
+  *    verify the decode.
   */
 object Multimodal {
 
@@ -97,6 +105,271 @@ object Multimodal {
         h60(concat_ws("-", col("payload_fp"), col("doc_id").cast("string"),
           col("frame_idx").cast("string"))).as("frame_hash"))
   }
+
+  // --- real image kernels (JDK javax.imageio) -------------------------------
+
+  /** Magic-byte format sniff — lets the per-partition decoder cache ONE
+    * ImageReader per format instead of running the ImageIO service lookup
+    * per row (the codec-amortization a production kernel does with its
+    * decoder contexts). */
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte) "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 3 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte) "gif"
+    else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
+    else "unknown"
+
+  /** Per-partition decoder context: format-keyed ImageReader cache +
+    * ImageIO's disk cache disabled (executor-local temp files for KB-sized
+    * streams would be pure overhead). */
+  private final class ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    private def reader(fmt: String): javax.imageio.ImageReader =
+      readers.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        require(it.hasNext, s"no JDK ImageReader for format '$fmt'")
+        it.next()
+      })
+    /** Header-only metadata read (dimensions + frame count without a full
+      * raster decode — ImageReader reads just the stream header). */
+    def meta(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val fmt = sniffFormat(payload)
+      require(fmt != "unknown", s"doc $docId: payload is not a decodable image")
+      val r = reader(fmt)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        r.setInput(iis)
+        // allowSearch: walks the stream, so animated GIFs report their real
+        // frame count (spec-pinned against synthesizeGif's nFrames)
+        MediaMeta(docId, r.getWidth(0).toLong, r.getHeight(0).toLong, fmt,
+          r.getNumImages(true).toLong)
+      } finally iis.close()
+    }
+    /** Full first-frame raster decode. */
+    def decode(docId: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val fmt = sniffFormat(payload)
+      require(fmt != "unknown", s"doc $docId: payload is not a decodable image")
+      val r = reader(fmt)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try { r.setInput(iis); r.read(0) } finally iis.close()
+    }
+  }
+
+  /** Real image-decode kernel for one payload (spec/driver convenience —
+    * the distributed paths amortize the codec via [[ImageCodec]] per
+    * partition instead). */
+  def decodeImage(docId: Long, payload: Array[Byte]): MediaMeta =
+    new ImageCodec().meta(docId, payload)
+
+  /** [[extractMeta]]'s real-kernel twin: same mapPartitions plumbing, the
+    * decode is a genuine `javax.imageio` header read. */
+  def extractMetaImage(media: DataFrame): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val codec = new ImageCodec() // codec init once per partition
+      rows.map { case (id, bytes) => codec.meta(id, bytes) }
+    }(Encoders.product[MediaMeta]).toDF()
+  }
+
+  /** Real resize kernel: decode → bounding-box fit (the [[resizeMeta]]
+    * arithmetic: aspect-preserving, never upscaling, floor'd — clamped to
+    * ≥1 px) → nearest-neighbor resample → PNG re-encode. The resample is a
+    * hand-rolled integer source-index loop (`sx = x·w/newW`), not an AWT
+    * scaler op, so the output raster is bit-deterministic across JVMs.
+    * Output: (doc_id, new_width, new_height, payload) with payload a real
+    * PNG of the resized raster — MultimodalSpec decodes it back and pins
+    * the dimensions.
+    */
+  def resizeImage(media: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val codec = new ImageCodec()
+      rows.map { case (id, bytes) =>
+        val img = codec.decode(id, bytes)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val nw = math.max(1, math.floor(w * scale).toInt)
+        val nh = math.max(1, math.floor(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) { out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (id, nw.toLong, nh.toLong, bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "new_width", "new_height", "payload")
+  }
+
+  /** The integer core of the feature kernel: per grid-cell luminance sums
+    * (ITU-R 601 luma ×1000) and pixel counts — exact Long arithmetic,
+    * bit-deterministic regardless of pixel visit order. */
+  private def cellSums(img: java.awt.image.BufferedImage,
+                       grid: Int): (Array[Long], Array[Long]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L
+        val cell = (y * grid / h) * grid + (x * grid / w)
+        sums(cell) += lum
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
+  }
+
+  /** Real feature kernel: decode → grid×grid mean-luminance vector in
+    * [0,1] (the pooled-patch shape a vision embedding reduces to) — the
+    * float view of [[cellSums]]. */
+  private def imageFeatures(img: java.awt.image.BufferedImage,
+                            grid: Int): Array[Float] = {
+    val (sums, counts) = cellSums(img, grid)
+    Array.tabulate(grid * grid) { i =>
+      if (counts(i) == 0L) 0f
+      else (sums(i).toDouble / (counts(i) * 255000.0)).toFloat
+    }
+  }
+
+  /** Row shape of [[extractCellSums]]. */
+  case class CellSumRow(doc_id: Long, cell: Long, lum_sum: Long, n_px: Long)
+
+  /** The DECODED raster's per-cell integer luminance sums — the
+    * oracle-facing view of the real feature kernel: every value is exact
+    * Long arithmetic over real decoded pixels, so the DuckDB gate can
+    * replicate it from the synthesis arithmetic alone (the
+    * `multimodal_cellsums_png` row). Spark must actually decode the PNG
+    * bytes to match — a wrong decode, wrong channel order, or wrong cell
+    * binning hash-mismatches immediately. */
+  def extractCellSums(media: DataFrame, grid: Int = 4): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val codec = new ImageCodec()
+      rows.flatMap { case (id, bytes) =>
+        val (sums, counts) = cellSums(codec.decode(id, bytes), grid)
+        (0 until grid * grid).iterator.filter(counts(_) > 0L)
+          .map(c => CellSumRow(id, c.toLong, sums(c), counts(c)))
+      }
+    }(Encoders.product[CellSumRow]).toDF()
+  }
+
+  /** [[extractFeatures]]'s real-kernel twin: payload → decoded raster →
+    * grid²-dim `array<float>` embedding, feeding [[Similarity]] unchanged
+    * (MultimodalSpec runs it end-to-end into bruteForceTopK). */
+  def extractFeaturesImage(media: DataFrame, grid: Int = 4): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val codec = new ImageCodec()
+      rows.map { case (id, bytes) =>
+        FeatureRow(id, imageFeatures(codec.decode(id, bytes), grid))
+      }
+    }(Encoders.product[FeatureRow]).toDF()
+  }
+
+  /** Row shape of [[extractFeaturesImage]] (matches the embeddings table). */
+  case class FeatureRow(vec_id: Long, embedding: Array[Float])
+
+  /** Deterministic tiny PNG: every pixel a pure integer-hash function of
+    * (docId, x, y) — the fixture for the real-kernel specs (the testdata
+    * ships no media). */
+  def synthesizePng(docId: Long, width: Int, height: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = docId * 1315423911L ^ x.toLong * 2654435761L ^ y.toLong * 40503L
+        img.setRGB(x, y, (v & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic animated GIF of `nFrames` synthesized frames (JDK GIF
+    * writer, sequence API) — exercises the n_frames>1 branch of the real
+    * meta kernel. */
+  def synthesizeGif(docId: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (docId * 31L + f) * 1315423911L ^
+              x.toLong * 2654435761L ^ y.toLong * 40503L
+            img.setRGB(x, y, (v & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Synthesized-PNG media table over the documents fixture: dimensions are
+    * pure functions of doc_id, so specs can pin decoded metadata against
+    * the synthesis parameters. Synthesis runs per partition (the encode is
+    * the "ingest" a real media table already paid). */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val ds: Dataset[Long] = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        (id, w.toLong, h.toLong, synthesizePng(id, w, h))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "width", "height", "payload")
+  }
+
+  /** The synthesis dimensions for doc `id` — shared by fixture and specs. */
+  def pngDims(id: Long): (Int, Int) =
+    (16 + (id % 17L).toInt, 8 + (id % 13L).toInt)
 
   /** Feature-extraction plumbing: binary payload → dense `array<float>`
     * (the embedding a vision/audio model would produce — STUB arithmetic,

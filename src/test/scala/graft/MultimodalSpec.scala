@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+/** Real-kernel multimodal coverage: deterministic PNG/GIF fixtures
+  * synthesized in-test (the testdata ships no media), decoded by the
+  * genuine javax.imageio kernels, pinned against the synthesis parameters
+  * — end-to-end into bruteForceTopK. The DuckDB gate rows keep exercising
+  * the SQL-expressible stub tier; this suite is where the decode itself is
+  * verified.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, Sf0001).select("doc_id").limit(64)
+  private lazy val media = Multimodal.pngMediaFromDocuments(docs).cache()
+
+  test("synthesized PNGs decode to their synthesis dimensions (header-only meta read)") {
+    val decoded = Multimodal.extractMetaImage(media.select("doc_id", "payload"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(decoded.length == 64)
+    for ((id, w, h, fmt, nf) <- decoded) {
+      val (ew, eh) = Multimodal.pngDims(id)
+      assert(w == ew && h == eh, s"doc $id decoded ${w}x$h, synthesized ${ew}x$eh")
+      assert(fmt == "png" && nf == 1L)
+    }
+  }
+
+  test("animated GIF reports its real frame count through the same kernel") {
+    val m = Multimodal.decodeImage(7L, Multimodal.synthesizeGif(7L, 12, 9, nFrames = 5))
+    assert(m.width == 12L && m.height == 9L && m.format == "gif" && m.n_frames == 5L)
+  }
+
+  test("real resize: re-decoded raster has the bounding-box dimensions, never upscaled") {
+    // synthesis dims: w in [16,32], h in [8,20] — maxW/maxH force a
+    // downscale on wide/tall images and a no-op on already-small ones
+    val (maxW, maxH) = (12, 12)
+    val resized = Multimodal.resizeImage(media.select("doc_id", "payload"), maxW, maxH)
+    // round-trip: decode the RESIZED payload, not just trust the columns
+    val redecoded = Multimodal.extractMetaImage(resized.select("doc_id", "payload"))
+      .select("doc_id", "width", "height").as[(Long, Long, Long)].collect()
+      .map { case (id, w, h) => id -> ((w, h)) }.toMap
+    val claimed = resized.select("doc_id", "new_width", "new_height")
+      .as[(Long, Long, Long)].collect()
+    assert(claimed.length == 64)
+    for ((id, nw, nh) <- claimed) {
+      val (w, h) = Multimodal.pngDims(id)
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val (ew, eh) = (math.max(1, math.floor(w * scale).toInt),
+        math.max(1, math.floor(h * scale).toInt))
+      assert(nw == ew && nh == eh, s"doc $id resized to ${nw}x$nh, expected ${ew}x$eh")
+      assert(nw <= w && nh <= h, s"doc $id upscaled")
+      val (dw, dh) = (redecoded(id)._1, redecoded(id)._2)
+      assert(dw == ew && dh == eh, s"doc $id re-decoded ${dw}x$dh ≠ claimed ${ew}x$eh")
+    }
+  }
+
+  test("real features end-to-end: decoded-pixel embeddings into bruteForceTopK, partition-stable") {
+    val feats = Multimodal.extractFeaturesImage(media.select("doc_id", "payload"), grid = 4)
+    val collected = feats.as[(Long, Seq[Float])].collect()
+    assert(collected.length == 64)
+    assert(collected.forall { case (_, v) =>
+      v.length == 16 && v.forall(x => x >= 0f && x <= 1f)
+    }, "luminance features must be 16-dim in [0,1]")
+    // same rasters → same embeddings regardless of partitioning
+    val repart = Multimodal
+      .extractFeaturesImage(media.select("doc_id", "payload").repartition(7), grid = 4)
+      .as[(Long, Seq[Float])].collect()
+    assert(collected.sortBy(_._1).toSeq == repart.sortBy(_._1).toSeq)
+    val probeIds = collected.map(_._1).sorted.take(3).toSeq
+    val topk = Similarity.bruteForceTopK(feats, probeIds, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(topk.length == probeIds.size * 5)
+    assert(topk.forall { case (q, c, s) => q != c && s >= -1.0001 && s <= 1.0001 })
+  }
+
+  test("cell sums cover every pixel exactly once (the integer core the gate row replays)") {
+    val sums = Multimodal.extractCellSums(media.select("doc_id", "payload"), grid = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val perDoc = sums.groupBy(_._1)
+    assert(perDoc.size == 64)
+    for ((id, rows) <- perDoc) {
+      val (w, h) = Multimodal.pngDims(id)
+      assert(rows.map(_._4).sum == w.toLong * h, s"doc $id pixel count off")
+      assert(rows.length == 16, s"doc $id missing cells (w=$w h=$h >= grid)")
+      // luma bound: 255*(299+587+114) = 255000 per pixel
+      assert(rows.forall { case (_, _, lum, n) => lum >= 0L && lum <= 255000L * n })
+    }
+  }
+
+  test("stub tier unchanged: gate plumbing still runs on the text-bytes fixture") {
+    val stub = Multimodal.extractMeta(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001).limit(10)))
+    assert(stub.count() == 10)
+    assert(stub.columns.toSeq ==
+      Seq("doc_id", "width", "height", "format", "n_frames"))
+  }
+}

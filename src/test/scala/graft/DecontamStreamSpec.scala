@@ -53,6 +53,30 @@ class DecontamStreamSpec extends AnyFunSuite with SparkSuite {
     assert(flags(out) == before)
   }
 
+  test("compactState folds shingle dirs; a post-compaction replay keeps the flag contract") {
+    val state = tmp(); val out = tmp()
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    DecontamStream.applyBatch(spark, docs.filter(isBench), 0L, state, out)
+    DecontamStream.applyBatch(spark, docs.filter(!isBench), 1L, state, out)
+    val before = flags(out)
+    DecontamStream.compactState(spark, state)
+    val fs = graft.functions.FsUtils.fs(spark, s"$state/bench_shingles")
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/bench_shingles"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(dirs == Seq("batch=-1"))
+    // replay of the training batch AFTER compaction: its state dir is gone
+    // (watermark=false — no foldmeta), so it re-commits its (empty)
+    // benchmark shingles and re-flags against the folded distinct union —
+    // the same set its first delivery saw, so flags are byte-identical
+    DecontamStream.applyBatch(spark, docs.filter(!isBench), 1L, state, out)
+    assert(flags(out) == before)
+    assert(flags(out) == batchRun) // benchmark fully delivered -> batch equality
+    // double compaction (now including batch=-1 itself) is stable
+    DecontamStream.compactState(spark, state)
+    DecontamStream.applyBatch(spark, docs.filter(!isBench), 1L, state, out)
+    assert(flags(out) == before)
+  }
+
   test("readFlags is empty on fresh state and after bench-only delivery") {
     assert(DecontamStream.readFlags(spark, tmp() + "/none").collect().isEmpty)
     val state = tmp(); val out = tmp()

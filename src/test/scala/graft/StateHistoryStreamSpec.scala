@@ -132,7 +132,13 @@ class StateHistoryStreamSpec extends AnyFunSuite with SparkSuite {
       schemaFrom = df, autoCompactBatches = 2)
     try {
       bs.foreach { b =>
-        b.write.mode("append").parquet(in)
+        // ONE data file per drop: the query is live while we write, and a
+        // multi-file append can be listed mid-commit — half the drop in one
+        // micro-batch, half in the next, in arbitrary file order, violating
+        // the stream's per-user in-order delivery contract (a real
+        // deployment gets order from its log; the committer's single-file
+        // rename gives the harness the same atomicity)
+        b.coalesce(1).write.mode("append").parquet(in)
         q.processAllAvailable()
       }
     } finally q.stop()

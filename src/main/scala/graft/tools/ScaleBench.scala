@@ -386,6 +386,35 @@ object ScaleBench {
           graft.operators.Centrality.docEdges(dx, dx.count()),
           nodes.filter(pmod(col("id"), lit(97L)) === 0L), 3)
       },
+      // PQ codebook training (round 16): bounded-sample Lloyd. Plain
+      // amplify keeps the DISTINCT subvector set constant (replicated
+      // vectors dedup inside the partial-distinct exchange — the friendly
+      // case); the perturbed twin makes every replica's subvectors
+      // distinct, so the distinct exchange grows k× while driver state
+      // stays at m×sampleN rows by TakeOrdered — the honest worst case.
+      // Training is eager (bpe_train pattern): work happens in the call.
+      "pq_train_sampled" -> { k =>
+        val cb = graft.operators.Pq.trainCodebooks(embsX(k))
+        println(s"  [pq_train_sampled ${k}x: m=${cb.m} sub=${cb.sub}]")
+        spark.range(1).toDF("ok")
+      },
+      "pq_train_sampled_distinct" -> { k =>
+        val pert = embsX(k).select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + col("vec_id").cast("double") * lit(1e-9)).as("embedding"))
+        val cb = graft.operators.Pq.trainCodebooks(pert)
+        println(s"  [pq_train_sampled_distinct ${k}x: m=${cb.m} sub=${cb.sub}]")
+        spark.range(1).toDF("ok")
+      },
+      // real-image-kernel tier (round 16): synthesis + full decode +
+      // per-cell integer luma sums over a k×-amplified doc table — the
+      // whole cost is the narrow mapPartitions codec pass, no exchange
+      "multimodal_cellsums_png" -> (k =>
+        graft.operators.Multimodal.extractCellSums(
+          graft.operators.Multimodal.pngMediaFromDocuments(docsX(k))
+            .select("doc_id", "payload"))
+          .groupBy("doc_id").agg(sum("lum_sum").as("s"))
+          .agg(count(lit(1)).as("n_docs"), sum("s").as("total"))),
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

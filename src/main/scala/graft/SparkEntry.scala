@@ -59,7 +59,7 @@ object SparkEntry {
   val registryBacked: Set[String] = Set(
     "ann_ivf_topk", "ann_ivf_topk_indexed", "ann_ivf_topk_quantized",
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
-    "zorder_pruned_read")
+    "ann_ivf_topk_pqr", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -560,6 +560,12 @@ object SparkEntry {
     // equivalent to decode-then-dot, and the exact rerank restores
     // oracle-expressible scores, so the exact-IVF oracle applies verbatim
     "ann_ivf_topk_adc" -> ((s: SparkSession, d: String) => pqRerankGate(s, d, adc = true)),
+    // [r16] residual (IVFADC) tier: codes quantize unit(v) - anchor(cluster)
+    // instead of unit(v) — the same 8 bits/subspace on a much tighter ball
+    // (PqSpec pins reconstruction MSE strictly below plain PQ; PqProbe pins
+    // the larger containment margin). Same pool-then-exact-rerank shape,
+    // same exact-IVF oracle.
+    "ann_ivf_topk_pqr" -> ((s: SparkSession, d: String) => pqrRerankGate(s, d)),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -642,12 +648,40 @@ object SparkEntry {
     val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
     Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
     Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
+    Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, gateProbes(e),
+        k = 3, nprobe = 3, poolMult = 40, adc = adc)
+      .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+  }
+
+  private def gateProbes(e: DataFrame): Seq[(Long, Seq[Double])] = {
     val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
-    val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+    e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, vecs,
-        k = 3, nprobe = 3, poolMult = 40, adc = adc)
+  }
+
+  /** [r16] The residual (IVFADC) tier's gate twin: anchors + residual
+    * codebooks from the session model cache, same pool/rerank settings as
+    * the plain tier. PqProbe containment (2026-08-15): plain contains
+    * from pm=10 at every SF; residual from pm=4 at sf≤0.01 but pm=20 at
+    * sf0.1 — the near-RANDOM synthetic corpus is residual's worst case
+    * (cluster anchors carry little mass when there is no real cluster
+    * structure; on a genuinely clustered corpus the residual margin grows,
+    * which is what the strictly-lower reconstruction MSE pin measures).
+    * The shared gate pm=40 keeps ≥2× margin for both tiers. Oracle:
+    * exact-IVF replica (same regeneration-risk note as ann_ivf_topk_pq).
+    */
+  private def pqrRerankGate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.trainedCentroids(e, d)
+    val (anchors, rcb) = Pq.trainedResidualModel(e, cents, d)
+    val pqrPath = "/tmp/graft-ivf-pqrindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(pqrPath)(
+      Pq.buildIndexPqResidual(e, cents, anchors, rcb, pqrPath))
+    Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
+    Pq.ivfTopKPqResidualRerank(s, pqrPath, ePath, cents, anchors, rcb,
+        gateProbes(e), k = 3, nprobe = 3, poolMult = 40)
       .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
   }
 
@@ -678,6 +712,7 @@ object SparkEntry {
     // poolMult with tools/PqProbe and raise it here + in the spec.
     "ann_ivf_topk_pq" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_adc" -> PortableOracles.annIvfTopkSql,
+    "ann_ivf_topk_pqr" -> PortableOracles.annIvfTopkSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,

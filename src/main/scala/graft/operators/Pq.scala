@@ -180,8 +180,8 @@ object Pq {
     bookCache.getOrElseUpdate((cacheKey, dim, m, ks, iters, sampleN),
       trainCodebooks(embeddings, dim, m, ks, iters, sampleN))
 
-  /** Drop the session cache (Bench fresh-cost mode) — next call retrains. */
-  def clearSessionCache(): Unit = bookCache.clear()
+  /** Drop the session caches (Bench fresh-cost mode) — next call retrains. */
+  def clearSessionCache(): Unit = { bookCache.clear(); residualCache.clear() }
 
   /** Pack a unit vector's m sub-codes into one BIGINT (sub-code s in bits
     * [8s, 8s+8)). m codegen argmins + shifts — narrow, no shuffle. */
@@ -357,6 +357,160 @@ object Pq {
         .join(broadcast(luts), Seq("query_id")),
       k, sim, "psim")
   }
+
+  // --- residual PQ (IVFADC, Jégou §IV-A) ------------------------------------
+
+  /** Per-cluster anchor: the elementwise mean of the cluster's UNIT member
+    * vectors, summed in DECIMAL (order-independent, so the anchor table is
+    * deterministic under any partitioning — the retired distributed
+    * trainer's trick, kept here because this aggregate IS distributed).
+    * O(clusters × dim) driver rows, part of the model like the codebooks.
+    */
+  def clusterAnchors(embeddings: DataFrame,
+                     cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] =
+    Similarity.assign(embeddings, cents)
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .select(col("cluster"), posexplode(unit(col("v"))).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
+        count(lit(1))).as("mu"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+      .select(col("cluster"), transform(col("pm"), p => p.getField("mu")).as("anchor"))
+      .collect().toSeq
+      .map(r => (r.get(0) match { case n: java.lang.Number => n.intValue },
+        r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Codebooks trained on RESIDUALS `unit(v) − anchor(cluster)` — the
+    * classical IVFADC refinement: residuals of a clustered corpus occupy a
+    * much tighter ball than the unit sphere, so the same 8 bits/subspace
+    * quantize finer (PqSpec pins reconstruction error strictly below the
+    * plain tier's on the gate corpus). Same bounded-sample Lloyd. */
+  def trainCodebooksResidual(embeddings: DataFrame,
+                             cents: Seq[(Int, Seq[Double])],
+                             anchors: Seq[(Int, Seq[Double])],
+                             dim: Int = 64, m: Int = 8, ks: Int = 256,
+                             iters: Int = 3, sampleN: Int = 16384): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(m <= 8 && ks <= 256, "packed codes: ≤ 8 sub-codes of ≤ 8 bits")
+    val sub = dim / m
+    val rn = residualFrame(embeddings, cents, anchors).select(col("r").as("vn"))
+      .cache()
+    try trainFromNormalized(rn, m, sub, ks, iters, sampleN)
+    finally { rn.unpersist(blocking = false); () }
+  }
+
+  /** (vec_id, cluster, r = unit(v) − anchor) for indexable vectors —
+    * anchors ride a broadcast equi-join (tiny model-side table). */
+  private def residualFrame(embeddings: DataFrame,
+                            cents: Seq[(Int, Seq[Double])],
+                            anchors: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val adf = anchors.toDF("cluster", "anchor")
+    Similarity.assign(embeddings, cents)
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .join(broadcast(adf), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(unit(col("v")), col("anchor"), (a, b) => a - b).as("r"))
+  }
+
+  /** Session cache for the residual model (anchors + codebooks) — the
+    * trained-once-query-many shape; cleared by [[clearSessionCache]]. */
+  private val residualCache = new scala.collection.concurrent.TrieMap[
+    String, (Seq[(Int, Seq[Double])], Codebooks)]
+  def trainedResidualModel(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                           cacheKey: String): (Seq[(Int, Seq[Double])], Codebooks) =
+    residualCache.getOrElseUpdate(cacheKey, {
+      val anchors = clusterAnchors(embeddings, cents)
+      (anchors, trainCodebooksResidual(embeddings, cents, anchors))
+    })
+
+  /** Cluster-partitioned residual-PQ index: same row shape and layout as
+    * [[buildIndexPq]] (coarse membership identical to the exact index);
+    * codes encode the residual. */
+  def buildIndexPqResidual(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                           anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
+                           path: String): Unit =
+    residualFrame(embeddings, cents, anchors)
+      .withColumn("code", encodePacked(col("r"), cb))
+      .select(col("vec_id"), col("code"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** [[appendAssignedPq]]'s residual twin — O(batch) incremental appends
+    * against the persisted model (anchors + codebooks never retrained
+    * online, the standard coarse-quantizer contract). */
+  def appendAssignedPqResidual(newEmbeddings: DataFrame,
+                               cents: Seq[(Int, Seq[Double])],
+                               anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
+                               indexPath: String): Unit =
+    residualFrame(newEmbeddings, cents, anchors)
+      .withColumn("code", encodePacked(col("r"), cb))
+      .select(col("vec_id"), col("code"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(indexPath)
+
+  /** Raw residual-PQ ranking: candidates reconstruct as
+    * `anchor(cluster) + decode(code)` (one zip_with over the broadcast
+    * anchor joined by the cluster column the index already carries), then
+    * the shared cosine score tail. Same probe-scoped cluster equi-join and
+    * NaN contract as every other tier. */
+  def ivfTopKPqResidualRaw(spark: SparkSession, pqrPath: String,
+                           cents: Seq[(Int, Seq[Double])],
+                           anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
+                           queries: Seq[(Long, Seq[Double])],
+                           k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val withClusters = queries.map { case (id, v) =>
+      (id, v, Similarity.nearestClustersLocal(v, cents, nprobe))
+    }
+    val probes = withClusters.toDF("query_id", "qv", "clusters")
+      .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
+    val probed = withClusters.flatMap(_._3).distinct
+    val adf = anchors.toDF("cluster", "anchor")
+    val cands = spark.read.parquet(pqrPath)
+      .filter(col("cluster").isin(probed: _*))
+      .join(broadcast(adf), Seq("cluster"))
+      .select(col("vec_id").as("cand_id"),
+        zip_with(col("anchor"), decodePacked(col("code"), cb),
+          (a, d) => a + d).as("cv"),
+        col("cluster"))
+    Similarity.ivfScoreTail(probes, cands, k)
+      .withColumnRenamed("sim", "psim")
+  }
+
+  /** Two-stage residual-PQ retrieval — [[ivfTopKPqRerank]]'s twin: the
+    * residual pool chooses the ≤ poolMult·k candidates, the exact index
+    * pays the full-precision read. Tighter residual quantization means the
+    * pool contains the exact top-k at SMALLER poolMult than plain PQ
+    * (measured in PqProbe; the gate still runs the shared pm=40). */
+  def ivfTopKPqResidualRerank(spark: SparkSession, pqrPath: String,
+                              exactPath: String, cents: Seq[(Int, Seq[Double])],
+                              anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
+                              queries: Seq[(Long, Seq[Double])],
+                              k: Int, nprobe: Int, poolMult: Int = 4): DataFrame = {
+    val pool = ivfTopKPqResidualRaw(spark, pqrPath, cents, anchors, cb, queries,
+        k * poolMult, nprobe)
+      .select(col("query_id"), col("cand_id"))
+    Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
+  }
+
+  /** Persist the anchor table (clusters × dim tiny rows) — same contract
+    * as [[saveCodebooks]]/[[Similarity.saveCentroids]]. */
+  def saveAnchors(spark: SparkSession, anchors: Seq[(Int, Seq[Double])],
+                  path: String): Unit = {
+    import spark.implicits._
+    anchors.toDF("cluster", "anchor")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadAnchors(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).collect().toSeq
+      .map(r => (r.get(0) match { case n: java.lang.Number => n.intValue },
+        r.getSeq[Double](1)))
+      .sortBy(_._1)
 
   /** Two-stage PQ retrieval: partition-pruned PQ pool (decode-then-cosine,
     * or LUT-ADC with `adc = true`; top poolMult·k per probe) → exact rerank

@@ -37,6 +37,19 @@ object PqProbe {
         val contained = probeIds.count(q => exact(q).subsetOf(pool.getOrElse(q, Set())))
         println(s"$sf pm=$pm contained=$contained/5")
       }
+      // residual (IVFADC) tier: same sweep — the tighter quantization
+      // should contain at smaller poolMult
+      val (anchors, rcb) = Pq.trainedResidualModel(e, cents, dir)
+      val pqr = s"/tmp/pqprobe/$sf/pqr"
+      Pq.buildIndexPqResidual(e, cents, anchors, rcb, pqr)
+      for (pm <- Seq(4, 10, 20, 40, 80)) {
+        val pool = Pq.ivfTopKPqResidualRaw(spark, pqr, cents, anchors, rcb,
+            probes, k = 3 * pm, nprobe = 3)
+          .select("query_id", "cand_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val contained = probeIds.count(q => exact(q).subsetOf(pool.getOrElse(q, Set())))
+        println(s"$sf RESIDUAL pm=$pm contained=$contained/5")
+      }
     }
     spark.stop()
   }

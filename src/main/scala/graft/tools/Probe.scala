@@ -16,7 +16,7 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = Seq("doc_pagerank")
+    val names = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "doc_pagerank").split(",").toSeq
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

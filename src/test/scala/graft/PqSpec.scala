@@ -174,6 +174,74 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  test("residual model: deterministic anchors/codebooks; strictly tighter reconstruction") {
+    val a1 = Pq.clusterAnchors(embs, cents)
+    val a2 = Pq.clusterAnchors(embs.repartition(7), cents)
+    assert(a1 == a2, "anchor table differs across partitionings")
+    val cb1 = Pq.trainCodebooksResidual(embs, cents, a1, iters = 2)
+    val cb2 = Pq.trainCodebooksResidual(embs.repartition(7), cents, a1, iters = 2)
+    assert(cb1.books.zip(cb2.books).forall { case (x, y) => x.sameElements(y) },
+      "residual codebooks differ across partitionings")
+    // reconstruction: mean squared error of the decoded approximation vs
+    // the true unit vector — residual quantization must beat plain PQ on a
+    // clustered corpus (it spends its 8 bits/subspace on a tighter ball)
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "pqspec-res")
+    val pq = tmp(); val pqr = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    Pq.buildIndexPqResidual(embs, cents, anchors, rcb, pqr)
+    val vn = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0d, (acc, x) -> acc + x) > 0"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), 0d, (acc, x) -> acc + x)))")
+        .as("vn"))
+    def mse(cands: org.apache.spark.sql.DataFrame): Double = cands
+      .join(vn, Seq("vec_id"))
+      .select(expr(
+        "aggregate(zip_with(cv, vn, (a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)")
+        .as("e"))
+      .agg(avg("e")).head().getDouble(0)
+    val plainErr = mse(spark.read.parquet(pq)
+      .select(col("vec_id"), Pq.decodePacked(col("code"), cb).as("cv")))
+    val adf = {
+      import spark.implicits._
+      anchors.toDF("cluster", "anchor")
+    }
+    val resErr = mse(spark.read.parquet(pqr).join(broadcast(adf), Seq("cluster"))
+      .select(col("vec_id"),
+        zip_with(col("anchor"), Pq.decodePacked(col("code"), rcb),
+          (a, d) => a + d).as("cv")))
+    assert(resErr < plainErr,
+      s"residual reconstruction MSE $resErr not below plain $plainErr")
+  }
+
+  test("residual rerank at gate settings ≡ exact IVF; incremental appends ≡ one-shot") {
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "pqspec-res")
+    val pqr = tmp(); val ex = tmp()
+    Pq.buildIndexPqResidual(embs, cents, anchors, rcb, pqr)
+    Similarity.buildIndex(embs, cents, ex)
+    val got = Pq.ivfTopKPqResidualRerank(spark, pqr, ex, cents, anchors, rcb,
+        probes, k = 3, nprobe = 3, poolMult = 40)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    val exact = Similarity.ivfTopK(embs, cents, probeIds, k = 3, nprobe = 3)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    assert(got == exact,
+      "residual-PQ pool at gate settings misses exact top-k")
+    // two-batch append produces byte-identical codes to the one-shot build
+    val inc = tmp()
+    Pq.appendAssignedPqResidual(embs.filter(col("vec_id") % 2 === 0),
+      cents, anchors, rcb, inc)
+    Pq.appendAssignedPqResidual(embs.filter(col("vec_id") % 2 === 1),
+      cents, anchors, rcb, inc)
+    def rows(p: String) = spark.read.parquet(p).orderBy("vec_id")
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
+    assert(rows(pqr) == rows(inc))
+    // anchors round-trip through save/load
+    val base = tmp()
+    Pq.saveAnchors(spark, anchors, s"$base/anchors")
+    assert(Pq.loadAnchors(spark, s"$base/anchors") == anchors)
+  }
+
   test("gate settings: PQ pool contains the exact top-k (rerank ≡ exact IVF)") {
     // poolMult 40 measured as the containment point on THIS corpus
     // (tools/PqProbe: 5/5 probes at every SF; pm=4 fails at sf0.01+) — the

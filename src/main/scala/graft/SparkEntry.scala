@@ -59,7 +59,7 @@ object SparkEntry {
   val registryBacked: Set[String] = Set(
     "ann_ivf_topk", "ann_ivf_topk_indexed", "ann_ivf_topk_quantized",
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
-    "ann_ivf_topk_pqr", "zorder_pruned_read")
+    "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -501,6 +501,17 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKCached(Tables.embeddings(s, d), d, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
+    // [r16] metadata-filtered retrieval: same IVF probe, candidates
+    // semi-joined to documents.lang = 'en' BEFORE the per-probe top-k (k
+    // fills from the filtered pool — score-then-filter would under-fill)
+    "ann_ivf_topk_filtered" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKFiltered(e, Similarity.trainedCentroids(e, d),
+          Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3,
+          allowedIds = Tables.documents(s, d)
+            .filter(col("lang") === "en").select(col("doc_id")))
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // same contract against the cluster-partitioned ON-DISK index (built
     // idempotently under /tmp per sf dir): the candidate scan lists and
     // opens only the probed `cluster=` directories — partition pruning is
@@ -698,6 +709,7 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> PortableOracles.embeddingNearDupLshSql,
     "embedding_dedup_keep" -> PortableOracles.embeddingDedupKeepSql,
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
+    "ann_ivf_topk_filtered" -> PortableOracles.annIvfTopkFilteredSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,

@@ -315,6 +315,37 @@ object Similarity {
     ivfScoreTail(probeClusters(assigned, cents, probeIds, nprobe),
       assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster")), k)
 
+  /** Metadata-filtered IVF retrieval (round 16): top-k among candidates
+    * whose id survives `allowedIds` (one id column — typically a filtered
+    * metadata table: "search only lang='en'" / "only source=X") — the
+    * filtered-vector-search shape every retrieval service needs. The
+    * filter SEMI-JOINS the candidate side after partition pruning and
+    * BEFORE the per-probe top-k, so k fills from the filtered pool — the
+    * naive score-then-filter order UNDER-fills k whenever the global top-k
+    * contains excluded ids (the classic filtered-ANN bug, spec-pinned).
+    * Probes are NOT required to pass the filter (a query vector is not a
+    * result). At scale the semi-join is a broadcast when the allowed set
+    * is dimension-sized and a shuffled hash semi-join when it is not —
+    * both shapes Catalyst picks from the same declaration.
+    */
+  def ivfTopKFiltered(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      probeIds: Seq[Long], k: Int, nprobe: Int,
+                      allowedIds: DataFrame): DataFrame =
+    ivfTopKFilteredAssigned(assign(embeddings, cents), cents, probeIds, k,
+      nprobe, allowedIds)
+
+  /** [[ivfTopKFiltered]] over a pre-assigned table — the incremental-index
+    * twin ([[ivfTopKAssigned]] contract). */
+  def ivfTopKFilteredAssigned(assigned: DataFrame, cents: Seq[(Int, Seq[Double])],
+                              probeIds: Seq[Long], k: Int, nprobe: Int,
+                              allowedIds: DataFrame): DataFrame = {
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).as("vec_id")).distinct()
+    val cands = assigned.join(allowed, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
+    ivfScoreTail(probeClusters(assigned, cents, probeIds, nprobe), cands, k)
+  }
+
   /** nprobe nearest clusters per probe via the codegen
     * [[org.apache.spark.sql.graft.NearestClusters]] (centroid matrix as a
     * reference object) — no crossJoin, no window, and no k·dim literals in

@@ -30,6 +30,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("filtered IVF: every result passes the filter; k fills from the filtered pool") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val allowed = Tables.documents(spark, Sf0001)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val allowedSet = allowed.as[Long].collect().toSet
+    val got = Similarity.ivfTopKFiltered(e, cents, probes, k = 3, nprobe = 10,
+        allowedIds = allowed)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall { case (_, c, _) => allowedSet(c) },
+      "a result escaped the metadata filter")
+    assert(got.length == probes.size * 3, "k under-filled despite a 40% pool")
+    // nprobe=all ≡ brute force restricted to the allowed set: the semi-join
+    // must run BEFORE the per-probe top-k (score-then-filter under-fills
+    // and can also admit wrong survivors into the k)
+    val bfAll = Similarity.bruteForceTopK(e, probes, k = 500)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (_, c, _) => allowedSet(c) }
+      .groupBy(_._1).view
+      .mapValues(_.sortBy { case (_, c, s) => (-s, c) }.take(3).map(t => (t._2, t._3)).toSet)
+      .toMap
+    val byProbe = got.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for (p <- probes)
+      assert(byProbe(p) == bfAll(p), s"probe $p: filtered IVF ≠ filtered brute force")
+    // and the filter genuinely bites: at least one unfiltered top-3 entry
+    // is outside the allowed set (otherwise this test proves nothing)
+    val unfiltered = Similarity.ivfTopK(e, cents, probes, 3, nprobe = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(unfiltered.exists { case (_, c, _) => !allowedSet(c) },
+      "fixture too weak: unfiltered top-3 is entirely inside the filter")
+  }
+
   test("IVF with nprobe=all clusters matches brute force exactly") {
     val e = Tables.embeddings(spark, Sf0001)
     val probes = Seq(0L, 1L, 2L)

@@ -427,15 +427,31 @@ object Pq {
       (anchors, trainCodebooksResidual(embeddings, cents, anchors))
     })
 
+  /** The residual-PQ index row shape from an assigned full-precision frame
+    * — shared by [[buildIndexPqResidual]], [[appendAssignedPqResidual]]
+    * and the streaming write
+    * ([[graft.streaming.EmbeddingIndexStream]]) so every path produces
+    * byte-identical codes (the [[pqFromAssigned]] contract). */
+  private[graft] def pqrFromAssigned(assigned: DataFrame,
+                                     anchors: Seq[(Int, Seq[Double])],
+                                     cb: Codebooks): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val adf = anchors.toDF("cluster", "anchor")
+    assigned.filter(dot(col("v"), col("v")) > 0.0)
+      .join(broadcast(adf), Seq("cluster"))
+      .withColumn("code",
+        encodePacked(zip_with(unit(col("v")), col("anchor"), (a, b) => a - b), cb))
+      .select(col("vec_id"), col("code"), col("cluster"))
+  }
+
   /** Cluster-partitioned residual-PQ index: same row shape and layout as
     * [[buildIndexPq]] (coarse membership identical to the exact index);
     * codes encode the residual. */
   def buildIndexPqResidual(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                            anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
                            path: String): Unit =
-    residualFrame(embeddings, cents, anchors)
-      .withColumn("code", encodePacked(col("r"), cb))
-      .select(col("vec_id"), col("code"), col("cluster"))
+    pqrFromAssigned(Similarity.assign(embeddings, cents), anchors, cb)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
@@ -446,9 +462,7 @@ object Pq {
                                cents: Seq[(Int, Seq[Double])],
                                anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
                                indexPath: String): Unit =
-    residualFrame(newEmbeddings, cents, anchors)
-      .withColumn("code", encodePacked(col("r"), cb))
-      .select(col("vec_id"), col("code"), col("cluster"))
+    pqrFromAssigned(Similarity.assign(newEmbeddings, cents), anchors, cb)
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(indexPath)
 

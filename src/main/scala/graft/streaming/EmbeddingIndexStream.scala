@@ -41,6 +41,8 @@ object EmbeddingIndexStream {
                  cents: Seq[(Int, Seq[Double])], assignedDir: String,
                  quantizedDir: Option[String] = None,
                  pqLoaded: Option[(String, graft.operators.Pq.Codebooks)] = None,
+                 pqrLoaded: Option[(String, Seq[(Int, Seq[Double])],
+                   graft.operators.Pq.Codebooks)] = None,
                  autoCompactBatches: Int = 0): Unit = {
     val assigned = Similarity.assign(batch, cents)
       .localCheckpoint(true) // one assignment pass feeds all writes
@@ -58,11 +60,17 @@ object EmbeddingIndexStream {
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$pd/batch=$batchId")
       }
+      pqrLoaded.foreach { case (pd, anchors, cb) =>
+        graft.operators.Pq.pqrFromAssigned(assigned, anchors, cb)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$pd/batch=$batchId")
+      }
     } finally org.apache.spark.sql.graft.DatasetInternals
       .checkpointedRdd(assigned).foreach(_.unpersist(blocking = false))
     if (autoCompactBatches > 0) {
       val spark = batch.sparkSession
-      (Seq(assignedDir) ++ quantizedDir ++ pqLoaded.map(_._1)).foreach { dir =>
+      (Seq(assignedDir) ++ quantizedDir ++ pqLoaded.map(_._1) ++
+        pqrLoaded.map(_._1)).foreach { dir =>
         // fold only batches < batchId: the CURRENT batch is the one a
         // crash-before-checkpoint replays, so it must stay un-folded
         if (batchDirCount(spark, dir) > autoCompactBatches)
@@ -145,6 +153,13 @@ object EmbeddingIndexStream {
     *   [[graft.operators.Pq.saveCodebooks]] output, never retrained
     *   online, encoding shared with [[graft.operators.Pq.buildIndexPq]]
     *   (byte-identical codes; PqSpec pins streamed ≡ one-shot).
+    * @param pqr when set to (indexDir, anchorsPath, codebooksPath), each
+    *   batch also lands in a RESIDUAL-PQ index (IVFADC: codes quantize
+    *   `unit(v) − anchor(cluster)`) — anchors + codebooks loaded once per
+    *   stream start from [[graft.operators.Pq.saveAnchors]] /
+    *   [[graft.operators.Pq.saveCodebooks]] output, encoding shared with
+    *   [[graft.operators.Pq.buildIndexPqResidual]] (byte-identical codes;
+    *   PqSpec pins streamed ≡ one-shot).
     * @param autoCompactBatches fold the index's `batch=` dirs via
     *   [[compactIndex]] whenever their count exceeds this (0 = off).
     *   Applied per index layout, never to the in-flight batch. */
@@ -153,11 +168,16 @@ object EmbeddingIndexStream {
           centroidsPath: String,
           quantizedDir: Option[String] = None,
           pq: Option[(String, String)] = None,
+          pqr: Option[(String, String, String)] = None,
           autoCompactBatches: Int = 0): StreamingQuery = {
     // O(k) driver rows, loaded once per stream start — not per batch
     val cents = Similarity.loadCentroids(spark, centroidsPath)
     val pqLoaded = pq.map { case (dir, books) =>
       (dir, graft.operators.Pq.loadCodebooks(spark, books))
+    }
+    val pqrLoaded = pqr.map { case (dir, anchors, books) =>
+      (dir, graft.operators.Pq.loadAnchors(spark, anchors),
+        graft.operators.Pq.loadCodebooks(spark, books))
     }
     spark.readStream
       .schema(schemaFrom.schema)
@@ -166,7 +186,7 @@ object EmbeddingIndexStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, cents, assignedDir, quantizedDir,
-          pqLoaded, autoCompactBatches)
+          pqLoaded, pqrLoaded, autoCompactBatches)
       }
       .start()
   }

@@ -150,28 +150,34 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
-  test("codebooks round-trip through save/load; streamed PQ index ≡ one-shot") {
+  test("codebooks round-trip through save/load; streamed PQ + residual-PQ ≡ one-shot") {
     val base = tmp()
     Pq.saveCodebooks(spark, cb, s"$base/books")
     val loaded = Pq.loadCodebooks(spark, s"$base/books")
     assert(loaded.sub == cb.sub &&
       loaded.books.zip(cb.books).forall { case (x, y) => x.sameElements(y) })
     Similarity.saveCentroids(spark, cents, s"$base/cents")
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "pqspec-res")
+    Pq.saveAnchors(spark, anchors, s"$base/anchors")
+    Pq.saveCodebooks(spark, rcb, s"$base/rbooks")
     embs.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/in/d0")
     val q = graft.streaming.EmbeddingIndexStream.run(spark, s"$base/in/d*",
       s"$base/exact", s"$base/ckpt", embs, s"$base/cents",
-      pq = Some((s"$base/pq", s"$base/books")))
+      pq = Some((s"$base/pq", s"$base/books")),
+      pqr = Some((s"$base/pqr", s"$base/anchors", s"$base/rbooks")))
     q.processAllAvailable()
     embs.filter(col("vec_id") % 2 === 1).write.parquet(s"$base/in/d1")
     q.processAllAvailable()
     q.stop()
+    def rows(p: String) = spark.read.parquet(p).orderBy("vec_id")
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
     val oneShot = tmp()
     Pq.buildIndexPq(embs, cents, cb, oneShot)
-    val a = spark.read.parquet(oneShot).orderBy("vec_id")
-      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
-    val b = spark.read.parquet(s"$base/pq").orderBy("vec_id")
-      .select("vec_id", "code", "cluster").as[(Long, Long, Int)].collect().toSeq
-    assert(a == b)
+    assert(rows(oneShot) == rows(s"$base/pq"))
+    val oneShotR = tmp()
+    Pq.buildIndexPqResidual(embs, cents, anchors, rcb, oneShotR)
+    assert(rows(oneShotR) == rows(s"$base/pqr"),
+      "streamed residual-PQ codes differ from the one-shot build")
   }
 
   test("residual model: deterministic anchors/codebooks; strictly tighter reconstruction") {

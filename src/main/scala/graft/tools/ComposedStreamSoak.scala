@@ -99,6 +99,7 @@ object ComposedStreamSoak {
     val base = graft.Tables.embeddings(spark, sf)
     val cents = Similarity.centroidSeq(base)
     val cb = Pq.trainedCodebooks(base, "soak")
+    val (anchors, rcb) = Pq.trainedResidualModel(base, cents, "soak")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val (ovState, ovOut) = (s"$tmp/ov-state", s"$tmp/ov-out")
@@ -130,6 +131,7 @@ object ComposedStreamSoak {
       graft.operators.Quality.RefIntegrity("source", "s_name", "dim"))
     val qlRefs = Map("dim" -> qlDim)
     val (idx, qidx, pidx) = (s"$tmp/idx-exact", s"$tmp/idx-int8", s"$tmp/idx-pq")
+    val pridx = s"$tmp/idx-pqr"
 
     def oneBatch(i: Int): Double = {
       val t0 = System.nanoTime()
@@ -138,6 +140,7 @@ object ComposedStreamSoak {
         outDir = Some(curOut), hashFn = h, autoCompactBytes = 512 * 1024)
       EmbeddingIndexStream.applyBatch(embB(i), i.toLong, cents, idx,
         quantizedDir = Some(qidx), pqLoaded = Some((pidx, cb)),
+        pqrLoaded = Some((pridx, anchors, rcb)),
         autoCompactBatches = 8)
       ComponentsStream.applyBatch(spark, pairB(i), "a", "b", i.toLong, ccState,
         autoCompactBytes = 256 * 1024)
@@ -231,6 +234,12 @@ object ComposedStreamSoak {
     val pqOne = spark.read.parquet(s"$tmp/pq-oneshot").select("vec_id", "code")
       .as[(Long, Long)].collect().toSet
     check("pq_codes", pqStream == pqOne)
+    val pqrStream = spark.read.parquet(pridx).select("vec_id", "code")
+      .as[(Long, Long)].collect().toSet
+    Pq.buildIndexPqResidual(embs, cents, anchors, rcb, s"$tmp/pqr-oneshot")
+    val pqrOne = spark.read.parquet(s"$tmp/pqr-oneshot").select("vec_id", "code")
+      .as[(Long, Long)].collect().toSet
+    check("pqr_codes", pqrStream == pqrOne)
 
     // components: streamed labels == one-shot connected components
     val allPairs = (0 until nb).map(pairB).reduce(_ unionByName _)

@@ -155,6 +155,19 @@ object ScaleBench {
         Similarity.ivfTopK(embsX(k), cents,
           probeIds = (1L to 10L).map(_ * k), k = 10, nprobe = 4)
       },
+      // filtered ANN at volume (round 16): the allowed-id table grows k×
+      // with the corpus (40% selectivity at every factor) — measures the
+      // semi-join the metadata filter adds on top of the ann_ivf_topk
+      // shape (Catalyst shifts broadcast → shuffled hash semi as it grows)
+      "ann_ivf_topk_filtered" -> { k =>
+        val cents = Similarity.trainedCentroids(
+          Tables.embeddings(spark, sf), "scalebench-quantizer")
+        val allowed = amplify(Tables.documents(spark, sf), "doc_id", k)
+          .filter(col("lang") === "en").select(col("doc_id"))
+        Similarity.ivfTopKFiltered(embsX(k), cents,
+          probeIds = (1L to 10L).map(_ * k), k = 10, nprobe = 4,
+          allowedIds = allowed)
+      },
       "mega_bucket_election" -> (k => Dedup.lshDedupKeep(megaDocs(k), "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1)),
       // cross-source overlap sketch at volume. Two regimes:

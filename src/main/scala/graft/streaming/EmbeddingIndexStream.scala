@@ -132,6 +132,11 @@ object EmbeddingIndexStream {
       .parquet(foldable.map(_.toString).toIndexedSeq: _*)
       .drop("batch")
       .dropDuplicates("vec_id") // heals a crash-window re-fold
+      // physical purge of tombstoned ids (the dirs themselves are kept —
+      // see the deletes section: an un-folded replayable batch may still
+      // carry a tombstoned id, so the anti-join must stay armed until
+      // clearTombstones' maintenance window)
+      .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
       .repartition(col("cluster")) // one file per cluster dir
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(tmp.toString)
@@ -194,4 +199,90 @@ object EmbeddingIndexStream {
   /** The queryable inverted-list table (drops the bookkeeping batch col). */
   def readIndex(spark: SparkSession, assignedDir: String): DataFrame =
     spark.read.parquet(assignedDir).drop("batch")
+
+  // --- deletes (round 16): the index lifecycle's last verb -----------------
+  //
+  // A curation pipeline REMOVES documents (opt-outs, PII scrubs, re-ingest
+  // supersedes — the Evolution.snapshotDiff `removed` set); the index must
+  // forget them without a corpus-sized rebuild. Deletes land as TOMBSTONES:
+  //  - [[tombstone]] writes the ids under `.tombstones/batch=<id>` — a
+  //    DOT-dir, invisible to the index's own partition discovery, so no
+  //    reader sees tombstone rows as vectors. O(ids) per call, idempotent
+  //    per batchId (deterministic overwrite, the index-batch pattern).
+  //  - readers compose [[liveIndex]] (anti-join) — an excluded id is gone
+  //    from query results the moment its tombstone batch commits.
+  //  - [[compactIndex]] PURGES tombstoned rows physically during its fold
+  //    but deliberately KEEPS the tombstone dirs: a replayable un-folded
+  //    batch may still carry a tombstoned id, and clearing early would
+  //    resurrect it on replay. Once folded state is the only state (no
+  //    stream running, full compaction done), [[clearTombstones]] retires
+  //    them — kept tombstones are a no-op anti-join in the meantime, never
+  //    a correctness risk.
+
+  private def tombstonesPath(indexDir: String) = s"$indexDir/.tombstones"
+
+  /** Delete a batch of vector ids from the index layout (first column of
+    * `ids` is taken as the id). Idempotent per batchId. */
+  def tombstone(spark: SparkSession, ids: DataFrame, batchId: Long,
+                indexDir: String): Unit = {
+    ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${tombstonesPath(indexDir)}/batch=$batchId")
+    spark.catalog.refreshByPath(tombstonesPath(indexDir))
+  }
+
+  /** All tombstoned ids (distinct; empty frame when none recorded). */
+  def tombstoneIds(spark: SparkSession, indexDir: String): DataFrame = {
+    val path = tombstonesPath(indexDir)
+    val empty = spark.range(0).select(col("id").as("vec_id"))
+    if (!FsUtils.fs(spark, path).exists(new Path(path))) empty
+    else
+      try spark.read.parquet(path).select("vec_id").distinct()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+      }
+  }
+
+  /** The index minus its tombstoned ids — what every reader should query.
+    * One anti-join against the (small) tombstone set over the pruned
+    * read; physically purged ids anti-join as a no-op. */
+  def liveIndex(spark: SparkSession, indexDir: String): DataFrame =
+    readIndex(spark, indexDir)
+      .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
+
+  /** Tombstone-aware IVF query against an on-disk exact layout — the
+    * [[graft.operators.Similarity.ivfTopKIndexedVectors]] shape with the
+    * anti-join composed below the per-probe top-k (so k fills from live
+    * vectors only). */
+  def ivfTopKIndexedLive(spark: SparkSession, indexDir: String,
+                         cents: Seq[(Int, Seq[Double])],
+                         queries: Seq[(Long, Seq[Double])],
+                         k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val withClusters = queries.map { case (id, v) =>
+      (id, v, Similarity.nearestClustersLocal(v, cents, nprobe))
+    }
+    val probes = withClusters.toDF("query_id", "qv", "clusters")
+      .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
+    val probed = withClusters.flatMap(_._3).distinct
+    val cands = spark.read.parquet(indexDir)
+      .filter(col("cluster").isin(probed: _*))
+      .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
+    Similarity.ivfScoreTail(probes, cands, k)
+  }
+
+  /** Retire the tombstone dirs. ONLY safe once every tombstoned id is
+    * physically purged from EVERY batch dir a replay could rewrite — i.e.
+    * after a full [[compactIndex]] with the stream stopped (the
+    * maintenance window). Called early, a replayed batch could resurrect
+    * a tombstoned id with nothing left to exclude it. */
+  def clearTombstones(spark: SparkSession, indexDir: String): Unit = {
+    val fs = FsUtils.fs(spark, indexDir)
+    val p = new Path(tombstonesPath(indexDir))
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    spark.catalog.refreshByPath(indexDir)
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.EmbeddingIndexStream
+
+/** Deletes — the index lifecycle's last verb: tombstone batches hide ids
+  * from every live read immediately; compaction purges them physically
+  * while KEEPING the tombstones armed (a replayable batch could still
+  * resurrect an id); clearTombstones retires them in the maintenance
+  * window. Ends with the pipeline story: corpus-evolution `removed` docs
+  * drive index forgetting.
+  */
+class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def embs = Tables.embeddings(spark, Sf0001)
+  private lazy val cents = Similarity.centroidSeq(embs)
+  private def tmp(): String = Files.createTempDirectory("graft-del").toString
+
+  private def streamIn(idx: String, nBatches: Int = 3): Unit =
+    (0 until nBatches).foreach { b =>
+      EmbeddingIndexStream.applyBatch(
+        embs.filter(col("vec_id") % nBatches === b), b.toLong, cents, idx)
+    }
+
+  private lazy val probes = embs.filter(col("vec_id") < 3)
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  test("tombstoned ids vanish from live reads at once; raw rows remain until compaction") {
+    val idx = tmp()
+    streamIn(idx)
+    val dead = Seq(7L, 11L, 42L)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    val live = EmbeddingIndexStream.liveIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dead.forall(!live.contains(_)), "tombstoned id still live")
+    assert(live.size == embs.count() - dead.size)
+    // physically still present (deletes are logical until compaction)
+    val raw = EmbeddingIndexStream.readIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dead.forall(raw.contains), "tombstone rewrote index files early")
+    // idempotent replay of the tombstone batch
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    assert(EmbeddingIndexStream.liveIndex(spark, idx).count() == live.size)
+  }
+
+  test("live IVF query: k fills from live vectors only (anti-join below the top-k)") {
+    val idx = tmp()
+    streamIn(idx)
+    val before = EmbeddingIndexStream.ivfTopKIndexedLive(spark, idx, cents,
+        probes, k = 5, nprobe = 10)
+      .as[(Long, Long, Double)].collect()
+    // kill each probe's current #1 — the naive filter-after-topk would
+    // return k-1 rows; the composed query must refill to k
+    val best = before.groupBy(_._1).values
+      .map(_.maxBy(r => (r._3, -r._2))._2).toSeq.distinct
+    EmbeddingIndexStream.tombstone(spark, best.toDF("vec_id"), 1L, idx)
+    val after = EmbeddingIndexStream.ivfTopKIndexedLive(spark, idx, cents,
+        probes, k = 5, nprobe = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(after.length == probes.size * 5, "k under-filled after deletes")
+    assert(after.forall { case (_, c, _) => !best.contains(c) },
+      "a deleted id surfaced in query results")
+    // and it equals querying the live view through the generic path
+    val viaAssigned = Similarity.ivfTopKAssigned(
+        EmbeddingIndexStream.liveIndex(spark, idx), cents,
+        probes.map(_._1), k = 5, nprobe = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after.toSet == viaAssigned)
+  }
+
+  test("compaction purges physically, keeps tombstones armed; clearTombstones retires them") {
+    val idx = tmp()
+    streamIn(idx)
+    val dead = Seq(3L, 5L)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    EmbeddingIndexStream.compactIndex(spark, idx)
+    val raw = EmbeddingIndexStream.readIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dead.forall(!raw.contains(_)), "compaction did not purge tombstoned rows")
+    // tombstones still present (armed): a replayed batch re-adding a dead
+    // id stays invisible to live reads...
+    EmbeddingIndexStream.applyBatch(
+      embs.filter(col("vec_id") % 3 === 0), 0L, cents, idx) // replay of batch 0
+    val liveAfterReplay = EmbeddingIndexStream.liveIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dead.forall(id => id % 3 != 0 || !liveAfterReplay.contains(id)),
+      "replayed batch resurrected a tombstoned id in the live view")
+    // ...and a second compaction re-purges it; with no replayable batches
+    // left, the maintenance window retires the tombstones
+    EmbeddingIndexStream.compactIndex(spark, idx)
+    EmbeddingIndexStream.clearTombstones(spark, idx)
+    val rawFinal = EmbeddingIndexStream.readIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    val liveFinal = EmbeddingIndexStream.liveIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rawFinal == liveFinal, "raw and live views differ after retirement")
+    assert(dead.forall(!rawFinal.contains(_)))
+  }
+
+  test("pipeline story: corpus-evolution removed docs drive index forgetting") {
+    val idx = tmp()
+    streamIn(idx)
+    // v2 of the corpus drops every 7th document; the removed set is the
+    // per-doc anti-join (Evolution.snapshotDiff reports the same split as
+    // per-source counts — the monitoring view of this same comparison)
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"), col("source"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+    val removed = docs.join(v2, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    EmbeddingIndexStream.tombstone(spark, removed, 0L, idx)
+    val live = EmbeddingIndexStream.liveIndex(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(live.forall(_ % 7 != 0), "a removed doc's vector is still queryable")
+    assert(live.nonEmpty)
+  }
+}

@@ -321,6 +321,23 @@ object PortableOracles {
        |  WHERE p.query_id <> a.vec_id) t
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
 
+  /** [[annIvfTopkSql]] with the tombstone predicate on the candidate side
+    * (vec_id % 10 <> 3) — the delete-aware live view's mirror. Probes stay
+    * unfiltered: a deleted probe still queries. */
+  val annIvfTopkLiveSql: String =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id AND a.vec_id % 10 <> 3) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.clusterSampleOf]]: the shared
     * assignment prefix, per-cluster sizes, the salted-h60 within-cluster
     * race, quota = ⌈√n_c⌉. */

@@ -59,7 +59,8 @@ object SparkEntry {
   val registryBacked: Set[String] = Set(
     "ann_ivf_topk", "ann_ivf_topk_indexed", "ann_ivf_topk_quantized",
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
-    "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "zorder_pruned_read")
+    "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
+    "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -501,6 +502,25 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKCached(Tables.embeddings(s, d), d, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
+    // [r16] tombstone-aware retrieval: a streamed on-disk index with a
+    // deterministic delete set (vec_id % 10 = 3) queried through the live
+    // view — the anti-join sits BELOW the per-probe top-k, so k refills
+    // from live vectors; probe 3 is itself deleted and still queries
+    // (a query vector is not a result). Oracle: exact-IVF replica with
+    // the same NOT-deleted predicate on the candidate side.
+    "ann_ivf_topk_live" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val idxPath = "/tmp/graft-ivf-liveindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(idxPath) {
+        streaming.EmbeddingIndexStream.applyBatch(e, 0L, cents, idxPath)
+        streaming.EmbeddingIndexStream.tombstone(s,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"), 0L, idxPath)
+      }
+      streaming.EmbeddingIndexStream.ivfTopKIndexedLive(s, idxPath, cents,
+          gateProbes(e), k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r16] metadata-filtered retrieval: same IVF probe, candidates
     // semi-joined to documents.lang = 'en' BEFORE the per-probe top-k (k
     // fills from the filtered pool — score-then-filter would under-fill)
@@ -710,6 +730,7 @@ object SparkEntry {
     "embedding_dedup_keep" -> PortableOracles.embeddingDedupKeepSql,
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_filtered" -> PortableOracles.annIvfTopkFilteredSql,
+    "ann_ivf_topk_live" -> PortableOracles.annIvfTopkLiveSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,

@@ -90,6 +90,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("codec round-trip property: decode ∘ synthesize = identity on dims, down to 1x1") {
+    for (id <- Seq(0L, 1L, 999L, 123456789L); w <- Seq(1, 2, 7, 33, 64); h <- Seq(1, 3, 17, 40)) {
+      val m = Multimodal.decodeImage(id, Multimodal.synthesizePng(id, w, h))
+      assert(m.width == w.toLong && m.height == h.toLong &&
+        m.format == "png" && m.n_frames == 1L,
+        s"round-trip broke at id=$id ${w}x$h: got ${m.width}x${m.height}")
+    }
+    for (f <- Seq(1, 2, 7)) {
+      val m = Multimodal.decodeImage(5L, Multimodal.synthesizeGif(5L, 9, 5, f))
+      assert(m.format == "gif" && m.n_frames == f.toLong)
+    }
+  }
+
   test("stub tier unchanged: gate plumbing still runs on the text-bytes fixture") {
     val stub = Multimodal.extractMeta(
       Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001).limit(10)))

@@ -98,14 +98,19 @@ object Pq {
 
   private def trainFromNormalized(vn: DataFrame, m: Int, sub: Int,
                                   ks: Int, iters: Int, sampleN: Int): Codebooks = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // a DEDICATED pool for the m blocking collect() actions: parking m
+    // threads on the shared global pool could starve unrelated library
+    // code in the same JVM (the classic blocking-on-global smell)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors.max(1)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val n = math.max(sampleN, ks)
     // one independent bounded job + local Lloyd per subspace; subspaces run
     // concurrently (Spark actions are thread-safe, each future fills its
     // own slot, each book is internally deterministic)
-    val books = Await.result(Future.sequence((0 until m).map { s => Future {
+    val books = try Await.result(Future.sequence((0 until m).map { s => Future {
       val sv = vn.select(slice(col("vn"), s * sub + 1, sub).as("sv"))
       // sample: the n hash-least DISTINCT subvectors — deterministic under
       // any partitioning (secondary sort on the array breaks the
@@ -119,6 +124,7 @@ object Pq {
         .collect().map(_.getSeq[Double](0).toArray)
       lloydLocal(sample, sample.take(ks).map(_.clone()), iters).flatten
     }}), Duration.Inf).toArray
+    finally pool.shutdown()
     Codebooks(sub, books)
   }
 
@@ -395,25 +401,38 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(m <= 8 && ks <= 256, "packed codes: ≤ 8 sub-codes of ≤ 8 bits")
     val sub = dim / m
-    val rn = residualFrame(embeddings, cents, anchors).select(col("r").as("vn"))
+    val rn = residualFrame(embeddings, cents, anchors, dim).select(col("r").as("vn"))
       .cache()
     try trainFromNormalized(rn, m, sub, ks, iters, sampleN)
     finally { rn.unpersist(blocking = false); () }
   }
 
+  /** A cluster with no nonzero-norm member at anchor-training time has no
+    * anchor row; a vector later streamed into it must NOT be silently
+    * dropped from the residual index (it stays in the exact and plain-PQ
+    * tiers, so an inner join here is a permanent recall gap — the
+    * anchors-never-retrained-online contract makes it unfixable at query
+    * time). A missing anchor coalesces to the ZERO vector: residual =
+    * unit(v), i.e. plain-PQ semantics for that cluster, on BOTH the encode
+    * and the reconstruct side (so they stay consistent). */
+  private def anchorOrZero(dim: Int): Column =
+    coalesce(col("anchor"), array_repeat(lit(0.0), dim))
+
   /** (vec_id, cluster, r = unit(v) − anchor) for indexable vectors —
-    * anchors ride a broadcast equi-join (tiny model-side table). */
+    * anchors ride a broadcast LEFT equi-join (tiny model-side table;
+    * missing anchor ⇒ zero, see [[anchorOrZero]]). */
   private def residualFrame(embeddings: DataFrame,
                             cents: Seq[(Int, Seq[Double])],
-                            anchors: Seq[(Int, Seq[Double])]): DataFrame = {
+                            anchors: Seq[(Int, Seq[Double])],
+                            dim: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val adf = anchors.toDF("cluster", "anchor")
     Similarity.assign(embeddings, cents)
       .filter(dot(col("v"), col("v")) > 0.0)
-      .join(broadcast(adf), Seq("cluster"))
+      .join(broadcast(adf), Seq("cluster"), "left")
       .select(col("vec_id"), col("cluster"),
-        zip_with(unit(col("v")), col("anchor"), (a, b) => a - b).as("r"))
+        zip_with(unit(col("v")), anchorOrZero(dim), (a, b) => a - b).as("r"))
   }
 
   /** Session cache for the residual model (anchors + codebooks) — the
@@ -438,10 +457,12 @@ object Pq {
     val spark = assigned.sparkSession
     import spark.implicits._
     val adf = anchors.toDF("cluster", "anchor")
+    // LEFT join + zero-coalesce: an anchorless cluster encodes plain-PQ
+    // residuals instead of silently dropping its vectors (see anchorOrZero)
     assigned.filter(dot(col("v"), col("v")) > 0.0)
-      .join(broadcast(adf), Seq("cluster"))
+      .join(broadcast(adf), Seq("cluster"), "left")
       .withColumn("code",
-        encodePacked(zip_with(unit(col("v")), col("anchor"), (a, b) => a - b), cb))
+        encodePacked(zip_with(unit(col("v")), anchorOrZero(cb.dim), (a, b) => a - b), cb))
       .select(col("vec_id"), col("code"), col("cluster"))
   }
 
@@ -484,11 +505,13 @@ object Pq {
       .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
     val probed = withClusters.flatMap(_._3).distinct
     val adf = anchors.toDF("cluster", "anchor")
+    // LEFT join + zero-coalesce mirrors the encode side: an anchorless
+    // cluster's codes reconstruct as the bare decoded codeword
     val cands = spark.read.parquet(pqrPath)
       .filter(col("cluster").isin(probed: _*))
-      .join(broadcast(adf), Seq("cluster"))
+      .join(broadcast(adf), Seq("cluster"), "left")
       .select(col("vec_id").as("cand_id"),
-        zip_with(col("anchor"), decodePacked(col("code"), cb),
+        zip_with(anchorOrZero(cb.dim), decodePacked(col("code"), cb),
           (a, d) => a + d).as("cv"),
         col("cluster"))
     Similarity.ivfScoreTail(probes, cands, k)

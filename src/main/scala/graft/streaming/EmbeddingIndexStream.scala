@@ -222,14 +222,27 @@ object EmbeddingIndexStream {
   private def tombstonesPath(indexDir: String) = s"$indexDir/.tombstones"
 
   /** Delete a batch of vector ids from the index layout (first column of
-    * `ids` is taken as the id). Idempotent per batchId. */
+    * `ids` is taken as the id). Idempotent per batchId.
+    *
+    * Commit discipline: tombstones are USER-invoked, not stream-replayed,
+    * so a crash mid-write would otherwise leave a partial `batch=` dir
+    * that [[tombstoneIds]] reads as committed — some deleted ids staying
+    * live with no replay to heal them. The write therefore lands in a
+    * hidden `.tmp-batch-<id>` dir and the RENAME is the commit point (the
+    * StateLog.commitBatch pattern); a stale tmp from a crashed attempt is
+    * replaced wholesale on the next call. */
   def tombstone(spark: SparkSession, ids: DataFrame, batchId: Long,
                 indexDir: String): Unit = {
+    val base = tombstonesPath(indexDir)
+    val fs = FsUtils.fs(spark, base)
+    val tmp = new Path(base, s".tmp-batch-$batchId")
+    val dst = new Path(base, s"batch=$batchId")
     ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
       .coalesce(1)
       .write.mode("overwrite")
-      .parquet(s"${tombstonesPath(indexDir)}/batch=$batchId")
-    spark.catalog.refreshByPath(tombstonesPath(indexDir))
+      .parquet(tmp.toString)
+    FsUtils.replaceDir(fs, tmp, dst)
+    spark.catalog.refreshByPath(base)
   }
 
   /** All tombstoned ids (distinct; empty frame when none recorded). */
@@ -247,9 +260,13 @@ object EmbeddingIndexStream {
 
   /** The index minus its tombstoned ids — what every reader should query.
     * One anti-join against the (small) tombstone set over the pruned
-    * read; physically purged ids anti-join as a no-op. */
+    * read; physically purged ids anti-join as a no-op. dropDuplicates
+    * closes compactIndex's documented crash window (swap done, source-dir
+    * deletes not): duplicate rows are bit-identical by construction, and
+    * without the dedup one vector could occupy multiple top-k slots. */
   def liveIndex(spark: SparkSession, indexDir: String): DataFrame =
     readIndex(spark, indexDir)
+      .dropDuplicates("vec_id")
       .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
 
   /** Tombstone-aware IVF query against an on-disk exact layout — the
@@ -269,6 +286,9 @@ object EmbeddingIndexStream {
     val probed = withClusters.flatMap(_._3).distinct
     val cands = spark.read.parquet(indexDir)
       .filter(col("cluster").isin(probed: _*))
+      // compactIndex crash window (swap done, source deletes not): a
+      // vector's bit-identical duplicate rows must not take two k slots
+      .dropDuplicates("vec_id")
       .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
       .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
     Similarity.ivfScoreTail(probes, cands, k)

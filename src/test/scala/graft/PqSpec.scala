@@ -248,6 +248,50 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(Pq.loadAnchors(spark, s"$base/anchors") == anchors)
   }
 
+  test("anchorless cluster: encode falls back to plain-PQ semantics, nothing dropped") {
+    // a cluster with no nonzero-norm member at anchor-training time has no
+    // anchor row; vectors streamed into it later must still index (r16
+    // advice: the inner anchor join silently dropped them — a permanent
+    // recall gap, since anchors are never retrained online). Simulate by
+    // deleting one cluster's anchor row from the trained model.
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "pqspec-res")
+    val dropped = anchors.head._1
+    val pruned = anchors.filterNot(_._1 == dropped)
+    val idx = tmp(); val full = tmp()
+    Pq.buildIndexPqResidual(embs, cents, pruned, rcb, idx)
+    Pq.buildIndexPqResidual(embs, cents, anchors, rcb, full)
+    def byId(p: String) = spark.read.parquet(p)
+      .select("vec_id", "code", "cluster").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    val got = byId(idx); val ref = byId(full)
+    assert(got.map(_._1) == ref.map(_._1),
+      "anchorless cluster silently dropped vectors from the residual index")
+    // the anchorless cluster's codes are EXACTLY the plain-PQ codes of the
+    // same vectors under the residual codebooks (zero anchor ⇒ residual =
+    // unit(v)); all other clusters' codes are untouched
+    val plain = tmp()
+    Pq.buildIndexPq(embs, cents, rcb, plain)
+    val plainCodes = spark.read.parquet(plain)
+      .select("vec_id", "code").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, code, cl) =>
+      if (cl == dropped)
+        assert(code == plainCodes(id), s"vec $id: anchorless code != plain-PQ code")
+    }
+    got.zip(ref).foreach { case ((id, code, cl), (_, refCode, _)) =>
+      if (cl != dropped)
+        assert(code == refCode, s"vec $id: anchored cluster's code changed")
+    }
+    // and the anchorless cluster's members remain retrievable end to end
+    // (reconstruct side left-joins too): probe everything, assert at least
+    // one dropped-cluster member surfaces with a finite score
+    val hits = Pq.ivfTopKPqResidualRaw(spark, idx, cents, pruned, rcb,
+        probes, k = embs.count().toInt, nprobe = cents.size)
+      .select("cand_id").as[Long].collect().toSet
+    val members = got.filter(_._3 == dropped).map(_._1).toSet
+    assert(members.exists(hits.contains),
+      "no anchorless-cluster member retrievable through the residual query")
+  }
+
   test("gate settings: PQ pool contains the exact top-k (rerank ≡ exact IVF)") {
     // poolMult 40 measured as the containment point on THIS corpus
     // (tools/PqProbe: 5/5 probes at every SF; pm=4 fails at sf0.01+) — the

@@ -79,7 +79,13 @@ def main(old_path, new_path):
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
         if a is None:
-            rows.append((float("inf"), f"{name:32s} NEW      {b:8.2f}s"))
+            if b < 0:
+                # a query that is new AND failing must affect the verdict —
+                # without this it would print as NEW and exit 0
+                rows.append((float("inf"), f"{name:32s} NEW+FAILED ({b:.2f})"))
+                regressions.append(name)
+            else:
+                rows.append((float("inf"), f"{name:32s} NEW      {b:8.2f}s"))
             continue
         if b is None:
             rows.append((float("-inf"), f"{name:32s} REMOVED {a:8.2f}s"))

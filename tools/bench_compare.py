@@ -66,6 +66,15 @@ def main(old_path, new_path):
         print(f"calibration: old {ocal:.2f}s, new {ncal:.2f}s "
               f"(load ratio {cal_ratio:.2f}x — query ratios divided by this)")
 
+    # self-heal visibility: an epoch that re-ran load-poisoned outliers
+    # (Bench's reference-exceeding rule) says so in the artifact
+    for tag, e in (("old", old), ("new", new)):
+        rr = e.get("rerun") or {}
+        if rr:
+            healed = ", ".join(f"{k}={v:.2f}s" for k, v in sorted(rr.items()))
+            print(f"note: {tag} epoch self-healed {len(rr)} load-poisoned "
+                  f"quer{'y' if len(rr) == 1 else 'ies'}: {healed}")
+
     # rule 2: method exclusions
     method_changed = old.get("method") != new.get("method")
     if method_changed:

@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_ivf_topk", "ann_ivf_topk_indexed", "ann_ivf_topk_quantized",
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
+    "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc",
     "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -597,6 +598,50 @@ object SparkEntry {
     // the larger containment margin). Same pool-then-exact-rerank shape,
     // same exact-IVF oracle.
     "ann_ivf_topk_pqr" -> ((s: SparkSession, d: String) => pqrRerankGate(s, d)),
+    // [r17] deletes propagated through the QUANTIZED tiers: a streamed
+    // exact+residual-PQ index pair with the same deterministic delete set
+    // as ann_ivf_topk_live (vec_id % 10 = 3) tombstoned across BOTH tier
+    // dirs, queried through the residual pool + exact rerank — the
+    // tombstone anti-join sits below the per-probe top-k on the CODE read,
+    // so the pool fills from live codes and a deleted vector cannot
+    // resurface through the compressed tier (the round-16 lifecycle gap).
+    // Oracle: exact-IVF replica with the NOT-deleted candidate predicate.
+    "ann_ivf_topk_pqr_live" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val (anchors, rcb) = Pq.trainedResidualModel(e, cents, d)
+      val base = "/tmp/graft-ivf-pqrlive/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val exDir = s"$base/exact"; val pqrDir = s"$base/pqr"
+      Similarity.ensureBuilt(base) {
+        streaming.EmbeddingIndexStream.applyBatch(e, 0L, cents, exDir,
+          pqrLoaded = Some((pqrDir, anchors, rcb)))
+        streaming.EmbeddingIndexStream.tombstoneTiers(s,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"), 0L,
+          Seq(exDir, pqrDir))
+      }
+      streaming.EmbeddingIndexStream.ivfTopKPqResidualLive(s, pqrDir, exDir,
+          cents, anchors, rcb, gateProbes(e), k = 3, nprobe = 3, poolMult = 40)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
+    // [r17] metadata filter composed with the QUANTIZED tier: the lang='en'
+    // allowed set semi-joins the ADC candidate read below the per-probe
+    // top-k (pool fills from the filtered candidates), exact rerank
+    // restores exact scores — the production "filtered + compressed"
+    // retrieval shape. Oracle: the exact filtered-IVF replica.
+    "ann_ivf_topk_filtered_adc" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val cb = Pq.trainedCodebooks(e, d)
+      val pqPath = "/tmp/graft-ivf-pqindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(pqPath)(Pq.buildIndexPq(e, cents, cb, pqPath))
+      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
+      Pq.ivfTopKPqRerank(s, pqPath, ePath, cents, cb, gateProbes(e),
+          k = 3, nprobe = 3, poolMult = 40, adc = true,
+          scope = Pq.CandidateScope(allowed = Some(Tables.documents(s, d)
+            .filter(col("lang") === "en").select(col("doc_id")))))
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -746,6 +791,11 @@ object SparkEntry {
     "ann_ivf_topk_pq" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_adc" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_pqr" -> PortableOracles.annIvfTopkSql,
+    // the scoped (delete/filter) rerank rows return exactly the scoped
+    // exact-IVF top-k (pool containment — same regeneration-risk note as
+    // ann_ivf_topk_pq; PqSpec pins containment per scope)
+    "ann_ivf_topk_pqr_live" -> PortableOracles.annIvfTopkLiveSql,
+    "ann_ivf_topk_filtered_adc" -> PortableOracles.annIvfTopkFilteredSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,

@@ -256,12 +256,49 @@ object Pq {
       .repartition(col("cluster")) // one file per touched cluster per batch
       .write.mode("append").partitionBy("cluster").parquet(indexPath)
 
+  /** Candidate scoping for the quantized-tier reads (round 17): the
+    * filter/delete composition the exact tier already has
+    * ([[Similarity.ivfTopKFiltered]], tombstone anti-joins) applied to the
+    * PQ/ADC/residual candidate reads — WITHOUT it, a tombstoned vector
+    * stays retrievable through the compressed tiers, and a metadata filter
+    * can only compose with the exact tier.
+    *
+    * All three scoping steps sit on the candidate side after partition
+    * pruning and BELOW the per-probe top-k window, so k fills from the
+    * eligible pool (score-then-filter UNDER-fills k whenever the global
+    * top-k contains an excluded id — the classic filtered-ANN bug, and the
+    * same pin the exact tier carries).
+    *
+    * @param allowed  keep only these ids (first column, metadata filter) —
+    *                 broadcast or shuffled semi-join, Catalyst's choice
+    * @param excluded drop these ids (tombstone set) — anti-join
+    * @param dedupIds drop bit-identical duplicate rows per vec_id first —
+    *                 the streamed-index compaction crash window (swap done,
+    *                 source-dir deletes pending) must not give one vector
+    *                 two k slots
+    */
+  final case class CandidateScope(allowed: Option[DataFrame] = None,
+                                  excluded: Option[DataFrame] = None,
+                                  dedupIds: Boolean = false)
+
+  private def idCol(df: DataFrame): DataFrame =
+    df.select(col(df.columns.head).cast("long").as("vec_id")).distinct()
+
+  private def applyScope(cands: DataFrame, scope: CandidateScope): DataFrame = {
+    var out = cands
+    if (scope.dedupIds) out = out.dropDuplicates("vec_id")
+    scope.allowed.foreach(a => out = out.join(idCol(a), Seq("vec_id"), "left_semi"))
+    scope.excluded.foreach(e => out = out.join(idCol(e), Seq("vec_id"), "left_anti"))
+    out
+  }
+
   /** Raw PQ ranking (no rerank) — the recall-measurement surface: top-k
     * per probe by decoded-codeword cosine over the probed clusters. */
   def ivfTopKPqRaw(spark: SparkSession, pqPath: String,
                    cents: Seq[(Int, Seq[Double])], cb: Codebooks,
                    queries: Seq[(Long, Seq[Double])],
-                   k: Int, nprobe: Int): DataFrame = {
+                   k: Int, nprobe: Int,
+                   scope: CandidateScope = CandidateScope()): DataFrame = {
     import spark.implicits._
     // each probe searches its OWN nprobe lists (the cluster equi-join —
     // same IVF semantics as ivfTopKIndexedVectors), not the union of every
@@ -275,8 +312,8 @@ object Pq {
     val probes = withClusters.toDF("query_id", "qv", "clusters")
       .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
     val probed = withClusters.flatMap(_._3).distinct
-    val cands = spark.read.parquet(pqPath)
-      .filter(col("cluster").isin(probed: _*))
+    val cands = applyScope(spark.read.parquet(pqPath)
+        .filter(col("cluster").isin(probed: _*)), scope)
       .select(col("vec_id").as("cand_id"),
         decodePacked(col("code"), cb).as("cv"), col("cluster"))
     Similarity.ivfScoreTail(probes, cands, k)
@@ -333,7 +370,8 @@ object Pq {
   def ivfTopKPqRawAdc(spark: SparkSession, pqPath: String,
                       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
                       queries: Seq[(Long, Seq[Double])],
-                      k: Int, nprobe: Int): DataFrame = {
+                      k: Int, nprobe: Int,
+                      scope: CandidateScope = CandidateScope()): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graft.{ColumnBridge, PqAdcCosine}
     val withClusters = queries.map { case (id, v) =>
@@ -348,8 +386,8 @@ object Pq {
     val luts = withClusters.map { case (id, l, _) => (id, l) }
       .toDF("query_id", "lut")
     val probed = withClusters.flatMap(_._3).distinct
-    val cands = spark.read.parquet(pqPath)
-      .filter(col("cluster").isin(probed: _*))
+    val cands = applyScope(spark.read.parquet(pqPath)
+        .filter(col("cluster").isin(probed: _*)), scope)
       .select(col("vec_id").as("cand_id"), col("code"), col("cluster"))
     val sim = ColumnBridge.column(PqAdcCosine(
       ColumnBridge.expression(col("code")),
@@ -496,7 +534,8 @@ object Pq {
                            cents: Seq[(Int, Seq[Double])],
                            anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
                            queries: Seq[(Long, Seq[Double])],
-                           k: Int, nprobe: Int): DataFrame = {
+                           k: Int, nprobe: Int,
+                           scope: CandidateScope = CandidateScope()): DataFrame = {
     import spark.implicits._
     val withClusters = queries.map { case (id, v) =>
       (id, v, Similarity.nearestClustersLocal(v, cents, nprobe))
@@ -507,8 +546,8 @@ object Pq {
     val adf = anchors.toDF("cluster", "anchor")
     // LEFT join + zero-coalesce mirrors the encode side: an anchorless
     // cluster's codes reconstruct as the bare decoded codeword
-    val cands = spark.read.parquet(pqrPath)
-      .filter(col("cluster").isin(probed: _*))
+    val cands = applyScope(spark.read.parquet(pqrPath)
+        .filter(col("cluster").isin(probed: _*)), scope)
       .join(broadcast(adf), Seq("cluster"), "left")
       .select(col("vec_id").as("cand_id"),
         zip_with(anchorOrZero(cb.dim), decodePacked(col("code"), cb),
@@ -523,13 +562,18 @@ object Pq {
     * pays the full-precision read. Tighter residual quantization means the
     * pool contains the exact top-k at SMALLER poolMult than plain PQ
     * (measured in PqProbe; the gate still runs the shared pm=40). */
+  /** The `scope` applies to the POOL stage (filter/tombstone below the
+    * per-probe top-k, so the pool fills from eligible candidates only);
+    * the exact rerank restricts to pool ids by construction, so a scoped
+    * pool makes the whole two-stage output scoped. */
   def ivfTopKPqResidualRerank(spark: SparkSession, pqrPath: String,
                               exactPath: String, cents: Seq[(Int, Seq[Double])],
                               anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
                               queries: Seq[(Long, Seq[Double])],
-                              k: Int, nprobe: Int, poolMult: Int = 4): DataFrame = {
+                              k: Int, nprobe: Int, poolMult: Int = 4,
+                              scope: CandidateScope = CandidateScope()): DataFrame = {
     val pool = ivfTopKPqResidualRaw(spark, pqrPath, cents, anchors, cb, queries,
-        k * poolMult, nprobe)
+        k * poolMult, nprobe, scope)
       .select(col("query_id"), col("cand_id"))
     Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
   }
@@ -560,10 +604,15 @@ object Pq {
                       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
                       queries: Seq[(Long, Seq[Double])],
                       k: Int, nprobe: Int, poolMult: Int = 4,
-                      adc: Boolean = false): DataFrame = {
+                      adc: Boolean = false,
+                      scope: CandidateScope = CandidateScope()): DataFrame = {
+    // scope applies to the pool stage; the exact rerank restricts to pool
+    // ids by construction (see ivfTopKPqResidualRerank's scaladoc)
     val raw =
-      if (adc) ivfTopKPqRawAdc(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
-      else ivfTopKPqRaw(spark, pqPath, cents, cb, queries, k * poolMult, nprobe)
+      if (adc) ivfTopKPqRawAdc(spark, pqPath, cents, cb, queries, k * poolMult,
+        nprobe, scope)
+      else ivfTopKPqRaw(spark, pqPath, cents, cb, queries, k * poolMult,
+        nprobe, scope)
     val pool = raw.select(col("query_id"), col("cand_id"))
     Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
   }

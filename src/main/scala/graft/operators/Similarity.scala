@@ -585,6 +585,11 @@ object Similarity {
     val qdf = queries.toDF("query_id", "qv")
     exact.join(broadcast(pool), Seq("cand_id"))
       .join(broadcast(qdf), Seq("query_id"))
+      // a streamed exact index in compaction's crash window (swap done,
+      // source deletes pending) carries bit-identical duplicate rows; one
+      // vector must not take two k slots. Bounded work at ANY corpus size:
+      // the joined frame is ≤ |pool| rows by construction.
+      .dropDuplicates("query_id", "cand_id")
       .withColumn("sim", graft.functions.ExprUtils.roundz(cosine(col("qv"), col("cv")), 4))
       .filter(!isnan(col("sim")))
       .withColumn("rn", row_number().over(

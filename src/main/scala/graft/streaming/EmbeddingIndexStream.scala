@@ -294,6 +294,33 @@ object EmbeddingIndexStream {
     Similarity.ivfScoreTail(probes, cands, k)
   }
 
+  /** Tombstone the same id batch across every tier dir of ONE logical
+    * index (the exact/quantized/PQ/residual layouts live in separate dirs
+    * — [[applyBatch]]'s triple-write): a delete must hit them ALL, or the
+    * vector stays retrievable through whichever tier was skipped (the
+    * round-16 lifecycle gap). Each dir keeps its own `.tombstones/` so its
+    * own [[compactIndex]] purge stays self-contained. */
+  def tombstoneTiers(spark: SparkSession, ids: DataFrame, batchId: Long,
+                     indexDirs: Seq[String]): Unit =
+    indexDirs.foreach(tombstone(spark, ids, batchId, _))
+
+  /** Tombstone-aware RESIDUAL-PQ retrieval — [[ivfTopKIndexedLive]]'s twin
+    * through the quantized tier: the pool read anti-joins the pqr dir's
+    * tombstones BELOW the per-probe top-k (k fills from live codes), and
+    * the exact rerank restricts to pool ids by construction, so deleted
+    * vectors cannot resurface at either stage. dedupIds guards the
+    * compaction crash window on the streamed code dir. */
+  def ivfTopKPqResidualLive(spark: SparkSession, pqrDir: String,
+                            exactDir: String, cents: Seq[(Int, Seq[Double])],
+                            anchors: Seq[(Int, Seq[Double])],
+                            cb: graft.operators.Pq.Codebooks,
+                            queries: Seq[(Long, Seq[Double])],
+                            k: Int, nprobe: Int, poolMult: Int = 4): DataFrame =
+    graft.operators.Pq.ivfTopKPqResidualRerank(spark, pqrDir, exactDir, cents,
+      anchors, cb, queries, k, nprobe, poolMult,
+      scope = graft.operators.Pq.CandidateScope(
+        excluded = Some(tombstoneIds(spark, pqrDir)), dedupIds = true))
+
   /** Retire the tombstone dirs. ONLY safe once every tombstoned id is
     * physically purged from EVERY batch dir a replay could rewrite — i.e.
     * after a full [[compactIndex]] with the stream stopped (the

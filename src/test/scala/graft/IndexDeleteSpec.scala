@@ -102,6 +102,48 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
     assert(dead.forall(!rawFinal.contains(_)))
   }
 
+  test("quantized tier: tombstones propagate to the residual-PQ dir (refill, purge, armed replay)") {
+    import graft.operators.Pq
+    val base = Files.createTempDirectory("graft-del-pqr").toString
+    val exDir = s"$base/exact"; val pqrDir = s"$base/pqr"
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "del-spec-res")
+    (0 until 3).foreach { b =>
+      EmbeddingIndexStream.applyBatch(embs.filter(col("vec_id") % 3 === b),
+        b.toLong, cents, exDir, pqrLoaded = Some((pqrDir, anchors, rcb)))
+    }
+    def liveQ() = EmbeddingIndexStream.ivfTopKPqResidualLive(spark, pqrDir,
+        exDir, cents, anchors, rcb, probes, k = 5, nprobe = 10, poolMult = 40)
+      .as[(Long, Long, Double)].collect()
+    // kill each probe's current #1 through BOTH tier dirs; the naive
+    // filter-after-topk would under-fill — the composed query must refill
+    val best = liveQ().groupBy(_._1).values
+      .map(_.maxBy(r => (r._3, -r._2))._2).toSeq.distinct
+    EmbeddingIndexStream.tombstoneTiers(spark, best.toDF("vec_id"), 1L,
+      Seq(exDir, pqrDir))
+    val after = liveQ()
+    assert(after.length == probes.size * 5, "k under-filled after deletes")
+    assert(after.forall { case (_, c, _) => !best.contains(c) },
+      "a deleted id surfaced through the residual-PQ tier")
+    // containment pin for the scoped pool: pqr-live ≡ exact-live top-k
+    val exactLive = EmbeddingIndexStream.ivfTopKIndexedLive(spark, exDir,
+        cents, probes, k = 5, nprobe = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after.toSet == exactLive,
+      "scoped residual pool missed the exact live top-k")
+    // compaction purges CODE rows physically, keeps tombstones armed
+    EmbeddingIndexStream.compactIndex(spark, pqrDir)
+    val rawCodes = spark.read.parquet(pqrDir).select("vec_id").as[Long]
+      .collect().toSet
+    assert(best.forall(!rawCodes.contains(_)),
+      "compaction did not purge tombstoned code rows")
+    // armed replay on the CODE dir: re-applying batch 0 may rewrite deleted
+    // codes; the live query must still exclude them
+    EmbeddingIndexStream.applyBatch(embs.filter(col("vec_id") % 3 === 0), 0L,
+      cents, exDir, pqrLoaded = Some((pqrDir, anchors, rcb)))
+    assert(liveQ().forall { case (_, c, _) => !best.contains(c) },
+      "replay resurrected a deleted id through the residual-PQ tier")
+  }
+
   test("pipeline story: corpus-evolution removed docs drive index forgetting") {
     val idx = tmp()
     streamIn(idx)

@@ -248,6 +248,28 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(Pq.loadAnchors(spark, s"$base/anchors") == anchors)
   }
 
+  test("scoped ADC pool: filtered rerank ≡ exact filtered IVF (k fills from the filtered pool)") {
+    // the production "filtered + compressed" retrieval shape: the allowed
+    // set semi-joins the ADC candidate read BELOW the per-probe top-k.
+    // Equality with the exact filtered-IVF query IS the fill pin — the
+    // naive score-then-filter order would under-fill k and mismatch.
+    val pq = tmp(); val ex = tmp()
+    Pq.buildIndexPq(embs, cents, cb, pq)
+    Similarity.buildIndex(embs, cents, ex)
+    val allowed = Tables.documents(spark, Sf0001)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val got = Pq.ivfTopKPqRerank(spark, pq, ex, cents, cb, probes,
+        k = 3, nprobe = 3, poolMult = 40, adc = true,
+        scope = Pq.CandidateScope(allowed = Some(allowed)))
+      .orderBy("query_id", "cand_id").collect().toSeq
+    val exact = Similarity.ivfTopKFiltered(embs, cents, probeIds,
+        k = 3, nprobe = 3, allowedIds = allowed)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    assert(got == exact,
+      "filtered ADC pool at gate settings misses the exact filtered top-k")
+    assert(got.nonEmpty)
+  }
+
   test("anchorless cluster: encode falls back to plain-PQ semantics, nothing dropped") {
     // a cluster with no nonzero-norm member at anchor-training time has no
     // anchor row; vectors streamed into it later must still index (r16

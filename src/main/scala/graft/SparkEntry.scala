@@ -691,6 +691,15 @@ object SparkEntry {
       Multimodal.extractCellSums(
         Multimodal.pngMediaFromDocuments(Tables.documentsById(s, d))
           .select("doc_id", "payload"))),
+    // [r17] REAL per-frame video/animation tier: deterministic ANIMATED
+    // gray GIFs (indexed palette — GIF LZW is lossless over indexed
+    // samples, so every pixel round-trips bit-exact), each frame extracted
+    // with reader.read(i) and reduced to an exact per-frame luminance sum.
+    // DuckDB replays the per-frame synthesis arithmetic; a wrong frame
+    // order, palette, or disposal handling hash-mismatches.
+    "multimodal_frames_gif" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractFrameSums(
+        Multimodal.gifMediaFromDocuments(Tables.documentsById(s, d)))),
   )
 
   /** First UTF-8 byte of `text`, derived from the first code point (DuckDB
@@ -1075,5 +1084,24 @@ object SparkEntry {
         |  CAST(SUM(((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) AS BIGINT) AS lum_sum,
         |  COUNT(*) AS n_px
         |FROM pv GROUP BY doc_id, cell ORDER BY doc_id, cell""".stripMargin,
+    // [r17] per-frame replica of the decoded animated-GIF rasters: frame
+    // f's gray level g(doc,f,x,y) is the synthesis hash masked to 8 bits;
+    // gray luma = g·(299+587+114) = g·1000 — all-integer, no float hazard
+    "multimodal_frames_gif" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |         CAST(8 + doc_id % 13 AS BIGINT) AS h,
+        |         CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+        |yy AS (SELECT doc_id, w, h, f, unnest(range(0, h)) AS y FROM fr),
+        |px AS (SELECT doc_id, w, h, f, y, unnest(range(0, w)) AS x FROM yy),
+        |pv AS (
+        |  SELECT doc_id, f, w, h,
+        |    (xor(xor((doc_id * 31 + f) * 1315423911, x * 2654435761), y * 40503) & 255) AS g
+        |  FROM px)
+        |SELECT doc_id, f AS frame_idx, w AS width, h AS height,
+        |  CAST(SUM(g * 1000) AS BIGINT) AS lum_sum
+        |FROM pv GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -158,6 +158,23 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try { r.setInput(iis); r.read(0) } finally iis.close()
     }
+    /** EVERY frame's raster, decoded with ONE stream setup (the per-frame
+      * video/animation tier — `reader.read(i)` per frame index). The
+      * frames are materialized before the stream closes; payloads are
+      * KB-sized synthesized media, and a production kernel would stream
+      * per frame with the same reader-reuse shape. */
+    def decodeFrames(docId: Long,
+                     payload: Array[Byte]): Seq[(Int, java.awt.image.BufferedImage)] = {
+      val fmt = sniffFormat(payload)
+      require(fmt != "unknown", s"doc $docId: payload is not a decodable image")
+      val r = reader(fmt)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        r.setInput(iis)
+        (0 until r.getNumImages(true)).map(i => (i, r.read(i)))
+      } finally iis.close()
+    }
   }
 
   /** Real image-decode kernel for one payload (spec/driver convenience —
@@ -349,6 +366,98 @@ object Multimodal {
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** 256-level gray palette — the IndexColorModel that makes the GIF tier
+    * pixel-EXACT: GIF's LZW is lossless over indexed samples, so writing
+    * TYPE_BYTE_INDEXED frames with an explicit palette round-trips every
+    * pixel bit-for-bit through the JDK writer/reader (the TYPE_INT_RGB
+    * path in [[synthesizeGif]] may palettize/dither arbitrary 24-bit
+    * colors — fine for frame COUNTS, useless for decoded-pixel oracles). */
+  private def grayPalette(): java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Deterministic animated GRAY GIF: frame f's pixel (x,y) is the 8-bit
+    * hash `((docId·31+f)·1315423911 ⊻ x·2654435761 ⊻ y·40503) & 255` as a
+    * gray level — pure integer arithmetic a SQL oracle replays, and
+    * pixel-exact through encode/decode (see [[grayPalette]]). */
+  def synthesizeGifGray(docId: Long, width: Int, height: Int,
+                        nFrames: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette())
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (docId * 31L + f) * 1315423911L ^
+              x.toLong * 2654435761L ^ y.toLong * 40503L
+            raster.setSample(x, y, 0, (v & 255L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** The GIF synthesis parameters for doc `id` — shared by fixture, specs
+    * and the SQL oracle: [[pngDims]]' dimensions, 2–5 frames. */
+  def gifFrames(id: Long): Int = 2 + (id % 4L).toInt
+
+  /** Synthesized animated-GIF media table over the documents fixture (the
+    * [[pngMediaFromDocuments]] pattern at (doc, frame) grain). */
+  def gifMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val ds: Dataset[Long] = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        (id, synthesizeGifGray(id, w, h, gifFrames(id)))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Row shape of [[extractFrameSums]]. */
+  case class FrameSumRow(doc_id: Long, frame_idx: Long, width: Long,
+                         height: Long, lum_sum: Long)
+
+  /** Per-FRAME luminance sums over genuinely decoded rasters — the real
+    * twin of [[sampleFrames]]'s plumbing stub: `reader.read(i)` extracts
+    * each frame of the animated payload (one stream setup per payload,
+    * codec cached per partition), and the per-frame sum is the same exact
+    * Long arithmetic as [[cellSums]] at grid=1. Output rows are bounded by
+    * docs × frames; the payload never rides them. A wrong per-frame
+    * decode (frame order, palette, disposal) hash-mismatches the oracle,
+    * which replays the synthesis arithmetic per frame index. */
+  def extractFrameSums(media: DataFrame): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val codec = new ImageCodec()
+      rows.flatMap { case (id, bytes) =>
+        codec.decodeFrames(id, bytes).iterator.map { case (f, img) =>
+          FrameSumRow(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+            cellSums(img, 1)._1(0))
+        }
+      }
+    }(Encoders.product[FrameSumRow]).toDF()
   }
 
   /** Synthesized-PNG media table over the documents fixture: dimensions are

@@ -103,6 +103,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("gray GIF frames: every frame decodes pixel-exact to the synthesis arithmetic") {
+    // the property that makes multimodal_frames_gif oracle-able: indexed
+    // gray GIF round-trips each FRAME's pixels bit-for-bit, so per-frame
+    // sums computed from decoded rasters equal the synthesis replay
+    val sums = Multimodal.extractFrameSums(
+        Multimodal.gifMediaFromDocuments(docs.orderBy("doc_id")))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = sums.groupBy(_._1)
+    assert(byDoc.size == 64)
+    for ((id, rows) <- byDoc) {
+      val (ew, eh) = Multimodal.pngDims(id)
+      val nf = Multimodal.gifFrames(id)
+      assert(rows.length == nf, s"doc $id: ${rows.length} frames, synthesized $nf")
+      for ((_, f, w, h, lum) <- rows) {
+        assert(w == ew && h == eh, s"doc $id frame $f decoded ${w}x$h")
+        // replay the synthesis arithmetic locally (gray luma = g*1000)
+        var expected = 0L
+        var y = 0
+        while (y < eh) {
+          var x = 0
+          while (x < ew) {
+            val g = ((id * 31L + f) * 1315423911L ^
+              x.toLong * 2654435761L ^ y.toLong * 40503L) & 255L
+            expected += g * 1000L
+            x += 1
+          }
+          y += 1
+        }
+        assert(lum == expected,
+          s"doc $id frame $f: decoded lum_sum $lum != synthesized $expected")
+      }
+    }
+  }
+
   test("stub tier unchanged: gate plumbing still runs on the text-bytes fixture") {
     val stub = Multimodal.extractMeta(
       Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001).limit(10)))

@@ -321,6 +321,117 @@ object EmbeddingIndexStream {
       scope = graft.operators.Pq.CandidateScope(
         excluded = Some(tombstoneIds(spark, pqrDir)), dedupIds = true))
 
+  // --- recluster (round 17): the lifecycle's maintenance verb ---------------
+  //
+  // build → append → filter → delete → compact now gets RE-CLUSTER: when the
+  // corpus drifts (corpus_diff / source_drift detect it), the frozen coarse
+  // quantizer files new vectors into lists that no longer reflect the data,
+  // and recall at fixed nprobe decays. reclusterIndex retrains the
+  // centroids on the CURRENT LIVE set (deterministic distributed Lloyd
+  // seeded from the serving quantizer), re-assigns every live vector, and
+  // swaps the whole dir atomically. The PQ/residual code tiers encode
+  // against the old cluster geometry, so a recluster invalidates them —
+  // rebuild offline from the swapped exact dir (buildIndexPq* on
+  // readIndex's (vec_id, v, cluster) shape), the same contract as codebook
+  // retraining. Requires the maintenance window (stream stopped): a writer
+  // started under the old quantizer would file batches under stale cluster
+  // ids; on restart, `run` callers should load the quantizer through
+  // [[indexQuantizer]].
+
+  /** The index's CO-LOCATED quantizer (dot-dir, invisible to partition
+    * discovery): [[reclusterIndex]] persists the retrained centroids
+    * INSIDE the index dir so ONE rename carries data + quantizer — with a
+    * separate centroids file there is always a window where a reader pairs
+    * new centroids with old cluster ids (or vice versa) and silently
+    * probes the wrong lists. */
+  private def quantizerPath(indexDir: String) = s"$indexDir/.quantizer"
+
+  /** The quantizer an index should be queried with: the co-located one if
+    * the index has been reclustered, else the caller's initial (externally
+    * persisted) quantizer. */
+  def indexQuantizer(spark: SparkSession, indexDir: String,
+                     initial: => Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val p = quantizerPath(indexDir)
+    if (FsUtils.fs(spark, p).exists(new Path(p)))
+      Similarity.loadCentroids(spark, p)
+    else initial
+  }
+
+  /** One deterministic Lloyd step over the live set: re-assign against the
+    * current iterate, then per-cluster elementwise means summed in DECIMAL
+    * (order-independent — the [[graft.operators.Pq.clusterAnchors]]
+    * discipline, so the retrained quantizer is a pure function of the live
+    * set). A cluster that loses all members keeps its previous centroid
+    * (standard empty-cell handling; cluster ids never change, so existing
+    * probe code and partition layouts stay id-compatible). */
+  private def recenterStep(live: DataFrame,
+                           cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val means = Similarity.assign(
+        live.select(col("vec_id"), col("v").as("embedding")), cents)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("x").cast("decimal(27,18)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("c"))
+      .collect()
+      .map(r => (r.get(0) match { case n: java.lang.Number => n.intValue },
+        r.getSeq[Double](1))).toMap
+    cents.map { case (id, c) => (id, means.getOrElse(id, c)) }
+  }
+
+  /** Retrain the quantizer on the live set and atomically re-cluster the
+    * index dir. Returns the new quantizer (also persisted co-located, see
+    * [[indexQuantizer]]).
+    *
+    * Crash safety (single maintaining writer, the compactIndex
+    * discipline): the new layout is fully written to a sibling
+    * `<dir>.recluster-tmp` and stamped with a `_RECLUSTER_READY` marker
+    * BEFORE the swap; a crash before the marker leaves the old index
+    * untouched (stale tmp deleted on the next call), a crash inside the
+    * swap (old dir deleted, tmp not renamed) is redone by the recovery
+    * preamble — a marked tmp with no index dir IS the swap's redo log.
+    *
+    * Tombstone interaction: the rewrite drops tombstoned ROWS (it reads
+    * [[liveIndex]]), but the tombstone set itself is carried into the new
+    * dir still ARMED — a replayed stream batch after restart may rewrite a
+    * tombstoned id, and clearing early would resurrect it. Retire via
+    * [[clearTombstones]] in the usual maintenance window. */
+  def reclusterIndex(spark: SparkSession, indexDir: String,
+                     initial: => Seq[(Int, Seq[Double])],
+                     iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val fs = FsUtils.fs(spark, indexDir)
+    val base = new Path(indexDir)
+    val tmp = new Path(base.getParent, base.getName + ".recluster-tmp")
+    val ready = new Path(tmp, "_RECLUSTER_READY")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(base) && fs.exists(ready)) {
+        FsUtils.renameOrThrow(fs, tmp, base) // finish an interrupted swap
+        fs.delete(new Path(base, "_RECLUSTER_READY"), false)
+        spark.catalog.refreshByPath(indexDir)
+        return Similarity.loadCentroids(spark, quantizerPath(indexDir))
+      } else fs.delete(tmp, true) // stale partial rewrite — redo below
+    }
+    val live = liveIndex(spark, indexDir).select("vec_id", "v")
+    var cents = indexQuantizer(spark, indexDir, initial)
+    for (_ <- 1 to iters) cents = recenterStep(live, cents)
+    Similarity.assign(live.select(col("vec_id"), col("v").as("embedding")), cents)
+      .repartition(col("cluster")) // one file per cluster dir
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(new Path(tmp, "batch=-1").toString)
+    Similarity.saveCentroids(spark, cents, quantizerPath(tmp.toString))
+    val ts = tombstoneIds(spark, indexDir)
+    if (!ts.isEmpty) ts.coalesce(1).write.mode("overwrite")
+      .parquet(s"${tombstonesPath(tmp.toString)}/batch=-1")
+    fs.create(ready, true).close()
+    fs.delete(base, true)
+    FsUtils.renameOrThrow(fs, tmp, base)
+    fs.delete(new Path(base, "_RECLUSTER_READY"), false)
+    spark.catalog.refreshByPath(indexDir)
+    cents
+  }
+
   /** Retire the tombstone dirs. ONLY safe once every tombstoned id is
     * physically purged from EVERY batch dir a replay could rewrite — i.e.
     * after a full [[compactIndex]] with the stream stopped (the

@@ -284,7 +284,7 @@ object Pq {
   private def idCol(df: DataFrame): DataFrame =
     df.select(col(df.columns.head).cast("long").as("vec_id")).distinct()
 
-  private def applyScope(cands: DataFrame, scope: CandidateScope): DataFrame = {
+  private[graft] def applyScope(cands: DataFrame, scope: CandidateScope): DataFrame = {
     var out = cands
     if (scope.dedupIds) out = out.dropDuplicates("vec_id")
     scope.allowed.foreach(a => out = out.join(idCol(a), Seq("vec_id"), "left_semi"))

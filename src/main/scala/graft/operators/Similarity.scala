@@ -510,7 +510,8 @@ object Similarity {
   def ivfTopKIndexedQuantized(spark: SparkSession, path: String,
                               cents: Seq[(Int, Seq[Double])],
                               queries: Seq[(Long, Seq[Double])],
-                              k: Int, nprobe: Int): DataFrame = {
+                              k: Int, nprobe: Int,
+                              scope: Pq.CandidateScope = Pq.CandidateScope()): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge, CosineI8}
     import spark.implicits._
     // HALF_UP away from zero, matching Spark's round() used at build time
@@ -527,8 +528,10 @@ object Similarity {
     val probes = withClusters.toDF("query_id", "qqv", "clusters")
       .select(col("query_id"), col("qqv"), explode(col("clusters")).as("cluster"))
     val probed = withClusters.flatMap(_._3).distinct
-    val cands = spark.read.parquet(path)
-      .filter(col("cluster").isin(probed: _*))
+    // same filter/delete/dedup composition as the PQ tiers — BELOW the
+    // per-probe top-k, so k fills from the eligible pool
+    val cands = Pq.applyScope(spark.read.parquet(path)
+        .filter(col("cluster").isin(probed: _*)), scope)
       .select(col("vec_id").as("cand_id"), col("qv").as("cqv"), col("cluster"))
     val simI8 = ColumnBridge.column(CosineI8(
       ColumnBridge.expression(col("qqv")), ColumnBridge.expression(col("cqv"))))
@@ -560,9 +563,13 @@ object Similarity {
   def ivfTopKQuantizedRerank(spark: SparkSession, qPath: String, exactPath: String,
                              cents: Seq[(Int, Seq[Double])],
                              queries: Seq[(Long, Seq[Double])],
-                             k: Int, nprobe: Int, poolMult: Int = 4): DataFrame = {
+                             k: Int, nprobe: Int, poolMult: Int = 4,
+                             scope: Pq.CandidateScope = Pq.CandidateScope()): DataFrame = {
     import spark.implicits._
-    val pool = ivfTopKIndexedQuantized(spark, qPath, cents, queries, k * poolMult, nprobe)
+    // scope applies to the pool stage; the exact rerank restricts to pool
+    // ids by construction (the Pq.ivfTopKPqResidualRerank contract)
+    val pool = ivfTopKIndexedQuantized(spark, qPath, cents, queries,
+        k * poolMult, nprobe, scope)
       .select(col("query_id"), col("cand_id"))
     rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
   }

@@ -428,6 +428,26 @@ object ScaleBench {
             .select("doc_id", "payload"))
           .groupBy("doc_id").agg(sum("lum_sum").as("s"))
           .agg(count(lit(1)).as("n_docs"), sum("s").as("total"))),
+      // per-frame GIF kernel (round 17): synthesis + reader.read(i) frame
+      // decode + per-frame integer luma sums over a k×-amplified doc table
+      // — like cellsums, the whole cost is the narrow codec pass
+      "multimodal_frames_gif" -> (k =>
+        graft.operators.Multimodal.extractFrameSums(
+          graft.operators.Multimodal.gifMediaFromDocuments(docsX(k)))
+          .groupBy("doc_id").agg(sum("lum_sum").as("s"))
+          .agg(count(lit(1)).as("n_docs"), sum("s").as("total"))),
+      // delete-scoped retrieval shape at volume (round 17): the NOT-deleted
+      // id set grows k× with the corpus (90% selectivity) and joins the
+      // candidate side below the per-probe top-k — the same plan shape the
+      // tombstone anti-join produces on the live reads
+      "ann_ivf_topk_live_shape" -> { k =>
+        val cents = Similarity.trainedCentroids(
+          Tables.embeddings(spark, sf), "scalebench-quantizer")
+        Similarity.ivfTopKFiltered(embsX(k), cents,
+          probeIds = (1L to 10L).map(_ * k), k = 10, nprobe = 4,
+          allowedIds = embsX(k).filter(pmod(col("vec_id"), lit(10)) =!= 3)
+            .select(col("vec_id")))
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -601,4 +601,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     for ((n1, r1) <- rates; (n2, r2) <- rates if n2 >= 4 * n1)
       assert(r2 < r1, s"rate did not shrink: n=$n1 rate=$r1 vs n=$n2 rate=$r2")
   }
+
+  test("scoped int8 rerank: exhaustive filtered pool ≡ exact filtered IVF") {
+    // the CandidateScope composition on the int8 tier (r17: every
+    // compressed tier accepts filter/delete scoping): with a pool wide
+    // enough to hold every allowed candidate in the probed lists, the
+    // scoped two-stage query returns exactly the exact filtered-IVF rows —
+    // the fill-from-filtered-pool pin through the quantized read
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = Similarity.centroidSeq(e)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-fq").toString
+    Similarity.buildIndex(e, cents, s"$tmp/exact")
+    Similarity.buildIndexQuantized(e, cents, s"$tmp/quant")
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val allowed = Tables.documents(spark, Sf0001)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val got = Similarity.ivfTopKQuantizedRerank(
+        spark, s"$tmp/quant", s"$tmp/exact", cents, vecs, 3, nprobe = 3,
+        poolMult = 1000,
+        scope = graft.operators.Pq.CandidateScope(allowed = Some(allowed)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.ivfTopKFiltered(e, cents, probeIds, 3, nprobe = 3,
+        allowedIds = allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact, "scoped int8 rerank diverges from exact filtered IVF")
+    assert(got.nonEmpty)
+  }
 }

@@ -442,4 +442,69 @@ object PortableOracles {
        |       JOIN e ec ON ec.vec_id = pl.cand_id
        |  WHERE NOT ISNAN(LIST_COSINE_SIMILARITY(eq.v, ec.v))) t2
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
+  /** Hybrid-retrieval replica (`Retrieval.hybridTopkRrf`): the
+    * [[ivfAssignCtes]] dense ranks (probe ids 0/1/2, rounded cosine,
+    * top-10) full-outer-joined with per-query BM25 ranks (one tf pass over
+    * the UNION of the term sets — the bm25TopkSql chain — then per-query
+    * score sums), fused with EXACT scaled-integer RRF: rrf_num =
+    * Σ lcm/(60+rank), lcm = lcm(61..70) interpolated from the same
+    * [[graft.operators.Retrieval.rrfLcm]] the Spark side uses — integer
+    * division is exact on both engines, zero float hazard in the fused
+    * score. */
+  val hybridTopkRrfSql: String = {
+    import graft.operators.Retrieval
+    val querySets = Retrieval.HybridTermSets
+    val terms = querySets.flatMap(_._2).distinct
+    val lcm = Retrieval.rrfLcm(Retrieval.RrfC, Retrieval.HybridL)
+    val probeIdsIn = querySets.map(_._1).mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n|    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val tIdx = terms.zipWithIndex.toMap
+    def scoreSql(qts: Seq[String]): String = qts.map { t =>
+      val i = tIdx(t)
+      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+      s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    }.mkString(" + ")
+    val lexBranches = querySets.map { case (qid, qts) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN ($probeIdsIn)) WHERE rn <= 3),
+       |dense AS (SELECT query_id, cand_id AS doc_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) dr WHERE rn <= ${Retrieval.HybridL}),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t),
+       |lexs AS (
+       |  $lexBranches),
+       |lex AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+       |  FROM lexs WHERE s > 0) lr WHERE rank <= ${Retrieval.HybridL}),
+       |fused AS (SELECT
+       |    COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE($lcm // (${Retrieval.RrfC} + l.rank), 0)
+       |      + COALESCE($lcm // (${Retrieval.RrfC} + d.rank), 0) AS rrf_num
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, CAST(rrf_num AS BIGINT) AS rrf_num, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_num DESC, doc_id) AS rank FROM fused) f
+       |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -61,7 +61,7 @@ object SparkEntry {
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc",
-    "zorder_pruned_read")
+    "hybrid_topk_rrf", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -645,6 +645,15 @@ object SparkEntry {
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
+    // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
+    // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
+    // probe vector ids), fused with Reciprocal Rank Fusion — the production
+    // RAG retrieval shape. The fused score is EXACT scaled-integer
+    // arithmetic (rrf_num = Σ lcm(61..70)/(60+rank)), so the gate carries
+    // zero cross-engine float hazard; fusion joins ranked LISTS (queries ×
+    // depth rows), never the corpus.
+    "hybrid_topk_rrf" -> ((s: SparkSession, d: String) =>
+      Retrieval.hybridTopkRrf(s, d)),
     // keyword extraction: per-doc top-5 TF-IDF terms, deterministic ties
     // (rounded score desc, term asc); three linear exchanges, no driver state
     "tfidf_topk_terms" -> ((s: SparkSession, d: String) =>
@@ -700,6 +709,31 @@ object SparkEntry {
     "multimodal_frames_gif" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFrameSums(
         Multimodal.gifMediaFromDocuments(Tables.documentsById(s, d)))),
+    // [r17] REAL audio tier (javax.sound.sampled): deterministic mono
+    // PCM16 WAVs whose rate/length/samples are pure integer functions of
+    // doc_id (Multimodal.synthesizeWav/wavParams/wavSample — PCM is
+    // lossless, so decode round-trips bit-exact). DuckDB replays the
+    // synthesis arithmetic; Spark must genuinely parse the RIFF header and
+    // PCM frames to match — a wrong sample width, byte order, or sign
+    // convention hash-mismatches. Narrow mapPartitions chains over the
+    // gate-sorted base, same as the PNG tier.
+    "multimodal_meta_wav" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractMetaWav(
+        Multimodal.wavMediaFromDocuments(Tables.documentsById(s, d)))),
+    // per-window integer energy sums over really decoded PCM — the exact
+    // Long core of an audio feature kernel (RMS/peak are float views)
+    "multimodal_windows_wav" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractWavWindowSums(
+        Multimodal.wavMediaFromDocuments(Tables.documentsById(s, d)))),
+    // decode → integer decimation (every 2nd sample) → WAV re-encode →
+    // RE-DECODE → window sums: the whole encode/decode circle is
+    // load-bearing (the multimodal_resize_png pattern for audio). Oracle
+    // replays s(doc, 2i) per resampled index.
+    "multimodal_resample_wav" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractWavWindowSums(
+        Multimodal.resampleWav(
+          Multimodal.wavMediaFromDocuments(Tables.documentsById(s, d)),
+          factor = 2))),
   )
 
   /** First UTF-8 byte of `text`, derived from the first code point (DuckDB
@@ -806,6 +840,7 @@ object SparkEntry {
     "ann_ivf_topk_pqr_live" -> PortableOracles.annIvfTopkLiveSql,
     "ann_ivf_topk_filtered_adc" -> PortableOracles.annIvfTopkFilteredSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
+    "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,
@@ -1103,5 +1138,48 @@ object SparkEntry {
         |SELECT doc_id, f AS frame_idx, w AS width, h AS height,
         |  CAST(SUM(g * 1000) AS BIGINT) AS lum_sum
         |FROM pv GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""".stripMargin,
+    // [r17] real audio tier: the oracle replays the WAV SYNTHESIS
+    // parameters (rate/length are pure functions of doc_id —
+    // Multimodal.wavParams); the Spark side must genuinely parse the RIFF
+    // header to produce the same numbers.
+    "multimodal_meta_wav" ->
+      """SELECT doc_id,
+        |CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |     WHEN 2 THEN 16000 ELSE 22050 END AS BIGINT) AS sample_rate,
+        |CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |CAST(120 + doc_id % 101 AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-sample replica of the decoded PCM signal: sample s(doc,i) is the
+    // synthesis hash masked to 16 bits minus 32768 (signed), window = 64
+    // samples — all-integer, no float hazard (mirrors
+    // Multimodal.extractWavWindowSums exactly)
+    "multimodal_windows_wav" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(120 + doc_id % 101 AS BIGINT) AS n FROM documents),
+        |ix AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
+        |s AS (
+        |  SELECT doc_id, i // 64 AS window_idx,
+        |    ((xor(doc_id * 2654435761, i * 1315423911) & 65535) - 32768) AS v
+        |  FROM ix)
+        |SELECT doc_id, window_idx, COUNT(*) AS n_smp,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_sum
+        |FROM s GROUP BY doc_id, window_idx ORDER BY doc_id, window_idx""".stripMargin,
+    // decimation replica: the resampled signal's sample i is the synthesis
+    // hash at index 2i, resampled length = ceil(n/2) — Spark must run the
+    // full decode→decimate→re-encode→re-decode circle to match
+    "multimodal_resample_wav" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(120 + doc_id % 101 AS BIGINT) AS n FROM documents),
+        |rs AS (SELECT doc_id, (n + 1) // 2 AS rn FROM p),
+        |ix AS (SELECT doc_id, unnest(range(0, rn)) AS i FROM rs),
+        |s AS (
+        |  SELECT doc_id, i // 64 AS window_idx,
+        |    ((xor(doc_id * 2654435761, (2 * i) * 1315423911) & 65535) - 32768) AS v
+        |  FROM ix)
+        |SELECT doc_id, window_idx, COUNT(*) AS n_smp,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_sum
+        |FROM s GROUP BY doc_id, window_idx ORDER BY doc_id, window_idx""".stripMargin,
   )
 }

@@ -480,6 +480,187 @@ object Multimodal {
   def pngDims(id: Long): (Int, Int) =
     (16 + (id % 17L).toInt, 8 + (id % 13L).toInt)
 
+  // --- real audio kernels (JDK javax.sound.sampled) --------------------------
+
+  /** Decoded audio metadata row. */
+  case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                       bits: Long, n_samples: Long)
+
+  /** Row shape of [[extractWavWindowSums]]. */
+  case class WindowSumRow(doc_id: Long, window_idx: Long, n_smp: Long,
+                          abs_sum: Long, sq_sum: Long)
+
+  /** The WAV synthesis parameters for doc `id` — (sampleRate, nSamples),
+    * shared by fixture, specs and the SQL oracle. */
+  def wavParams(id: Long): (Int, Int) =
+    (Array(8000, 11025, 16000, 22050)((id % 4L).toInt), 120 + (id % 101L).toInt)
+
+  /** Sample i of doc d's synthesized PCM16 signal: the 16-bit hash
+    * `((d·2654435761 ⊻ i·1315423911) & 65535) − 32768` — pure integer
+    * arithmetic a SQL oracle replays, and lossless through PCM encode. */
+  def wavSample(docId: Long, i: Long): Int =
+    (((docId * 2654435761L) ^ (i * 1315423911L)) & 0xffffL).toInt - 32768
+
+  /** Deterministic tiny WAV: mono 16-bit little-endian PCM whose samples are
+    * [[wavSample]] — written through the JDK's `javax.sound.sampled` WAV
+    * encoder (ships in every JRE — no added jars), the audio analog of
+    * [[synthesizePng]]. PCM is lossless, so decoded samples round-trip
+    * bit-exact. */
+  def synthesizeWav(docId: Long, sampleRate: Int, nSamples: Int): Array[Byte] =
+    encodeWav(Array.tabulate(nSamples)(i => wavSample(docId, i.toLong)), sampleRate)
+
+  /** Signed 16-bit samples → a real WAV through the JDK encoder (mono,
+    * little-endian PCM — the write half of the codec circle). */
+  private def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Synthesized-WAV media table over the documents fixture (the
+    * [[pngMediaFromDocuments]] pattern for audio): sample rate and sample
+    * count are pure functions of doc_id. */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val ds: Dataset[Long] = docs.select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { ids =>
+      ids.map { id =>
+        val (sr, n) = wavParams(id)
+        (id, synthesizeWav(id, sr, n))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Genuine WAV decode through `javax.sound.sampled.AudioSystem`: parses
+    * the RIFF/fmt header and streams the PCM frames back out as signed
+    * 16-bit samples. Restricted to the mono/16-bit/little-endian shape the
+    * synthesis writes — a real pipeline would transcode other shapes here.
+    */
+  private def decodeWav(docId: Long,
+                        payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"doc $docId: expected mono 16-bit LE PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      (fmt, out)
+    } finally ais.close()
+  }
+
+  /** [[extractMeta]]'s real AUDIO twin: same mapPartitions plumbing, the
+    * decode is a genuine `javax.sound.sampled` WAV parse (header → rate /
+    * channels / bits, frames → sample count). */
+  def extractMetaWav(media: DataFrame): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (fmt, samples) = decodeWav(id, bytes)
+        AudioMeta(id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+          fmt.getSampleSizeInBits.toLong, samples.length.toLong)
+      }
+    }(Encoders.product[AudioMeta]).toDF()
+  }
+
+  /** The DECODED signal's per-window integer energy sums — the audio analog
+    * of [[extractCellSums]] and the integer core of an audio feature kernel
+    * (RMS/peak are float views of these): per fixed `window`-sample window,
+    * the sample count, Σ|s| and Σs² — exact Long arithmetic over really
+    * decoded PCM, so the DuckDB gate replicates it from the synthesis
+    * arithmetic alone. A wrong header parse, sample width, byte order, or
+    * sign convention hash-mismatches immediately. */
+  def extractWavWindowSums(media: DataFrame, window: Int = 64): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        val samples = decodeWav(id, bytes)._2
+        samples.indices.groupBy(_ / window).toSeq.sortBy(_._1).iterator
+          .map { case (w, idxs) =>
+            var absSum = 0L; var sqSum = 0L
+            idxs.foreach { i =>
+              val s = samples(i).toLong
+              absSum += math.abs(s); sqSum += s * s
+            }
+            WindowSumRow(id, w.toLong, idxs.size.toLong, absSum, sqSum)
+          }
+      }
+    }(Encoders.product[WindowSumRow]).toDF()
+  }
+
+  /** Real audio resample kernel — [[resizeImage]]'s audio twin, the full
+    * decode → transform → re-encode circle: genuine WAV decode, integer
+    * decimation (every `factor`-th sample — the aliasing-naive decimator,
+    * bit-deterministic by construction), re-encode at rate/factor through
+    * the JDK WAV writer. Output (doc_id, payload) is a real WAV of the
+    * decimated signal; the gate row re-DECODES it and window-sums the
+    * samples, so the whole circle is load-bearing. */
+  def resampleWav(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, "decimation factor must be >= 1")
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (fmt, samples) = decodeWav(id, bytes)
+        val out = Array.tabulate((samples.length + factor - 1) / factor)(
+          i => samples(i * factor))
+        (id, encodeWav(out, math.max(1, fmt.getSampleRate.toInt / factor)))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[extractFeaturesImage]]'s audio twin: decode → `dim` equal slices →
+    * per-slice RMS in [0,1] (the pooled-energy shape an audio embedding
+    * reduces to), feeding [[Similarity]] unchanged. */
+  def extractFeaturesWav(media: DataFrame, dim: Int = 8): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val samples = decodeWav(id, bytes)._2
+        val n = samples.length
+        val feats = Array.tabulate(dim) { j =>
+          val lo = j * n / dim; val hi = (j + 1) * n / dim
+          if (hi <= lo) 0f
+          else {
+            var sq = 0L
+            var i = lo
+            while (i < hi) { val s = samples(i).toLong; sq += s * s; i += 1 }
+            (math.sqrt(sq.toDouble / (hi - lo)) / 32768.0).toFloat
+          }
+        }
+        FeatureRow(id, feats)
+      }
+    }(Encoders.product[FeatureRow]).toDF()
+  }
+
   /** Feature-extraction plumbing: binary payload → dense `array<float>`
     * (the embedding a vision/audio model would produce — STUB arithmetic,
     * real schema/batching). Output feeds [[Similarity]] unchanged. Portable

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Hybrid retrieval: fuse a lexical (BM25) ranked list with a dense (ANN)
+  * ranked list per query via Reciprocal Rank Fusion — the production RAG
+  * retrieval shape (sparse recall ∪ dense recall → one ranking). RRF
+  * (Cormack/Clarke/Buettcher, SIGIR 2009): score(d) = Σ_lists 1/(c + rank_d),
+  * c = 60 the published default; rank-only fusion needs no score
+  * calibration between retrievers, which is why it is the default fusion
+  * everywhere.
+  *
+  * Scale shape: the fused join runs over the RANKED LISTS (queries × depth
+  * rows — broadcast-sized by construction), never the corpus; the heavy
+  * work stays in the upstream retrievers, each already audited (BM25: two
+  * narrow passes + one broadcast stats row; ANN: partition-pruned
+  * inverted-list read). Fusion adds one tiny join + one per-query top-k
+  * window regardless of corpus size.
+  */
+object Retrieval {
+
+  /** RRF dampening constant (the SIGIR-2009 default). */
+  val RrfC = 60
+
+  /** Per-retriever candidate depth and fused output size for the gate row. */
+  val HybridL = 10
+  val HybridK = 5
+
+  /** The gate row's per-query lexical term sets — query ids match the dense
+    * probe vector ids (documents.doc_id = embeddings.vec_id in the fixture),
+    * terms drawn from the fixture vocabulary. Shared with the SQL oracle. */
+  val HybridTermSets: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("join", "hash"),
+    1L -> Seq("vector", "scan"),
+    2L -> Seq("window", "merge"))
+
+  /** lcm(c+1 .. c+maxRank) — the scaling that makes RRF numerators exact
+    * integers: lcm/(c+rank) is a whole number for every rank in [1,maxRank],
+    * so the fused score Σ lcm/(c+rank_i) is exact Long arithmetic on both
+    * engines (no float rounding hazard in the gate). For (c=60, L=10) this
+    * is 142,813,628,717,760 ≈ 1.4e14 — a sum of two terms stays far inside
+    * Long. Guarded against overflow for larger depths.
+    */
+  def rrfLcm(c: Int, maxRank: Int): Long =
+    (c + 1 to c + maxRank).map(_.toLong).reduce { (a, b) =>
+      val g = java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b)).longValueExact()
+      val l = math.multiplyExact(a / g, b)
+      require(l <= Long.MaxValue / (c + maxRank),
+        s"rrfLcm($c, $maxRank) would overflow Long — use rrfFuse (double scores)")
+      l
+    }
+
+  /** Normalize a ranked list to (query_id, doc_id, <rankAs>): accepts either
+    * an explicit `rank` column or derives dense ranks from (sim desc, id asc)
+    * — callers pass retriever output directly. */
+  private def ranked(list: DataFrame, rankAs: String): DataFrame = {
+    val idCol = if (list.columns.contains("doc_id")) "doc_id" else "cand_id"
+    val base =
+      if (list.columns.contains("rank"))
+        list.select(col("query_id"), col(idCol).as("doc_id"),
+          col("rank").cast("long").as(rankAs))
+      else {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col(idCol))
+        list.select(col("query_id"), col(idCol).as("doc_id"),
+          row_number().over(w).cast("long").as(rankAs))
+      }
+    base
+  }
+
+  /** Standard RRF fusion (double scores, rounded for display): full-outer
+    * join of the two ranked lists per (query_id, doc_id), score =
+    * Σ 1/(c+rank), per-query top-k with deterministic ties (score desc,
+    * doc_id asc). */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame, k: Int,
+              c: Int = RrfC): DataFrame = {
+    val fused = ranked(lexical, "lrank")
+      .join(ranked(dense, "drank"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("drank")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf", "rank")
+  }
+
+  /** RRF fusion with EXACT scaled-integer scores — the oracle-facing view:
+    * rrf_num = Σ lcm/(c+rank) is exact Long arithmetic (see [[rrfLcm]]), so
+    * the gate has zero cross-engine float hazard. Ordering is identical to
+    * [[rrfFuse]] (1/(c+r) and lcm/(c+r) are order-isomorphic; spec-pinned).
+    * `maxRank` must bound both input depths. */
+  def rrfFuseExact(lexical: DataFrame, dense: DataFrame, k: Int,
+                   maxRank: Int, c: Int = RrfC): DataFrame = {
+    val lcm = rrfLcm(c, maxRank)
+    // double division of exactly-divisible Longs ~1e14 is exact in IEEE
+    // (the true quotient is a representable integer), so the cast is safe
+    def term(r: String) =
+      coalesce((lit(lcm) / (lit(c.toLong) + col(r))).cast("long"), lit(0L))
+    val fused = ranked(lexical, "lrank")
+      .join(ranked(dense, "drank"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (term("lrank") + term("drank")).as("rrf_num"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_num").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf_num", "rank")
+  }
+
+  /** Multi-query BM25 ranked lists in ONE corpus pass: term frequencies are
+    * computed once for the UNION of all query term sets (one tokenize +
+    * one broadcast stats row — the [[TextAnalysis.bm25Topk]] shape), then
+    * each query's score sums its own terms and the per-query rank window
+    * runs over an exploded (query, doc, score) frame. Zero-score docs drop
+    * (a doc matching none of a query's terms is not a candidate). */
+  def bm25RankedPerQuery(docs: DataFrame, querySets: Seq[(Long, Seq[String])],
+                         l: Int): DataFrame = {
+    val terms = querySets.flatMap(_._2).distinct
+    val perDoc = docs.select(
+      col("doc_id") +: Seq(
+        graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
+          struct(
+            size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+            }: _*)
+        }.as("s")): _*)
+      .select(col("doc_id") +: col("s.dl").as("dl") +:
+        terms.indices.map(i => col(s"s.tf$i").as(s"tf$i")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("double")).as(s"df$i")): _*)
+    val tIdx = terms.zipWithIndex.toMap
+    def score(qts: Seq[String]) = qts.map { t =>
+      val i = tIdx(t)
+      val tf = col(s"tf$i")
+      val df = col(s"df$i")
+      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * lit(TextAnalysis.Bm25K1 + 1.0)) /
+        (tf + lit(TextAnalysis.Bm25K1) *
+          (lit(1.0) - lit(TextAnalysis.Bm25B) +
+            lit(TextAnalysis.Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    // all query scores in one projection, stacked by explode — one pass
+    val qs = querySets.map { case (qid, qts) =>
+      struct(lit(qid).as("query_id"), round(score(qts), 4).as("score"))
+    }
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(qs: _*)).as("q"))
+      .select(col("q.query_id"), col("doc_id"), col("q.score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.filter(col("score") > 0.0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= l)
+      .select("query_id", "doc_id", "rank")
+  }
+
+  /** The gate composition: BM25 per-query term sets (lexical) ∪ exact-IVF
+    * top-L (dense, same query ids as probe vector ids), fused with exact
+    * scaled-integer RRF. */
+  def hybridTopkRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25RankedPerQuery(Tables.documents(spark, dir), HybridTermSets, HybridL)
+    val dense = Similarity.ivfTopKCached(Tables.embeddings(spark, dir), dir,
+      HybridTermSets.map(_._1), k = HybridL, nprobe = 3)
+    rrfFuseExact(lex, dense, HybridK, maxRank = HybridL)
+      .orderBy("query_id", "rank")
+  }
+}

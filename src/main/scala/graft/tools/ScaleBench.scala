@@ -448,6 +448,31 @@ object ScaleBench {
           allowedIds = embsX(k).filter(pmod(col("vec_id"), lit(10)) =!= 3)
             .select(col("vec_id")))
       },
+      // real-audio-kernel tier (round 17): WAV synthesis + RIFF/PCM decode
+      // + per-window integer energy sums over a k×-amplified doc table —
+      // like cellsums, the whole cost is the narrow codec pass, no exchange
+      "multimodal_windows_wav" -> (k =>
+        graft.operators.Multimodal.extractWavWindowSums(
+          graft.operators.Multimodal.wavMediaFromDocuments(docsX(k)))
+          .groupBy("doc_id").agg(sum("sq_sum").as("s"))
+          .agg(count(lit(1)).as("n_docs"), sum("s").as("total"))),
+      // hybrid RRF at volume (round 17): both retrievers grow k× (BM25's
+      // tf pass over k× docs, the dense probe over k× vectors); fusion
+      // itself joins two ≤ queries×L ranked lists — the claim is the fused
+      // join adds a CONSTANT on top of the retrievers at any factor
+      "hybrid_topk_rrf" -> { k =>
+        val cents = Similarity.trainedCentroids(
+          Tables.embeddings(spark, sf), "scalebench-quantizer")
+        val lex = graft.operators.Retrieval.bm25RankedPerQuery(docsX(k),
+          graft.operators.Retrieval.HybridTermSets,
+          graft.operators.Retrieval.HybridL)
+        val dense = Similarity.ivfTopK(embsX(k), cents,
+          probeIds = graft.operators.Retrieval.HybridTermSets.map(_._1),
+          k = graft.operators.Retrieval.HybridL, nprobe = 4)
+        graft.operators.Retrieval.rrfFuseExact(lex, dense,
+          k = graft.operators.Retrieval.HybridK,
+          maxRank = graft.operators.Retrieval.HybridL)
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -137,6 +137,97 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // --- real audio tier (javax.sound.sampled) --------------------------------
+
+  private lazy val wavMedia = Multimodal.wavMediaFromDocuments(docs).cache()
+
+  test("synthesized WAVs decode to their synthesis parameters (RIFF header parse)") {
+    val decoded = Multimodal.extractMetaWav(wavMedia)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(decoded.length == 64)
+    for ((id, sr, ch, bits, n) <- decoded) {
+      val (esr, en) = Multimodal.wavParams(id)
+      assert(sr == esr.toLong, s"doc $id decoded rate $sr, synthesized $esr")
+      assert(ch == 1L && bits == 16L)
+      assert(n == en.toLong, s"doc $id decoded $n samples, synthesized $en")
+    }
+  }
+
+  test("decoded PCM samples round-trip the synthesis arithmetic bit-exact (window=1)") {
+    // window=1 exposes every individual sample: |s| and s^2 per sample
+    val one = wavMedia.filter($"doc_id" === 5L)
+    val rows = Multimodal.extractWavWindowSums(one, window = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val (_, n) = Multimodal.wavParams(5L)
+    assert(rows.length == n)
+    for ((_, i, cnt, absSum, sqSum) <- rows) {
+      val s = Multimodal.wavSample(5L, i).toLong
+      assert(cnt == 1L && absSum == math.abs(s) && sqSum == s * s,
+        s"sample $i: decoded (|s|=$absSum, s2=$sqSum) != synthesized s=$s")
+    }
+  }
+
+  test("per-window energy sums match the synthesis replay for every doc") {
+    val sums = Multimodal.extractWavWindowSums(wavMedia, window = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = sums.groupBy(_._1)
+    assert(byDoc.size == 64)
+    for ((id, rows) <- byDoc) {
+      val (_, n) = Multimodal.wavParams(id)
+      assert(rows.map(_._3).sum == n.toLong, s"doc $id sample count off")
+      for ((_, w, cnt, absSum, sqSum) <- rows) {
+        var (ea, eq, ec) = (0L, 0L, 0L)
+        var i = w * 64L
+        while (i < math.min((w + 1) * 64L, n.toLong)) {
+          val s = Multimodal.wavSample(id, i).toLong
+          ea += math.abs(s); eq += s * s; ec += 1L
+          i += 1L
+        }
+        assert(cnt == ec && absSum == ea && sqSum == eq,
+          s"doc $id window $w: ($cnt,$absSum,$sqSum) != ($ec,$ea,$eq)")
+      }
+    }
+  }
+
+  test("resample circle: decimated WAV re-decodes to every 2nd synthesis sample") {
+    val resampled = Multimodal.resampleWav(wavMedia, factor = 2)
+    // meta of the re-encoded payload: halved rate, ceil(n/2) samples
+    val meta = Multimodal.extractMetaWav(resampled)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(meta.length == 64)
+    for ((id, sr, ch, bits, n) <- meta) {
+      val (esr, en) = Multimodal.wavParams(id)
+      assert(sr == (esr / 2).toLong && ch == 1L && bits == 16L)
+      assert(n == ((en + 1) / 2).toLong, s"doc $id resampled to $n samples")
+    }
+    // sample values: window=1 pins each decimated sample = s(doc, 2i)
+    val rows = Multimodal.extractWavWindowSums(
+        resampled.filter($"doc_id" === 9L), window = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    for ((_, i, _, absSum, sqSum) <- rows) {
+      val s = Multimodal.wavSample(9L, 2L * i).toLong
+      assert(absSum == math.abs(s) && sqSum == s * s,
+        s"resampled sample $i != synthesis sample ${2 * i}")
+    }
+  }
+
+  test("audio features end-to-end: per-slice RMS embeddings into bruteForceTopK, partition-stable") {
+    val feats = Multimodal.extractFeaturesWav(wavMedia, dim = 8)
+    val collected = feats.as[(Long, Seq[Float])].collect()
+    assert(collected.length == 64)
+    assert(collected.forall { case (_, v) =>
+      v.length == 8 && v.forall(x => x >= 0f && x <= 1f)
+    }, "RMS features must be 8-dim in [0,1]")
+    val repart = Multimodal.extractFeaturesWav(wavMedia.repartition(7), dim = 8)
+      .as[(Long, Seq[Float])].collect()
+    assert(collected.sortBy(_._1).toSeq == repart.sortBy(_._1).toSeq)
+    val topk = Similarity.bruteForceTopK(
+        feats.select($"vec_id", $"embedding"), Seq(0L, 1L, 2L), k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(topk.length == 15)
+    assert(topk.forall { case (q, c, s) => q != c && s >= -1.0001 && s <= 1.0001 })
+  }
+
   test("stub tier unchanged: gate plumbing still runs on the text-bytes fixture") {
     val stub = Multimodal.extractMeta(
       Multimodal.mediaFromDocuments(Tables.documents(spark, Sf0001).limit(10)))

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, Similarity, TextAnalysis}
+
+/** Hybrid retrieval (RRF fusion) coverage: the exact scaled-integer score's
+  * arithmetic and its order-isomorphism to standard double RRF, the
+  * both-lists-beat-one-list fusion property, the multi-query BM25 pass
+  * against the single-query implementation, and partition determinism.
+  */
+class RetrievalSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def lex = Retrieval.bm25RankedPerQuery(
+    Tables.documents(spark, Sf0001), Retrieval.HybridTermSets, Retrieval.HybridL)
+  private def dense = Similarity.ivfTopKCached(
+    Tables.embeddings(spark, Sf0001), Sf0001,
+    Retrieval.HybridTermSets.map(_._1), k = Retrieval.HybridL, nprobe = 3)
+
+  test("rrfLcm(60,10) is divisible by every denominator 61..70") {
+    val lcm = Retrieval.rrfLcm(60, 10)
+    for (d <- 61 to 70) assert(lcm % d == 0L, s"lcm not divisible by $d")
+    // and small enough that a two-list sum cannot overflow
+    assert(lcm < Long.MaxValue / 70)
+  }
+
+  test("exact scaled-integer fusion ranks identically to double RRF") {
+    val exact = Retrieval.rrfFuseExact(lex, dense, k = Retrieval.HybridK,
+        maxRank = Retrieval.HybridL)
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3))
+    val dbl = Retrieval.rrfFuse(lex, dense, k = Retrieval.HybridK)
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(exact.nonEmpty && exact.toSeq == dbl.toSeq,
+      "scaled-integer and double RRF must produce the same ranking")
+  }
+
+  test("fused scores are exactly Σ lcm/(c+rank) over the input ranks") {
+    val lcm = Retrieval.rrfLcm(Retrieval.RrfC, Retrieval.HybridL)
+    val lranks = lex.as[(Long, Long, Long)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    val dranks = dense.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))))
+      .select($"query_id", $"cand_id", $"rank".cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    val fused = Retrieval.rrfFuseExact(lex, dense, k = Retrieval.HybridK,
+        maxRank = Retrieval.HybridL)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(fused.nonEmpty)
+    for ((q, d, num, _) <- fused) {
+      val expected =
+        lranks.get((q, d)).map(r => lcm / (Retrieval.RrfC + r)).getOrElse(0L) +
+        dranks.get((q, d)).map(r => lcm / (Retrieval.RrfC + r)).getOrElse(0L)
+      assert(num == expected, s"query $q doc $d: rrf_num $num != $expected")
+    }
+    // a doc present in BOTH lists outranks any doc holding only one list's
+    // equal-or-worse rank — the reason RRF is the default fusion
+    val both = fused.filter { case (q, d, _, _) =>
+      lranks.contains((q, d)) && dranks.contains((q, d)) }
+    for ((q, d, num, _) <- both) {
+      val single = lcm / (Retrieval.RrfC +
+        math.min(lranks((q, d)), dranks((q, d))))
+      assert(num > single, s"query $q doc $d: both-lists score must exceed $single")
+    }
+  }
+
+  test("a doc in both lists outranks every single-list doc (constructed overlap)") {
+    // the gate corpus's lexical/dense top-10s happen not to intersect
+    // (random text vs random vectors), so the fusion property is pinned on
+    // constructed lists: doc 30 holds lexical rank 3 AND dense rank 1
+    val lexL = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val denL = Seq((1L, 30L, 1L), (1L, 40L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuseExact(lexL, denL, k = 4, maxRank = 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(out.head._2 == 30L, s"doc 30 (both lists) must fuse to rank 1, got ${out.head._2}")
+    val lcm = Retrieval.rrfLcm(Retrieval.RrfC, 3)
+    assert(out.head._3 == lcm / 63 + lcm / 61)
+    // 20 (lex rank 2) and 40 (dense rank 2) tie exactly at lcm/62 → doc_id
+    assert(out.map(_._2).toSeq == Seq(30L, 10L, 20L, 40L))
+  }
+
+  test("multi-query BM25 matches the single-query implementation per query") {
+    // run the shared-pass multi-query ranker with ONE query set and compare
+    // against bm25Topk's ordering (restricted to positive scores)
+    val solo = Retrieval.bm25RankedPerQuery(
+        Tables.documents(spark, Sf0001),
+        Seq(7L -> TextAnalysis.Bm25Terms), l = 10)
+      .orderBy("rank").as[(Long, Long, Long)].collect()
+    val reference = TextAnalysis.bm25Topk(spark, Sf0001, k = 10)
+      .filter($"bm25" > 0).as[(Long, Double)].collect()
+    assert(solo.map(_._2).toSeq == reference.map(_._1).toSeq,
+      "one-query multi-ranker must reproduce bm25Topk's ranking")
+    assert(solo.forall(_._1 == 7L))
+  }
+
+  test("fusion is partition-stable and caps at k per query") {
+    val out = Retrieval.hybridTopkRrf(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.keySet == Retrieval.HybridTermSets.map(_._1).toSet)
+    for ((q, rows) <- perQuery) {
+      assert(rows.length == Retrieval.HybridK, s"query $q: ${rows.length} rows")
+      assert(rows.map(_._4).sorted.toSeq == (1L to Retrieval.HybridK).toSeq)
+      // fused scores are non-increasing with rank
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val repart = Retrieval.rrfFuseExact(
+        lex.repartition(5), dense.repartition(3),
+        k = Retrieval.HybridK, maxRank = Retrieval.HybridL)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq ==
+      repart.sortBy(r => (r._1, r._4)).toSeq)
+  }
+}

@@ -443,6 +443,64 @@ object PortableOracles {
        |  WHERE NOT ISNAN(LIST_COSINE_SIMILARITY(eq.v, ec.v))) t2
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
 
+  /** MMR re-ranking replica (`Retrieval.mmrRerankGate`): the greedy
+    * selection unrolled into k chained pick/state CTE pairs (k is a fixed
+    * gate parameter, so no recursion is needed): pool = the IVF replica's
+    * top-10 per probe carrying the candidate vectors; psim = the pool
+    * self-join's rounded cosines; each stage picks the per-query argmax of
+    * λ·rel − (1−λ)·COALESCE(maxsim, 0) with cand_id ties and folds the
+    * pick's similarities into the survivors' maxsim. Every float the
+    * stages compare comes from the shared round-4 kernel, so the argmax
+    * inputs are identical on both engines. */
+  val mmrRerankSql: String = {
+    import graft.operators.Retrieval
+    val k = Retrieval.MmrK
+    val L = Retrieval.HybridL
+    val probeIdsIn = Retrieval.HybridTermSets.map(_._1).mkString(", ")
+    val scoreSql = "0.5 * rel - 0.5 * COALESCE(maxsim, 0.0)"
+    val stages = (1 to k).map { n =>
+      val prev = s"st${n - 1}"
+      val pick =
+        s"""pick$n AS (SELECT query_id, cand_id,
+           |  (ROUND($scoreSql, 6) + 0.0) AS mmr,
+           |  CAST($n AS BIGINT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY $scoreSql DESC, cand_id) AS rn
+           |  FROM $prev) p WHERE rn = 1)""".stripMargin
+      val st = if (n == k) "" else
+        s""",
+           |st$n AS (SELECT s.query_id, s.cand_id, s.rel,
+           |  CASE WHEN ps.sim IS NULL THEN s.maxsim
+           |       WHEN s.maxsim IS NULL THEN ps.sim
+           |       ELSE GREATEST(s.maxsim, ps.sim) END AS maxsim
+           |  FROM $prev s
+           |  JOIN pick$n p ON p.query_id = s.query_id AND s.cand_id <> p.cand_id
+           |  LEFT JOIN psim ps ON ps.query_id = s.query_id
+           |    AND ps.a = s.cand_id AND ps.b = p.cand_id)""".stripMargin
+      pick + st
+    }.mkString(",\n")
+    val picksUnion = (1 to k).map(n => s"SELECT * FROM pick$n").mkString(" UNION ALL ")
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN ($probeIdsIn)) WHERE rn <= 3),
+       |pool AS (SELECT query_id, cand_id, rel, cv FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS rel, a.v AS cv,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) pr WHERE rn <= $L),
+       |psim AS (SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+       |  (ROUND(LIST_COSINE_SIMILARITY(p1.cv, p2.cv), 4) + 0.0) AS sim
+       |  FROM pool p1 JOIN pool p2
+       |    ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id),
+       |st0 AS (SELECT query_id, cand_id, rel, CAST(NULL AS DOUBLE) AS maxsim FROM pool),
+       |$stages
+       |SELECT query_id, cand_id, mmr, rank FROM ($picksUnion) allp
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Hybrid-retrieval replica (`Retrieval.hybridTopkRrf`): the
     * [[ivfAssignCtes]] dense ranks (probe ids 0/1/2, rounded cosine,
     * top-10) full-outer-joined with per-query BM25 ranks (one tf pass over

@@ -61,7 +61,8 @@ object SparkEntry {
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc",
-    "hybrid_topk_rrf", "zorder_pruned_read")
+    "hybrid_topk_rrf", "bm25_topk_served", "mmr_rerank",
+    "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -645,6 +646,24 @@ object SparkEntry {
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
+    // [r17] BM25 served from the MAINTAINED lexical index: per-term df and
+    // corpus totals read from the LexStatsStream-folded stats table (built
+    // idempotently under /tmp per sf dir), entering the score as literals
+    // through the SAME expression tree as bm25_topk — O(terms) stat
+    // lookups, no per-query corpus stats aggregate. Oracle: the bm25_topk
+    // replica (served ≡ batch bitwise whenever the maintained stats equal
+    // the batch aggregate — LexStatsStreamSpec pins the fold).
+    "bm25_topk_served" -> ((s: SparkSession, d: String) => {
+      val statsPath = "/tmp/graft-lexstats/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(statsPath) {
+        // rebuild from scratch (delete, then fold) so Bench's `fresh`
+        // measurement honestly pays the stats build, like the index rows
+        val f = graft.functions.FsUtils.fs(s, statsPath)
+        f.delete(new org.apache.hadoop.fs.Path(statsPath), true)
+        streaming.LexStatsStream.applyBatch(s, Tables.documents(s, d), 0L, statsPath)
+      }
+      streaming.LexStatsStream.bm25Topk(s, statsPath, Tables.documents(s, d))
+    }),
     // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
     // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
     // probe vector ids), fused with Reciprocal Rank Fusion — the production
@@ -654,6 +673,14 @@ object SparkEntry {
     // depth rows), never the corpus.
     "hybrid_topk_rrf" -> ((s: SparkSession, d: String) =>
       Retrieval.hybridTopkRrf(s, d)),
+    // [r17] MMR diversified re-ranking (Carbonell & Goldstein 1998): the
+    // IVF top-10 pool greedily re-ranked to k=5 by λ·rel − (1−λ)·max sim
+    // to the already-selected set. The greedy loop runs per query inside
+    // one cogroup group (bounded by the pool), distributed over queries;
+    // candidate-pair sims are built declaratively with the shared round-4
+    // kernel. Oracle: the selection unrolled into 5 chained CTE stages.
+    "mmr_rerank" -> ((s: SparkSession, d: String) =>
+      Retrieval.mmrRerankGate(s, d)),
     // keyword extraction: per-doc top-5 TF-IDF terms, deterministic ties
     // (rounded score desc, term asc); three linear exchanges, no driver state
     "tfidf_topk_terms" -> ((s: SparkSession, d: String) =>
@@ -840,7 +867,11 @@ object SparkEntry {
     "ann_ivf_topk_pqr_live" -> PortableOracles.annIvfTopkLiveSql,
     "ann_ivf_topk_filtered_adc" -> PortableOracles.annIvfTopkFilteredSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
+    // served form ≡ batch form bitwise (same expression tree, maintained
+    // stats pinned equal to the batch aggregate by LexStatsStreamSpec)
+    "bm25_topk_served" -> TextAnalysis.bm25TopkSql,
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
+    "mmr_rerank" -> PortableOracles.mmrRerankSql,
     "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,

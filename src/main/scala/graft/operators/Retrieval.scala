@@ -139,16 +139,11 @@ object Retrieval {
       terms.indices.map(i =>
         sum((col(s"tf$i") > 0).cast("double")).as(s"df$i")): _*)
     val tIdx = terms.zipWithIndex.toMap
-    def score(qts: Seq[String]) = qts.map { t =>
-      val i = tIdx(t)
-      val tf = col(s"tf$i")
-      val df = col(s"df$i")
-      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
-      idf * (tf * lit(TextAnalysis.Bm25K1 + 1.0)) /
-        (tf + lit(TextAnalysis.Bm25K1) *
-          (lit(1.0) - lit(TextAnalysis.Bm25B) +
-            lit(TextAnalysis.Bm25B) * col("dl") / col("avgdl")))
-    }.reduce(_ + _)
+    // the one shared BM25 expression tree (TextAnalysis.bm25ScoreExpr),
+    // summed over this query's own term indices
+    def score(qts: Seq[String]) = TextAnalysis.bm25ScoreExpr(
+      qts.map(tIdx), i => col(s"tf$i"), col("dl"),
+      col("n"), col("avgdl"), i => col(s"df$i"))
     // all query scores in one projection, stacked by explode — one pass
     val qs = querySets.map { case (qid, qts) =>
       struct(lit(qid).as("query_id"), round(score(qts), 4).as("score"))
@@ -172,5 +167,97 @@ object Retrieval {
       HybridTermSets.map(_._1), k = HybridL, nprobe = 3)
     rrfFuseExact(lex, dense, HybridK, maxRank = HybridL)
       .orderBy("query_id", "rank")
+  }
+
+  // --- MMR diversified re-ranking -------------------------------------------
+
+  /** MMR gate parameters: λ (relevance weight) and the selected count. */
+  val MmrLambda = 0.5
+  val MmrK = 5
+
+  /** Row shape of [[mmrRerank]]. */
+  case class MmrRow(query_id: Long, cand_id: Long, mmr: Double, rank: Long)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily select k pool candidates maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈Selected} sim(d, s) — the diversification
+    * pass a retrieval stack runs between candidate generation and serving
+    * (near-duplicate hits waste result slots; MMR spends them on coverage).
+    * The empty-set penalty is 0 (the first pick is pure relevance); later
+    * penalties use the true max, negative cosines included.
+    *
+    * Scale shape: the greedy loop is inherently sequential PER QUERY but
+    * bounded by the pool (≤ L rows), so it runs inside one `cogroup` group
+    * per query — distributed over queries, O(L²) work per group, nothing
+    * corpus-sized anywhere. The candidate-pair similarity table is built
+    * DECLARATIVELY first (pool self-join per query, ≤ queries·L² rows,
+    * the proven round(cosine,4) kernel), so the in-group code does only
+    * comparisons and max-folds over already-rounded doubles — every float
+    * the oracle must reproduce comes out of the shared kernel, none out of
+    * ad-hoc Scala arithmetic.
+    *
+    * `pool`: (query_id, cand_id, rel) with rel the ROUNDED relevance (the
+    * retriever's sim). `vectors`: (vec_id, embedding) for the pool ids.
+    */
+  def mmrRerank(pool: DataFrame, vectors: DataFrame, k: Int = MmrK,
+                lambda: Double = MmrLambda): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    import graft.functions.{ExprUtils, VectorFunctions}
+    val v = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withV = pool.select(col("query_id"), col("cand_id"), col("rel"))
+      .join(v, col("cand_id") === col("vec_id")).drop("vec_id")
+    val a = withV.select(col("query_id"), col("cand_id").as("id_a"), col("v").as("va"))
+    val b = withV.select(col("query_id"), col("cand_id").as("id_b"), col("v").as("vb"))
+    val psim = a.join(b, Seq("query_id")).filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        ExprUtils.roundz(VectorFunctions.cosine(col("va"), col("vb")), 4).as("sim"))
+    val poolDs = withV.select(col("query_id"), col("cand_id"), col("rel"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val simDs = psim.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    val oneMinus = 1.0 - lambda
+    poolDs.cogroup(simDs) { (q, poolIt, simIt) =>
+      // cand-ascending order + strict > in the argmax scan = smallest id
+      // wins ties, mirroring the oracle's (score DESC, cand_id ASC) window
+      val remaining = poolIt.map(r => (r._2, r._3)).toArray.sortBy(_._1).toBuffer
+      val sims = simIt.map(r => ((r._2, r._3), r._4)).toMap
+      val maxsim = scala.collection.mutable.Map.empty[Long, Double]
+      val out = Seq.newBuilder[MmrRow]
+      var rank = 1L
+      while (rank <= k && remaining.nonEmpty) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < remaining.length) {
+          val (c, rel) = remaining(i)
+          val score = lambda * rel - oneMinus * maxsim.getOrElse(c, 0.0)
+          if (score > bestScore) { best = i; bestScore = score }
+          i += 1
+        }
+        val sel = remaining(best)._1
+        out += MmrRow(q, sel, bestScore, rank)
+        remaining.remove(best)
+        remaining.foreach { case (c, _) =>
+          sims.get((c, sel)).foreach { s =>
+            maxsim(c) = maxsim.get(c).fold(s)(math.max(_, s))
+          }
+        }
+        rank += 1L
+      }
+      out.result().iterator
+    }.toDF()
+      .withColumn("mmr", ExprUtils.roundz(col("mmr"), 6))
+      .select("query_id", "cand_id", "mmr", "rank")
+  }
+
+  /** The MMR gate composition: exact-IVF top-10 pool (probe ids 0/1/2),
+    * diversified to k=5 — rel is the retriever's rounded sim, vectors come
+    * from the embeddings table. */
+  def mmrRerankGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val pool = Similarity.ivfTopKCached(e, dir,
+        HybridTermSets.map(_._1), k = HybridL, nprobe = 3)
+      .select(col("query_id"), col("cand_id"), col("sim").as("rel"))
+    mmrRerank(pool, e).orderBy("query_id", "rank")
   }
 }

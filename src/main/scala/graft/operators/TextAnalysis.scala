@@ -602,8 +602,14 @@ object TextAnalysis {
     * by round(_,4).
     */
   def bm25Topk(spark: SparkSession, dir: String,
-               terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
-    val perDoc = Tables.documents(spark, dir).select(
+               terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame =
+    bm25TopkOf(Tables.documents(spark, dir), terms, k)
+
+  /** [[bm25Topk]] over any (doc_id, text) frame — the ScaleBench/compose
+    * entry point. */
+  def bm25TopkOf(docs: DataFrame,
+                 terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val perDoc = docs.select(
       col("doc_id") +: Seq(
         graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
           struct(
@@ -619,16 +625,84 @@ object TextAnalysis {
       avg("dl").as("avgdl") +:
       terms.indices.map(i =>
         sum((col(s"tf$i") > 0).cast("double")).as(s"df$i")): _*)
-    val b = lit(Bm25B)
-    val score = terms.indices.map { i =>
-      val tf = col(s"tf$i")
-      val df = col(s"df$i")
-      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
-      idf * (tf * lit(Bm25K1 + 1.0)) /
-        (tf + lit(Bm25K1) * (lit(1.0) - b + b * col("dl") / col("avgdl")))
-    }.reduce(_ + _)
+    val score = bm25ScoreExpr(terms.indices, i => col(s"tf$i"), col("dl"),
+      col("n"), col("avgdl"), i => col(s"df$i"))
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The one BM25 score expression both the batch form ([[bm25Topk]]: stats
+    * as aggregate columns) and the served form ([[bm25TopkServed]]: stats as
+    * literals from the maintained lexical index) build — ONE tree shape, so
+    * the two forms are bitwise-identical whenever the stats agree. */
+  private[operators] def bm25ScoreExpr(termIdx: Seq[Int], tf: Int => Column, dl: Column,
+                            n: Column, avgdl: Column, df: Int => Column): Column =
+    termIdx.map { i =>
+      val idf = log((n - df(i) + 0.5) / (df(i) + 0.5) + 1.0)
+      idf * (tf(i) * lit(Bm25K1 + 1.0)) /
+        (tf(i) + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * dl / avgdl))
+    }.reduce(_ + _)
+
+  /** Sentinel term key of the per-batch corpus row in the maintained
+    * lexical-index stats (U+0001-prefixed sentinel cannot collide destructively: term rows
+    * carry zero dl/nd and the corpus row zero df, so even a pathological
+    * token equal to the sentinel sums without corrupting either read). */
+  val LexCorpusRow = "\u0001corpus"
+
+  /** One document batch's lexical-index stat rows — the additive partial a
+    * maintained inverted-index needs for BM25 serving: per-term document
+    * frequencies (df) plus ONE corpus row (total token count `dl`, doc
+    * count `nd`). Disjoint doc batches sum exactly (a new doc can only ADD
+    * to df/dl/nd), so the fold is plain long addition — the
+    * [[graft.streaming.LexStatsStream]] state. Exchange is vocabulary-
+    * sized (the standard inverted-index build), never corpus-sized. */
+  def lexStatsOf(docs: DataFrame): DataFrame = {
+    val termDf = docs.select(
+        explode(array_distinct(split(col("text"), " ", -1))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), lit(0L).as("dl"), lit(0L).as("nd"))
+    val corpus = docs.agg(
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("dl"),
+        count(lit(1)).as("nd"))
+      .select(lit(LexCorpusRow).as("term"), lit(0L).as("df"),
+        col("dl"), col("nd"))
+    termDf.unionByName(corpus)
+  }
+
+  /** BM25 top-k SERVED from maintained lexical-index stats: df/N/avgdl are
+    * O(terms) lookups against the summed stats table (no per-query stats
+    * aggregate over the corpus — the pass [[bm25Topk]] pays every call),
+    * leaving ONE narrow tf pass + TakeOrdered. Stats enter the score as
+    * literals through the SAME expression tree as the batch form, so when
+    * the maintained stats equal the batch aggregate (LexStatsStreamSpec
+    * pins the fold bitwise) the output is bitwise-identical to
+    * [[bm25Topk]] — which is what the shared gate oracle replays. */
+  def bm25TopkServed(docs: DataFrame, stats: DataFrame,
+                     terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val corpus = stats.filter(col("term") === LexCorpusRow)
+      .agg(sum("dl").as("dl"), sum("nd").as("nd")).head()
+    val nDocs = corpus.getLong(1)
+    val avgdl = corpus.getLong(0).toDouble / nDocs.toDouble
+    val dfMap = stats.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |terms| rows
+    val perDoc = docs.select(
+      col("doc_id") +: Seq(
+        graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
+          struct(
+            size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+            }: _*)
+        }.as("s")): _*)
+      .select(col("doc_id") +: col("s.dl").as("dl") +:
+        terms.indices.map(i => col(s"s.tf$i").as(s"tf$i")): _*)
+    val score = bm25ScoreExpr(terms.indices, i => col(s"tf$i"), col("dl"),
+      lit(nDocs.toDouble), lit(avgdl),
+      i => lit(dfMap.getOrElse(terms(i), 0L).toDouble))
+    perDoc.select(col("doc_id"), round(score, 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

@@ -2,17 +2,19 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup}
-import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
+import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup, TextAnalysis}
+import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, LexStatsStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
 
-/** Composed streaming soak (round 15: sixteen streams): OverlapStream,
+/** Composed streaming soak (round 15: sixteen streams; round 17:
+  * seventeen): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
   * DriftStream (frozen grid), AnomalyStream, StateHistoryStream
   * (incremental SCD2), QualityStream (constraint monitoring, frozen ref
   * dim + fixed check suite), CdcStream (chunk-dedup counts on the
-  * round-15 StateLog) — consuming ONE shared document/embedding drop
+  * round-15 StateLog), LexStatsStream (maintained lexical-index stats +
+  * served BM25) — consuming ONE shared document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -117,6 +119,7 @@ object ComposedStreamSoak {
     val shState = s"$tmp/sh-state"
     val qlState = s"$tmp/ql-state"
     val cdState = s"$tmp/cd-state"
+    val lxState = s"$tmp/lx-state"
     // fixed check suite + frozen ref dim for the QualityStream fold (the
     // contract: both constant for the state's lifetime)
     val qlDim = docs.sparkSession.createDataFrame(
@@ -166,6 +169,8 @@ object ComposedStreamSoak {
       QualityStream.applyBatch(spark, docB(i), i.toLong, qlState, qlChecks,
         qlRefs, autoCompactBatches = 8)
       CdcStream.applyBatch(spark, docB(i), i.toLong, cdState,
+        autoCompactBatches = 8)
+      LexStatsStream.applyBatch(spark, docB(i), i.toLong, lxState,
         autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
@@ -374,6 +379,22 @@ object ComposedStreamSoak {
       .groupBy("chunk_hash").agg(count(lit(1)).as("cnt"))
       .orderBy("chunk_hash").as[(Long, Long)].collect().toSeq
     check("cdc_fold", cdStream == cdBatch && cdStream.nonEmpty)
+
+    // lexical index: folded df/dl/nd stats ≡ one-shot aggregate over the
+    // union corpus (long-sum additivity over disjoint doc batches), and
+    // BM25 SERVED from the maintained stats ≡ the batch form bitwise
+    val lxStream = LexStatsStream.currentStats(spark, lxState)
+      .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+    val lxBatch = TextAnalysis.lexStatsOf(docs)
+      .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
+        sum("nd").as("nd"))
+      .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+    check("lex_stats_fold", lxStream == lxBatch && lxStream.nonEmpty)
+    val lxServed = LexStatsStream.bm25Topk(spark, lxState, docs)
+      .as[(Long, Double)].collect().toSeq
+    val lxDirect = TextAnalysis.bm25TopkServed(docs, TextAnalysis.lexStatsOf(docs))
+      .as[(Long, Double)].collect().toSeq
+    check("lex_bm25_served", lxServed == lxDirect && lxServed.nonEmpty)
     spark.stop()
   }
 }

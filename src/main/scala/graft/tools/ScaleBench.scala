@@ -473,6 +473,33 @@ object ScaleBench {
           k = graft.operators.Retrieval.HybridK,
           maxRank = graft.operators.Retrieval.HybridL)
       },
+      // MMR at volume (round 17): the pool is top-10 per probe — corpus-
+      // INDEPENDENT by construction — so the claim is that diversification
+      // adds a CONSTANT on top of the IVF retriever at any factor (the
+      // greedy runs over ≤ queries·L rows; pair sims over ≤ queries·L²)
+      "mmr_rerank" -> { k =>
+        val cents = Similarity.trainedCentroids(
+          Tables.embeddings(spark, sf), "scalebench-quantizer")
+        val ex = embsX(k)
+        val pool = Similarity.ivfTopK(ex, cents,
+            probeIds = (1L to 10L).map(_ * k), k = 10, nprobe = 4)
+          .select(col("query_id"), col("cand_id"), col("sim").as("rel"))
+        graft.operators.Retrieval.mmrRerank(pool, ex)
+      },
+      // lexical retrieval at volume (round 17): the per-query batch shape
+      // (tf pass + corpus stats aggregate + broadcast cross join) vs BM25
+      // SERVED from maintained stats (stats collected as literals at
+      // construction, then ONE narrow tf pass + TakeOrdered). served_build
+      // pays the vocabulary-sized stats fold inline — the one-time index
+      // build a serving deployment amortizes over every later query.
+      "bm25_batch_shape" -> (k =>
+        graft.operators.TextAnalysis.bm25TopkOf(docsX(k))),
+      "bm25_served_build" -> { k =>
+        val stats = graft.operators.TextAnalysis.lexStatsOf(docsX(k))
+          .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
+            sum("nd").as("nd"))
+        graft.operators.TextAnalysis.bm25TopkServed(docsX(k), stats)
+      },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus
       // 1% hub edges (one giant component). Deterministic via xxhash64.

@@ -99,6 +99,51 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(solo.forall(_._1 == 7L))
   }
 
+  test("MMR demotes a near-duplicate of the first pick (hand-computed greedy)") {
+    // v2 duplicates v1 exactly; pure relevance ranks 1,2,3 — MMR must rank
+    // 1,3,2: after picking v1, v2's penalty 0.5·sim(v2,v1)=0.5 sinks it
+    // below v3 (0.5·0.89−0.5·1.0 = −0.055 < 0.5·0.5−0 = 0.25)
+    val pool = Seq((7L, 1L, 0.9), (7L, 2L, 0.89), (7L, 3L, 0.5))
+      .toDF("query_id", "cand_id", "rel")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.mmrRerank(pool, vecs, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(out.map(_._3).toSeq == Seq(0.45, 0.25, -0.055))
+  }
+
+  test("MMR at λ=1 reduces to pure relevance ranking") {
+    val pool = Seq((7L, 1L, 0.9), (7L, 2L, 0.89), (7L, 3L, 0.5))
+      .toDF("query_id", "cand_id", "rel")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.mmrRerank(pool, vecs, k = 3, lambda = 1.0)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("MMR gate composition: full k per query, ids from the pool, partition-stable") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val pool = Similarity.ivfTopKCached(e, Sf0001,
+        Retrieval.HybridTermSets.map(_._1), k = Retrieval.HybridL, nprobe = 3)
+      .select($"query_id", $"cand_id", $"sim".as("rel"))
+    val poolIds = pool.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val out = Retrieval.mmrRerank(pool, e).as[(Long, Long, Double, Long)].collect()
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.keySet == Retrieval.HybridTermSets.map(_._1).toSet)
+    for ((q, rows) <- perQuery) {
+      assert(rows.length == Retrieval.MmrK)
+      assert(rows.map(_._4).sorted.toSeq == (1L to Retrieval.MmrK).toSeq)
+      assert(rows.map(_._2).distinct.length == rows.length, "no duplicate picks")
+      assert(rows.map(_._2).toSet.subsetOf(poolIds(q)), "picks must come from the pool")
+    }
+    val repart = Retrieval.mmrRerank(pool.repartition(5), e.repartition(3))
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq == repart.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("fusion is partition-stable and caps at k per query") {
     val out = Retrieval.hybridTopkRrf(spark, Sf0001)
       .as[(Long, Long, Long, Long)].collect()

@@ -338,6 +338,25 @@ object PortableOracles {
        |  WHERE p.query_id <> a.vec_id AND a.vec_id % 10 <> 3) t
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
 
+  /** [[annIvfTopkSql]] with the AS-OF candidate predicate: visible = even
+    * ids (ingested in batch 0) minus ids %10==2 (tombstoned at batch 0);
+    * the batch-1 ingest (odd ids) and the batch-1 delete (%10==4) are
+    * both invisible as of batch 0. Probes stay unfiltered. */
+  val annIvfTopkAsofSql: String =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id
+       |    AND a.vec_id % 2 = 0 AND a.vec_id % 10 <> 2) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.clusterSampleOf]]: the shared
     * assignment prefix, per-cluster sizes, the salted-h60 within-cluster
     * race, quota = ⌈√n_c⌉. */
@@ -442,6 +461,50 @@ object PortableOracles {
        |       JOIN e ec ON ec.vec_id = pl.cand_id
        |  WHERE NOT ISNAN(LIST_COSINE_SIMILARITY(eq.v, ec.v))) t2
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
+  /** Retrieval-evaluation replica (`Retrieval.retrievalEvalGate`): the IVF
+    * retriever's top-3 (the annIvfTopkSql core) LEFT-joined against
+    * brute-force exact top-3 ground truth, reduced per query to recall@k /
+    * MRR / fixed-point nDCG. The DCG weights are integer literals
+    * interpolated from the same [[graft.operators.Retrieval.dcgWeightsFp]]
+    * the Spark side uses — the per-query DCG sum is exact Long arithmetic
+    * on both engines (double sums of ≥3 terms are order-dependent;
+    * integer sums are not). */
+  val retrievalEvalSql: String = {
+    import graft.operators.Retrieval
+    val k = 3
+    val w = Retrieval.dcgWeightsFp(k)
+    val wLit = w.mkString("[", ",", "]")
+    val idcg = w.sum
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3),
+       |approx AS (SELECT query_id, cand_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) ar WHERE rn <= $k),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (0, 1, 2, 3, 4)) ex WHERE rn <= $k),
+       |hits AS (SELECT a.query_id, a.rank,
+       |  CASE WHEN e.cand_id IS NULL THEN 0 ELSE 1 END AS hit,
+       |  ($wLit)[a.rank] AS wt
+       |  FROM approx a LEFT JOIN exact e
+       |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id)
+       |SELECT query_id,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |  (ROUND(CAST(SUM(hit) AS DOUBLE) / CAST($k AS DOUBLE), 4) + 0.0) AS recall,
+       |  (ROUND(COALESCE(CAST(1 AS DOUBLE) / MIN(CASE WHEN hit = 1 THEN rank END), 0.0), 6) + 0.0) AS mrr,
+       |  (ROUND(CAST(SUM(CASE WHEN hit = 1 THEN wt ELSE 0 END) AS DOUBLE)
+       |    / CAST($idcg AS DOUBLE), 4) + 0.0) AS ndcg
+       |FROM hits GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
 
   /** MMR re-ranking replica (`Retrieval.mmrRerankGate`): the greedy
     * selection unrolled into k chained pick/state CTE pairs (k is a fixed

@@ -60,8 +60,8 @@ object SparkEntry {
     "ann_ivf_topk", "ann_ivf_topk_indexed", "ann_ivf_topk_quantized",
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
-    "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc",
-    "hybrid_topk_rrf", "bm25_topk_served", "mmr_rerank",
+    "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
+    "hybrid_topk_rrf", "bm25_topk_served", "mmr_rerank", "retrieval_eval",
     "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -523,6 +523,32 @@ object SparkEntry {
           gateProbes(e), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // [r17] point-in-time (as-of) retrieval: a streamed two-batch index
+    // (batch 0 = even ids, batch 1 = odd) with per-batch tombstones
+    // (batch 0 deletes %10==2, batch 1 deletes %10==4), queried AS OF
+    // batch 0 — only batch-0 vectors are visible, the batch-0 delete
+    // applies, and the batch-1 delete does NOT (ids %10==4 are even and
+    // must still be retrievable). The batch bound is a partition filter:
+    // the read opens only the visible batch dirs. Oracle: exact-IVF
+    // replica with the as-of candidate predicate.
+    "ann_ivf_topk_asof" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val idxPath = "/tmp/graft-ivf-asofindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(idxPath) {
+        streaming.EmbeddingIndexStream.applyBatch(
+          e.filter(col("vec_id") % 2 === 0), 0L, cents, idxPath)
+        streaming.EmbeddingIndexStream.applyBatch(
+          e.filter(col("vec_id") % 2 === 1), 1L, cents, idxPath)
+        streaming.EmbeddingIndexStream.tombstone(s,
+          e.filter(col("vec_id") % 10 === 2).select("vec_id"), 0L, idxPath)
+        streaming.EmbeddingIndexStream.tombstone(s,
+          e.filter(col("vec_id") % 10 === 4).select("vec_id"), 1L, idxPath)
+      }
+      streaming.EmbeddingIndexStream.ivfTopKIndexedAsOf(s, idxPath, cents,
+          gateProbes(e), k = 3, nprobe = 3, asOfBatch = 0L)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r16] metadata-filtered retrieval: same IVF probe, candidates
     // semi-joined to documents.lang = 'en' BEFORE the per-probe top-k (k
     // fills from the filtered pool — score-then-filter would under-fill)
@@ -681,6 +707,13 @@ object SparkEntry {
     // kernel. Oracle: the selection unrolled into 5 chained CTE stages.
     "mmr_rerank" -> ((s: SparkSession, d: String) =>
       Retrieval.mmrRerankGate(s, d)),
+    // [r17] retrieval-quality evaluation: the IVF retriever scored
+    // against brute-force exact ground truth per query — recall@3, MRR,
+    // and FIXED-POINT nDCG (integer DCG weights interpolated into both
+    // engines; Long sums are summation-order-free where double sums are
+    // not). The measurement loop every ANN deployment runs, as a query.
+    "retrieval_eval" -> ((s: SparkSession, d: String) =>
+      Retrieval.retrievalEvalGate(s, d)),
     // keyword extraction: per-doc top-5 TF-IDF terms, deterministic ties
     // (rounded score desc, term asc); three linear exchanges, no driver state
     "tfidf_topk_terms" -> ((s: SparkSession, d: String) =>
@@ -846,6 +879,7 @@ object SparkEntry {
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_filtered" -> PortableOracles.annIvfTopkFilteredSql,
     "ann_ivf_topk_live" -> PortableOracles.annIvfTopkLiveSql,
+    "ann_ivf_topk_asof" -> PortableOracles.annIvfTopkAsofSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,
@@ -872,6 +906,7 @@ object SparkEntry {
     "bm25_topk_served" -> TextAnalysis.bm25TopkSql,
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "mmr_rerank" -> PortableOracles.mmrRerankSql,
+    "retrieval_eval" -> PortableOracles.retrievalEvalSql,
     "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,

@@ -260,4 +260,77 @@ object Retrieval {
       .select(col("query_id"), col("cand_id"), col("sim").as("rel"))
     mmrRerank(pool, e).orderBy("query_id", "rank")
   }
+
+  // --- retrieval-quality evaluation -------------------------------------------
+
+  /** DCG position weights 1/log₂(r+1) for ranks 1..k. */
+  def dcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** FIXED-POINT DCG weights (×10⁶, rounded): computed once in Scala and
+    * interpolated into BOTH engines as integer literals — no libm log₂
+    * runs on either side, and the per-query DCG sum is exact Long
+    * arithmetic (double sums of ≥3 terms are summation-order-dependent
+    * across engines; integer sums are not). The 1e-6 weight quantization
+    * is a documented metric definition, not an approximation of one
+    * engine by the other. */
+  def dcgWeightsFp(k: Int): Seq[Long] =
+    dcgWeights(k).map(w => math.round(w * 1e6))
+
+  /** Retrieval-quality evaluation: score an approximate retriever's top-k
+    * against exact ground truth, per query — the measurement loop every
+    * ANN deployment runs (is nprobe high enough? did quantization hurt
+    * recall?), expressed as a QUERY over the two result sets:
+    *
+    *  - recall@k = |approx ∩ exact| / k
+    *  - MRR      = 1 / rank of the first relevant hit (0 when none)
+    *  - nDCG@k   = Σ_hits w(rank) / Σ_{r≤k} w(r), w = [[dcgWeights]]
+    *
+    * Both inputs are (query_id, cand_id, sim)-ranked frames (rank derived
+    * by the retriever's own sim-desc/cand-asc order). The join runs over
+    * the RANKED LISTS (queries × k rows), never a corpus. */
+  def evalTopk(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val w = dcgWeightsFp(k)
+    val idcg = w.sum
+    val ranked = ranked2(approx)
+    val truth = ranked2(exact).select(col("query_id"), col("doc_id"))
+    val hits = ranked.join(truth.withColumn("hit", lit(1)),
+        Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("hit"), lit(0)).as("hit"),
+        // rank-indexed fixed-point weight — exact Long on both engines
+        element_at(array(w.map(lit): _*), col("rank").cast("int")).as("wt"))
+    hits.groupBy("query_id")
+      .agg(
+        sum(col("hit")).cast("long").as("n_hits"),
+        round4(sum(col("hit")).cast("double") / lit(k.toDouble)).as("recall"),
+        round6(
+          coalesce(lit(1.0) / min(when(col("hit") === 1, col("rank"))), lit(0.0))
+        ).as("mrr"),
+        round4(
+          sum(when(col("hit") === 1, col("wt")).otherwise(lit(0L))).cast("double")
+            / lit(idcg.toDouble)
+        ).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  private def round4(c: org.apache.spark.sql.Column) =
+    graft.functions.ExprUtils.roundz(c, 4)
+
+  private def round6(c: org.apache.spark.sql.Column) =
+    graft.functions.ExprUtils.roundz(c, 6)
+
+  /** [[ranked]] for eval inputs (sim-ranked or pre-ranked). */
+  private def ranked2(list: DataFrame): DataFrame = ranked(list, "rank")
+
+  /** The eval gate composition: the IVF retriever (k=3, nprobe=3, probes
+    * 0–4 — the ann_ivf_topk query) scored against brute-force exact top-3
+    * ground truth. */
+  def retrievalEvalGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val approx = Similarity.ivfTopKCached(e, dir, probeIds, k = 3, nprobe = 3)
+    val exact = Similarity.bruteForceTopK(e, probeIds, k = 3)
+    evalTopk(approx, exact, k = 3)
+  }
 }

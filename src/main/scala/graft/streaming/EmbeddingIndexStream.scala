@@ -294,6 +294,70 @@ object EmbeddingIndexStream {
     Similarity.ivfScoreTail(probes, cands, k)
   }
 
+  // --- as-of reads (round 17): point-in-time queries over the batch log ----
+  //
+  // The index's `batch=` partition column IS ingest provenance, and
+  // tombstone batches carry delete provenance — so "query the index as it
+  // stood at batch B" (reproduce yesterday's retrieval results, audit what
+  // a delete removed, A/B an ingest) is a PARTITION-FILTERED read: an
+  // as-of query lists and opens only the visible batch dirs, never a
+  // rebuild, never a snapshot copy. Post-compaction caveat (the StateLog
+  // uptoBatch contract): `batch=-1` participates in every bounded read —
+  // compaction deliberately trades per-batch provenance for a bounded file
+  // count, so as-of is exact while the target batches are un-folded and
+  // coarsens to the folded prefix afterwards (size compaction windows to
+  // the as-of horizon you need).
+
+  /** Tombstoned ids visible as of `asOfBatch` (tombstone batches ≤ it). */
+  def tombstoneIdsAsOf(spark: SparkSession, indexDir: String,
+                       asOfBatch: Long): DataFrame = {
+    val path = tombstonesPath(indexDir)
+    val empty = spark.range(0).select(col("id").as("vec_id"))
+    if (!FsUtils.fs(spark, path).exists(new Path(path))) empty
+    else
+      try spark.read.parquet(path).filter(col("batch") <= asOfBatch)
+        .select("vec_id").distinct()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+      }
+  }
+
+  /** Point-in-time view of the index: vectors ingested in batches ≤
+    * `asOfBatch`, minus ids tombstoned in batches ≤ `asOfBatch`. The batch
+    * bound is a partition filter (batch = −1 ≤ every asOf — the folded
+    * prefix always participates, see the section note). */
+  def indexAsOf(spark: SparkSession, indexDir: String,
+                asOfBatch: Long): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("batch") <= asOfBatch)
+      .drop("batch")
+      .dropDuplicates("vec_id")
+      .join(tombstoneIdsAsOf(spark, indexDir, asOfBatch), Seq("vec_id"), "left_anti")
+
+  /** As-of IVF query — [[ivfTopKIndexedLive]] at a point in time: the
+    * candidate read partition-prunes on BOTH cluster (nprobe lists) and
+    * batch (≤ asOf), and the as-of tombstone anti-join sits below the
+    * per-probe top-k so k fills from the vectors visible at that time. */
+  def ivfTopKIndexedAsOf(spark: SparkSession, indexDir: String,
+                         cents: Seq[(Int, Seq[Double])],
+                         queries: Seq[(Long, Seq[Double])],
+                         k: Int, nprobe: Int, asOfBatch: Long): DataFrame = {
+    import spark.implicits._
+    val withClusters = queries.map { case (id, v) =>
+      (id, v, Similarity.nearestClustersLocal(v, cents, nprobe))
+    }
+    val probes = withClusters.toDF("query_id", "qv", "clusters")
+      .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
+    val probed = withClusters.flatMap(_._3).distinct
+    val cands = spark.read.parquet(indexDir)
+      .filter(col("cluster").isin(probed: _*) && col("batch") <= asOfBatch)
+      .dropDuplicates("vec_id")
+      .join(tombstoneIdsAsOf(spark, indexDir, asOfBatch), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
+    Similarity.ivfScoreTail(probes, cands, k)
+  }
+
   /** Tombstone the same id batch across every tier dir of ONE logical
     * index (the exact/quantized/PQ/residual layouts live in separate dirs
     * — [[applyBatch]]'s triple-write): a delete must hit them ALL, or the

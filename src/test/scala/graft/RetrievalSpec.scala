@@ -144,6 +144,34 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out.sortBy(r => (r._1, r._4)).toSeq == repart.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("retrieval eval: hand-computed recall/MRR/nDCG on constructed lists") {
+    // query 1: approx (10,20,30), truth (10,30,40) → hits at ranks 1,3
+    //   recall 2/3, mrr 1, ndcg (w1+w3)/(w1+w2+w3)
+    // query 2: approx (50,60,70), truth (80,90,99) → zero hits
+    val approx = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 50L, 1L), (2L, 60L, 2L), (2L, 70L, 3L))
+      .toDF("query_id", "cand_id", "rank")
+    val truth = Seq((1L, 10L, 1L), (1L, 30L, 2L), (1L, 40L, 3L),
+      (2L, 80L, 1L), (2L, 90L, 2L), (2L, 99L, 3L))
+      .toDF("query_id", "cand_id", "rank")
+    val out = Retrieval.evalTopk(approx, truth, k = 3)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val w = Retrieval.dcgWeightsFp(3)
+    val expNdcg = math.round(((w(0) + w(2)).toDouble / w.sum.toDouble) * 1e4) / 1e4
+    assert(out(0) == ((1L, 2L, 0.6667, 1.0, expNdcg)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrieval eval: a perfect retriever scores 1.0 everywhere") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val exact = Similarity.bruteForceTopK(e, Seq(0L, 1L, 2L), 3)
+    val out = Retrieval.evalTopk(exact, exact, k = 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.length == 3)
+    assert(out.forall { case (_, h, r, m, n) =>
+      h == 3L && r == 1.0 && m == 1.0 && n == 1.0 })
+  }
+
   test("fusion is partition-stable and caps at k per query") {
     val out = Retrieval.hybridTopkRrf(spark, Sf0001)
       .as[(Long, Long, Long, Long)].collect()

@@ -506,6 +506,70 @@ object PortableOracles {
        |FROM hits GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
+  /** [[retrievalEvalSql]]'s QUANTIZED twin (`retrieval_eval_quantized`):
+    * the approx side is the int8 retriever's top-3 (the
+    * [[annIvfTopkQuantizedSql]] chain — max-abs quantization on both
+    * sides, exact integer cosine), the truth side brute-force exact top-3
+    * — so the row IS the int8 tier's measured recall, oracle-verified
+    * (the STRESS.md recall claims as a queryable metric). */
+  val retrievalEvalQuantizedSql: String = {
+    import graft.operators.Retrieval
+    val k = 3
+    val w = Retrieval.dcgWeightsFp(k)
+    val wLit = w.mkString("[", ",", "]")
+    val idcg = w.sum
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cm AS (SELECT label, i, AVG(v[i]) AS m
+       |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+       |cent AS (SELECT label AS cluster, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |dists AS (SELECT e.vec_id, e.v, cent.cluster,
+       |            list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+       |          FROM e CROSS JOIN cent),
+       |q AS (SELECT vec_id,
+       |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+       |             ELSE list_transform(v, x -> ROUND(x * 127.0 / mx)) END AS qv
+       |      FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+       |assign AS (SELECT vec_id, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3),
+       |approx AS (SELECT query_id, cand_id, rn AS rank FROM (
+       |  SELECT query_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS cand_id,
+       |      (ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
+       |        / SQRT(list_sum(list_transform(pq.qv, x -> x * x))
+       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) + 0.0) AS sim
+       |    FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |         JOIN q pq ON pq.vec_id = p.query_id
+       |         JOIN q cq ON cq.vec_id = a.vec_id
+       |    WHERE p.query_id <> a.vec_id
+       |      AND list_sum(list_transform(pq.qv, x -> x * x)) > 0
+       |      AND list_sum(list_transform(cq.qv, x -> x * x)) > 0) s) t
+       |  WHERE rn <= $k),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (0, 1, 2, 3, 4)) ex WHERE rn <= $k),
+       |hits AS (SELECT a.query_id, a.rank,
+       |  CASE WHEN x.cand_id IS NULL THEN 0 ELSE 1 END AS hit,
+       |  ($wLit)[a.rank] AS wt
+       |  FROM approx a LEFT JOIN exact x
+       |    ON x.query_id = a.query_id AND x.cand_id = a.cand_id)
+       |SELECT query_id,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |  (ROUND(CAST(SUM(hit) AS DOUBLE) / CAST($k AS DOUBLE), 4) + 0.0) AS recall,
+       |  (ROUND(COALESCE(CAST(1 AS DOUBLE) / MIN(CASE WHEN hit = 1 THEN rank END), 0.0), 6) + 0.0) AS mrr,
+       |  (ROUND(CAST(SUM(CASE WHEN hit = 1 THEN wt ELSE 0 END) AS DOUBLE)
+       |    / CAST($idcg AS DOUBLE), 4) + 0.0) AS ndcg
+       |FROM hits GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   /** MMR re-ranking replica (`Retrieval.mmrRerankGate`): the greedy
     * selection unrolled into k chained pick/state CTE pairs (k is a fixed
     * gate parameter, so no recursion is needed): pool = the IVF replica's

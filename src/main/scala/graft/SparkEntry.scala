@@ -62,7 +62,7 @@ object SparkEntry {
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
     "hybrid_topk_rrf", "bm25_topk_served", "mmr_rerank", "retrieval_eval",
-    "zorder_pruned_read")
+    "retrieval_eval_quantized", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -714,6 +714,28 @@ object SparkEntry {
     // not). The measurement loop every ANN deployment runs, as a query.
     "retrieval_eval" -> ((s: SparkSession, d: String) =>
       Retrieval.retrievalEvalGate(s, d)),
+    // [r17] the int8 tier self-measured: the quantized retriever scored
+    // against brute-force exact truth — the STRESS.md recall claims as an
+    // oracle-verified queryable metric (quantized scores genuinely differ
+    // from exact, so this row measures real quantization loss, unlike the
+    // PQ rows whose rerank restores exactness by containment).
+    "retrieval_eval_quantized" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val path = "/tmp/graft-ivf-qindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(path)(Similarity.buildIndexQuantized(e, cents, path))
+      val approx = Similarity.ivfTopKIndexedQuantized(s, path, cents,
+        gateProbes(e), k = 3, nprobe = 3)
+      Retrieval.evalTopk(approx,
+        Similarity.bruteForceTopK(e, Seq(0L, 1L, 2L, 3L, 4L), 3), k = 3)
+    }),
+    // [r17] HTML text extraction — the first stage of a web-corpus
+    // pipeline: strip markup, remove script/style/nav/footer boilerplate
+    // (doc-dependent content, so removal is load-bearing), collapse
+    // whitespace. One narrow codegen'd regexp chain over the synthesized
+    // page (the piiScrub synthesis pattern); the oracle replays synthesis
+    // + extraction with the same RE2-compatible patterns.
+    "html_extract" -> ((s: SparkSession, d: String) => Prep.htmlExtract(s, d)),
     // keyword extraction: per-doc top-5 TF-IDF terms, deterministic ties
     // (rounded score desc, term asc); three linear exchanges, no driver state
     "tfidf_topk_terms" -> ((s: SparkSession, d: String) =>
@@ -907,6 +929,8 @@ object SparkEntry {
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "mmr_rerank" -> PortableOracles.mmrRerankSql,
     "retrieval_eval" -> PortableOracles.retrievalEvalSql,
+    "retrieval_eval_quantized" -> PortableOracles.retrievalEvalQuantizedSql,
+    "html_extract" -> Prep.htmlExtractSql,
     "tfidf_topk_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "overview" -> Analytics.overviewSql,
     "orders_by_date" -> Analytics.ordersByDateSql,

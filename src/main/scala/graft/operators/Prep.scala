@@ -161,6 +161,77 @@ object Prep {
        |  LEN(REGEXP_EXTRACT_ALL(synth, '$phoneRe')) AS n_phones
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --- HTML text extraction (round 17) -----------------------------------------
+  //
+  // The first stage of every web-corpus pipeline: strip markup and
+  // boilerplate from crawled HTML, keep the content text (the
+  // trafilatura/resiliparse job, reduced to its deterministic regex core).
+  // The fixture ships no HTML, so the gate synthesizes a deterministic page
+  // around each doc's text (the piiScrub synthesis pattern): title/heading
+  // carry the doc id, script/style/nav/footer carry doc-dependent
+  // boilerplate the extractor must REMOVE, and the DuckDB oracle replays
+  // synthesis + extraction with the same RE2-compatible patterns.
+
+  /** Deterministic HTML page around each doc's text. */
+  def htmlFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{color:#000;font:12px}</style></head>" +
+        "<body><nav>home about contact</nav><h1>doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><script>var x="), pmod(col("doc_id"), lit(97)).cast("string"),
+      lit(";</script><footer>(c) fixture corp "),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("</footer></body></html>")).as("html"))
+
+  /** The extraction patterns, shared verbatim with the SQL oracle (all in
+    * the Java-regex ∩ RE2 common subset; `(?s)` = dotall for the block
+    * removals, lazy quantifiers bound each block). Order matters: blocks
+    * first (their CONTENT must go, not just their tags), then remaining
+    * tags, then whitespace collapse. */
+  private val htmlBlockRes =
+    Seq("(?s)<script.*?</script>", "(?s)<style.*?</style>",
+      "(?s)<nav.*?</nav>", "(?s)<footer.*?</footer>")
+  private val htmlTagRe = "<[^>]*>"
+  private val wsRe = "\\s+"
+
+  /** Markup + boilerplate removal over an (doc_id, html) frame — one
+    * narrow codegen'd regexp chain, no exchange, embarrassingly parallel
+    * at any corpus size. Output: the content text and its length. */
+  def extractHtmlTextOf(html: DataFrame): DataFrame = {
+    val stripped = htmlBlockRes.foldLeft(col("html"))(
+      (c, re) => regexp_replace(c, re, " "))
+    html.select(col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(stripped, htmlTagRe, " "), wsRe, " ")).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+  }
+
+  /** Gate composition: synthesize → extract, over the gate-sorted base. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    extractHtmlTextOf(htmlFromDocuments(Tables.documentsById(spark, dir)))
+
+  val htmlExtractSql: String = {
+    val synth =
+      """'<html><head><title>doc ' || doc_id::VARCHAR ||
+        |'</title><style>body{color:#000;font:12px}</style></head><body><nav>home about contact</nav><h1>doc ' ||
+        |doc_id::VARCHAR || '</h1><p>' || text ||
+        |'</p><script>var x=' || (doc_id % 97)::VARCHAR ||
+        |';</script><footer>(c) fixture corp ' || (doc_id % 7)::VARCHAR ||
+        |'</footer></body></html>'""".stripMargin.replace("\n", " ")
+    val stripped = htmlBlockRes.foldLeft("html")(
+      (e, re) => s"REGEXP_REPLACE($e, '$re', ' ', 'g')")
+    s"""WITH h AS (SELECT doc_id, $synth AS html FROM documents)
+       |SELECT doc_id,
+       |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE($stripped, '$htmlTagRe', ' ', 'g'),
+       |    '$wsRe', ' ', 'g')) AS clean_text,
+       |  LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE($stripped, '$htmlTagRe', ' ', 'g'),
+       |    '$wsRe', ' ', 'g'))) AS n_chars
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** Train/eval decontamination: flag every training document that shares at
     * least one 3-gram shingle with the benchmark (eval) set — here docs with
     * `doc_id % 10 = 0` stand in for the benchmark. The benchmark's distinct

@@ -7,6 +7,26 @@ import graft.operators.Prep
 class PrepSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
+  test("html extraction: content text survives, boilerplate content is removed") {
+    val docs = Tables.documents(spark, Sf0001).filter($"doc_id" < 50)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val out = Prep.extractHtmlTextOf(Prep.htmlFromDocuments(docs))
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 50)
+    for ((id, clean, n) <- out) {
+      // expected content = title + heading + body paragraph, ws-collapsed
+      val expected = s"doc $id doc $id ${texts(id).trim.replaceAll("\\s+", " ")}"
+      assert(clean == expected, s"doc $id: extraction mangled content")
+      assert(n == clean.length.toLong)
+      // boilerplate CONTENT must be gone, not just the tags
+      assert(!clean.contains("home about contact"), "nav content leaked")
+      assert(!clean.contains("fixture corp"), "footer content leaked")
+      assert(!clean.contains("var x="), "script content leaked")
+      assert(!clean.contains("color:#000"), "style content leaked")
+      assert(!clean.contains("<"), "tags leaked")
+    }
+  }
+
   test("chunkOverlap covers all tokens with the declared overlap") {
     val win = 32; val stride = 24
     val chunks = Prep.chunkOverlap(spark, Sf0001, win, stride)

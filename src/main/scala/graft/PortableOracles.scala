@@ -357,6 +357,41 @@ object PortableOracles {
        |    AND a.vec_id % 2 = 0 AND a.vec_id % 10 <> 2) t
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
 
+  /** Synced-index replica (`ann_ivf_topk_synced`): the quantizer stays
+    * trained on v1 (the full embeddings table — frozen serving quantizer),
+    * while the CANDIDATE set is v2 = v1 minus ids %7==0 plus re-keyed
+    * (+1e6) copies of ids %11==0 — exactly the membership
+    * `EmbeddingIndexStream.syncWithCorpus` produces. Probes come from v1
+    * (a removed probe still queries; its re-keyed clone may appear). */
+  val annIvfTopkSyncedSql: String =
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cm AS (SELECT label, i, AVG(v[i]) AS m
+       |       FROM e0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+       |cent AS (SELECT label AS cluster, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |e2 AS (SELECT vec_id, v FROM e0 WHERE vec_id % 7 <> 0
+       |       UNION ALL
+       |       SELECT vec_id + 1000000 AS vec_id, v FROM e0 WHERE vec_id % 11 = 0),
+       |d2 AS (SELECT e2.vec_id, e2.v, cent.cluster,
+       |         list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+       |       FROM e2 CROSS JOIN cent),
+       |assign AS (SELECT vec_id, v, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM d2) WHERE rn = 1),
+       |dp AS (SELECT e0.vec_id, e0.v, cent.cluster,
+       |         list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+       |       FROM e0 CROSS JOIN cent WHERE e0.vec_id IN (0, 1, 2, 3, 4)),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dp) WHERE rn <= 3)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.clusterSampleOf]]: the shared
     * assignment prefix, per-cluster sizes, the salted-h60 within-cluster
     * race, quota = ⌈√n_c⌉. */

@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
+    "ann_ivf_topk_synced",
     "hybrid_topk_rrf", "bm25_topk_served", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -549,6 +550,32 @@ object SparkEntry {
           gateProbes(e), k = 3, nprobe = 3, asOfBatch = 0L)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // [r17] corpus→index synchronization: v1 = the whole embeddings table
+    // (batch 0); v2 removes ids %7==0 and adds re-keyed copies of ids
+    // %11==0 (vec_id + 1e6 — new ids, the changed-vector rollout path);
+    // syncWithCorpus diffs the snapshots and appends/tombstones under ONE
+    // maintenance batch. The live query then serves exactly v2: probe 0
+    // (%7==0) is itself deleted and still queries, and its re-keyed clone
+    // (id 1000000, identical vector) legitimately appears with sim 1.0.
+    // Oracle: IVF replica with the quantizer trained on v1 and the
+    // candidate set rebuilt as v2 in SQL.
+    "ann_ivf_topk_synced" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val v1 = e.select(col("vec_id"), col("embedding"))
+      val v2 = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val path = "/tmp/graft-ivf-syncindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(path) {
+        streaming.EmbeddingIndexStream.applyBatch(v1, 0L, cents, path)
+        streaming.EmbeddingIndexStream.syncWithCorpus(s, path, cents, v1, v2, 1L)
+      }
+      streaming.EmbeddingIndexStream.ivfTopKIndexedLive(s, path, cents,
+          gateProbes(e), k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r16] metadata-filtered retrieval: same IVF probe, candidates
     // semi-joined to documents.lang = 'en' BEFORE the per-probe top-k (k
     // fills from the filtered pool — score-then-filter would under-fill)
@@ -902,6 +929,7 @@ object SparkEntry {
     "ann_ivf_topk_filtered" -> PortableOracles.annIvfTopkFilteredSql,
     "ann_ivf_topk_live" -> PortableOracles.annIvfTopkLiveSql,
     "ann_ivf_topk_asof" -> PortableOracles.annIvfTopkAsofSql,
+    "ann_ivf_topk_synced" -> PortableOracles.annIvfTopkSyncedSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,

@@ -385,6 +385,31 @@ object EmbeddingIndexStream {
       scope = graft.operators.Pq.CandidateScope(
         excluded = Some(tombstoneIds(spark, pqrDir)), dedupIds = true))
 
+  /** One-call corpus→index synchronization — the production loop that ties
+    * [[graft.operators.Evolution.snapshotDiff]] to the index lifecycle:
+    * vectors ADDED by the new corpus snapshot are appended (assigned
+    * against the frozen serving quantizer, the standard append path) and
+    * vectors REMOVED are tombstoned, both under one maintenance batch id.
+    * Id-diff only: an id present in both snapshots keeps its existing
+    * rows — in-place embedding CHANGES are out of this verb's scope
+    * (tombstoning an id hides every row of that id including a re-insert,
+    * by design: tombstones are armed against replay resurrection), so a
+    * changed-vector rollout goes through re-key (new id) or the
+    * recluster/rebuild path. Idempotent per batchId: the append overwrites
+    * its own `batch=` dir and the tombstone its own `.tombstones/batch=`
+    * dir, so replaying a sync converges. */
+  def syncWithCorpus(spark: SparkSession, indexDir: String,
+                     cents: Seq[(Int, Seq[Double])],
+                     oldVecs: DataFrame, newVecs: DataFrame,
+                     batchId: Long): Unit = {
+    val oldIds = oldVecs.select(col("vec_id"))
+    val newIds = newVecs.select(col("vec_id"))
+    val added = newVecs.join(oldIds, Seq("vec_id"), "left_anti")
+    val removed = oldIds.join(newIds, Seq("vec_id"), "left_anti")
+    applyBatch(added, batchId, cents, indexDir)
+    tombstone(spark, removed, batchId, indexDir)
+  }
+
   // --- recluster (round 17): the lifecycle's maintenance verb ---------------
   //
   // build → append → filter → delete → compact now gets RE-CLUSTER: when the

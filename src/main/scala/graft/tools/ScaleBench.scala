@@ -473,6 +473,13 @@ object ScaleBench {
           k = graft.operators.Retrieval.HybridK,
           maxRank = graft.operators.Retrieval.HybridL)
       },
+      // HTML extraction at volume (round 17): synthesize + strip over a
+      // k×-amplified doc table — one narrow codegen'd regexp chain, the
+      // embarrassing-parallel shape (no exchange above the reduction)
+      "html_extract" -> (k =>
+        graft.operators.Prep.extractHtmlTextOf(
+          graft.operators.Prep.htmlFromDocuments(docsX(k)))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total"))),
       // MMR at volume (round 17): the pool is top-10 per probe — corpus-
       // INDEPENDENT by construction — so the claim is that diversification
       // adds a CONSTANT on top of the IVF retriever at any factor (the

@@ -67,6 +67,32 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSuite {
       "batch bound must partition-prune the candidate read")
   }
 
+  test("syncWithCorpus: the live view serves exactly the new snapshot, idempotently") {
+    val idx = tmp()
+    val v1 = embs.select($"vec_id", $"embedding")
+    val v2 = embs.filter($"vec_id" % 7 =!= 0).select($"vec_id", $"embedding")
+      .unionByName(embs.filter($"vec_id" % 11 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    EmbeddingIndexStream.applyBatch(v1, 0L, cents, idx)
+    EmbeddingIndexStream.syncWithCorpus(spark, idx, cents, v1, v2, 1L)
+    val expected = allIds.filter(_ % 7 != 0) ++
+      allIds.filter(_ % 11 == 0).map(_ + 1000000L)
+    assert(members(EmbeddingIndexStream.liveIndex(spark, idx)) == expected)
+    // replaying the same sync batch converges (overwrite semantics)
+    EmbeddingIndexStream.syncWithCorpus(spark, idx, cents, v1, v2, 1L)
+    assert(members(EmbeddingIndexStream.liveIndex(spark, idx)) == expected)
+    // a removed probe still queries, and its re-keyed clone scores 1.0
+    val probe0 = embs.filter($"vec_id" === 0L)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val res = EmbeddingIndexStream.ivfTopKIndexedLive(
+        spark, idx, cents, probe0, k = 3, nprobe = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(res.length == 3)
+    assert(res.exists { case (_, c, s) => c == 1000000L && s == 1.0 },
+      "the re-keyed clone of the deleted probe must surface at sim 1.0")
+  }
+
   test("post-compaction coarsening: the folded prefix participates as a whole") {
     val idx = tmp()
     build(idx)

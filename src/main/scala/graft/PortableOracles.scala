@@ -267,6 +267,38 @@ object PortableOracles {
        |FROM b JOIN bmin m ON b.tbl = m.tbl AND b.bucket = m.bucket
        |GROUP BY b.vec_id ORDER BY vec_id""".stripMargin
 
+  /** LSH pair-recall replica (`lsh_pair_eval`): pred = the
+    * [[embeddingNearDupLshSql]] chain bounded to ids < 300, truth = exact
+    * all-pairs at the same threshold/bound, reduced to exact counts + two
+    * single divisions. Verified-LSH precision is structurally 1.0; the
+    * measured number is band RECALL. */
+  val lshPairEvalSql: String =
+    s"""WITH $hyperplaneBucketCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |         WHERE a.vec_id < b2.vec_id),
+       |pred AS (SELECT id_a, id_b FROM (
+       |  SELECT id_a, id_b, (ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) + 0.0) AS sim
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |            JOIN e eb ON eb.vec_id = cand.id_b) t
+       |  WHERE sim >= 0.35 AND id_a < 300 AND id_b < 300),
+       |truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+       |  WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.35),
+       |hit AS (SELECT p.id_a FROM pred p
+       |        JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b),
+       |c AS (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       |             (SELECT COUNT(*) FROM pred) AS n_pred,
+       |             (SELECT COUNT(*) FROM hit) AS n_hit)
+       |SELECT n_true, n_pred, n_hit,
+       |  (ROUND(CASE WHEN n_pred = 0 THEN 0.0
+       |     ELSE CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 4) + 0.0) AS precision,
+       |  (ROUND(CASE WHEN n_true = 0 THEN 0.0
+       |     ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END, 4) + 0.0) AS recall
+       |FROM c""".stripMargin
+
   /** Shared IVF-replica prefix: per-label mean centroids, squared-L2
     * distances, argmin assignment (d, then cluster id as tie-break — the
     * lexicographic struct-min rule). Centroid means differ from Spark's in

@@ -502,6 +502,17 @@ object SparkEntry {
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), dim = 64,
           threshold = 0.35)
         .orderBy("id_a", "id_b")),
+    // [r17] the LSH dedup tier self-measured: predicted pairs vs exact
+    // all-pairs truth on the bounded slice — precision is structurally
+    // 1.0 (the verify stage), so the row measures band RECALL as exact
+    // counts + two single divisions (no float-sum hazard).
+    "lsh_pair_eval" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pairEval(
+        Similarity.embeddingNearDupLsh(e, dim = 64, threshold = 0.35)
+          .filter(col("id_a") < 300L && col("id_b") < 300L),
+        Similarity.embeddingNearDupExact(e, maxId = 300L, threshold = 0.35))
+    }),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKCached(Tables.embeddings(s, d), d, Seq(0L, 1L, 2L, 3L, 4L), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))),
@@ -924,6 +935,7 @@ object SparkEntry {
     "multimodal_features_topk" -> PortableOracles.multimodalFeaturesTopkSql,
     "curation_pipeline" -> PortableOracles.curationPipelineSql,
     "embedding_near_dup_lsh" -> PortableOracles.embeddingNearDupLshSql,
+    "lsh_pair_eval" -> PortableOracles.lshPairEvalSql,
     "embedding_dedup_keep" -> PortableOracles.embeddingDedupKeepSql,
     "ann_ivf_topk" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_filtered" -> PortableOracles.annIvfTopkFilteredSql,

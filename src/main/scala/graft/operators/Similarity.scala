@@ -748,6 +748,30 @@ object Similarity {
     * correctness twin of [[embeddingNearDupLsh]] (brute force is exact; the
     * slice keeps it O(slice²) regardless of corpus size).
     */
+  /** Set-based precision/recall of a predicted pair set against exact
+    * truth — the dedup family's self-measurement (did the LSH bands
+    * recall the true near-dup pairs?), as one report row of exact counts
+    * + two single divisions (no float-sum hazard). The verified-LSH
+    * pipeline's precision is structurally 1.0 (its verify stage keeps
+    * only pairs whose exact rounded sim clears the threshold), so the
+    * number under test is RECALL — band coverage. Inputs are (id_a, id_b)
+    * pair frames with id_a < id_b. */
+  def pairEval(pred: DataFrame, truth: DataFrame): DataFrame = {
+    import graft.functions.ExprUtils.roundz
+    val p = pred.select(col("id_a"), col("id_b"))
+    val t = truth.select(col("id_a"), col("id_b"))
+    val hit = p.join(t, Seq("id_a", "id_b"), "left_semi")
+    def ratio(n: Column, d: Column) =
+      roundz(when(d === 0L, lit(0.0))
+        .otherwise(n.cast("double") / d.cast("double")), 4)
+    t.agg(count(lit(1)).as("n_true"))
+      .crossJoin(p.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_pred"), col("n_hit"),
+        ratio(col("n_hit"), col("n_pred")).as("precision"),
+        ratio(col("n_hit"), col("n_true")).as("recall"))
+  }
+
   def embeddingNearDupExact(embeddings: DataFrame, maxId: Long, threshold: Double): DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -85,6 +85,23 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
       TextAnalysis.bm25Topk(spark, Sf0001).as[(Long, Double)].collect().toSeq)
   }
 
+  test("file-source end-to-end: dropped parquet batches fold to the one-shot stats") {
+    val in = tmp(); val state = tmp(); val ckpt = tmp()
+    val q = LexStatsStream.runFileStream(spark, in, state, ckpt,
+      schemaFrom = docs, autoCompactBatches = 2)
+    try {
+      for (b <- 0 to 2) {
+        docs.filter($"doc_id" % 3 === b).coalesce(1)
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(statsRows(LexStatsStream.currentStats(spark, state)) == batchStats)
+    assert(LexStatsStream.bm25Topk(spark, state, docs)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25Topk(spark, Sf0001).as[(Long, Double)].collect().toSeq)
+  }
+
   test("mid-stream compaction composes with later batches") {
     val state = tmp()
     foldAll(state, mod = 3, compactAfter = 1)

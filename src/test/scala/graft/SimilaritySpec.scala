@@ -630,4 +630,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got == exact, "scoped int8 rerank diverges from exact filtered IVF")
     assert(got.nonEmpty)
   }
+
+  test("pairEval: hand-computed precision/recall, zero-denominator safety") {
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val pred = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Similarity.pairEval(pred, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((4L, 3L, 2L, 0.6667, 0.5)), s"got $out")
+    val empty = Similarity.pairEval(pred.filter($"id_a" < 0), truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(empty == ((4L, 0L, 0L, 0.0, 0.0)), "empty pred must yield zeros, not NaN")
+  }
+
+  test("lsh_pair_eval gate semantics: verified-LSH precision is exactly 1.0") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val out = Similarity.pairEval(
+        Similarity.embeddingNearDupLsh(e, dim = 64, threshold = 0.35)
+          .filter($"id_a" < 300L && $"id_b" < 300L),
+        Similarity.embeddingNearDupExact(e, maxId = 300L, threshold = 0.35))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out._4 == 1.0, "the verify stage must make every predicted pair true")
+    assert(out._5 > 0.0 && out._5 <= 1.0)
+    assert(out._3 == out._2, "hits must equal predictions at precision 1.0")
+  }
 }

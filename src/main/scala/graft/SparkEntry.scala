@@ -61,7 +61,7 @@ object SparkEntry {
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
-    "ann_ivf_topk_synced",
+    "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr",
     "hybrid_topk_rrf", "bm25_topk_served", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -587,6 +587,27 @@ object SparkEntry {
           gateProbes(e), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // [r17] metadata filter composed with the RESIDUAL tier — the last
+    // cell of the filter × {exact, int8/ADC, residual} matrix: the
+    // lang='en' allowed set semi-joins the residual-code candidate read
+    // below the per-probe top-k, exact rerank restores exact scores.
+    // Oracle: the exact filtered-IVF replica (same containment contract
+    // as the other scoped rerank rows; PqSpec pins the scoped pools).
+    "ann_ivf_topk_filtered_pqr" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val (anchors, rcb) = Pq.trainedResidualModel(e, cents, d)
+      val pqrPath = "/tmp/graft-ivf-pqrindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ePath = "/tmp/graft-ivf-index/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(pqrPath)(
+        Pq.buildIndexPqResidual(e, cents, anchors, rcb, pqrPath))
+      Similarity.ensureBuilt(ePath)(Similarity.buildIndex(e, cents, ePath))
+      Pq.ivfTopKPqResidualRerank(s, pqrPath, ePath, cents, anchors, rcb,
+          gateProbes(e), k = 3, nprobe = 3, poolMult = 40,
+          scope = Pq.CandidateScope(allowed = Some(Tables.documents(s, d)
+            .filter(col("lang") === "en").select(col("doc_id")))))
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r16] metadata-filtered retrieval: same IVF probe, candidates
     // semi-joined to documents.lang = 'en' BEFORE the per-probe top-k (k
     // fills from the filtered pool — score-then-filter would under-fill)
@@ -845,6 +866,12 @@ object SparkEntry {
     "multimodal_windows_wav" -> ((s: SparkSession, d: String) =>
       Multimodal.extractWavWindowSums(
         Multimodal.wavMediaFromDocuments(Tables.documentsById(s, d)))),
+    // zero-crossing counts over decoded PCM — exact integer logic, one
+    // narrow codec pass; the oracle replays the sign-flip predicate over
+    // the synthesized samples via a LAG window
+    "multimodal_zcr_wav" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractWavZeroCrossings(
+        Multimodal.wavMediaFromDocuments(Tables.documentsById(s, d)))),
     // decode → integer decimation (every 2nd sample) → WAV re-encode →
     // RE-DECODE → window sums: the whole encode/decode circle is
     // load-bearing (the multimodal_resize_png pattern for audio). Oracle
@@ -962,6 +989,7 @@ object SparkEntry {
     // ann_ivf_topk_pq; PqSpec pins containment per scope)
     "ann_ivf_topk_pqr_live" -> PortableOracles.annIvfTopkLiveSql,
     "ann_ivf_topk_filtered_adc" -> PortableOracles.annIvfTopkFilteredSql,
+    "ann_ivf_topk_filtered_pqr" -> PortableOracles.annIvfTopkFilteredSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     // served form ≡ batch form bitwise (same expression tree, maintained
     // stats pinned equal to the batch aggregate by LexStatsStreamSpec)
@@ -1295,6 +1323,23 @@ object SparkEntry {
         |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
         |  CAST(SUM(v * v) AS BIGINT) AS sq_sum
         |FROM s GROUP BY doc_id, window_idx ORDER BY doc_id, window_idx""".stripMargin,
+    // zero-crossing replica: the '< 0' predicate flips between adjacent
+    // synthesized samples — LAG window per doc, exact integer counts
+    "multimodal_zcr_wav" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(120 + doc_id % 101 AS BIGINT) AS n FROM documents),
+        |ix AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    ((xor(doc_id * 2654435761, i * 1315423911) & 65535) - 32768) AS v
+        |  FROM ix),
+        |lg AS (SELECT doc_id, v,
+        |         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |       FROM s)
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+        |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // decimation replica: the resampled signal's sample i is the synthesis
     // hash at index 2i, resampled length = ceil(n/2) — Spark must run the
     // full decode→decimate→re-encode→re-decode circle to match

@@ -635,6 +635,31 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Row shape of [[extractWavZeroCrossings]]. */
+  case class ZcrRow(doc_id: Long, n_samples: Long, n_zc: Long)
+
+  /** Zero-crossing count over really decoded PCM — the classic
+    * voiced/unvoiced audio heuristic, all exact integer logic: a crossing
+    * is any adjacent pair where the `< 0` predicate flips. One number per
+    * doc; same narrow codec pass as the window sums. */
+  def extractWavZeroCrossings(media: DataFrame): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val samples = decodeWav(id, bytes)._2
+        var zc = 0L
+        var i = 1
+        while (i < samples.length) {
+          if ((samples(i) < 0) != (samples(i - 1) < 0)) zc += 1L
+          i += 1
+        }
+        ZcrRow(id, samples.length.toLong, zc)
+      }
+    }(Encoders.product[ZcrRow]).toDF()
+  }
+
   /** [[extractFeaturesImage]]'s audio twin: decode → `dim` equal slices →
     * per-slice RMS in [0,1] (the pooled-energy shape an audio embedding
     * reduces to), feeding [[Similarity]] unchanged. */

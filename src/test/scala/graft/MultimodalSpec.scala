@@ -189,6 +189,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("zero crossings match the synthesis replay for every doc") {
+    val out = Multimodal.extractWavZeroCrossings(wavMedia)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 64)
+    for ((id, n, zc) <- out) {
+      val (_, en) = Multimodal.wavParams(id)
+      assert(n == en.toLong)
+      val expected = (1 until en).count(i =>
+        (Multimodal.wavSample(id, i) < 0) != (Multimodal.wavSample(id, i - 1) < 0))
+      assert(zc == expected.toLong, s"doc $id: $zc crossings, synthesized $expected")
+    }
+  }
+
   test("resample circle: decimated WAV re-decodes to every 2nd synthesis sample") {
     val resampled = Multimodal.resampleWav(wavMedia, factor = 2)
     // meta of the re-encoded payload: halved rate, ceil(n/2) samples

@@ -270,6 +270,27 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("scoped RESIDUAL pool: filtered pqr rerank ≡ exact filtered IVF") {
+    // the filter × residual matrix cell (round 17): same fill-from-
+    // filtered-pool pin as the ADC form, through the residual codes
+    val pqr = tmp(); val ex = tmp()
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "pqspec-filtered")
+    Pq.buildIndexPqResidual(embs, cents, anchors, rcb, pqr)
+    Similarity.buildIndex(embs, cents, ex)
+    val allowed = Tables.documents(spark, Sf0001)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val got = Pq.ivfTopKPqResidualRerank(spark, pqr, ex, cents, anchors, rcb,
+        probes, k = 3, nprobe = 3, poolMult = 40,
+        scope = Pq.CandidateScope(allowed = Some(allowed)))
+      .orderBy("query_id", "cand_id").collect().toSeq
+    val exact = Similarity.ivfTopKFiltered(embs, cents, probeIds,
+        k = 3, nprobe = 3, allowedIds = allowed)
+      .orderBy("query_id", "cand_id").collect().toSeq
+    assert(got == exact,
+      "filtered residual pool at gate settings misses the exact filtered top-k")
+    assert(got.nonEmpty)
+  }
+
   test("anchorless cluster: encode falls back to plain-PQ semantics, nothing dropped") {
     // a cluster with no nonzero-norm member at anchor-training time has no
     // anchor row; vectors streamed into it later must still index (r16

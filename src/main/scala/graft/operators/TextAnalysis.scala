@@ -671,6 +671,99 @@ object TextAnalysis {
     termDf.unionByName(corpus)
   }
 
+  /** Number of posting-list partitions (`pbucket` dirs) — the term-space
+    * analogue of the IVF index's `cluster=` layout: a lexical query reads
+    * only its own terms' buckets, so serving cost is O(postings of the
+    * query terms), never O(corpus). 64 bounds file counts at any scale
+    * (the write repartitions to one file per bucket per batch). */
+  val LexBuckets = 64
+
+  /** The term → posting-bucket map, computed identically driver-side (for
+    * read pruning) and executor-side (Spark's `crc32` is the same
+    * java.util.zip.CRC32 polynomial) — no hash divergence between the
+    * write layout and the read filter. */
+  def termBucket(term: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % LexBuckets).toInt
+  }
+
+  /** One document batch's POSTING rows — the other half of the maintained
+    * lexical index ([[lexStatsOf]] carries the stats): (term, doc_id, tf,
+    * dl) per distinct term per document, bucketed by [[termBucket]] for
+    * partition-pruned term reads. tf/dl come from the SAME bound token
+    * split the query-side tf pass uses (`size(filter(toks, _ === t))`), so
+    * a score computed from postings is bitwise-identical to one computed
+    * by scanning the text. Disjoint doc batches produce disjoint rows —
+    * the fold is a plain union, replay-guarded by the StateLog discipline.
+    * Per-doc work is one narrow HOF projection (no explode exchange); the
+    * only shuffle is the bounded repartition-by-bucket before the
+    * partitioned write. */
+  def lexPostingsOf(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
+          struct(
+            size(toks).cast("long").as("dl"),
+            transform(array_distinct(toks), t =>
+              struct(t.as("term"),
+                size(filter(toks, x => x === t)).cast("long").as("tf"))).as("ps"))
+        }.as("s"))
+      .select(col("doc_id"), col("s.dl").as("dl"), explode(col("s.ps")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("p.tf").as("tf"),
+        col("dl"),
+        pmod(crc32(col("p.term").cast("binary")), lit(LexBuckets.toLong))
+          .cast("int").as("pbucket"))
+
+  /** The O(terms) stat lookups both served forms share: (N, avgdl, df per
+    * term) read from the maintained stats table as driver literals. */
+  private def servedStats(stats: DataFrame, terms: Seq[String])
+      : (Double, Double, Map[String, Long]) = {
+    val corpus = stats.filter(col("term") === LexCorpusRow)
+      .agg(sum("dl").as("dl"), sum("nd").as("nd")).head()
+    val nDocs = corpus.getLong(1)
+    val avgdl = corpus.getLong(0).toDouble / nDocs.toDouble
+    val dfMap = stats.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |terms| rows
+    (nDocs.toDouble, avgdl, dfMap)
+  }
+
+  /** BM25 top-k served ENTIRELY from the maintained lexical index — stats
+    * AND term frequencies, no corpus access at all: df/N/avgdl are O(terms)
+    * stat lookups ([[servedStats]]), per-candidate tf/dl come from the
+    * query terms' POSTING rows (partition-pruned to their [[termBucket]]
+    * dirs), pivoted per doc and scored through the shared
+    * [[bm25ScoreExpr]] tree. Serving cost is O(postings of the query
+    * terms) regardless of corpus size — the [[graft.operators.Similarity]]
+    * nprobe-read treatment applied to text ([[bm25TopkServed]] still
+    * tokenizes every document per query; this form retires that last
+    * O(corpus) serving path).
+    *
+    * Candidate semantics: docs matching NO query term are not retrievable
+    * (standard inverted-index behavior, the [[graft.operators.Retrieval
+    * .bm25RankedPerQuery]] contract). Every candidate's score is strictly
+    * positive (idf > 0 under the +1 smoothing, tf ≥ 1 on some term), so
+    * whenever ≥ k candidates exist the output is bitwise-identical to the
+    * full-scan [[bm25Topk]] (verified at every gate SF). */
+  def bm25TopkIndexed(postings: DataFrame, stats: DataFrame,
+                      terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val (nDocs, avgdl, dfMap) = servedStats(stats, terms)
+    val perDoc = postings.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).cast("double").as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(lit(0L)))
+            .cast("double").as(s"tf$i")
+        }: _*)
+    val score = bm25ScoreExpr(terms.indices, i => col(s"tf$i"), col("dl"),
+      lit(nDocs), lit(avgdl),
+      i => lit(dfMap.getOrElse(terms(i), 0L).toDouble))
+    perDoc.select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** BM25 top-k SERVED from maintained lexical-index stats: df/N/avgdl are
     * O(terms) lookups against the summed stats table (no per-query stats
     * aggregate over the corpus — the pass [[bm25Topk]] pays every call),
@@ -681,13 +774,7 @@ object TextAnalysis {
     * [[bm25Topk]] — which is what the shared gate oracle replays. */
   def bm25TopkServed(docs: DataFrame, stats: DataFrame,
                      terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
-    val corpus = stats.filter(col("term") === LexCorpusRow)
-      .agg(sum("dl").as("dl"), sum("nd").as("nd")).head()
-    val nDocs = corpus.getLong(1)
-    val avgdl = corpus.getLong(0).toDouble / nDocs.toDouble
-    val dfMap = stats.filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |terms| rows
+    val (nDocs, avgdl, dfMap) = servedStats(stats, terms)
     val perDoc = docs.select(
       col("doc_id") +: Seq(
         graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
@@ -700,15 +787,19 @@ object TextAnalysis {
       .select(col("doc_id") +: col("s.dl").as("dl") +:
         terms.indices.map(i => col(s"s.tf$i").as(s"tf$i")): _*)
     val score = bm25ScoreExpr(terms.indices, i => col(s"tf$i"), col("dl"),
-      lit(nDocs.toDouble), lit(avgdl),
+      lit(nDocs), lit(avgdl),
       i => lit(dfMap.getOrElse(terms(i), 0L).toDouble))
     perDoc.select(col("doc_id"), round(score, 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
 
-  /** Line-for-line DuckDB mirror of [[bm25Topk]] (same association order). */
-  val bm25TopkSql: String = {
+  /** Line-for-line DuckDB mirror of [[bm25Topk]] (same association order).
+    * `candidatesOnly` mirrors [[bm25TopkIndexed]]'s inverted-index
+    * semantics: docs matching no query term are not retrievable. BM25
+    * constants interpolated from [[Bm25K1]]/[[Bm25B]] — one source of
+    * truth with the Spark-side [[bm25ScoreExpr]]. */
+  private def bm25TopkSqlOf(candidatesOnly: Boolean): String = {
     val terms = Bm25Terms
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
@@ -717,8 +808,12 @@ object TextAnalysis {
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
       .mkString(", ")
     val score = terms.indices.map(i =>
-      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
-      s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))").mkString("\n|  + ")
+      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${Bm25K1 + 1.0}) / " +
+      s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))").mkString("\n|  + ")
+    val cand =
+      if (candidatesOnly)
+        "\nWHERE " + terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      else ""
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
@@ -727,8 +822,14 @@ object TextAnalysis {
        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t)
        |SELECT doc_id, ROUND(
        |    $score, 4) AS bm25
-       |FROM t, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |FROM t, s$cand ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  val bm25TopkSql: String = bm25TopkSqlOf(candidatesOnly = false)
+
+  /** [[bm25TopkIndexed]]'s mirror — the same scoring chain restricted to
+    * docs matching ≥ 1 query term (what an inverted-index read can see). */
+  val bm25TopkIndexedSql: String = bm25TopkSqlOf(candidatesOnly = true)
 
   // --- TF-IDF top-k terms per document (round 14) ------------------------------
 

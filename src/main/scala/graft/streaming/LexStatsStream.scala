@@ -5,39 +5,59 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.TextAnalysis
 
-/** Maintained lexical-index statistics — the inverted-index half of the
-  * retrieval stack getting the same streamed maintenance the ANN tiers
-  * already have ([[EmbeddingIndexStream]]). Document batches fold their
-  * [[TextAnalysis.lexStatsOf]] partials (per-term document frequency + ONE
-  * corpus row of token/doc totals) into an append-only state log; the sums
-  * are plain long addition over DISJOINT doc batches (a new doc can only
-  * ADD to df/dl/nd), so [[currentStats]] over the union corpus is
-  * BIT-IDENTICAL to the one-shot batch aggregate (spec-pinned), and
-  * [[TextAnalysis.bm25TopkServed]] from the maintained stats equals
-  * [[TextAnalysis.bm25Topk]] bitwise. This is what a continuously ingesting
-  * retrieval service needs: BM25 serving with O(terms) stat lookups and no
-  * per-query corpus stats pass, stats fresh after every micro-batch.
+/** Maintained lexical index — the inverted-index half of the retrieval
+  * stack getting the same streamed maintenance the ANN tiers already have
+  * ([[EmbeddingIndexStream]]). Document batches fold TWO state logs:
   *
-  * State: `lexstats/batch=<id>` — the batch's own vocabulary-sized
-  * aggregate, deterministic content. COUNT folding is not idempotent, so
-  * replay safety rides the [[StateLog]] discipline: the batch dir's
-  * presence short-circuits a replay, compaction's `foldmeta` watermark is
-  * written BEFORE the swap, interrupted temp-swaps heal on every access.
+  *  - `lexstats/batch=<id>` — [[TextAnalysis.lexStatsOf]] partials
+  *    (per-term document frequency + ONE corpus row of token/doc totals).
+  *    The sums are plain long addition over DISJOINT doc batches, so
+  *    [[currentStats]] over the union corpus is BIT-IDENTICAL to the
+  *    one-shot batch aggregate (spec-pinned).
+  *  - `lexpost/batch=<id>/pbucket=<b>` — [[TextAnalysis.lexPostingsOf]]
+  *    POSTING rows (term → doc_id, tf, dl), partitioned by term bucket so
+  *    a query's read partition-prunes to its own terms' buckets. Disjoint
+  *    doc batches contribute disjoint posting rows — the fold is a plain
+  *    union.
   *
-  * Per-batch cost: one explode→distinct→groupBy over the BATCH (map-side
-  * combined to batch-vocabulary rows before the only exchange) + the
-  * commit rename. The log grows by vocabulary-sized dirs; auto-compaction
-  * bounds the dir count, and the fold re-sums per term — the standard
-  * segment-merge of a lexical index, expressed as one groupBy.
+  * Serving ladder: [[bm25Topk]] (stats maintained, tf by corpus scan —
+  * O(corpus) per query, kept as the migration form) and [[bm25TopkIndexed]]
+  * (stats AND tf from the index — O(query-term postings) per query, the
+  * scale path: the [[EmbeddingIndexStream]] nprobe-read treatment applied
+  * to text). Both route the shared [[TextAnalysis.bm25ScoreExpr]] tree, so
+  * served ≡ batch bitwise whenever the maintained state equals the
+  * one-shot build (LexStatsStreamSpec pins all folds).
+  *
+  * Replay safety rides the [[StateLog]] discipline per log (COUNT folding
+  * is not idempotent; posting re-union would double tf): each log's
+  * `batch=` dir presence short-circuits a replay, compaction watermarks
+  * are per-log (`foldmeta` / `foldmeta-lexpost`), interrupted temp-swaps
+  * heal on access. A crash between the two logs' commits leaves one
+  * committed and one not; the replay re-commits only the missing one.
+  *
+  * Per-batch cost: one explode→distinct→groupBy over the BATCH for stats
+  * (map-side combined to batch-vocabulary rows) + one narrow HOF
+  * projection and a bounded repartition-by-bucket for postings + the two
+  * commit renames. Auto-compaction bounds both logs' dir counts; the
+  * stats fold re-sums per term and the postings fold rewrites one file
+  * per bucket — the standard segment-merge of a lexical index.
   */
 object LexStatsStream {
 
   private def log(spark: SparkSession, stateDir: String) =
     new StateLog(spark, stateDir, "lexstats")
 
+  private def postLog(spark: SparkSession, stateDir: String) =
+    new StateLog(spark, stateDir, "lexpost", foldmetaName = "foldmeta-lexpost")
+
   private def emptyStats(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").cast("string").as("term"),
       col("id").as("df"), col("id").as("dl"), col("id").as("nd"))
+
+  private def emptyPostings(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").cast("string").as("term"),
+      col("id").as("doc_id"), col("id").as("tf"), col("id").as("dl"),
+      col("id").cast("int").as("pbucket"))
 
   /** Accumulated stat rows summed per term — for the union of all folded
     * batches, bit-identical to `TextAnalysis.lexStatsOf` over that union.
@@ -48,36 +68,85 @@ object LexStatsStream {
       .groupBy("term")
       .agg(sum("df").as("df"), sum("dl").as("dl"), sum("nd").as("nd"))
 
-  /** Highest batch id the last compaction folded (−1 when never). */
+  /** The query terms' posting rows — partition-pruned to the terms'
+    * [[TextAnalysis.termBucket]] dirs (the read opens only those buckets
+    * across all batch dirs, the `cluster=` nprobe-read shape). */
+  def currentPostings(spark: SparkSession, stateDir: String,
+                      terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(TextAnalysis.termBucket).distinct
+    postLog(spark, stateDir)
+      .read(Seq("term", "doc_id", "tf", "dl", "pbucket"), emptyPostings(spark))
+      .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .drop("pbucket")
+  }
+
+  /** Highest batch id the last STATS compaction folded (−1 when never). */
   def foldedUpto(spark: SparkSession, stateDir: String): Long =
     log(spark, stateDir).foldedUpto()
 
-  /** Fold one document micro-batch's stats. Returns true when the batch
-    * folded, false when the replay guards short-circuited it. */
+  /** Fold one document micro-batch into both index logs. Returns true when
+    * anything folded, false when the replay guards short-circuited both. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  stateDir: String, autoCompactBatches: Int = 0): Boolean = {
     val lg = log(spark, stateDir)
-    if (lg.alreadyApplied(batchId)) return false
-    lg.commitBatch(TextAnalysis.lexStatsOf(batch), batchId, coalesce1 = false)
-    lg.maybeAutoCompact(autoCompactBatches)(compactState(spark, stateDir))
+    val pg = postLog(spark, stateDir)
+    val statsNew = !lg.alreadyApplied(batchId)
+    val postsNew = !pg.alreadyApplied(batchId)
+    if (!statsNew && !postsNew) return false
+    if (statsNew) {
+      lg.commitBatch(TextAnalysis.lexStatsOf(batch), batchId, coalesce1 = false)
+      lg.maybeAutoCompact(autoCompactBatches)(compactStats(spark, stateDir))
+    }
+    if (postsNew) {
+      pg.commitBatch(
+        TextAnalysis.lexPostingsOf(batch).repartition(col("pbucket")),
+        batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
+      pg.maybeAutoCompact(autoCompactBatches)(compactPostings(spark, stateDir))
+    }
     true
   }
 
-  /** Fold all batch dirs into one `batch=-1` dir with exact summed stats —
-    * the non-idempotent [[StateLog.compact]] discipline (watermark first). */
-  def compactState(spark: SparkSession, stateDir: String): Unit =
+  /** Fold the stats batch dirs into one `batch=-1` dir with exact summed
+    * stats — the non-idempotent [[StateLog.compact]] discipline
+    * (watermark first). */
+  def compactStats(spark: SparkSession, stateDir: String): Unit =
     log(spark, stateDir).compact(
       _.groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
         sum("nd").as("nd")))
 
-  /** BM25 served from the maintained stats — the per-query read path. */
+  /** Fold the posting batch dirs into one `batch=-1` dir, one file per
+    * bucket (the union is lossless — disjoint doc batches — but the fold
+    * still watermarks: a replay of a folded batch would re-UNION its
+    * rows and double tf at read). */
+  def compactPostings(spark: SparkSession, stateDir: String): Unit =
+    postLog(spark, stateDir).compact(
+      _.drop("batch").repartition(col("pbucket")),
+      coalesce1 = false, partitionByCols = Seq("pbucket"))
+
+  /** Fold both logs. */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    compactStats(spark, stateDir)
+    compactPostings(spark, stateDir)
+  }
+
+  /** BM25 served from the maintained stats, tf by corpus scan — the
+    * per-query read path while a corpus table is still at hand. */
   def bm25Topk(spark: SparkSession, stateDir: String, docs: DataFrame,
                terms: Seq[String] = TextAnalysis.Bm25Terms,
                k: Int = 20): DataFrame =
     TextAnalysis.bm25TopkServed(docs, currentStats(spark, stateDir), terms, k)
 
-  /** File-source wrapper: document parquet drops → maintained stats under
-    * `stateDir`. */
+  /** BM25 served ENTIRELY from the maintained index (stats + postings) —
+    * no corpus access; cost is O(postings of the query terms). */
+  def bm25TopkIndexed(spark: SparkSession, stateDir: String,
+                      terms: Seq[String] = TextAnalysis.Bm25Terms,
+                      k: Int = 20): DataFrame =
+    TextAnalysis.bm25TopkIndexed(
+      currentPostings(spark, stateDir, terms),
+      currentStats(spark, stateDir), terms, k)
+
+  /** File-source wrapper: document parquet drops → maintained stats +
+    * postings under `stateDir`. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,
                     checkpointDir: String, schemaFrom: DataFrame,
                     autoCompactBatches: Int = 16): StreamingQuery =

@@ -37,10 +37,14 @@ final class StateLog(
     spark: SparkSession,
     val stateDir: String,
     logName: String,
-    sidecarNames: Seq[String] = Nil) {
+    sidecarNames: Seq[String] = Nil,
+    foldmetaName: String = "foldmeta") {
 
   val logPath: String = s"$stateDir/$logName"
-  private val foldmetaPath: String = s"$stateDir/foldmeta"
+  // per-log watermark name: two logs sharing one stateDir (LexStatsStream's
+  // stats + postings) must not share a fold watermark, or compacting one
+  // would mark the other's batches as folded
+  private val foldmetaPath: String = s"$stateDir/$foldmetaName"
   private def fs = FsUtils.fs(spark, stateDir)
 
   def sidecarPath(name: String): String = s"$stateDir/$name"
@@ -88,12 +92,16 @@ final class StateLog(
 
   /** Commit one batch's own state rows: write to a batch-scoped temp dir,
     * then rename into `batch=<id>` — the rename IS the batch's commit
-    * point, so every preceding step replays deterministically. */
-  def commitBatch(own: DataFrame, batchId: Long, coalesce1: Boolean = true): Unit = {
+    * point, so every preceding step replays deterministically.
+    * `partitionByCols` writes the batch dir partitioned (the postings-log
+    * shape: readers partition-prune inside every batch dir). */
+  def commitBatch(own: DataFrame, batchId: Long, coalesce1: Boolean = true,
+                  partitionByCols: Seq[String] = Nil): Unit = {
     val f = fs
     val tmp = new Path(s"$logPath.tmp-batch-$batchId")
-    (if (coalesce1) own.coalesce(1) else own)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val w = (if (coalesce1) own.coalesce(1) else own).write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(tmp.toString)
     f.mkdirs(new Path(logPath))
     FsUtils.renameOrThrow(f, tmp, new Path(s"$logPath/batch=$batchId"))
     spark.catalog.refreshByPath(logPath)
@@ -139,7 +147,8 @@ final class StateLog(
     * re-append absorbed rows. */
   def compact(fold: DataFrame => DataFrame, coalesce1: Boolean = true,
               watermark: Boolean = true,
-              skipAboveWatermark: Option[Long] = None): Unit = {
+              skipAboveWatermark: Option[Long] = None,
+              partitionByCols: Seq[String] = Nil): Unit = {
     recoverSwaps()
     val f = fs
     val lp = new Path(logPath)
@@ -154,8 +163,10 @@ final class StateLog(
       StateLog.swapWrite(spark, foldmetaPath, Seq(maxBatch).toDF("folded_upto"))
     }
     val tmp = new Path(logPath + ".tmp")
-    (if (coalesce1) folded.coalesce(1) else folded)
-      .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    val w = (if (coalesce1) folded.coalesce(1) else folded)
+      .write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(s"$tmp/batch=-1")
     FsUtils.replaceDir(f, tmp, lp)
     spark.catalog.refreshByPath(logPath)
     org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)

@@ -395,6 +395,13 @@ object ComposedStreamSoak {
     val lxDirect = TextAnalysis.bm25TopkServed(docs, TextAnalysis.lexStatsOf(docs))
       .as[(Long, Double)].collect().toSeq
     check("lex_bm25_served", lxServed == lxDirect && lxServed.nonEmpty)
+    // [r18] the postings path: BM25 served ENTIRELY from the maintained
+    // index (stats + posting lists, no corpus access) ≡ the corpus-scan
+    // served form over the same folded state — the serving path a 100 TB
+    // deployment actually runs
+    val lxIndexed = LexStatsStream.bm25TopkIndexed(spark, lxState)
+      .as[(Long, Double)].collect().toSeq
+    check("lex_bm25_indexed", lxIndexed == lxServed && lxIndexed.nonEmpty)
     spark.stop()
   }
 }

@@ -107,4 +107,80 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     foldAll(state, mod = 3, compactAfter = 1)
     assert(statsRows(LexStatsStream.currentStats(spark, state)) == batchStats)
   }
+
+  // --- posting lists (round 18) --------------------------------------------
+
+  private def postingRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+
+  private def batchPostings(terms: Seq[String]) = postingRows(
+    TextAnalysis.lexPostingsOf(docs).filter($"term".isin(terms: _*)))
+
+  test("folded postings over the union equal the one-shot build, any batching") {
+    val terms = TextAnalysis.Bm25Terms
+    for (mod <- Seq(1, 4)) {
+      val state = tmp()
+      foldAll(state, mod = mod)
+      assert(postingRows(LexStatsStream.currentPostings(spark, state, terms))
+        == batchPostings(terms), s"mod=$mod")
+    }
+  }
+
+  test("indexed BM25 (postings, no corpus access) is bitwise-identical to the batch form") {
+    val state = tmp()
+    foldAll(state)
+    val indexed = LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq
+    val batch = TextAnalysis.bm25Topk(spark, Sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed == batch)
+  }
+
+  test("indexed BM25 survives compaction and replay; postings never double") {
+    val state = tmp()
+    foldAll(state, compactAfter = 1)
+    LexStatsStream.compactState(spark, state)
+    val replayed = LexStatsStream.applyBatch(spark,
+      docs.filter($"doc_id" % 3 === 0), 0L, state)
+    assert(!replayed, "folded batch must be skipped via the per-log watermarks")
+    assert(postingRows(LexStatsStream.currentPostings(spark, state,
+      TextAnalysis.Bm25Terms)) == batchPostings(TextAnalysis.Bm25Terms))
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25Topk(spark, Sf0001).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("indexed BM25 with a term absent from the corpus (empty posting list)") {
+    val state = tmp()
+    foldAll(state)
+    val terms = Seq("dup", "zzz_no_such_token")
+    val out = LexStatsStream.bm25TopkIndexed(spark, state, terms, k = 5)
+      .as[(Long, Double)].collect()
+    val served = LexStatsStream.bm25Topk(spark, state, docs, terms, k = 5)
+      .as[(Long, Double)].collect()
+    // candidates ('dup'-matching docs) outnumber k at this SF, so the
+    // indexed read equals the corpus-scan form despite the dead term
+    assert(out.toSeq == served.toSeq)
+    assert(out.forall { case (_, s) => !s.isNaN && !s.isInfinite })
+  }
+
+  test("posting reads partition-prune to the query terms' buckets") {
+    val state = tmp()
+    foldAll(state)
+    val plan = LexStatsStream.currentPostings(spark, state, Seq("dup"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pbucket"),
+      s"expected pbucket partition filters in:\n$plan")
+  }
+
+  test("driver-side termBucket matches the executor-side crc32 layout") {
+    val terms = TextAnalysis.lexPostingsOf(docs)
+      .select("term", "pbucket").distinct()
+      .as[(String, Int)].collect()
+    assert(terms.nonEmpty)
+    terms.foreach { case (t, b) =>
+      assert(TextAnalysis.termBucket(t) == b, s"term '$t'")
+    }
+  }
 }

@@ -236,12 +236,19 @@ object Pq {
 
   /** Cluster-partitioned PQ index: (vec_id, code BIGINT) per inverted
     * list. Coarse assignment on FULL-precision vectors (list membership ≡
-    * exact index). */
+    * exact index). `encodedGen` stamps the dir with the quantizer
+    * generation the codes encode against ([[IndexGen]] — pass
+    * `IndexGen.quantizerGen(exactDir)` when rebuilding after a recluster;
+    * the default 0 is the never-reclustered state). */
   def buildIndexPq(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
-                   cb: Codebooks, path: String): Unit =
+                   cb: Codebooks, path: String, encodedGen: Long = 0L): Unit = {
     pqFromAssigned(Similarity.assign(embeddings, cents), cb)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // stamp AFTER the write: the overwrite deletes the dir (marker
+    // included), and a crash before this line reads as gen 0 — fail-closed
+    IndexGen.setEncodedGen(embeddings.sparkSession, path, encodedGen)
+  }
 
   /** Incremental maintenance — [[Similarity.appendAssignedQuantized]]'s
     * twin for PQ layouts: assign the batch's full-precision vectors
@@ -506,13 +513,15 @@ object Pq {
 
   /** Cluster-partitioned residual-PQ index: same row shape and layout as
     * [[buildIndexPq]] (coarse membership identical to the exact index);
-    * codes encode the residual. */
+    * codes encode the residual. `encodedGen` as in [[buildIndexPq]]. */
   def buildIndexPqResidual(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
                            anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
-                           path: String): Unit =
+                           path: String, encodedGen: Long = 0L): Unit = {
     pqrFromAssigned(Similarity.assign(embeddings, cents), anchors, cb)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    IndexGen.setEncodedGen(embeddings.sparkSession, path, encodedGen)
+  }
 
   /** [[appendAssignedPq]]'s residual twin — O(batch) incremental appends
     * against the persisted model (anchors + codebooks never retrained
@@ -572,6 +581,8 @@ object Pq {
                               queries: Seq[(Long, Seq[Double])],
                               k: Int, nprobe: Int, poolMult: Int = 4,
                               scope: CandidateScope = CandidateScope()): DataFrame = {
+    // generation fence: refuse stale codes against a reclustered quantizer
+    IndexGen.requireMatch(spark, pqrPath, exactPath)
     val pool = ivfTopKPqResidualRaw(spark, pqrPath, cents, anchors, cb, queries,
         k * poolMult, nprobe, scope)
       .select(col("query_id"), col("cand_id"))
@@ -606,6 +617,8 @@ object Pq {
                       k: Int, nprobe: Int, poolMult: Int = 4,
                       adc: Boolean = false,
                       scope: CandidateScope = CandidateScope()): DataFrame = {
+    // generation fence: refuse stale codes against a reclustered quantizer
+    IndexGen.requireMatch(spark, pqPath, exactPath)
     // scope applies to the pool stage; the exact rerank restricts to pool
     // ids by construction (see ivfTopKPqResidualRerank's scaladoc)
     val raw =

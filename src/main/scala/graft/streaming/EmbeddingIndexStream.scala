@@ -44,6 +44,16 @@ object EmbeddingIndexStream {
                  pqrLoaded: Option[(String, Seq[(Int, Seq[Double])],
                    graft.operators.Pq.Codebooks)] = None,
                  autoCompactBatches: Int = 0): Unit = {
+    // generation fence (round 18): code tiers encode against the exact
+    // dir's CURRENT quantizer generation (callers load it through
+    // indexQuantizer, the restart contract) — refuse to mix geometries in
+    // one code dir; a new dir is stamped here so readers can verify it
+    locally {
+      val spark = batch.sparkSession
+      val gen = graft.operators.IndexGen.quantizerGen(spark, assignedDir)
+      (pqLoaded.map(_._1) ++ pqrLoaded.map(_._1)).foreach(
+        graft.operators.IndexGen.requireAppendable(spark, _, gen))
+    }
     val assigned = Similarity.assign(batch, cents)
       .localCheckpoint(true) // one assignment pass feeds all writes
     try {
@@ -380,6 +390,7 @@ object EmbeddingIndexStream {
                             cb: graft.operators.Pq.Codebooks,
                             queries: Seq[(Long, Seq[Double])],
                             k: Int, nprobe: Int, poolMult: Int = 4): DataFrame =
+    // generation fence rides the rerank entry point (Pq.requireMatch)
     graft.operators.Pq.ivfTopKPqResidualRerank(spark, pqrDir, exactDir, cents,
       anchors, cb, queries, k, nprobe, poolMult,
       scope = graft.operators.Pq.CandidateScope(
@@ -422,7 +433,12 @@ object EmbeddingIndexStream {
   // against the old cluster geometry, so a recluster invalidates them —
   // rebuild offline from the swapped exact dir (buildIndexPq* on
   // readIndex's (vec_id, v, cluster) shape), the same contract as codebook
-  // retraining. Requires the maintenance window (stream stopped): a writer
+  // retraining. Since round 18 that contract is MECHANICAL, not prose: the
+  // swap bumps the dir's quantizer generation (graft.operators.IndexGen),
+  // code dirs carry the generation they encode against, and the code-tier
+  // read/append paths REFUSE on mismatch instead of silently scoring stale
+  // codes against new centroids (IndexReclusterSpec pins refusal+rebuild).
+  // Requires the maintenance window (stream stopped): a writer
   // started under the old quantizer would file batches under stale cluster
   // ids; on restart, `run` callers should load the quantizer through
   // [[indexQuantizer]].
@@ -510,6 +526,12 @@ object EmbeddingIndexStream {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(new Path(tmp, "batch=-1").toString)
     Similarity.saveCentroids(spark, cents, quantizerPath(tmp.toString))
+    // generation bump INSIDE the tmp (the atomic rename carries data +
+    // quantizer + generation together): code tiers stamped with the old
+    // generation become mechanically unreadable against this dir until
+    // rebuilt — the IndexGen fence, replacing the prose-only contract
+    graft.operators.IndexGen.setQuantizerGen(spark, tmp.toString,
+      graft.operators.IndexGen.quantizerGen(spark, indexDir) + 1L)
     val ts = tombstoneIds(spark, indexDir)
     if (!ts.isEmpty) ts.coalesce(1).write.mode("overwrite")
       .parquet(s"${tombstonesPath(tmp.toString)}/batch=-1")

@@ -108,6 +108,54 @@ class IndexReclusterSpec extends AnyFunSuite with SparkSuite {
       "replay resurrected a tombstoned id after the recluster swap")
   }
 
+  test("generation fence: recluster without a code-tier rebuild fails fast, rebuild heals") {
+    import graft.operators.{IndexGen, Pq}
+    val base = Files.createTempDirectory("graft-genfence").toString
+    val exDir = s"$base/exact"; val pqrDir = s"$base/pqr"
+    val cb = Pq.trainCodebooks(embs, iters = 1, sampleN = 512)
+    val anchors = Pq.clusterAnchors(embs, cents0)
+    EmbeddingIndexStream.applyBatch(embs, 0L, cents0, exDir,
+      pqrLoaded = Some((pqrDir, anchors, cb)))
+    // pre-recluster: both at generation 0, the live read serves
+    val before = EmbeddingIndexStream.ivfTopKPqResidualLive(spark, pqrDir,
+      exDir, cents0, anchors, cb, probes, k = 3, nprobe = cents0.size,
+      poolMult = 40).collect()
+    assert(before.length == probes.size * 3)
+    // recluster bumps the exact dir's quantizer generation...
+    val newCents = EmbeddingIndexStream.reclusterIndex(spark, exDir, cents0)
+    assert(IndexGen.quantizerGen(spark, exDir) == 1L)
+    // ...and the STALE code tier becomes mechanically unreadable (the
+    // round-17 latent trap: old-geometry codes scored against new
+    // centroids would silently wrong-answer; now it refuses)
+    val eRead = intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.ivfTopKPqResidualLive(spark, pqrDir, exDir,
+        newCents, anchors, cb, probes, k = 3, nprobe = newCents.size,
+        poolMult = 40)
+    }
+    assert(eRead.getMessage.contains("generation"))
+    // the streamed writer refuses to mix geometries in the stale dir too
+    val eAppend = intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.applyBatch(embs.limit(5), 1L, newCents, exDir,
+        pqrLoaded = Some((pqrDir, anchors, cb)))
+    }
+    assert(eAppend.getMessage.contains("generation"))
+    // offline rebuild against the NEW quantizer (fresh residual model —
+    // anchors derive from cluster geometry) re-stamps and heals the read
+    val anchors2 = Pq.clusterAnchors(embs, newCents)
+    Pq.buildIndexPqResidual(embs, newCents, anchors2, cb, pqrDir,
+      encodedGen = IndexGen.quantizerGen(spark, exDir))
+    val healed = EmbeddingIndexStream.ivfTopKPqResidualLive(spark, pqrDir,
+      exDir, newCents, anchors2, cb, probes, k = 3, nprobe = newCents.size,
+      poolMult = 40)
+      .as[(Long, Long, Double)].collect().toSet
+    // rerank restores exact scores; with all clusters probed and a pool
+    // that covers the corpus, the healed read equals brute force
+    val brute = graft.operators.Similarity.bruteForceTopK(embs,
+        probes.map(_._1), 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(healed == brute)
+  }
+
   test("crash recovery: a marked recluster tmp with no index dir completes the swap") {
     val idx = tmp()
     EmbeddingIndexStream.applyBatch(embs, 0L, cents0, idx)

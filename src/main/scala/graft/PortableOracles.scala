@@ -424,6 +424,46 @@ object PortableOracles {
        |  WHERE p.query_id <> a.vec_id) t
        |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
 
+  /** In-place-update replica (`ann_ivf_topk_updated`): the quantizer stays
+    * trained on v1 (frozen serving quantizer) while ids %13==0 have their
+    * embedding REVERSED in v2 — the re-embedded-corpus rollout
+    * `EmbeddingIndexStream.syncWithCorpus` now executes as same-id
+    * update (append@B + ceiling B−1 tombstone). The LIVE view serves v2
+    * (each vector assigned by its own — possibly reversed — value); the
+    * AS-OF batch-0 view still serves v1 (the update batch and its
+    * tombstone are both invisible at that point in time). Probes query
+    * with their v1 vectors in both views. list_reverse moves elements
+    * without arithmetic, so both engines score identical vectors. */
+  val annIvfTopkUpdatedSql: String =
+    s"""WITH $ivfAssignCtes,
+       |v2 AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0 THEN list_reverse(v) ELSE v END AS v FROM e),
+       |d2 AS (SELECT v2.vec_id, v2.v, cent.cluster,
+       |         list_sum(list_transform(range(1, 65), k -> (v2.v[k] - c[k]) * (v2.v[k] - c[k]))) AS d
+       |       FROM v2 CROSS JOIN cent),
+       |assign2 AS (SELECT vec_id, v, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM d2) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3),
+       |live AS (SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign2 a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) t WHERE rn <= 3),
+       |asofv AS (SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) t WHERE rn <= 3)
+       |SELECT view, query_id, cand_id, sim FROM (
+       |  SELECT 'live' AS view, * FROM live UNION ALL SELECT 'asof0' AS view, * FROM asofv)
+       |ORDER BY view, query_id, sim DESC, cand_id""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.clusterSampleOf]]: the shared
     * assignment prefix, per-cluster sizes, the salted-h60 within-cluster
     * race, quota = ⌈√n_c⌉. */

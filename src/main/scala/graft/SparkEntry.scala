@@ -61,7 +61,7 @@ object SparkEntry {
     "ann_ivf_topk_rerank", "ann_ivf_topk_pq", "ann_ivf_topk_adc",
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
-    "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr",
+    "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
     "hybrid_topk_rrf", "bm25_topk_served", "bm25_topk_indexed", "mmr_rerank",
     "retrieval_eval", "retrieval_eval_quantized", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -587,6 +587,38 @@ object SparkEntry {
           gateProbes(e), k = 3, nprobe = 3)
         .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // [r18] in-place vector UPDATE (same-id re-insert): ids %13==0 are
+    // re-embedded (vector reversed) and synced as update = append@1 +
+    // ceiling-0 tombstone — a tombstone now hides only generations
+    // ingested at or before its ceiling, so the fresh append survives it
+    // while a REPLAY of the old ingest batch stays hidden (replay safety
+    // kept; the round-17 re-key-or-rebuild contract retired). One row
+    // serves both halves of the contract: the LIVE view returns the NEW
+    // vectors, the AS-OF batch-0 view still returns the OLD ones (the
+    // update and its tombstone are invisible at that point in time).
+    // Probes query with their v1 vectors in both views.
+    "ann_ivf_topk_updated" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val v1 = e.select(col("vec_id"), col("embedding"))
+      val v2 = e.select(col("vec_id"),
+        when(col("vec_id") % 13 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val path = "/tmp/graft-ivf-updindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(path) {
+        streaming.EmbeddingIndexStream.applyBatch(v1, 0L, cents, path)
+        streaming.EmbeddingIndexStream.syncWithCorpus(s, path, cents, v1, v2, 1L)
+      }
+      val live = streaming.EmbeddingIndexStream.ivfTopKIndexedLive(s, path,
+          cents, gateProbes(e), k = 3, nprobe = 3)
+        .withColumn("view", lit("live"))
+      val asof = streaming.EmbeddingIndexStream.ivfTopKIndexedAsOf(s, path,
+          cents, gateProbes(e), k = 3, nprobe = 3, asOfBatch = 0L)
+        .withColumn("view", lit("asof0"))
+      live.unionByName(asof)
+        .select("view", "query_id", "cand_id", "sim")
+        .orderBy(col("view"), col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r17] metadata filter composed with the RESIDUAL tier — the last
     // cell of the filter × {exact, int8/ADC, residual} matrix: the
     // lang='en' allowed set semi-joins the residual-code candidate read
@@ -988,6 +1020,7 @@ object SparkEntry {
     "ann_ivf_topk_live" -> PortableOracles.annIvfTopkLiveSql,
     "ann_ivf_topk_asof" -> PortableOracles.annIvfTopkAsofSql,
     "ann_ivf_topk_synced" -> PortableOracles.annIvfTopkSyncedSql,
+    "ann_ivf_topk_updated" -> PortableOracles.annIvfTopkUpdatedSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,

@@ -278,24 +278,53 @@ object Pq {
     *
     * @param allowed  keep only these ids (first column, metadata filter) —
     *                 broadcast or shuffled semi-join, Catalyst's choice
-    * @param excluded drop these ids (tombstone set) — anti-join
-    * @param dedupIds drop bit-identical duplicate rows per vec_id first —
-    *                 the streamed-index compaction crash window (swap done,
-    *                 source-dir deletes pending) must not give one vector
-    *                 two k slots
+    * @param excluded drop these ids outright (ceiling-less tombstone set)
+    *                 — anti-join
+    * @param excludedCeilings drop GENERATIONS hidden by batch-ceiling
+    *                 tombstones: a (vec_id, ts_batch) frame; candidate
+    *                 rows survive when un-tombstoned or ingested after
+    *                 the ceiling (`src_batch > ts_batch` — requires the
+    *                 streamed layout's src_batch column). The in-place
+    *                 update path ([[graft.streaming.EmbeddingIndexStream
+    *                 .syncWithCorpus]]) hides superseded code generations
+    *                 through exactly this scope.
+    * @param dedupIds resolve duplicate rows per vec_id first — on a
+    *                 src_batch-carrying layout, LAST-WRITER-WINS (a
+    *                 re-ingested id serves its newest generation); else
+    *                 dropDuplicates. Either way the streamed-index
+    *                 compaction crash window (swap done, source-dir
+    *                 deletes pending) cannot give one vector two k slots
     */
   final case class CandidateScope(allowed: Option[DataFrame] = None,
                                   excluded: Option[DataFrame] = None,
-                                  dedupIds: Boolean = false)
+                                  dedupIds: Boolean = false,
+                                  excludedCeilings: Option[DataFrame] = None)
 
   private def idCol(df: DataFrame): DataFrame =
     df.select(col(df.columns.head).cast("long").as("vec_id")).distinct()
 
   private[graft] def applyScope(cands: DataFrame, scope: CandidateScope): DataFrame = {
     var out = cands
-    if (scope.dedupIds) out = out.dropDuplicates("vec_id")
-    scope.allowed.foreach(a => out = out.join(idCol(a), Seq("vec_id"), "left_semi"))
+    // ceiling exclusion BEFORE the per-id resolution: with an updated id
+    // both the hidden old generation and the live new one are present,
+    // and resolving first could elect the hidden row. A layout WITHOUT
+    // ingest provenance (offline-built dirs carry no src_batch) degrades
+    // to id-level exclusion — exact for plain deletes, conservative for
+    // update-tombstones (an offline rebuild holds only live generations;
+    // retire stale tombstones via clearTombstones after rebuilding).
+    scope.excludedCeilings.foreach { c =>
+      out =
+        if (out.columns.contains("src_batch"))
+          out.join(c, Seq("vec_id"), "left")
+            .filter(col("ts_batch").isNull || col("src_batch") > col("ts_batch"))
+            .drop("ts_batch")
+        else out.join(idCol(c), Seq("vec_id"), "left_anti")
+    }
     scope.excluded.foreach(e => out = out.join(idCol(e), Seq("vec_id"), "left_anti"))
+    if (scope.dedupIds)
+      out = if (out.columns.contains("src_batch")) Similarity.latestIngest(out)
+            else out.dropDuplicates("vec_id")
+    scope.allowed.foreach(a => out = out.join(idCol(a), Seq("vec_id"), "left_semi"))
     out
   }
 

@@ -363,6 +363,19 @@ object Similarity {
         explode(nearest).as("cluster"))
   }
 
+  /** Resolve a streamed-index frame (carrying the per-row `src_batch`
+    * ingest provenance) LAST-WRITER-WINS per vec_id: the max-src_batch row
+    * serves; bit-identical duplicates (the compaction crash window's
+    * replayed rows share a src_batch) resolve to one row of the identical
+    * value. One exchange on vec_id over the (pruned) read — the same cost
+    * class as the dropDuplicates it replaces, but deterministic under
+    * re-ingest. */
+  private[graft] def latestIngest(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("src_batch").desc)
+    rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Shared ranking tail over an already-joined (query × candidate) frame:
     * self-pair filter, rounded score, NaN guard (zero-norm/all-zero
     * candidates rank nowhere), bounded per-probe top-k. EVERY IVF scorer

@@ -56,22 +56,32 @@ object EmbeddingIndexStream {
     }
     val assigned = Similarity.assign(batch, cents)
       .localCheckpoint(true) // one assignment pass feeds all writes
+    // src_batch: per-ROW ingest provenance as a data column (round 18).
+    // The `batch=` partition key already carries it — until compactIndex
+    // folds dirs into `batch=-1` and the per-row history is gone. The
+    // data column survives the fold, which is what batch-CEILING
+    // tombstones resolve against (a tombstone hides only rows ingested
+    // at or before its ceiling, so update = tombstone + same-batch
+    // re-insert). A constant column RLE-compresses to nothing.
     try {
-      assigned
+      assigned.withColumn("src_batch", lit(batchId))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$assignedDir/batch=$batchId")
       quantizedDir.foreach { qd =>
         Similarity.quantizedFromAssigned(assigned)
+          .withColumn("src_batch", lit(batchId))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$qd/batch=$batchId")
       }
       pqLoaded.foreach { case (pd, cb) =>
         graft.operators.Pq.pqFromAssigned(assigned, cb)
+          .withColumn("src_batch", lit(batchId))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$pd/batch=$batchId")
       }
       pqrLoaded.foreach { case (pd, anchors, cb) =>
         graft.operators.Pq.pqrFromAssigned(assigned, anchors, cb)
+          .withColumn("src_batch", lit(batchId))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$pd/batch=$batchId")
       }
@@ -138,15 +148,19 @@ object EmbeddingIndexStream {
         }
       }
     if (foldable.length <= 1) return
-    spark.read.option("basePath", indexDir)
-      .parquet(foldable.map(_.toString).toIndexedSeq: _*)
-      .drop("batch")
-      .dropDuplicates("vec_id") // heals a crash-window re-fold
-      // physical purge of tombstoned ids (the dirs themselves are kept —
-      // see the deletes section: an un-folded replayable batch may still
-      // carry a tombstoned id, so the anti-join must stay armed until
-      // clearTombstones' maintenance window)
-      .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
+    // physical purge of tombstone-HIDDEN rows (ceiling semantics: a row
+    // survives when ingested AFTER its id's tombstone ceiling — the
+    // re-inserted generation of an updated id folds through). The
+    // tombstone dirs themselves are kept — see the deletes section: an
+    // un-folded replayable batch may still carry a hidden generation, so
+    // the exclusion must stay armed until clearTombstones' maintenance
+    // window. latest-wins per id also heals a crash-window re-fold
+    // (bit-identical duplicates share src_batch).
+    Similarity.latestIngest(applyCeilings(
+        spark.read.option("basePath", indexDir)
+          .parquet(foldable.map(_.toString).toIndexedSeq: _*)
+          .drop("batch"),
+        tombstoneCeilings(spark, indexDir)))
       .repartition(col("cluster")) // one file per cluster dir
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(tmp.toString)
@@ -210,79 +224,120 @@ object EmbeddingIndexStream {
   def readIndex(spark: SparkSession, assignedDir: String): DataFrame =
     spark.read.parquet(assignedDir).drop("batch")
 
-  // --- deletes (round 16): the index lifecycle's last verb -----------------
+  // --- deletes (round 16) + in-place updates (round 18) --------------------
   //
   // A curation pipeline REMOVES documents (opt-outs, PII scrubs, re-ingest
-  // supersedes — the Evolution.snapshotDiff `removed` set); the index must
-  // forget them without a corpus-sized rebuild. Deletes land as TOMBSTONES:
-  //  - [[tombstone]] writes the ids under `.tombstones/batch=<id>` — a
+  // supersedes — the Evolution.snapshotDiff `removed` set) and RE-EMBEDS
+  // living ones (new model version, edited docs); the index must forget /
+  // supersede them without a corpus-sized rebuild. Deletes land as
+  // CEILING TOMBSTONES — (vec_id, ceiling) rows meaning "hide this id's
+  // rows ingested in batches ≤ ceiling":
+  //  - [[tombstone]] writes the rows under `.tombstones/batch=<id>` — a
   //    DOT-dir, invisible to the index's own partition discovery, so no
   //    reader sees tombstone rows as vectors. O(ids) per call, idempotent
   //    per batchId (deterministic overwrite, the index-batch pattern).
-  //  - readers compose [[liveIndex]] (anti-join) — an excluded id is gone
-  //    from query results the moment its tombstone batch commits.
-  //  - [[compactIndex]] PURGES tombstoned rows physically during its fold
-  //    but deliberately KEEPS the tombstone dirs: a replayable un-folded
-  //    batch may still carry a tombstoned id, and clearing early would
-  //    resurrect it on replay. Once folded state is the only state (no
-  //    stream running, full compaction done), [[clearTombstones]] retires
-  //    them — kept tombstones are a no-op anti-join in the meantime, never
-  //    a correctness risk.
+  //    The ceiling defaults to the tombstone's own batch id (a plain
+  //    delete); an UPDATE tombstones at ceiling = batch−1 and appends the
+  //    new vector in the same batch — the new generation (src_batch =
+  //    batch > ceiling) is visible, every older one is hidden, and a
+  //    REPLAY of an old ingest batch rewrites rows the ceiling still
+  //    hides (replay safety preserved — the round-17 re-key-or-rebuild
+  //    contract retired).
+  //  - readers compose [[liveIndex]]: per-id max-ceiling join + ingest
+  //    filter (src_batch > ceiling) BELOW the per-probe top-k, then
+  //    last-writer-wins per id — an excluded generation is gone from
+  //    query results the moment its tombstone batch commits.
+  //  - [[compactIndex]] PURGES hidden generations physically during its
+  //    fold (surviving rows keep their src_batch, so ceilings stay
+  //    resolvable after the per-batch dirs are gone) but deliberately
+  //    KEEPS the tombstone dirs: a replayable un-folded batch may still
+  //    carry a hidden generation, and clearing early would resurrect it.
+  //    Once folded state is the only state (no stream running, full
+  //    compaction done), [[clearTombstones]] retires them — kept
+  //    tombstones are a no-op join in the meantime, never a correctness
+  //    risk.
 
   private def tombstonesPath(indexDir: String) = s"$indexDir/.tombstones"
 
   /** Delete a batch of vector ids from the index layout (first column of
     * `ids` is taken as the id). Idempotent per batchId.
     *
+    * @param ceiling hide the ids' rows ingested in batches ≤ this
+    *   (defaults to `batchId` — a plain delete). An update passes
+    *   `batchId − 1` so its own same-batch append survives.
+    *
     * Commit discipline: tombstones are USER-invoked, not stream-replayed,
     * so a crash mid-write would otherwise leave a partial `batch=` dir
-    * that [[tombstoneIds]] reads as committed — some deleted ids staying
-    * live with no replay to heal them. The write therefore lands in a
-    * hidden `.tmp-batch-<id>` dir and the RENAME is the commit point (the
-    * StateLog.commitBatch pattern); a stale tmp from a crashed attempt is
-    * replaced wholesale on the next call. */
+    * that [[tombstoneCeilings]] reads as committed — some deleted ids
+    * staying live with no replay to heal them. The write therefore lands
+    * in a hidden `.tmp-batch-<id>` dir and the RENAME is the commit point
+    * (the StateLog.commitBatch pattern); a stale tmp from a crashed
+    * attempt is replaced wholesale on the next call. */
   def tombstone(spark: SparkSession, ids: DataFrame, batchId: Long,
-                indexDir: String): Unit = {
-    val base = tombstonesPath(indexDir)
-    val fs = FsUtils.fs(spark, base)
-    val tmp = new Path(base, s".tmp-batch-$batchId")
-    val dst = new Path(base, s"batch=$batchId")
-    ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(tmp.toString)
-    FsUtils.replaceDir(fs, tmp, dst)
-    spark.catalog.refreshByPath(base)
-  }
+                indexDir: String, ceiling: Option[Long] = None): Unit =
+    tombstoneRows(spark,
+      ids.select(col(ids.columns.head).cast("long").as("vec_id"),
+        lit(ceiling.getOrElse(batchId)).as("ceiling")),
+      batchId, indexDir)
 
-  /** All tombstoned ids (distinct; empty frame when none recorded). */
-  def tombstoneIds(spark: SparkSession, indexDir: String): DataFrame = {
+  /** All tombstoned ids (distinct; empty frame when none recorded) — the
+    * ceiling-less view (an id with ANY tombstone row). Used where only
+    * membership matters (e.g. deciding what to carry through a swap). */
+  def tombstoneIds(spark: SparkSession, indexDir: String): DataFrame =
+    rawTombstones(spark, indexDir).select("vec_id").distinct()
+
+  /** Per-id exclusion ceilings: (vec_id, ts_batch = max ceiling over the
+    * id's tombstones). A row with src_batch > ts_batch is a LATER
+    * generation and stays live. */
+  def tombstoneCeilings(spark: SparkSession, indexDir: String): DataFrame =
+    rawTombstones(spark, indexDir)
+      .groupBy("vec_id").agg(max("ceiling").as("ts_batch"))
+
+  private def emptyTombstones(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("vec_id"), col("id").as("ceiling"))
+
+  private def rawTombstones(spark: SparkSession, indexDir: String): DataFrame = {
     val path = tombstonesPath(indexDir)
-    val empty = spark.range(0).select(col("id").as("vec_id"))
-    if (!FsUtils.fs(spark, path).exists(new Path(path))) empty
+    if (!FsUtils.fs(spark, path).exists(new Path(path))) emptyTombstones(spark)
     else
-      try spark.read.parquet(path).select("vec_id").distinct()
+      try spark.read.parquet(path).select("vec_id", "ceiling")
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          emptyTombstones(spark)
       }
   }
 
-  /** The index minus its tombstoned ids — what every reader should query.
-    * One anti-join against the (small) tombstone set over the pruned
-    * read; physically purged ids anti-join as a no-op. dropDuplicates
-    * closes compactIndex's documented crash window (swap done, source-dir
-    * deletes not): duplicate rows are bit-identical by construction, and
-    * without the dedup one vector could occupy multiple top-k slots. */
+  /** Ceiling exclusion: keep rows whose ingest batch is ABOVE their id's
+    * tombstone ceiling (or whose id has no tombstone). One broadcast-sized
+    * left join against the (small) ceiling set, composed BELOW every
+    * per-probe top-k. */
+  private def applyCeilings(rows: DataFrame, ceilings: DataFrame): DataFrame =
+    rows.join(ceilings, Seq("vec_id"), "left")
+      .filter(col("ts_batch").isNull || col("src_batch") > col("ts_batch"))
+      .drop("ts_batch")
+
+  /** The index resolved to its LIVE generation per id, src_batch retained
+    * (recluster preserves it through the rewrite). */
+  private def liveResolved(spark: SparkSession, indexDir: String): DataFrame =
+    Similarity.latestIngest(applyCeilings(
+      readIndex(spark, indexDir), tombstoneCeilings(spark, indexDir)))
+
+  /** The index minus its tombstone-hidden generations, resolved
+    * last-writer-wins per id — what every reader should query. Ceiling
+    * exclusion runs BEFORE the per-id resolution (dedup-first could elect
+    * a hidden old generation over the live one); physically purged rows
+    * join as a no-op. The latest-wins window also closes compactIndex's
+    * documented crash window (swap done, source-dir deletes not):
+    * duplicate rows are bit-identical by construction, and without the
+    * dedup one vector could occupy multiple top-k slots. */
   def liveIndex(spark: SparkSession, indexDir: String): DataFrame =
-    readIndex(spark, indexDir)
-      .dropDuplicates("vec_id")
-      .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
+    liveResolved(spark, indexDir).drop("src_batch")
 
   /** Tombstone-aware IVF query against an on-disk exact layout — the
     * [[graft.operators.Similarity.ivfTopKIndexedVectors]] shape with the
-    * anti-join composed below the per-probe top-k (so k fills from live
-    * vectors only). */
+    * ceiling exclusion + last-writer resolution composed below the
+    * per-probe top-k (so k fills from live generations only). */
   def ivfTopKIndexedLive(spark: SparkSession, indexDir: String,
                          cents: Seq[(Int, Seq[Double])],
                          queries: Seq[(Long, Seq[Double])],
@@ -294,12 +349,10 @@ object EmbeddingIndexStream {
     val probes = withClusters.toDF("query_id", "qv", "clusters")
       .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
     val probed = withClusters.flatMap(_._3).distinct
-    val cands = spark.read.parquet(indexDir)
-      .filter(col("cluster").isin(probed: _*))
-      // compactIndex crash window (swap done, source deletes not): a
-      // vector's bit-identical duplicate rows must not take two k slots
-      .dropDuplicates("vec_id")
-      .join(tombstoneIds(spark, indexDir), Seq("vec_id"), "left_anti")
+    val cands = Similarity.latestIngest(applyCeilings(
+        spark.read.parquet(indexDir)
+          .filter(col("cluster").isin(probed: _*)),
+        tombstoneCeilings(spark, indexDir)))
       .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
     Similarity.ivfScoreTail(probes, cands, k)
   }
@@ -311,44 +364,59 @@ object EmbeddingIndexStream {
   // stood at batch B" (reproduce yesterday's retrieval results, audit what
   // a delete removed, A/B an ingest) is a PARTITION-FILTERED read: an
   // as-of query lists and opens only the visible batch dirs, never a
-  // rebuild, never a snapshot copy. Post-compaction caveat (the StateLog
-  // uptoBatch contract): `batch=-1` participates in every bounded read —
-  // compaction deliberately trades per-batch provenance for a bounded file
-  // count, so as-of is exact while the target batches are un-folded and
-  // coarsens to the folded prefix afterwards (size compaction windows to
-  // the as-of horizon you need).
+  // rebuild, never a snapshot copy. Post-compaction (round 18): the
+  // per-ROW src_batch column survives the fold, so the INGEST side of an
+  // as-of read stays exact after compaction (`batch=-1` participates in
+  // every bounded read and the src_batch filter does the precise cut);
+  // what still coarsens is deletion history — compaction physically
+  // purges generations hidden by CURRENT tombstones, so an as-of read
+  // that predates those tombstones cannot see purged rows (size
+  // compaction windows to the as-of horizon you need).
 
-  /** Tombstoned ids visible as of `asOfBatch` (tombstone batches ≤ it). */
-  def tombstoneIdsAsOf(spark: SparkSession, indexDir: String,
-                       asOfBatch: Long): DataFrame = {
+  /** Per-id exclusion ceilings as of `asOfBatch`: only tombstones
+    * COMMITTED in batches ≤ asOf participate (a later delete/update is
+    * invisible to the point-in-time view), each still hiding rows up to
+    * its own ceiling. */
+  def tombstoneCeilingsAsOf(spark: SparkSession, indexDir: String,
+                            asOfBatch: Long): DataFrame = {
     val path = tombstonesPath(indexDir)
-    val empty = spark.range(0).select(col("id").as("vec_id"))
-    if (!FsUtils.fs(spark, path).exists(new Path(path))) empty
+    if (!FsUtils.fs(spark, path).exists(new Path(path)))
+      emptyTombstones(spark).groupBy("vec_id").agg(max("ceiling").as("ts_batch"))
     else
       try spark.read.parquet(path).filter(col("batch") <= asOfBatch)
-        .select("vec_id").distinct()
+        .groupBy("vec_id").agg(max("ceiling").as("ts_batch"))
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          emptyTombstones(spark).groupBy("vec_id").agg(max("ceiling").as("ts_batch"))
       }
   }
 
   /** Point-in-time view of the index: vectors ingested in batches ≤
-    * `asOfBatch`, minus ids tombstoned in batches ≤ `asOfBatch`. The batch
-    * bound is a partition filter (batch = −1 ≤ every asOf — the folded
-    * prefix always participates, see the section note). */
+    * `asOfBatch`, minus generations hidden by tombstones committed ≤
+    * `asOfBatch`, resolved LAST-WRITER-WINS per id (an id re-ingested in
+    * several visible batches deterministically serves its max-src_batch
+    * row — the point-in-time analogue of [[liveIndex]]'s resolution). The
+    * batch bound is a partition filter (batch = −1 ≤ every asOf — the
+    * folded prefix always participates, see the section note). */
   def indexAsOf(spark: SparkSession, indexDir: String,
                 asOfBatch: Long): DataFrame =
-    spark.read.parquet(indexDir)
-      .filter(col("batch") <= asOfBatch)
-      .drop("batch")
-      .dropDuplicates("vec_id")
-      .join(tombstoneIdsAsOf(spark, indexDir, asOfBatch), Seq("vec_id"), "left_anti")
+    Similarity.latestIngest(applyCeilings(
+        spark.read.parquet(indexDir)
+          .filter(col("batch") <= asOfBatch) // partition prune (−1 included)
+          // EXACT ingest bound — src_batch survives compaction, so the
+          // ingest side of an as-of read no longer coarsens to the folded
+          // prefix (only physical purges of hidden generations coarsen it)
+          .filter(col("src_batch") <= asOfBatch)
+          .drop("batch"),
+        tombstoneCeilingsAsOf(spark, indexDir, asOfBatch)))
+      .drop("src_batch")
 
   /** As-of IVF query — [[ivfTopKIndexedLive]] at a point in time: the
     * candidate read partition-prunes on BOTH cluster (nprobe lists) and
-    * batch (≤ asOf), and the as-of tombstone anti-join sits below the
-    * per-probe top-k so k fills from the vectors visible at that time. */
+    * batch (≤ asOf), and the as-of ceiling exclusion + last-writer
+    * resolution sit below the per-probe top-k so k fills from the
+    * generations visible at that time. */
   def ivfTopKIndexedAsOf(spark: SparkSession, indexDir: String,
                          cents: Seq[(Int, Seq[Double])],
                          queries: Seq[(Long, Seq[Double])],
@@ -360,10 +428,11 @@ object EmbeddingIndexStream {
     val probes = withClusters.toDF("query_id", "qv", "clusters")
       .select(col("query_id"), col("qv"), explode(col("clusters")).as("cluster"))
     val probed = withClusters.flatMap(_._3).distinct
-    val cands = spark.read.parquet(indexDir)
-      .filter(col("cluster").isin(probed: _*) && col("batch") <= asOfBatch)
-      .dropDuplicates("vec_id")
-      .join(tombstoneIdsAsOf(spark, indexDir, asOfBatch), Seq("vec_id"), "left_anti")
+    val cands = Similarity.latestIngest(applyCeilings(
+        spark.read.parquet(indexDir)
+          .filter(col("cluster").isin(probed: _*) && col("batch") <= asOfBatch)
+          .filter(col("src_batch") <= asOfBatch), // exact, fold-surviving
+        tombstoneCeilingsAsOf(spark, indexDir, asOfBatch)))
       .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cluster"))
     Similarity.ivfScoreTail(probes, cands, k)
   }
@@ -379,11 +448,12 @@ object EmbeddingIndexStream {
     indexDirs.foreach(tombstone(spark, ids, batchId, _))
 
   /** Tombstone-aware RESIDUAL-PQ retrieval — [[ivfTopKIndexedLive]]'s twin
-    * through the quantized tier: the pool read anti-joins the pqr dir's
-    * tombstones BELOW the per-probe top-k (k fills from live codes), and
-    * the exact rerank restricts to pool ids by construction, so deleted
-    * vectors cannot resurface at either stage. dedupIds guards the
-    * compaction crash window on the streamed code dir. */
+    * through the quantized tier: the pool read applies the pqr dir's
+    * ceiling exclusion + last-writer resolution BELOW the per-probe top-k
+    * (k fills from live codes), and the exact rerank restricts to pool
+    * ids by construction, so deleted/superseded generations cannot
+    * resurface at either stage. dedupIds guards the compaction crash
+    * window on the streamed code dir. */
   def ivfTopKPqResidualLive(spark: SparkSession, pqrDir: String,
                             exactDir: String, cents: Seq[(Int, Seq[Double])],
                             anchors: Seq[(Int, Seq[Double])],
@@ -394,21 +464,29 @@ object EmbeddingIndexStream {
     graft.operators.Pq.ivfTopKPqResidualRerank(spark, pqrDir, exactDir, cents,
       anchors, cb, queries, k, nprobe, poolMult,
       scope = graft.operators.Pq.CandidateScope(
-        excluded = Some(tombstoneIds(spark, pqrDir)), dedupIds = true))
+        excludedCeilings = Some(tombstoneCeilings(spark, pqrDir)),
+        dedupIds = true))
 
   /** One-call corpus→index synchronization — the production loop that ties
-    * [[graft.operators.Evolution.snapshotDiff]] to the index lifecycle:
-    * vectors ADDED by the new corpus snapshot are appended (assigned
-    * against the frozen serving quantizer, the standard append path) and
-    * vectors REMOVED are tombstoned, both under one maintenance batch id.
-    * Id-diff only: an id present in both snapshots keeps its existing
-    * rows — in-place embedding CHANGES are out of this verb's scope
-    * (tombstoning an id hides every row of that id including a re-insert,
-    * by design: tombstones are armed against replay resurrection), so a
-    * changed-vector rollout goes through re-key (new id) or the
-    * recluster/rebuild path. Idempotent per batchId: the append overwrites
-    * its own `batch=` dir and the tombstone its own `.tombstones/batch=`
-    * dir, so replaying a sync converges. */
+    * [[graft.operators.Evolution.snapshotDiff]] to the index lifecycle,
+    * ONE maintenance batch id covering all three verbs:
+    *
+    *  - ADDED ids (new-only) are appended — assigned against the frozen
+    *    serving quantizer, the standard append path;
+    *  - REMOVED ids (old-only) are tombstoned at ceiling = batchId
+    *    (hides every generation, the plain delete);
+    *  - CHANGED ids (present in both snapshots with a DIFFERENT embedding
+    *    — re-embedded docs, the round-17 gap) are UPDATED in place:
+    *    their new vectors ride the same append (src_batch = batchId) and
+    *    a ceiling = batchId − 1 tombstone hides every OLDER generation
+    *    while leaving the fresh append visible. Replay safety holds: a
+    *    replayed ingest batch ≤ batchId − 1 rewrites rows the ceiling
+    *    still hides.
+    *
+    * Unchanged ids keep their existing rows untouched. Idempotent per
+    * batchId: the append overwrites its own `batch=` dir and the removed
+    * + changed ceilings land as per-row values in ONE tombstone batch dir
+    * ([[tombstoneRows]]), so replaying a sync converges. */
   def syncWithCorpus(spark: SparkSession, indexDir: String,
                      cents: Seq[(Int, Seq[Double])],
                      oldVecs: DataFrame, newVecs: DataFrame,
@@ -417,8 +495,36 @@ object EmbeddingIndexStream {
     val newIds = newVecs.select(col("vec_id"))
     val added = newVecs.join(oldIds, Seq("vec_id"), "left_anti")
     val removed = oldIds.join(newIds, Seq("vec_id"), "left_anti")
-    applyBatch(added, batchId, cents, indexDir)
-    tombstone(spark, removed, batchId, indexDir)
+    val changed = newVecs.alias("n")
+      .join(oldVecs.alias("o"), Seq("vec_id"))
+      .filter(col("n.embedding") =!= col("o.embedding"))
+      .select(col("vec_id"), col("n.embedding").as("embedding"))
+    applyBatch(added.unionByName(changed), batchId, cents, indexDir)
+    // one tombstone batch, per-row ceilings: removed ids hide everything
+    // (ceiling = batchId), changed ids hide only generations BEFORE this
+    // sync's own append (ceiling = batchId − 1)
+    tombstoneRows(spark,
+      removed.select(col("vec_id"), lit(batchId).as("ceiling"))
+        .unionByName(changed.select(col("vec_id"),
+          lit(batchId - 1L).as("ceiling"))),
+      batchId, indexDir)
+  }
+
+  /** [[tombstone]] with caller-supplied per-row ceilings — `rows` must be
+    * (vec_id, ceiling). Same commit discipline. */
+  def tombstoneRows(spark: SparkSession, rows: DataFrame, batchId: Long,
+                    indexDir: String): Unit = {
+    val base = tombstonesPath(indexDir)
+    val fs = FsUtils.fs(spark, base)
+    val tmp = new Path(base, s".tmp-batch-$batchId")
+    val dst = new Path(base, s"batch=$batchId")
+    rows.select(col("vec_id").cast("long").as("vec_id"),
+        col("ceiling").cast("long").as("ceiling")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(tmp.toString)
+    FsUtils.replaceDir(fs, tmp, dst)
+    spark.catalog.refreshByPath(base)
   }
 
   // --- recluster (round 17): the lifecycle's maintenance verb ---------------
@@ -518,10 +624,15 @@ object EmbeddingIndexStream {
         return Similarity.loadCentroids(spark, quantizerPath(indexDir))
       } else fs.delete(tmp, true) // stale partial rewrite — redo below
     }
-    val live = liveIndex(spark, indexDir).select("vec_id", "v")
+    val live = liveResolved(spark, indexDir).select("vec_id", "v", "src_batch")
     var cents = indexQuantizer(spark, indexDir, initial)
     for (_ <- 1 to iters) cents = recenterStep(live, cents)
+    // re-assign under the new quantizer, PRESERVING each row's ingest
+    // provenance (src_batch) — the carried ceiling tombstones must keep
+    // resolving against it (resetting provenance would let an armed
+    // update-tombstone re-hide the generations that survived it)
     Similarity.assign(live.select(col("vec_id"), col("v").as("embedding")), cents)
+      .join(live.select("vec_id", "src_batch"), Seq("vec_id"))
       .repartition(col("cluster")) // one file per cluster dir
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(new Path(tmp, "batch=-1").toString)
@@ -532,7 +643,7 @@ object EmbeddingIndexStream {
     // rebuilt — the IndexGen fence, replacing the prose-only contract
     graft.operators.IndexGen.setQuantizerGen(spark, tmp.toString,
       graft.operators.IndexGen.quantizerGen(spark, indexDir) + 1L)
-    val ts = tombstoneIds(spark, indexDir)
+    val ts = rawTombstones(spark, indexDir)
     if (!ts.isEmpty) ts.coalesce(1).write.mode("overwrite")
       .parquet(s"${tombstonesPath(tmp.toString)}/batch=-1")
     fs.create(ready, true).close()

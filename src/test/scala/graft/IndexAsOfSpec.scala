@@ -9,9 +9,10 @@ import graft.streaming.EmbeddingIndexStream
 /** As-of (point-in-time) index reads: the `batch=` partition column is
   * ingest provenance and tombstone batches are delete provenance, so
   * "the index as it stood at batch B" is a partition-filtered read —
-  * ingests after B invisible, deletes after B NOT applied. Exact while
-  * the target batches are un-folded; after compaction the folded prefix
-  * participates as a whole (the documented StateLog uptoBatch caveat).
+  * ingests after B invisible, deletes after B NOT applied. The ingest
+  * bound stays exact after compaction (per-row src_batch survives the
+  * fold); deletion history coarsens once compaction physically purges
+  * hidden generations.
   */
 class IndexAsOfSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
@@ -93,14 +94,18 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSuite {
       "the re-keyed clone of the deleted probe must surface at sim 1.0")
   }
 
-  test("post-compaction coarsening: the folded prefix participates as a whole") {
+  test("post-compaction as-of: ingest side exact via src_batch; purged deletions coarsen") {
     val idx = tmp()
     build(idx)
     EmbeddingIndexStream.compactIndex(spark, idx)
-    // per-batch provenance is gone: every as-of now reads the folded set
-    // (both tombstones already purged physically AND still armed)
+    // round 18: the per-row src_batch column survives the fold, so the
+    // INGEST bound stays exact after compaction — as-of 0 still excludes
+    // the batch-1 ingests. What coarsens is deletion history: compaction
+    // physically purged the rows BOTH tombstones hid, so the batch-1
+    // delete's rows (%10==4) are unrecoverable even as of batch 0.
+    val asOf0 = allIds.filter(id => id % 2 == 0 && id % 10 != 2 && id % 10 != 4)
     val folded = allIds.filter(id => id % 10 != 2 && id % 10 != 4)
-    assert(members(EmbeddingIndexStream.indexAsOf(spark, idx, 0L)) == folded)
+    assert(members(EmbeddingIndexStream.indexAsOf(spark, idx, 0L)) == asOf0)
     assert(members(EmbeddingIndexStream.indexAsOf(spark, idx, 1L)) == folded)
     assert(members(EmbeddingIndexStream.liveIndex(spark, idx)) == folded)
   }

@@ -34,7 +34,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
     val idx = tmp()
     streamIn(idx)
     val dead = Seq(7L, 11L, 42L)
-    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 3L, idx)
     val live = EmbeddingIndexStream.liveIndex(spark, idx)
       .select("vec_id").as[Long].collect().toSet
     assert(dead.forall(!live.contains(_)), "tombstoned id still live")
@@ -44,7 +44,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(dead.forall(raw.contains), "tombstone rewrote index files early")
     // idempotent replay of the tombstone batch
-    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 3L, idx)
     assert(EmbeddingIndexStream.liveIndex(spark, idx).count() == live.size)
   }
 
@@ -58,7 +58,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
     // return k-1 rows; the composed query must refill to k
     val best = before.groupBy(_._1).values
       .map(_.maxBy(r => (r._3, -r._2))._2).toSeq.distinct
-    EmbeddingIndexStream.tombstone(spark, best.toDF("vec_id"), 1L, idx)
+    EmbeddingIndexStream.tombstone(spark, best.toDF("vec_id"), 3L, idx)
     val after = EmbeddingIndexStream.ivfTopKIndexedLive(spark, idx, cents,
         probes, k = 5, nprobe = 10)
       .as[(Long, Long, Double)].collect()
@@ -77,7 +77,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
     val idx = tmp()
     streamIn(idx)
     val dead = Seq(3L, 5L)
-    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 3L, idx)
     EmbeddingIndexStream.compactIndex(spark, idx)
     val raw = EmbeddingIndexStream.readIndex(spark, idx)
       .select("vec_id").as[Long].collect().toSet
@@ -118,7 +118,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
     // filter-after-topk would under-fill — the composed query must refill
     val best = liveQ().groupBy(_._1).values
       .map(_.maxBy(r => (r._3, -r._2))._2).toSeq.distinct
-    EmbeddingIndexStream.tombstoneTiers(spark, best.toDF("vec_id"), 1L,
+    EmbeddingIndexStream.tombstoneTiers(spark, best.toDF("vec_id"), 3L,
       Seq(exDir, pqrDir))
     val after = liveQ()
     assert(after.length == probes.size * 5, "k under-filled after deletes")
@@ -144,6 +144,57 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
       "replay resurrected a deleted id through the residual-PQ tier")
   }
 
+  test("in-place update: new generation serves, replay of the old ingest stays hidden") {
+    val idx = tmp()
+    streamIn(idx) // batches 0..2, each id once
+    val updIds = embs.filter(col("vec_id") % 13 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(updIds.nonEmpty)
+    // update at maintenance batch 3: append the REVERSED vectors and hide
+    // every generation before the append (ceiling = 2)
+    val newVecs = embs.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    EmbeddingIndexStream.applyBatch(newVecs, 3L, cents, idx)
+    EmbeddingIndexStream.tombstone(spark,
+      newVecs.select("vec_id"), 3L, idx, ceiling = Some(2L))
+    def liveVecs(): Map[Long, Seq[Double]] =
+      EmbeddingIndexStream.liveIndex(spark, idx)
+        .select(col("vec_id"), col("v"))
+        .as[(Long, Seq[Double])].collect().toMap
+    val expected = embs
+      .select(col("vec_id"),
+        when(col("vec_id") % 13 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(liveVecs() == expected, "live view does not serve the updated vectors")
+    // REPLAY of an old ingest batch rewrites superseded generations; the
+    // ceiling still hides them (replay safety after update — the contract
+    // that makes update = tombstone + same-batch append sound)
+    EmbeddingIndexStream.applyBatch(
+      embs.filter(col("vec_id") % 3 === 0), 0L, cents, idx)
+    assert(liveVecs() == expected, "replay resurrected a superseded generation")
+    // compaction folds the LIVE generation through (ceiling purge keeps
+    // rows ingested after their ceiling) and the update survives
+    EmbeddingIndexStream.compactIndex(spark, idx)
+    assert(liveVecs() == expected, "compaction lost or resurrected a generation")
+    // a pre-update as-of read still serves the ORIGINAL vectors — but
+    // post-compaction the superseded generations are physically purged,
+    // so assert on a FRESH index instead: as-of 2 over the un-compacted
+    // update sees v1 exactly
+    val idx2 = tmp()
+    streamIn(idx2)
+    EmbeddingIndexStream.applyBatch(newVecs, 3L, cents, idx2)
+    EmbeddingIndexStream.tombstone(spark,
+      newVecs.select("vec_id"), 3L, idx2, ceiling = Some(2L))
+    val asof = EmbeddingIndexStream.indexAsOf(spark, idx2, 2L)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val v1 = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(asof == v1, "pre-update as-of view does not serve the original vectors")
+  }
+
   test("pipeline story: corpus-evolution removed docs drive index forgetting") {
     val idx = tmp()
     streamIn(idx)
@@ -154,7 +205,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
       .select(col("doc_id"), col("text"), col("source"))
     val v2 = docs.filter(col("doc_id") % 7 =!= 0)
     val removed = docs.join(v2, Seq("doc_id"), "left_anti").select(col("doc_id"))
-    EmbeddingIndexStream.tombstone(spark, removed, 0L, idx)
+    EmbeddingIndexStream.tombstone(spark, removed, 3L, idx)
     val live = EmbeddingIndexStream.liveIndex(spark, idx)
       .select("vec_id").as[Long].collect().toSet
     assert(live.forall(_ % 7 != 0), "a removed doc's vector is still queryable")

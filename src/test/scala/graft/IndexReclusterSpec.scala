@@ -38,7 +38,7 @@ class IndexReclusterSpec extends AnyFunSuite with SparkSuite {
         embs.filter(col("vec_id") % 2 === b), b.toLong, cents0, idx)
     }
     val dead = Seq(7L, 11L, 42L)
-    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 2L, idx)
     val before = liveIds(idx)
     val newCents = EmbeddingIndexStream.reclusterIndex(spark, idx, cents0)
     // deterministic retraining: same cluster ids, centroids actually moved
@@ -69,7 +69,7 @@ class IndexReclusterSpec extends AnyFunSuite with SparkSuite {
         embs.filter(col("vec_id") % 3 === b), b.toLong, cents0, idx)
     }
     val dead = Seq(3L, 9L)
-    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 0L, idx)
+    EmbeddingIndexStream.tombstone(spark, dead.toDF("vec_id"), 2L, idx)
     // maintenance window: stream stopped → recluster → restart
     val newCents = EmbeddingIndexStream.reclusterIndex(spark, idx, cents0)
     // restart replays un-checkpointed batches (0 REWRITES the dead ids —

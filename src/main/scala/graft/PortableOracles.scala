@@ -691,7 +691,10 @@ object PortableOracles {
     val k = Retrieval.MmrK
     val L = Retrieval.HybridL
     val probeIdsIn = Retrieval.HybridTermSets.map(_._1).mkString(", ")
-    val scoreSql = "0.5 * rel - 0.5 * COALESCE(maxsim, 0.0)"
+    // λ interpolated from the ONE Scala constant the Spark side uses —
+    // editing Retrieval.MmrLambda can no longer silently diverge the oracle
+    val scoreSql =
+      s"${Retrieval.MmrLambda} * rel - ${1.0 - Retrieval.MmrLambda} * COALESCE(maxsim, 0.0)"
     val stages = (1 to k).map { n =>
       val prev = s"st${n - 1}"
       val pick =
@@ -757,10 +760,14 @@ object PortableOracles {
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
       .mkString(", ")
     val tIdx = terms.zipWithIndex.toMap
+    // k1/b interpolated from TextAnalysis's constants (one source of truth
+    // with bm25ScoreExpr — the ADVICE r17 divergence hazard closed)
+    val (k1, b) = (graft.operators.TextAnalysis.Bm25K1,
+      graft.operators.TextAnalysis.Bm25B)
     def scoreSql(qts: Seq[String]): String = qts.map { t =>
       val i = tIdx(t)
-      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
-      s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${k1 + 1.0}) / " +
+      s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
     }.mkString(" + ")
     val lexBranches = querySets.map { case (qid, qts) =>
       s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
@@ -798,5 +805,131 @@ object PortableOracles {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY rrf_num DESC, doc_id) AS rank FROM fused) f
        |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Three-retriever hybrid replica (`hybrid_topk_rrf3`): the
+    * [[hybridTopkRrfSql]] lexical + dense-exact lists joined by a THIRD
+    * ranked list — the int8 quantized retriever (the
+    * [[annIvfTopkQuantizedSql]] scoring chain at depth 10) — fused with
+    * the N-list exact integer form: per-rank numerators lcm/(c+rank) are
+    * BIGINT literals interpolated from the same
+    * [[graft.operators.Retrieval.rrfNumerators]] the Spark side uses, the
+    * fused score a pure integer SUM over the unioned lists (no division
+    * runs on either engine). */
+  val hybridTopkRrf3Sql: String = {
+    import graft.operators.Retrieval
+    val querySets = Retrieval.HybridTermSets
+    val terms = querySets.flatMap(_._2).distinct
+    val L = Retrieval.HybridL
+    val nums = Retrieval.rrfNumerators(Retrieval.RrfC, L)
+    val numsLit = nums.mkString("[", ",", "]")
+    val probeIdsIn = querySets.map(_._1).mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n|    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val tIdx = terms.zipWithIndex.toMap
+    val (k1, b) = (graft.operators.TextAnalysis.Bm25K1,
+      graft.operators.TextAnalysis.Bm25B)
+    def scoreSql(qts: Seq[String]): String = qts.map { t =>
+      val i = tIdx(t)
+      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${k1 + 1.0}) / " +
+      s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
+    }.mkString(" + ")
+    val lexBranches = querySets.map { case (qid, qts) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN ($probeIdsIn)) WHERE rn <= 3),
+       |dense AS (SELECT query_id, cand_id AS doc_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) dr WHERE rn <= $L),
+       |q AS (SELECT vec_id,
+       |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+       |             ELSE list_transform(v, x -> ROUND(x * 127.0 / mx)) END AS qv
+       |      FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+       |quant AS (SELECT query_id, cand_id AS doc_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY (ROUND(list_sum(list_transform(range(1, 65), k -> pq.qv[k] * cq.qv[k]))
+       |        / SQRT(list_sum(list_transform(pq.qv, x -> x * x))
+       |             * list_sum(list_transform(cq.qv, x -> x * x))), 4) + 0.0) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |       JOIN q pq ON pq.vec_id = p.query_id
+       |       JOIN q cq ON cq.vec_id = a.vec_id
+       |  WHERE p.query_id <> a.vec_id
+       |    AND list_sum(list_transform(pq.qv, x -> x * x)) > 0
+       |    AND list_sum(list_transform(cq.qv, x -> x * x)) > 0) qr WHERE rn <= $L),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t),
+       |lexs AS (
+       |  $lexBranches),
+       |lex AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+       |  FROM lexs WHERE s > 0) lr WHERE rank <= $L),
+       |fused AS (SELECT query_id, doc_id, CAST(SUM(num) AS BIGINT) AS rrf_num FROM (
+       |    SELECT query_id, doc_id, ($numsLit)[rank] AS num FROM lex
+       |    UNION ALL SELECT query_id, doc_id, ($numsLit)[rank] AS num FROM dense
+       |    UNION ALL SELECT query_id, doc_id, ($numsLit)[rank] AS num FROM quant) u
+       |  GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, rrf_num, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_num DESC, doc_id) AS rank FROM fused) f
+       |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Live-tier retrieval-quality replica (`retrieval_eval_live`): the
+    * delete path's recall self-measured at k=10 — approx = the live IVF
+    * read (nprobe 3, candidate predicate vec_id % 10 <> 3, the
+    * annIvfTopkLiveSql chain), truth = brute-force exact top-10 over the
+    * SAME live candidate set (probes keep querying from the full table —
+    * a deleted probe still queries), reduced with the shared fixed-point
+    * recall/MRR/nDCG arithmetic at k=10 weights. */
+  val retrievalEvalLiveSql: String = {
+    import graft.operators.Retrieval
+    val k = 10
+    val w = Retrieval.dcgWeightsFp(k)
+    val wLit = w.mkString("[", ",", "]")
+    val idcg = w.sum
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3),
+       |approx AS (SELECT query_id, cand_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id AND a.vec_id % 10 <> 3) ar WHERE rn <= $k),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id % 10 <> 3) ex WHERE rn <= $k),
+       |hits AS (SELECT a.query_id, a.rank,
+       |  CASE WHEN e.cand_id IS NULL THEN 0 ELSE 1 END AS hit,
+       |  ($wLit)[a.rank] AS wt
+       |  FROM approx a LEFT JOIN exact e
+       |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id)
+       |SELECT query_id,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |  (ROUND(CAST(SUM(hit) AS DOUBLE) / CAST($k AS DOUBLE), 4) + 0.0) AS recall,
+       |  (ROUND(COALESCE(CAST(1 AS DOUBLE) / MIN(CASE WHEN hit = 1 THEN rank END), 0.0), 6) + 0.0) AS mrr,
+       |  (ROUND(CAST(SUM(CASE WHEN hit = 1 THEN wt ELSE 0 END) AS DOUBLE)
+       |    / CAST($idcg AS DOUBLE), 4) + 0.0) AS ndcg
+       |FROM hits GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 }

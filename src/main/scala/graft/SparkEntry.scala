@@ -62,8 +62,9 @@ object SparkEntry {
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
     "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
-    "hybrid_topk_rrf", "bm25_topk_served", "bm25_topk_indexed", "mmr_rerank",
-    "retrieval_eval", "retrieval_eval_quantized", "zorder_pruned_read")
+    "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
+    "bm25_topk_indexed", "mmr_rerank", "retrieval_eval",
+    "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
     Pq.clearSessionCache()
@@ -794,6 +795,32 @@ object SparkEntry {
     // depth rows), never the corpus.
     "hybrid_topk_rrf" -> ((s: SparkSession, d: String) =>
       Retrieval.hybridTopkRrf(s, d)),
+    // [r18] THREE-retriever hybrid (lexical BM25 ∪ dense-exact IVF ∪
+    // dense-QUANTIZED int8 IVF) fused with N-list exact-integer RRF — the
+    // production stack shape (sparse + dense + compressed-dense). The
+    // per-rank numerators lcm/(c+rank) are Long literals interpolated into
+    // both engines (rrfNumerators — no division runs at query time on
+    // either side), the fused score a pure Long SUM over the unioned
+    // ranked lists.
+    "hybrid_topk_rrf3" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val qPath = "/tmp/graft-ivf-qindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(qPath)(Similarity.buildIndexQuantized(e, cents, qPath))
+      val probeIds = Retrieval.HybridTermSets.map(_._1)
+      val vecs = e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val lex = Retrieval.bm25RankedPerQuery(Tables.documents(s, d),
+        Retrieval.HybridTermSets, Retrieval.HybridL)
+      val dense = Similarity.ivfTopKCached(e, d, probeIds,
+        k = Retrieval.HybridL, nprobe = 3)
+      val quant = Similarity.ivfTopKIndexedQuantized(s, qPath, cents, vecs,
+        k = Retrieval.HybridL, nprobe = 3)
+      Retrieval.rrfFuseExactN(Seq(lex, dense, quant), Retrieval.HybridK,
+          maxRank = Retrieval.HybridL)
+        .orderBy("query_id", "rank")
+    }),
     // [r17] MMR diversified re-ranking (Carbonell & Goldstein 1998): the
     // IVF top-10 pool greedily re-ranked to k=5 by λ·rel − (1−λ)·max sim
     // to the already-selected set. The greedy loop runs per query inside
@@ -809,6 +836,27 @@ object SparkEntry {
     // not). The measurement loop every ANN deployment runs, as a query.
     "retrieval_eval" -> ((s: SparkSession, d: String) =>
       Retrieval.retrievalEvalGate(s, d)),
+    // [r18] the DELETE path's recall self-measured at k=10: approx = the
+    // tombstone-aware live read at nprobe 3, truth = the same live read
+    // exhaustively probed (nprobe = all clusters ≡ brute force over the
+    // live set, spec-pinned) — so the row measures exactly the nprobe
+    // loss of the delete-composed tier, through the identical
+    // ceiling/last-writer resolution both reads share.
+    "retrieval_eval_live" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val idxPath = "/tmp/graft-ivf-liveindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(idxPath) {
+        streaming.EmbeddingIndexStream.applyBatch(e, 0L, cents, idxPath)
+        streaming.EmbeddingIndexStream.tombstone(s,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"), 0L, idxPath)
+      }
+      val approx = streaming.EmbeddingIndexStream.ivfTopKIndexedLive(s,
+        idxPath, cents, gateProbes(e), k = 10, nprobe = 3)
+      val exact = streaming.EmbeddingIndexStream.ivfTopKIndexedLive(s,
+        idxPath, cents, gateProbes(e), k = 10, nprobe = cents.size)
+      Retrieval.evalTopk(approx, exact, k = 10)
+    }),
     // [r17] the int8 tier self-measured: the quantized retriever scored
     // against brute-force exact truth — the STRESS.md recall claims as an
     // oracle-verified queryable metric (quantized scores genuinely differ
@@ -1048,6 +1096,8 @@ object SparkEntry {
     "bm25_topk_served" -> TextAnalysis.bm25TopkSql,
     "bm25_topk_indexed" -> TextAnalysis.bm25TopkIndexedSql,
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
+    "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
+    "retrieval_eval_live" -> PortableOracles.retrievalEvalLiveSql,
     "mmr_rerank" -> PortableOracles.mmrRerankSql,
     "retrieval_eval" -> PortableOracles.retrievalEvalSql,
     "retrieval_eval_quantized" -> PortableOracles.retrievalEvalQuantizedSql,

@@ -23,12 +23,14 @@ import graft.Tables
   */
 object Retrieval {
 
-  /** RRF dampening constant (the SIGIR-2009 default). */
-  val RrfC = 60
+  /** RRF dampening constant (the SIGIR-2009 default). Final vals here and
+    * below: PortableOracles interpolates them during its object init — see
+    * the TextAnalysis.Bm25K1 note on the init-cycle hazard. */
+  final val RrfC = 60
 
   /** Per-retriever candidate depth and fused output size for the gate row. */
-  val HybridL = 10
-  val HybridK = 5
+  final val HybridL = 10
+  final val HybridK = 5
 
   /** The gate row's per-query lexical term sets — query ids match the dense
     * probe vector ids (documents.doc_id = embeddings.vec_id in the fixture),
@@ -91,27 +93,61 @@ object Retrieval {
       .select("query_id", "doc_id", "rrf", "rank")
   }
 
-  /** RRF fusion with EXACT scaled-integer scores — the oracle-facing view:
-    * rrf_num = Σ lcm/(c+rank) is exact Long arithmetic (see [[rrfLcm]]), so
-    * the gate has zero cross-engine float hazard. Ordering is identical to
-    * [[rrfFuse]] (1/(c+r) and lcm/(c+r) are order-isomorphic; spec-pinned).
-    * `maxRank` must bound both input depths. */
-  def rrfFuseExact(lexical: DataFrame, dense: DataFrame, k: Int,
-                   maxRank: Int, c: Int = RrfC): DataFrame = {
-    val lcm = rrfLcm(c, maxRank)
-    // double division of exactly-divisible Longs ~1e14 is exact in IEEE
-    // (the true quotient is a representable integer), so the cast is safe
-    def term(r: String) =
-      coalesce((lit(lcm) / (lit(c.toLong) + col(r))).cast("long"), lit(0L))
-    val fused = ranked(lexical, "lrank")
-      .join(ranked(dense, "drank"), Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (term("lrank") + term("drank")).as("rrf_num"))
+  /** The per-rank EXACT integer numerators lcm/(c+r) for r in 1..maxRank —
+    * computed by Long integer division in Scala (lcm is divisible by every
+    * c+r by construction) and interpolated into BOTH engines as literals,
+    * so no division of any kind runs at query time (an earlier form
+    * divided in Spark doubles, which is exact only while the quotient is
+    * representable — this form needs no such argument). */
+  def rrfNumerators(c: Int, maxRank: Int): Seq[Long] = {
+    val l = rrfLcm(c, maxRank)
+    (1 to maxRank).map(r => l / (c + r))
+  }
+
+  /** N-list RRF fusion with EXACT scaled-integer scores — the oracle-facing
+    * view, generalized to any retriever count (round 18: production hybrid
+    * stacks fuse ≥ 3 — lexical + dense-exact + dense-quantized, or several
+    * query rewrites): rrf_num = Σ_lists lcm/(c+rank) with the per-rank
+    * numerators interpolated as Long literals ([[rrfNumerators]]), so the
+    * fused score is pure Long addition on both engines. Ordering is
+    * identical to [[rrfFuse]] (1/(c+r) and lcm/(c+r) are order-isomorphic;
+    * spec-pinned).
+    *
+    * Ranks beyond `maxRank` are cut before fusing (maxRank IS the fusion
+    * depth — without the cut a deeper input would index past the numerator
+    * table). Overflow is guarded: n·lcm/(c+1) must fit a Long.
+    *
+    * Scale shape: the lists UNION (queries × Σdepths rows — broadcast-sized
+    * by construction) into ONE (query, doc) aggregate + one per-query top-k
+    * window; the heavy work stays in the upstream retrievers. Fusion cost
+    * is a measured constant regardless of corpus size. */
+  def rrfFuseExactN(lists: Seq[DataFrame], k: Int, maxRank: Int,
+                    c: Int = RrfC): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseExactN needs at least one ranked list")
+    val nums = rrfNumerators(c, maxRank)
+    require(nums.head <= Long.MaxValue / lists.size,
+      s"rrfFuseExactN(${lists.size} lists, c=$c, maxRank=$maxRank) could " +
+      "overflow Long — use rrfFuse (double scores)")
+    val numArr = array(nums.map(lit): _*)
+    val contrib = lists.map { l =>
+      ranked(l, "rank")
+        .filter(col("rank") <= maxRank) // the fusion depth, enforced
+        .select(col("query_id"), col("doc_id"),
+          element_at(numArr, col("rank").cast("int")).as("num"))
+    }.reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("num").as("rrf_num"))
     val w = Window.partitionBy("query_id").orderBy(col("rrf_num").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rrf_num", "rank")
   }
+
+  /** Two-list [[rrfFuseExactN]] — the original gate form, unchanged
+    * contract. */
+  def rrfFuseExact(lexical: DataFrame, dense: DataFrame, k: Int,
+                   maxRank: Int, c: Int = RrfC): DataFrame =
+    rrfFuseExactN(Seq(lexical, dense), k, maxRank, c)
 
   /** Multi-query BM25 ranked lists in ONE corpus pass: term frequencies are
     * computed once for the UNION of all query term sets (one tokenize +
@@ -172,8 +208,8 @@ object Retrieval {
   // --- MMR diversified re-ranking -------------------------------------------
 
   /** MMR gate parameters: λ (relevance weight) and the selected count. */
-  val MmrLambda = 0.5
-  val MmrK = 5
+  final val MmrLambda = 0.5
+  final val MmrK = 5
 
   /** Row shape of [[mmrRerank]]. */
   case class MmrRow(query_id: Long, cand_id: Long, mmr: Double, rank: Long)
@@ -292,8 +328,12 @@ object Retrieval {
   def evalTopk(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val w = dcgWeightsFp(k)
     val idcg = w.sum
-    val ranked = ranked2(approx)
-    val truth = ranked2(exact).select(col("query_id"), col("doc_id"))
+    // bound BOTH sides to rank ≤ k: a retriever list deeper than k would
+    // otherwise index past the k-element weight table (null wt silently
+    // zeroing nDCG terms) and inflate recall's numerator past 1
+    val ranked = ranked2(approx).filter(col("rank") <= k)
+    val truth = ranked2(exact).filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"))
     val hits = ranked.join(truth.withColumn("hit", lit(1)),
         Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("rank"),

@@ -580,8 +580,14 @@ object TextAnalysis {
   /** Gate-query terms: one rare token (`dup`, df ≈ 2% of docs — it carries
     * the discriminating idf on this corpus) plus two mid-frequency ones. */
   val Bm25Terms: Seq[String] = Seq("dup", "vector", "query")
-  val Bm25K1 = 1.2
-  val Bm25B = 0.75
+  // FINAL vals (compile-time constants, inlined at use sites): PortableOracles
+  // interpolates these into oracle SQL during ITS object init, and TextAnalysis
+  // references PortableOracles during its own init (shingles3SqlExpr) — a
+  // non-constant val read through that cycle silently yields 0.0 (the JVM
+  // returns the partially-initialized object). Constant-folding is the
+  // structural fix, not an optimization.
+  final val Bm25K1 = 1.2
+  final val Bm25B = 0.75
 
   /** BM25 (Robertson–Spärck Jones idf, Lucene's +1 smoothing) top-k keyword
     * retrieval over `documents` — the lexical half of a curation/retrieval

@@ -85,6 +85,63 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._2).toSeq == Seq(30L, 10L, 20L, 40L))
   }
 
+  test("rrfNumerators are the exact integer quotients lcm/(c+r)") {
+    val lcm = Retrieval.rrfLcm(60, 10)
+    val nums = Retrieval.rrfNumerators(60, 10)
+    assert(nums == (1 to 10).map(r => lcm / (60 + r)))
+    // exactness: every numerator times its denominator recovers the lcm
+    (1 to 10).foreach(r => assert(nums(r - 1) * (60 + r) == lcm))
+  }
+
+  test("N-list fusion: 3 constructed lists, hand-computed exact sums") {
+    // doc 30 holds a rank in ALL THREE lists; 10 in two; 20/40/50 in one
+    val l1 = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 30L, 1L), (1L, 40L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val l3 = Seq((1L, 30L, 2L), (1L, 50L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuseExactN(Seq(l1, l2, l3), k = 5, maxRank = 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    val n = Retrieval.rrfNumerators(Retrieval.RrfC, 3)
+    def num(r: Long) = n(r.toInt - 1)
+    assert(out.map(r => r._2 -> r._3).toSeq == Seq(
+      30L -> (num(3) + num(1) + num(2)),
+      10L -> (num(1) + num(3)),
+      50L -> num(1),
+      20L -> num(2),
+      40L -> num(2)).sortBy { case (d, s) => (-s, d) })
+    // ranks deeper than maxRank are cut BEFORE fusing (the eval-bound rule)
+    val deep = Seq((1L, 99L, 4L)).toDF("query_id", "doc_id", "rank")
+    val cut = Retrieval.rrfFuseExactN(Seq(l1, deep), k = 5, maxRank = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!cut.contains(99L), "a rank beyond maxRank must not fuse")
+  }
+
+  test("two-list rrfFuseExact delegates to the N-list form unchanged") {
+    val a = Retrieval.rrfFuseExact(lex, dense, k = Retrieval.HybridK,
+        maxRank = Retrieval.HybridL)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Retrieval.rrfFuseExactN(Seq(lex, dense), k = Retrieval.HybridK,
+        maxRank = Retrieval.HybridL)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("evalTopk bounds over-deep inputs to rank <= k (recall cannot exceed 1)") {
+    // a retriever list deeper than k previously indexed past the weight
+    // table (null wt) and inflated recall's numerator
+    val approx = (1 to 8).map(r => (1L, r.toLong * 10, 9 - r))
+      .toDF("query_id", "cand_id", "sim") // sim desc → ranks 1..8
+    val truth = (1 to 8).map(r => (1L, r.toLong * 10, 9 - r))
+      .toDF("query_id", "cand_id", "sim")
+    val out = Retrieval.evalTopk(approx, truth, k = 3)
+      .select("n_hits", "recall", "ndcg").as[(Long, Double, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head == ((3L, 1.0, 1.0)),
+      s"perfect retriever at depth 8, k=3 must score exactly 1.0: ${out.head}")
+  }
+
   test("multi-query BM25 matches the single-query implementation per query") {
     // run the shared-pass multi-query ranker with ONE query set and compare
     // against bm25Topk's ordering (restricted to positive scores)

@@ -3,18 +3,21 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Similarity, SubstringDedup, TextAnalysis}
-import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, LexStatsStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
+import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, LexStatsStream, MediaStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
 
 /** Composed streaming soak (round 15: sixteen streams; round 17:
-  * seventeen): OverlapStream,
+  * seventeen; round 18: eighteen — MediaStream, the stateless media tier,
+  * joined): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
   * DriftStream (frozen grid), AnomalyStream, StateHistoryStream
   * (incremental SCD2), QualityStream (constraint monitoring, frozen ref
   * dim + fixed check suite), CdcStream (chunk-dedup counts on the
-  * round-15 StateLog), LexStatsStream (maintained lexical-index stats +
-  * served BM25) — consuming ONE shared document/embedding drop
+  * round-15 StateLog), LexStatsStream (maintained lexical index — stats +
+  * posting lists, served + indexed BM25), MediaStream (stateless media
+  * tier through the real WAV/PNG codecs) — consuming ONE shared
+  * document/embedding drop
   * sequence in the same session for 50+ batches, with at-least-once
   * replays injected at batch boundaries (including immediately after a
   * compaction — the OverlapStream `batch=-1` lesson) and every stream's
@@ -120,6 +123,7 @@ object ComposedStreamSoak {
     val qlState = s"$tmp/ql-state"
     val cdState = s"$tmp/cd-state"
     val lxState = s"$tmp/lx-state"
+    val mdOut = s"$tmp/md-out"
     // fixed check suite + frozen ref dim for the QualityStream fold (the
     // contract: both constant for the state's lifetime)
     val qlDim = docs.sparkSession.createDataFrame(
@@ -172,6 +176,7 @@ object ComposedStreamSoak {
         autoCompactBatches = 8)
       LexStatsStream.applyBatch(spark, docB(i), i.toLong, lxState,
         autoCompactBatches = 8)
+      MediaStream.applyBatch(spark, docB(i), i.toLong, mdOut)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -402,6 +407,29 @@ object ComposedStreamSoak {
     val lxIndexed = LexStatsStream.bm25TopkIndexed(spark, lxState)
       .as[(Long, Double)].collect().toSeq
     check("lex_bm25_indexed", lxIndexed == lxServed && lxIndexed.nonEmpty)
+
+    // [r18] media tier (18th stream): the stateless per-batch map through
+    // the REAL codecs accumulates to exactly the one-shot batch kernels
+    // over the union corpus — the streamed face of the oracle-gated
+    // multimodal rows
+    val mdStream = MediaStream.currentWavMeta(spark, mdOut)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val mdBatch = graft.operators.Multimodal.extractMetaWav(
+        graft.operators.Multimodal.wavMediaFromDocuments(docs))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    check("media_wav_meta", mdStream == mdBatch && mdStream.nonEmpty)
+    val mwStream = MediaStream.currentWavWindows(spark, mdOut)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val mwBatch = graft.operators.Multimodal.extractWavWindowSums(
+        graft.operators.Multimodal.wavMediaFromDocuments(docs))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    check("media_wav_windows", mwStream == mwBatch && mwStream.nonEmpty)
+    val miStream = MediaStream.currentImageMeta(spark, mdOut)
+      .collect().map(_.toString).toSet
+    val miBatch = graft.operators.Multimodal.extractMetaImage(
+        graft.operators.Multimodal.pngMediaFromDocuments(docs))
+      .collect().map(_.toString).toSet
+    check("media_img_meta", miStream == miBatch && miStream.nonEmpty)
     spark.stop()
   }
 }

@@ -59,6 +59,32 @@ object ScaleBench {
 
     def docsX(k: Int) = amplify(Tables.documents(spark, sf), "doc_id", k)
     def embsX(k: Int) = amplify(Tables.embeddings(spark, sf), "vec_id", k)
+
+    // [r18] fixed-postings corpus growth: k× docs, but every replica other
+    // than the original (pmod(doc_id, k) ≠ 0 after re-keying) has the gate
+    // query terms stripped — their posting lists stay CONSTANT while the
+    // corpus and the rest of the index grow k×
+    def grownDocs(k: Int): DataFrame =
+      if (k == 1) Tables.documents(spark, sf)
+      else {
+        val strip = graft.operators.TextAnalysis.Bm25Terms
+          .foldLeft(col("text"))((c, t) => regexp_replace(c, s"\\b$t\\b", ""))
+        amplify(Tables.documents(spark, sf), "doc_id", k)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(k.toLong)) =!= 0, strip)
+              .otherwise(col("text")))
+      }
+    val lexIdxDirs = scala.collection.concurrent.TrieMap[Int, String]()
+    def lexIdxDir(k: Int): String = lexIdxDirs.getOrElseUpdate(k, {
+      val d = java.nio.file.Files.createTempDirectory(s"sb-lexidx-$k").toString
+      graft.streaming.LexStatsStream.applyBatch(spark, grownDocs(k), 0L, d)
+      d
+    })
+    val updIdxDirs = scala.collection.concurrent.TrieMap[Int, String]()
+    lazy val scaleProbes: Seq[(Long, Seq[Double])] =
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     // 30% of ALL rows share one text -> one content/LSH bucket holds 0.3n
     // members in EVERY band
     def megaDocs(k: Int) = docsX(k).withColumn("text",
@@ -506,6 +532,58 @@ object ScaleBench {
           .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
             sum("nd").as("nd"))
         graft.operators.TextAnalysis.bm25TopkServed(docsX(k), stats)
+      },
+      // [r18] POSTING-LIST serving in the fixed-postings regime: the corpus
+      // grows k× but every filler replica has the query terms STRIPPED, so
+      // the terms' posting lists stay CONSTANT while corpus + index grow —
+      // the regime where indexed serving must be FLAT. The index build is
+      // paid once per factor in the warm pass (cached dir); the timed runs
+      // measure SERVE ONLY. The scan twin serves the SAME grown corpus by
+      // tokenizing every document per query (the retired r17 path) — its
+      // linear growth against the indexed line IS the posting-list claim.
+      "bm25_indexed_serve" -> { k =>
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark, lexIdxDir(k))
+      },
+      "bm25_scan_serve" -> { k =>
+        graft.streaming.LexStatsStream.bm25Topk(spark, lexIdxDir(k), grownDocs(k))
+      },
+      // [r18] ceiling-tombstone live read at volume: index built once per
+      // factor (warm pass, cached) over k× vectors with 1/13 of ids
+      // UPDATED in place (ceiling tombstone + batch-1 re-insert) — the
+      // timed read carries the full resolution stack (ceiling left-join +
+      // last-writer window + nprobe-pruned candidate read) below the
+      // per-probe top-k
+      "ann_ivf_live_updated" -> { k =>
+        val cents = Similarity.trainedCentroids(
+          Tables.embeddings(spark, sf), "scalebench-quantizer")
+        val dir = updIdxDirs.getOrElseUpdate(k, {
+          val d = java.nio.file.Files.createTempDirectory(s"sb-updidx-$k").toString + "/idx"
+          val ex = embsX(k)
+          graft.streaming.EmbeddingIndexStream.applyBatch(ex, 0L, cents, d)
+          val upd = ex.filter(pmod(col("vec_id"), lit(13)) === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+          graft.streaming.EmbeddingIndexStream.applyBatch(upd, 1L, cents, d)
+          graft.streaming.EmbeddingIndexStream.tombstone(spark,
+            upd.select("vec_id"), 1L, d, ceiling = Some(0L))
+          d
+        })
+        graft.streaming.EmbeddingIndexStream.ivfTopKIndexedLive(spark, dir,
+          cents, scaleProbes, k = 10, nprobe = 4)
+      },
+      // [r18] N-list fusion itself at volume: three synthetic depth-10
+      // ranked lists over k×1000 queries — fusion is corpus-independent by
+      // construction, so the sweep pins its cost LINEAR IN QUERIES with a
+      // tiny constant (the retrievers, measured separately, dominate)
+      "rrf3_fusion_queries" -> { k =>
+        def lst(seed: Int) = spark.range(1000L * k)
+          .select(col("id").as("query_id"),
+            explode(sequence(lit(1L), lit(10L))).as("rank"))
+          .select(col("query_id"),
+            pmod(xxhash64(col("query_id"), col("rank"), lit(seed)),
+              lit(100000L)).as("doc_id"),
+            col("rank"))
+        graft.operators.Retrieval.rrfFuseExactN(Seq(lst(1), lst(2), lst(3)),
+          k = 5, maxRank = 10)
       },
       // iterative large-star/small-star at volume: k × 1M synthetic edges —
       // skip-chains (components of ~thousands, MANY rounds to converge) plus

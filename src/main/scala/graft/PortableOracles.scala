@@ -464,6 +464,57 @@ object PortableOracles {
        |  SELECT 'live' AS view, * FROM live UNION ALL SELECT 'asof0' AS view, * FROM asofv)
        |ORDER BY view, query_id, sim DESC, cand_id""".stripMargin
 
+  /** Reclustered-index replica (`ann_ivf_topk_reclustered`): TWO
+    * deterministic Lloyd iterations over the full live set, seeded from
+    * the per-label means — exactly
+    * [[graft.streaming.EmbeddingIndexStream.reclusterIndex]]'s
+    * `recenterStep` at iters = 2. The means are DECIMAL(27,18)-summed then
+    * divided in double on BOTH engines (the order-independent mean the
+    * Spark side computes), an empty cell keeps its previous centroid
+    * (COALESCE over the LEFT join), ties assign to the lowest cluster id.
+    * The query then probes the RE-ASSIGNED layout with the retrained
+    * quantizer — the whole recluster lifecycle verb, oracle-gated instead
+    * of spec-only. Final scores come from exact candidate vectors, so
+    * last-ulp mean differences (double→decimal cast rounding) cannot move
+    * anything but an argmin whose gaps are ~1e-2. */
+  val annIvfTopkReclusteredSql: String = {
+    def lloydRound(n: Int, prevAssign: String, prevCent: String): String =
+      s"""m$n AS (SELECT cluster, i, CAST(SUM(CAST(v[i] AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+         |       FROM $prevAssign CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY cluster, i),
+         |cent$n AS (SELECT p.cluster, COALESCE(n.c, p.c) AS c FROM $prevCent p
+         |          LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS c FROM m$n GROUP BY cluster) n
+         |          USING (cluster)),
+         |d${n + 1} AS (SELECT e.vec_id, e.v, cent$n.cluster,
+         |         list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+         |       FROM e CROSS JOIN cent$n),
+         |a${n + 1} AS (SELECT vec_id, v, cluster FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |         FROM d${n + 1}) WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cm AS (SELECT label, i, AVG(v[i]) AS m
+       |       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+       |cent0 AS (SELECT label AS cluster, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |d1 AS (SELECT e.vec_id, e.v, cent0.cluster,
+       |         list_sum(list_transform(range(1, 65), k -> (v[k] - c[k]) * (v[k] - c[k]))) AS d
+       |       FROM e CROSS JOIN cent0),
+       |a1 AS (SELECT vec_id, v, cluster FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |         FROM d1) WHERE rn = 1),
+       |${lloydRound(1, "a1", "cent0")},
+       |${lloydRound(2, "a2", "cent1")},
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM d3 WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN a3 a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.clusterSampleOf]]: the shared
     * assignment prefix, per-cluster sizes, the salted-h60 within-cluster
     * race, quota = ⌈√n_c⌉. */

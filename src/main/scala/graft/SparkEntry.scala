@@ -62,8 +62,9 @@ object SparkEntry {
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
     "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
+    "ann_ivf_topk_reclustered",
     "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
-    "bm25_topk_indexed", "mmr_rerank", "retrieval_eval",
+    "bm25_topk_indexed", "phrase_match", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -620,6 +621,33 @@ object SparkEntry {
         .select("view", "query_id", "cand_id", "sim")
         .orderBy(col("view"), col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // [r18] the RECLUSTER lifecycle verb oracle-gated (previously
+    // spec-only): stream the corpus in, retrain the quantizer on the live
+    // set (two deterministic Lloyd iterations seeded from the serving
+    // quantizer — decimal-summed means, empty cells keep their centroid),
+    // atomically swap the re-assigned layout, then query through
+    // indexQuantizer (the co-located retrained centroids). The oracle
+    // replays BOTH Lloyd rounds with the same decimal-exact mean
+    // arithmetic and probes the re-assigned layout.
+    "ann_ivf_topk_reclustered" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents0 = Similarity.trainedCentroids(e, d)
+      val path = "/tmp/graft-ivf-reclindex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.ensureBuilt(path) {
+        // clear first: reclusterIndex leaves a co-located quantizer, and a
+        // rebuild over last session's dir would seed Lloyd from THAT (a
+        // second recluster) instead of the label means the oracle replays
+        val f = graft.functions.FsUtils.fs(s, path)
+        f.delete(new org.apache.hadoop.fs.Path(path), true)
+        streaming.EmbeddingIndexStream.applyBatch(e, 0L, cents0, path)
+        streaming.EmbeddingIndexStream.reclusterIndex(s, path, cents0)
+        ()
+      }
+      val cents = streaming.EmbeddingIndexStream.indexQuantizer(s, path, cents0)
+      streaming.EmbeddingIndexStream.ivfTopKIndexedLive(s, path, cents,
+          gateProbes(e), k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r17] metadata filter composed with the RESIDUAL tier — the last
     // cell of the filter × {exact, int8/ADC, residual} matrix: the
     // lang='en' allowed set semi-joins the residual-code candidate read
@@ -785,6 +813,14 @@ object SparkEntry {
     // every gate SF has ≥ 20 strictly-positive candidates).
     "bm25_topk_indexed" -> ((s: SparkSession, d: String) => {
       streaming.LexStatsStream.bm25TopkIndexed(s, lexIndexBuilt(s, d))
+    }),
+    // [r18] PHRASE query over the positional postings: term i's positions
+    // shift by −i and intersect per doc (the classical positional-index
+    // algorithm) — reads only the phrase terms' buckets, never the text.
+    // Oracle: a direct token-level scan (first-principles truth), exact
+    // integer match counts.
+    "phrase_match" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.phraseMatch(s, lexIndexBuilt(s, d))
     }),
     // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
     // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
@@ -1069,6 +1105,7 @@ object SparkEntry {
     "ann_ivf_topk_asof" -> PortableOracles.annIvfTopkAsofSql,
     "ann_ivf_topk_synced" -> PortableOracles.annIvfTopkSyncedSql,
     "ann_ivf_topk_updated" -> PortableOracles.annIvfTopkUpdatedSql,
+    "ann_ivf_topk_reclustered" -> PortableOracles.annIvfTopkReclusteredSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,
     "ann_ivf_topk_rerank" -> PortableOracles.annIvfTopkRerankSql,
@@ -1095,6 +1132,7 @@ object SparkEntry {
     // stats pinned equal to the batch aggregate by LexStatsStreamSpec)
     "bm25_topk_served" -> TextAnalysis.bm25TopkSql,
     "bm25_topk_indexed" -> TextAnalysis.bm25TopkIndexedSql,
+    "phrase_match" -> TextAnalysis.phraseMatchSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "retrieval_eval_live" -> PortableOracles.retrievalEvalLiveSql,

@@ -713,13 +713,59 @@ object TextAnalysis {
             size(toks).cast("long").as("dl"),
             transform(array_distinct(toks), t =>
               struct(t.as("term"),
-                size(filter(toks, x => x === t)).cast("long").as("tf"))).as("ps"))
+                // 0-based occurrence POSITIONS (round 18): the positional
+                // half of the inverted index — phrase/proximity queries
+                // intersect shifted position sets instead of scanning
+                // text. tf derives as size(positions) below, bitwise
+                // equal to the count-of-occurrences it replaces.
+                filter(sequence(lit(0), size(toks) - 1),
+                  i => element_at(toks, i + 1) === t).as("positions"))).as("ps"))
         }.as("s"))
       .select(col("doc_id"), col("s.dl").as("dl"), explode(col("s.ps")).as("p"))
-      .select(col("p.term").as("term"), col("doc_id"), col("p.tf").as("tf"),
-        col("dl"),
+      .select(col("p.term").as("term"), col("doc_id"),
+        size(col("p.positions")).cast("long").as("tf"),
+        col("dl"), col("p.positions").as("positions"),
         pmod(crc32(col("p.term").cast("binary")), lit(LexBuckets.toLong))
           .cast("int").as("pbucket"))
+
+  /** Phrase match over POSITIONAL postings — the real inverted-index
+    * phrase algorithm, no text access: term i's positions shift by −i (a
+    * phrase starting at p has term i at p+i), the shifted sets intersect
+    * per doc, and the intersection size IS the occurrence count. Reads
+    * only the phrase terms' postings (bucket-pruned by the caller); docs
+    * missing any term drop at the inner join. Exact integer counts —
+    * zero float hazard at the gate. */
+  def phraseMatchOf(postingsPos: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val shifted = phrase.zipWithIndex.map { case (t, i) =>
+      postingsPos.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"pos$i"))
+    }
+    val joined = shifted.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val starts = phrase.indices.map(i => col(s"pos$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    joined.select(col("doc_id"), size(starts).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** The phrase-match gate parameters (present at every gate SF). */
+  val PhraseTerms: Seq[String] = Seq("data", "query")
+
+  /** DuckDB mirror of [[phraseMatchOf]] — a direct token-level scan (the
+    * truth an index-free engine computes), so the gate verifies the
+    * positional index against first principles. */
+  def phraseMatchSql(phrase: Seq[String] = PhraseTerms): String = {
+    val cond = phrase.zipWithIndex
+      .map { case (t, i) => s"toks[i+$i] = '$t'" }.mkString(" AND ")
+    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  LEN(LIST_FILTER(range(1, LEN(toks) - ${phrase.size - 2}), i -> $cond)) AS n_matches
+       |FROM t)
+       |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+       |FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin
+  }
 
   /** The O(terms) stat lookups both served forms share: (N, avgdl, df per
     * term) read from the maintained stats table as driver literals. */

@@ -57,6 +57,7 @@ object LexStatsStream {
   private def emptyPostings(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").cast("string").as("term"),
       col("id").as("doc_id"), col("id").as("tf"), col("id").as("dl"),
+      array().cast("array<int>").as("positions"),
       col("id").cast("int").as("pbucket"))
 
   /** Accumulated stat rows summed per term — for the union of all folded
@@ -72,10 +73,22 @@ object LexStatsStream {
     * [[TextAnalysis.termBucket]] dirs (the read opens only those buckets
     * across all batch dirs, the `cluster=` nprobe-read shape). */
   def currentPostings(spark: SparkSession, stateDir: String,
-                      terms: Seq[String]): DataFrame = {
+                      terms: Seq[String]): DataFrame =
+    readPostings(spark, stateDir, terms,
+      Seq("term", "doc_id", "tf", "dl", "pbucket"))
+
+  /** [[currentPostings]] including the POSITIONS column (phrase reads);
+    * kept separate so the BM25 path's parquet scan prunes positions away. */
+  def currentPostingsWithPositions(spark: SparkSession, stateDir: String,
+                                   terms: Seq[String]): DataFrame =
+    readPostings(spark, stateDir, terms,
+      Seq("term", "doc_id", "tf", "dl", "positions", "pbucket"))
+
+  private def readPostings(spark: SparkSession, stateDir: String,
+                           terms: Seq[String], cols: Seq[String]): DataFrame = {
     val buckets = terms.map(TextAnalysis.termBucket).distinct
     postLog(spark, stateDir)
-      .read(Seq("term", "doc_id", "tf", "dl", "pbucket"), emptyPostings(spark))
+      .read(cols, emptyPostings(spark).select(cols.map(col): _*))
       .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .drop("pbucket")
   }
@@ -144,6 +157,13 @@ object LexStatsStream {
     TextAnalysis.bm25TopkIndexed(
       currentPostings(spark, stateDir, terms),
       currentStats(spark, stateDir), terms, k)
+
+  /** Phrase query served from the POSITIONAL postings — no corpus access;
+    * reads only the phrase terms' buckets. */
+  def phraseMatch(spark: SparkSession, stateDir: String,
+                  phrase: Seq[String] = TextAnalysis.PhraseTerms): DataFrame =
+    TextAnalysis.phraseMatchOf(
+      currentPostingsWithPositions(spark, stateDir, phrase), phrase)
 
   /** File-source wrapper: document parquet drops → maintained stats +
     * postings under `stateDir`. */

@@ -165,6 +165,33 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     assert(out.forall { case (_, s) => !s.isNaN && !s.isInfinite })
   }
 
+  test("phrase match over positional postings equals a direct text scan") {
+    val state = tmp()
+    foldAll(state)
+    for (phrase <- Seq(Seq("data", "query"), Seq("the", "data", "query"))) {
+      val indexed = LexStatsStream.phraseMatch(spark, state, phrase)
+        .as[(Long, Long)].collect().toSeq
+      // first-principles truth: scan the text, count adjacent runs
+      val direct = docs.select($"doc_id", split($"text", " ", -1).as("toks"))
+        .as[(Long, Seq[String])].collect()
+        .map { case (id, toks) =>
+          id -> toks.indices.count(i =>
+            i + phrase.size <= toks.size &&
+            phrase.indices.forall(j => toks(i + j) == phrase(j))).toLong
+        }
+        .filter(_._2 > 0).sortBy(_._1).toSeq
+      assert(indexed == direct, s"phrase=$phrase")
+      assert(phrase.size > 2 || indexed.nonEmpty, s"gate phrase must match at sf0.001")
+    }
+  }
+
+  test("phrase with a term absent from the corpus matches nothing") {
+    val state = tmp()
+    foldAll(state)
+    assert(LexStatsStream.phraseMatch(spark, state,
+      Seq("data", "zzz_no_such_token")).isEmpty)
+  }
+
   test("posting reads partition-prune to the query terms' buckets") {
     val state = tmp()
     foldAll(state)

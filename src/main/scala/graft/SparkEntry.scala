@@ -64,7 +64,8 @@ object SparkEntry {
     "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
     "ann_ivf_topk_reclustered",
     "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
-    "bm25_topk_indexed", "phrase_match", "mmr_rerank", "retrieval_eval",
+    "bm25_topk_indexed", "phrase_match", "snippet_extract", "facet_counts",
+    "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -822,6 +823,22 @@ object SparkEntry {
     "phrase_match" -> ((s: SparkSession, d: String) => {
       streaming.LexStatsStream.phraseMatch(s, lexIndexBuilt(s, d))
     }),
+    // [r18] search-result SNIPPETS: the indexed BM25 top-5 chooses the
+    // ids (postings only), then exactly those 5 rows are read from the
+    // row store and the earliest window of 16 tokens maximizing
+    // query-term hits is extracted — exact integer window math + a list
+    // slice, replayed by the oracle from first principles.
+    "snippet_extract" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.snippets(s, lexIndexBuilt(s, d),
+        Tables.documents(s, d))
+    }),
+    // [r18] faceted search counts: candidate ids from the query terms'
+    // postings, one semi-join to the column-pruned (doc_id, lang, source)
+    // dim projection, one grouped count — "42 results in lang=en".
+    "facet_counts" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.facetCounts(s, lexIndexBuilt(s, d),
+        Tables.documents(s, d).select("doc_id", "lang", "source"))
+    }),
     // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
     // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
     // probe vector ids), fused with Reciprocal Rank Fusion — the production
@@ -1133,6 +1150,8 @@ object SparkEntry {
     "bm25_topk_served" -> TextAnalysis.bm25TopkSql,
     "bm25_topk_indexed" -> TextAnalysis.bm25TopkIndexedSql,
     "phrase_match" -> TextAnalysis.phraseMatchSql(),
+    "snippet_extract" -> TextAnalysis.snippetExtractSql(),
+    "facet_counts" -> TextAnalysis.facetCountsSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "retrieval_eval_live" -> PortableOracles.retrievalEvalLiveSql,

@@ -753,6 +753,111 @@ object TextAnalysis {
   /** The phrase-match gate parameters (present at every gate SF). */
   val PhraseTerms: Seq[String] = Seq("data", "query")
 
+  /** Snippet gate window width (tokens). */
+  final val SnippetWindow = 16
+
+  /** Best query-term window per document — the serving stack's SNIPPET
+    * extraction (the row-store half of a search result: the index ranks,
+    * this shows WHY): for each doc, the earliest token window of
+    * `window` tokens maximizing the count of query-term occurrences,
+    * returned as (start, n_hits, snippet text). One narrow HOF chain per
+    * row over the bound token split — hit positions once, per-start
+    * counts over sequence(0, len−window), first-argmax via
+    * array_position — exact integer window math both engines replay.
+    * Run it on the ≤ k rows the index already chose, never the corpus. */
+  def snippetWindows(docsWithText: DataFrame, terms: Seq[String],
+                     window: Int = SnippetWindow): DataFrame = {
+    import graft.functions.ExprUtils.bindOnce
+    docsWithText.select(
+        col("doc_id"),
+        bindOnce(split(col("text"), " ", -1)) { toks =>
+          bindOnce(filter(sequence(lit(0), size(toks) - 1),
+            p => element_at(toks, p + 1).isInCollection(terms))) { hits =>
+            bindOnce(transform(
+              sequence(lit(0), greatest(size(toks) - window, lit(0))),
+              i => size(filter(hits, p => p >= i && p < i + window)))) { counts =>
+              struct(
+                (array_position(counts, array_max(counts)) - 1)
+                  .cast("long").as("start"),
+                array_max(counts).cast("long").as("n_hits"),
+                array_join(
+                  slice(toks, array_position(counts, array_max(counts)).cast("int"),
+                    lit(window)), " ").as("snippet"))
+            }
+          }
+        }.as("w"))
+      .select(col("doc_id"), col("w.start").as("start"),
+        col("w.n_hits").as("n_hits"), col("w.snippet").as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[snippetsGate]]: the indexed top-k candidate set
+    * (identical to bm25TopkIndexedSql's) feeding the same earliest-argmax
+    * window scan — exact integer hit counts, snippet by list slice. */
+  def snippetExtractSql(terms: Seq[String] = Bm25Terms, k: Int = 5,
+                        window: Int = SnippetWindow): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n|    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val score = terms.indices.map(i =>
+      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${Bm25K1 + 1.0}) / " +
+      s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))").mkString("\n|  + ")
+    val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t),
+       |top AS (SELECT doc_id FROM (
+       |  SELECT doc_id, ROUND(
+       |    $score, 4) AS bm25
+       |  FROM t, s WHERE $cand ORDER BY bm25 DESC, doc_id LIMIT $k)),
+       |tok AS (SELECT d.doc_id, STR_SPLIT(d.text, ' ') AS toks
+       |        FROM documents d JOIN top USING (doc_id)),
+       |hp AS (SELECT doc_id, toks,
+       |  LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] IN ($inList)) AS hits,
+       |  GREATEST(LEN(toks) - $window, 0) AS maxs FROM tok),
+       |best AS (SELECT doc_id, toks,
+       |  (SELECT MIN(i) FROM (SELECT UNNEST(range(0, maxs + 1)) AS i)
+       |    WHERE LEN(LIST_FILTER(hits, p -> p >= i AND p < i + $window)) =
+       |      (SELECT MAX(LEN(LIST_FILTER(hits, p -> p >= j AND p < j + $window)))
+       |       FROM (SELECT UNNEST(range(0, maxs + 1)) AS j))) AS start,
+       |  (SELECT MAX(LEN(LIST_FILTER(hits, p -> p >= j AND p < j + $window)))
+       |   FROM (SELECT UNNEST(range(0, maxs + 1)) AS j)) AS n_hits
+       |  FROM hp)
+       |SELECT doc_id, CAST(start AS BIGINT) AS start,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  array_to_string(toks[start+1 : start+$window], ' ') AS snippet
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-facet match counts — the faceted-search sidebar ("42 results in
+    * lang=en / source=web"): candidate doc ids (from the index — docs
+    * matching ≥ 1 query term) semi-join a SLIM dimension projection
+    * (column-pruned, no text read), one grouped count. Exact integers. */
+  def facetCountsOf(candidateIds: DataFrame, dims: DataFrame,
+                    facets: Seq[String]): DataFrame =
+    dims.join(candidateIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy(facets.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(facets.map(col): _*)
+
+  /** DuckDB mirror of the facet gate row: first-principles candidate set
+    * (token scan) grouped by the same facets. */
+  def facetCountsSql(terms: Seq[String] = Bm25Terms,
+                     facets: Seq[String] = Seq("lang", "source")): String = {
+    val cand = terms.map(t =>
+      s"LIST_CONTAINS(STR_SPLIT(text, ' '), '$t')").mkString(" OR ")
+    val f = facets.mkString(", ")
+    s"""SELECT $f, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+       |WHERE $cand GROUP BY $f ORDER BY $f""".stripMargin
+  }
+
   /** DuckDB mirror of [[phraseMatchOf]] — a direct token-level scan (the
     * truth an index-free engine computes), so the gate verifies the
     * positional index against first principles. */

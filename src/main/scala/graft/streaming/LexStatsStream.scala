@@ -165,6 +165,28 @@ object LexStatsStream {
     TextAnalysis.phraseMatchOf(
       currentPostingsWithPositions(spark, stateDir, phrase), phrase)
 
+  /** Search-result SNIPPETS served off the index: the indexed BM25 top-k
+    * chooses the ids (postings only), then ONLY those k rows are read from
+    * the row store for the best-window extraction — the serving shape
+    * where the corpus-sized table is touched for exactly k point reads. */
+  def snippets(spark: SparkSession, stateDir: String, docs: DataFrame,
+               terms: Seq[String] = TextAnalysis.Bm25Terms, k: Int = 5,
+               window: Int = TextAnalysis.SnippetWindow): DataFrame = {
+    val top = bm25TopkIndexed(spark, stateDir, terms, k).select("doc_id")
+    TextAnalysis.snippetWindows(
+      docs.join(top, Seq("doc_id"), "left_semi").select("doc_id", "text"),
+      terms, window)
+  }
+
+  /** Per-facet match counts served off the index: candidate ids from the
+    * query terms' postings, one semi-join to a slim dim projection. */
+  def facetCounts(spark: SparkSession, stateDir: String, dims: DataFrame,
+                  terms: Seq[String] = TextAnalysis.Bm25Terms,
+                  facets: Seq[String] = Seq("lang", "source")): DataFrame =
+    TextAnalysis.facetCountsOf(
+      currentPostings(spark, stateDir, terms).select("doc_id").distinct(),
+      dims, facets)
+
   /** File-source wrapper: document parquet drops → maintained stats +
     * postings under `stateDir`. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,

@@ -185,6 +185,55 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("snippets: earliest max-hit window, hand-checked on a constructed doc") {
+    // hits at 0, 9, 10, 25 with window 8: window [4,12) covers {9,10} = 2
+    // hits, but [3,11) and [2,10)... the EARLIEST start achieving max 2 is
+    // start 2 (covers 9) — no wait: positions 9 and 10 both < start+8 needs
+    // start >= 3 (9,10 in [3,11)); earliest is 3. Hand-check end-to-end.
+    val doc = (("q w w w w w w w w q q w w w w w w w w w w w w w w q w w w w"), 1L)
+    val df = Seq((doc._2, doc._1)).toDF("doc_id", "text")
+    val out = TextAnalysis.snippetWindows(df, Seq("q"), window = 8)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out._2 == 3L && out._3 == 2L, s"got $out")
+    assert(out._4 == "w w w w w w q q")
+    assert(out._4.split(" ").length == 8)
+  }
+
+  test("snippets off the index equal snippets over the batch top-k rows") {
+    val state = tmp()
+    foldAll(state)
+    val indexed = LexStatsStream.snippets(spark, state, docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val topIds = TextAnalysis.bm25Topk(spark, Sf0001, k = 5)
+      .select("doc_id")
+    val direct = TextAnalysis.snippetWindows(
+        docs.join(topIds, Seq("doc_id"), "left_semi").select("doc_id", "text"),
+        TextAnalysis.Bm25Terms)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(indexed == direct && indexed.size == 5)
+    // every snippet is at most window tokens and contains ≥ 1 query term
+    indexed.foreach { case (_, _, hits, sn) =>
+      assert(sn.split(" ").length <= TextAnalysis.SnippetWindow)
+      assert(hits >= 1 && TextAnalysis.Bm25Terms.exists(sn.split(" ").contains(_)))
+    }
+  }
+
+  test("facet counts off the postings equal a direct candidate scan") {
+    val state = tmp()
+    foldAll(state)
+    val indexed = LexStatsStream.facetCounts(spark, state,
+        docs.select("doc_id", "lang", "source"))
+      .as[(String, String, Long)].collect().toSeq
+    val terms = TextAnalysis.Bm25Terms
+    val direct = docs
+      .filter(terms.map(t =>
+        array_contains(split($"text", " ", -1), t)).reduce(_ || _))
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "source")
+      .as[(String, String, Long)].collect().toSeq
+    assert(indexed == direct && indexed.nonEmpty)
+  }
+
   test("phrase with a term absent from the corpus matches nothing") {
     val state = tmp()
     foldAll(state)

@@ -172,9 +172,14 @@ object LexStatsStream {
   def snippets(spark: SparkSession, stateDir: String, docs: DataFrame,
                terms: Seq[String] = TextAnalysis.Bm25Terms, k: Int = 5,
                window: Int = TextAnalysis.SnippetWindow): DataFrame = {
-    val top = bm25TopkIndexed(spark, stateDir, terms, k).select("doc_id")
+    // ≤ k ids collected driver-side (bounded by construction) and pushed
+    // as an In predicate: the row-store read is a PushedFilters point
+    // lookup (row-group stats pruning on a doc_id-sorted layout), not a
+    // corpus-wide semi-join — the scale-correct serving plan
+    val topIds = bm25TopkIndexed(spark, stateDir, terms, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
     TextAnalysis.snippetWindows(
-      docs.join(top, Seq("doc_id"), "left_semi").select("doc_id", "text"),
+      docs.filter(col("doc_id").isin(topIds: _*)).select("doc_id", "text"),
       terms, window)
   }
 

@@ -407,6 +407,24 @@ object ComposedStreamSoak {
     val lxIndexed = LexStatsStream.bm25TopkIndexed(spark, lxState)
       .as[(Long, Double)].collect().toSeq
     check("lex_bm25_indexed", lxIndexed == lxServed && lxIndexed.nonEmpty)
+    // [r18] phrase + facet serving off the streamed postings ≡ one-shot
+    // builds over the union corpus
+    val lxPhrase = LexStatsStream.phraseMatch(spark, lxState)
+      .as[(Long, Long)].collect().toSeq
+    val lxPhraseDirect = TextAnalysis.phraseMatchOf(
+        TextAnalysis.lexPostingsOf(docs), TextAnalysis.PhraseTerms)
+      .as[(Long, Long)].collect().toSeq
+    check("lex_phrase", lxPhrase == lxPhraseDirect && lxPhrase.nonEmpty)
+    val lxFacets = LexStatsStream.facetCounts(spark, lxState,
+        docs.select("doc_id", "lang", "source"))
+      .as[(String, String, Long)].collect().toSeq
+    val lxFacetsDirect = TextAnalysis.facetCountsOf(
+        TextAnalysis.lexPostingsOf(docs)
+          .filter(col("term").isin(TextAnalysis.Bm25Terms: _*))
+          .select("doc_id").distinct(),
+        docs.select("doc_id", "lang", "source"), Seq("lang", "source"))
+      .as[(String, String, Long)].collect().toSeq
+    check("lex_facets", lxFacets == lxFacetsDirect && lxFacets.nonEmpty)
 
     // [r18] media tier (18th stream): the stateless per-batch map through
     // the REAL codecs accumulates to exactly the one-shot batch kernels

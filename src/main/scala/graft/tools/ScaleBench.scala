@@ -61,13 +61,17 @@ object ScaleBench {
     def embsX(k: Int) = amplify(Tables.embeddings(spark, sf), "vec_id", k)
 
     // [r18] fixed-postings corpus growth: k× docs, but every replica other
-    // than the original (pmod(doc_id, k) ≠ 0 after re-keying) has the gate
-    // query terms stripped — their posting lists stay CONSTANT while the
-    // corpus and the rest of the index grow k×
-    def grownDocs(k: Int): DataFrame =
+    // than the original (pmod(doc_id, k) ≠ 0 after re-keying) has ALL the
+    // gate query/phrase terms stripped — their posting lists stay CONSTANT
+    // while the corpus and the rest of the index grow k×. Materialized to
+    // a doc_id-SORTED parquet per factor so point-read cases exercise real
+    // row-group pruning (a derived frame can't push filters below explode).
+    val gateTerms = (graft.operators.TextAnalysis.Bm25Terms ++
+      graft.operators.TextAnalysis.PhraseTerms).distinct
+    def grownDocsFrame(k: Int): DataFrame =
       if (k == 1) Tables.documents(spark, sf)
       else {
-        val strip = graft.operators.TextAnalysis.Bm25Terms
+        val strip = gateTerms
           .foldLeft(col("text"))((c, t) => regexp_replace(c, s"\\b$t\\b", ""))
         amplify(Tables.documents(spark, sf), "doc_id", k)
           .withColumn("text",
@@ -77,9 +81,14 @@ object ScaleBench {
     val lexIdxDirs = scala.collection.concurrent.TrieMap[Int, String]()
     def lexIdxDir(k: Int): String = lexIdxDirs.getOrElseUpdate(k, {
       val d = java.nio.file.Files.createTempDirectory(s"sb-lexidx-$k").toString
-      graft.streaming.LexStatsStream.applyBatch(spark, grownDocs(k), 0L, d)
+      grownDocsFrame(k).orderBy("doc_id")
+        .write.mode("overwrite").parquet(s"$d/docs.parquet")
+      graft.streaming.LexStatsStream.applyBatch(spark,
+        spark.read.parquet(s"$d/docs.parquet"), 0L, d)
       d
     })
+    def grownDocs(k: Int): DataFrame =
+      spark.read.parquet(s"${lexIdxDir(k)}/docs.parquet")
     val updIdxDirs = scala.collection.concurrent.TrieMap[Int, String]()
     lazy val scaleProbes: Seq[(Long, Seq[Double])] =
       Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
@@ -546,6 +555,24 @@ object ScaleBench {
       },
       "bm25_scan_serve" -> { k =>
         graft.streaming.LexStatsStream.bm25Topk(spark, lexIdxDir(k), grownDocs(k))
+      },
+      // [r18] phrase serving in the same fixed-postings regime: reads only
+      // the phrase terms' buckets, intersects bounded position sets —
+      // FLAT like the BM25 indexed serve
+      "phrase_serve" -> { k =>
+        graft.streaming.LexStatsStream.phraseMatch(spark, lexIdxDir(k))
+      },
+      // [r18] snippet serving: indexed top-5 ids pushed as an In predicate
+      // over the doc_id-SORTED row store — ≤ k row-group point reads, not
+      // a corpus scan; the index read is flat by the postings argument
+      "snippet_serve" -> { k =>
+        graft.streaming.LexStatsStream.snippets(spark, lexIdxDir(k), grownDocs(k))
+      },
+      // [r18] facet counts: CONSTANT candidate ids (fixed postings)
+      // semi-join the growing-but-narrow (doc_id, lang, source) projection
+      "facet_serve" -> { k =>
+        graft.streaming.LexStatsStream.facetCounts(spark, lexIdxDir(k),
+          grownDocs(k).select("doc_id", "lang", "source"))
       },
       // [r18] ceiling-tombstone live read at volume: index built once per
       // factor (warm pass, cached) over k× vectors with 1/13 of ids

@@ -804,22 +804,13 @@ object PortableOracles {
     val terms = querySets.flatMap(_._2).distinct
     val lcm = Retrieval.rrfLcm(Retrieval.RrfC, Retrieval.HybridL)
     val probeIdsIn = querySets.map(_._1).mkString(", ")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
-    }.mkString(",\n|    ")
-    val dfCols = terms.indices.map(i =>
-      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-      .mkString(", ")
+    val tfCols = graft.operators.TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = graft.operators.TextAnalysis.bm25SqlDfCols(terms.size)
     val tIdx = terms.zipWithIndex.toMap
-    // k1/b interpolated from TextAnalysis's constants (one source of truth
-    // with bm25ScoreExpr — the ADVICE r17 divergence hazard closed)
-    val (k1, b) = (graft.operators.TextAnalysis.Bm25K1,
-      graft.operators.TextAnalysis.Bm25B)
-    def scoreSql(qts: Seq[String]): String = qts.map { t =>
-      val i = tIdx(t)
-      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${k1 + 1.0}) / " +
-      s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
-    }.mkString(" + ")
+    // the ONE shared fragment builder (TextAnalysis) — nothing to drift
+    def scoreSql(qts: Seq[String]): String =
+      qts.map(t => graft.operators.TextAnalysis.bm25SqlScoreTerm(tIdx(t)))
+        .mkString(" + ")
     val lexBranches = querySets.map { case (qid, qts) =>
       s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
     }.mkString("\n|  UNION ALL ")
@@ -875,20 +866,13 @@ object PortableOracles {
     val nums = Retrieval.rrfNumerators(Retrieval.RrfC, L)
     val numsLit = nums.mkString("[", ",", "]")
     val probeIdsIn = querySets.map(_._1).mkString(", ")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
-    }.mkString(",\n|    ")
-    val dfCols = terms.indices.map(i =>
-      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-      .mkString(", ")
+    val tfCols = graft.operators.TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = graft.operators.TextAnalysis.bm25SqlDfCols(terms.size)
     val tIdx = terms.zipWithIndex.toMap
-    val (k1, b) = (graft.operators.TextAnalysis.Bm25K1,
-      graft.operators.TextAnalysis.Bm25B)
-    def scoreSql(qts: Seq[String]): String = qts.map { t =>
-      val i = tIdx(t)
-      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${k1 + 1.0}) / " +
-      s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
-    }.mkString(" + ")
+    // the ONE shared fragment builder (TextAnalysis) — nothing to drift
+    def scoreSql(qts: Seq[String]): String =
+      qts.map(t => graft.operators.TextAnalysis.bm25SqlScoreTerm(tIdx(t)))
+        .mkString(" + ")
     val lexBranches = querySets.map { case (qid, qts) =>
       s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
     }.mkString("\n|  UNION ALL ")

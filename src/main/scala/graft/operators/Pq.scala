@@ -312,7 +312,14 @@ object Pq {
     // to id-level exclusion — exact for plain deletes, conservative for
     // update-tombstones (an offline rebuild holds only live generations;
     // retire stale tombstones via clearTombstones after rebuilding).
-    scope.excludedCeilings.foreach { c =>
+    scope.excludedCeilings.foreach { c0 =>
+      // defensive per-id collapse: the join below is only correct for ONE
+      // ceiling row per id — a per-tombstone frame (an id deleted at
+      // several ceilings) would both duplicate candidate rows and let a
+      // lower-ceiling pairing resurrect a hidden generation (round-18
+      // review finding). The frame is tombstone-sized; the extra agg is
+      // a no-op on already-grouped input.
+      val c = c0.groupBy("vec_id").agg(max("ts_batch").as("ts_batch"))
       out =
         if (out.columns.contains("src_batch"))
           out.join(c, Seq("vec_id"), "left")
@@ -609,13 +616,15 @@ object Pq {
                               anchors: Seq[(Int, Seq[Double])], cb: Codebooks,
                               queries: Seq[(Long, Seq[Double])],
                               k: Int, nprobe: Int, poolMult: Int = 4,
-                              scope: CandidateScope = CandidateScope()): DataFrame = {
+                              scope: CandidateScope = CandidateScope(),
+                              scopeExact: DataFrame => DataFrame = identity): DataFrame = {
     // generation fence: refuse stale codes against a reclustered quantizer
     IndexGen.requireMatch(spark, pqrPath, exactPath)
     val pool = ivfTopKPqResidualRaw(spark, pqrPath, cents, anchors, cb, queries,
         k * poolMult, nprobe, scope)
       .select(col("query_id"), col("cand_id"))
-    Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k, nprobe)
+    Similarity.rerankAgainstExact(spark, exactPath, cents, queries, pool, k,
+      nprobe, scopeExact)
   }
 
   /** Persist the anchor table (clusters × dim tiny rows) — same contract

@@ -370,11 +370,16 @@ object Similarity {
     * value. One exchange on vec_id over the (pruned) read — the same cost
     * class as the dropDuplicates it replaces, but deterministic under
     * re-ingest. */
-  private[graft] def latestIngest(rows: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("src_batch").desc)
-    rows.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  private[graft] def latestIngest(rows: DataFrame): DataFrame =
+    if (!rows.columns.contains("src_batch"))
+      // pre-round-18 layout (no per-row ingest provenance): degrade to the
+      // old arbitrary-among-bit-identical dedup instead of failing the read
+      rows.dropDuplicates("vec_id")
+    else {
+      val w = Window.partitionBy("vec_id").orderBy(col("src_batch").desc)
+      rows.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
   /** Shared ranking tail over an already-joined (query × candidate) frame:
     * self-pair filter, rounded score, NaN guard (zero-norm/all-zero
@@ -486,10 +491,16 @@ object Similarity {
     * storage and one that doesn't.
     */
   def buildIndexQuantized(embeddings: DataFrame, cents: Seq[(Int, Seq[Double])],
-                          path: String): Unit =
+                          path: String, encodedGen: Long = 0L): Unit = {
     quantizedFromAssigned(assign(embeddings, cents))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // int8 codes are cluster-partitioned against a SPECIFIC quantizer
+    // geometry like the PQ tiers — stamp the generation so a recluster
+    // fences this tier too (round-18 review finding: the fence initially
+    // covered only the PQ/residual dirs)
+    IndexGen.setEncodedGen(embeddings.sparkSession, path, encodedGen)
+  }
 
   /** The quantized index row shape from an assigned (full-precision) frame:
     * per-vector int8 max-abs quantization, full vector dropped. Shared by
@@ -579,6 +590,9 @@ object Similarity {
                              k: Int, nprobe: Int, poolMult: Int = 4,
                              scope: Pq.CandidateScope = Pq.CandidateScope()): DataFrame = {
     import spark.implicits._
+    // generation fence: refuse stale int8 codes against a reclustered
+    // quantizer (the same IndexGen contract as the PQ rerank paths)
+    IndexGen.requireMatch(spark, qPath, exactPath)
     // scope applies to the pool stage; the exact rerank restricts to pool
     // ids by construction (the Pq.ivfTopKPqResidualRerank contract)
     val pool = ivfTopKIndexedQuantized(spark, qPath, cents, queries,
@@ -592,15 +606,22 @@ object Similarity {
     * one implementation for every compressed tier's second stage (int8 and
     * PQ; a drifting copy of this tail is how the PQ tier briefly lost the
     * NaN guard). */
+  /** `scopeExact` resolves the pruned exact read BEFORE the pool join —
+    * the live paths pass ceiling exclusion + last-writer resolution here,
+    * or an UPDATED id could rescore with a superseded generation (the
+    * pool correctly elects the new code, but the raw exact dir holds BOTH
+    * generations and an arbitrary-row dedup could keep the old one —
+    * round-18 review finding). */
   private[graft] def rerankAgainstExact(spark: SparkSession, exactPath: String,
       cents: Seq[(Int, Seq[Double])], queries: Seq[(Long, Seq[Double])],
-      pool: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      pool: DataFrame, k: Int, nprobe: Int,
+      scopeExact: DataFrame => DataFrame = identity): DataFrame = {
     import spark.implicits._
     val probed = queries.flatMap { case (_, v) =>
       nearestClustersLocal(v, cents, nprobe)
     }.distinct
-    val exact = spark.read.parquet(exactPath)
-      .filter(col("cluster").isin(probed: _*))
+    val exact = scopeExact(spark.read.parquet(exactPath)
+        .filter(col("cluster").isin(probed: _*)))
       .select(col("vec_id").as("cand_id"), col("v").as("cv"))
     val qdf = queries.toDF("query_id", "qv")
     exact.join(broadcast(pool), Seq("cand_id"))

@@ -797,15 +797,9 @@ object TextAnalysis {
   def snippetExtractSql(terms: Seq[String] = Bm25Terms, k: Int = 5,
                         window: Int = SnippetWindow): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
-    }.mkString(",\n|    ")
-    val dfCols = terms.indices.map(i =>
-      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-      .mkString(", ")
-    val score = terms.indices.map(i =>
-      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${Bm25K1 + 1.0}) / " +
-      s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))").mkString("\n|  + ")
+    val tfCols = bm25SqlTfCols(terms)
+    val dfCols = bm25SqlDfCols(terms.size)
+    val score = terms.indices.map(bm25SqlScoreTerm).mkString("\n|  + ")
     val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -956,17 +950,30 @@ object TextAnalysis {
     * semantics: docs matching no query term are not retrievable. BM25
     * constants interpolated from [[Bm25K1]]/[[Bm25B]] — one source of
     * truth with the Spark-side [[bm25ScoreExpr]]. */
-  private def bm25TopkSqlOf(candidatesOnly: Boolean): String = {
-    val terms = Bm25Terms
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+  /** Shared DuckDB BM25 SQL fragments — ONE definition for every oracle
+    * that replays the lexical score ([[bm25TopkSqlOf]],
+    * [[snippetExtractSql]], the hybrid fusion replicas in
+    * PortableOracles): tf/df column lists over `terms` and the per-term
+    * score expression (k1/b interpolated from the final-val constants).
+    * This round's k1-zeroing hazard had a 4-copy blast radius — now there
+    * is nothing to drift. */
+  private[graft] def bm25SqlTfCols(terms: Seq[String]): String =
+    terms.zipWithIndex.map { case (t, i) =>
       s"CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n|    ")
-    val dfCols = terms.indices.map(i =>
+  private[graft] def bm25SqlDfCols(n: Int): String =
+    (0 until n).map(i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
       .mkString(", ")
-    val score = terms.indices.map(i =>
-      s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${Bm25K1 + 1.0}) / " +
-      s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))").mkString("\n|  + ")
+  private[graft] def bm25SqlScoreTerm(i: Int): String =
+    s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${Bm25K1 + 1.0}) / " +
+    s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))"
+
+  private def bm25TopkSqlOf(candidatesOnly: Boolean): String = {
+    val terms = Bm25Terms
+    val tfCols = bm25SqlTfCols(terms)
+    val dfCols = bm25SqlDfCols(terms.size)
+    val score = terms.indices.map(bm25SqlScoreTerm).mkString("\n|  + ")
     val cand =
       if (candidatesOnly)
         "\nWHERE " + terms.indices.map(i => s"tf$i > 0").mkString(" OR ")

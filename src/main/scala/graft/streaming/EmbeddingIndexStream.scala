@@ -51,7 +51,7 @@ object EmbeddingIndexStream {
     locally {
       val spark = batch.sparkSession
       val gen = graft.operators.IndexGen.quantizerGen(spark, assignedDir)
-      (pqLoaded.map(_._1) ++ pqrLoaded.map(_._1)).foreach(
+      (quantizedDir ++ pqLoaded.map(_._1) ++ pqrLoaded.map(_._1)).foreach(
         graft.operators.IndexGen.requireAppendable(spark, _, gen))
     }
     val assigned = Similarity.assign(batch, cents)
@@ -300,8 +300,14 @@ object EmbeddingIndexStream {
     val path = tombstonesPath(indexDir)
     if (!FsUtils.fs(spark, path).exists(new Path(path))) emptyTombstones(spark)
     else
-      try spark.read.parquet(path).select("vec_id", "ceiling")
-      catch {
+      try {
+        val raw = spark.read.parquet(path)
+        if (raw.columns.contains("ceiling")) raw.select("vec_id", "ceiling")
+        // pre-round-18 tombstone layout (ids only): those tombstones meant
+        // "hide EVERY generation" — ceiling = MaxValue reproduces that
+        // semantics exactly instead of failing the read
+        else raw.select(col("vec_id"), lit(Long.MaxValue).as("ceiling"))
+      } catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
           emptyTombstones(spark)
@@ -313,9 +319,15 @@ object EmbeddingIndexStream {
     * left join against the (small) ceiling set, composed BELOW every
     * per-probe top-k. */
   private def applyCeilings(rows: DataFrame, ceilings: DataFrame): DataFrame =
-    rows.join(ceilings, Seq("vec_id"), "left")
-      .filter(col("ts_batch").isNull || col("src_batch") > col("ts_batch"))
-      .drop("ts_batch")
+    if (!rows.columns.contains("src_batch"))
+      // pre-round-18 index layout (no per-row ingest provenance): degrade
+      // to id-level exclusion — exactly the old semantics, since the only
+      // ceilings such a layout can carry are the MaxValue-degraded ones
+      rows.join(ceilings.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    else
+      rows.join(ceilings, Seq("vec_id"), "left")
+        .filter(col("ts_batch").isNull || col("src_batch") > col("ts_batch"))
+        .drop("ts_batch")
 
   /** The index resolved to its LIVE generation per id, src_batch retained
     * (recluster preserves it through the rewrite). */
@@ -337,7 +349,16 @@ object EmbeddingIndexStream {
   /** Tombstone-aware IVF query against an on-disk exact layout — the
     * [[graft.operators.Similarity.ivfTopKIndexedVectors]] shape with the
     * ceiling exclusion + last-writer resolution composed below the
-    * per-probe top-k (so k fills from live generations only). */
+    * per-probe top-k (so k fills from live generations only).
+    *
+    * Resolution scope: last-writer-wins runs over the PRUNED candidate
+    * read — for the SUPPORTED update path (ceiling tombstone + re-insert)
+    * that is exact (the hidden generation is excluded wherever it lives),
+    * but an UN-tombstoned same-id re-append whose generations landed in
+    * different clusters resolves per probed list (a probe reaching only
+    * the old generation's cluster serves it). Use the update verb
+    * ([[syncWithCorpus]] / tombstone-then-append); bare re-appends get
+    * best-effort resolution only. */
   def ivfTopKIndexedLive(spark: SparkSession, indexDir: String,
                          cents: Seq[(Int, Seq[Double])],
                          queries: Seq[(Long, Seq[Double])],
@@ -444,8 +465,9 @@ object EmbeddingIndexStream {
     * round-16 lifecycle gap). Each dir keeps its own `.tombstones/` so its
     * own [[compactIndex]] purge stays self-contained. */
   def tombstoneTiers(spark: SparkSession, ids: DataFrame, batchId: Long,
-                     indexDirs: Seq[String]): Unit =
-    indexDirs.foreach(tombstone(spark, ids, batchId, _))
+                     indexDirs: Seq[String],
+                     ceiling: Option[Long] = None): Unit =
+    indexDirs.foreach(tombstone(spark, ids, batchId, _, ceiling))
 
   /** Tombstone-aware RESIDUAL-PQ retrieval — [[ivfTopKIndexedLive]]'s twin
     * through the quantized tier: the pool read applies the pqr dir's
@@ -460,12 +482,19 @@ object EmbeddingIndexStream {
                             cb: graft.operators.Pq.Codebooks,
                             queries: Seq[(Long, Seq[Double])],
                             k: Int, nprobe: Int, poolMult: Int = 4): DataFrame =
-    // generation fence rides the rerank entry point (Pq.requireMatch)
+    // generation fence rides the rerank entry point (Pq.requireMatch).
+    // scopeExact: the EXACT side must resolve ceilings + last-writer too —
+    // after an in-place update the raw exact dir holds BOTH generations of
+    // an id, and rescoring the pool's (new-generation) candidate against
+    // an arbitrary exact row could use the superseded vector (round-18
+    // review finding; IndexDeleteSpec pins the updated two-stage read)
     graft.operators.Pq.ivfTopKPqResidualRerank(spark, pqrDir, exactDir, cents,
       anchors, cb, queries, k, nprobe, poolMult,
       scope = graft.operators.Pq.CandidateScope(
         excludedCeilings = Some(tombstoneCeilings(spark, pqrDir)),
-        dedupIds = true))
+        dedupIds = true),
+      scopeExact = df => Similarity.latestIngest(
+        applyCeilings(df, tombstoneCeilings(spark, exactDir))))
 
   /** One-call corpus→index synchronization — the production loop that ties
     * [[graft.operators.Evolution.snapshotDiff]] to the index lifecycle,

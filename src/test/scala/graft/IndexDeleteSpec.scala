@@ -195,6 +195,43 @@ class IndexDeleteSpec extends AnyFunSuite with SparkSuite {
     assert(asof == v1, "pre-update as-of view does not serve the original vectors")
   }
 
+  test("in-place update through the residual tier: pool AND exact rerank serve the new generation") {
+    import graft.operators.Pq
+    val base = Files.createTempDirectory("graft-upd-pqr").toString
+    val exDir = s"$base/exact"; val pqrDir = s"$base/pqr"
+    val (anchors, rcb) = Pq.trainedResidualModel(embs, cents, "upd-spec-res")
+    EmbeddingIndexStream.applyBatch(embs, 0L, cents, exDir,
+      pqrLoaded = Some((pqrDir, anchors, rcb)))
+    // update ids %13==0: new (reversed) vectors appended at batch 1 through
+    // BOTH tiers + ceiling-0 tombstones across BOTH tier dirs
+    val newVecs = embs.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    EmbeddingIndexStream.applyBatch(newVecs, 1L, cents, exDir,
+      pqrLoaded = Some((pqrDir, anchors, rcb)))
+    EmbeddingIndexStream.tombstoneTiers(spark, newVecs.select("vec_id"), 1L,
+      Seq(exDir, pqrDir), ceiling = Some(0L))
+    // exhaustive probes + corpus-sized pool: the two-stage live read must
+    // equal brute force over the UPDATED corpus — the rerank stage scoring
+    // an updated id against its SUPERSEDED exact row would break this
+    // (the round-18 review finding the scopeExact resolution closes)
+    val got = EmbeddingIndexStream.ivfTopKPqResidualLive(spark, pqrDir,
+        exDir, cents, anchors, rcb, probes, k = 5, nprobe = cents.size,
+        poolMult = 120)
+      .as[(Long, Long, Double)].collect().toSet
+    val v2 = embs.select(col("vec_id"),
+      when(col("vec_id") % 13 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    val brute = graft.operators.Similarity.bruteForceTopK(v2, probes.map(_._1), 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // probes carry their v1 vectors (the gate contract) while brute force
+    // reads probe vectors from v2 — restrict to probes whose own vector is
+    // unchanged so both sides query identically
+    val unchanged = probes.map(_._1).filter(_ % 13 != 0).toSet
+    assert(got.filter(r => unchanged(r._1)) == brute.filter(r => unchanged(r._1)),
+      "two-stage live read diverges from brute force over the updated corpus")
+    assert(unchanged.nonEmpty)
+  }
+
   test("pipeline story: corpus-evolution removed docs drive index forgetting") {
     val idx = tmp()
     streamIn(idx)

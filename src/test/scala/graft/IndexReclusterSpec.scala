@@ -156,6 +156,38 @@ class IndexReclusterSpec extends AnyFunSuite with SparkSuite {
     assert(healed == brute)
   }
 
+  test("generation fence covers the int8 tier: rerank refuses, append refuses, rebuild heals") {
+    import graft.operators.{IndexGen, Similarity => Sim}
+    val base = Files.createTempDirectory("graft-genfence-q").toString
+    val exDir = s"$base/exact"; val qDir = s"$base/int8"
+    EmbeddingIndexStream.applyBatch(embs, 0L, cents0, exDir,
+      quantizedDir = Some(qDir))
+    val before = Sim.ivfTopKQuantizedRerank(spark, qDir, exDir, cents0,
+      probes, k = 3, nprobe = cents0.size, poolMult = 40).collect()
+    assert(before.length == probes.size * 3)
+    val newCents = EmbeddingIndexStream.reclusterIndex(spark, exDir, cents0)
+    val eRead = intercept[IllegalArgumentException] {
+      Sim.ivfTopKQuantizedRerank(spark, qDir, exDir, newCents,
+        probes, k = 3, nprobe = newCents.size, poolMult = 40)
+    }
+    assert(eRead.getMessage.contains("generation"))
+    val eAppend = intercept[IllegalArgumentException] {
+      EmbeddingIndexStream.applyBatch(embs.limit(5), 1L, newCents, exDir,
+        quantizedDir = Some(qDir))
+    }
+    assert(eAppend.getMessage.contains("generation"))
+    // offline rebuild at the new generation heals; exhaustive probes +
+    // ample pool give exact-rerank equality with brute force
+    Sim.buildIndexQuantized(embs, newCents, qDir,
+      encodedGen = IndexGen.quantizerGen(spark, exDir))
+    val healed = Sim.ivfTopKQuantizedRerank(spark, qDir, exDir, newCents,
+        probes, k = 3, nprobe = newCents.size, poolMult = 120)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Sim.bruteForceTopK(embs, probes.map(_._1), 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(healed == brute)
+  }
+
   test("crash recovery: a marked recluster tmp with no index dir completes the swap") {
     val idx = tmp()
     EmbeddingIndexStream.applyBatch(embs, 0L, cents0, idx)

@@ -464,6 +464,33 @@ object PortableOracles {
        |  SELECT 'live' AS view, * FROM live UNION ALL SELECT 'asof0' AS view, * FROM asofv)
        |ORDER BY view, query_id, sim DESC, cand_id""".stripMargin
 
+  /** `ann_ivf_topk_updated_pqr`: the LIVE half of [[annIvfTopkUpdatedSql]]
+    * standalone — the in-place update composed with the RESIDUAL tier
+    * (pool from ceiling-scoped codes, exact rerank against the
+    * ceiling-resolved exact dir restores exact scores, so the exact-IVF
+    * replica over the UPDATED candidate set applies verbatim — the same
+    * containment contract as the other scoped rerank rows). */
+  val annIvfTopkUpdatedPqrSql: String =
+    s"""WITH $ivfAssignCtes,
+       |v2 AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0 THEN list_reverse(v) ELSE v END AS v FROM e),
+       |d2 AS (SELECT v2.vec_id, v2.v, cent.cluster,
+       |         list_sum(list_transform(range(1, 65), k -> (v2.v[k] - c[k]) * (v2.v[k] - c[k]))) AS d
+       |       FROM v2 CROSS JOIN cent),
+       |assign2 AS (SELECT vec_id, v, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM d2) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 3)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    (ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) + 0.0) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign2 a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) t
+       |WHERE rn <= 3 ORDER BY query_id, sim DESC, cand_id""".stripMargin
+
   /** Reclustered-index replica (`ann_ivf_topk_reclustered`): TWO
     * deterministic Lloyd iterations over the full live set, seeded from
     * the per-label means — exactly

@@ -62,7 +62,7 @@ object SparkEntry {
     "ann_ivf_topk_pqr", "ann_ivf_topk_filtered", "ann_ivf_topk_live",
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
     "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
-    "ann_ivf_topk_reclustered",
+    "ann_ivf_topk_reclustered", "ann_ivf_topk_updated_pqr",
     "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
     "bm25_topk_indexed", "phrase_match", "snippet_extract", "facet_counts",
     "mmr_rerank", "retrieval_eval",
@@ -622,6 +622,35 @@ object SparkEntry {
         .select("view", "query_id", "cand_id", "sim")
         .orderBy(col("view"), col("query_id"), col("sim").desc, col("cand_id"))
     }),
+    // [r18] the in-place update COMPOSED with the residual tier — the
+    // review-found rerank hazard gate-verified end-to-end: both
+    // generations of an updated id live in the exact dir, and the rerank
+    // stage must resolve ceilings + last-writer (scopeExact) or it could
+    // rescore the pool's new-generation candidate with the superseded
+    // vector. Oracle: the exact-IVF replica over the UPDATED candidate
+    // set (the rerank restores exact scores by containment).
+    "ann_ivf_topk_updated_pqr" -> ((s: SparkSession, d: String) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedCentroids(e, d)
+      val (anchors, rcb) = Pq.trainedResidualModel(e, cents, d)
+      val base = "/tmp/graft-ivf-updpqr/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val exDir = s"$base/exact"; val pqrDir = s"$base/pqr"
+      val newVecs = e.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      Similarity.ensureBuilt(base) {
+        streaming.EmbeddingIndexStream.applyBatch(
+          e.select(col("vec_id"), col("embedding")), 0L, cents, exDir,
+          pqrLoaded = Some((pqrDir, anchors, rcb)))
+        streaming.EmbeddingIndexStream.applyBatch(newVecs, 1L, cents, exDir,
+          pqrLoaded = Some((pqrDir, anchors, rcb)))
+        streaming.EmbeddingIndexStream.tombstoneTiers(s,
+          newVecs.select("vec_id"), 1L, Seq(exDir, pqrDir),
+          ceiling = Some(0L))
+      }
+      streaming.EmbeddingIndexStream.ivfTopKPqResidualLive(s, pqrDir, exDir,
+          cents, anchors, rcb, gateProbes(e), k = 3, nprobe = 3, poolMult = 40)
+        .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    }),
     // [r18] the RECLUSTER lifecycle verb oracle-gated (previously
     // spec-only): stream the corpus in, retrain the quantizer on the live
     // set (two deterministic Lloyd iterations seeded from the serving
@@ -1122,6 +1151,7 @@ object SparkEntry {
     "ann_ivf_topk_asof" -> PortableOracles.annIvfTopkAsofSql,
     "ann_ivf_topk_synced" -> PortableOracles.annIvfTopkSyncedSql,
     "ann_ivf_topk_updated" -> PortableOracles.annIvfTopkUpdatedSql,
+    "ann_ivf_topk_updated_pqr" -> PortableOracles.annIvfTopkUpdatedPqrSql,
     "ann_ivf_topk_reclustered" -> PortableOracles.annIvfTopkReclusteredSql,
     "ann_ivf_topk_quantized" -> PortableOracles.annIvfTopkQuantizedSql,
     "ann_ivf_topk_indexed" -> PortableOracles.annIvfTopkSql,

@@ -64,7 +64,8 @@ object SparkEntry {
     "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
     "ann_ivf_topk_reclustered", "ann_ivf_topk_updated_pqr",
     "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
-    "bm25_topk_indexed", "phrase_match", "snippet_extract", "facet_counts",
+    "bm25_topk_indexed", "phrase_match", "proximity_match",
+    "snippet_extract", "facet_counts",
     "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -852,6 +853,13 @@ object SparkEntry {
     "phrase_match" -> ((s: SparkSession, d: String) => {
       streaming.LexStatsStream.phraseMatch(s, lexIndexBuilt(s, d))
     }),
+    // [r18] proximity (NEAR/3) query over the positional postings: docs
+    // where the two terms occur within 3 tokens of each other, with the
+    // minimum observed distance — nested position-pair mins over the two
+    // terms' bucket-pruned postings, never the text. Exact integers.
+    "proximity_match" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.proximityMatch(s, lexIndexBuilt(s, d))
+    }),
     // [r18] search-result SNIPPETS: the indexed BM25 top-5 chooses the
     // ids (postings only), then exactly those 5 rows are read from the
     // row store and the earliest window of 16 tokens maximizing
@@ -1180,6 +1188,7 @@ object SparkEntry {
     "bm25_topk_served" -> TextAnalysis.bm25TopkSql,
     "bm25_topk_indexed" -> TextAnalysis.bm25TopkIndexedSql,
     "phrase_match" -> TextAnalysis.phraseMatchSql(),
+    "proximity_match" -> TextAnalysis.proximityMatchSql(),
     "snippet_extract" -> TextAnalysis.snippetExtractSql(),
     "facet_counts" -> TextAnalysis.facetCountsSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,

@@ -753,6 +753,44 @@ object TextAnalysis {
   /** The phrase-match gate parameters (present at every gate SF). */
   val PhraseTerms: Seq[String] = Seq("data", "query")
 
+  /** Proximity (NEAR/k) gate distance. */
+  final val ProximityDist = 3
+
+  /** Proximity match over POSITIONAL postings — NEAR/k: docs where the two
+    * terms occur within `maxDist` tokens of each other (unordered), with
+    * the minimum observed distance. min over the position-pair distances
+    * via nested HOFs — O(|posA|·|posB|) per doc, both bounded by per-doc
+    * term frequency; reads only the two terms' postings. Exact integers. */
+  def proximityMatchOf(postingsPos: DataFrame, termA: String, termB: String,
+                       maxDist: Int = ProximityDist): DataFrame = {
+    val a = postingsPos.filter(col("term") === termA)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = postingsPos.filter(col("term") === termB)
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_min(transform(col("pa"),
+          p => array_min(transform(col("pb"), q => abs(p - q)))))
+          .cast("long").as("min_dist"))
+      .filter(col("min_dist") <= maxDist)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[proximityMatchOf]] — direct token-level positions,
+    * the same nested min. */
+  def proximityMatchSql(termA: String = PhraseTerms(0),
+                        termB: String = PhraseTerms(1),
+                        maxDist: Int = ProximityDist): String =
+    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+       |hp AS (SELECT doc_id,
+       |  LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] = '$termA') AS pa,
+       |  LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] = '$termB') AS pb FROM t),
+       |m AS (SELECT doc_id,
+       |  list_min(list_transform(pa, a -> list_min(list_transform(pb, b -> abs(a - b))))) AS min_dist
+       |  FROM hp WHERE LEN(pa) > 0 AND LEN(pb) > 0)
+       |SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
+       |FROM m WHERE min_dist <= $maxDist ORDER BY doc_id""".stripMargin
+
   /** Snippet gate window width (tokens). */
   final val SnippetWindow = 16
 

@@ -165,6 +165,16 @@ object LexStatsStream {
     TextAnalysis.phraseMatchOf(
       currentPostingsWithPositions(spark, stateDir, phrase), phrase)
 
+  /** Proximity (NEAR/k) query served from the positional postings — no
+    * corpus access; reads only the two terms' buckets. */
+  def proximityMatch(spark: SparkSession, stateDir: String,
+                     termA: String = TextAnalysis.PhraseTerms(0),
+                     termB: String = TextAnalysis.PhraseTerms(1),
+                     maxDist: Int = TextAnalysis.ProximityDist): DataFrame =
+    TextAnalysis.proximityMatchOf(
+      currentPostingsWithPositions(spark, stateDir, Seq(termA, termB)),
+      termA, termB, maxDist)
+
   /** Search-result SNIPPETS served off the index: the indexed BM25 top-k
     * chooses the ids (postings only), then ONLY those k rows are read from
     * the row store for the best-window extraction — the serving shape

@@ -234,6 +234,30 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     assert(indexed == direct && indexed.nonEmpty)
   }
 
+  test("proximity (NEAR/k) equals a direct text scan; phrase implies proximity") {
+    val state = tmp()
+    foldAll(state)
+    val (ta, tb) = (TextAnalysis.PhraseTerms(0), TextAnalysis.PhraseTerms(1))
+    val indexed = LexStatsStream.proximityMatch(spark, state)
+      .as[(Long, Long)].collect().toMap
+    val direct = docs.select($"doc_id", split($"text", " ", -1).as("toks"))
+      .as[(Long, Seq[String])].collect()
+      .flatMap { case (id, toks) =>
+        val pa = toks.indices.filter(toks(_) == ta)
+        val pb = toks.indices.filter(toks(_) == tb)
+        if (pa.isEmpty || pb.isEmpty) None
+        else {
+          val d = (for (a <- pa; b <- pb) yield math.abs(a - b)).min.toLong
+          if (d <= TextAnalysis.ProximityDist) Some(id -> d) else None
+        }
+      }.toMap
+    assert(indexed == direct && indexed.nonEmpty)
+    // every phrase match (adjacent, ordered) is a proximity match at dist 1
+    val phraseIds = LexStatsStream.phraseMatch(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(phraseIds.forall(id => indexed.get(id).contains(1L)))
+  }
+
   test("phrase with a term absent from the corpus matches nothing") {
     val state = tmp()
     foldAll(state)

@@ -218,6 +218,20 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("snippet row reads are PushedFilters point lookups, not a corpus join") {
+    val state = tmp()
+    foldAll(state)
+    val plan = LexStatsStream.snippets(spark, state, docs)
+      .queryExecution.executedPlan.toString
+    // the ≤ k collected ids must reach the row-store scan as an In
+    // predicate (row-group pruning on a sorted layout) — the scaladoc's
+    // "point lookup" claim as a plan assertion
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"),
+      s"expected an In(doc_id, ...) pushed filter in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "snippet row reads must not shuffle-join the corpus")
+  }
+
   test("facet counts off the postings equal a direct candidate scan") {
     val state = tmp()
     foldAll(state)

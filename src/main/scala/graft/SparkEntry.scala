@@ -66,7 +66,8 @@ object SparkEntry {
     "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
     "bm25_topk_indexed", "phrase_match", "proximity_match",
     "snippet_extract", "facet_counts",
-    "mmr_rerank", "retrieval_eval",
+    "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
+    "snippet_extract_live", "facet_counts_live", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -876,6 +877,44 @@ object SparkEntry {
       streaming.LexStatsStream.facetCounts(s, lexIndexBuilt(s, d),
         Tables.documents(s, d).select("doc_id", "lang", "source"))
     }),
+    // [r19] the lexical DELETE/UPDATE lifecycle (VERDICT r18 item 1): v1 =
+    // the whole corpus (batch 0); v2 REMOVES doc_id%10==3 and EDITS
+    // doc_id%13==0 (two query terms appended — tf, df AND dl all shift);
+    // syncLexCorpus diffs the snapshots under ONE maintenance batch
+    // (negative stat addends from the old text + ceiling tombstones +
+    // same-batch re-ingest), then BOTH logs COMPACT — the physical purge
+    // and the correction fold are inside the gate. The indexed read over
+    // the maintained state must equal a one-shot BM25 over the live
+    // corpus, which is what the oracle replays over the v2 CTE.
+    "bm25_topk_indexed_live" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.bm25TopkIndexed(s, lexLiveIndexBuilt(s, d))
+    }),
+    // [r19] phrase serving over the LIVE positional postings: a deleted
+    // doc's phrase occurrences disappear, an edited doc's postings come
+    // from its new generation only (no tf doubling). Oracle: the
+    // first-principles token scan over the v2 corpus.
+    "phrase_match_live" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.phraseMatch(s, lexLiveIndexBuilt(s, d))
+    }),
+    // [r19] proximity (NEAR/3) over the live positional postings — same
+    // lifecycle, same first-principles v2 oracle.
+    "proximity_match_live" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.proximityMatch(s, lexLiveIndexBuilt(s, d))
+    }),
+    // [r19] snippets over the live set: the live indexed top-5 chooses the
+    // ids, the point reads hit the LIVE row store (v2 text — an edited
+    // doc's snippet must come from its new text).
+    "snippet_extract_live" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.snippets(s, lexLiveIndexBuilt(s, d),
+        TextAnalysis.lexLiveV2Of(Tables.documents(s, d)).select("doc_id", "text"))
+    }),
+    // [r19] facet counts over the live candidate set: deleted docs leave
+    // their facet buckets, edited docs stay (dims unchanged).
+    "facet_counts_live" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.facetCounts(s, lexLiveIndexBuilt(s, d),
+        TextAnalysis.lexLiveV2Of(Tables.documents(s, d))
+          .select("doc_id", "lang", "source"))
+    }),
     // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
     // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
     // probe vector ids), fused with Reciprocal Rank Fusion — the production
@@ -1108,6 +1147,26 @@ object SparkEntry {
     statsPath
   }
 
+  /** Build-once maintained lexical index carried through the full
+    * DELETE/UPDATE lifecycle (round 19): ingest v1, sync to the
+    * deterministic v2 fixture ([[TextAnalysis.lexLiveV2Of]] — removes +
+    * edits under one maintenance batch), then compact BOTH logs so the
+    * gate serves off purged postings and folded correction stats. Shared
+    * by the five `*_live` lexical gate rows. */
+  private def lexLiveIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexlive/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      streaming.LexStatsStream.applyBatch(s, docs, 0L, path)
+      streaming.LexStatsStream.syncLexCorpus(s, path, docs,
+        TextAnalysis.lexLiveV2Of(docs), 1L)
+      streaming.LexStatsStream.compactState(s, path)
+    }
+    path
+  }
+
   private def gateProbes(e: DataFrame): Seq[(Long, Seq[Double])] = {
     val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
     e.filter(col("vec_id").isin(probeIds: _*))
@@ -1191,6 +1250,18 @@ object SparkEntry {
     "proximity_match" -> TextAnalysis.proximityMatchSql(),
     "snippet_extract" -> TextAnalysis.snippetExtractSql(),
     "facet_counts" -> TextAnalysis.facetCountsSql(),
+    // [r19] the live-lifecycle rows replay the SAME chains over the v2 CTE
+    // (the deterministic remove+edit fixture) — the oracle never sees the
+    // index, only the corpus the index claims to serve
+    "bm25_topk_indexed_live" -> TextAnalysis.bm25TopkIndexedLiveSql,
+    "phrase_match_live" -> TextAnalysis.phraseMatchSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
+    "proximity_match_live" -> TextAnalysis.proximityMatchSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
+    "snippet_extract_live" -> TextAnalysis.snippetExtractSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
+    "facet_counts_live" -> TextAnalysis.facetCountsSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "retrieval_eval_live" -> PortableOracles.retrievalEvalLiveSql,

@@ -780,8 +780,10 @@ object TextAnalysis {
     * the same nested min. */
   def proximityMatchSql(termA: String = PhraseTerms(0),
                         termB: String = PhraseTerms(1),
-                        maxDist: Int = ProximityDist): String =
-    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+                        maxDist: Int = ProximityDist,
+                        docsRel: String = "documents",
+                        prelude: String = ""): String =
+    s"""WITH ${prelude}t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM $docsRel),
        |hp AS (SELECT doc_id,
        |  LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] = '$termA') AS pa,
        |  LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] = '$termB') AS pb FROM t),
@@ -833,24 +835,26 @@ object TextAnalysis {
     * (identical to bm25TopkIndexedSql's) feeding the same earliest-argmax
     * window scan — exact integer hit counts, snippet by list slice. */
   def snippetExtractSql(terms: Seq[String] = Bm25Terms, k: Int = 5,
-                        window: Int = SnippetWindow): String = {
+                        window: Int = SnippetWindow,
+                        docsRel: String = "documents",
+                        prelude: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val tfCols = bm25SqlTfCols(terms)
     val dfCols = bm25SqlDfCols(terms.size)
     val score = terms.indices.map(bm25SqlScoreTerm).mkString("\n|  + ")
     val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-    s"""WITH t AS (
+    s"""WITH ${prelude}t AS (
        |  SELECT doc_id,
        |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
        |    $tfCols
-       |  FROM documents),
+       |  FROM $docsRel),
        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t),
        |top AS (SELECT doc_id FROM (
        |  SELECT doc_id, ROUND(
        |    $score, 4) AS bm25
        |  FROM t, s WHERE $cand ORDER BY bm25 DESC, doc_id LIMIT $k)),
        |tok AS (SELECT d.doc_id, STR_SPLIT(d.text, ' ') AS toks
-       |        FROM documents d JOIN top USING (doc_id)),
+       |        FROM $docsRel d JOIN top USING (doc_id)),
        |hp AS (SELECT doc_id, toks,
        |  LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] IN ($inList)) AS hits,
        |  GREATEST(LEN(toks) - $window, 0) AS maxs FROM tok),
@@ -882,21 +886,29 @@ object TextAnalysis {
   /** DuckDB mirror of the facet gate row: first-principles candidate set
     * (token scan) grouped by the same facets. */
   def facetCountsSql(terms: Seq[String] = Bm25Terms,
-                     facets: Seq[String] = Seq("lang", "source")): String = {
+                     facets: Seq[String] = Seq("lang", "source"),
+                     docsRel: String = "documents",
+                     prelude: String = ""): String = {
     val cand = terms.map(t =>
       s"LIST_CONTAINS(STR_SPLIT(text, ' '), '$t')").mkString(" OR ")
     val f = facets.mkString(", ")
-    s"""SELECT $f, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    // prelude ends with a trailing comma (built to precede another CTE);
+    // here it is the only CTE, so strip it
+    val cte =
+      if (prelude.isEmpty) "" else s"WITH ${prelude.trim.stripSuffix(",")}\n"
+    s"""${cte}SELECT $f, CAST(COUNT(*) AS BIGINT) AS n_docs FROM $docsRel
        |WHERE $cand GROUP BY $f ORDER BY $f""".stripMargin
   }
 
   /** DuckDB mirror of [[phraseMatchOf]] — a direct token-level scan (the
     * truth an index-free engine computes), so the gate verifies the
     * positional index against first principles. */
-  def phraseMatchSql(phrase: Seq[String] = PhraseTerms): String = {
+  def phraseMatchSql(phrase: Seq[String] = PhraseTerms,
+                     docsRel: String = "documents",
+                     prelude: String = ""): String = {
     val cond = phrase.zipWithIndex
       .map { case (t, i) => s"toks[i+$i] = '$t'" }.mkString(" AND ")
-    s"""WITH t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+    s"""WITH ${prelude}t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM $docsRel),
        |m AS (SELECT doc_id,
        |  LEN(LIST_FILTER(range(1, LEN(toks) - ${phrase.size - 2}), i -> $cond)) AS n_matches
        |FROM t)
@@ -1007,7 +1019,9 @@ object TextAnalysis {
     s"LN((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${Bm25K1 + 1.0}) / " +
     s"(tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))"
 
-  private def bm25TopkSqlOf(candidatesOnly: Boolean): String = {
+  private def bm25TopkSqlOf(candidatesOnly: Boolean,
+                            docsRel: String = "documents",
+                            prelude: String = ""): String = {
     val terms = Bm25Terms
     val tfCols = bm25SqlTfCols(terms)
     val dfCols = bm25SqlDfCols(terms.size)
@@ -1016,11 +1030,11 @@ object TextAnalysis {
       if (candidatesOnly)
         "\nWHERE " + terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
       else ""
-    s"""WITH t AS (
+    s"""WITH ${prelude}t AS (
        |  SELECT doc_id,
        |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
        |    $tfCols
-       |  FROM documents),
+       |  FROM $docsRel),
        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t)
        |SELECT doc_id, ROUND(
        |    $score, 4) AS bm25
@@ -1032,6 +1046,38 @@ object TextAnalysis {
   /** [[bm25TopkIndexed]]'s mirror — the same scoring chain restricted to
     * docs matching ≥ 1 query term (what an inverted-index read can see). */
   val bm25TopkIndexedSql: String = bm25TopkSqlOf(candidatesOnly = true)
+
+  // --- the LIVE-corpus gate fixture (round 19) --------------------------------
+
+  /** The deterministic churned corpus the lexical-lifecycle gate rows serve:
+    * v1 = `documents`; v2 REMOVES doc_id % 10 == 3 and EDITS doc_id % 13 ==
+    * 0 (two query terms appended, so both BM25 tf and dl shift). One
+    * definition feeds the Spark fixture ([[lexLiveV2Of]]) and every live
+    * oracle's CTE — the SQL is the Spark expression transcribed. */
+  final val LexLiveRemoveMod = 10
+  final val LexLiveRemoveRes = 3
+  final val LexLiveEditMod = 13
+  final val LexLiveEditSuffix = " vector dup"
+
+  /** v2 of a (doc_id, text, …) documents frame — columns preserved. */
+  def lexLiveV2Of(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % LexLiveRemoveMod =!= LexLiveRemoveRes)
+      .withColumn("text",
+        when(col("doc_id") % LexLiveEditMod === 0,
+          concat(col("text"), lit(LexLiveEditSuffix)))
+          .otherwise(col("text")))
+
+  /** The v2 CTE every live oracle prepends (trailing comma included). */
+  val lexLiveV2Cte: String =
+    s"""v2 AS (SELECT doc_id,
+       |  CASE WHEN doc_id % $LexLiveEditMod = 0 THEN text || '$LexLiveEditSuffix'
+       |       ELSE text END AS text, lang, source
+       |  FROM documents WHERE doc_id % $LexLiveRemoveMod <> $LexLiveRemoveRes),
+       |""".stripMargin
+
+  /** [[bm25TopkIndexedSql]] over the live (v2) corpus. */
+  def bm25TopkIndexedLiveSql: String =
+    bm25TopkSqlOf(candidatesOnly = true, docsRel = "v2", prelude = lexLiveV2Cte)
 
   // --- TF-IDF top-k terms per document (round 14) ------------------------------
 

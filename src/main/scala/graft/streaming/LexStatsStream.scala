@@ -1,8 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.FsUtils
 import graft.operators.TextAnalysis
 
 /** Maintained lexical index — the inverted-index half of the retrieval
@@ -41,6 +43,13 @@ import graft.operators.TextAnalysis
   * commit renames. Auto-compaction bounds both logs' dir counts; the
   * stats fold re-sums per term and the postings fold rewrites one file
   * per bucket — the standard segment-merge of a lexical index.
+  *
+  * Round 19: the index is no longer append-only — [[deleteDocs]] /
+  * [[syncLexCorpus]] give it the delete/update lifecycle the vector index
+  * grew in r16–18 (ceiling tombstones on postings, negative-addend
+  * correction batches on stats; see the deletes section below), so the
+  * whole serving ladder — ranked BM25, phrase, proximity, snippets,
+  * facets — reads the LIVE corpus.
   */
 object LexStatsStream {
 
@@ -58,7 +67,7 @@ object LexStatsStream {
     spark.range(0).select(col("id").cast("string").as("term"),
       col("id").as("doc_id"), col("id").as("tf"), col("id").as("dl"),
       array().cast("array<int>").as("positions"),
-      col("id").cast("int").as("pbucket"))
+      col("id").cast("int").as("pbucket"), col("id").as("src_batch"))
 
   /** Accumulated stat rows summed per term — for the union of all folded
     * batches, bit-identical to `TextAnalysis.lexStatsOf` over that union.
@@ -87,9 +96,14 @@ object LexStatsStream {
   private def readPostings(spark: SparkSession, stateDir: String,
                            terms: Seq[String], cols: Seq[String]): DataFrame = {
     val buckets = terms.map(TextAnalysis.termBucket).distinct
-    postLog(spark, stateDir)
-      .read(cols, emptyPostings(spark).select(cols.map(col): _*))
+    val raw = postLog(spark, stateDir).readAll(emptyPostings(spark))
       .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    // tombstone exclusion BELOW everything the serving ladder builds on the
+    // read: a deleted doc's postings (or an updated doc's superseded
+    // generation) are gone the moment the tombstone batch commits, and the
+    // exclusion join runs over the already-bucket-pruned candidate rows
+    applyDocCeilings(raw, docTombstoneCeilings(spark, stateDir))
+      .select(cols.map(col): _*)
       .drop("pbucket")
   }
 
@@ -111,8 +125,15 @@ object LexStatsStream {
       lg.maybeAutoCompact(autoCompactBatches)(compactStats(spark, stateDir))
     }
     if (postsNew) {
+      // src_batch: per-ROW ingest provenance as a data column (round 19) —
+      // the `batch=` partition key carries it only until compactPostings
+      // folds dirs into `batch=-1`; the data column survives the fold,
+      // which is what batch-CEILING doc tombstones resolve against (update
+      // = tombstone at ceiling batch−1 + same-batch re-ingest). A constant
+      // column RLE-compresses to nothing.
       pg.commitBatch(
-        TextAnalysis.lexPostingsOf(batch).repartition(col("pbucket")),
+        TextAnalysis.lexPostingsOf(batch).withColumn("src_batch", lit(batchId))
+          .repartition(col("pbucket")),
         batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
       pg.maybeAutoCompact(autoCompactBatches)(compactPostings(spark, stateDir))
     }
@@ -121,25 +142,266 @@ object LexStatsStream {
 
   /** Fold the stats batch dirs into one `batch=-1` dir with exact summed
     * stats — the non-idempotent [[StateLog.compact]] discipline
-    * (watermark first). */
+    * (watermark first). Terms whose df cancelled to zero (every containing
+    * doc deleted — the negative correction batches of [[deleteDocs]] /
+    * [[syncLexCorpus]]) are dropped at fold: they contribute nothing to any
+    * read, and keeping them would grow the stats table with the corpus's
+    * whole historical vocabulary. */
   def compactStats(spark: SparkSession, stateDir: String): Unit =
     log(spark, stateDir).compact(
       _.groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
-        sum("nd").as("nd")))
+          sum("nd").as("nd"))
+        .filter(col("df") =!= 0L || col("dl") =!= 0L || col("nd") =!= 0L))
 
   /** Fold the posting batch dirs into one `batch=-1` dir, one file per
     * bucket (the union is lossless — disjoint doc batches — but the fold
     * still watermarks: a replay of a folded batch would re-UNION its
-    * rows and double tf at read). */
-  def compactPostings(spark: SparkSession, stateDir: String): Unit =
+    * rows and double tf at read). The fold PURGES tombstone-hidden
+    * generations physically (surviving rows keep src_batch, so ceilings
+    * stay resolvable after the per-batch dirs are gone); the tombstone
+    * dirs themselves stay armed — the stats log may still hold un-folded
+    * correction batches, and readers pay a no-op join in the meantime.
+    * Retire via [[clearDocTombstones]] in the maintenance window. */
+  def compactPostings(spark: SparkSession, stateDir: String): Unit = {
+    val ceilings = docTombstoneCeilings(spark, stateDir)
     postLog(spark, stateDir).compact(
-      _.drop("batch").repartition(col("pbucket")),
+      raw => applyDocCeilings(raw.drop("batch"), ceilings)
+        .repartition(col("pbucket")),
       coalesce1 = false, partitionByCols = Seq("pbucket"))
+  }
 
   /** Fold both logs. */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     compactStats(spark, stateDir)
     compactPostings(spark, stateDir)
+  }
+
+  // --- deletes + in-place updates (round 19) --------------------------------
+  //
+  // A corpus churns: opt-outs and PII scrubs REMOVE documents, re-ingests
+  // EDIT them — and an append-only lexical index keeps serving the stale
+  // postings and inflated df/dl/nd forever (the round-18 verdict's top
+  // structural gap; the vector index solved exactly this lifecycle in
+  // r16–18, `EmbeddingIndexStream`). The two halves get two mechanisms:
+  //
+  //  - POSTINGS are per-row state, so they take the ceiling-tombstone
+  //    treatment verbatim: (doc_id, ceiling) rows under `.lextomb/batch=<id>`
+  //    (a dot-dir, invisible to every log's partition discovery) mean "hide
+  //    this doc's posting rows ingested in batches ≤ ceiling". Readers
+  //    compose the exclusion BELOW the serving ladder ([[readPostings]]),
+  //    an update (tombstone at batch−1 + same-batch re-ingest) leaves the
+  //    fresh generation visible, and [[compactPostings]] purges hidden
+  //    generations physically at fold.
+  //  - STATS are an ADDITIVE aggregate (df/dl/nd sums), so deletes are
+  //    NEGATIVE ADDENDS, not exclusions: each maintenance batch commits a
+  //    correction batch (per-term df −1 per hidden generation's posting
+  //    row, corpus dl/nd minus the hidden generations' totals) into the
+  //    SAME stats log, and [[currentStats]] stays a plain sum — stats are
+  //    exact the moment the correction commits, with no read-time join.
+  //    The correction is exact by construction: a generation's posting rows
+  //    are exactly the distinct terms [[TextAnalysis.lexStatsOf]] counted
+  //    when it was ingested.
+  //
+  // Batch-id discipline: maintenance ids share the logs' id space with
+  // ingest batches, so they must come from the same MONOTONE counter
+  // (`maxBatchId + 1` in the maintenance window — the round-18
+  // EmbeddingIndexStream contract: a backdated ceiling would fail to hide
+  // later ingests, a reused id would be silently skipped as a replay).
+  // Double-subtraction safety: the correction in [[deleteDocs]] covers only
+  // generations NEWLY hidden by this call (live under the previous
+  // ceilings ∧ hidden by the new one), so re-deleting an already-deleted
+  // doc is a no-op, and the whole verb is replay-idempotent per batch id
+  // via the stats log's own guard.
+
+  private def tombPath(stateDir: String) = s"$stateDir/.lextomb"
+
+  private def emptyDocTombstones(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("ceiling"))
+
+  private def rawDocTombstones(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = tombPath(stateDir)
+    if (!FsUtils.fs(spark, path).exists(new Path(path))) emptyDocTombstones(spark)
+    else
+      try spark.read.parquet(path).select("doc_id", "ceiling")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          emptyDocTombstones(spark)
+      }
+  }
+
+  /** Per-doc exclusion ceilings: (doc_id, ts_batch = max ceiling over the
+    * doc's tombstones). A posting row with src_batch > ts_batch is a LATER
+    * generation and stays live. */
+  def docTombstoneCeilings(spark: SparkSession, stateDir: String): DataFrame =
+    rawDocTombstones(spark, stateDir)
+      .groupBy("doc_id").agg(max("ceiling").as("ts_batch"))
+
+  /** Ceiling exclusion on posting rows — keep rows whose ingest batch is
+    * ABOVE their doc's tombstone ceiling (or whose doc has no tombstone).
+    * A pre-round-19 layout (no per-row src_batch provenance) degrades to
+    * doc-level exclusion — exactly the semantics its all-generations
+    * tombstones meant (mixing pre/post layouts in ONE log is not supported:
+    * fold with the old code first). */
+  private def applyDocCeilings(rows: DataFrame, ceilings: DataFrame): DataFrame =
+    if (!rows.columns.contains("src_batch"))
+      rows.join(ceilings.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    else
+      rows.join(ceilings, Seq("doc_id"), "left")
+        .filter(col("ts_batch").isNull || col("src_batch") > col("ts_batch"))
+        .drop("ts_batch")
+
+  /** Commit one batch of (doc_id, ceiling) tombstone rows. USER-invoked,
+    * not stream-replayed, so the write lands in a hidden tmp dir and the
+    * RENAME is the commit point (the [[EmbeddingIndexStream.tombstoneRows]]
+    * discipline); idempotent per batchId. */
+  def tombstoneDocRows(spark: SparkSession, rows: DataFrame, batchId: Long,
+                       stateDir: String): Unit = {
+    val base = tombPath(stateDir)
+    val fs = FsUtils.fs(spark, base)
+    val tmp = new Path(base, s".tmp-batch-$batchId")
+    val dst = new Path(base, s"batch=$batchId")
+    rows.select(col("doc_id").cast("long").as("doc_id"),
+        col("ceiling").cast("long").as("ceiling")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(tmp.toString)
+    FsUtils.replaceDir(fs, tmp, dst)
+    spark.catalog.refreshByPath(base)
+  }
+
+  /** The hidden-generation view the correction batches subtract: posting
+    * rows of `ids` that are live under the CURRENT ceilings and hidden by
+    * `newCeiling` — computed BEFORE the new tombstone commits. One postings
+    * scan per maintenance batch (a doc's postings are scattered across the
+    * term buckets — the standard cost of deleting from an inverted index;
+    * [[syncLexCorpus]] avoids it when the old text is at hand). Emits one
+    * row per (term, doc, generation) plus a `gen`/`gdl` pair for the
+    * corpus-row arithmetic. */
+  private def newlyHidden(spark: SparkSession, stateDir: String,
+                          ids: DataFrame, newCeiling: Long): DataFrame = {
+    val raw = postLog(spark, stateDir).readAll(emptyPostings(spark))
+      .join(ids, Seq("doc_id"), "left_semi")
+    val live = applyDocCeilings(raw, docTombstoneCeilings(spark, stateDir))
+    val withGen =
+      if (live.columns.contains("src_batch"))
+        live.filter(col("src_batch") <= newCeiling)
+          .withColumn("gen", col("src_batch"))
+      else if (live.columns.contains("batch")) // degrade: partition id
+        live.withColumn("gen", col("batch"))
+      else live.withColumn("gen", lit(-1L))
+    withGen.select("term", "doc_id", "tf", "dl", "gen")
+  }
+
+  /** Negated [[TextAnalysis.lexStatsOf]]-shaped correction rows for a set
+    * of hidden posting generations. */
+  private def negStatsOf(hidden: DataFrame): DataFrame = {
+    val negTerm = hidden.groupBy("term").agg((-count(lit(1))).as("df"))
+      .select(col("term"), col("df"), lit(0L).as("dl"), lit(0L).as("nd"))
+    val gens = hidden.select("doc_id", "gen", "dl").distinct()
+    val negCorpus = gens.agg(
+        (-coalesce(sum("dl"), lit(0L))).as("dl"), (-count(lit(1))).as("nd"))
+      .select(lit(TextAnalysis.LexCorpusRow).as("term"), lit(0L).as("df"),
+        col("dl"), col("nd"))
+    negTerm.unionByName(negCorpus)
+  }
+
+  /** DELETE documents from the maintained index (first column of `ids` is
+    * taken as the doc id): commits a negative stats correction batch for
+    * the generations this call newly hides, then the ceiling tombstones.
+    * From that instant [[currentStats]] equals the one-shot aggregate over
+    * the live corpus and every posting read excludes the docs. Idempotent
+    * per batchId (stats guard + deterministic tombstone overwrite); a crash
+    * between the two commits heals on the replay.
+    *
+    * @param ceiling hide the docs' rows ingested in batches ≤ this
+    *   (defaults to `batchId` — a plain delete). An update passes
+    *   `batchId − 1` so its own same-batch re-ingest survives. */
+  def deleteDocs(spark: SparkSession, ids: DataFrame, batchId: Long,
+                 stateDir: String, ceiling: Option[Long] = None): Unit = {
+    val lg = log(spark, stateDir)
+    val ceil = ceiling.getOrElse(batchId)
+    val idsN = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+    if (!lg.alreadyApplied(batchId))
+      lg.commitBatch(negStatsOf(newlyHidden(spark, stateDir, idsN, ceil)),
+        batchId)
+    tombstoneDocRows(spark,
+      idsN.select(col("doc_id"), lit(ceil).as("ceiling")), batchId, stateDir)
+  }
+
+  /** One-call corpus→index synchronization — [[EmbeddingIndexStream
+    * .syncWithCorpus]] for the lexical index, ONE maintenance batch id
+    * covering all three verbs over (doc_id, text) snapshots:
+    *
+    *  - ADDED docs (new-only ids) are ingested — positive stats + postings;
+    *  - REMOVED docs (old-only ids) are deleted — negative stats (from the
+    *    OLD text, O(changed docs), no postings scan) + ceiling-`batchId`
+    *    tombstones;
+    *  - CHANGED docs (both snapshots, different text) are UPDATED in place:
+    *    the new text rides the same ingest (src_batch = batchId), the old
+    *    text's stats are subtracted, and a ceiling-`batchId − 1` tombstone
+    *    hides every older posting generation while the fresh one survives.
+    *
+    * The old-text negation is exact because [[TextAnalysis.lexStatsOf]] is
+    * deterministic on text: it cancels precisely what the doc's ingest
+    * added — PROVIDED the old snapshot is what the index serves (the
+    * snapshot-diff contract: one live generation per doc, updates always
+    * through this verb, never bare re-ingests). Replay-idempotent per
+    * batchId: both logs' guards + the deterministic tombstone overwrite;
+    * the combined (positive ∪ negative) stat rows land as ONE commit, so
+    * there is no window where adds are visible but deletes are not. */
+  def syncLexCorpus(spark: SparkSession, stateDir: String,
+                    oldDocs: DataFrame, newDocs: DataFrame, batchId: Long,
+                    autoCompactBatches: Int = 0): Unit = {
+    val lg = log(spark, stateDir)
+    val pg = postLog(spark, stateDir)
+    val oldD = oldDocs.select(col("doc_id"), col("text"))
+    val newD = newDocs.select(col("doc_id"), col("text"))
+    val added = newD.join(oldD.select("doc_id"), Seq("doc_id"), "left_anti")
+    val removed = oldD.join(newD.select("doc_id"), Seq("doc_id"), "left_anti")
+    val changedNew = newD.alias("n").join(oldD.alias("o"), Seq("doc_id"))
+      .filter(col("n.text") =!= col("o.text"))
+      .select(col("doc_id"), col("n.text").as("text"))
+    val changedOld = oldD.join(changedNew.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val appends = added.unionByName(changedNew)
+    val retired = removed.unionByName(changedOld)
+    if (!lg.alreadyApplied(batchId)) {
+      // negation from the OLD TEXT (the snapshots are at hand), with the
+      // same gen/dl shape negStatsOf consumes — one narrow pass over the
+      // retired docs, never a postings scan
+      val hidden = TextAnalysis.lexPostingsOf(retired)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          lit(-1L).as("gen"))
+      lg.commitBatch(
+        TextAnalysis.lexStatsOf(appends).unionByName(negStatsOf(hidden)),
+        batchId, coalesce1 = false)
+      lg.maybeAutoCompact(autoCompactBatches)(compactStats(spark, stateDir))
+    }
+    if (!pg.alreadyApplied(batchId)) {
+      pg.commitBatch(
+        TextAnalysis.lexPostingsOf(appends)
+          .withColumn("src_batch", lit(batchId))
+          .repartition(col("pbucket")),
+        batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
+      pg.maybeAutoCompact(autoCompactBatches)(compactPostings(spark, stateDir))
+    }
+    tombstoneDocRows(spark,
+      removed.select(col("doc_id"), lit(batchId).as("ceiling"))
+        .unionByName(changedNew.select(col("doc_id"),
+          lit(batchId - 1L).as("ceiling"))),
+      batchId, stateDir)
+  }
+
+  /** Retire the tombstone dirs. ONLY safe once every tombstoned doc's
+    * hidden generations are physically purged from every postings dir a
+    * read can open — i.e. after a full [[compactPostings]] in the
+    * maintenance window (the stats corrections are rows, not exclusions,
+    * and need no retirement). */
+  def clearDocTombstones(spark: SparkSession, stateDir: String): Unit = {
+    val fs = FsUtils.fs(spark, stateDir)
+    val p = new Path(tombPath(stateDir))
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** BM25 served from the maintained stats, tf by corpus scan — the

@@ -90,6 +90,21 @@ final class StateLog(
       }
   }
 
+  /** The raw accumulated log frame UNPROJECTED (partition `batch` column
+    * included, plus whatever data columns the writes carried) — for readers
+    * that must branch on column presence (the LexStatsStream src_batch
+    * degrade path). Same missing-dir / empty-dir handling as [[read]]. */
+  def readAll(empty: => DataFrame): DataFrame = {
+    recoverSwaps()
+    if (!fs.exists(new Path(logPath))) empty
+    else
+      try spark.read.parquet(logPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+      }
+  }
+
   /** Commit one batch's own state rows: write to a batch-scoped temp dir,
     * then rename into `batch=<id>` — the rename IS the batch's commit
     * point, so every preceding step replays deterministically.

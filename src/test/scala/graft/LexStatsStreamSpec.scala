@@ -288,6 +288,119 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
       s"expected pbucket partition filters in:\n$plan")
   }
 
+  // --- delete/update lifecycle (round 19) -----------------------------------
+
+  private def statsOf(d: org.apache.spark.sql.DataFrame) = statsRows(
+    TextAnalysis.lexStatsOf(d)
+      .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"), sum("nd").as("nd")))
+
+  private def nonzeroStats(state: String) = statsRows(
+    LexStatsStream.currentStats(spark, state)
+      .filter($"df" =!= 0L || $"dl" =!= 0L || $"nd" =!= 0L))
+
+  test("deleteDocs: stats equal the one-shot aggregate over the live corpus; " +
+       "postings exclude the docs; BM25 serves the live answer") {
+    val state = tmp()
+    foldAll(state)
+    val delIds = docs.filter($"doc_id" % 10 === 3).select("doc_id")
+    LexStatsStream.deleteDocs(spark, delIds, 3L, state)
+    val live = docs.filter($"doc_id" % 10 =!= 3)
+    // stats: negative addends cancel exactly (zero rows filtered for the
+    // comparison — they fold away at compaction)
+    assert(nonzeroStats(state) == statsOf(live))
+    // postings: no deleted doc id survives the ceiling exclusion
+    val served = LexStatsStream.currentPostings(spark, state, TextAnalysis.Bm25Terms)
+    assert(served.filter($"doc_id" % 10 === 3).isEmpty)
+    assert(postingRows(served) == postingRows(
+      TextAnalysis.lexPostingsOf(live)
+        .filter($"term".isin(TextAnalysis.Bm25Terms: _*))))
+    // the whole serving ladder is live
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25TopkOf(live).as[(Long, Double)].collect().toSeq)
+  }
+
+  test("deleteDocs is idempotent per batch id and a re-delete never " +
+       "double-subtracts") {
+    val state = tmp()
+    foldAll(state)
+    val delIds = docs.filter($"doc_id" % 10 === 3).select("doc_id")
+    LexStatsStream.deleteDocs(spark, delIds, 3L, state)
+    val after = nonzeroStats(state)
+    // replay of the same maintenance batch: stats guard short-circuits
+    LexStatsStream.deleteDocs(spark, delIds, 3L, state)
+    assert(nonzeroStats(state) == after)
+    // a LATER delete of already-hidden docs subtracts nothing (the
+    // newly-hidden window is empty under the existing ceilings)
+    LexStatsStream.deleteDocs(spark, delIds, 4L, state)
+    assert(nonzeroStats(state) == after)
+  }
+
+  test("syncLexCorpus update: every serving surface equals a one-shot build " +
+       "over v2, before and after compaction") {
+    val state = tmp()
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text"), 0L, state)
+    val v2 = TextAnalysis.lexLiveV2Of(docs)
+    LexStatsStream.syncLexCorpus(spark, state,
+      docs.select("doc_id", "text"), v2.select("doc_id", "text"), 1L)
+    def checkAll(): Unit = {
+      assert(nonzeroStats(state) == statsOf(v2))
+      assert(LexStatsStream.bm25TopkIndexed(spark, state)
+        .as[(Long, Double)].collect().toSeq ==
+        TextAnalysis.bm25TopkOf(v2.select("doc_id", "text"))
+          .as[(Long, Double)].collect().toSeq)
+      // an edited doc serves its NEW generation only — no tf doubling: the
+      // %13 docs gained one 'dup' occurrence, visible in their posting tf
+      val dupTf = LexStatsStream.currentPostings(spark, state, Seq("dup"))
+        .select("doc_id", "tf").as[(Long, Long)].collect().toMap
+      val expected = TextAnalysis.lexPostingsOf(v2)
+        .filter($"term" === "dup")
+        .select("doc_id", "tf").as[(Long, Long)].collect().toMap
+      assert(dupTf == expected)
+      assert(LexStatsStream.phraseMatch(spark, state)
+        .as[(Long, Long)].collect().toSeq ==
+        TextAnalysis.phraseMatchOf(TextAnalysis.lexPostingsOf(v2),
+          TextAnalysis.PhraseTerms).as[(Long, Long)].collect().toSeq)
+      assert(LexStatsStream.facetCounts(spark, state,
+          v2.select("doc_id", "lang", "source"))
+        .as[(String, String, Long)].collect().toSeq ==
+        TextAnalysis.facetCountsOf(
+          TextAnalysis.lexPostingsOf(v2)
+            .filter($"term".isin(TextAnalysis.Bm25Terms: _*))
+            .select("doc_id").distinct(),
+          v2.select("doc_id", "lang", "source"), Seq("lang", "source"))
+          .as[(String, String, Long)].collect().toSeq)
+    }
+    checkAll()
+    // replay of the whole maintenance batch converges
+    LexStatsStream.syncLexCorpus(spark, state,
+      docs.select("doc_id", "text"), v2.select("doc_id", "text"), 1L)
+    checkAll()
+    // compaction purges hidden generations + folds the corrections; the
+    // folded stats carry no zero rows at all
+    LexStatsStream.compactState(spark, state)
+    assert(statsRows(LexStatsStream.currentStats(spark, state)) == statsOf(v2))
+    checkAll()
+    // post-purge maintenance window: tombstones retire, reads unchanged
+    LexStatsStream.clearDocTombstones(spark, state)
+    checkAll()
+  }
+
+  test("a replayed ingest batch after an update stays hidden (ceiling " +
+       "semantics on the postings log)") {
+    val state = tmp()
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text"), 0L, state)
+    val v2 = TextAnalysis.lexLiveV2Of(docs).select("doc_id", "text")
+    LexStatsStream.syncLexCorpus(spark, state, docs.select("doc_id", "text"), v2, 1L)
+    // a replay of ingest batch 0 re-commits nothing (dir survives), and its
+    // rows are ≤ the update ceilings — the live read is unchanged
+    val before = LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text"), 0L, state)
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq == before)
+  }
+
   test("driver-side termBucket matches the executor-side crc32 layout") {
     val terms = TextAnalysis.lexPostingsOf(docs)
       .select("term", "pbucket").distinct()

@@ -294,6 +294,27 @@ object Multimodal {
     }(Encoders.product[CellSumRow]).toDF()
   }
 
+  /** DENSE integer feature vector per image: the decoded raster's grid²
+    * per-cell luminance sums as one `array<long>` column, cell-index
+    * ordered — [[extractCellSums]] without the explode, the shape the
+    * image-ANN tier indexes ([[ImageAnn]]). Exact Long arithmetic end to
+    * end, so the retrieval gate built on it carries zero float hazard
+    * (squared-L2 over exact integers). */
+  def extractFeatureSums(media: DataFrame, grid: Int = 4): DataFrame = {
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id"), col("payload"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      val codec = new ImageCodec()
+      rows.map { case (id, bytes) =>
+        FeatureSumRow(id, cellSums(codec.decode(id, bytes), grid)._1)
+      }
+    }(Encoders.product[FeatureSumRow]).toDF()
+  }
+
+  /** Row shape of [[extractFeatureSums]]. */
+  case class FeatureSumRow(doc_id: Long, v: Array[Long])
+
   /** [[extractFeatures]]'s real-kernel twin: payload → decoded raster →
     * grid²-dim `array<float>` embedding, feeding [[Similarity]] unchanged
     * (MultimodalSpec runs it end-to-end into bruteForceTopK). */

@@ -425,6 +425,33 @@ object ComposedStreamSoak {
         docs.select("doc_id", "lang", "source"), Seq("lang", "source"))
       .as[(String, String, Long)].collect().toSeq
     check("lex_facets", lxFacets == lxFacetsDirect && lxFacets.nonEmpty)
+    // [r19] the lexical DELETE/UPDATE lifecycle composed with the soaked
+    // state: ONE syncLexCorpus maintenance batch (remove doc_id%10==3,
+    // edit doc_id%13==0) under the monotone id `nb`, then the indexed
+    // serving ladder ≡ a one-shot build over the LIVE corpus — checked
+    // against the un-compacted state, then again after compactState (the
+    // physical purge + correction fold) and tombstone retirement
+    val v2soak = TextAnalysis.lexLiveV2Of(docs).localCheckpoint(true)
+    LexStatsStream.syncLexCorpus(spark, lxState,
+      docs.select("doc_id", "text"), v2soak.select("doc_id", "text"), nb.toLong)
+    def lexLiveOk(): Boolean = {
+      val idxed = LexStatsStream.bm25TopkIndexed(spark, lxState)
+        .as[(Long, Double)].collect().toSeq
+      val direct = TextAnalysis.bm25TopkOf(v2soak.select("doc_id", "text"))
+        .as[(Long, Double)].collect().toSeq
+      val stStream = LexStatsStream.currentStats(spark, lxState)
+        .filter(col("df") =!= 0L || col("dl") =!= 0L || col("nd") =!= 0L)
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+      val stBatch = TextAnalysis.lexStatsOf(v2soak)
+        .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
+          sum("nd").as("nd"))
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+      idxed == direct && idxed.nonEmpty && stStream == stBatch
+    }
+    check("lex_live_sync", lexLiveOk())
+    LexStatsStream.compactState(spark, lxState)
+    LexStatsStream.clearDocTombstones(spark, lxState)
+    check("lex_live_compacted", lexLiveOk())
 
     // [r18] media tier (18th stream): the stateless per-batch map through
     // the REAL codecs accumulates to exactly the one-shot batch kernels

@@ -952,6 +952,79 @@ object PortableOracles {
        |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Proximity-fused hybrid replica (`hybrid_topk_prox`, round 19): the
+    * [[hybridTopkRrf3Sql]] lexical + dense-exact lists joined by a
+    * PROXIMITY ranked list — each query's term pair ranks co-occurrence
+    * docs by (min token distance asc, doc_id asc), replayed from
+    * first-principles token positions (the proximityMatchSql nested-min) —
+    * fused with the same N-list exact-integer RRF (BIGINT numerators
+    * interpolated from [[graft.operators.Retrieval.rrfNumerators]]). */
+  val hybridTopkProxSql: String = {
+    import graft.operators.Retrieval
+    val querySets = Retrieval.HybridTermSets
+    val terms = querySets.flatMap(_._2).distinct
+    val L = Retrieval.HybridL
+    val nums = Retrieval.rrfNumerators(Retrieval.RrfC, L)
+    val numsLit = nums.mkString("[", ",", "]")
+    val probeIdsIn = querySets.map(_._1).mkString(", ")
+    val tfCols = graft.operators.TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = graft.operators.TextAnalysis.bm25SqlDfCols(terms.size)
+    val tIdx = terms.zipWithIndex.toMap
+    def scoreSql(qts: Seq[String]): String =
+      qts.map(t => graft.operators.TextAnalysis.bm25SqlScoreTerm(tIdx(t)))
+        .mkString(" + ")
+    val lexBranches = querySets.map { case (qid, qts) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
+    }.mkString("\n|  UNION ALL ")
+    val proxBranches = querySets.map { case (qid, qts) =>
+      val (ta, tb) = (qts(0), qts(1))
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    list_min(list_transform(pa, a -> list_min(list_transform(pb, b -> abs(a - b))))) AS min_dist
+         |  FROM (SELECT doc_id,
+         |    LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] = '$ta') AS pa,
+         |    LIST_FILTER(range(0, LEN(toks)), p -> toks[p+1] = '$tb') AS pb FROM tok)
+         |  WHERE LEN(pa) > 0 AND LEN(pb) > 0""".stripMargin
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH $ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN ($probeIdsIn)) WHERE rn <= 3),
+       |dense AS (SELECT query_id, cand_id AS doc_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id) dr WHERE rn <= $L),
+       |tok AS (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents),
+       |proxs AS (
+       |  $proxBranches),
+       |prox AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY min_dist, doc_id) AS rank
+       |  FROM proxs) pr WHERE rank <= $L),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t),
+       |lexs AS (
+       |  $lexBranches),
+       |lex AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+       |  FROM lexs WHERE s > 0) lr WHERE rank <= $L),
+       |fused AS (SELECT query_id, doc_id, CAST(SUM(num) AS BIGINT) AS rrf_num FROM (
+       |    SELECT query_id, doc_id, ($numsLit)[rank] AS num FROM lex
+       |    UNION ALL SELECT query_id, doc_id, ($numsLit)[rank] AS num FROM dense
+       |    UNION ALL SELECT query_id, doc_id, ($numsLit)[rank] AS num FROM prox) u
+       |  GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, rrf_num, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_num DESC, doc_id) AS rank FROM fused) f
+       |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Live-tier retrieval-quality replica (`retrieval_eval_live`): the
     * delete path's recall self-measured at k=10 — approx = the live IVF
     * read (nprobe 3, candidate predicate vec_id % 10 <> 3, the

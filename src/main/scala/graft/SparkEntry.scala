@@ -63,7 +63,7 @@ object SparkEntry {
     "ann_ivf_topk_pqr_live", "ann_ivf_topk_filtered_adc", "ann_ivf_topk_asof",
     "ann_ivf_topk_synced", "ann_ivf_topk_filtered_pqr", "ann_ivf_topk_updated",
     "ann_ivf_topk_reclustered", "ann_ivf_topk_updated_pqr", "ann_image_topk",
-    "hybrid_topk_rrf", "hybrid_topk_rrf3", "bm25_topk_served",
+    "hybrid_topk_rrf", "hybrid_topk_rrf3", "hybrid_topk_prox", "bm25_topk_served",
     "bm25_topk_indexed", "phrase_match", "proximity_match",
     "snippet_extract", "facet_counts",
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
@@ -959,6 +959,27 @@ object SparkEntry {
           maxRank = Retrieval.HybridL)
         .orderBy("query_id", "rank")
     }),
+    // [r19] proximity as a FUSION retriever (VERDICT r18 item 7): lexical
+    // BM25 ∪ dense-exact IVF ∪ PROXIMITY (each query's term pair ranks its
+    // co-occurrence docs by min token distance off the maintained
+    // positional postings — bucket-pruned reads, never the corpus), fused
+    // with the N-list exact-Long RRF. Phrase-adjacent evidence now lifts a
+    // doc the other two retrievers each rank mid-list — the "terms near
+    // each other beats terms anywhere" ranking signal, as a query.
+    "hybrid_topk_prox" -> ((s: SparkSession, d: String) => {
+      val lexDir = lexIndexBuilt(s, d)
+      val lex = Retrieval.bm25RankedPerQuery(Tables.documents(s, d),
+        Retrieval.HybridTermSets, Retrieval.HybridL)
+      val prox = Retrieval.proximityRankedPerQuery(
+        terms => streaming.LexStatsStream.currentPostingsWithPositions(
+          s, lexDir, terms),
+        Retrieval.HybridTermSets, Retrieval.HybridL)
+      val dense = Similarity.ivfTopKCached(Tables.embeddings(s, d), d,
+        Retrieval.HybridTermSets.map(_._1), k = Retrieval.HybridL, nprobe = 3)
+      Retrieval.rrfFuseExactN(Seq(lex, dense, prox), Retrieval.HybridK,
+          maxRank = Retrieval.HybridL)
+        .orderBy("query_id", "rank")
+    }),
     // [r17] MMR diversified re-ranking (Carbonell & Goldstein 1998): the
     // IVF top-10 pool greedily re-ranked to k=5 by λ·rel − (1−λ)·max sim
     // to the already-selected set. The greedy loop runs per query inside
@@ -1274,6 +1295,7 @@ object SparkEntry {
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
+    "hybrid_topk_prox" -> PortableOracles.hybridTopkProxSql,
     "retrieval_eval_live" -> PortableOracles.retrievalEvalLiveSql,
     "mmr_rerank" -> PortableOracles.mmrRerankSql,
     "retrieval_eval" -> PortableOracles.retrievalEvalSql,

@@ -194,6 +194,29 @@ object Retrieval {
       .select("query_id", "doc_id", "rank")
   }
 
+  /** Per-query PROXIMITY ranked lists off the positional postings (round
+    * 19, VERDICT r18 item 7 — proximity as a fusion retriever): each
+    * query's term pair ranks its co-occurrence docs by (min token distance
+    * asc, doc_id asc), top-L. `postingsFor` supplies the bucket-pruned
+    * positional posting rows (the [[graft.streaming.LexStatsStream
+    * .currentPostingsWithPositions]] reader), so the retriever never
+    * touches the corpus — reads O(two terms' postings) per query, exact
+    * integer distances, the maintained-index serving shape. */
+  def proximityRankedPerQuery(postingsFor: Seq[String] => DataFrame,
+                              querySets: Seq[(Long, Seq[String])],
+                              l: Int): DataFrame = {
+    val lists = querySets.map { case (qid, qts) =>
+      require(qts.size == 2, s"proximity query $qid needs a term pair")
+      TextAnalysis.proximityMatchOf(postingsFor(qts), qts(0), qts(1),
+          maxDist = Int.MaxValue)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("min_dist"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id").orderBy(col("min_dist"), col("doc_id"))
+    lists.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= l)
+      .select("query_id", "doc_id", "rank")
+  }
+
   /** The gate composition: BM25 per-query term sets (lexical) ∪ exact-IVF
     * top-L (dense, same query ids as probe vector ids), fused with exact
     * scaled-integer RRF. */

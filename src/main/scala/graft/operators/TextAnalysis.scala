@@ -277,11 +277,17 @@ object TextAnalysis {
       org.apache.spark.sql.graft.TokenRatioLookup(
         org.apache.spark.sql.graft.ColumnBridge.expression(t), tokens, ratios, default))
 
-  def tokenFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+  /** REFERENCE implementation (round 19: demoted from the public surface —
+    * VERDICT r18 item 6): collects O(vocabulary) driver rows, which is a
+    * driver OOM at web-scale vocab. Production callers and every gate row
+    * use [[tokenFamiliarityCapped]] (bit-identical whenever k ≥ |vocab|,
+    * spec-pinned); this form exists so the spec can pin that equivalence
+    * and ScaleBench can measure the gap. */
+  private[graft] def tokenFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsById(spark, dir)
     val freq = docs.select(explode(split(col("text"), " ", -1)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
-      .collect() // O(vocab)
+      .collect() // O(vocab) — reference-only, see the scaladoc
     val total = freq.map(_.getLong(1)).sum.toDouble
     val sortedFreq = freq.sortBy(_.getString(0))
     val fmTokens = sortedFreq.map(_.getString(0))
@@ -454,13 +460,17 @@ object TextAnalysis {
     * summed left-to-right in token order on both engines (the BM25
     * precedent), absorbed by round(_, 4).
     */
-  def dsirWeights(spark: SparkSession, dir: String,
+  private[graft] def dsirWeights(spark: SparkSession, dir: String,
                   targetLang: String = "en", alpha: Double = 0.5): DataFrame =
     dsirWeightsOf(Tables.documentsById(spark, dir), targetLang, alpha)
 
   /** [[dsirWeights]] over an arbitrary document frame (the composable
-    * form — also what lets specs prove partitioning-independence). */
-  def dsirWeightsOf(docs: DataFrame,
+    * form — also what lets specs prove partitioning-independence).
+    * REFERENCE implementation (round 19: demoted from the public surface —
+    * VERDICT r18 item 6): O(vocabulary) driver rows; production callers and
+    * the gate rows use [[dsirWeightsCappedOf]] (bit-identical whenever
+    * k ≥ |vocab|, spec-pinned). */
+  private[graft] def dsirWeightsOf(docs: DataFrame,
                     targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
     val freq = docs.select(explode(split(col("text"), " ", -1)).as("t"),
         (col("lang") === targetLang).as("tgt"))

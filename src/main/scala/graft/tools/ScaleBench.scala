@@ -90,6 +90,38 @@ object ScaleBench {
     def grownDocs(k: Int): DataFrame =
       spark.read.parquet(s"${lexIdxDir(k)}/docs.parquet")
     val updIdxDirs = scala.collection.concurrent.TrieMap[Int, String]()
+    // [r19] live-lex state per factor: the fixed-postings corpus with 1/10
+    // of docs DELETED through the lifecycle verb (negative stat corrections
+    // + ceiling tombstones); the compacted twin folds + retires tombstones
+    val lexLiveDirs = scala.collection.concurrent.TrieMap[(Int, Boolean), String]()
+    def lexLiveDir(k: Int, compacted: Boolean): String =
+      lexLiveDirs.getOrElseUpdate((k, compacted), {
+        val d = java.nio.file.Files.createTempDirectory(
+          s"sb-lexlive-$k-$compacted").toString
+        val g = grownDocs(k)
+        graft.streaming.LexStatsStream.applyBatch(spark, g, 0L, d)
+        graft.streaming.LexStatsStream.deleteDocs(spark,
+          g.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"), 1L, d)
+        if (compacted) {
+          graft.streaming.LexStatsStream.compactState(spark, d)
+          graft.streaming.LexStatsStream.clearDocTombstones(spark, d)
+        }
+        d
+      })
+    // [r19] image-feature ANN index per factor: decode k× synthesized PNGs
+    // → cell-sum features → seed-centroid assignment, cluster-partitioned
+    val imgIdx = scala.collection.concurrent.TrieMap[Int,
+      (String, Seq[(Int, Seq[Long])], Seq[(Long, Seq[Long])])]()
+    def imgIdxDir(k: Int) = imgIdx.getOrElseUpdate(k, {
+      import graft.operators.ImageAnn
+      val d = java.nio.file.Files.createTempDirectory(s"sb-imgidx-$k").toString + "/idx"
+      val docs = docsX(k).select("doc_id")
+      val cents = ImageAnn.centroidsOf(docs)
+      ImageAnn.buildIndex(ImageAnn.featuresOf(docs), cents, d)
+      val qv = ImageAnn.collectVecs(
+        ImageAnn.featuresOf(docs, Some(ImageAnn.QueryIds)), ImageAnn.QueryIds)
+      (d, cents, qv)
+    })
     lazy val scaleProbes: Seq[(Long, Seq[Double])] =
       Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -573,6 +605,33 @@ object ScaleBench {
       "facet_serve" -> { k =>
         graft.streaming.LexStatsStream.facetCounts(spark, lexIdxDir(k),
           grownDocs(k).select("doc_id", "lang", "source"))
+      },
+      // [r19] LIVE lexical serve with an ARMED tombstone set: query-term
+      // postings stay constant (fixed-postings regime, deletes only), but
+      // the per-read ceiling exclusion joins a tombstone set that grows
+      // with the corpus (1/10 of docs) — this measures that join's tax.
+      // The compacted twin (purge + tombstone retirement) must return to
+      // the flat bm25_indexed_serve line: the sizing story is "compaction
+      // bounds the exclusion set", measured, not asserted.
+      "lex_live_serve_armed" -> { k =>
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark,
+          lexLiveDir(k, compacted = false))
+      },
+      "lex_live_serve_compacted" -> { k =>
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark,
+          lexLiveDir(k, compacted = true))
+      },
+      // [r19] image-feature ANN serve: the index grows k× under a FIXED
+      // 8-cell coarse quantizer, so the nprobe-pruned candidate read grows
+      // ~k·(nprobe/8) — alpha ≈ 1 is the expected, honest slope here; the
+      // scale lever is growing K with the corpus (identical to the
+      // embedding IVF, whose recluster path owns that verb). Build +
+      // decode are paid once per factor in the warm pass; timed runs
+      // measure the probed read + exact-Long scoring.
+      "ann_image_serve" -> { k =>
+        import graft.operators.ImageAnn
+        val (d, cents, qv) = imgIdxDir(k)
+        ImageAnn.topK(spark, d, cents, qv, k = 10, nprobe = 3)
       },
       // [r18] ceiling-tombstone live read at volume: index built once per
       // factor (warm pass, cached) over k× vectors with 1/13 of ids

@@ -67,7 +67,8 @@ object SparkEntry {
     "bm25_topk_indexed", "phrase_match", "proximity_match",
     "snippet_extract", "facet_counts",
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
-    "snippet_extract_live", "facet_counts_live", "mmr_rerank", "retrieval_eval",
+    "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
+    "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -924,6 +925,25 @@ object SparkEntry {
         TextAnalysis.lexLiveV2Of(Tables.documents(s, d))
           .select("doc_id", "lang", "source"))
     }),
+    // [r19] point-in-time LEXICAL reads — the as-of verb the vector index
+    // grew in r17, on the lexical logs: ONE row pins both halves (the
+    // ann_ivf_topk_updated pattern): the LIVE view serves v2 (delete +
+    // edit applied) while the AS-OF batch-0 view still serves v1 — stats
+    // batches ≤ 0 (the v2 corrections invisible), posting rows with
+    // src_batch ≤ 0, tombstones committed ≤ 0 (none). Runs on an
+    // UNCOMPACTED fixture: compaction collapses the per-batch addends and
+    // purges hidden generations, so as-of history ends at the folded
+    // horizon (the vector side's documented caveat, shared).
+    "bm25_topk_indexed_asof" -> ((s: SparkSession, d: String) => {
+      val dir = lexLiveRawIndexBuilt(s, d)
+      val live = streaming.LexStatsStream.bm25TopkIndexed(s, dir)
+        .withColumn("view", lit("live"))
+      val asof = streaming.LexStatsStream.bm25TopkIndexedAsOf(s, dir, 0L)
+        .withColumn("view", lit("asof0"))
+      live.unionByName(asof)
+        .select("view", "doc_id", "bm25")
+        .orderBy(col("view"), col("bm25").desc, col("doc_id"))
+    }),
     // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
     // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
     // probe vector ids), fused with Reciprocal Rank Fusion — the production
@@ -1197,6 +1217,23 @@ object SparkEntry {
     path
   }
 
+  /** The UNCOMPACTED twin of [[lexLiveIndexBuilt]] — same v1-ingest +
+    * v2-sync history with the per-batch dirs intact, so point-in-time
+    * reads can still cut at batch 0 (as-of history ends at the folded
+    * horizon). */
+  private def lexLiveRawIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexliveraw/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      streaming.LexStatsStream.applyBatch(s, docs, 0L, path)
+      streaming.LexStatsStream.syncLexCorpus(s, path, docs,
+        TextAnalysis.lexLiveV2Of(docs), 1L)
+    }
+    path
+  }
+
   private def gateProbes(e: DataFrame): Seq[(Long, Seq[Double])] = {
     val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
     e.filter(col("vec_id").isin(probeIds: _*))
@@ -1293,6 +1330,7 @@ object SparkEntry {
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "facet_counts_live" -> TextAnalysis.facetCountsSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
+    "bm25_topk_indexed_asof" -> TextAnalysis.bm25TopkIndexedLiveAsofSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "hybrid_topk_prox" -> PortableOracles.hybridTopkProxSql,

@@ -1089,6 +1089,41 @@ object TextAnalysis {
   def bm25TopkIndexedLiveSql: String =
     bm25TopkSqlOf(candidatesOnly = true, docsRel = "v2", prelude = lexLiveV2Cte)
 
+  /** The live + as-of DOUBLE gate (round 19): one result pinning both
+    * halves of the point-in-time contract — the LIVE view serves v2 (the
+    * churned corpus) while the AS-OF batch-0 view still serves v1 (the
+    * delete and edit are invisible at that point in time). Two independent
+    * BM25 chains (v1 from `documents`, v2 from the CTE), each ranked and
+    * cut at k, unioned under a view label. */
+  def bm25TopkIndexedLiveAsofSql(k: Int = 20): String = {
+    val terms = Bm25Terms
+    val tfCols = bm25SqlTfCols(terms)
+    val dfCols = bm25SqlDfCols(terms.size)
+    val score = terms.indices.map(bm25SqlScoreTerm).mkString("\n|    + ")
+    val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    def branch(view: String, t: String, s: String) =
+      s"""(SELECT '$view' AS view, doc_id, ROUND(
+         |    $score, 4) AS bm25
+         |  FROM $t, $s WHERE $cand ORDER BY bm25 DESC, doc_id LIMIT $k)""".stripMargin
+    s"""WITH ${lexLiveV2Cte}t1 AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |s1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t1),
+       |t2 AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM v2),
+       |s2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t2)
+       |SELECT view, doc_id, bm25 FROM (
+       |${branch("asof0", "t1", "s1")}
+       |UNION ALL
+       |${branch("live", "t2", "s2")})
+       |ORDER BY view, bm25 DESC, doc_id""".stripMargin
+  }
+
   // --- TF-IDF top-k terms per document (round 14) ------------------------------
 
   /** Per-document top-k TF-IDF terms — the keyword-extraction primitive a

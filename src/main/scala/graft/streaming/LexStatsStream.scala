@@ -393,6 +393,90 @@ object LexStatsStream {
       batchId, stateDir)
   }
 
+  // --- as-of reads (round 19): point-in-time over the lexical logs ----------
+  //
+  // The vector index grew as-of reads in r17; the lexical index's logs
+  // carry the same provenance, so the same partition-filtered read works:
+  // stats batches ≤ B (CORRECTIONS INCLUDED — a delete committed ≤ B is
+  // visible, a later one is not, and the sum is exact because corrections
+  // are plain addends), posting rows with src_batch ≤ B, tombstones
+  // committed in batches ≤ B. Compaction coarsens history exactly like the
+  // vector side: the stats fold collapses the per-batch addends and the
+  // postings fold purges hidden generations, so an as-of read predating
+  // the folded horizon is not reconstructible — size compaction windows to
+  // the as-of horizon you need (the shared StateLog caveat).
+
+  private def docTombstoneCeilingsAsOf(spark: SparkSession, stateDir: String,
+                                       asOfBatch: Long): DataFrame = {
+    val raw = rawDocTombstonesWithBatch(spark, stateDir)
+    (if (raw.columns.contains("batch")) raw.filter(col("batch") <= asOfBatch)
+     else raw)
+      .groupBy("doc_id").agg(max("ceiling").as("ts_batch"))
+  }
+
+  private def rawDocTombstonesWithBatch(spark: SparkSession,
+                                        stateDir: String): DataFrame = {
+    val path = tombPath(stateDir)
+    if (!FsUtils.fs(spark, path).exists(new Path(path))) emptyDocTombstones(spark)
+    else
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          emptyDocTombstones(spark)
+      }
+  }
+
+  /** Stats as they stood at `asOfBatch`: the per-term sum over stat batches
+    * ≤ B — ingests AND corrections, both plain addends (exact while the
+    * batch dirs predate compaction). */
+  def currentStatsAsOf(spark: SparkSession, stateDir: String,
+                       asOfBatch: Long): DataFrame =
+    log(spark, stateDir)
+      .read(Seq("term", "df", "dl", "nd"), emptyStats(spark),
+        uptoBatch = asOfBatch)
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("dl").as("dl"), sum("nd").as("nd"))
+
+  private def readPostingsAsOf(spark: SparkSession, stateDir: String,
+                               terms: Seq[String], cols: Seq[String],
+                               asOfBatch: Long): DataFrame = {
+    val buckets = terms.map(TextAnalysis.termBucket).distinct
+    val raw0 = postLog(spark, stateDir).readAll(emptyPostings(spark))
+      .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val raw1 = if (raw0.columns.contains("batch"))
+      raw0.filter(col("batch") <= asOfBatch) else raw0 // partition prune
+    val raw = if (raw1.columns.contains("src_batch"))
+      raw1.filter(col("src_batch") <= asOfBatch) else raw1 // exact bound
+    applyDocCeilings(raw, docTombstoneCeilingsAsOf(spark, stateDir, asOfBatch))
+      .select(cols.map(col): _*)
+      .drop("pbucket")
+  }
+
+  /** BM25 served from the index AS IT STOOD at `asOfBatch` — reproduce
+    * yesterday's ranking, audit what a delete removed: both stats and the
+    * query terms' postings bounded to batches ≤ B, tombstones committed
+    * ≤ B applied (with their own ceilings — the point-in-time twin of
+    * [[bm25TopkIndexed]]). */
+  def bm25TopkIndexedAsOf(spark: SparkSession, stateDir: String,
+                          asOfBatch: Long,
+                          terms: Seq[String] = TextAnalysis.Bm25Terms,
+                          k: Int = 20): DataFrame =
+    TextAnalysis.bm25TopkIndexed(
+      readPostingsAsOf(spark, stateDir, terms,
+        Seq("term", "doc_id", "tf", "dl", "pbucket"), asOfBatch),
+      currentStatsAsOf(spark, stateDir, asOfBatch), terms, k)
+
+  /** Phrase query at a point in time — the same bounded read under the
+    * positional columns (proximity/snippets/facets ride the identical
+    * seam through their own entry points if needed). */
+  def phraseMatchAsOf(spark: SparkSession, stateDir: String, asOfBatch: Long,
+                      phrase: Seq[String] = TextAnalysis.PhraseTerms): DataFrame =
+    TextAnalysis.phraseMatchOf(
+      readPostingsAsOf(spark, stateDir, phrase,
+        Seq("term", "doc_id", "tf", "dl", "positions", "pbucket"), asOfBatch),
+      phrase)
+
   /** Retire the tombstone dirs. ONLY safe once every tombstoned doc's
     * hidden generations are physically purged from every postings dir a
     * read can open — i.e. after a full [[compactPostings]] in the

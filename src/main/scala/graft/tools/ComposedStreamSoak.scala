@@ -174,8 +174,24 @@ object ComposedStreamSoak {
         qlRefs, autoCompactBatches = 8)
       CdcStream.applyBatch(spark, docB(i), i.toLong, cdState,
         autoCompactBatches = 8)
-      LexStatsStream.applyBatch(spark, docB(i), i.toLong, lxState,
+      // [r19] the lex stream runs on DOUBLED ingest ids (2i) so in-loop
+      // maintenance can take the interleaved odd id — the monotone-counter
+      // contract: a maintenance id must order between its past and future
+      // ingests, or its ceiling would hide batches that arrive later
+      LexStatsStream.applyBatch(spark, docB(i), 2L * i, lxState,
         autoCompactBatches = 8)
+      // in-loop churn at batch 17 (a batch the i%12==5 kill-replay ALSO
+      // re-delivers — the maintenance verb's idempotence is exercised
+      // composed, not just spec'd): delete every %10==3 doc at ceiling 35.
+      // Docs %10==3 already ingested (batches ≤ 17, src_batch ≤ 34) hide;
+      // the SAME predicate's docs arriving in batches 18..49 (src_batch ≥
+      // 36 > ceiling) must stay live — the ceiling semantics against
+      // future arrivals, under auto-compaction, with 17 other streams
+      // interleaving
+      if (i == 17)
+        LexStatsStream.deleteDocs(spark,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+          2L * 17 + 1, lxState)
       MediaStream.applyBatch(spark, docB(i), i.toLong, mdOut)
       (System.nanoTime() - t0) / 1e9
     }
@@ -385,19 +401,28 @@ object ComposedStreamSoak {
       .orderBy("chunk_hash").as[(Long, Long)].collect().toSeq
     check("cdc_fold", cdStream == cdBatch && cdStream.nonEmpty)
 
-    // lexical index: folded df/dl/nd stats ≡ one-shot aggregate over the
-    // union corpus (long-sum additivity over disjoint doc batches), and
-    // BM25 SERVED from the maintained stats ≡ the batch form bitwise
+    // lexical index: the soak's lex state took an IN-LOOP churn (batch-17
+    // delete of %10==3 at the interleaved maintenance id — re-delivered by
+    // the kill-replay), so the truth is the LIVE corpus: every %10==3 doc
+    // ingested BEFORE the churn is gone, the same predicate's docs that
+    // arrived AFTER it survived their lower ceiling. Stats (negative
+    // addends summed; zero-cancelled terms filtered for the compare — they
+    // fold away at compaction), served + indexed BM25, phrase and facets
+    // must all equal one-shot builds over that live set.
+    val lexLive = docs.filter(
+        !(pmod(col("doc_id"), lit(10)) === 3 && col("doc_id") < lit(18L * sz)))
+      .localCheckpoint(true)
     val lxStream = LexStatsStream.currentStats(spark, lxState)
+      .filter(col("df") =!= 0L || col("dl") =!= 0L || col("nd") =!= 0L)
       .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
-    val lxBatch = TextAnalysis.lexStatsOf(docs)
+    val lxBatch = TextAnalysis.lexStatsOf(lexLive)
       .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
         sum("nd").as("nd"))
       .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
     check("lex_stats_fold", lxStream == lxBatch && lxStream.nonEmpty)
-    val lxServed = LexStatsStream.bm25Topk(spark, lxState, docs)
+    val lxServed = LexStatsStream.bm25Topk(spark, lxState, lexLive)
       .as[(Long, Double)].collect().toSeq
-    val lxDirect = TextAnalysis.bm25TopkServed(docs, TextAnalysis.lexStatsOf(docs))
+    val lxDirect = TextAnalysis.bm25TopkServed(lexLive, TextAnalysis.lexStatsOf(lexLive))
       .as[(Long, Double)].collect().toSeq
     check("lex_bm25_served", lxServed == lxDirect && lxServed.nonEmpty)
     // [r18] the postings path: BM25 served ENTIRELY from the maintained
@@ -408,21 +433,21 @@ object ComposedStreamSoak {
       .as[(Long, Double)].collect().toSeq
     check("lex_bm25_indexed", lxIndexed == lxServed && lxIndexed.nonEmpty)
     // [r18] phrase + facet serving off the streamed postings ≡ one-shot
-    // builds over the union corpus
+    // builds over the live corpus
     val lxPhrase = LexStatsStream.phraseMatch(spark, lxState)
       .as[(Long, Long)].collect().toSeq
     val lxPhraseDirect = TextAnalysis.phraseMatchOf(
-        TextAnalysis.lexPostingsOf(docs), TextAnalysis.PhraseTerms)
+        TextAnalysis.lexPostingsOf(lexLive), TextAnalysis.PhraseTerms)
       .as[(Long, Long)].collect().toSeq
     check("lex_phrase", lxPhrase == lxPhraseDirect && lxPhrase.nonEmpty)
     val lxFacets = LexStatsStream.facetCounts(spark, lxState,
-        docs.select("doc_id", "lang", "source"))
+        lexLive.select("doc_id", "lang", "source"))
       .as[(String, String, Long)].collect().toSeq
     val lxFacetsDirect = TextAnalysis.facetCountsOf(
-        TextAnalysis.lexPostingsOf(docs)
+        TextAnalysis.lexPostingsOf(lexLive)
           .filter(col("term").isin(TextAnalysis.Bm25Terms: _*))
           .select("doc_id").distinct(),
-        docs.select("doc_id", "lang", "source"), Seq("lang", "source"))
+        lexLive.select("doc_id", "lang", "source"), Seq("lang", "source"))
       .as[(String, String, Long)].collect().toSeq
     check("lex_facets", lxFacets == lxFacetsDirect && lxFacets.nonEmpty)
     // [r19] the lexical DELETE/UPDATE lifecycle composed with the soaked
@@ -431,9 +456,13 @@ object ComposedStreamSoak {
     // serving ladder ≡ a one-shot build over the LIVE corpus — checked
     // against the un-compacted state, then again after compactState (the
     // physical purge + correction fold) and tombstone retirement
+    // oldDocs = what the index currently SERVES (the post-churn live set,
+    // not the raw union — the snapshot-diff contract; diffing against an
+    // already-deleted doc would double-subtract its stats)
     val v2soak = TextAnalysis.lexLiveV2Of(docs).localCheckpoint(true)
     LexStatsStream.syncLexCorpus(spark, lxState,
-      docs.select("doc_id", "text"), v2soak.select("doc_id", "text"), nb.toLong)
+      lexLive.select("doc_id", "text"), v2soak.select("doc_id", "text"),
+      2L * nb)
     def lexLiveOk(): Boolean = {
       val idxed = LexStatsStream.bm25TopkIndexed(spark, lxState)
         .as[(Long, Double)].collect().toSeq

@@ -386,6 +386,33 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     checkAll()
   }
 
+  test("as-of reads: the batch-0 view serves v1, later views serve v2, " +
+       "and a later delete is invisible to earlier views") {
+    val state = tmp()
+    val v1 = docs.select("doc_id", "text")
+    val v2 = TextAnalysis.lexLiveV2Of(docs).select("doc_id", "text")
+    LexStatsStream.applyBatch(spark, v1, 0L, state)
+    LexStatsStream.syncLexCorpus(spark, state, v1, v2, 1L)
+    def bm25At(b: Long) = LexStatsStream.bm25TopkIndexedAsOf(spark, state, b)
+      .as[(Long, Double)].collect().toSeq
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopkOf(d).as[(Long, Double)].collect().toSeq
+    assert(bm25At(0L) == oneShot(v1), "as-of 0 must serve v1")
+    assert(bm25At(1L) == oneShot(v2), "as-of 1 must serve v2")
+    // phrase at the point in time: the v1 positional truth
+    assert(LexStatsStream.phraseMatchAsOf(spark, state, 0L)
+      .as[(Long, Long)].collect().toSeq ==
+      TextAnalysis.phraseMatchOf(TextAnalysis.lexPostingsOf(v1),
+        TextAnalysis.PhraseTerms).as[(Long, Long)].collect().toSeq)
+    // a LATER delete (batch 2) must not leak into the batch-1 view
+    LexStatsStream.deleteDocs(spark,
+      v2.filter($"doc_id" % 7 === 1).select("doc_id"), 2L, state)
+    assert(bm25At(1L) == oneShot(v2), "as-of 1 unchanged by the later delete")
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq ==
+      oneShot(v2.filter($"doc_id" % 7 =!= 1)), "live serves the post-delete set")
+  }
+
   test("a replayed ingest batch after an update stays hidden (ceiling " +
        "semantics on the postings log)") {
     val state = tmp()

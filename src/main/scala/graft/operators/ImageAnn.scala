@@ -61,9 +61,15 @@ object ImageAnn {
   /** The coarse quantizer: seed docs' feature vectors, cid = ascending rank
     * of the seed id (the SQL replica numbers them identically). */
   def centroidsOf(docs: DataFrame, seedIds: Seq[Long] = SeedIds,
-                  grid: Int = Grid): Seq[(Int, Seq[Long])] =
-    collectVecs(featuresOf(docs, Some(seedIds), grid), seedIds)
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+                  grid: Int = Grid): Seq[(Int, Seq[Long])] = {
+    val vecs = collectVecs(featuresOf(docs, Some(seedIds), grid), seedIds)
+    // structural, not assumed: a missing seed doc would silently re-rank
+    // the remaining cids here while the SQL replica keeps literal ranks —
+    // an id-space mismatch the gate would report as a hash miss; fail loud
+    require(vecs.size == seedIds.size,
+      s"seed docs missing from the corpus: got ${vecs.size} of ${seedIds.size}")
+    vecs.zipWithIndex.map { case ((_, v), i) => (i, v) }
+  }
 
   /** Exact squared-L2 between an array<long> column and a literal vector. */
   private def l2Expr(v: Column, c: Seq[Long]): Column =

@@ -347,9 +347,21 @@ object LexStatsStream {
     * added — PROVIDED the old snapshot is what the index serves (the
     * snapshot-diff contract: one live generation per doc, updates always
     * through this verb, never bare re-ingests). Replay-idempotent per
-    * batchId: both logs' guards + the deterministic tombstone overwrite;
-    * the combined (positive ∪ negative) stat rows land as ONE commit, so
-    * there is no window where adds are visible but deletes are not. */
+    * batchId: both logs' guards + the deterministic tombstone overwrite —
+    * every commit's content derives from the SNAPSHOTS, never from current
+    * state, so a replay recommits identical state in any crash window.
+    *
+    * Commit ORDER (round-19 review): tombstones → postings → stats.
+    * Every order leaves some transient crash window; this one picks the
+    * benign ones — after tombstones alone, a changed doc is temporarily
+    * ABSENT (clean under-serve; the old generation is hidden, the new not
+    * yet committed); after postings, reads serve exactly v2 with one-batch-
+    * stale corpus stats. The rejected order (postings before tombstones)
+    * would instead serve BOTH generations of a changed doc — tf
+    * double-counted in every read until the tombstone lands. (deleteDocs
+    * keeps its own stats-FIRST order: its correction is computed from
+    * pre-tombstone state, so committing the tombstone first would make a
+    * replay recompute an empty correction.) */
   def syncLexCorpus(spark: SparkSession, stateDir: String,
                     oldDocs: DataFrame, newDocs: DataFrame, batchId: Long,
                     autoCompactBatches: Int = 0): Unit = {
@@ -366,6 +378,19 @@ object LexStatsStream {
       Seq("doc_id"), "left_semi")
     val appends = added.unionByName(changedNew)
     val retired = removed.unionByName(changedOld)
+    tombstoneDocRows(spark,
+      removed.select(col("doc_id"), lit(batchId).as("ceiling"))
+        .unionByName(changedNew.select(col("doc_id"),
+          lit(batchId - 1L).as("ceiling"))),
+      batchId, stateDir)
+    if (!pg.alreadyApplied(batchId)) {
+      pg.commitBatch(
+        TextAnalysis.lexPostingsOf(appends)
+          .withColumn("src_batch", lit(batchId))
+          .repartition(col("pbucket")),
+        batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
+      pg.maybeAutoCompact(autoCompactBatches)(compactPostings(spark, stateDir))
+    }
     if (!lg.alreadyApplied(batchId)) {
       // negation from the OLD TEXT (the snapshots are at hand), with the
       // same gen/dl shape negStatsOf consumes — one narrow pass over the
@@ -378,19 +403,6 @@ object LexStatsStream {
         batchId, coalesce1 = false)
       lg.maybeAutoCompact(autoCompactBatches)(compactStats(spark, stateDir))
     }
-    if (!pg.alreadyApplied(batchId)) {
-      pg.commitBatch(
-        TextAnalysis.lexPostingsOf(appends)
-          .withColumn("src_batch", lit(batchId))
-          .repartition(col("pbucket")),
-        batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
-      pg.maybeAutoCompact(autoCompactBatches)(compactPostings(spark, stateDir))
-    }
-    tombstoneDocRows(spark,
-      removed.select(col("doc_id"), lit(batchId).as("ceiling"))
-        .unionByName(changedNew.select(col("doc_id"),
-          lit(batchId - 1L).as("ceiling"))),
-      batchId, stateDir)
   }
 
   // --- as-of reads (round 19): point-in-time over the lexical logs ----------

@@ -386,6 +386,34 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     checkAll()
   }
 
+  test("sync crash window: after the tombstones alone a changed doc " +
+       "UNDER-serves (never double-counts); the replay heals to v2") {
+    val state = tmp()
+    val v1 = docs.select("doc_id", "text")
+    val v2 = TextAnalysis.lexLiveV2Of(docs).select("doc_id", "text")
+    LexStatsStream.applyBatch(spark, v1, 0L, state)
+    // simulate a crash right after sync batch 1's FIRST commit (the
+    // tombstones — the round-19 commit order): removed at ceiling 1,
+    // changed at ceiling 0, nothing else landed
+    val removed = v1.filter($"doc_id" % 10 === 3)
+      .select($"doc_id", lit(1L).as("ceiling"))
+    val changed = v1.filter($"doc_id" % 10 =!= 3 && $"doc_id" % 13 === 0)
+      .select($"doc_id", lit(0L).as("ceiling"))
+    LexStatsStream.tombstoneDocRows(spark, removed.unionByName(changed), 1L, state)
+    // the window's contract: changed + removed docs are ABSENT from every
+    // posting read — no doc serves two generations, no stale generation
+    val mid = LexStatsStream.currentPostings(spark, state, TextAnalysis.Bm25Terms)
+    assert(mid.filter($"doc_id" % 10 === 3).isEmpty)
+    assert(mid.filter($"doc_id" % 13 === 0).isEmpty)
+    assert(mid.groupBy("term", "doc_id").count().filter($"count" > 1).isEmpty)
+    // the replay (same batch id) converges to exactly v2
+    LexStatsStream.syncLexCorpus(spark, state, v1, v2, 1L)
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25TopkOf(v2).as[(Long, Double)].collect().toSeq)
+    assert(nonzeroStats(state) == statsOf(TextAnalysis.lexLiveV2Of(docs)))
+  }
+
   test("as-of reads: the batch-0 view serves v1, later views serve v2, " +
        "and a later delete is invisible to earlier views") {
     val state = tmp()

@@ -68,7 +68,7 @@ object SparkEntry {
     "snippet_extract", "facet_counts",
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
     "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
-    "mmr_rerank", "retrieval_eval",
+    "fuzzy_term_lookup", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -944,6 +944,16 @@ object SparkEntry {
         .select("view", "doc_id", "bm25")
         .orderBy(col("view"), col("bm25").desc, col("doc_id"))
     }),
+    // [r19] FUZZY term lookup (query understanding): misspelled query terms
+    // resolve against the MAINTAINED index vocabulary via the SymSpell
+    // deletion-neighborhood candidate join + an exact-Levenshtein verify —
+    // never a pairwise vocab×query scan. The fixture covers a deletion, a
+    // substitution, an insertion, an exact hit, and a TRANSPOSITION
+    // ('scna'→'scan': generated as a candidate through the shared deletion
+    // variants, then REJECTED by the verify at distance 2 — both stages
+    // load-bearing). Exact strings + integers, zero float hazard.
+    "fuzzy_term_lookup" -> ((s: SparkSession, d: String) =>
+      Fuzzy.gate(s, lexIndexBuilt(s, d))),
     // [r17] hybrid retrieval: per-query BM25 ranked lists (one tf pass over
     // the union of the term sets) ∪ exact-IVF dense top-10 (query ids =
     // probe vector ids), fused with Reciprocal Rank Fusion — the production
@@ -1331,6 +1341,7 @@ object SparkEntry {
     "facet_counts_live" -> TextAnalysis.facetCountsSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "bm25_topk_indexed_asof" -> TextAnalysis.bm25TopkIndexedLiveAsofSql(),
+    "fuzzy_term_lookup" -> Fuzzy.gateSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "hybrid_topk_prox" -> PortableOracles.hybridTopkProxSql,

@@ -633,6 +633,18 @@ object ScaleBench {
         val (d, cents, qv) = imgIdxDir(k)
         ImageAnn.topK(spark, d, cents, qv, k = 10, nprobe = 3)
       },
+      // [r19] fuzzy lookup in the VOCAB-growth axis (its scaling object is
+      // the vocabulary, not the corpus): k×1000 synthetic distinct terms,
+      // a handful of misspelled queries — cost is the deletion-variant
+      // generation + equi-join (O(Σ term length)), verify only on
+      // survivors; expected ~linear in vocab with a tiny constant
+      "fuzzy_lookup_vocabgrow" -> { k =>
+        val v = spark.range(1000L * k).select(
+          concat(lit("term"), col("id").cast("string")).as("term"),
+          (pmod(col("id"), lit(97L)) + 1L).as("df"))
+        graft.operators.Fuzzy.termLookup(v,
+          graft.operators.Fuzzy.GateQueryTerms ++ Seq("term55x", "tarm123"))
+      },
       // [r18] ceiling-tombstone live read at volume: index built once per
       // factor (warm pass, cached) over k× vectors with 1/13 of ids
       // UPDATED in place (ceiling tombstone + batch-1 re-insert) — the

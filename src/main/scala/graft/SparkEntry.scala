@@ -68,7 +68,7 @@ object SparkEntry {
     "snippet_extract", "facet_counts",
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
     "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
-    "fuzzy_term_lookup", "mmr_rerank", "retrieval_eval",
+    "fuzzy_term_lookup", "bm25_passage_topk", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -944,6 +944,20 @@ object SparkEntry {
         .select("view", "doc_id", "bm25")
         .orderBy(col("view"), col("bm25").desc, col("doc_id"))
     }),
+    // [r19] PASSAGE retrieval — the RAG serving grain: the corpus is
+    // chunked (the chunk_overlap windows), a CHUNK-level lexical index is
+    // maintained (pid = doc_id·1000 + chunk_idx), and BM25 serves the
+    // top-k passages entirely off its postings — stats, tf, dl all at
+    // chunk grain (a long document no longer outscores by mere length;
+    // the hit localizes to the window that actually matches). Oracle: the
+    // chunk CTE chain feeding the standard BM25 chain.
+    "bm25_passage_topk" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.bm25TopkIndexed(s, passageIndexBuilt(s, d))
+        .select(expr("CAST(doc_id DIV 1000 AS BIGINT)").as("doc_id"),
+          pmod(col("doc_id"), lit(1000L)).as("chunk_idx"),
+          col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
+    }),
     // [r19] FUZZY term lookup (query understanding): misspelled query terms
     // resolve against the MAINTAINED index vocabulary via the SymSpell
     // deletion-neighborhood candidate join + an exact-Levenshtein verify —
@@ -1207,6 +1221,23 @@ object SparkEntry {
     statsPath
   }
 
+  /** Build-once CHUNK-level lexical index (passage retrieval): the
+    * chunk_overlap windows as index "documents", pid = doc_id·1000 +
+    * chunk_idx. */
+  private def passageIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexpassage/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      streaming.LexStatsStream.applyBatch(s,
+        Prep.chunkTextsOf(Tables.documentsById(s, d))
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+            col("text")),
+        0L, path)
+    }
+    path
+  }
+
   /** Build-once maintained lexical index carried through the full
     * DELETE/UPDATE lifecycle (round 19): ingest v1, sync to the
     * deterministic v2 fixture ([[TextAnalysis.lexLiveV2Of]] — removes +
@@ -1342,6 +1373,7 @@ object SparkEntry {
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "bm25_topk_indexed_asof" -> TextAnalysis.bm25TopkIndexedLiveAsofSql(),
     "fuzzy_term_lookup" -> Fuzzy.gateSql(),
+    "bm25_passage_topk" -> Prep.bm25PassageSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "hybrid_topk_prox" -> PortableOracles.hybridTopkProxSql,

@@ -48,6 +48,47 @@ object Prep {
         h60(concat_ws(" ", col("toks"))).as("chunk_hash"))
   }
 
+  /** [[chunkOverlapOf]] emitting the chunk TEXTS instead of content hashes —
+    * the passage-retrieval input (round 19): each chunk becomes a row-store
+    * "document" a chunk-level lexical index serves. Same window arithmetic,
+    * same narrow generator shape. */
+  def chunkTextsOf(docs: DataFrame, win: Int = 32, stride: Int = 24): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val n = size(words)
+    val nc = when(n <= win, lit(1))
+      .otherwise(lit(1) + ((n - lit(win) + lit(stride - 1)) / lit(stride.toDouble)).cast("int"))
+    val toks = slice(col("w"), col("ci") * stride + 1, lit(win))
+    docs
+      .select(col("doc_id"), words.as("w"), nc.as("nc"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        concat_ws(" ", toks).as("text"))
+  }
+
+  /** BM25 PASSAGE retrieval oracle (round 19): the chunk CTE chain feeding
+    * the standard literal-terms BM25 chain, each chunk keyed pid =
+    * doc_id·1000 + chunk_idx (chunk counts are « 1000 by the window
+    * arithmetic at any document length the fixture carries), top-k chunks
+    * with the pid decomposed back to (doc_id, chunk_idx). */
+  def bm25PassageSql(k: Int = 20): String = {
+    val terms = TextAnalysis.Bm25Terms
+    val tfCols = TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = TextAnalysis.bm25SqlDfCols(terms.size)
+    val score = terms.indices.map(TextAnalysis.bm25SqlScoreTerm).mkString("\n|    + ")
+    val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH $chunkCtes,
+       |ch AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c),
+       |tt AS (SELECT pid, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM ch),
+       |ss AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM tt)
+       |SELECT CAST(pid // 1000 AS BIGINT) AS doc_id,
+       |  CAST(pid % 1000 AS BIGINT) AS chunk_idx,
+       |  ROUND(
+       |    $score, 4) AS bm25
+       |FROM tt, ss WHERE $cand ORDER BY bm25 DESC, pid LIMIT $k""".stripMargin
+  }
+
   /** Shared chunking CTE chain ending in `c(doc_id, ci, toks)` — reused by
     * the chunk-embedding composition oracle. */
   private val chunkCtes: String =

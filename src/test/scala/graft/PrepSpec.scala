@@ -182,4 +182,30 @@ class PrepSpec extends AnyFunSuite with SparkSuite {
       assert(cs.map(_._2).sorted.toSeq == cs.indices.map(_.toLong))
     }
   }
+
+  test("chunkTextsOf carries exactly chunkOverlapOf's windows (hash-verified)") {
+    import graft.functions.Hashing.h60
+    val docs = Tables.documents(spark, Sf0001)
+    val viaText = Prep.chunkTextsOf(docs)
+      .select($"doc_id", $"chunk_idx", h60($"text").as("h"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaHash = Prep.chunkOverlapOf(docs)
+      .select($"doc_id", $"chunk_idx", $"chunk_hash")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(viaText == viaHash && viaText.nonEmpty)
+  }
+
+  test("passage retrieval localizes the hit to the matching window") {
+    // 40 filler tokens + the query terms at the tail: chunk 0 = [0,32) has
+    // no hit, chunk 1 = [24,43) carries them — the chunk-level index must
+    // rank (doc, chunk 1), never chunk 0
+    val text = (Seq.fill(40)("w") ++ Seq("dup", "vector", "query")).mkString(" ")
+    val chunks = Prep.chunkTextsOf(Seq((7L, text)).toDF("doc_id", "text"))
+      .select(($"doc_id" * 1000 + $"chunk_idx").as("doc_id"), $"text")
+    val state = java.nio.file.Files.createTempDirectory("passage").toString
+    graft.streaming.LexStatsStream.applyBatch(spark, chunks, 0L, state)
+    val out = graft.streaming.LexStatsStream.bm25TopkIndexed(spark, state, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(7001L), s"got $out")
+  }
 }

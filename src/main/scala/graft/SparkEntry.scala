@@ -68,7 +68,8 @@ object SparkEntry {
     "snippet_extract", "facet_counts",
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
     "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
-    "fuzzy_term_lookup", "bm25_passage_topk", "mmr_rerank", "retrieval_eval",
+    "fuzzy_term_lookup", "bm25_passage_topk", "more_like_this",
+    "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -958,6 +959,16 @@ object SparkEntry {
           col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
     }),
+    // [r19] MORE LIKE THIS (relevance feedback): the seed document's top
+    // TF-IDF terms (elected with df from the MAINTAINED stats — no corpus
+    // df scan) become the query, served off the postings with the seed
+    // excluded below the top-k. One seed point read + O(seed terms) stat
+    // lookups + the standard O(query-term postings) serve. The oracle
+    // elects the same terms from first principles and sums the per-term
+    // BM25 components in the same rank order.
+    "more_like_this" -> ((s: SparkSession, d: String) =>
+      streaming.LexStatsStream.moreLikeThis(s, lexIndexBuilt(s, d),
+        Tables.documentsById(s, d))),
     // [r19] FUZZY term lookup (query understanding): misspelled query terms
     // resolve against the MAINTAINED index vocabulary via the SymSpell
     // deletion-neighborhood candidate join + an exact-Levenshtein verify —
@@ -1374,6 +1385,7 @@ object SparkEntry {
     "bm25_topk_indexed_asof" -> TextAnalysis.bm25TopkIndexedLiveAsofSql(),
     "fuzzy_term_lookup" -> Fuzzy.gateSql(),
     "bm25_passage_topk" -> Prep.bm25PassageSql(),
+    "more_like_this" -> TextAnalysis.moreLikeThisSql(),
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "hybrid_topk_prox" -> PortableOracles.hybridTopkProxSql,

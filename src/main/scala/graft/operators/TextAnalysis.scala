@@ -1057,6 +1057,37 @@ object TextAnalysis {
     * docs matching ≥ 1 query term (what an inverted-index read can see). */
   val bm25TopkIndexedSql: String = bm25TopkSqlOf(candidatesOnly = true)
 
+  /** "More like this" replica (round 19): the seed doc's top-TF-IDF term
+    * election from first principles (tf of the seed row × ln(n/df), rounded,
+    * (score desc, term) ranked), then BM25 with those DYNAMIC terms — the
+    * per-term components carry the exact [[bm25SqlScoreTerm]] association
+    * and are summed IN RANK ORDER (`list_sum(list(c ORDER BY rank))`,
+    * left-to-right like the Spark expression tree over the rank-ordered
+    * term seq), candidates = docs matching ≥ 1 term, seed excluded. */
+  def moreLikeThisSql(seedDoc: Long = 0L, nTerms: Int = 3, k: Int = 20): String =
+    s"""WITH w AS (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents),
+       |dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc FROM w GROUP BY term),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |tf0 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS tf FROM w
+       |        WHERE doc_id = $seedDoc GROUP BY term),
+       |mlt AS (SELECT term, rank FROM (
+       |  SELECT t0.term, ROW_NUMBER() OVER (
+       |    ORDER BY ROUND(t0.tf * LN(nn.n / d.dfc), 4) DESC, t0.term) AS rank
+       |  FROM tf0 t0 JOIN dfq d USING (term), nn) WHERE rank <= $nTerms),
+       |t AS (SELECT doc_id, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl, text FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM t),
+       |comp AS (SELECT t.doc_id, m.rank,
+       |    LN((s.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+       |      * (CAST(LEN(LIST_FILTER(STR_SPLIT(t.text, ' '), x -> x = m.term)) AS DOUBLE) * ${Bm25K1 + 1.0})
+       |      / (CAST(LEN(LIST_FILTER(STR_SPLIT(t.text, ' '), x -> x = m.term)) AS DOUBLE)
+       |         + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * t.dl / s.avgdl)) AS c,
+       |    LEN(LIST_FILTER(STR_SPLIT(t.text, ' '), x -> x = m.term)) AS tfi
+       |  FROM t, s, mlt m JOIN dfq d USING (term)),
+       |sc AS (SELECT doc_id, ROUND(list_sum(list(c ORDER BY rank)), 4) AS bm25,
+       |       SUM(tfi) AS anytf FROM comp GROUP BY doc_id)
+       |SELECT doc_id, bm25 FROM sc WHERE anytf > 0 AND doc_id <> $seedDoc
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+
   // --- the LIVE-corpus gate fixture (round 19) --------------------------------
 
   /** The deterministic churned corpus the lexical-lifecycle gate rows serve:

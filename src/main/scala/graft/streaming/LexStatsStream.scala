@@ -560,6 +560,38 @@ object LexStatsStream {
       currentPostings(spark, stateDir, terms).select("doc_id").distinct(),
       dims, facets)
 
+  /** "More like this" (round 19) — the classic relevance-feedback verb:
+    * the seed document's top TF-IDF terms become the query, served off the
+    * maintained index. Serving shape: ONE point read of the seed row
+    * (In-pushdown), O(seed's distinct terms) stat lookups for the TF-IDF
+    * election (df from the maintained stats — no corpus df scan), ≤ nTerms
+    * driver rows collected IN RANK ORDER (the BM25 component summation
+    * order both engines replay), then the standard O(query-term postings)
+    * indexed BM25 with the seed itself excluded BELOW the top-k. */
+  def moreLikeThis(spark: SparkSession, stateDir: String, docs: DataFrame,
+                   seedDoc: Long = 0L, nTerms: Int = 3, k: Int = 20): DataFrame = {
+    val stats = currentStats(spark, stateDir)
+    val corpus = stats.filter(col("term") === TextAnalysis.LexCorpusRow)
+      .agg(sum("nd").as("nd")).head()
+    val n = corpus.getLong(0).toDouble
+    val seedTf = docs.filter(col("doc_id") === seedDoc)
+      .select(explode(split(col("text"), " ", -1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("tf"))
+    val terms = seedTf.join(stats.filter(col("term") =!= TextAnalysis.LexCorpusRow)
+        .groupBy("term").agg(sum("df").as("df")), Seq("term"))
+      .select(col("term"),
+        round(col("tf") *
+          org.apache.spark.sql.functions.log(lit(n) / col("df").cast("double")),
+          4).as("score"))
+      .orderBy(col("score").desc, col("term"))
+      .limit(nTerms)
+      .collect().map(_.getString(0)).toSeq // ≤ nTerms rows, rank-ordered
+    TextAnalysis.bm25TopkIndexed(
+      currentPostings(spark, stateDir, terms)
+        .filter(col("doc_id") =!= seedDoc), // excluded BELOW the top-k
+      stats, terms, k)
+  }
+
   /** File-source wrapper: document parquet drops → maintained stats +
     * postings under `stateDir`. */
   def runFileStream(spark: SparkSession, inDir: String, stateDir: String,

@@ -386,6 +386,27 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     checkAll()
   }
 
+  test("more-like-this: the index-stats TF-IDF election matches the " +
+       "independent tfidf operator; the seed never self-retrieves") {
+    val state = tmp()
+    foldAll(state)
+    val out = LexStatsStream.moreLikeThis(spark, state, docs)
+      .as[(Long, Double)].collect().toSeq
+    assert(out.size == 20 && !out.exists(_._1 == 0L))
+    // cross-validation: elect the seed's terms through the INDEPENDENT
+    // tfidf operator (window-df derivation) and serve them the same way —
+    // the two df sources must agree whenever the index equals the corpus
+    val elected = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 3)
+      .filter($"doc_id" === 0).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    val direct = TextAnalysis.bm25TopkIndexed(
+        LexStatsStream.currentPostings(spark, state, elected)
+          .filter($"doc_id" =!= 0L),
+        LexStatsStream.currentStats(spark, state), elected)
+      .as[(Long, Double)].collect().toSeq
+    assert(out == direct)
+  }
+
   test("sync crash window: after the tombstones alone a changed doc " +
        "UNDER-serves (never double-counts); the replay heals to v2") {
     val state = tmp()

@@ -69,7 +69,7 @@ object SparkEntry {
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
     "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
     "fuzzy_term_lookup", "bm25_passage_topk", "more_like_this",
-    "mmr_rerank", "retrieval_eval",
+    "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
     Similarity.clearSessionCaches()
@@ -959,6 +959,25 @@ object SparkEntry {
           col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
     }),
+    // [r19] index INTROSPECTION — the operational "how big is my index"
+    // read every serving deployment monitors: doc/token totals off the
+    // corpus row, vocabulary size and posting-row count off the term rows
+    // (posting rows = Σ df — derived from the vocabulary-sized stats, no
+    // postings scan). Exact integers + one roundz ratio.
+    "lex_index_stats" -> ((s: SparkSession, d: String) => {
+      val st = streaming.LexStatsStream.currentStats(s, lexIndexBuilt(s, d))
+      val corpus = st.filter(col("term") === TextAnalysis.LexCorpusRow)
+        .select(col("nd").as("n_docs"), col("dl").as("total_tokens"))
+      val vocab = st
+        .filter(col("term") =!= TextAnalysis.LexCorpusRow && col("df") > 0)
+        .agg(count(lit(1)).as("n_terms"), sum("df").as("posting_rows"))
+      corpus.crossJoin(vocab)
+        .select(col("n_docs"), col("total_tokens"), col("n_terms"),
+          col("posting_rows"),
+          graft.functions.ExprUtils.roundz(
+            col("total_tokens").cast("double") / col("n_docs").cast("double"), 4)
+            .as("avg_dl"))
+    }),
     // [r19] MORE LIKE THIS (relevance feedback): the seed document's top
     // TF-IDF terms (elected with df from the MAINTAINED stats — no corpus
     // df scan) become the query, served off the postings with the seed
@@ -1386,6 +1405,15 @@ object SparkEntry {
     "fuzzy_term_lookup" -> Fuzzy.gateSql(),
     "bm25_passage_topk" -> Prep.bm25PassageSql(),
     "more_like_this" -> TextAnalysis.moreLikeThisSql(),
+    "lex_index_stats" ->
+      """WITH td AS (SELECT DISTINCT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |      CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms,
+        |      CAST(COUNT(*) AS BIGINT) AS posting_rows FROM td)
+        |SELECT n_docs, total_tokens, n_terms, posting_rows,
+        |  (ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 4) + 0.0) AS avg_dl
+        |FROM c, v""".stripMargin,
     "hybrid_topk_rrf" -> PortableOracles.hybridTopkRrfSql,
     "hybrid_topk_rrf3" -> PortableOracles.hybridTopkRrf3Sql,
     "hybrid_topk_prox" -> PortableOracles.hybridTopkProxSql,

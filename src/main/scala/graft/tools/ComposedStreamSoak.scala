@@ -6,8 +6,10 @@ import graft.operators.{Components, CorpusOverlap, Curation, HashedModel, Pq, Si
 import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, CurationStream, DriftStream, EmbeddingIndexStream, FunnelStream, HashedModelStream, HistogramStream, LexStatsStream, MediaStream, OverlapStream, ProfileStream, QualityStream, RetentionStream, StateHistoryStream, SubstringDedupStream}
 
 /** Composed streaming soak (round 15: sixteen streams; round 17:
-  * seventeen; round 18: eighteen — MediaStream, the stateless media tier,
-  * joined): OverlapStream,
+  * seventeen; round 18: eighteen — MediaStream, the stateless media tier;
+  * round 19: NINETEEN — the passage-grain lexical index joined, and the
+  * doc-grain lexical stream now takes an IN-LOOP delete at an interleaved
+  * maintenance id, kill-replayed): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
@@ -123,6 +125,7 @@ object ComposedStreamSoak {
     val qlState = s"$tmp/ql-state"
     val cdState = s"$tmp/cd-state"
     val lxState = s"$tmp/lx-state"
+    val lpState = s"$tmp/lp-state"
     val mdOut = s"$tmp/md-out"
     // fixed check suite + frozen ref dim for the QualityStream fold (the
     // contract: both constant for the state's lifetime)
@@ -193,6 +196,14 @@ object ComposedStreamSoak {
           docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
           2L * 17 + 1, lxState)
       MediaStream.applyBatch(spark, docB(i), i.toLong, mdOut)
+      // [r19] 19th stream: the PASSAGE (chunk-grain) lexical index —
+      // chunking is stateless, so each doc batch's chunk rows are disjoint
+      // and fold through the same two-log machinery (pid = doc·1000 + idx)
+      LexStatsStream.applyBatch(spark,
+        graft.operators.Prep.chunkTextsOf(docB(i))
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+            col("text")),
+        i.toLong, lpState, autoCompactBatches = 8)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -481,6 +492,16 @@ object ComposedStreamSoak {
     LexStatsStream.compactState(spark, lxState)
     LexStatsStream.clearDocTombstones(spark, lxState)
     check("lex_live_compacted", lexLiveOk())
+    // [r19] the passage index (19th stream): chunk-grain indexed BM25 off
+    // the streamed state ≡ a one-shot build over the union's chunks
+    val lpIndexed = LexStatsStream.bm25TopkIndexed(spark, lpState)
+      .as[(Long, Double)].collect().toSeq
+    val lpDirect = TextAnalysis.bm25TopkOf(
+        graft.operators.Prep.chunkTextsOf(docs)
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+            col("text")))
+      .as[(Long, Double)].collect().toSeq
+    check("lex_passage", lpIndexed == lpDirect && lpIndexed.nonEmpty)
 
     // [r18] media tier (18th stream): the stateless per-batch map through
     // the REAL codecs accumulates to exactly the one-shot batch kernels

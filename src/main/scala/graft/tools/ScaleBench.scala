@@ -108,6 +108,7 @@ object ScaleBench {
         }
         d
       })
+    val lexPassageDirs = scala.collection.concurrent.TrieMap[Int, String]()
     // [r19] image-feature ANN index per factor: decode k× synthesized PNGs
     // → cell-sum features → seed-centroid assignment, cluster-partitioned
     val imgIdx = scala.collection.concurrent.TrieMap[Int,
@@ -632,6 +633,22 @@ object ScaleBench {
         import graft.operators.ImageAnn
         val (d, cents, qv) = imgIdxDir(k)
         ImageAnn.topK(spark, d, cents, qv, k = 10, nprobe = 3)
+      },
+      // [r19] passage-grain serve in the fixed-postings regime: the chunk
+      // index grows k× (every doc re-chunked) but the gate terms' postings
+      // stay constant — FLAT like the doc-grain serve, proving the chunk
+      // grain adds no serve tax
+      "passage_serve" -> { k =>
+        val d = lexPassageDirs.getOrElseUpdate(k, {
+          val p = java.nio.file.Files.createTempDirectory(s"sb-lexpass-$k").toString
+          graft.streaming.LexStatsStream.applyBatch(spark,
+            graft.operators.Prep.chunkTextsOf(grownDocs(k))
+              .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+                col("text")),
+            0L, p)
+          p
+        })
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark, d)
       },
       // [r19] fuzzy lookup in the VOCAB-growth axis (its scaling object is
       // the vocabulary, not the corpus): k×1000 synthetic distinct terms,

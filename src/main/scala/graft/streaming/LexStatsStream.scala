@@ -586,6 +586,8 @@ object LexStatsStream {
       .orderBy(col("score").desc, col("term"))
       .limit(nTerms)
       .collect().map(_.getString(0)).toSeq // ≤ nTerms rows, rank-ordered
+    require(terms.nonEmpty,
+      s"more-like-this seed doc $seedDoc not found (or empty) in the corpus")
     TextAnalysis.bm25TopkIndexed(
       currentPostings(spark, stateDir, terms)
         .filter(col("doc_id") =!= seedDoc), // excluded BELOW the top-k

@@ -69,6 +69,8 @@ object SparkEntry {
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
     "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
     "fuzzy_term_lookup", "bm25_passage_topk", "more_like_this",
+    "bm25_passage_topk_live", "bm25_topk_fuzzy", "more_like_this_live",
+    "fuzzy_term_lookup_live", "hybrid_topk_live", "ann_image_topk_live",
     "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -952,13 +954,20 @@ object SparkEntry {
     // chunk grain (a long document no longer outscores by mere length;
     // the hit localizes to the window that actually matches). Oracle: the
     // chunk CTE chain feeding the standard BM25 chain.
-    "bm25_passage_topk" -> ((s: SparkSession, d: String) => {
-      streaming.LexStatsStream.bm25TopkIndexed(s, passageIndexBuilt(s, d))
-        .select(expr("CAST(doc_id DIV 1000 AS BIGINT)").as("doc_id"),
-          pmod(col("doc_id"), lit(1000L)).as("chunk_idx"),
-          col("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
-    }),
+    "bm25_passage_topk" -> ((s: SparkSession, d: String) =>
+      streaming.PassageLex.bm25Topk(s, passageIndexBuilt(s, d))),
+    // [r20] the passage index carried through the full DELETE/UPDATE
+    // lifecycle (verdict r19 item 1 — the chunk grain inherits the same
+    // churn bug class the doc grain closed in r19): v1 chunks ingested,
+    // the corpus synced to the SAME deterministic v2 fixture the doc-grain
+    // live rows use (doc %10==3 removed → every chunk pid retired; doc
+    // %13==0 edited → the suffix windows re-chunk in place, earlier
+    // windows' pid+text unchanged and never rewritten), both logs
+    // compacted so the serve reads purged postings + folded correction
+    // stats. Oracle: the chunk CTE chain re-run over the v2 view — the
+    // oracle never sees the index, only the corpus it claims to serve.
+    "bm25_passage_topk_live" -> ((s: SparkSession, d: String) =>
+      streaming.PassageLex.bm25Topk(s, passageLiveIndexBuilt(s, d))),
     // [r19] index INTROSPECTION — the operational "how big is my index"
     // read every serving deployment monitors: doc/token totals off the
     // corpus row, vocabulary size and posting-row count off the term rows
@@ -1253,17 +1262,32 @@ object SparkEntry {
 
   /** Build-once CHUNK-level lexical index (passage retrieval): the
     * chunk_overlap windows as index "documents", pid = doc_id·1000 +
-    * chunk_idx. */
+    * chunk_idx (overflow-guarded in [[streaming.PassageLex.chunkDocs]]). */
   private def passageIndexBuilt(s: SparkSession, d: String): String = {
     val path = "/tmp/graft-lexpassage/" + d.replaceAll("[^A-Za-z0-9.]", "_")
     Similarity.ensureBuilt(path) {
       val f = graft.functions.FsUtils.fs(s, path)
       f.delete(new org.apache.hadoop.fs.Path(path), true)
-      streaming.LexStatsStream.applyBatch(s,
-        Prep.chunkTextsOf(Tables.documentsById(s, d))
-          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
-            col("text")),
-        0L, path)
+      streaming.PassageLex.applyBatch(s, Tables.documentsById(s, d), 0L, path)
+    }
+    path
+  }
+
+  /** Build-once passage index carried through the DELETE/UPDATE lifecycle
+    * (round 20): v1 chunks ingested, [[streaming.PassageLex.sync]] to the
+    * v2 fixture (one maintenance batch — chunk-grain diff, ceiling
+    * tombstones, negative stats corrections), then both logs compacted.
+    * Shared by `bm25_passage_topk_live`. */
+  private def passageLiveIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexpassagelive/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      streaming.PassageLex.applyBatch(s, docs, 0L, path)
+      streaming.PassageLex.sync(s, path, docs,
+        TextAnalysis.lexLiveV2Of(docs), 1L)
+      streaming.LexStatsStream.compactState(s, path)
     }
     path
   }
@@ -1404,6 +1428,8 @@ object SparkEntry {
     "bm25_topk_indexed_asof" -> TextAnalysis.bm25TopkIndexedLiveAsofSql(),
     "fuzzy_term_lookup" -> Fuzzy.gateSql(),
     "bm25_passage_topk" -> Prep.bm25PassageSql(),
+    "bm25_passage_topk_live" -> Prep.bm25PassageSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "more_like_this" -> TextAnalysis.moreLikeThisSql(),
     "lex_index_stats" ->
       """WITH td AS (SELECT DISTINCT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS t FROM documents),

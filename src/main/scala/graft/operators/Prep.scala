@@ -67,16 +67,18 @@ object Prep {
 
   /** BM25 PASSAGE retrieval oracle (round 19): the chunk CTE chain feeding
     * the standard literal-terms BM25 chain, each chunk keyed pid =
-    * doc_id·1000 + chunk_idx (chunk counts are « 1000 by the window
-    * arithmetic at any document length the fixture carries), top-k chunks
-    * with the pid decomposed back to (doc_id, chunk_idx). */
-  def bm25PassageSql(k: Int = 20): String = {
+    * doc_id·1000 + chunk_idx (the Spark side FAILS LOUD past 1000 chunks —
+    * [[graft.streaming.PassageLex.chunkDocs]]), top-k chunks with the pid
+    * decomposed back to (doc_id, chunk_idx). `docsRel`/`prelude` swap the
+    * corpus for a CTE (the live-lifecycle replicas chunk the v2 view). */
+  def bm25PassageSql(k: Int = 20, docsRel: String = "documents",
+                     prelude: String = ""): String = {
     val terms = TextAnalysis.Bm25Terms
     val tfCols = TextAnalysis.bm25SqlTfCols(terms)
     val dfCols = TextAnalysis.bm25SqlDfCols(terms.size)
     val score = terms.indices.map(TextAnalysis.bm25SqlScoreTerm).mkString("\n|    + ")
     val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-    s"""WITH $chunkCtes,
+    s"""WITH $prelude${chunkCtesOf(docsRel)},
        |ch AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c),
        |tt AS (SELECT pid, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
        |    $tfCols
@@ -90,14 +92,17 @@ object Prep {
   }
 
   /** Shared chunking CTE chain ending in `c(doc_id, ci, toks)` — reused by
-    * the chunk-embedding composition oracle. */
-  private val chunkCtes: String =
-    """t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
-      |    CASE WHEN LEN(STR_SPLIT(text, ' ')) <= 32 THEN 1
-      |         ELSE 1 + (LEN(STR_SPLIT(text, ' ')) - 32 + 23) // 24 END AS nc
-      |  FROM documents),
-      |x AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t),
-      |c AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x)""".stripMargin
+    * the chunk-embedding composition oracle and the passage replicas
+    * (parameterized over the corpus relation for the live twins). */
+  private def chunkCtesOf(docsRel: String): String =
+    s"""t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
+       |    CASE WHEN LEN(STR_SPLIT(text, ' ')) <= 32 THEN 1
+       |         ELSE 1 + (LEN(STR_SPLIT(text, ' ')) - 32 + 23) // 24 END AS nc
+       |  FROM $docsRel),
+       |x AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t),
+       |c AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x)""".stripMargin
+
+  private val chunkCtes: String = chunkCtesOf("documents")
 
   val chunkOverlapSql: String =
     s"""WITH $chunkCtes

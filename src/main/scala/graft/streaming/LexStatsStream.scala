@@ -111,6 +111,19 @@ object LexStatsStream {
   def foldedUpto(spark: SparkSession, stateDir: String): Long =
     log(spark, stateDir).foldedUpto()
 
+  /** Distinct doc ids holding ≥ 1 LIVE posting row — the id-resolution
+    * read maintenance cascades compose (e.g. [[PassageLex.deleteDocs]]
+    * resolving a parent document's live chunk pids before tombstoning
+    * them). One postings scan at a two-column projection (terms,
+    * positions and stats never leave the parquet reader) — the same cost
+    * class as [[deleteDocs]]'s own hidden-generation scan. */
+  def livePostingDocIds(spark: SparkSession, stateDir: String): DataFrame =
+    applyDocCeilings(
+      postLog(spark, stateDir).readAll(emptyPostings(spark))
+        .select("doc_id", "src_batch"),
+      docTombstoneCeilings(spark, stateDir))
+      .select("doc_id").distinct()
+
   /** Fold one document micro-batch into both index logs. Returns true when
     * anything folded, false when the replay guards short-circuited both. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
@@ -237,18 +250,30 @@ object LexStatsStream {
     rawDocTombstones(spark, stateDir)
       .groupBy("doc_id").agg(max("ceiling").as("ts_batch"))
 
+  private val MixedLayoutMsg =
+    "mixed pre/post-r19 postings layouts in one log (NULL src_batch row " +
+    "under an armed tombstone): ceiling resolution is undefined for rows " +
+    "without ingest provenance - fold the old-layout dirs with the " +
+    "pre-r19 code before arming doc tombstones"
+
   /** Ceiling exclusion on posting rows — keep rows whose ingest batch is
     * ABOVE their doc's tombstone ceiling (or whose doc has no tombstone).
     * A pre-round-19 layout (no per-row src_batch provenance) degrades to
     * doc-level exclusion — exactly the semantics its all-generations
-    * tombstones meant (mixing pre/post layouts in ONE log is not supported:
-    * fold with the old code first). */
+    * tombstones meant. A MIXED log (old and new batch dirs → schema-union
+    * NULL src_batch on the old rows) fails LOUD the moment a tombstoned
+    * doc's null-provenance row is read — silently hiding it would
+    * overstate deletions while [[newlyHidden]] under-corrects stats (the
+    * round-19 advisory): the raise_error fires only on (tombstone-matched
+    * ∧ src_batch NULL) rows, costing nothing on clean layouts. */
   private def applyDocCeilings(rows: DataFrame, ceilings: DataFrame): DataFrame =
     if (!rows.columns.contains("src_batch"))
       rows.join(ceilings.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     else
       rows.join(ceilings, Seq("doc_id"), "left")
-        .filter(col("ts_batch").isNull || col("src_batch") > col("ts_batch"))
+        .filter(col("ts_batch").isNull ||
+          when(col("src_batch").isNull, raise_error(lit(MixedLayoutMsg)))
+            .otherwise(col("src_batch")) > col("ts_batch"))
         .drop("ts_batch")
 
   /** Commit one batch of (doc_id, ceiling) tombstone rows. USER-invoked,
@@ -285,8 +310,18 @@ object LexStatsStream {
     val live = applyDocCeilings(raw, docTombstoneCeilings(spark, stateDir))
     val withGen =
       if (live.columns.contains("src_batch"))
-        live.filter(col("src_batch") <= newCeiling)
-          .withColumn("gen", col("src_batch"))
+        // guard BEFORE the ceiling filter: a mixed-layout NULL src_batch
+        // row would silently fall out of `<= newCeiling` here, so the
+        // correction batch would omit it while the tombstone hides it —
+        // permanent df/dl/nd overstatement with no error (round-19
+        // advisory). This is the maintenance-time twin of the
+        // applyDocCeilings read-time guard (which needs a PRIOR tombstone
+        // to fire; on the first-ever delete of a mixed log only this one
+        // can catch it).
+        live.withColumn("gen",
+            when(col("src_batch").isNull, raise_error(lit(MixedLayoutMsg)))
+              .otherwise(col("src_batch")))
+          .filter(col("gen") <= newCeiling)
       else if (live.columns.contains("batch")) // degrade: partition id
         live.withColumn("gen", col("batch"))
       else live.withColumn("gen", lit(-1L))
@@ -465,29 +500,54 @@ object LexStatsStream {
       .drop("pbucket")
   }
 
+  /** Fail-loud horizon check for point-in-time reads (round-19 verdict
+    * item 7): compaction collapses per-batch stats addends and physically
+    * purges hidden posting generations, so an as-of cut BELOW either
+    * log's folded watermark would silently serve the folded floor —
+    * corrections that committed after B but before the fold are baked in,
+    * purged generations unrecoverable. Refuse instead; size compaction
+    * windows to the as-of horizon you need (the shared StateLog caveat,
+    * now mechanical rather than prose). */
+  private def requireAsOfReachable(spark: SparkSession, stateDir: String,
+                                   asOfBatch: Long): Unit = {
+    val statsFold = log(spark, stateDir).foldedUpto()
+    val postFold = postLog(spark, stateDir).foldedUpto()
+    val horizon = math.max(statsFold, postFold)
+    require(asOfBatch >= horizon,
+      s"as-of batch $asOfBatch predates the folded horizon $horizon " +
+        s"(stats folded upto $statsFold, postings upto $postFold) at " +
+        s"$stateDir: compaction collapsed per-batch history below it, so " +
+        "the point-in-time view is not reconstructible")
+  }
+
   /** BM25 served from the index AS IT STOOD at `asOfBatch` — reproduce
     * yesterday's ranking, audit what a delete removed: both stats and the
     * query terms' postings bounded to batches ≤ B, tombstones committed
     * ≤ B applied (with their own ceilings — the point-in-time twin of
-    * [[bm25TopkIndexed]]). */
+    * [[bm25TopkIndexed]]). Refuses below the folded horizon. */
   def bm25TopkIndexedAsOf(spark: SparkSession, stateDir: String,
                           asOfBatch: Long,
                           terms: Seq[String] = TextAnalysis.Bm25Terms,
-                          k: Int = 20): DataFrame =
+                          k: Int = 20): DataFrame = {
+    requireAsOfReachable(spark, stateDir, asOfBatch)
     TextAnalysis.bm25TopkIndexed(
       readPostingsAsOf(spark, stateDir, terms,
         Seq("term", "doc_id", "tf", "dl", "pbucket"), asOfBatch),
       currentStatsAsOf(spark, stateDir, asOfBatch), terms, k)
+  }
 
   /** Phrase query at a point in time — the same bounded read under the
     * positional columns (proximity/snippets/facets ride the identical
-    * seam through their own entry points if needed). */
+    * seam through their own entry points if needed). Refuses below the
+    * folded horizon. */
   def phraseMatchAsOf(spark: SparkSession, stateDir: String, asOfBatch: Long,
-                      phrase: Seq[String] = TextAnalysis.PhraseTerms): DataFrame =
+                      phrase: Seq[String] = TextAnalysis.PhraseTerms): DataFrame = {
+    requireAsOfReachable(spark, stateDir, asOfBatch)
     TextAnalysis.phraseMatchOf(
       readPostingsAsOf(spark, stateDir, phrase,
         Seq("term", "doc_id", "tf", "dl", "positions", "pbucket"), asOfBatch),
       phrase)
+  }
 
   /** Retire the tombstone dirs. ONLY safe once every tombstoned doc's
     * hidden generations are physically purged from every postings dir a
@@ -573,6 +633,12 @@ object LexStatsStream {
     val stats = currentStats(spark, stateDir)
     val corpus = stats.filter(col("term") === TextAnalysis.LexCorpusRow)
       .agg(sum("nd").as("nd")).head()
+    // empty index / missing corpus sentinel → sum(nd) is a NULL cell; read
+    // it and getLong NPEs before the seed-doc require below can explain
+    // anything (round-19 advisory) — fail with the real cause instead
+    require(!corpus.isNullAt(0),
+      s"more-like-this over an empty lexical index at $stateDir " +
+        "(no corpus sentinel row in the stats log)")
     val n = corpus.getLong(0).toDouble
     val seedTf = docs.filter(col("doc_id") === seedDoc)
       .select(explode(split(col("text"), " ", -1)).as("term"))

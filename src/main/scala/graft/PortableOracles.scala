@@ -1025,6 +1025,73 @@ object PortableOracles {
        |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
   }
 
+  /** LIVE-composed hybrid replica (`hybrid_topk_live`, round 20 — verdict
+    * r19 item 3): the [[hybridTopkRrfSql]] chain with BOTH legs cut to the
+    * live sets — the lexical BM25 branches run over the v2 view (the
+    * churned corpus the compacted lexical index serves) and the dense IVF
+    * candidates carry the tombstone predicate `vec_id % 10 <> 3` (the
+    * [[retrievalEvalLiveSql]] live-read form). Fused with the same exact
+    * scaled-integer RRF (lcm interpolated, integer division exact on both
+    * engines) — one row proving the SERVING STACK, not each index alone,
+    * is lifecycle-consistent.
+    *
+    * LAZY: this is the one oracle here whose prelude reads a TextAnalysis
+    * VAL (lexLiveV2Cte — interpolated, so not a compile-time constant);
+    * TextAnalysis's own init references PortableOracles, and an eager val
+    * would read an empty prelude through the partially-initialized object
+    * (the round-18 k1-zeroing cycle, caught again this round as a missing
+    * v2 CTE). Evaluation at gate time sees both objects complete. */
+  lazy val hybridTopkLiveSql: String = {
+    import graft.operators.Retrieval
+    val querySets = Retrieval.HybridTermSets
+    val terms = querySets.flatMap(_._2).distinct
+    val lcm = Retrieval.rrfLcm(Retrieval.RrfC, Retrieval.HybridL)
+    val probeIdsIn = querySets.map(_._1).mkString(", ")
+    val tfCols = graft.operators.TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = graft.operators.TextAnalysis.bm25SqlDfCols(terms.size)
+    val tIdx = terms.zipWithIndex.toMap
+    def scoreSql(qts: Seq[String]): String =
+      qts.map(t => graft.operators.TextAnalysis.bm25SqlScoreTerm(tIdx(t)))
+        .mkString(" + ")
+    val lexBranches = querySets.map { case (qid, qts) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, ROUND(${scoreSql(qts)}, 4) AS s FROM t, st"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH ${graft.operators.TextAnalysis.lexLiveV2Cte}$ivfAssignCtes,
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+       |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |             FROM dists WHERE vec_id IN ($probeIdsIn)) WHERE rn <= 3),
+       |dense AS (SELECT query_id, cand_id AS doc_id, rn AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, a.v), 4) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.vec_id AND a.vec_id % 10 <> 3) dr
+       |  WHERE rn <= ${Retrieval.HybridL}),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM v2),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM t),
+       |lexs AS (
+       |  $lexBranches),
+       |lex AS (SELECT query_id, doc_id, rank FROM (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+       |  FROM lexs WHERE s > 0) lr WHERE rank <= ${Retrieval.HybridL}),
+       |fused AS (SELECT
+       |    COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE($lcm // (${Retrieval.RrfC} + l.rank), 0)
+       |      + COALESCE($lcm // (${Retrieval.RrfC} + d.rank), 0) AS rrf_num
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, CAST(rrf_num AS BIGINT) AS rrf_num, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_num DESC, doc_id) AS rank FROM fused) f
+       |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Live-tier retrieval-quality replica (`retrieval_eval_live`): the
     * delete path's recall self-measured at k=10 — approx = the live IVF
     * read (nprobe 3, candidate predicate vec_id % 10 <> 3, the

@@ -194,6 +194,28 @@ object Retrieval {
       .select("query_id", "doc_id", "rank")
   }
 
+  /** Multi-query BM25 ranked lists served ENTIRELY off a maintained
+    * lexical index (round 20, the hybrid stack's live lexical leg):
+    * `topkFor` supplies each term set's indexed top-L (the
+    * [[graft.streaming.LexStatsStream.bm25TopkIndexed]] reader — stats +
+    * tf from the index, the corpus nowhere in the read path), ranks from
+    * the deterministic (bm25 desc, doc_id) cut. Because the indexed serve
+    * rides the shared score tree, each list is bitwise the corpus-pass
+    * list whenever the maintained index equals the one-shot build over
+    * the corpus it claims to serve — which is what lets the live-fusion
+    * oracle replay pure corpus SQL against a churned index. */
+  def bm25RankedPerQueryIndexed(topkFor: (Seq[String], Int) => DataFrame,
+                                querySets: Seq[(Long, Seq[String])],
+                                l: Int): DataFrame = {
+    val lists = querySets.map { case (qid, qts) =>
+      topkFor(qts, l).select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
+    lists.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= l)
+      .select("query_id", "doc_id", "rank")
+  }
+
   /** Per-query PROXIMITY ranked lists off the positional postings (round
     * 19, VERDICT r18 item 7 — proximity as a fusion retriever): each
     * query's term pair ranks its co-occurrence docs by (min token distance

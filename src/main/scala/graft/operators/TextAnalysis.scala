@@ -1064,17 +1064,19 @@ object TextAnalysis {
     * and are summed IN RANK ORDER (`list_sum(list(c ORDER BY rank))`,
     * left-to-right like the Spark expression tree over the rank-ordered
     * term seq), candidates = docs matching ≥ 1 term, seed excluded. */
-  def moreLikeThisSql(seedDoc: Long = 0L, nTerms: Int = 3, k: Int = 20): String =
-    s"""WITH w AS (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents),
+  def moreLikeThisSql(seedDoc: Long = 0L, nTerms: Int = 3, k: Int = 20,
+                      docsRel: String = "documents",
+                      prelude: String = ""): String =
+    s"""WITH ${prelude}w AS (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM $docsRel),
        |dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc FROM w GROUP BY term),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $docsRel),
        |tf0 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS tf FROM w
        |        WHERE doc_id = $seedDoc GROUP BY term),
        |mlt AS (SELECT term, rank FROM (
        |  SELECT t0.term, ROW_NUMBER() OVER (
        |    ORDER BY ROUND(t0.tf * LN(nn.n / d.dfc), 4) DESC, t0.term) AS rank
        |  FROM tf0 t0 JOIN dfq d USING (term), nn) WHERE rank <= $nTerms),
-       |t AS (SELECT doc_id, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl, text FROM documents),
+       |t AS (SELECT doc_id, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl, text FROM $docsRel),
        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM t),
        |comp AS (SELECT t.doc_id, m.rank,
        |    LN((s.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)

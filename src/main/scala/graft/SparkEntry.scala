@@ -834,6 +834,15 @@ object SparkEntry {
     // pixel hash → luma → cell sums → seed centroids → assignment →
     // probes → top-k.
     "ann_image_topk" -> ((s: SparkSession, d: String) => ImageAnn.gate(s, d)),
+    // [r20] the image tier's LIFECYCLE row (verdict r19 item 2): the same
+    // churn event as the lexical/embedding live rows (doc %10==3 opted
+    // out, doc %13==0's image replaced) cascaded into the image index via
+    // the SHARED EmbeddingIndexStream machinery (streamed batches with
+    // src_batch, one per-row-ceiling tombstone batch, compaction purge),
+    // served by the tombstone-aware exact-Long reader. The oracle replays
+    // BOTH raster generations from the synthesis arithmetic.
+    "ann_image_topk_live" -> ((s: SparkSession, d: String) =>
+      ImageAnn.gateLive(s, d)),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -1472,6 +1481,7 @@ object SparkEntry {
     // (the deterministic remove+edit fixture) — the oracle never sees the
     // index, only the corpus the index claims to serve
     "ann_image_topk" -> ImageAnn.gateSql(),
+    "ann_image_topk_live" -> ImageAnn.gateLiveSql(),
     "bm25_topk_indexed_live" -> TextAnalysis.bm25TopkIndexedLiveSql,
     "phrase_match_live" -> TextAnalysis.phraseMatchSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),

@@ -485,12 +485,21 @@ object Multimodal {
     * pure functions of doc_id, so specs can pin decoded metadata against
     * the synthesis parameters. Synthesis runs per partition (the encode is
     * the "ingest" a real media table already paid). */
-  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame =
+    pngMediaFromDocuments(docs, 0L)
+
+  /** [[pngMediaFromDocuments]] with a HASH SALT — the "edited image"
+    * fixture (round 20, image-ANN lifecycle): the replaced payload for doc
+    * `id` keeps its dimensions ([[pngDims]] of the original id — an edit
+    * swaps content, not geometry) but hashes pixels from `id + hashSalt`,
+    * so the decoded features shift deterministically and the SQL oracle
+    * replays the v2 raster from the same arithmetic. */
+  def pngMediaFromDocuments(docs: DataFrame, hashSalt: Long): DataFrame = {
     val ds: Dataset[Long] = docs.select(col("doc_id")).as(Encoders.scalaLong)
     ds.mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = pngDims(id)
-        (id, w.toLong, h.toLong, synthesizePng(id, w, h))
+        (id, w.toLong, h.toLong, synthesizePng(id + hashSalt, w, h))
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.BINARY))

@@ -317,8 +317,11 @@ object EmbeddingIndexStream {
   /** Ceiling exclusion: keep rows whose ingest batch is ABOVE their id's
     * tombstone ceiling (or whose id has no tombstone). One broadcast-sized
     * left join against the (small) ceiling set, composed BELOW every
-    * per-probe top-k. */
-  private def applyCeilings(rows: DataFrame, ceilings: DataFrame): DataFrame =
+    * per-probe top-k. `private[graft]`: the image-ANN tier
+    * ([[graft.operators.ImageAnn]]) rides this dir machinery verbatim —
+    * same vec_id keying, same tombstone layout — and composes the same
+    * exclusion below its exact-Long scorer. */
+  private[graft] def applyCeilings(rows: DataFrame, ceilings: DataFrame): DataFrame =
     if (!rows.columns.contains("src_batch"))
       // pre-round-18 index layout (no per-row ingest provenance): degrade
       // to id-level exclusion — exactly the old semantics, since the only

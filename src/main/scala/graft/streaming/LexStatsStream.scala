@@ -111,17 +111,22 @@ object LexStatsStream {
   def foldedUpto(spark: SparkSession, stateDir: String): Long =
     log(spark, stateDir).foldedUpto()
 
-  /** Distinct doc ids holding ≥ 1 LIVE posting row — the id-resolution
-    * read maintenance cascades compose (e.g. [[PassageLex.deleteDocs]]
-    * resolving a parent document's live chunk pids before tombstoning
-    * them). One postings scan at a two-column projection (terms,
-    * positions and stats never leave the parquet reader) — the same cost
-    * class as [[deleteDocs]]'s own hidden-generation scan. */
-  def livePostingDocIds(spark: SparkSession, stateDir: String): DataFrame =
-    applyDocCeilings(
-      postLog(spark, stateDir).readAll(emptyPostings(spark))
-        .select("doc_id", "src_batch"),
-      docTombstoneCeilings(spark, stateDir))
+  /** Distinct doc ids holding ≥ 1 posting row in the log, tombstones NOT
+    * applied — the id-resolution read maintenance cascades compose (e.g.
+    * [[PassageLex.deleteDocs]] resolving a parent document's chunk pids
+    * before tombstoning them). Deliberately the RAW view: a cascade's
+    * tombstone batch must recommit IDENTICAL content on a replay
+    * (tombstoneDocRows overwrites its `batch=` dir), and a live-view
+    * resolution would re-resolve EMPTY after its own first commit —
+    * wiping the batch's tombstones and resurrecting every hidden pid
+    * (caught by PassageLexSpec's replay test). The raw posting set only
+    * shrinks at compaction's physical purge, by which point the purged
+    * rows no longer need hiding. One postings scan at a one-column
+    * projection (terms, positions and stats never leave the parquet
+    * reader) — the same cost class as [[deleteDocs]]'s own
+    * hidden-generation scan. */
+  def postingDocIds(spark: SparkSession, stateDir: String): DataFrame =
+    postLog(spark, stateDir).readAll(emptyPostings(spark))
       .select("doc_id").distinct()
 
   /** Fold one document micro-batch into both index logs. Returns true when

@@ -82,18 +82,21 @@ object PassageLex {
       autoCompactBatches = autoCompactBatches)
 
   /** DELETE parent documents from the chunk index (ids only — the opt-out
-    * shape, no text at hand): resolve each parent's LIVE chunk pids from
-    * the postings log, then the standard ceiling-tombstone delete +
-    * negative stats correction. Two postings scans total (resolution +
-    * the delete's own hidden-generation scan) — the inverted-index delete
-    * cost class. Idempotent per batchId (the delete's own guards; the
-    * resolution re-runs on a replay but resolves the same live set or a
-    * subset already hidden — a no-op correction either way). */
+    * shape, no text at hand): resolve each parent's chunk pids from the
+    * postings log (the RAW view — [[LexStatsStream.postingDocIds]]
+    * explains why resolution from the live view would break replay:
+    * after the first commit the live set is empty, and the re-resolved
+    * tombstone batch would overwrite its own tombstones away), then the
+    * standard ceiling-tombstone delete + negative stats correction. Two
+    * postings scans total (resolution + the delete's own
+    * hidden-generation scan) — the inverted-index delete cost class.
+    * Idempotent per batchId: the raw pid set is stable across replays,
+    * so every commit's content re-derives identically. */
   def deleteDocs(spark: SparkSession, stateDir: String, docIds: DataFrame,
                  batchId: Long, ceiling: Option[Long] = None): Unit = {
     val parents = docIds
       .select(col(docIds.columns.head).cast("long").as("parent_id"))
-    val pids = LexStatsStream.livePostingDocIds(spark, stateDir)
+    val pids = LexStatsStream.postingDocIds(spark, stateDir)
       .join(parents, expr(s"doc_id DIV $PidMult") === col("parent_id"),
         "left_semi")
     LexStatsStream.deleteDocs(spark, pids, batchId, stateDir, ceiling)

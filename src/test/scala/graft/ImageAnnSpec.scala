@@ -76,4 +76,101 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
       s"expected cluster partition filters in:\n$plan")
   }
+
+  // --- lifecycle (round 20): delete / in-place update / reseed --------------
+
+  import org.apache.spark.sql.functions.{col, lit}
+  import graft.streaming.EmbeddingIndexStream
+
+  private lazy val saltedFeats: Map[Long, Seq[Long]] =
+    ImageAnn.saltedFeaturesOf(docs).select("doc_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+
+  /** The live generation per doc: %10==3 gone, %13==0 replaced. */
+  private lazy val liveFeats: Seq[(Long, Seq[Long])] =
+    feats.filter(_._1 % 10 != 3).map { case (id, v) =>
+      (id, if (id % 13 == 0) saltedFeats(id) else v)
+    }
+
+  private def buildLive(): String = {
+    val p = tmp()
+    val updated = docs.filter(col("doc_id") % 13 === 0 &&
+      col("doc_id") % 10 =!= 3)
+    ImageAnn.applyStreamBatch(ImageAnn.featuresOf(docs), 0L, cents, p)
+    ImageAnn.applyStreamBatch(ImageAnn.saltedFeaturesOf(updated), 1L, cents, p)
+    EmbeddingIndexStream.tombstoneRows(spark,
+      docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id").as("vec_id"), lit(1L).as("ceiling"))
+        .unionByName(updated.select(col("doc_id").as("vec_id"),
+          lit(0L).as("ceiling"))),
+      1L, p)
+    p
+  }
+
+  private def bruteLive(qs: Seq[(Long, Seq[Long])],
+                        cs: Seq[(Int, Seq[Long])],
+                        nprobe: Int): Seq[(Long, Long, Long)] = {
+    val assignOf = liveFeats.map { case (id, v) =>
+      id -> cs.map { case (cid, cv) => (l2(v, cv), cid) }.min._2
+    }.toMap
+    qs.flatMap { case (qid, qv) =>
+      val probed = ImageAnn.nearestClusters(qv, cs, nprobe).toSet
+      liveFeats.filter { case (id, _) => probed.contains(assignOf(id)) }
+        .map { case (id, v) => (l2(qv, v), id) }
+        .sorted.take(3)
+        .map { case (d, id) => (qid, id, d) }
+    }
+  }
+
+  /** v2 query vectors: an updated doc queries with its REPLACED image. */
+  private def liveQueries: Seq[(Long, Seq[Long])] =
+    queries.map { case (id, v) =>
+      (id, if (id % 13 == 0) saltedFeats(id) else v)
+    }
+
+  test("live top-k equals brute force over the LIVE generations restricted " +
+       "to the probed clusters — uncompacted and after the purge") {
+    val p = buildLive()
+    val expected = bruteLive(liveQueries, cents, 3)
+    def out() = ImageAnn.topKLive(spark, p, cents, liveQueries,
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out() == expected, "tombstones resolved at read (uncompacted)")
+    EmbeddingIndexStream.compactIndex(spark, p)
+    assert(out() == expected, "identical after the physical purge")
+    // the purge was real: one row per live id remains
+    assert(spark.read.parquet(p).count() == liveFeats.size.toLong)
+  }
+
+  test("an updated image's OLD generation is unreachable: its v1 vector " +
+       "finds no distance-0 row") {
+    val p = buildLive()
+    val updatedId = feats.map(_._1).filter(id => id % 13 == 0 && id % 10 != 3)
+      .min
+    val v1 = feats.find(_._1 == updatedId).get._2
+    val out = ImageAnn.topKLive(spark, p, cents, Seq((updatedId, v1)),
+        k = 3, nprobe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty && !out.exists(_._3 == 0L),
+      s"v1 self-hit must be gone, got $out")
+  }
+
+  test("reseed grows K atomically: live serve under the new quantizer " +
+       "equals brute force, deletes stay deleted, quantizer co-located") {
+    val p = buildLive()
+    EmbeddingIndexStream.compactIndex(spark, p)
+    // new quantizer: 16 seed vectors drawn from the LIVE set (K doubled —
+    // the K ∝ N growth move), cid = ascending seed rank
+    val newCents = liveFeats.sortBy(_._1).take(16).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }
+    ImageAnn.reseedIndex(spark, p, newCents)
+    val loaded = ImageAnn.indexQuantizer(spark, p, sys.error("must load"))
+    assert(loaded == newCents, "co-located quantizer round-trips")
+    val out = ImageAnn.topKLive(spark, p, loaded, liveQueries,
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == bruteLive(liveQueries, newCents, 3))
+    val deletedIds = feats.map(_._1).filter(_ % 10 == 3).toSet
+    assert(!out.exists(r => deletedIds.contains(r._2)))
+  }
 }

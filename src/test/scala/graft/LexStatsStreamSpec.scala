@@ -477,6 +477,57 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Double)].collect().toSeq == before)
   }
 
+  test("an as-of read below the folded horizon refuses instead of " +
+       "silently serving the compacted floor") {
+    val state = tmp()
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text")
+      .filter($"doc_id" % 2 === 0), 0L, state)
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text")
+      .filter($"doc_id" % 2 === 1), 1L, state)
+    // pre-fold: both cuts reconstructible
+    assert(LexStatsStream.bm25TopkIndexedAsOf(spark, state, 0L).count() > 0)
+    LexStatsStream.compactState(spark, state)
+    // post-fold: the horizon moved to 1 — batch-0 history is gone
+    val e = intercept[IllegalArgumentException] {
+      LexStatsStream.bm25TopkIndexedAsOf(spark, state, 0L)
+    }
+    assert(e.getMessage.contains("folded horizon"))
+    // AT the horizon (= current folded state) still serves
+    assert(LexStatsStream.bm25TopkIndexedAsOf(spark, state, 1L)
+      .as[(Long, Double)].collect().toSeq ==
+      LexStatsStream.bm25TopkIndexed(spark, state)
+        .as[(Long, Double)].collect().toSeq)
+  }
+
+  test("more-like-this over an empty index fails with the empty-index " +
+       "message, not an NPE") {
+    val e = intercept[IllegalArgumentException] {
+      LexStatsStream.moreLikeThis(spark, tmp(), docs)
+    }
+    assert(e.getMessage.contains("empty lexical index"))
+  }
+
+  test("a mixed pre/post-r19 postings layout fails loud at delete time " +
+       "instead of committing an understated stats correction") {
+    val state = tmp()
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text")
+      .filter($"doc_id" % 2 === 0), 0L, state)
+    // hand-craft an OLD-layout batch dir: posting rows WITHOUT the per-row
+    // src_batch provenance (what a pre-r19 writer committed)
+    TextAnalysis.lexPostingsOf(docs.select("doc_id", "text")
+        .filter($"doc_id" % 2 === 1))
+      .write.partitionBy("pbucket")
+      .parquet(s"$state/lexpost/batch=1")
+    val e = intercept[Throwable] {
+      LexStatsStream.deleteDocs(spark,
+        docs.filter($"doc_id" % 2 === 1).select("doc_id"), 2L, state)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mixed pre/post-r19")))
+  }
+
   test("driver-side termBucket matches the executor-side crc32 layout") {
     val terms = TextAnalysis.lexPostingsOf(docs)
       .select("term", "pbucket").distinct()

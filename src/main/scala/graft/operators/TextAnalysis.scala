@@ -697,11 +697,13 @@ object TextAnalysis {
   /** The term → posting-bucket map, computed identically driver-side (for
     * read pruning) and executor-side (Spark's `crc32` is the same
     * java.util.zip.CRC32 polynomial) — no hash divergence between the
-    * write layout and the read filter. */
-  def termBucket(term: String): Int = {
+    * write layout and the read filter. `nBuckets` defaults to the global
+    * [[LexBuckets]]; a re-bucketed log carries its own count
+    * ([[graft.streaming.LexStatsStream.postingBuckets]]). */
+  def termBucket(term: String, nBuckets: Int = LexBuckets): Int = {
     val c = new java.util.zip.CRC32()
     c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (c.getValue % LexBuckets).toInt
+    (c.getValue % nBuckets).toInt
   }
 
   /** One document batch's POSTING rows — the other half of the maintained
@@ -715,7 +717,7 @@ object TextAnalysis {
     * Per-doc work is one narrow HOF projection (no explode exchange); the
     * only shuffle is the bounded repartition-by-bucket before the
     * partitioned write. */
-  def lexPostingsOf(docs: DataFrame): DataFrame =
+  def lexPostingsOf(docs: DataFrame, nBuckets: Int = LexBuckets): DataFrame =
     docs.select(
         col("doc_id"),
         graft.functions.ExprUtils.bindOnce(split(col("text"), " ", -1)) { toks =>
@@ -735,7 +737,7 @@ object TextAnalysis {
       .select(col("p.term").as("term"), col("doc_id"),
         size(col("p.positions")).cast("long").as("tf"),
         col("dl"), col("p.positions").as("positions"),
-        pmod(crc32(col("p.term").cast("binary")), lit(LexBuckets.toLong))
+        pmod(crc32(col("p.term").cast("binary")), lit(nBuckets.toLong))
           .cast("int").as("pbucket"))
 
   /** Phrase match over POSITIONAL postings — the real inverted-index

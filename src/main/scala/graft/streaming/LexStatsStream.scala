@@ -95,7 +95,8 @@ object LexStatsStream {
 
   private def readPostings(spark: SparkSession, stateDir: String,
                            terms: Seq[String], cols: Seq[String]): DataFrame = {
-    val buckets = terms.map(TextAnalysis.termBucket).distinct
+    val nb = postingBuckets(spark, stateDir)
+    val buckets = terms.map(TextAnalysis.termBucket(_, nb)).distinct
     val raw = postLog(spark, stateDir).readAll(emptyPostings(spark))
       .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
     // tombstone exclusion BELOW everything the serving ladder builds on the
@@ -148,9 +149,12 @@ object LexStatsStream {
       // folds dirs into `batch=-1`; the data column survives the fold,
       // which is what batch-CEILING doc tombstones resolve against (update
       // = tombstone at ceiling batch−1 + same-batch re-ingest). A constant
-      // column RLE-compresses to nothing.
+      // column RLE-compresses to nothing. Bucketing follows the DIR's
+      // count (round 20): after a rebucket, new ingests land in the
+      // re-bucketed layout.
       pg.commitBatch(
-        TextAnalysis.lexPostingsOf(batch).withColumn("src_batch", lit(batchId))
+        TextAnalysis.lexPostingsOf(batch, postingBuckets(spark, stateDir))
+          .withColumn("src_batch", lit(batchId))
           .repartition(col("pbucket")),
         batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
       pg.maybeAutoCompact(autoCompactBatches)(compactPostings(spark, stateDir))
@@ -182,16 +186,94 @@ object LexStatsStream {
     * Retire via [[clearDocTombstones]] in the maintenance window. */
   def compactPostings(spark: SparkSession, stateDir: String): Unit = {
     val ceilings = docTombstoneCeilings(spark, stateDir)
+    // the fold swaps the WHOLE log dir — a re-bucketed log's .bucketmeta
+    // must ride into the new dir or the count would silently revert to
+    // the default while the data stays re-bucketed (pruning misses)
+    val nb = postingBuckets(spark, stateDir)
     postLog(spark, stateDir).compact(
       raw => applyDocCeilings(raw.drop("batch"), ceilings)
         .repartition(col("pbucket")),
-      coalesce1 = false, partitionByCols = Seq("pbucket"))
+      coalesce1 = false, partitionByCols = Seq("pbucket"),
+      beforeSwap = tmp =>
+        if (nb != TextAnalysis.LexBuckets) writeBucketMeta(spark, tmp, nb))
   }
 
   /** Fold both logs. */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     compactStats(spark, stateDir)
     compactPostings(spark, stateDir)
+  }
+
+  // --- bucket-split (round 20, verdict r19 item 8) ---------------------------
+  //
+  // The 64-way termBucket layout is fixed at ingest; at true web vocabulary
+  // each bucket's posting files grow without bound and every pruned read
+  // pays bucket-bytes ∝ vocab/64. rebucketPostings is the recluster
+  // analogue for text: rewrite the postings log under a new bucket count
+  // (the published sizing rule from the image-ANN sweep applies here too:
+  // buckets ∝ √vocab splits per-bucket bytes and dir fan-out evenly).
+  // The bucket count travels INSIDE the swapped log dir (`.bucketmeta`,
+  // dot-file — invisible to partition discovery) so ONE rename carries
+  // data + count: a separately-committed count would open a window where
+  // readers prune the new layout with the old hash — silent term misses,
+  // not an error. Readers and writers both resolve the dir's count through
+  // [[postingBuckets]]; a dir that has never been re-bucketed carries no
+  // meta and defaults to [[TextAnalysis.LexBuckets]].
+
+  private val BucketMetaName = ".bucketmeta"
+
+  /** The postings log's bucket count — co-located meta, else the global
+    * default. Heals any interrupted rebucket swap FIRST so the count can
+    * never be read from a half-swapped dir. */
+  def postingBuckets(spark: SparkSession, stateDir: String): Int = {
+    val pg = postLog(spark, stateDir)
+    pg.recoverSwaps()
+    val p = new Path(s"${pg.logPath}/$BucketMetaName")
+    val fs = FsUtils.fs(spark, stateDir)
+    if (!fs.exists(p)) TextAnalysis.LexBuckets
+    else {
+      val in = fs.open(p)
+      try {
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8)).readLine()
+        line.trim.toInt
+      } finally in.close()
+    }
+  }
+
+  /** RE-BUCKET the postings log under `newBuckets` — the maintenance verb
+    * that keeps per-bucket file sizes bounded as the vocabulary grows.
+    * One deterministic fold (the [[compactPostings]] machinery with the
+    * bucket hash swapped): tombstone-hidden generations purge on the way
+    * through, the fold watermarks (a replay of a folded batch would
+    * re-union under the OLD hash), and the new count commits inside the
+    * same dir rename as the re-bucketed data. Requires the maintenance
+    * window (single writer — same contract as every compaction here).
+    * Subsequent ingests bucket by the new count ([[applyBatch]] /
+    * [[syncLexCorpus]] resolve it per dir); stats are untouched (bucket
+    * layout is a postings-side physical concern). */
+  def rebucketPostings(spark: SparkSession, stateDir: String,
+                       newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val ceilings = docTombstoneCeilings(spark, stateDir)
+    postLog(spark, stateDir).compact(
+      raw => applyDocCeilings(raw.drop("batch"), ceilings)
+        .withColumn("pbucket",
+          pmod(crc32(col("term").cast("binary")), lit(newBuckets.toLong))
+            .cast("int"))
+        .repartition(col("pbucket")),
+      coalesce1 = false, partitionByCols = Seq("pbucket"),
+      beforeSwap = tmp => writeBucketMeta(spark, tmp, newBuckets),
+      force = true) // a fully-compacted log must still be re-bucketable
+  }
+
+  private def writeBucketMeta(spark: SparkSession, dir: String,
+                              n: Int): Unit = {
+    val fs = FsUtils.fs(spark, dir)
+    val out = fs.create(new Path(s"$dir/$BucketMetaName"), true)
+    try out.write(s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   // --- deletes + in-place updates (round 19) --------------------------------
@@ -425,7 +507,7 @@ object LexStatsStream {
       batchId, stateDir)
     if (!pg.alreadyApplied(batchId)) {
       pg.commitBatch(
-        TextAnalysis.lexPostingsOf(appends)
+        TextAnalysis.lexPostingsOf(appends, postingBuckets(spark, stateDir))
           .withColumn("src_batch", lit(batchId))
           .repartition(col("pbucket")),
         batchId, coalesce1 = false, partitionByCols = Seq("pbucket"))
@@ -493,7 +575,8 @@ object LexStatsStream {
   private def readPostingsAsOf(spark: SparkSession, stateDir: String,
                                terms: Seq[String], cols: Seq[String],
                                asOfBatch: Long): DataFrame = {
-    val buckets = terms.map(TextAnalysis.termBucket).distinct
+    val nb = postingBuckets(spark, stateDir)
+    val buckets = terms.map(TextAnalysis.termBucket(_, nb)).distinct
     val raw0 = postLog(spark, stateDir).readAll(emptyPostings(spark))
       .filter(col("pbucket").isin(buckets: _*) && col("term").isin(terms: _*))
     val raw1 = if (raw0.columns.contains("batch"))

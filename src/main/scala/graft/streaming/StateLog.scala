@@ -160,20 +160,32 @@ final class StateLog(
     * shape) refuses to fold while a batch dir above the given applied
     * watermark exists — folding an uncommitted append would let its replay
     * re-append absorbed rows. */
+  /** @param beforeSwap hook invoked with the fully-written tmp dir path
+    *   just before the rename — for sidecar files that must travel INSIDE
+    *   the same atomic swap as the folded data (e.g. the postings log's
+    *   `.bucketmeta`: a bucket count arriving in a separate commit would
+    *   open a window where readers prune the new layout with the old
+    *   hash — silent misses, not an error). */
+  /** @param force run the fold even when only `batch=-1` remains (no new
+    *   batch dirs) — for LAYOUT rewrites of already-compacted state (the
+    *   postings rebucket); the watermark write is skipped in that case
+    *   (nothing new folded, nothing to fence). */
   def compact(fold: DataFrame => DataFrame, coalesce1: Boolean = true,
               watermark: Boolean = true,
               skipAboveWatermark: Option[Long] = None,
-              partitionByCols: Seq[String] = Nil): Unit = {
+              partitionByCols: Seq[String] = Nil,
+              beforeSwap: String => Unit = _ => (),
+              force: Boolean = false): Unit = {
     recoverSwaps()
     val f = fs
     val lp = new Path(logPath)
     if (!f.exists(lp)) return
     val maxBatch = maxBatchId()
-    if (maxBatch < 0) return
+    if (maxBatch < 0 && !force) return
     if (skipAboveWatermark.exists(applied => maxBatch > applied)) return
     val folded = fold(spark.read.parquet(logPath))
       .localCheckpoint(true) // materialize BEFORE the swap deletes sources
-    if (watermark) {
+    if (watermark && maxBatch >= 0) {
       import spark.implicits._
       StateLog.swapWrite(spark, foldmetaPath, Seq(maxBatch).toDF("folded_upto"))
     }
@@ -182,6 +194,7 @@ final class StateLog(
       .write.mode("overwrite")
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
       .parquet(s"$tmp/batch=-1")
+    beforeSwap(tmp.toString)
     FsUtils.replaceDir(f, tmp, lp)
     spark.catalog.refreshByPath(logPath)
     org.apache.spark.sql.graft.DatasetInternals.checkpointedRdd(folded)

@@ -9,7 +9,10 @@ import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, C
   * seventeen; round 18: eighteen — MediaStream, the stateless media tier;
   * round 19: NINETEEN — the passage-grain lexical index joined, and the
   * doc-grain lexical stream now takes an IN-LOOP delete at an interleaved
-  * maintenance id, kill-replayed): OverlapStream,
+  * maintenance id, kill-replayed; round 20: the SAME batch-17 churn
+  * CASCADES into the passage stream — ids-only pid resolution, replayed —
+  * and both lexical grains are checked against their live corpora before
+  * and after compaction): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
@@ -198,12 +201,23 @@ object ComposedStreamSoak {
       MediaStream.applyBatch(spark, docB(i), i.toLong, mdOut)
       // [r19] 19th stream: the PASSAGE (chunk-grain) lexical index —
       // chunking is stateless, so each doc batch's chunk rows are disjoint
-      // and fold through the same two-log machinery (pid = doc·1000 + idx)
-      LexStatsStream.applyBatch(spark,
-        graft.operators.Prep.chunkTextsOf(docB(i))
-          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
-            col("text")),
-        i.toLong, lpState, autoCompactBatches = 8)
+      // and fold through the same two-log machinery (pid = doc·1000 + idx).
+      // [r20] doubled ingest ids, like the doc-grain stream, so the
+      // cascaded churn below takes the interleaved odd id.
+      graft.streaming.PassageLex.applyBatch(spark, docB(i), 2L * i, lpState,
+        autoCompactBatches = 8)
+      // [r20] the CASCADED churn (verdict r19 item 1): the SAME batch-17
+      // opt-out event that hits the doc-grain index cascades into the
+      // chunk grain — ids only (no text at hand), pids resolved from the
+      // raw postings log, ceiling 35 tombstones + negative stats
+      // corrections. Batch 17 is also the i%12==5 kill-replay batch, so
+      // the cascade's replay idempotence (raw-view pid re-resolution
+      // recommitting identical tombstones) is exercised IN the loop,
+      // under auto-compaction, with 18 other streams interleaving.
+      if (i == 17)
+        graft.streaming.PassageLex.deleteDocs(spark, lpState,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
+          2L * 17 + 1)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -492,16 +506,32 @@ object ComposedStreamSoak {
     LexStatsStream.compactState(spark, lxState)
     LexStatsStream.clearDocTombstones(spark, lxState)
     check("lex_live_compacted", lexLiveOk())
-    // [r19] the passage index (19th stream): chunk-grain indexed BM25 off
-    // the streamed state ≡ a one-shot build over the union's chunks
-    val lpIndexed = LexStatsStream.bm25TopkIndexed(spark, lpState)
-      .as[(Long, Double)].collect().toSeq
-    val lpDirect = TextAnalysis.bm25TopkOf(
-        graft.operators.Prep.chunkTextsOf(docs)
-          .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
-            col("text")))
-      .as[(Long, Double)].collect().toSeq
-    check("lex_passage", lpIndexed == lpDirect && lpIndexed.nonEmpty)
+    // [r19] the passage index (19th stream); [r20] its truth is now the
+    // LIVE chunk corpus — the batch-17 cascade deleted every chunk pid of
+    // the %10==3 docs ingested before it, later arrivals of the same
+    // predicate survived their ceiling (= the parent-grain lexLive set,
+    // chunked). Serve AND stats must equal one-shot builds over it,
+    // before and after compaction + tombstone retirement.
+    def passageLiveOk(): Boolean = {
+      val lpIndexed = LexStatsStream.bm25TopkIndexed(spark, lpState)
+        .as[(Long, Double)].collect().toSeq
+      val lpDirect = TextAnalysis.bm25TopkOf(
+          graft.streaming.PassageLex.chunkDocs(lexLive))
+        .as[(Long, Double)].collect().toSeq
+      val stStream = LexStatsStream.currentStats(spark, lpState)
+        .filter(col("df") =!= 0L || col("dl") =!= 0L || col("nd") =!= 0L)
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+      val stBatch = TextAnalysis.lexStatsOf(
+          graft.streaming.PassageLex.chunkDocs(lexLive))
+        .groupBy("term").agg(sum("df").as("df"), sum("dl").as("dl"),
+          sum("nd").as("nd"))
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+      lpIndexed == lpDirect && lpIndexed.nonEmpty && stStream == stBatch
+    }
+    check("lex_passage_live", passageLiveOk())
+    LexStatsStream.compactState(spark, lpState)
+    LexStatsStream.clearDocTombstones(spark, lpState)
+    check("lex_passage_compacted", passageLiveOk())
 
     // [r18] media tier (18th stream): the stateless per-batch map through
     // the REAL codecs accumulates to exactly the one-shot batch kernels

@@ -109,6 +109,36 @@ object ScaleBench {
         d
       })
     val lexPassageDirs = scala.collection.concurrent.TrieMap[Int, String]()
+    val lexPassLiveDirs = scala.collection.concurrent.TrieMap[Int, String]()
+    // [r20] vocab-growth corpus for the bucket-split sweep: gate terms in
+    // a constant 2000-doc slice, 4 fresh terms per doc elsewhere. The
+    // repeated filler rotates over 997 terms (NOT a constant phrase: a
+    // constant filler mints 3 corpus-scale posting LISTS, and no bucket
+    // count splits a single term's list — the first fixture draft showed
+    // exactly that, three mega-lists dominating per-bucket bytes at every
+    // bucket count; rotation spreads the repeated mass across buckets the
+    // way a natural Zipf mid-tail does)
+    val lexVgDirs = scala.collection.concurrent.TrieMap[(Int, Boolean), String]()
+    def lexVgDir(k: Int, rebucket: Boolean): String =
+      lexVgDirs.getOrElseUpdate((k, rebucket), {
+        val d = java.nio.file.Files.createTempDirectory(
+          s"sb-lexvg-$k-$rebucket").toString
+        val vocabDocs = spark.range(2000L * k).select(
+          col("id").as("doc_id"),
+          concat_ws(" ",
+            when(col("id") < 2000L, lit("dup vector query scan"))
+              .otherwise(concat(
+                lit("f"), pmod(col("id"), lit(997L)),
+                lit(" g"), pmod(col("id") * 7L, lit(997L)),
+                lit(" h"), pmod(col("id") * 13L, lit(997L)))),
+            concat(lit("w"), col("id")), concat(lit("x"), col("id")),
+            concat(lit("y"), col("id")), concat(lit("z"), col("id"))).as("text"))
+        graft.streaming.LexStatsStream.applyBatch(spark, vocabDocs, 0L, d)
+        if (rebucket)
+          graft.streaming.LexStatsStream.rebucketPostings(spark, d,
+            64 * math.sqrt(k.toDouble).round.toInt)
+        d
+      })
     // [r19] image-feature ANN index per factor: decode k× synthesized PNGs
     // → cell-sum features → seed-centroid assignment, cluster-partitioned
     val imgIdx = scala.collection.concurrent.TrieMap[Int,
@@ -122,6 +152,46 @@ object ScaleBench {
       val qv = ImageAnn.collectVecs(
         ImageAnn.featuresOf(docs, Some(ImageAnn.QueryIds)), ImageAnn.QueryIds)
       (d, cents, qv)
+    })
+    // [r20] the RESEEDED image index per factor: same decode + streamed
+    // build, then reseedIndex grows the coarse quantizer K ∝ corpus
+    // (8·k seed vectors) — the alpha-0.41 cure, measured
+    val imgReseedIdx = scala.collection.concurrent.TrieMap[Int,
+      (String, Seq[(Int, Seq[Long])], Seq[(Long, Seq[Long])])]()
+    def imgReseedDir(k: Int) = imgReseedIdx.getOrElseUpdate(k, {
+      import graft.operators.ImageAnn
+      val d = java.nio.file.Files.createTempDirectory(s"sb-imgreseed-$k").toString + "/idx"
+      val docs = docsX(k).select("doc_id")
+      val cents8 = ImageAnn.centroidsOf(docs)
+      ImageAnn.applyStreamBatch(ImageAnn.featuresOf(docs), 0L, cents8, d)
+      // K ∝ √N (the published IVF sizing rule — FAISS guidance 4√N..16√N):
+      // per-list candidates grow √k instead of k, while file count / probe
+      // fan-out stays modest (K ∝ N holds candidate volume perfectly flat
+      // but trades it for O(K) listing+open constants — measured, see
+      // STRESS.md r20). Seeds stride-3 so they spread across the replica
+      // pattern rather than clustering on one original doc's copies.
+      val seedK = 8 * math.sqrt(k.toDouble).round.toInt
+      val seedIds = (0 until seedK).map(i => i.toLong * 3L + 1L)
+      val centsK = ImageAnn.collectVecs(
+          ImageAnn.featuresOf(docs, Some(seedIds)), seedIds)
+        .zipWithIndex.map { case ((_, v), i) => (i, v) }
+      ImageAnn.reseedIndex(spark, d, centsK)
+      val qv = ImageAnn.collectVecs(
+        ImageAnn.featuresOf(docs, Some(ImageAnn.QueryIds)), ImageAnn.QueryIds)
+      (d, ImageAnn.indexQuantizer(spark, d, centsK), qv)
+    })
+    // fixed-K twin on the SAME lifecycle layout + read stack
+    val imgLiveFixed = scala.collection.concurrent.TrieMap[Int,
+      (String, Seq[(Int, Seq[Long])], Seq[(Long, Seq[Long])])]()
+    def imgLiveFixedDir(k: Int) = imgLiveFixed.getOrElseUpdate(k, {
+      import graft.operators.ImageAnn
+      val d = java.nio.file.Files.createTempDirectory(s"sb-imglivef-$k").toString + "/idx"
+      val docs = docsX(k).select("doc_id")
+      val cents8 = ImageAnn.centroidsOf(docs)
+      ImageAnn.applyStreamBatch(ImageAnn.featuresOf(docs), 0L, cents8, d)
+      val qv = ImageAnn.collectVecs(
+        ImageAnn.featuresOf(docs, Some(ImageAnn.QueryIds)), ImageAnn.QueryIds)
+      (d, cents8, qv)
     })
     lazy val scaleProbes: Seq[(Long, Seq[Double])] =
       Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
@@ -649,6 +719,58 @@ object ScaleBench {
           p
         })
         graft.streaming.LexStatsStream.bm25TopkIndexed(spark, d)
+      },
+      // [r20] fixed-K CONTROL on the lifecycle read stack (topKLive's
+      // ceiling join + last-writer window — the serve every churned
+      // deployment actually runs): isolates the K-growth effect from the
+      // lifecycle-read constant the flat ann_image_serve case lacks
+      "ann_image_serve_livefixed" -> { k =>
+        import graft.operators.ImageAnn
+        val (d, cents, qv) = imgLiveFixedDir(k)
+        ImageAnn.topKLive(spark, d, cents, qv, k = 10, nprobe = 3)
+      },
+      // [r20] the reseeded twin: identical serve, but the quantizer grew
+      // K = 8·k with the corpus, so per-list candidates stay ~constant —
+      // the expected cure for ann_image_serve's measured alpha 0.41
+      // (timed runs pay the probed read + live resolution; the reseed
+      // itself is offline maintenance paid in the warm pass)
+      "ann_image_serve_reseeded" -> { k =>
+        import graft.operators.ImageAnn
+        val (d, cents, qv) = imgReseedDir(k)
+        ImageAnn.topKLive(spark, d, cents, qv, k = 10, nprobe = 3)
+      },
+      // [r20] passage-grain LIVE serve with an ARMED tombstone set: the
+      // cascade deleted 1/10 of parents (every chunk pid — the tombstone
+      // set grows with the corpus at chunk grain), postings of the gate
+      // terms stay constant; measures the chunk-grain ceiling join's tax,
+      // the lex_live_serve_armed story one grain down
+      "passage_live_serve_armed" -> { k =>
+        val d = lexPassLiveDirs.getOrElseUpdate(k, {
+          val p = java.nio.file.Files.createTempDirectory(
+            s"sb-lexpasslive-$k").toString
+          graft.streaming.PassageLex.applyBatch(spark, grownDocs(k), 0L, p)
+          graft.streaming.PassageLex.deleteDocs(spark, p,
+            grownDocs(k).filter(pmod(col("doc_id"), lit(10)) === 3)
+              .select("doc_id"), 1L)
+          p
+        })
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark, d)
+      },
+      // [r20] bucket-split in the VOCAB-growth axis (verdict r19 item 8):
+      // k×2000 docs each minting 4 unique terms (vocab ∝ k) while the
+      // gate terms live in a CONSTANT 2000-doc slice — so the serve's
+      // logical read is fixed and what grows is the PHYSICAL bucket file
+      // the pruned read must open (vocab/64 bytes per bucket). The
+      // rebucketed twin splits to 64·√k buckets (the √-sizing rule from
+      // the image-ANN sweep) — per-bucket bytes ∝ vocab/√k, dir fan-out
+      // √k: both bounded, serve returns to flat
+      "lex_vocabgrow_serve" -> { k =>
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark,
+          lexVgDir(k, rebucket = false))
+      },
+      "lex_vocabgrow_serve_rebucketed" -> { k =>
+        graft.streaming.LexStatsStream.bm25TopkIndexed(spark,
+          lexVgDir(k, rebucket = true))
       },
       // [r19] fuzzy lookup in the VOCAB-growth axis (its scaling object is
       // the vocabulary, not the corpus): k×1000 synthetic distinct terms,

@@ -528,6 +528,61 @@ class LexStatsStreamSpec extends AnyFunSuite with SparkSuite {
     assert(messages(e).exists(_.contains("mixed pre/post-r19")))
   }
 
+  test("rebucketPostings: serve is bitwise-unchanged, the count rides the " +
+       "swap, survives compaction, and new ingests follow it") {
+    val state = tmp()
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text")
+      .filter($"doc_id" % 2 === 0), 0L, state)
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text")
+      .filter($"doc_id" % 4 === 1), 1L, state)
+    val before = LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq
+    val phraseBefore = LexStatsStream.phraseMatch(spark, state)
+      .as[(Long, Long)].collect().toSeq
+    LexStatsStream.rebucketPostings(spark, state, 256)
+    assert(LexStatsStream.postingBuckets(spark, state) == 256)
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq == before)
+    assert(LexStatsStream.phraseMatch(spark, state)
+      .as[(Long, Long)].collect().toSeq == phraseBefore)
+    // the layout physically moved: buckets ≥ 64 exist, all < 256
+    val pb = spark.read.parquet(s"$state/lexpost")
+      .select("pbucket").distinct().as[Int].collect()
+    assert(pb.exists(_ >= TextAnalysis.LexBuckets) && pb.forall(_ < 256))
+    // a post-rebucket ingest buckets by the NEW count and serves
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text")
+      .filter($"doc_id" % 4 === 3), 2L, state)
+    val all = LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == TextAnalysis.bm25TopkOf(docs.select("doc_id", "text"))
+      .as[(Long, Double)].collect().toSeq)
+    // compaction carries the meta through its whole-dir swap
+    LexStatsStream.compactState(spark, state)
+    assert(LexStatsStream.postingBuckets(spark, state) == 256)
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq == all)
+  }
+
+  test("rebucket composes with the delete lifecycle and with an " +
+       "already-fully-compacted log (force path)") {
+    val state = tmp()
+    LexStatsStream.applyBatch(spark, docs.select("doc_id", "text"), 0L, state)
+    LexStatsStream.deleteDocs(spark,
+      docs.filter($"doc_id" % 7 === 2).select("doc_id"), 1L, state)
+    val live = TextAnalysis.bm25TopkOf(
+        docs.select("doc_id", "text").filter($"doc_id" % 7 =!= 2))
+      .as[(Long, Double)].collect().toSeq
+    LexStatsStream.rebucketPostings(spark, state, 128)
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq == live,
+      "hidden generations purge through the rebucket fold")
+    // now the log is batch=-1-only; a SECOND rebucket must still rewrite
+    LexStatsStream.rebucketPostings(spark, state, 32)
+    assert(LexStatsStream.postingBuckets(spark, state) == 32)
+    assert(LexStatsStream.bm25TopkIndexed(spark, state)
+      .as[(Long, Double)].collect().toSeq == live)
+  }
+
   test("driver-side termBucket matches the executor-side crc32 layout") {
     val terms = TextAnalysis.lexPostingsOf(docs)
       .select("term", "pbucket").distinct()

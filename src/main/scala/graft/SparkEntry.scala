@@ -68,6 +68,7 @@ object SparkEntry {
     "snippet_extract", "facet_counts",
     "bm25_topk_indexed_live", "phrase_match_live", "proximity_match_live",
     "snippet_extract_live", "facet_counts_live", "bm25_topk_indexed_asof",
+    "bm25_topk_indexed_rebucketed",
     "fuzzy_term_lookup", "bm25_passage_topk", "more_like_this",
     "bm25_passage_topk_live", "bm25_topk_fuzzy", "more_like_this_live",
     "fuzzy_term_lookup_live", "hybrid_topk_live", "ann_image_topk_live",
@@ -911,6 +912,14 @@ object SparkEntry {
     "bm25_topk_indexed_live" -> ((s: SparkSession, d: String) => {
       streaming.LexStatsStream.bm25TopkIndexed(s, lexLiveIndexBuilt(s, d))
     }),
+    // [r20] the bucket-split maintenance verb IN the gate path: the same
+    // churned+compacted index re-bucketed 64 → 256 (force path). The hash,
+    // the dir layout, the .bucketmeta count, and the pruned read's bucket
+    // set all changed; the ranking must be bitwise the live serve — the
+    // oracle replays the v2 corpus like bm25_topk_indexed_live.
+    "bm25_topk_indexed_rebucketed" -> ((s: SparkSession, d: String) => {
+      streaming.LexStatsStream.bm25TopkIndexed(s, lexRebucketIndexBuilt(s, d))
+    }),
     // [r19] phrase serving over the LIVE positional postings: a deleted
     // doc's phrase occurrences disappear, an edited doc's postings come
     // from its new generation only (no tf doubling). Oracle: the
@@ -1357,6 +1366,28 @@ object SparkEntry {
     path
   }
 
+  /** Build-once churned index REBUCKETED after compaction (round 20): the
+    * full lexLive lifecycle, then [[streaming.LexStatsStream.rebucketPostings]]
+    * splits the postings log 64 → 256 buckets (the force path — the log is
+    * already fully compacted). The physical layout, the `.bucketmeta`
+    * count, and every subsequent pruned read all change; the SERVED
+    * ranking must not — which is what the v2-replica oracle checks. */
+  private def lexRebucketIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexrebucket/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      streaming.LexStatsStream.applyBatch(s, docs, 0L, path)
+      streaming.LexStatsStream.syncLexCorpus(s, path, docs,
+        TextAnalysis.lexLiveV2Of(docs), 1L)
+      streaming.LexStatsStream.compactState(s, path)
+      streaming.LexStatsStream.rebucketPostings(s, path,
+        4 * TextAnalysis.LexBuckets)
+    }
+    path
+  }
+
   /** Build-once maintained lexical index carried through the full
     * DELETE/UPDATE lifecycle (round 19): ingest v1, sync to the
     * deterministic v2 fixture ([[TextAnalysis.lexLiveV2Of]] — removes +
@@ -1483,6 +1514,8 @@ object SparkEntry {
     "ann_image_topk" -> ImageAnn.gateSql(),
     "ann_image_topk_live" -> ImageAnn.gateLiveSql(),
     "bm25_topk_indexed_live" -> TextAnalysis.bm25TopkIndexedLiveSql,
+    // re-bucketing is physical-only: the oracle is the live replica verbatim
+    "bm25_topk_indexed_rebucketed" -> TextAnalysis.bm25TopkIndexedLiveSql,
     "phrase_match_live" -> TextAnalysis.phraseMatchSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "proximity_match_live" -> TextAnalysis.proximityMatchSql(

@@ -21,15 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** Aggregates shuffle/spill across all stages between snapshots. */
+  /** Aggregates shuffle/spill/input across all stages between snapshots.
+    * Input bytes matter where wall-clock hides growth behind open/listing
+    * constants at toy scale (the bucket-split sweep: per-bucket FILE bytes
+    * are the quantity the verb bounds, and only bytesRead exposes them). */
   private class Metrics extends SparkListener {
     @volatile var shufWrite = 0L
     @volatile var spill = 0L
+    @volatile var input = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         shufWrite += m.shuffleWriteMetrics.bytesWritten
         spill += m.memoryBytesSpilled + m.diskBytesSpilled
+        input += m.inputMetrics.bytesRead
       }
     }
   }
@@ -849,17 +854,17 @@ object ScaleBench {
     }
 
     Tables.documents(spark, sf).count() // warm IO
-    println("case,factor,sec_min_of_2,shuffle_mb,spill_mb")
+    println("case,factor,sec_min_of_2,shuffle_mb,spill_mb,input_mb")
     val rows = for ((name, mk) <- cases; k <- factors) yield {
       run(mk(k)) // warm codegen/plan for this (case, k)
-      metrics.shufWrite = 0; metrics.spill = 0
+      metrics.shufWrite = 0; metrics.spill = 0; metrics.input = 0
       val t1 = run(mk(k))
-      val (s1, p1) = (metrics.shufWrite, metrics.spill)
-      metrics.shufWrite = 0; metrics.spill = 0
+      val (s1, p1, i1) = (metrics.shufWrite, metrics.spill, metrics.input)
+      metrics.shufWrite = 0; metrics.spill = 0; metrics.input = 0
       val t2 = run(mk(k))
       val t = math.min(t1, t2)
-      val (s, p) = (s1, p1) // metrics of a single full run
-      val line = f"$name,$k,$t%.2f,${s / 1e6}%.1f,${p / 1e6}%.1f"
+      val (s, p, i) = (s1, p1, i1) // metrics of a single full run
+      val line = f"$name,$k,$t%.2f,${s / 1e6}%.1f,${p / 1e6}%.1f,${i / 1e6}%.1f"
       println(line)
       (name, k, t)
     }

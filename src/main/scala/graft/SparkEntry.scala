@@ -72,6 +72,8 @@ object SparkEntry {
     "fuzzy_term_lookup", "bm25_passage_topk", "more_like_this",
     "bm25_passage_topk_live", "bm25_topk_fuzzy", "more_like_this_live",
     "fuzzy_term_lookup_live", "hybrid_topk_live", "ann_image_topk_live",
+    "bm25_passage_topk_asof", "bm25_passage_topk_rebucketed",
+    "ann_image_topk_asof", "ann_image_topk_reseeded", "hybrid_passage_topk",
     "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -844,6 +846,21 @@ object SparkEntry {
     // BOTH raster generations from the synthesis arithmetic.
     "ann_image_topk_live" -> ((s: SparkSession, d: String) =>
       ImageAnn.gateLive(s, d)),
+    // [r20] point-in-time reads on the image tier — the as-of verb the
+    // embedding index has had since r17, at array<long> type: one row pins
+    // live (v2 rasters, churn applied) AND as-of batch 0 (the original
+    // corpus with the original queries) on an uncompacted fixture. With
+    // this row every index family (doc-lex, passage-lex, embedding, image)
+    // serves build + churn + as-of through the same log discipline.
+    "ann_image_topk_asof" -> ((s: SparkSession, d: String) =>
+      ImageAnn.gateAsof(s, d)),
+    // [r20] the K-GROWTH verb gated end to end: reseedIndex grows the
+    // coarse quantizer 8 → 16 seed vectors (the measured alpha-0.41 cure —
+    // K ∝ √N keeps per-list candidates flat) and atomically re-clusters;
+    // the serve resolves the co-located quantizer and must equal a fresh
+    // 16-seed IVF over the live image corpus (the oracle's replay).
+    "ann_image_topk_reseeded" -> ((s: SparkSession, d: String) =>
+      ImageAnn.gateReseeded(s, d)),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -986,6 +1003,39 @@ object SparkEntry {
     // oracle never sees the index, only the corpus it claims to serve.
     "bm25_passage_topk_live" -> ((s: SparkSession, d: String) =>
       streaming.PassageLex.bm25Topk(s, passageLiveIndexBuilt(s, d))),
+    // [r20] point-in-time PASSAGE reads — the as-of verb at chunk grain,
+    // completing the lifecycle symmetry (every verb the doc-grain index
+    // has, the RAG serving grain has): ONE row pins both halves on an
+    // UNCOMPACTED fixture — the LIVE view serves the v2 chunking (deleted
+    // docs' windows gone, edited docs' suffix windows re-scored) while the
+    // AS-OF batch-0 view still serves the v1 chunking. The oracle chunks
+    // BOTH corpus snapshots and runs two independent BM25 chains.
+    "bm25_passage_topk_asof" -> ((s: SparkSession, d: String) => {
+      val dir = passageLiveRawIndexBuilt(s, d)
+      val live = streaming.PassageLex.bm25Topk(s, dir)
+        .withColumn("view", lit("live"))
+      val asof = streaming.PassageLex.bm25TopkAsOf(s, dir, 0L)
+        .withColumn("view", lit("asof0"))
+      live.unionByName(asof)
+        .select("view", "doc_id", "chunk_idx", "bm25")
+        .orderBy(col("view"), col("bm25").desc, col("doc_id"), col("chunk_idx"))
+    }),
+    // [r20] the bucket-split verb at PASSAGE grain: rebucketPostings never
+    // looks at what a doc_id means, so the chunk index's postings log
+    // re-buckets 64 → 256 with the same one-fold + .bucketmeta-in-the-swap
+    // discipline — and the served passage ranking must be bitwise invisible
+    // to the split (the oracle is the live replica verbatim). Proves the
+    // verb is grain-generic, not doc-index-special.
+    "bm25_passage_topk_rebucketed" -> ((s: SparkSession, d: String) =>
+      streaming.PassageLex.bm25Topk(s, passageRebucketIndexBuilt(s, d))),
+    // [r20] PASSAGE-grain hybrid fusion — the RAG stack's real serving
+    // read: BM25 off the maintained chunk index ∪ dense chunk-embedding
+    // ranks (each query = its parent doc's first window), exact-integer
+    // RRF at pid grain, winners decomposed to (doc_id, chunk_idx). The
+    // doc-grain hybrids answer "which document"; this row answers "which
+    // WINDOW goes into the prompt".
+    "hybrid_passage_topk" -> ((s: SparkSession, d: String) =>
+      Retrieval.hybridPassageTopk(s, d, passageIndexBuilt(s, d))),
     // [r19] index INTROSPECTION — the operational "how big is my index"
     // read every serving deployment monitors: doc/token totals off the
     // corpus row, vocabulary size and posting-row count off the term rows
@@ -1366,6 +1416,42 @@ object SparkEntry {
     path
   }
 
+  /** The UNCOMPACTED twin of [[passageLiveIndexBuilt]] — same v1-ingest +
+    * v2-sync history with the per-batch dirs intact, so point-in-time
+    * reads can still cut at batch 0 (the lexLiveRawIndexBuilt pattern at
+    * chunk grain). Shared by `bm25_passage_topk_asof`. */
+  private def passageLiveRawIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexpassageraw/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      streaming.PassageLex.applyBatch(s, docs, 0L, path)
+      streaming.PassageLex.sync(s, path, docs,
+        TextAnalysis.lexLiveV2Of(docs), 1L)
+    }
+    path
+  }
+
+  /** Build-once passage index: full live lifecycle, compaction, then the
+    * 64 → 256 bucket split ([[lexRebucketIndexBuilt]] at chunk grain).
+    * Shared by `bm25_passage_topk_rebucketed`. */
+  private def passageRebucketIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-lexpassagerebucket/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(s, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      streaming.PassageLex.applyBatch(s, docs, 0L, path)
+      streaming.PassageLex.sync(s, path, docs,
+        TextAnalysis.lexLiveV2Of(docs), 1L)
+      streaming.LexStatsStream.compactState(s, path)
+      streaming.LexStatsStream.rebucketPostings(s, path,
+        4 * TextAnalysis.LexBuckets)
+    }
+    path
+  }
+
   /** Build-once churned index REBUCKETED after compaction (round 20): the
     * full lexLive lifecycle, then [[streaming.LexStatsStream.rebucketPostings]]
     * splits the postings log 64 → 256 buckets (the force path — the log is
@@ -1513,6 +1599,8 @@ object SparkEntry {
     // index, only the corpus the index claims to serve
     "ann_image_topk" -> ImageAnn.gateSql(),
     "ann_image_topk_live" -> ImageAnn.gateLiveSql(),
+    "ann_image_topk_asof" -> ImageAnn.gateAsofSql(),
+    "ann_image_topk_reseeded" -> ImageAnn.gateReseededSql(),
     "bm25_topk_indexed_live" -> TextAnalysis.bm25TopkIndexedLiveSql,
     // re-bucketing is physical-only: the oracle is the live replica verbatim
     "bm25_topk_indexed_rebucketed" -> TextAnalysis.bm25TopkIndexedLiveSql,
@@ -1528,6 +1616,10 @@ object SparkEntry {
     "fuzzy_term_lookup" -> Fuzzy.gateSql(),
     "bm25_passage_topk" -> Prep.bm25PassageSql(),
     "bm25_passage_topk_live" -> Prep.bm25PassageSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
+    "bm25_passage_topk_asof" -> Prep.bm25PassageLiveAsofSql(),
+    "hybrid_passage_topk" -> Prep.hybridPassageTopkSql,
+    "bm25_passage_topk_rebucketed" -> Prep.bm25PassageSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "fuzzy_term_lookup_live" -> Fuzzy.gateSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),

@@ -106,25 +106,11 @@ object ImageAnn {
   def topK(spark: SparkSession, indexDir: String,
            cents: Seq[(Int, Seq[Long])], queries: Seq[(Long, Seq[Long])],
            k: Int, nprobe: Int): DataFrame = {
-    import spark.implicits._
-    val probeRows = queries.flatMap { case (qid, qv) =>
-      nearestClusters(qv, cents, nprobe).map(c => (qid, qv, c))
-    }
-    val probes = probeRows.toDF("query_id", "qv", "cluster")
-    val probed = probeRows.map(_._3).distinct
+    val (probes, probed) = probeFrames(spark, cents, queries, nprobe)
     val cands = spark.read.parquet(indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("doc_id"), col("v"), col("cluster"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("doc_id"))
-    probes.join(cands, Seq("cluster"))
-      .select(col("query_id"), col("doc_id"),
-        aggregate(zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "doc_id", "dist")
-      .orderBy("query_id", "dist", "doc_id")
+    scoreTail(probes, cands, k)
   }
 
   // --- lifecycle (round 20, verdict r19 item 2) ------------------------------
@@ -169,26 +155,12 @@ object ImageAnn {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/batch=$batchId")
 
-  /** Tombstone-aware IVF top-k over the lifecycle layout: the ceiling
-    * exclusion + last-writer resolution (the shared EmbeddingIndexStream
-    * helpers — same tombstone dirs, same semantics) composed BELOW the
-    * per-query top-k, so k fills from live generations only; scoring stays
-    * exact Long squared-L2 with (dist, doc_id) ties. */
-  def topKLive(spark: SparkSession, indexDir: String,
-               cents: Seq[(Int, Seq[Long])], queries: Seq[(Long, Seq[Long])],
-               k: Int, nprobe: Int): DataFrame = {
-    import spark.implicits._
-    import graft.streaming.EmbeddingIndexStream
-    val probeRows = queries.flatMap { case (qid, qv) =>
-      nearestClusters(qv, cents, nprobe).map(c => (qid, qv, c))
-    }
-    val probes = probeRows.toDF("query_id", "qv", "cluster")
-    val probed = probeRows.map(_._3).distinct
-    val cands = Similarity.latestIngest(EmbeddingIndexStream.applyCeilings(
-        spark.read.parquet(indexDir).drop("batch")
-          .filter(col("cluster").isin(probed: _*)),
-        EmbeddingIndexStream.tombstoneCeilings(spark, indexDir)))
-      .select(col("vec_id").as("doc_id"), col("v"), col("cluster"))
+  /** Shared exact-Long scoring tail: probes (query_id, qv, cluster) ×
+    * candidates (doc_id, v, cluster) → per-query top-k by squared-L2 with
+    * (dist, doc_id) ties — identical below [[topK]], [[topKLive]] and
+    * [[topKAsOf]]; only the candidate READ differs between them. */
+  private def scoreTail(probes: DataFrame, cands: DataFrame,
+                        k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist"), col("doc_id"))
     probes.join(cands, Seq("cluster"))
@@ -199,6 +171,59 @@ object ImageAnn {
       .filter(col("rn") <= k)
       .select("query_id", "doc_id", "dist")
       .orderBy("query_id", "dist", "doc_id")
+  }
+
+  private def probeFrames(spark: SparkSession,
+                          cents: Seq[(Int, Seq[Long])],
+                          queries: Seq[(Long, Seq[Long])],
+                          nprobe: Int): (DataFrame, Seq[Int]) = {
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      nearestClusters(qv, cents, nprobe).map(c => (qid, qv, c))
+    }
+    (probeRows.toDF("query_id", "qv", "cluster"),
+      probeRows.map(_._3).distinct)
+  }
+
+  /** Tombstone-aware IVF top-k over the lifecycle layout: the ceiling
+    * exclusion + last-writer resolution (the shared EmbeddingIndexStream
+    * helpers — same tombstone dirs, same semantics) composed BELOW the
+    * per-query top-k, so k fills from live generations only; scoring stays
+    * exact Long squared-L2 with (dist, doc_id) ties. */
+  def topKLive(spark: SparkSession, indexDir: String,
+               cents: Seq[(Int, Seq[Long])], queries: Seq[(Long, Seq[Long])],
+               k: Int, nprobe: Int): DataFrame = {
+    import graft.streaming.EmbeddingIndexStream
+    val (probes, probed) = probeFrames(spark, cents, queries, nprobe)
+    val cands = Similarity.latestIngest(EmbeddingIndexStream.applyCeilings(
+        spark.read.parquet(indexDir).drop("batch")
+          .filter(col("cluster").isin(probed: _*)),
+        EmbeddingIndexStream.tombstoneCeilings(spark, indexDir)))
+      .select(col("vec_id").as("doc_id"), col("v"), col("cluster"))
+    scoreTail(probes, cands, k)
+  }
+
+  /** Point-in-time IVF top-k — [[topKLive]] as of `asOfBatch`, the
+    * [[graft.streaming.EmbeddingIndexStream.ivfTopKIndexedAsOf]] semantics
+    * at array<long> type: candidates partition-prune on BOTH cluster
+    * (nprobe lists) and batch (≤ asOf), the fold-surviving src_batch bound
+    * keeps the ingest cut exact, and only tombstones COMMITTED ≤ asOf
+    * participate. Shares the embedding tier's compaction caveat verbatim:
+    * a purge erases generations below CURRENT tombstones, so size
+    * compaction windows to the as-of horizon you need. */
+  def topKAsOf(spark: SparkSession, indexDir: String,
+               cents: Seq[(Int, Seq[Long])], queries: Seq[(Long, Seq[Long])],
+               k: Int, nprobe: Int, asOfBatch: Long): DataFrame = {
+    import graft.streaming.EmbeddingIndexStream
+    val (probes, probed) = probeFrames(spark, cents, queries, nprobe)
+    val cands = Similarity.latestIngest(EmbeddingIndexStream.applyCeilings(
+        spark.read.parquet(indexDir)
+          .filter(col("cluster").isin(probed: _*) && col("batch") <= asOfBatch)
+          .filter(col("src_batch") <= asOfBatch)
+          .drop("batch"),
+        EmbeddingIndexStream.tombstoneCeilingsAsOf(spark, indexDir, asOfBatch)))
+      .select(col("vec_id").as("doc_id"), col("v"), col("cluster"))
+    scoreTail(probes, cands, k)
   }
 
   /** The index's co-located Long quantizer (dot-dir — the
@@ -305,33 +330,100 @@ object ImageAnn {
     * composed below the top-k. Queries are the v2 payload decodes of the
     * query docs (doc 0's REPLACED image queries; doc 3 — deleted — still
     * queries as an external image but can never be retrieved). */
-  def gateLive(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared churn-fixture build: batch 0 = every doc's v1 features,
+    * batch 1 = the updated docs' SALTED (re-decoded) features + ONE
+    * tombstone batch with per-row ceilings (removed at 1 — hide all;
+    * updated at 0 — the fresh generation survives), then optionally the
+    * compaction purge (the as-of fixture keeps per-batch history). */
+  private def buildLiveFixture(spark: SparkSession, docs: DataFrame,
+                               cents: Seq[(Int, Seq[Long])], path: String,
+                               compact: Boolean): Unit = {
     import graft.streaming.EmbeddingIndexStream
+    val f = graft.functions.FsUtils.fs(spark, path)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    val removed = docs.filter(
+      col("doc_id") % TextAnalysis.LexLiveRemoveMod === TextAnalysis.LexLiveRemoveRes)
+    val updated = docs.filter(
+      col("doc_id") % TextAnalysis.LexLiveEditMod === 0 &&
+      col("doc_id") % TextAnalysis.LexLiveRemoveMod =!= TextAnalysis.LexLiveRemoveRes)
+    applyStreamBatch(featuresOf(docs), 0L, cents, path)
+    applyStreamBatch(saltedFeaturesOf(updated), 1L, cents, path)
+    EmbeddingIndexStream.tombstoneRows(spark,
+      removed.select(col("doc_id").as("vec_id"), lit(1L).as("ceiling"))
+        .unionByName(updated.select(col("doc_id").as("vec_id"),
+          lit(0L).as("ceiling"))),
+      1L, path)
+    if (compact) EmbeddingIndexStream.compactIndex(spark, path)
+  }
+
+  /** The live QUERY set: v2 payload decodes of the query docs — doc 0's
+    * REPLACED image queries via its salted decode, the others via v1. */
+  private def liveQueries(docs: DataFrame): Seq[(Long, Seq[Long])] = {
+    val qv1 = QueryIds.filter(_ % TextAnalysis.LexLiveEditMod != 0)
+    val qv2 = QueryIds.filter(_ % TextAnalysis.LexLiveEditMod == 0)
+    (collectVecs(featuresOf(docs, Some(qv1)), qv1) ++
+      collectVecs(saltedFeaturesOf(docs, Some(qv2)), qv2)).sortBy(_._1)
+  }
+
+  def gateLive(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documentsById(spark, dir)
     val cents = centroidsOf(docs) // the frozen v1 quantizer
     val path = "/tmp/graft-imgann-live/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path)(
+      buildLiveFixture(spark, docs, cents, path, compact = true))
+    topKLive(spark, path, cents, liveQueries(docs), k = GateK, nprobe = GateNProbe)
+  }
+
+  /** The point-in-time gate row (round 20): ONE result pinning both halves
+    * of the as-of contract on an UNCOMPACTED churn fixture — the LIVE view
+    * serves the v2 image corpus (replaced rasters re-scored, opted-out docs
+    * unretrievable) with v2 queries, while the AS-OF batch-0 view serves
+    * the original corpus with the original (v1) queries: the delete and
+    * the re-decode are both invisible at that point in time. The oracle is
+    * the two full pipeline replicas unioned under a view label. */
+  def gateAsof(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documentsById(spark, dir)
+    val cents = centroidsOf(docs)
+    val path = "/tmp/graft-imgann-asofraw/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path)(
+      buildLiveFixture(spark, docs, cents, path, compact = false))
+    val live = topKLive(spark, path, cents, liveQueries(docs),
+        k = GateK, nprobe = GateNProbe)
+      .withColumn("view", lit("live"))
+    val asof = topKAsOf(spark, path, cents,
+        collectVecs(featuresOf(docs, Some(QueryIds)), QueryIds),
+        k = GateK, nprobe = GateNProbe, asOfBatch = 0L)
+      .withColumn("view", lit("asof0"))
+    live.unionByName(asof)
+      .select("view", "query_id", "doc_id", "dist")
+      .orderBy(col("view"), col("query_id"), col("dist"), col("doc_id"))
+  }
+
+  /** The RESEED gate's grown seed set: 16 corpus doc ids (vs the initial
+    * 8), every one outside BOTH churn classes (not removed, not edited) so
+    * its live vector IS its v1 decode — the quantizer the verb installs is
+    * exactly replayable from either raster generation. Present at every SF
+    * (all < 48, the [[SeedIds]] bound). */
+  val ReseedIds: Seq[Long] =
+    Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L, 14L, 15L, 16L, 17L, 18L)
+
+  /** The reseed verb gated end to end (round 20): the full churn lifecycle
+    * (ingest, re-decode, tombstones, compaction), then [[reseedIndex]]
+    * grows the quantizer 8 → 16 seed vectors and atomically re-clusters;
+    * the serve resolves the CO-LOCATED quantizer ([[indexQuantizer]]) and
+    * must return exactly what a fresh 16-seed IVF over the live image
+    * corpus returns — which is what the oracle replays. */
+  def gateReseeded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documentsById(spark, dir)
+    val cents = centroidsOf(docs)
+    val path = "/tmp/graft-imgann-reseed/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     Similarity.ensureBuilt(path) {
-      val f = graft.functions.FsUtils.fs(spark, path)
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
-      val removed = docs.filter(
-        col("doc_id") % TextAnalysis.LexLiveRemoveMod === TextAnalysis.LexLiveRemoveRes)
-      val updated = docs.filter(
-        col("doc_id") % TextAnalysis.LexLiveEditMod === 0 &&
-        col("doc_id") % TextAnalysis.LexLiveRemoveMod =!= TextAnalysis.LexLiveRemoveRes)
-      applyStreamBatch(featuresOf(docs), 0L, cents, path)
-      applyStreamBatch(saltedFeaturesOf(updated), 1L, cents, path)
-      EmbeddingIndexStream.tombstoneRows(spark,
-        removed.select(col("doc_id").as("vec_id"), lit(1L).as("ceiling"))
-          .unionByName(updated.select(col("doc_id").as("vec_id"),
-            lit(0L).as("ceiling"))),
-        1L, path)
-      EmbeddingIndexStream.compactIndex(spark, path)
+      buildLiveFixture(spark, docs, cents, path, compact = true)
+      reseedIndex(spark, path, centroidsOf(docs, ReseedIds))
     }
-    val qv1 = QueryIds.filter(_ % TextAnalysis.LexLiveEditMod != 0)
-    val qv2 = QueryIds.filter(_ % TextAnalysis.LexLiveEditMod == 0)
-    val queries = (collectVecs(featuresOf(docs, Some(qv1)), qv1) ++
-      collectVecs(saltedFeaturesOf(docs, Some(qv2)), qv2)).sortBy(_._1)
-    topKLive(spark, path, cents, queries, k = GateK, nprobe = GateNProbe)
+    val quant = indexQuantizer(spark, path, cents)
+    topKLive(spark, path, quant, liveQueries(docs),
+      k = GateK, nprobe = GateNProbe)
   }
 
   /** [[gateLive]]'s DuckDB replica: the [[gateSql]] chain with a SECOND
@@ -339,8 +431,10 @@ object ImageAnn {
     * doc_id + [[UpdateSalt]] (dims unchanged) — centroids still from the
     * v1 features (the frozen quantizer), assignment and candidates
     * restricted to the live set, queries reading their v2 features. */
-  def gateLiveSql(k: Int = GateK, nprobe: Int = GateNProbe): String = {
-    val seeds = SeedIds.mkString(", ")
+  def gateLiveSql(k: Int = GateK, nprobe: Int = GateNProbe,
+                  seedIds: Seq[Long] = SeedIds,
+                  centRel: String = "feat"): String = {
+    val seeds = seedIds.mkString(", ")
     val qids = QueryIds.mkString(", ")
     val rm = TextAnalysis.LexLiveRemoveMod
     val rr = TextAnalysis.LexLiveRemoveRes
@@ -373,7 +467,7 @@ object ImageAnn {
        |seeds AS (
        |  SELECT sid, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cid
        |  FROM (SELECT UNNEST([$seeds]) AS sid)),
-       |cent AS (SELECT se.cid, f.cell, f.s FROM seeds se JOIN feat f ON f.doc_id = se.sid),
+       |cent AS (SELECT se.cid, f.cell, f.s FROM seeds se JOIN $centRel f ON f.doc_id = se.sid),
        |adist AS (
        |  SELECT f.doc_id, c.cid, SUM((f.s - c.s) * (f.s - c.s)) AS d
        |  FROM featl f JOIN cent c USING (cell) GROUP BY 1, 2),
@@ -400,6 +494,91 @@ object ImageAnn {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn
        |  FROM qd) WHERE rn <= $k
        |ORDER BY query_id, dist, doc_id""".stripMargin
+  }
+
+  /** [[gateReseeded]]'s replica: [[gateLiveSql]] with the grown seed set
+    * and the centroid vectors read from the LIVE raster generation
+    * (`featl` — for [[ReseedIds]] the two generations coincide by
+    * construction, which is exactly why the verb's install is replayable). */
+  def gateReseededSql(k: Int = GateK, nprobe: Int = GateNProbe): String =
+    gateLiveSql(k, nprobe, seedIds = ReseedIds, centRel = "featl")
+
+  /** [[gateAsof]]'s replica: ONE statement, both pipeline replays — the
+    * shared synthesis prefix (both raster generations, v1 centroids), then
+    * the as-of chain (suffix 0: v1 features, every doc a candidate, v1
+    * queries — [[gateSql]]'s body) and the live chain (suffix 1:
+    * [[gateLiveSql]]'s body) unioned under a view label. */
+  def gateAsofSql(k: Int = GateK, nprobe: Int = GateNProbe): String = {
+    val seeds = SeedIds.mkString(", ")
+    val qids = QueryIds.mkString(", ")
+    val rm = TextAnalysis.LexLiveRemoveMod
+    val rr = TextAnalysis.LexLiveRemoveRes
+    val em = TextAnalysis.LexLiveEditMod
+    // featRel = which raster generation scores; liveFilter prunes the
+    // candidate set to the live corpus (empty = every doc is a candidate)
+    def chain(sfx: String, featRel: String, liveFilter: String) =
+      s"""adist$sfx AS (
+         |  SELECT f.doc_id, c.cid, SUM((f.s - c.s) * (f.s - c.s)) AS d
+         |  FROM $featRel f JOIN cent c USING (cell) GROUP BY 1, 2),
+         |assign$sfx AS (
+         |  SELECT doc_id, cid AS cluster FROM (
+         |    SELECT doc_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn
+         |    FROM adist$sfx$liveFilter) WHERE rn = 1),
+         |qprobe$sfx AS (
+         |  SELECT doc_id AS query_id, cid AS cluster FROM (
+         |    SELECT doc_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, cid) AS rn
+         |    FROM adist$sfx WHERE doc_id IN ($qids)) WHERE rn <= $nprobe),
+         |cand$sfx AS (SELECT q.query_id, a.doc_id FROM qprobe$sfx q JOIN assign$sfx a USING (cluster)),
+         |qd$sfx AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    SUM((fq.s - fc.s) * (fq.s - fc.s)) AS dist
+         |  FROM cand$sfx c
+         |  JOIN $featRel fq ON fq.doc_id = c.query_id
+         |  JOIN $featRel fc ON fc.doc_id = c.doc_id AND fc.cell = fq.cell
+         |  GROUP BY 1, 2)""".stripMargin
+    def branch(view: String, sfx: String) =
+      s"""(SELECT '$view' AS view, query_id, doc_id, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT query_id, doc_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn
+         |  FROM qd$sfx) WHERE rn <= $k)""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+       |         CAST(8 + doc_id % 13 AS BIGINT) AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, unnest(range(0, w)) AS x, y
+       |  FROM (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM dims)),
+       |pv AS (
+       |  SELECT doc_id, w, h, x, y,
+       |    (xor(xor(doc_id * 1315423911, x * 2654435761), y * 40503) & 16777215) AS v
+       |  FROM px),
+       |pvl AS (
+       |  SELECT doc_id, w, h, x, y,
+       |    (xor(xor(CASE WHEN doc_id % $em = 0 THEN doc_id + $UpdateSalt
+       |                  ELSE doc_id END * 1315423911,
+       |             x * 2654435761), y * 40503) & 16777215) AS v
+       |  FROM px),
+       |feat AS (
+       |  SELECT doc_id, ((y * $Grid // h) * $Grid + (x * $Grid // w)) AS cell,
+       |    CAST(SUM(((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) AS BIGINT) AS s
+       |  FROM pv GROUP BY doc_id, cell),
+       |featl AS (
+       |  SELECT doc_id, ((y * $Grid // h) * $Grid + (x * $Grid // w)) AS cell,
+       |    CAST(SUM(((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 + (v & 255) * 114) AS BIGINT) AS s
+       |  FROM pvl GROUP BY doc_id, cell),
+       |seeds AS (
+       |  SELECT sid, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cid
+       |  FROM (SELECT UNNEST([$seeds]) AS sid)),
+       |cent AS (SELECT se.cid, f.cell, f.s FROM seeds se JOIN feat f ON f.doc_id = se.sid),
+       |${chain("0", "feat", "")},
+       |${chain("1", "featl", s" WHERE doc_id % $rm <> $rr")}
+       |SELECT view, query_id, doc_id, dist FROM (
+       |${branch("asof0", "0")}
+       |UNION ALL
+       |${branch("live", "1")})
+       |ORDER BY view, query_id, dist, doc_id""".stripMargin
   }
 
   /** DuckDB replica — the ENTIRE pipeline from the synthesis arithmetic:

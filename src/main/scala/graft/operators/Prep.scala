@@ -91,16 +91,54 @@ object Prep {
        |FROM tt, ss WHERE $cand ORDER BY bm25 DESC, pid LIMIT $k""".stripMargin
   }
 
-  /** Shared chunking CTE chain ending in `c(doc_id, ci, toks)` — reused by
-    * the chunk-embedding composition oracle and the passage replicas
-    * (parameterized over the corpus relation for the live twins). */
-  private def chunkCtesOf(docsRel: String): String =
-    s"""t AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
+  /** The passage-grain live + AS-OF double gate's replica (round 20): the
+    * [[graft.operators.TextAnalysis.bm25TopkIndexedLiveAsofSql]] shape at
+    * chunk grain — the v1 corpus ([[chunkCtesOf]] suffix 1, from
+    * `documents`) and the v2 corpus (suffix 2, from the shared live CTE)
+    * each chunked, BM25-chained, ranked and cut at k independently, then
+    * unioned under a view label. The oracle never sees the index: it
+    * replays what each point-in-time view CLAIMS to serve. */
+  def bm25PassageLiveAsofSql(k: Int = 20): String = {
+    val terms = TextAnalysis.Bm25Terms
+    val tfCols = TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = TextAnalysis.bm25SqlDfCols(terms.size)
+    val score = terms.indices.map(TextAnalysis.bm25SqlScoreTerm).mkString("\n|    + ")
+    val cand = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    def chain(sfx: String) =
+      s"""ch$sfx AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c$sfx),
+         |tt$sfx AS (SELECT pid, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+         |    $tfCols
+         |  FROM ch$sfx),
+         |ss$sfx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM tt$sfx)""".stripMargin
+    def branch(view: String, sfx: String) =
+      s"""(SELECT '$view' AS view, CAST(pid // 1000 AS BIGINT) AS doc_id,
+         |  CAST(pid % 1000 AS BIGINT) AS chunk_idx,
+         |  ROUND(
+         |    $score, 4) AS bm25
+         |  FROM tt$sfx, ss$sfx WHERE $cand ORDER BY bm25 DESC, pid LIMIT $k)""".stripMargin
+    s"""WITH ${TextAnalysis.lexLiveV2Cte}${chunkCtesOf("documents", "1")},
+       |${chunkCtesOf("v2", "2")},
+       |${chain("1")},
+       |${chain("2")}
+       |SELECT view, doc_id, chunk_idx, bm25 FROM (
+       |${branch("asof0", "1")}
+       |UNION ALL
+       |${branch("live", "2")})
+       |ORDER BY view, bm25 DESC, doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Shared chunking CTE chain ending in `c$sfx(doc_id, ci, toks)` — reused
+    * by the chunk-embedding composition oracle and the passage replicas
+    * (parameterized over the corpus relation for the live twins; `sfx`
+    * disambiguates CTE names when one statement chunks TWO corpus
+    * snapshots — the as-of double gate). */
+  private def chunkCtesOf(docsRel: String, sfx: String = ""): String =
+    s"""t$sfx AS (SELECT doc_id, STR_SPLIT(text, ' ') AS w,
        |    CASE WHEN LEN(STR_SPLIT(text, ' ')) <= 32 THEN 1
        |         ELSE 1 + (LEN(STR_SPLIT(text, ' ')) - 32 + 23) // 24 END AS nc
        |  FROM $docsRel),
-       |x AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t),
-       |c AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x)""".stripMargin
+       |x$sfx AS (SELECT doc_id, w, UNNEST(range(0, nc)) AS ci FROM t$sfx),
+       |c$sfx AS (SELECT doc_id, ci, w[ci*24+1 : ci*24+32] AS toks FROM x$sfx)""".stripMargin
 
   private val chunkCtes: String = chunkCtesOf("documents")
 
@@ -120,17 +158,35 @@ object Prep {
     * the hash once ([[graft.functions.ExprUtils.bindOnce]]) — CollapseProject
     * would otherwise inline the chunk-hash md5 into all 16 dimension lambdas.
     */
-  def chunkEmbedTopk(spark: SparkSession, dir: String, k: Int = 3,
-      probeDocs: Long = 3L, dim: Int = 16): DataFrame = {
+  /** The stub chunk-embedding expression over a chunk-hash column — 16
+    * deterministic dims in [−1, 1) keyed on the content hash (no model in
+    * the container, the [[Multimodal.extractFeatures]] contract). Factored
+    * so the chunk-embed gate and the passage-grain hybrid's dense leg
+    * share ONE transform (and its [[graft.functions.ExprUtils.bindOnce]]
+    * guard — CollapseProject would otherwise inline the hash md5 into all
+    * `dim` dimension lambdas). */
+  def chunkEmbedExpr(hash: org.apache.spark.sql.Column,
+                     dim: Int = 16): org.apache.spark.sql.Column = {
     import graft.functions.ExprUtils.bindOnce
-    val chunks = chunkOverlap(spark, dir).select("doc_id", "chunk_hash")
-    val embed = bindOnce(col("chunk_hash").cast("string")) { h =>
+    bindOnce(hash.cast("string")) { h =>
       transform(sequence(lit(0), lit(dim - 1)), i =>
         pmod(h60(concat_ws("-", h, i.cast("string"))), lit(2000L)).cast("double")
           / 1000.0 - 1.0)
     }
+  }
+
+  /** The DuckDB mirror of [[chunkEmbedExpr]] for a given hash SQL
+    * expression — shared by the chunk-embed and passage-hybrid replicas. */
+  def chunkEmbedExprSql(hashSql: String, dim: Int = 16): String =
+    s"""list_transform(range(0, $dim), i ->
+       | CAST(${h60Sql(s"$hashSql::VARCHAR || '-' || i::VARCHAR")} % 2000 AS DOUBLE)
+       |   / 1000.0 - 1.0)""".stripMargin.replace("\n", "")
+
+  def chunkEmbedTopk(spark: SparkSession, dir: String, k: Int = 3,
+      probeDocs: Long = 3L, dim: Int = 16): DataFrame = {
+    val chunks = chunkOverlap(spark, dir).select("doc_id", "chunk_hash")
     val cands = chunks.select("chunk_hash").distinct()
-      .select(col("chunk_hash"), embed.as("v"))
+      .select(col("chunk_hash"), chunkEmbedExpr(col("chunk_hash"), dim).as("v"))
     val probes = chunks.filter(col("doc_id") < probeDocs)
       .select("chunk_hash").distinct()
       .join(cands, "chunk_hash")
@@ -146,10 +202,7 @@ object Prep {
   }
 
   val chunkEmbedTopkSql: String = {
-    val dimExpr =
-      s"""list_transform(range(0, 16), i ->
-         | CAST(${h60Sql("chunk_hash::VARCHAR || '-' || i::VARCHAR")} % 2000 AS DOUBLE)
-         |   / 1000.0 - 1.0)""".stripMargin.replace("\n", "")
+    val dimExpr = chunkEmbedExprSql("chunk_hash")
     s"""WITH $chunkCtes,
        |ch AS (SELECT doc_id, ${h60Sql("array_to_string(toks, ' ')")} AS chunk_hash FROM c),
        |u AS (SELECT DISTINCT chunk_hash FROM ch),
@@ -163,6 +216,73 @@ object Prep {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_hash
        |    ORDER BY sim DESC, cand_hash) AS rn FROM s) t
        |WHERE rn <= 3 ORDER BY query_hash, sim DESC, cand_hash""".stripMargin
+  }
+
+  /** [[Retrieval.hybridPassageTopk]]'s replica: the passage BM25 chain
+    * (chunk CTEs → tt/ss at pid grain) branched per query term set with
+    * each query's OWN candidacy clause (any of its terms' tf > 0 — the
+    * indexed serve's candidate semantics), the dense leg re-deriving the
+    * stub embeddings from the content hash ([[chunkEmbedExprSql]]) with
+    * each query reading its parent doc's first window (pid = qid·1000),
+    * both ranked lists cut at L and fused with the exact scaled-integer
+    * RRF (lcm literal from [[Retrieval.rrfLcm]] — integer division, zero
+    * float hazard in the fused score), the winning pids decomposed. */
+  def hybridPassageTopkSql: String = {
+    val querySets = Retrieval.HybridTermSets
+    val terms = querySets.flatMap(_._2).distinct
+    val L = Retrieval.HybridL
+    val lcm = Retrieval.rrfLcm(Retrieval.RrfC, L)
+    val tfCols = TextAnalysis.bm25SqlTfCols(terms)
+    val dfCols = TextAnalysis.bm25SqlDfCols(terms.size)
+    val tIdx = terms.zipWithIndex.toMap
+    def scoreSql(qts: Seq[String]): String =
+      qts.map(t => TextAnalysis.bm25SqlScoreTerm(tIdx(t))).mkString(" + ")
+    def candSql(qts: Seq[String]): String =
+      qts.map(t => s"tf${tIdx(t)} > 0").mkString(" OR ")
+    val lexBranches = querySets.map { case (qid, qts) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, pid, ROUND(${scoreSql(qts)}, 4) AS s " +
+        s"FROM tt, ss WHERE ${candSql(qts)}"
+    }.mkString("\n|  UNION ALL ")
+    val qpids = querySets.map(_._1 * 1000).mkString(", ")
+    val dimExpr = chunkEmbedExprSql("chunk_hash")
+    s"""WITH $chunkCtes,
+       |ch AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c),
+       |tt AS (SELECT pid, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
+       |    $tfCols
+       |  FROM ch),
+       |ss AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfCols FROM tt),
+       |lexs AS (
+       |  $lexBranches),
+       |lex AS (SELECT query_id, pid, rank FROM (
+       |  SELECT query_id, pid,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, pid) AS rank
+       |  FROM lexs) lr WHERE rank <= $L),
+       |chh AS (SELECT pid, ${h60Sql("text")} AS chunk_hash FROM ch),
+       |u AS (SELECT DISTINCT chunk_hash FROM chh),
+       |e AS (SELECT chunk_hash, $dimExpr AS v FROM u),
+       |qe AS (SELECT CAST(pid // 1000 AS BIGINT) AS query_id, pid AS qpid, v AS qv
+       |       FROM chh JOIN e USING (chunk_hash) WHERE pid IN ($qpids)),
+       |dense AS (SELECT query_id, pid, rank FROM (
+       |  SELECT q.query_id, c.pid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY (ROUND(LIST_COSINE_SIMILARITY(q.qv, e.v), 4) + 0.0) DESC, c.pid) AS rank
+       |  FROM qe q
+       |  CROSS JOIN chh c
+       |  JOIN e ON e.chunk_hash = c.chunk_hash
+       |  WHERE c.pid <> q.qpid) dr WHERE rank <= $L),
+       |fused AS (SELECT
+       |    COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.pid, d.pid) AS pid,
+       |    COALESCE($lcm // (${Retrieval.RrfC} + l.rank), 0)
+       |      + COALESCE($lcm // (${Retrieval.RrfC} + d.rank), 0) AS rrf_num
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.query_id = d.query_id AND l.pid = d.pid)
+       |SELECT query_id, CAST(pid // 1000 AS BIGINT) AS doc_id,
+       |  CAST(pid % 1000 AS BIGINT) AS chunk_idx,
+       |  CAST(rrf_num AS BIGINT) AS rrf_num, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_num DESC, pid) AS rank FROM fused) f
+       |WHERE rank <= ${Retrieval.HybridK} ORDER BY query_id, rank""".stripMargin
   }
 
   // Conservative ASCII patterns, valid and identical under Java regex (Spark)

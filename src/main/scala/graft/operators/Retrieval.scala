@@ -250,6 +250,65 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** PASSAGE-grain hybrid retrieval (round 20) — the RAG serving stack's
+    * actual read shape: sparse recall (BM25 over the maintained CHUNK
+    * index — [[graft.streaming.PassageLex]], stats and tf at window grain,
+    * the corpus nowhere in the path) fused with dense recall (stub chunk
+    * embeddings keyed on content hash — [[Prep.chunkEmbedExpr]], each
+    * query embedding its parent doc's FIRST window) via the exact
+    * scaled-integer RRF, ranked at pid grain and decomposed back to
+    * (doc_id, chunk_idx). Where [[hybridTopkRrf]] answers "which DOCUMENT",
+    * this row answers "which WINDOW do I put in the context" — both legs,
+    * the fusion, and the tie-breaks all at the grain a RAG prompt is
+    * actually assembled from.
+    *
+    * Scale shape: the lexical leg reads O(query terms' postings) off the
+    * bucket-pruned chunk index; the dense leg is one hash-dedup'd embed +
+    * a broadcast of 3 query vectors over the chunk frame (the brute-force
+    * baseline tier — the IVF-bucketed variant is the embedding tier's
+    * machinery, already gated); fusion stays queries × depth. */
+  /** The dense leg alone (package-private for the composition spec):
+    * per-query chunk-embedding ranked lists at pid grain — query q's
+    * vector is its parent doc's first window's embedding, candidates every
+    * chunk but the query window itself, rank by (rounded cosine desc, pid). */
+  private[graft] def passageDenseRanked(spark: SparkSession,
+                                        dir: String): DataFrame = {
+    import graft.streaming.PassageLex
+    import graft.functions.{ExprUtils, Hashing, VectorFunctions}
+    val ch = PassageLex.chunkDocs(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id").as("pid"), Hashing.h60(col("text")).as("chunk_hash"))
+    val e = ch.select("chunk_hash").distinct()
+      .select(col("chunk_hash"), Prep.chunkEmbedExpr(col("chunk_hash")).as("v"))
+    val queryPids = HybridTermSets.map(_._1 * PassageLex.PidMult)
+    val probes = ch.filter(col("pid").isin(queryPids: _*))
+      .join(e, "chunk_hash")
+      .select(expr(s"CAST(pid DIV ${PassageLex.PidMult} AS BIGINT)").as("query_id"),
+        col("pid").as("qpid"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("pid"))
+    ch.join(e, "chunk_hash")
+      .join(broadcast(probes), col("pid") =!= col("qpid"))
+      .select(col("query_id"), col("pid"),
+        ExprUtils.roundz(VectorFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HybridL)
+      .select(col("query_id"), col("pid").as("doc_id"), col("rank"))
+  }
+
+  def hybridPassageTopk(spark: SparkSession, dir: String,
+                        stateDir: String): DataFrame = {
+    import graft.streaming.{LexStatsStream, PassageLex}
+    val lex = bm25RankedPerQueryIndexed(
+      (ts, l) => LexStatsStream.bm25TopkIndexed(spark, stateDir, ts, l),
+      HybridTermSets, HybridL)
+    rrfFuseExact(lex, passageDenseRanked(spark, dir), HybridK, maxRank = HybridL)
+      .select(col("query_id"),
+        expr(s"CAST(doc_id DIV ${PassageLex.PidMult} AS BIGINT)").as("doc_id"),
+        pmod(col("doc_id"), lit(PassageLex.PidMult)).as("chunk_idx"),
+        col("rrf_num"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // --- MMR diversified re-ranking -------------------------------------------
 
   /** MMR gate parameters: λ (relevance weight) and the selected count. */

@@ -112,4 +112,20 @@ object PassageLex {
         pmod(col("doc_id"), lit(PidMult)).as("chunk_idx"),
         col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
+
+  /** Passage BM25 AS IT STOOD at `asOfBatch` — the point-in-time read at
+    * chunk grain (round 20): [[LexStatsStream.bm25TopkIndexedAsOf]] applies
+    * UNCHANGED to the chunk index (pids are just doc ids to it — batch-
+    * bounded postings + stats, tombstones committed ≤ B, refusal below the
+    * folded horizon all inherited), and this wrapper only restores the
+    * (doc_id, chunk_idx) decomposition. Reproduces yesterday's passage
+    * ranking; audits exactly which windows a doc edit re-scored. */
+  def bm25TopkAsOf(spark: SparkSession, stateDir: String, asOfBatch: Long,
+                   terms: Seq[String] = TextAnalysis.Bm25Terms,
+                   k: Int = 20): DataFrame =
+    LexStatsStream.bm25TopkIndexedAsOf(spark, stateDir, asOfBatch, terms, k)
+      .select(expr(s"CAST(doc_id DIV $PidMult AS BIGINT)").as("doc_id"),
+        pmod(col("doc_id"), lit(PidMult)).as("chunk_idx"),
+        col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
 }

@@ -155,6 +155,32 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
       s"v1 self-hit must be gone, got $out")
   }
 
+  test("as-of reads: batch-0 cut serves the ORIGINAL corpus (brute-force " +
+       "v1 replica) while the live read serves v2; a later tombstone is " +
+       "invisible at the earlier cut") {
+    val p = buildLive() // uncompacted — per-batch history intact
+    // as-of 0: every doc present at its v1 vector, quantizer frozen
+    val asof = ImageAnn.topKAsOf(spark, p, cents, queries,
+        k = 3, nprobe = 3, asOfBatch = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val assignOf = feats.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (l2(v, cv), cid) }.min._2
+    }.toMap
+    val expectedV1 = queries.flatMap { case (qid, qv) =>
+      val probed = ImageAnn.nearestClusters(qv, cents, 3).toSet
+      feats.filter { case (id, _) => probed.contains(assignOf(id)) }
+        .map { case (id, v) => (l2(qv, v), id) }
+        .sorted.take(3)
+        .map { case (d, id) => (qid, id, d) }
+    }
+    assert(asof == expectedV1, "the churn is invisible at batch 0")
+    // as-of 1 ≡ live: the churn batch is inside the horizon
+    val asof1 = ImageAnn.topKAsOf(spark, p, cents, liveQueries,
+        k = 3, nprobe = 3, asOfBatch = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(asof1 == bruteLive(liveQueries, cents, 3))
+  }
+
   test("reseed grows K atomically: live serve under the new quantizer " +
        "equals brute force, deletes stay deleted, quantizer co-located") {
     val p = buildLive()

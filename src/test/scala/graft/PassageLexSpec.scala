@@ -83,6 +83,39 @@ class PassageLexSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("as-of reads at chunk grain: live serves the v2 chunking while the " +
+       "batch-0 cut still serves v1; refusal below the folded horizon") {
+    val state = tmp()
+    PassageLex.applyBatch(spark, docs, 0L, state)
+    PassageLex.sync(spark, state, docs, TextAnalysis.lexLiveV2Of(docs), 1L)
+    // live = v2 one-shot; as-of 0 = v1 one-shot — both bitwise
+    assert(served(state) == freshOver(TextAnalysis.lexLiveV2Of(docs)))
+    val asof0 = PassageLex.bm25TopkAsOf(spark, state, 0L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(asof0 == freshOver(docs))
+    // compaction folds batch 0+1 away: the point-in-time view below the
+    // horizon is no longer reconstructible and the read must REFUSE
+    LexStatsStream.compactState(spark, state)
+    val e = intercept[IllegalArgumentException] {
+      PassageLex.bm25TopkAsOf(spark, state, 0L).collect()
+    }
+    assert(e.getMessage.contains("folded horizon"))
+  }
+
+  test("rebucket at chunk grain: the 64->256 split leaves the served " +
+       "passage ranking bitwise unchanged and subsequent reads resolve " +
+       "the new bucket count") {
+    val state = tmp()
+    PassageLex.applyBatch(spark, docs, 0L, state)
+    PassageLex.sync(spark, state, docs, TextAnalysis.lexLiveV2Of(docs), 1L)
+    LexStatsStream.compactState(spark, state)
+    val before = served(state)
+    LexStatsStream.rebucketPostings(spark, state, 4 * TextAnalysis.LexBuckets)
+    assert(LexStatsStream.postingBuckets(spark, state)
+      == 4 * TextAnalysis.LexBuckets)
+    assert(served(state) == before)
+  }
+
   test("pid overflow fails loud instead of aliasing into the next doc") {
     val longDoc = Seq((5L, Seq.fill(24200)("tok").mkString(" ")))
       .toDF("doc_id", "text")

@@ -248,4 +248,38 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out.sortBy(r => (r._1, r._4)).toSeq ==
       repart.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  test("passage hybrid: fused output = hand-fused RRF over the two " +
+       "independently served pid-grain legs") {
+    import graft.streaming.{LexStatsStream, PassageLex}
+    val state = java.nio.file.Files.createTempDirectory("passagehy").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    PassageLex.applyBatch(spark, docs, 0L, state)
+    val out = Retrieval.hybridPassageTopk(spark, Sf0001, state)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the legs, through their own (separately spec'd) entry points
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("query_id", "doc_id", "rank")
+        .as[(Long, Long, Long)].collect()
+        .map { case (q, pid, r) => (q, pid) -> r }.toMap
+    val lexR = ranksOf(Retrieval.bm25RankedPerQueryIndexed(
+      (ts, l) => LexStatsStream.bm25TopkIndexed(spark, state, ts, l),
+      Retrieval.HybridTermSets, Retrieval.HybridL))
+    val denseR = ranksOf(Retrieval.passageDenseRanked(spark, Sf0001))
+    // hand fusion: Σ lcm/(c+rank) over whichever legs rank the pid
+    val nums = Retrieval.rrfNumerators(Retrieval.RrfC, Retrieval.HybridL)
+    val expected = (lexR.keySet ++ denseR.keySet).groupBy(_._1).toSeq
+      .flatMap { case (q, keys) =>
+        keys.toSeq.map { k =>
+          val s = lexR.get(k).map(r => nums(r.toInt - 1)).getOrElse(0L) +
+            denseR.get(k).map(r => nums(r.toInt - 1)).getOrElse(0L)
+          (q, k._2, s)
+        }.sortBy { case (_, pid, s) => (-s, pid) }
+          .take(Retrieval.HybridK).zipWithIndex
+          .map { case ((_, pid, s), i) =>
+            (q, pid / 1000L, pid % 1000L, s, i + 1L) }
+      }.sortBy(r => (r._1, r._5))
+    assert(out == expected)
+    assert(out.map(_._1).toSet == Retrieval.HybridTermSets.map(_._1).toSet)
+  }
 }

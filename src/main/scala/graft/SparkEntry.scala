@@ -74,6 +74,7 @@ object SparkEntry {
     "fuzzy_term_lookup_live", "hybrid_topk_live", "ann_image_topk_live",
     "bm25_passage_topk_asof", "bm25_passage_topk_rebucketed",
     "ann_image_topk_asof", "ann_image_topk_reseeded", "hybrid_passage_topk",
+    "hybrid_passage_topk_indexed",
     "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -1036,6 +1037,16 @@ object SparkEntry {
     // WINDOW goes into the prompt".
     "hybrid_passage_topk" -> ((s: SparkSession, d: String) =>
       Retrieval.hybridPassageTopk(s, d, passageIndexBuilt(s, d))),
+    // [r20] the scale-path twin: the dense leg served off a
+    // cluster=-partitioned chunk-embedding IVF (seed-chunk centroids, the
+    // embedding tier's buildIndex layout at pid grain) — BOTH fusion legs
+    // are now pruned reads (postings buckets × inverted lists); nothing
+    // corpus-sized runs at query time. IVF recall is nprobe-bounded, so
+    // the ranked lists legitimately differ from the brute-force row; the
+    // oracle replays the same restriction.
+    "hybrid_passage_topk_indexed" -> ((s: SparkSession, d: String) =>
+      Retrieval.hybridPassageTopkIndexed(s, d, passageIndexBuilt(s, d),
+        passageDenseIndexBuilt(s, d))),
     // [r19] index INTROSPECTION — the operational "how big is my index"
     // read every serving deployment monitors: doc/token totals off the
     // corpus row, vocabulary size and posting-row count off the term rows
@@ -1416,6 +1427,15 @@ object SparkEntry {
     path
   }
 
+  /** Build-once chunk-embedding IVF index ([[Retrieval
+    * .buildPassageDenseIndex]] — cluster=-partitioned inverted lists,
+    * vec_id = pid). Shared by `hybrid_passage_topk_indexed`. */
+  private def passageDenseIndexBuilt(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft-chunkdense/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path)(Retrieval.buildPassageDenseIndex(s, d, path))
+    path
+  }
+
   /** The UNCOMPACTED twin of [[passageLiveIndexBuilt]] — same v1-ingest +
     * v2-sync history with the per-batch dirs intact, so point-in-time
     * reads can still cut at batch 0 (the lexLiveRawIndexBuilt pattern at
@@ -1618,7 +1638,8 @@ object SparkEntry {
     "bm25_passage_topk_live" -> Prep.bm25PassageSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "bm25_passage_topk_asof" -> Prep.bm25PassageLiveAsofSql(),
-    "hybrid_passage_topk" -> Prep.hybridPassageTopkSql,
+    "hybrid_passage_topk" -> Prep.hybridPassageTopkSql(),
+    "hybrid_passage_topk_indexed" -> Prep.hybridPassageTopkSql(denseIvf = true),
     "bm25_passage_topk_rebucketed" -> Prep.bm25PassageSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "fuzzy_term_lookup_live" -> Fuzzy.gateSql(

@@ -227,7 +227,8 @@ object Prep {
     * both ranked lists cut at L and fused with the exact scaled-integer
     * RRF (lcm literal from [[Retrieval.rrfLcm]] — integer division, zero
     * float hazard in the fused score), the winning pids decomposed. */
-  def hybridPassageTopkSql: String = {
+  def hybridPassageTopkSql(denseIvf: Boolean = false,
+                           nprobe: Int = 3): String = {
     val querySets = Retrieval.HybridTermSets
     val terms = querySets.flatMap(_._2).distinct
     val L = Retrieval.HybridL
@@ -245,6 +246,46 @@ object Prep {
     }.mkString("\n|  UNION ALL ")
     val qpids = querySets.map(_._1 * 1000).mkString(", ")
     val dimExpr = chunkEmbedExprSql("chunk_hash")
+    // brute-force dense leg: every window a candidate
+    val denseBrute =
+      s"""dense AS (SELECT query_id, pid, rank FROM (
+         |  SELECT q.query_id, c.pid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY (ROUND(LIST_COSINE_SIMILARITY(q.qv, e.v), 4) + 0.0) DESC, c.pid) AS rank
+         |  FROM qe q
+         |  CROSS JOIN chh c
+         |  JOIN e ON e.chunk_hash = c.chunk_hash
+         |  WHERE c.pid <> q.qpid) dr WHERE rank <= $L)""".stripMargin
+    // IVF dense leg: seed-chunk centroids (cid = ascending seed-pid rank),
+    // sequential-sum L2 assignment with (d, cid) ties — the NearestCentroid
+    // expression's exact semantics — candidates restricted to each query's
+    // nprobe lists
+    val seedPids = Retrieval.PassageSeedDocs.map(_ * 1000).mkString(", ")
+    val dims = 16
+    val denseIvfCtes =
+      s"""pe AS (SELECT pid, v FROM chh JOIN e ON e.chunk_hash = chh.chunk_hash),
+         |sd AS (SELECT sid, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cid
+         |       FROM (SELECT UNNEST([$seedPids]) AS sid)),
+         |cp AS (SELECT sd.cid, pe.v AS c FROM sd JOIN pe ON pe.pid = sd.sid),
+         |ad AS (SELECT pe.pid, cp.cid,
+         |         list_sum(list_transform(range(1, ${dims + 1}), k -> (pe.v[k] - cp.c[k]) * (pe.v[k] - cp.c[k]))) AS d
+         |       FROM pe CROSS JOIN cp),
+         |asg AS (SELECT pid, cid AS cluster FROM (
+         |          SELECT pid, cid, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d, cid) AS rn
+         |          FROM ad) WHERE rn = 1),
+         |qp AS (SELECT pid AS qpid, cid AS cluster FROM (
+         |         SELECT pid, cid, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d, cid) AS rn
+         |         FROM ad WHERE pid IN ($qpids)) WHERE rn <= $nprobe),
+         |dense AS (SELECT CAST(qpid // 1000 AS BIGINT) AS query_id, pid, rank FROM (
+         |  SELECT q.qpid, a.pid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qpid
+         |      ORDER BY (ROUND(LIST_COSINE_SIMILARITY(qv.v, cv.v), 4) + 0.0) DESC, a.pid) AS rank
+         |  FROM qp q
+         |  JOIN asg a USING (cluster)
+         |  JOIN pe qv ON qv.pid = q.qpid
+         |  JOIN pe cv ON cv.pid = a.pid
+         |  WHERE a.pid <> q.qpid) dr WHERE rank <= $L)""".stripMargin
+    val denseCte = if (denseIvf) denseIvfCtes else denseBrute
     s"""WITH $chunkCtes,
        |ch AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c),
        |tt AS (SELECT pid, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
@@ -262,14 +303,7 @@ object Prep {
        |e AS (SELECT chunk_hash, $dimExpr AS v FROM u),
        |qe AS (SELECT CAST(pid // 1000 AS BIGINT) AS query_id, pid AS qpid, v AS qv
        |       FROM chh JOIN e USING (chunk_hash) WHERE pid IN ($qpids)),
-       |dense AS (SELECT query_id, pid, rank FROM (
-       |  SELECT q.query_id, c.pid,
-       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |      ORDER BY (ROUND(LIST_COSINE_SIMILARITY(q.qv, e.v), 4) + 0.0) DESC, c.pid) AS rank
-       |  FROM qe q
-       |  CROSS JOIN chh c
-       |  JOIN e ON e.chunk_hash = c.chunk_hash
-       |  WHERE c.pid <> q.qpid) dr WHERE rank <= $L),
+       |$denseCte,
        |fused AS (SELECT
        |    COALESCE(l.query_id, d.query_id) AS query_id,
        |    COALESCE(l.pid, d.pid) AS pid,

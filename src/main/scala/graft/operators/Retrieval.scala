@@ -271,23 +271,17 @@ object Retrieval {
     * per-query chunk-embedding ranked lists at pid grain — query q's
     * vector is its parent doc's first window's embedding, candidates every
     * chunk but the query window itself, rank by (rounded cosine desc, pid). */
-  private[graft] def passageDenseRanked(spark: SparkSession,
-                                        dir: String): DataFrame = {
+  private[graft] def passageDenseRankedOf(docs: DataFrame,
+      queryDocIds: Seq[Long]): DataFrame = {
     import graft.streaming.PassageLex
-    import graft.functions.{ExprUtils, Hashing, VectorFunctions}
-    val ch = PassageLex.chunkDocs(
-        Tables.documents(spark, dir).select("doc_id", "text"))
-      .select(col("doc_id").as("pid"), Hashing.h60(col("text")).as("chunk_hash"))
-    val e = ch.select("chunk_hash").distinct()
-      .select(col("chunk_hash"), Prep.chunkEmbedExpr(col("chunk_hash")).as("v"))
-    val queryPids = HybridTermSets.map(_._1 * PassageLex.PidMult)
-    val probes = ch.filter(col("pid").isin(queryPids: _*))
-      .join(e, "chunk_hash")
+    import graft.functions.{ExprUtils, VectorFunctions}
+    val pe = chunkEmbedPidsOf(docs)
+    val queryPids = queryDocIds.map(_ * PassageLex.PidMult)
+    val probes = pe.filter(col("pid").isin(queryPids: _*))
       .select(expr(s"CAST(pid DIV ${PassageLex.PidMult} AS BIGINT)").as("query_id"),
         col("pid").as("qpid"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("pid"))
-    ch.join(e, "chunk_hash")
-      .join(broadcast(probes), col("pid") =!= col("qpid"))
+    pe.join(broadcast(probes), col("pid") =!= col("qpid"))
       .select(col("query_id"), col("pid"),
         ExprUtils.roundz(VectorFunctions.cosine(col("qv"), col("v")), 4).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -295,19 +289,147 @@ object Retrieval {
       .select(col("query_id"), col("pid").as("doc_id"), col("rank"))
   }
 
-  def hybridPassageTopk(spark: SparkSession, dir: String,
-                        stateDir: String): DataFrame = {
-    import graft.streaming.{LexStatsStream, PassageLex}
-    val lex = bm25RankedPerQueryIndexed(
-      (ts, l) => LexStatsStream.bm25TopkIndexed(spark, stateDir, ts, l),
-      HybridTermSets, HybridL)
-    rrfFuseExact(lex, passageDenseRanked(spark, dir), HybridK, maxRank = HybridL)
+  private[graft] def passageDenseRanked(spark: SparkSession,
+                                        dir: String): DataFrame =
+    passageDenseRankedOf(Tables.documents(spark, dir),
+      HybridTermSets.map(_._1))
+
+  /** Seed docs whose FIRST window's embedding seeds the chunk-embedding
+    * coarse quantizer (cid = ascending seed rank — the ImageAnn seeding
+    * discipline at chunk grain; present at every SF). */
+  final val PassageSeedDocs: Seq[Long] =
+    Seq(2L, 5L, 11L, 17L, 23L, 31L, 41L, 47L)
+
+  /** Per-pid chunk embeddings — hash-dedup'd embed (never embed a
+    * duplicate window) joined back to the pid space. Frame-based so the
+    * scale harness can feed amplified corpora. */
+  private[graft] def chunkEmbedPidsOf(docs: DataFrame): DataFrame = {
+    import graft.streaming.PassageLex
+    import graft.functions.Hashing
+    val ch = PassageLex.chunkDocs(docs.select("doc_id", "text"))
+      .select(col("doc_id").as("pid"), Hashing.h60(col("text")).as("chunk_hash"))
+    val e = ch.select("chunk_hash").distinct()
+      .select(col("chunk_hash"), Prep.chunkEmbedExpr(col("chunk_hash")).as("v"))
+    ch.join(e, "chunk_hash").select(col("pid"), col("v"))
+  }
+
+  private def chunkEmbedPids(spark: SparkSession, dir: String): DataFrame =
+    chunkEmbedPidsOf(Tables.documents(spark, dir))
+
+  /** The chunk-embedding coarse quantizer: [[PassageSeedDocs]]' first
+    * windows' vectors, collected driver-side (8 bounded rows — the
+    * loadCentroids pattern), cid = ascending seed-pid rank. Fails loud on
+    * a missing seed (the ImageAnn.centroidsOf contract — a silent re-rank
+    * would shift every cid under the SQL replica's literal ranks). */
+  private[graft] def denseCentroidsOf(pe: DataFrame,
+      seedPids: Seq[Long]): Seq[(Int, Seq[Double])] = {
+    val rows = pe.filter(col("pid").isin(seedPids: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    require(rows.size == seedPids.size,
+      s"seed chunks missing from the corpus: got ${rows.size} of ${seedPids.size}")
+    rows.zipWithIndex.map { case ((_, v), i) => (i, v) }
+  }
+
+  def passageDenseCentroids(spark: SparkSession,
+                            dir: String): Seq[(Int, Seq[Double])] = {
+    import graft.streaming.PassageLex
+    denseCentroidsOf(chunkEmbedPids(spark, dir),
+      PassageSeedDocs.map(_ * PassageLex.PidMult))
+  }
+
+  /** Materialize the chunk-embedding IVF index — `cluster=`-partitioned
+    * inverted lists keyed vec_id = pid, through the embedding tier's
+    * [[Similarity.buildIndex]] (same NearestCentroid assignment, same
+    * one-shuffle layout: a dense passage query reads ONLY its nprobe
+    * lists at 100 TB instead of brute-forcing every window). */
+  private[graft] def buildPassageDenseIndexOf(pe: DataFrame,
+      cents: Seq[(Int, Seq[Double])], indexDir: String): Unit =
+    Similarity.buildIndex(
+      pe.select(col("pid").as("vec_id"), col("v").as("embedding")),
+      cents, indexDir)
+
+  def buildPassageDenseIndex(spark: SparkSession, dir: String,
+                             indexDir: String): Unit =
+    buildPassageDenseIndexOf(chunkEmbedPids(spark, dir),
+      passageDenseCentroids(spark, dir), indexDir)
+
+  /** The dense leg served off the IVF layout: probes resolve their nprobe
+    * inverted lists driver-side (O(queries·K) rows), the candidate read
+    * partition-prunes to those lists, rank by (rounded cosine desc, pid)
+    * with the query window itself excluded — [[passageDenseRanked]]'s
+    * contract at the pruned-read cost. */
+  /** The pruned serve alone, query vectors already in hand (qpid → first
+    * window's embedding — a service carries these client-side; the gate
+    * row pays the honest lookup through [[passageDenseRankedIndexed]]). */
+  private[graft] def passageDenseTopKIndexed(spark: SparkSession,
+      indexDir: String, cents: Seq[(Int, Seq[Double])],
+      qvs: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.PassageLex
+    import graft.functions.{ExprUtils, VectorFunctions}
+    val probeRows = qvs.flatMap { case (qpid, v) =>
+      Similarity.nearestClustersLocal(v, cents, nprobe)
+        .map(c => (qpid / PassageLex.PidMult, qpid, v, c))
+    }
+    val probes = probeRows.toDF("query_id", "qpid", "qv", "cluster")
+    val probed = probeRows.map(_._4).distinct
+    val cands = spark.read.parquet(indexDir)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as("pid"), col("v").as("cv"), col("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("pid"))
+    broadcast(probes).join(cands, Seq("cluster"))
+      .filter(col("pid") =!= col("qpid"))
+      .select(col("query_id"), col("pid"),
+        ExprUtils.roundz(VectorFunctions.cosine(col("qv"), col("cv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HybridL)
+      .select(col("query_id"), col("pid").as("doc_id"), col("rank"))
+  }
+
+  private[graft] def passageDenseRankedIndexed(spark: SparkSession, dir: String,
+                                               indexDir: String,
+                                               nprobe: Int = 3): DataFrame = {
+    import graft.streaming.PassageLex
+    val qpids = HybridTermSets.map(_._1 * PassageLex.PidMult)
+    val qvs = chunkEmbedPids(spark, dir).filter(col("pid").isin(qpids: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    passageDenseTopKIndexed(spark, indexDir,
+      passageDenseCentroids(spark, dir), qvs, nprobe)
+  }
+
+  private def fusePassage(lex: DataFrame, dense: DataFrame): DataFrame = {
+    import graft.streaming.PassageLex
+    rrfFuseExact(lex, dense, HybridK, maxRank = HybridL)
       .select(col("query_id"),
         expr(s"CAST(doc_id DIV ${PassageLex.PidMult} AS BIGINT)").as("doc_id"),
         pmod(col("doc_id"), lit(PassageLex.PidMult)).as("chunk_idx"),
         col("rrf_num"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  private def passageLexRanked(spark: SparkSession,
+                               stateDir: String): DataFrame = {
+    import graft.streaming.LexStatsStream
+    bm25RankedPerQueryIndexed(
+      (ts, l) => LexStatsStream.bm25TopkIndexed(spark, stateDir, ts, l),
+      HybridTermSets, HybridL)
+  }
+
+  def hybridPassageTopk(spark: SparkSession, dir: String,
+                        stateDir: String): DataFrame =
+    fusePassage(passageLexRanked(spark, stateDir),
+      passageDenseRanked(spark, dir))
+
+  /** [[hybridPassageTopk]] with the dense leg served off the
+    * chunk-embedding IVF index instead of the brute-force pass — the
+    * SCALE-PATH fusion read: both legs now pruned reads (postings buckets
+    * × inverted lists), nothing corpus-sized at query time. The ranked
+    * lists may legitimately differ from the brute-force row's (IVF recall
+    * is nprobe-bounded); the oracle replays the same restriction. */
+  def hybridPassageTopkIndexed(spark: SparkSession, dir: String,
+                               stateDir: String, indexDir: String): DataFrame =
+    fusePassage(passageLexRanked(spark, stateDir),
+      passageDenseRankedIndexed(spark, dir, indexDir))
 
   // --- MMR diversified re-ranking -------------------------------------------
 

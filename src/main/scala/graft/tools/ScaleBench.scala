@@ -144,6 +144,36 @@ object ScaleBench {
             64 * math.sqrt(k.toDouble).round.toInt)
         d
       })
+    // [r20] chunk-embedding IVF per factor (the passage hybrid's dense
+    // scale path): chunk + hash-dedup'd embed of the grown corpus, seed
+    // K ∝ √corpus (the adopted sizing rule), cluster-partitioned; query
+    // vectors precollected — the sweep measures the PRUNED READ, the
+    // brute twin measures the embed+scan the un-indexed row actually pays
+    // unique-window amplification: the doc-id salt PREPENDS, shifting
+    // every window, so distinct chunk hashes grow k× — the never-embed-a-
+    // duplicate dedup cannot absorb the growth. On the plain dup-heavy
+    // amplification it absorbs the EMBED table (replicas share every
+    // window: distinct hashes ~constant, shuffle stays flat — measured
+    // 0.1 vs 3.3 MB at 64×) while the chunk scan + hash join still grow;
+    // both regimes swept, STRESS.md r20.
+    def uniqueDocs(k: Int): DataFrame =
+      amplify(Tables.documents(spark, sf), "doc_id", k)
+        .withColumn("text",
+          concat(lit("u"), col("doc_id"), lit(" "), col("text")))
+    val pdIdx = scala.collection.concurrent.TrieMap[Int,
+      (String, Seq[(Int, Seq[Double])], Seq[(Long, Seq[Double])])]()
+    def pdIdxDir(k: Int) = pdIdx.getOrElseUpdate(k, {
+      import graft.operators.Retrieval
+      val d = java.nio.file.Files.createTempDirectory(s"sb-pdidx-$k").toString + "/idx"
+      val pe = Retrieval.chunkEmbedPidsOf(uniqueDocs(k))
+      val seedK = 8 * math.sqrt(k.toDouble).round.toInt
+      val seedPids = (0 until seedK).map(i => (i.toLong * 3L + 1L) * 1000L)
+      val cents = Retrieval.denseCentroidsOf(pe, seedPids)
+      Retrieval.buildPassageDenseIndexOf(pe, cents, d)
+      val qvs = pe.filter(col("pid").isin(Seq(0L, 1000L, 2000L): _*))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      (d, cents, qvs)
+    })
     // [r19] image-feature ANN index per factor: decode k× synthesized PNGs
     // → cell-sum features → seed-centroid assignment, cluster-partitioned
     val imgIdx = scala.collection.concurrent.TrieMap[Int,
@@ -769,6 +799,25 @@ object ScaleBench {
       // rebucketed twin splits to 64·√k buckets (the √-sizing rule from
       // the image-ANN sweep) — per-bucket bytes ∝ vocab/√k, dir fan-out
       // √k: both bounded, serve returns to flat
+      // [r20] the passage hybrid's dense leg, both tiers: the brute row
+      // embeds + scans every window at query time (linear BY DESIGN — the
+      // baseline tier, md5 dominates), the indexed row reads nprobe
+      // inverted lists off the cluster-partitioned layout with K ∝ √N
+      "passage_dense_serve" -> { k =>
+        graft.operators.Retrieval.passageDenseRankedOf(uniqueDocs(k),
+          Seq(0L, 1L, 2L))
+      },
+      // the dup-heavy twin: plain amplification, replicas share every
+      // window — pins that dedup-before-embed holds the embed table flat
+      "passage_dense_serve_dupheavy" -> { k =>
+        graft.operators.Retrieval.passageDenseRankedOf(docsX(k),
+          Seq(0L, 1L, 2L))
+      },
+      "passage_dense_serve_indexed" -> { k =>
+        val (d, cents, qvs) = pdIdxDir(k)
+        graft.operators.Retrieval.passageDenseTopKIndexed(spark, d, cents,
+          qvs, nprobe = 3)
+      },
       "lex_vocabgrow_serve" -> { k =>
         graft.streaming.LexStatsStream.bm25TopkIndexed(spark,
           lexVgDir(k, rebucket = false))

@@ -282,4 +282,42 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out == expected)
     assert(out.map(_._1).toSet == Retrieval.HybridTermSets.map(_._1).toSet)
   }
+
+  test("indexed passage dense leg = brute-force leg RESTRICTED to the " +
+       "probed inverted lists; candidate read partition-prunes") {
+    val idx = java.nio.file.Files.createTempDirectory("passagedense").toString
+    Retrieval.buildPassageDenseIndex(spark, Sf0001, idx)
+    val cents = Retrieval.passageDenseCentroids(spark, Sf0001)
+    // probing every list recovers the brute-force ranking exactly
+    val all = Retrieval.passageDenseRankedIndexed(spark, Sf0001, idx,
+        nprobe = cents.size)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val brute = Retrieval.passageDenseRanked(spark, Sf0001)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(all == brute)
+    // nprobe=3 serves ONLY pids assigned to the query's probed lists
+    // (the restriction contract — exact content is the oracle gate's job)
+    val pruned = Retrieval.passageDenseRankedIndexed(spark, Sf0001, idx)
+      .as[(Long, Long, Long)].collect().toSeq
+    val clusterOf = spark.read.parquet(idx).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    val qv = graft.streaming.PassageLex.chunkDocs(
+        Tables.documents(spark, Sf0001).select("doc_id", "text"))
+      .filter(col("doc_id").isin(
+        Retrieval.HybridTermSets.map(_._1 * 1000L): _*))
+      .select(col("doc_id"),
+        graft.operators.Prep.chunkEmbedExpr(
+          graft.functions.Hashing.h60(col("text"))).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for ((q, rows) <- pruned.groupBy(_._1)) {
+      val probed = graft.operators.Similarity.nearestClustersLocal(
+        qv(q * 1000L), cents, 3).toSet
+      assert(rows.forall(r => probed.contains(clusterOf(r._2))),
+        s"query $q served a pid outside its probed lists")
+    }
+    val plan = Retrieval.passageDenseRankedIndexed(spark, Sf0001, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition filters in:\n$plan")
+  }
 }

@@ -74,7 +74,7 @@ object SparkEntry {
     "fuzzy_term_lookup_live", "hybrid_topk_live", "ann_image_topk_live",
     "bm25_passage_topk_asof", "bm25_passage_topk_rebucketed",
     "ann_image_topk_asof", "ann_image_topk_reseeded", "hybrid_passage_topk",
-    "hybrid_passage_topk_indexed",
+    "hybrid_passage_topk_indexed", "hybrid_passage_topk_live",
     "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -1047,6 +1047,13 @@ object SparkEntry {
     "hybrid_passage_topk_indexed" -> ((s: SparkSession, d: String) =>
       Retrieval.hybridPassageTopkIndexed(s, d, passageIndexBuilt(s, d),
         passageDenseIndexBuilt(s, d))),
+    // [r20] the LIVE fusion at passage grain: one corpus churn event
+    // cascades into BOTH legs — lexical off the churned+compacted chunk
+    // index (the bm25_passage_topk_live fixture), dense embedding the v2
+    // corpus. The oracle re-runs the whole fusion over the v2 view; the
+    // gate proves the RAG serving read is lifecycle-consistent end to end.
+    "hybrid_passage_topk_live" -> ((s: SparkSession, d: String) =>
+      Retrieval.hybridPassageTopkLive(s, d, passageLiveIndexBuilt(s, d))),
     // [r19] index INTROSPECTION — the operational "how big is my index"
     // read every serving deployment monitors: doc/token totals off the
     // corpus row, vocabulary size and posting-row count off the term rows
@@ -1640,6 +1647,8 @@ object SparkEntry {
     "bm25_passage_topk_asof" -> Prep.bm25PassageLiveAsofSql(),
     "hybrid_passage_topk" -> Prep.hybridPassageTopkSql(),
     "hybrid_passage_topk_indexed" -> Prep.hybridPassageTopkSql(denseIvf = true),
+    "hybrid_passage_topk_live" -> Prep.hybridPassageTopkSql(
+      docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "bm25_passage_topk_rebucketed" -> Prep.bm25PassageSql(
       docsRel = "v2", prelude = TextAnalysis.lexLiveV2Cte),
     "fuzzy_term_lookup_live" -> Fuzzy.gateSql(

@@ -228,7 +228,9 @@ object Prep {
     * RRF (lcm literal from [[Retrieval.rrfLcm]] — integer division, zero
     * float hazard in the fused score), the winning pids decomposed. */
   def hybridPassageTopkSql(denseIvf: Boolean = false,
-                           nprobe: Int = 3): String = {
+                           nprobe: Int = 3,
+                           docsRel: String = "documents",
+                           prelude: String = ""): String = {
     val querySets = Retrieval.HybridTermSets
     val terms = querySets.flatMap(_._2).distinct
     val L = Retrieval.HybridL
@@ -286,7 +288,7 @@ object Prep {
          |  JOIN pe cv ON cv.pid = a.pid
          |  WHERE a.pid <> q.qpid) dr WHERE rank <= $L)""".stripMargin
     val denseCte = if (denseIvf) denseIvfCtes else denseBrute
-    s"""WITH $chunkCtes,
+    s"""WITH $prelude${chunkCtesOf(docsRel)},
        |ch AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c),
        |tt AS (SELECT pid, CAST(LEN(STR_SPLIT(text, ' ')) AS DOUBLE) AS dl,
        |    $tfCols

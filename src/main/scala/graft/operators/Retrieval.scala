@@ -431,6 +431,20 @@ object Retrieval {
     fusePassage(passageLexRanked(spark, stateDir),
       passageDenseRankedIndexed(spark, dir, indexDir))
 
+  /** The LIVE fusion at passage grain: the lexical leg reads the
+    * CHURNED + compacted chunk index (a deleted doc's windows cannot
+    * surface, an edited doc's re-chunked tail scores fresh), the dense
+    * leg embeds the live (v2) corpus — one corpus event cascades into
+    * both legs of the RAG serving read. The doc-grain `hybrid_topk_live`
+    * proves the stack's lifecycle consistency at document grain; this row
+    * proves it at the grain the prompt is assembled from. */
+  def hybridPassageTopkLive(spark: SparkSession, dir: String,
+                            churnedStateDir: String): DataFrame =
+    fusePassage(passageLexRanked(spark, churnedStateDir),
+      passageDenseRankedOf(
+        TextAnalysis.lexLiveV2Of(Tables.documents(spark, dir)),
+        HybridTermSets.map(_._1)))
+
   // --- MMR diversified re-ranking -------------------------------------------
 
   /** MMR gate parameters: λ (relevance weight) and the selected count. */

@@ -75,6 +75,7 @@ object SparkEntry {
     "bm25_passage_topk_asof", "bm25_passage_topk_rebucketed",
     "ann_image_topk_asof", "ann_image_topk_reseeded", "hybrid_passage_topk",
     "hybrid_passage_topk_indexed", "hybrid_passage_topk_live",
+    "ann_image_topk_synced", "phrase_match_passage",
     "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -862,6 +863,14 @@ object SparkEntry {
     // 16-seed IVF over the live image corpus (the oracle's replay).
     "ann_image_topk_reseeded" -> ((s: SparkSession, d: String) =>
       ImageAnn.gateReseeded(s, d)),
+    // [r20] the image tier's CORPUS-SYNC verb: the same churn event
+    // delivered as a snapshot diff (old decode vs live decode) through
+    // syncImageCorpus — added/removed/changed resolved to one append +
+    // one per-row-ceiling tombstone batch. The diff must land bitwise on
+    // the hand-built live fixture's state, so the oracle is the live
+    // replica verbatim. Completes the sync column of the lifecycle matrix.
+    "ann_image_topk_synced" -> ((s: SparkSession, d: String) =>
+      ImageAnn.gateSynced(s, d)),
     // BM25 keyword retrieval: lexical top-k — two narrow passes + one
     // broadcast stats row + TakeOrdered; nothing shuffles but the result
     "bm25_topk" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Topk(s, d)),
@@ -1029,6 +1038,12 @@ object SparkEntry {
     // verb is grain-generic, not doc-index-special.
     "bm25_passage_topk_rebucketed" -> ((s: SparkSession, d: String) =>
       streaming.PassageLex.bm25Topk(s, passageRebucketIndexBuilt(s, d))),
+    // [r20] PHRASE query at passage grain: the positional chunk postings
+    // answer "which WINDOW contains the exact phrase" — window-local by
+    // construction (a boundary-spanning phrase is the overlap parameter's
+    // job); oracle scans the same chunk texts token-level.
+    "phrase_match_passage" -> ((s: SparkSession, d: String) =>
+      streaming.PassageLex.phraseMatch(s, passageIndexBuilt(s, d))),
     // [r20] PASSAGE-grain hybrid fusion — the RAG stack's real serving
     // read: BM25 off the maintained chunk index ∪ dense chunk-embedding
     // ranks (each query = its parent doc's first window), exact-integer
@@ -1628,6 +1643,9 @@ object SparkEntry {
     "ann_image_topk_live" -> ImageAnn.gateLiveSql(),
     "ann_image_topk_asof" -> ImageAnn.gateAsofSql(),
     "ann_image_topk_reseeded" -> ImageAnn.gateReseededSql(),
+    // the sync diff lands bitwise on the live fixture: live replica verbatim
+    "ann_image_topk_synced" -> ImageAnn.gateLiveSql(),
+    "phrase_match_passage" -> Prep.phraseMatchPassageSql(),
     "bm25_topk_indexed_live" -> TextAnalysis.bm25TopkIndexedLiveSql,
     // re-bucketing is physical-only: the oracle is the live replica verbatim
     "bm25_topk_indexed_rebucketed" -> TextAnalysis.bm25TopkIndexedLiveSql,

@@ -226,6 +226,37 @@ object ImageAnn {
     scoreTail(probes, cands, k)
   }
 
+  /** Corpus→index synchronization at array<long> type — the
+    * [[graft.streaming.EmbeddingIndexStream.syncWithCorpus]] semantics on
+    * feature frames (doc_id, v): ADDED ids append (frozen quantizer),
+    * REMOVED ids tombstone at ceiling = batchId, CHANGED ids (a replaced
+    * image whose re-decode differs) update in place — fresh vector rides
+    * the same append, a ceiling = batchId − 1 tombstone hides every older
+    * generation while the new one survives. One `batch=` dir + one
+    * tombstone batch, so replaying a sync converges. The production loop:
+    * diff the media store's current decode against the served index, one
+    * maintenance batch. */
+  def syncImageCorpus(spark: SparkSession, indexDir: String,
+                      cents: Seq[(Int, Seq[Long])],
+                      oldFeats: DataFrame, newFeats: DataFrame,
+                      batchId: Long): Unit = {
+    import graft.streaming.EmbeddingIndexStream
+    val oldIds = oldFeats.select(col("doc_id"))
+    val newIds = newFeats.select(col("doc_id"))
+    val added = newFeats.join(oldIds, Seq("doc_id"), "left_anti")
+    val removed = oldIds.join(newIds, Seq("doc_id"), "left_anti")
+    val changed = newFeats.alias("n")
+      .join(oldFeats.alias("o"), Seq("doc_id"))
+      .filter(col("n.v") =!= col("o.v"))
+      .select(col("doc_id"), col("n.v").as("v"))
+    applyStreamBatch(added.unionByName(changed), batchId, cents, indexDir)
+    EmbeddingIndexStream.tombstoneRows(spark,
+      removed.select(col("doc_id").as("vec_id"), lit(batchId).as("ceiling"))
+        .unionByName(changed.select(col("doc_id").as("vec_id"),
+          lit(batchId - 1L).as("ceiling"))),
+      batchId, indexDir)
+  }
+
   /** The index's co-located Long quantizer (dot-dir — the
     * EmbeddingIndexStream.reclusterIndex discipline: one rename carries
     * data + quantizer together). */
@@ -397,6 +428,33 @@ object ImageAnn {
     live.unionByName(asof)
       .select("view", "query_id", "doc_id", "dist")
       .orderBy(col("view"), col("query_id"), col("dist"), col("doc_id"))
+  }
+
+  /** The SYNC gate row (round 20 s2): the same churn event delivered
+    * through [[syncImageCorpus]] instead of hand-built batches — old =
+    * every doc's v1 decode, new = the live corpus's decode (opted-out docs
+    * absent, replaced images salted). The diff must land BITWISE on the
+    * [[gateLive]] fixture's state (same appends, same per-row ceilings),
+    * which is why the oracle is [[gateLiveSql]] verbatim. */
+  def gateSynced(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EmbeddingIndexStream
+    val docs = graft.Tables.documentsById(spark, dir)
+    val cents = centroidsOf(docs)
+    val path = "/tmp/graft-imgann-sync/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Similarity.ensureBuilt(path) {
+      val f = graft.functions.FsUtils.fs(spark, path)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      val live = docs.filter(
+        col("doc_id") % TextAnalysis.LexLiveRemoveMod =!= TextAnalysis.LexLiveRemoveRes)
+      val kept = live.filter(col("doc_id") % TextAnalysis.LexLiveEditMod =!= 0)
+      val updated = live.filter(col("doc_id") % TextAnalysis.LexLiveEditMod === 0)
+      val oldF = featuresOf(docs)
+      val newF = featuresOf(kept).unionByName(saltedFeaturesOf(updated))
+      applyStreamBatch(oldF, 0L, cents, path)
+      syncImageCorpus(spark, path, cents, oldF, newF, 1L)
+      EmbeddingIndexStream.compactIndex(spark, path)
+    }
+    topKLive(spark, path, cents, liveQueries(docs), k = GateK, nprobe = GateNProbe)
   }
 
   /** The RESEED gate's grown seed set: 16 corpus doc ids (vs the initial

@@ -218,6 +218,27 @@ object Prep {
        |WHERE rn <= 3 ORDER BY query_hash, sim DESC, cand_hash""".stripMargin
   }
 
+  /** Passage-grain phrase replica: the chunk CTE chain feeding the
+    * direct token-level scan ([[TextAnalysis.phraseMatchSql]]'s shape) at
+    * pid grain — first-principles truth for the positional chunk index.
+    * Same tokenize round-trip as the BM25 chains (chunk text re-split),
+    * matching what the index ingested. */
+  def phraseMatchPassageSql(
+      phrase: Seq[String] = TextAnalysis.PhraseTerms): String = {
+    val cond = phrase.zipWithIndex
+      .map { case (t, i) => s"toks[i+$i] = '$t'" }.mkString(" AND ")
+    s"""WITH $chunkCtes,
+       |ch AS (SELECT doc_id * 1000 + ci AS pid, array_to_string(toks, ' ') AS text FROM c),
+       |t2 AS (SELECT pid, STR_SPLIT(text, ' ') AS toks FROM ch),
+       |m AS (SELECT pid,
+       |  LEN(LIST_FILTER(range(1, LEN(toks) - ${phrase.size - 2}), i -> $cond)) AS n_matches
+       |FROM t2)
+       |SELECT CAST(pid // 1000 AS BIGINT) AS doc_id,
+       |  CAST(pid % 1000 AS BIGINT) AS chunk_idx,
+       |  CAST(n_matches AS BIGINT) AS n_matches
+       |FROM m WHERE n_matches > 0 ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** [[Retrieval.hybridPassageTopk]]'s replica: the passage BM25 chain
     * (chunk CTEs → tt/ss at pid grain) branched per query term set with
     * each query's OWN candidacy clause (any of its terms' tf > 0 — the

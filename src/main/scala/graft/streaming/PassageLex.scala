@@ -113,6 +113,21 @@ object PassageLex {
         col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
 
+  /** Phrase query at PASSAGE grain — the positional postings machinery
+    * runs unchanged on chunk pids; the wrapper restores the window
+    * decomposition. Grain semantics worth stating: a phrase SPANNING a
+    * window boundary is findable at doc grain but not here — the chunk
+    * index sees window-local token streams (the win=32/stride=24 overlap
+    * exists exactly to bound that loss), and the oracle scans the same
+    * chunk texts, so both engines agree by construction. */
+  def phraseMatch(spark: SparkSession, stateDir: String,
+                  phrase: Seq[String] = TextAnalysis.PhraseTerms): DataFrame =
+    LexStatsStream.phraseMatch(spark, stateDir, phrase)
+      .select(expr(s"CAST(doc_id DIV $PidMult AS BIGINT)").as("doc_id"),
+        pmod(col("doc_id"), lit(PidMult)).as("chunk_idx"),
+        col("n_matches"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Passage BM25 AS IT STOOD at `asOfBatch` — the point-in-time read at
     * chunk grain (round 20): [[LexStatsStream.bm25TopkIndexedAsOf]] applies
     * UNCHANGED to the chunk index (pids are just doc ids to it — batch-

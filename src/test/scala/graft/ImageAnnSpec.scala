@@ -181,6 +181,30 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
     assert(asof1 == bruteLive(liveQueries, cents, 3))
   }
 
+  test("syncImageCorpus: the snapshot diff lands on the hand-built churn " +
+       "state (same serve), replaying the sync batch converges") {
+    val manual = buildLive()
+    val synced = tmp()
+    val oldF = ImageAnn.featuresOf(docs)
+    val live = docs.filter(col("doc_id") % 10 =!= 3)
+    val kept = live.filter(col("doc_id") % 13 =!= 0)
+    val updated = live.filter(col("doc_id") % 13 === 0)
+    val newF = ImageAnn.featuresOf(kept)
+      .unionByName(ImageAnn.saltedFeaturesOf(updated))
+    ImageAnn.applyStreamBatch(oldF, 0L, cents, synced)
+    ImageAnn.syncImageCorpus(spark, synced, cents, oldF, newF, 1L)
+    def serve(p: String) = ImageAnn.topKLive(spark, p, cents, liveQueries,
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = serve(manual)
+    assert(serve(synced) == expected, "sync diff ≡ hand-built churn")
+    // replay: the diff re-derives identically, commits overwrite in place
+    ImageAnn.syncImageCorpus(spark, synced, cents, oldF, newF, 1L)
+    assert(serve(synced) == expected, "replayed sync converges")
+    EmbeddingIndexStream.compactIndex(spark, synced)
+    assert(serve(synced) == expected, "identical after the purge")
+  }
+
   test("reseed grows K atomically: live serve under the new quantizer " +
        "equals brute force, deletes stay deleted, quantizer co-located") {
     val p = buildLive()

@@ -116,6 +116,27 @@ class PassageLexSpec extends AnyFunSuite with SparkSuite {
     assert(served(state) == before)
   }
 
+  test("passage phrase: window-grain matches equal a token-level scan of " +
+       "the chunk texts; a boundary-spanning phrase stays invisible at " +
+       "this grain by construction") {
+    val state = tmp()
+    PassageLex.applyBatch(spark, docs, 0L, state)
+    val got = PassageLex.phraseMatch(spark, state)
+      .as[(Long, Long, Long)].collect().toSeq
+    // first-principles truth: scan each chunk's token stream
+    val phrase = TextAnalysis.PhraseTerms
+    val expect = graft.operators.Prep.chunkTextsOf(docs)
+      .select(col("doc_id"), col("chunk_idx"), split(col("text"), " ", -1).as("toks"))
+      .as[(Long, Long, Seq[String])].collect()
+      .map { case (d, c, toks) =>
+        val n = toks.sliding(phrase.size)
+          .count(w => w.size == phrase.size && w == phrase)
+        (d, c, n.toLong)
+      }
+      .filter(_._3 > 0).sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("pid overflow fails loud instead of aliasing into the next doc") {
     val longDoc = Seq((5L, Seq.fill(24200)("tok").mkString(" ")))
       .toDF("doc_id", "text")

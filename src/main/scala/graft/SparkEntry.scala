@@ -76,6 +76,7 @@ object SparkEntry {
     "ann_image_topk_asof", "ann_image_topk_reseeded", "hybrid_passage_topk",
     "hybrid_passage_topk_indexed", "hybrid_passage_topk_live",
     "ann_image_topk_synced", "phrase_match_passage",
+    "proximity_match_passage", "more_like_this_passage",
     "lex_index_stats", "mmr_rerank", "retrieval_eval",
     "retrieval_eval_quantized", "retrieval_eval_live", "zorder_pruned_read")
   def clearSessionRegistries(): Unit = {
@@ -1044,6 +1045,16 @@ object SparkEntry {
     // job); oracle scans the same chunk texts token-level.
     "phrase_match_passage" -> ((s: SparkSession, d: String) =>
       streaming.PassageLex.phraseMatch(s, passageIndexBuilt(s, d))),
+    // [r20] NEAR/k at passage grain — same grain-blind positional read
+    "proximity_match_passage" -> ((s: SparkSession, d: String) =>
+      streaming.PassageLex.proximityMatch(s, passageIndexBuilt(s, d))),
+    // [r20] more-like-this at passage grain: the seed is a WINDOW (pid 0
+    // = doc 0's first window), term election against chunk-grain df/N,
+    // ranked over windows with the seed excluded — "find more context
+    // like this passage", the RAG feedback verb.
+    "more_like_this_passage" -> ((s: SparkSession, d: String) =>
+      streaming.PassageLex.moreLikeThis(s, passageIndexBuilt(s, d),
+        Tables.documentsById(s, d))),
     // [r20] PASSAGE-grain hybrid fusion — the RAG stack's real serving
     // read: BM25 off the maintained chunk index ∪ dense chunk-embedding
     // ranks (each query = its parent doc's first window), exact-integer
@@ -1646,6 +1657,14 @@ object SparkEntry {
     // the sync diff lands bitwise on the live fixture: live replica verbatim
     "ann_image_topk_synced" -> ImageAnn.gateLiveSql(),
     "phrase_match_passage" -> Prep.phraseMatchPassageSql(),
+    "proximity_match_passage" -> Prep.pidDecomposedSql(
+      TextAnalysis.proximityMatchSql(docsRel = "chp",
+        prelude = Prep.chunkRelPrelude),
+      "min_dist", "doc_id, chunk_idx"),
+    "more_like_this_passage" -> Prep.pidDecomposedSql(
+      TextAnalysis.moreLikeThisSql(docsRel = "chp",
+        prelude = Prep.chunkRelPrelude),
+      "bm25", "bm25 DESC, doc_id, chunk_idx"),
     "bm25_topk_indexed_live" -> TextAnalysis.bm25TopkIndexedLiveSql,
     // re-bucketing is physical-only: the oracle is the live replica verbatim
     "bm25_topk_indexed_rebucketed" -> TextAnalysis.bm25TopkIndexedLiveSql,

@@ -218,6 +218,28 @@ object Prep {
        |WHERE rn <= 3 ORDER BY query_hash, sim DESC, cand_hash""".stripMargin
   }
 
+  /** Prelude exposing the chunk corpus as relation `chp(doc_id, text)`
+    * with doc_id = pid — lets any docsRel/prelude-parameterized oracle
+    * generator (proximity, more-like-this) replay at passage grain.
+    * Chunk CTEs carry suffix "p" to dodge the generators' own CTE names
+    * (`t`, `s`, `x`, `c` are all taken by one generator or another).
+    * Trailing comma per the prelude convention. */
+  def chunkRelPrelude: String =
+    s"""${chunkCtesOf("documents", "p")},
+       |chp AS (SELECT doc_id * 1000 + ci AS doc_id, array_to_string(toks, ' ') AS text FROM cp),
+       |""".stripMargin
+
+  /** Wrap a pid-grain oracle statement (output column `doc_id` = pid)
+    * with the (doc_id, chunk_idx) decomposition — WITH-in-subquery is
+    * valid DuckDB, and an inner LIMIT/ORDER survives the wrap. */
+  def pidDecomposedSql(inner: String, valueCols: String,
+                       orderBy: String): String =
+    s"""SELECT CAST(doc_id // 1000 AS BIGINT) AS doc_id,
+       |  CAST(doc_id % 1000 AS BIGINT) AS chunk_idx, $valueCols
+       |FROM (
+       |$inner
+       |) pidt ORDER BY $orderBy""".stripMargin
+
   /** Passage-grain phrase replica: the chunk CTE chain feeding the
     * direct token-level scan ([[TextAnalysis.phraseMatchSql]]'s shape) at
     * pid grain — first-principles truth for the positional chunk index.

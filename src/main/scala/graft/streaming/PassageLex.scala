@@ -128,6 +128,33 @@ object PassageLex {
         col("n_matches"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Proximity (NEAR/k) at passage grain — same grain-blind machinery,
+    * same window-local semantics note as [[phraseMatch]]. */
+  def proximityMatch(spark: SparkSession, stateDir: String,
+                     termA: String = TextAnalysis.PhraseTerms(0),
+                     termB: String = TextAnalysis.PhraseTerms(1),
+                     maxDist: Int = TextAnalysis.ProximityDist): DataFrame =
+    LexStatsStream.proximityMatch(spark, stateDir, termA, termB, maxDist)
+      .select(expr(s"CAST(doc_id DIV $PidMult AS BIGINT)").as("doc_id"),
+        pmod(col("doc_id"), lit(PidMult)).as("chunk_idx"),
+        col("min_dist"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** More-like-this at passage grain — "find more context like this
+    * WINDOW": the seed is a pid, its top TF-IDF terms elected against the
+    * chunk-grain stats (window df, window N), the recommendation ranked
+    * over windows with the seed window excluded. The RAG feedback verb:
+    * a retrieved passage's neighbors-by-content, index-served. */
+  def moreLikeThis(spark: SparkSession, stateDir: String, docs: DataFrame,
+                   seedPid: Long = 0L, nTerms: Int = 3,
+                   k: Int = 20): DataFrame =
+    LexStatsStream.moreLikeThis(spark, stateDir, chunkDocs(docs),
+        seedPid, nTerms, k)
+      .select(expr(s"CAST(doc_id DIV $PidMult AS BIGINT)").as("doc_id"),
+        pmod(col("doc_id"), lit(PidMult)).as("chunk_idx"),
+        col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
+
   /** Passage BM25 AS IT STOOD at `asOfBatch` — the point-in-time read at
     * chunk grain (round 20): [[LexStatsStream.bm25TopkIndexedAsOf]] applies
     * UNCHANGED to the chunk index (pids are just doc ids to it — batch-

@@ -137,6 +137,32 @@ class PassageLexSpec extends AnyFunSuite with SparkSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("passage proximity + more-like-this: window-grain NEAR/k matches " +
+       "the token scan; the seed window never recommends itself") {
+    val state = tmp()
+    PassageLex.applyBatch(spark, docs, 0L, state)
+    val got = PassageLex.proximityMatch(spark, state)
+      .as[(Long, Long, Long)].collect().toSeq
+    val (ta, tb) = (TextAnalysis.PhraseTerms(0), TextAnalysis.PhraseTerms(1))
+    val expect = graft.operators.Prep.chunkTextsOf(docs)
+      .select(col("doc_id"), col("chunk_idx"), split(col("text"), " ", -1).as("toks"))
+      .as[(Long, Long, Seq[String])].collect()
+      .flatMap { case (d, c, toks) =>
+        val pa = toks.zipWithIndex.collect { case (t, i) if t == ta => i }
+        val pb = toks.zipWithIndex.collect { case (t, i) if t == tb => i }
+        if (pa.isEmpty || pb.isEmpty) None
+        else {
+          val m = (for (a <- pa; b <- pb) yield math.abs(a - b)).min
+          if (m <= TextAnalysis.ProximityDist) Some((d, c, m.toLong)) else None
+        }
+      }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expect && got.nonEmpty)
+    val mlt = PassageLex.moreLikeThis(spark, state, docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(mlt.nonEmpty && !mlt.exists(r => r._1 == 0L && r._2 == 0L),
+      "the seed window (pid 0) must be excluded from its own recommendations")
+  }
+
   test("pid overflow fails loud instead of aliasing into the next doc") {
     val longDoc = Seq((5L, Seq.fill(24200)("tok").mkString(" ")))
       .toDF("doc_id", "text")

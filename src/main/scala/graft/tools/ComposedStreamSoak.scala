@@ -12,7 +12,11 @@ import graft.streaming.{AnomalyStream, BpeStream, CdcStream, ComponentsStream, C
   * maintenance id, kill-replayed; round 20: the SAME batch-17 churn
   * CASCADES into the passage stream — ids-only pid resolution, replayed —
   * and both lexical grains are checked against their live corpora before
-  * and after compaction): OverlapStream,
+  * and after compaction; round 20 s2: TWENTY — the image-ANN lifecycle
+  * tier joined (real PNG decode per batch, exact-Long features, the
+  * shared EmbeddingIndexStream dir discipline) and the batch-17 opt-out
+  * now hits a THIRD index family, checked against a one-shot build over
+  * the live image corpus before and after the purge): OverlapStream,
   * CurationStream, EmbeddingIndexStream (triple-write), ComponentsStream,
   * SubstringDedupStream, HashedModelStream, ProfileStream, BpeStream,
   * HistogramStream (frozen grid), RetentionStream, FunnelStream,
@@ -130,6 +134,11 @@ object ComposedStreamSoak {
     val lxState = s"$tmp/lx-state"
     val lpState = s"$tmp/lp-state"
     val mdOut = s"$tmp/md-out"
+    val imState = s"$tmp/im-state"
+    // [r20 s2] the image-ANN tier's frozen coarse quantizer: 8 seed doc
+    // VECTORS (real PNG decode), fixed for the state's lifetime — the
+    // reseed verb is offline maintenance, not a per-batch concern
+    val imCents = graft.operators.ImageAnn.centroidsOf(docs)
     // fixed check suite + frozen ref dim for the QualityStream fold (the
     // contract: both constant for the state's lifetime)
     val qlDim = docs.sparkSession.createDataFrame(
@@ -218,6 +227,23 @@ object ComposedStreamSoak {
         graft.streaming.PassageLex.deleteDocs(spark, lpState,
           docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"),
           2L * 17 + 1)
+      // [r20 s2] 20th stream: the image-ANN lifecycle tier — REAL PNG
+      // decode → exact-Long cell-sum features → the shared
+      // EmbeddingIndexStream dir discipline (idempotent batch=<2i> dirs,
+      // per-row src_batch). Doubled ingest ids like both lexical grains,
+      // so the batch-17 opt-out event takes the interleaved odd id here
+      // too: ceiling 35 hides every %10==3 doc already decoded (src_batch
+      // ≤ 34) while the SAME predicate's docs arriving in batches 18..49
+      // (src_batch ≥ 36) stay retrievable. Batch 17 is a kill-replay
+      // batch, so the tombstone commit's idempotence (same batch dir,
+      // same per-row ceilings) is exercised in-loop.
+      graft.operators.ImageAnn.applyStreamBatch(
+        graft.operators.ImageAnn.featuresOf(docB(i)), 2L * i, imCents, imState)
+      if (i == 17)
+        EmbeddingIndexStream.tombstoneRows(spark,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+            .select(col("doc_id").as("vec_id"), lit(2L * 17 + 1).as("ceiling")),
+          2L * 17 + 1, imState)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -532,6 +558,31 @@ object ComposedStreamSoak {
     LexStatsStream.compactState(spark, lpState)
     LexStatsStream.clearDocTombstones(spark, lpState)
     check("lex_passage_compacted", passageLiveOk())
+
+    // [r20 s2] image-ANN tier (20th stream): the churned lifecycle state
+    // must serve exactly what a ONE-SHOT index built from a fresh decode
+    // of the LIVE image corpus serves — live = every doc except the
+    // %10==3 ids whose decode had arrived when the batch-17 opt-out
+    // committed (src_batch ≤ 34 ⇔ doc batch ≤ 17 ⇔ doc_id < 18·sz);
+    // the same predicate's later arrivals stay retrievable. Checked
+    // before AND after the physical purge.
+    def imageLiveOk(): Boolean = {
+      import graft.operators.ImageAnn
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val qv = ImageAnn.collectVecs(ImageAnn.featuresOf(docs, Some(qids)), qids)
+      val got = ImageAnn.topKLive(spark, imState, imCents, qv, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val live = docs.filter(!(pmod(col("doc_id"), lit(10)) === 3 &&
+        col("doc_id") < lit(18L * sz)))
+      val oneshot = s"$tmp/imgann-oneshot"
+      ImageAnn.buildIndex(ImageAnn.featuresOf(live), imCents, oneshot)
+      val want = ImageAnn.topK(spark, oneshot, imCents, qv, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      got == want && got.nonEmpty
+    }
+    check("image_ann_live", imageLiveOk())
+    EmbeddingIndexStream.compactIndex(spark, imState)
+    check("image_ann_compacted", imageLiveOk())
 
     // [r18] media tier (18th stream): the stateless per-batch map through
     // the REAL codecs accumulates to exactly the one-shot batch kernels

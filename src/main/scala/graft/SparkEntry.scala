@@ -1441,13 +1441,15 @@ object SparkEntry {
     path
   }
 
-  /** Build-once passage index carried through the DELETE/UPDATE lifecycle
-    * (round 20): v1 chunks ingested, [[streaming.PassageLex.sync]] to the
-    * v2 fixture (one maintenance batch — chunk-grain diff, ceiling
-    * tombstones, negative stats corrections), then both logs compacted.
-    * Shared by `bm25_passage_topk_live`. */
-  private def passageLiveIndexBuilt(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft-lexpassagelive/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+  /** ONE passage churn-fixture recipe for all its gate variants (review
+    * finding, r20 s2 — three builders repeated the identical preamble, so
+    * a future fixture change could silently fork their histories): v1
+    * chunks ingested at batch 0, [[streaming.PassageLex.sync]] to the v2
+    * fixture at batch 1 (chunk-grain diff, ceiling tombstones, negative
+    * stats corrections), then the variant's trailing maintenance. */
+  private def passageChurnFixtureBuilt(s: SparkSession, d: String,
+      subdir: String, compact: Boolean, rebucket: Boolean): String = {
+    val path = s"/tmp/$subdir/" + d.replaceAll("[^A-Za-z0-9.]", "_")
     Similarity.ensureBuilt(path) {
       val f = graft.functions.FsUtils.fs(s, path)
       f.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -1455,10 +1457,19 @@ object SparkEntry {
       streaming.PassageLex.applyBatch(s, docs, 0L, path)
       streaming.PassageLex.sync(s, path, docs,
         TextAnalysis.lexLiveV2Of(docs), 1L)
-      streaming.LexStatsStream.compactState(s, path)
+      if (compact) streaming.LexStatsStream.compactState(s, path)
+      if (rebucket) streaming.LexStatsStream.rebucketPostings(s, path,
+        4 * TextAnalysis.LexBuckets)
     }
     path
   }
+
+  /** Build-once passage index carried through the DELETE/UPDATE lifecycle
+    * (round 20): churn fixture + both logs compacted. Shared by
+    * `bm25_passage_topk_live`. */
+  private def passageLiveIndexBuilt(s: SparkSession, d: String): String =
+    passageChurnFixtureBuilt(s, d, "graft-lexpassagelive",
+      compact = true, rebucket = false)
 
   /** Build-once chunk-embedding IVF index ([[Retrieval
     * .buildPassageDenseIndex]] — cluster=-partitioned inverted lists,
@@ -1473,37 +1484,16 @@ object SparkEntry {
     * v2-sync history with the per-batch dirs intact, so point-in-time
     * reads can still cut at batch 0 (the lexLiveRawIndexBuilt pattern at
     * chunk grain). Shared by `bm25_passage_topk_asof`. */
-  private def passageLiveRawIndexBuilt(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft-lexpassageraw/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-    Similarity.ensureBuilt(path) {
-      val f = graft.functions.FsUtils.fs(s, path)
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      streaming.PassageLex.applyBatch(s, docs, 0L, path)
-      streaming.PassageLex.sync(s, path, docs,
-        TextAnalysis.lexLiveV2Of(docs), 1L)
-    }
-    path
-  }
+  private def passageLiveRawIndexBuilt(s: SparkSession, d: String): String =
+    passageChurnFixtureBuilt(s, d, "graft-lexpassageraw",
+      compact = false, rebucket = false)
 
   /** Build-once passage index: full live lifecycle, compaction, then the
     * 64 → 256 bucket split ([[lexRebucketIndexBuilt]] at chunk grain).
     * Shared by `bm25_passage_topk_rebucketed`. */
-  private def passageRebucketIndexBuilt(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft-lexpassagerebucket/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-    Similarity.ensureBuilt(path) {
-      val f = graft.functions.FsUtils.fs(s, path)
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      streaming.PassageLex.applyBatch(s, docs, 0L, path)
-      streaming.PassageLex.sync(s, path, docs,
-        TextAnalysis.lexLiveV2Of(docs), 1L)
-      streaming.LexStatsStream.compactState(s, path)
-      streaming.LexStatsStream.rebucketPostings(s, path,
-        4 * TextAnalysis.LexBuckets)
-    }
-    path
-  }
+  private def passageRebucketIndexBuilt(s: SparkSession, d: String): String =
+    passageChurnFixtureBuilt(s, d, "graft-lexpassagerebucket",
+      compact = true, rebucket = true)
 
   /** Build-once churned index REBUCKETED after compaction (round 20): the
     * full lexLive lifecycle, then [[streaming.LexStatsStream.rebucketPostings]]

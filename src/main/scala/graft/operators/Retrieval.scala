@@ -277,7 +277,13 @@ object Retrieval {
     import graft.functions.{ExprUtils, VectorFunctions}
     val pe = chunkEmbedPidsOf(docs)
     val queryPids = queryDocIds.map(_ * PassageLex.PidMult)
-    val probes = pe.filter(col("pid").isin(queryPids: _*))
+    // probes from a query-doc-SCOPED embed (identical vectors, pure
+    // per-doc function) — the broadcast branch would otherwise re-run
+    // the full chunk scan just to find 3 windows (pid derives from an
+    // explode, so the filter cannot push below it)
+    val probes = chunkEmbedPidsOf(
+        docs.filter(col("doc_id").isin(queryDocIds: _*)))
+      .filter(col("pid").isin(queryPids: _*))
       .select(expr(s"CAST(pid DIV ${PassageLex.PidMult} AS BIGINT)").as("query_id"),
         col("pid").as("qpid"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("pid"))
@@ -316,6 +322,17 @@ object Retrieval {
   private def chunkEmbedPids(spark: SparkSession, dir: String): DataFrame =
     chunkEmbedPidsOf(Tables.documents(spark, dir))
 
+  /** The SCOPED variant: chunk + embed ONLY the named parent docs — the
+    * window embedding is a pure per-doc function of the text, so the
+    * vectors are identical to the full pass's and a seed/query lookup
+    * costs a handful-of-docs scan, not a corpus pass (review finding,
+    * r20 s2: the indexed serve was paying two corpus-sized passes just
+    * to fetch 3 query vectors and 8 seed vectors). */
+  private def chunkEmbedPidsOfDocs(spark: SparkSession, dir: String,
+                                   docIds: Seq[Long]): DataFrame =
+    chunkEmbedPidsOf(Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(docIds: _*)))
+
   /** The chunk-embedding coarse quantizer: [[PassageSeedDocs]]' first
     * windows' vectors, collected driver-side (8 bounded rows — the
     * loadCentroids pattern), cid = ascending seed-pid rank. Fails loud on
@@ -333,7 +350,7 @@ object Retrieval {
   def passageDenseCentroids(spark: SparkSession,
                             dir: String): Seq[(Int, Seq[Double])] = {
     import graft.streaming.PassageLex
-    denseCentroidsOf(chunkEmbedPids(spark, dir),
+    denseCentroidsOf(chunkEmbedPidsOfDocs(spark, dir, PassageSeedDocs),
       PassageSeedDocs.map(_ * PassageLex.PidMult))
   }
 
@@ -348,10 +365,30 @@ object Retrieval {
       pe.select(col("pid").as("vec_id"), col("v").as("embedding")),
       cents, indexDir)
 
+  /** The co-located chunk quantizer path (dot-dir, '='-free — the
+    * ImageAnn/rebucket co-location discipline: the seeds that produced a
+    * layout travel WITH it). */
+  private def chunkQuantizerPath(indexDir: String) = s"$indexDir/.quantizer-chunk"
+
   def buildPassageDenseIndex(spark: SparkSession, dir: String,
-                             indexDir: String): Unit =
-    buildPassageDenseIndexOf(chunkEmbedPids(spark, dir),
-      passageDenseCentroids(spark, dir), indexDir)
+                             indexDir: String): Unit = {
+    val cents = passageDenseCentroids(spark, dir) // seed-doc-scoped lookup
+    buildPassageDenseIndexOf(chunkEmbedPids(spark, dir), cents, indexDir)
+    Similarity.saveCentroids(spark, cents, chunkQuantizerPath(indexDir))
+  }
+
+  /** The quantizer an index dir should be queried with: the co-located
+    * one when present (every [[buildPassageDenseIndex]] layout), else
+    * recomputed from the seed docs (raw [[buildPassageDenseIndexOf]]
+    * layouts — the scale harness's per-factor fixtures carry their own). */
+  def passageDenseIndexQuantizer(spark: SparkSession, dir: String,
+                                 indexDir: String): Seq[(Int, Seq[Double])] = {
+    val p = chunkQuantizerPath(indexDir)
+    if (graft.functions.FsUtils.fs(spark, p)
+        .exists(new org.apache.hadoop.fs.Path(p)))
+      Similarity.loadCentroids(spark, p).sortBy(_._1)
+    else passageDenseCentroids(spark, dir)
+  }
 
   /** The dense leg served off the IVF layout: probes resolve their nprobe
     * inverted lists driver-side (O(queries·K) rows), the candidate read
@@ -390,11 +427,15 @@ object Retrieval {
                                                indexDir: String,
                                                nprobe: Int = 3): DataFrame = {
     import graft.streaming.PassageLex
-    val qpids = HybridTermSets.map(_._1 * PassageLex.PidMult)
-    val qvs = chunkEmbedPids(spark, dir).filter(col("pid").isin(qpids: _*))
+    val queryDocs = HybridTermSets.map(_._1)
+    val qpids = queryDocs.map(_ * PassageLex.PidMult)
+    // query-doc-scoped lookup (3 docs), co-located quantizer: the serve
+    // pays the pruned candidate read, nothing corpus-sized
+    val qvs = chunkEmbedPidsOfDocs(spark, dir, queryDocs)
+      .filter(col("pid").isin(qpids: _*))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     passageDenseTopKIndexed(spark, indexDir,
-      passageDenseCentroids(spark, dir), qvs, nprobe)
+      passageDenseIndexQuantizer(spark, dir, indexDir), qvs, nprobe)
   }
 
   private def fusePassage(lex: DataFrame, dense: DataFrame): DataFrame = {

@@ -81,25 +81,29 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
 
   import org.apache.spark.sql.functions.{col, lit}
   import graft.streaming.EmbeddingIndexStream
+  import graft.operators.TextAnalysis.{LexLiveRemoveMod => RM,
+    LexLiveRemoveRes => RR, LexLiveEditMod => EM}
 
   private lazy val saltedFeats: Map[Long, Seq[Long]] =
     ImageAnn.saltedFeaturesOf(docs).select("doc_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
 
-  /** The live generation per doc: %10==3 gone, %13==0 replaced. */
+  /** The live generation per doc — the SHARED churn constants (removed /
+    * replaced), not re-derived literals: retuning the fixture must move
+    * this spec with it. */
   private lazy val liveFeats: Seq[(Long, Seq[Long])] =
-    feats.filter(_._1 % 10 != 3).map { case (id, v) =>
-      (id, if (id % 13 == 0) saltedFeats(id) else v)
+    feats.filter(_._1 % RM != RR).map { case (id, v) =>
+      (id, if (id % EM == 0) saltedFeats(id) else v)
     }
 
   private def buildLive(): String = {
     val p = tmp()
-    val updated = docs.filter(col("doc_id") % 13 === 0 &&
-      col("doc_id") % 10 =!= 3)
+    val updated = docs.filter(col("doc_id") % EM === 0 &&
+      col("doc_id") % RM =!= RR)
     ImageAnn.applyStreamBatch(ImageAnn.featuresOf(docs), 0L, cents, p)
     ImageAnn.applyStreamBatch(ImageAnn.saltedFeaturesOf(updated), 1L, cents, p)
     EmbeddingIndexStream.tombstoneRows(spark,
-      docs.filter(col("doc_id") % 10 === 3)
+      docs.filter(col("doc_id") % RM === RR)
         .select(col("doc_id").as("vec_id"), lit(1L).as("ceiling"))
         .unionByName(updated.select(col("doc_id").as("vec_id"),
           lit(0L).as("ceiling"))),
@@ -125,7 +129,7 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
   /** v2 query vectors: an updated doc queries with its REPLACED image. */
   private def liveQueries: Seq[(Long, Seq[Long])] =
     queries.map { case (id, v) =>
-      (id, if (id % 13 == 0) saltedFeats(id) else v)
+      (id, if (id % EM == 0) saltedFeats(id) else v)
     }
 
   test("live top-k equals brute force over the LIVE generations restricted " +
@@ -145,7 +149,7 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
   test("an updated image's OLD generation is unreachable: its v1 vector " +
        "finds no distance-0 row") {
     val p = buildLive()
-    val updatedId = feats.map(_._1).filter(id => id % 13 == 0 && id % 10 != 3)
+    val updatedId = feats.map(_._1).filter(id => id % EM == 0 && id % RM != RR)
       .min
     val v1 = feats.find(_._1 == updatedId).get._2
     val out = ImageAnn.topKLive(spark, p, cents, Seq((updatedId, v1)),
@@ -181,14 +185,46 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
     assert(asof1 == bruteLive(liveQueries, cents, 3))
   }
 
+  test("post-compaction as-of at array<long>: the ingest side stays exact " +
+       "via src_batch, purged deletion history coarsens — the " +
+       "IndexAsOfSpec contract, pinned on the image tier (review r20 s2)") {
+    val p = buildLive()
+    EmbeddingIndexStream.compactIndex(spark, p)
+    // as-of 1 ≡ live: everything this side of the fold is exact
+    val asof1 = ImageAnn.topKAsOf(spark, p, cents, liveQueries,
+        k = 3, nprobe = 3, asOfBatch = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(asof1 == bruteLive(liveQueries, cents, 3))
+    // as-of 0: src_batch keeps the INGEST cut exact (no batch-1 salted
+    // generation can appear), but compaction physically purged the rows
+    // the ceilings hid — removed docs AND the updated docs' v1
+    // generations are unrecoverable even at the earlier cut
+    val survivors = feats.filter(f => f._1 % RM != RR && f._1 % EM != 0)
+    val assignOf = survivors.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (l2(v, cv), cid) }.min._2
+    }.toMap
+    val expected0 = queries.flatMap { case (qid, qv) =>
+      val probed = ImageAnn.nearestClusters(qv, cents, 3).toSet
+      survivors.filter { case (id, _) => probed.contains(assignOf(id)) }
+        .map { case (id, v) => (l2(qv, v), id) }
+        .sorted.take(3)
+        .map { case (d, id) => (qid, id, d) }
+    }
+    val asof0 = ImageAnn.topKAsOf(spark, p, cents, queries,
+        k = 3, nprobe = 3, asOfBatch = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(asof0 == expected0,
+      "ingest-exact, deletion-coarsened — the documented caveat, now pinned")
+  }
+
   test("syncImageCorpus: the snapshot diff lands on the hand-built churn " +
        "state (same serve), replaying the sync batch converges") {
     val manual = buildLive()
     val synced = tmp()
     val oldF = ImageAnn.featuresOf(docs)
-    val live = docs.filter(col("doc_id") % 10 =!= 3)
-    val kept = live.filter(col("doc_id") % 13 =!= 0)
-    val updated = live.filter(col("doc_id") % 13 === 0)
+    val live = docs.filter(col("doc_id") % RM =!= RR)
+    val kept = live.filter(col("doc_id") % EM =!= 0)
+    val updated = live.filter(col("doc_id") % EM === 0)
     val newF = ImageAnn.featuresOf(kept)
       .unionByName(ImageAnn.saltedFeaturesOf(updated))
     ImageAnn.applyStreamBatch(oldF, 0L, cents, synced)
@@ -220,7 +256,7 @@ class ImageAnnSpec extends AnyFunSuite with SparkSuite {
         k = 3, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == bruteLive(liveQueries, newCents, 3))
-    val deletedIds = feats.map(_._1).filter(_ % 10 == 3).toSet
+    val deletedIds = feats.map(_._1).filter(_ % RM == RR).toSet
     assert(!out.exists(r => deletedIds.contains(r._2)))
   }
 }

@@ -310,10 +310,14 @@ object ImageAnn {
     val ready = new org.apache.hadoop.fs.Path(tmp, "_RESEED_READY")
     if (fs.exists(tmp)) {
       if (!fs.exists(base) && fs.exists(ready)) {
+        // finish the PREVIOUS reseed's interrupted swap, then FALL
+        // THROUGH: the healed install carries the prior call's quantizer,
+        // not this call's newCents — returning here would silently skip
+        // the requested reseed and a caller querying with newCents would
+        // probe the wrong inverted lists (review finding, r20 s2)
         graft.functions.FsUtils.renameOrThrow(fs, tmp, base)
         fs.delete(new org.apache.hadoop.fs.Path(base, "_RESEED_READY"), false)
         spark.catalog.refreshByPath(indexDir)
-        return
       } else fs.delete(tmp, true)
     }
     val live = Similarity.latestIngest(EmbeddingIndexStream.applyCeilings(
@@ -325,10 +329,13 @@ object ImageAnn {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=-1").toString)
     saveCentroids(spark, newCents, quantizerPath(tmp.toString))
-    val tsPath = s"$indexDir/.tombstones"
-    if (fs.exists(new org.apache.hadoop.fs.Path(tsPath)))
-      spark.read.parquet(tsPath).select("vec_id", "ceiling").coalesce(1)
-        .write.mode("overwrite").parquet(s"${tmp.toString}/.tombstones/batch=-1")
+    // the machinery's raw read, not a hand-rolled parquet load: it heals
+    // the UNABLE_TO_INFER_SCHEMA crash window (a tombstoneRows that died
+    // between tmp write and swap) and maps the legacy ids-only layout to
+    // ceiling = MaxValue (review finding, r20 s2)
+    val ts = EmbeddingIndexStream.rawTombstones(spark, indexDir)
+    if (!ts.isEmpty) ts.select("vec_id", "ceiling").coalesce(1)
+      .write.mode("overwrite").parquet(s"${tmp.toString}/.tombstones/batch=-1")
     fs.create(ready, true).close()
     fs.delete(base, true)
     graft.functions.FsUtils.renameOrThrow(fs, tmp, base)

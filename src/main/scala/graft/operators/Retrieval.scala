@@ -211,7 +211,13 @@ object Retrieval {
       topkFor(qts, l).select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
-    lists.withColumn("rank", row_number().over(w).cast("long"))
+    lists
+      // the corpus-pass twin's score > 0 guard, kept here for PARITY (and
+      // matching the live oracle's WHERE s > 0): a candidate whose BM25
+      // ROUNDS to 0.0000 (near-ubiquitous term, idf ≈ 0) must not enter
+      // the ranked list on one side only (review finding, r20 s2)
+      .filter(col("bm25") > 0.0)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= l)
       .select("query_id", "doc_id", "rank")
   }

@@ -296,7 +296,7 @@ object EmbeddingIndexStream {
   private def emptyTombstones(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("vec_id"), col("id").as("ceiling"))
 
-  private def rawTombstones(spark: SparkSession, indexDir: String): DataFrame = {
+  private[graft] def rawTombstones(spark: SparkSession, indexDir: String): DataFrame = {
     val path = tombstonesPath(indexDir)
     if (!FsUtils.fs(spark, path).exists(new Path(path))) emptyTombstones(spark)
     else

@@ -194,8 +194,12 @@ object LexStatsStream {
       raw => applyDocCeilings(raw.drop("batch"), ceilings)
         .repartition(col("pbucket")),
       coalesce1 = false, partitionByCols = Seq("pbucket"),
-      beforeSwap = tmp =>
-        if (nb != TextAnalysis.LexBuckets) writeBucketMeta(spark, tmp, nb))
+      // write the meta UNCONDITIONALLY (review finding, r20 s2): the
+      // earlier nb != default guard dropped a legitimately-written meta
+      // equal to the current default, so a later change of the LexBuckets
+      // constant would silently reinterpret the dir's rows under the new
+      // default — the exact silent-term-miss class the meta prevents
+      beforeSwap = tmp => writeBucketMeta(spark, tmp, nb))
   }
 
   /** Fold both logs. */
@@ -222,25 +226,48 @@ object LexStatsStream {
 
   private val BucketMetaName = ".bucketmeta"
 
+  /** Per-JVM memo of each dir's bucket count (review finding, r20 s2):
+    * the count is immutable between [[rebucketPostings]] calls (single-
+    * writer maintenance contract), but every serve and ingest resolved it
+    * with a swap-heal listing + an FS open — two extra driver round trips
+    * per query on a remote filesystem. First resolution per dir still
+    * pays the heal; the rebucket verb updates the memo inside its own
+    * call, keeping it coherent for this JVM's single writer. */
+  private val bucketCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   /** The postings log's bucket count — co-located meta, else the global
-    * default. Heals any interrupted rebucket swap FIRST so the count can
-    * never be read from a half-swapped dir. */
-  def postingBuckets(spark: SparkSession, stateDir: String): Int = {
-    val pg = postLog(spark, stateDir)
-    pg.recoverSwaps()
-    val p = new Path(s"${pg.logPath}/$BucketMetaName")
-    val fs = FsUtils.fs(spark, stateDir)
-    if (!fs.exists(p)) TextAnalysis.LexBuckets
-    else {
-      val in = fs.open(p)
-      try {
-        val line = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in,
-            java.nio.charset.StandardCharsets.UTF_8)).readLine()
-        line.trim.toInt
-      } finally in.close()
-    }
-  }
+    * default. Heals any interrupted rebucket swap FIRST (on the uncached
+    * resolution) so the count can never be read from a half-swapped dir. */
+  def postingBuckets(spark: SparkSession, stateDir: String): Int =
+    bucketCountMemo.getOrElseUpdate(stateDir, {
+      val pg = postLog(spark, stateDir)
+      pg.recoverSwaps()
+      val p = new Path(s"${pg.logPath}/$BucketMetaName")
+      val fs = FsUtils.fs(spark, stateDir)
+      if (!fs.exists(p)) TextAnalysis.LexBuckets
+      else {
+        val in = fs.open(p)
+        try {
+          val line = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8)).readLine()
+          // fail with the file named, not a bare NPE/NumberFormatException
+          // (review finding, r20 s2): an empty or truncated meta means the
+          // dir's layout is unknowable — refuse loudly
+          require(line != null && line.trim.nonEmpty,
+            s"empty $BucketMetaName at $p: the postings log's bucket " +
+              "count is unknowable - restore the meta (or delete it if " +
+              "the dir is known to carry the default layout)")
+          try line.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"malformed $BucketMetaName at $p: '${line.trim}' is not a " +
+                "bucket count")
+          }
+        } finally in.close()
+      }
+    })
 
   /** RE-BUCKET the postings log under `newBuckets` — the maintenance verb
     * that keeps per-bucket file sizes bounded as the vocabulary grows.
@@ -266,6 +293,7 @@ object LexStatsStream {
       coalesce1 = false, partitionByCols = Seq("pbucket"),
       beforeSwap = tmp => writeBucketMeta(spark, tmp, newBuckets),
       force = true) // a fully-compacted log must still be re-bucketable
+    bucketCountMemo.put(stateDir, newBuckets) // keep the memo coherent
   }
 
   private def writeBucketMeta(spark: SparkSession, dir: String,

@@ -26,11 +26,14 @@ import graft.operators.{Prep, TextAnalysis}
   *    chunks), zero postings scan — the snapshot-diff contract inherited
   *    verbatim.
   *  - [[deleteDocs]] (ids only, no text at hand) resolves the parents'
-  *    LIVE chunk pids from the postings log in one narrow scan
-  *    ([[LexStatsStream.livePostingDocIds]] + a `pid DIV 1000` semi-join)
-  *    and then runs the standard ceiling-tombstone delete — exact
-  *    tombstones (only pids that exist), never a speculative
-  *    1000-row-per-doc enumeration.
+  *    chunk pids from the RAW postings view in one narrow scan
+  *    ([[LexStatsStream.postingDocIds]] + a `pid DIV 1000` semi-join) and
+  *    then runs the standard ceiling-tombstone delete — exact tombstones
+  *    (only pids that ever existed), never a speculative 1000-row-per-doc
+  *    enumeration. RAW, deliberately not live: the tombstone batch must
+  *    recommit identical content on a replay, and a live-view resolution
+  *    would re-resolve EMPTY after its own first commit and overwrite the
+  *    tombstones away (the method's own doc carries the full argument).
   *
   * The pid encoding is guarded, not assumed (round-19 advisory): a
   * document chunking past 1000 windows (≥ ~24k tokens at win=32/

@@ -71,7 +71,61 @@ object Tables {
     * double execution to avoid.
     */
   def documentsById(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).orderBy("doc_id")
+    keySorted(documents(spark, dir), "doc_id")
+
+  /** Total-order gate sort with an EXPLICIT partition count — `orderBy`
+    * that AQE cannot serialize (optimization round 20, guide §2).
+    *
+    * `df.orderBy(key)` plans as a range exchange whose partition count AQE
+    * then coalesces BY BYTES (`minPartitionSize`, default 1 MB). The gate
+    * tables are a few hundred KB, so every pipeline built above a gate
+    * sort — the model-scoring passes, the whole multimodal codec family —
+    * was executing its per-row CPU in ONE coalesced task regardless of
+    * core count (ProbeStages: `model_filter` 1.28 s / `multimodal_*` 100%
+    * of run time in tasks=1 stages on local[32]). AQE's byte heuristic is
+    * blind to CPU-dense rows: 2 KB of text can carry a millisecond of
+    * md5/codec work.
+    *
+    * `repartitionByRange(n, key) + sortWithinPartitions(key)` is the SAME
+    * physical shape as `orderBy` (range exchange + local sort → identical
+    * total order, identical rows) but a user-specified partition count is
+    * exempt from AQE coalescing, so downstream order-preserving chains
+    * keep n-way parallelism. n is scale-adaptive, not a local constant:
+    * max(session default parallelism, the scan's own partition count) —
+    * on a real cluster where the scan already has thousands of row-group
+    * splits it keeps them (no shrink); locally it restores the parallelism
+    * a production multi-row-group layout would have given the scan for
+    * free. Row order is pinned by the driver gate's hash compare and by
+    * the A/B in this round's OPTIMIZATION_r20.md.
+    */
+  def keySorted(df: DataFrame, key: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val n = math.max(sc.defaultParallelism, df.rdd.getNumPartitions)
+    df.repartitionByRange(n, col(key)).sortWithinPartitions(key)
+  }
+
+  /** Scale-adaptive fan-out for CPU-heavy narrow passes whose downstream is
+    * order-insensitive (aggregations, joins, or a final total-order sort).
+    *
+    * The driver testdata is single-row-group parquet, so every scan stage
+    * is ONE task and all per-row CPU below the first exchange (gram
+    * hashing, MinHash folds, span coverage) is single-threaded at any core
+    * count (ProbeStages, r20 opt: `source_overlap_sketch_serve` 2.35 s /
+    * `curation_pipeline` 1.84 s of 100% single-task run time on
+    * local[32]). A production multi-row-group layout gives the scan this
+    * parallelism for free; this restores it locally and is the IDENTITY at
+    * scale: the round-robin exchange is inserted only when the input has
+    * FEWER partitions than the session's parallelism, so a cluster scan
+    * with thousands of splits passes through untouched and never pays a
+    * payload shuffle. Deterministic under retry (sortBeforeRepartition is
+    * on); callers must re-establish row order downstream (every gate using
+    * this ends in a unique-key orderBy — re-proven by the oracle hash
+    * compare).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
 
   /** Schema-ADAPTIVE events loader: the driver regenerates
     * `events.parquet` between rounds and has shipped two physical types for

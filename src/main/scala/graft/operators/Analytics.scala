@@ -305,7 +305,7 @@ object Analytics {
   // --- exact quantiles per group -------------------------------------------
   // `percentile` (exact, interpolated) — same definition as QUANTILE_CONT.
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    Tables.orders(spark, dir) // r20: fanOut A/B'd WORSE (0.92->1.10 s): 32 partial exact-percentile value maps out-cost the parallelism
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
@@ -325,7 +325,7 @@ object Analytics {
   // quantiles plus a relative-error-bound boolean — same pattern as
   // dedup_metrics_approx. accuracy=10000 → rank error ≤ 0.01% of the group.
   def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    Tables.orders(spark, dir) // r20: fanOut A/B'd WORSE (exact-percentile audit side dominates, see priceQuantiles)
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(
         expr("percentile(o_totalprice, 0.5)").as("e50"),
@@ -376,7 +376,7 @@ object Analytics {
     val a = when(year(col("o_orderdate")) === 1996, col("o_custkey"))
     val b = when(year(col("o_orderdate")) === 1997, col("o_custkey"))
     def base = Tables.orders(spark, dir)
-      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .filter(year(col("o_orderdate")).isin(1996, 1997)) // r20: fanOut A/B'd WORSE (0.63->1.23 s): Expand x3 partial-distinct dedup efficiency drops 32-way
     // exact distincts and HLL sketches in SEPARATE aggregates: mixed in one
     // agg, Catalyst plans the distincts via Expand and then evaluates the
     // HLLs grouped by the Expand's distinct keys — one rsd=0.02 sketch

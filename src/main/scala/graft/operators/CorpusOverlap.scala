@@ -178,13 +178,22 @@ object CorpusOverlap {
 
   // --- gate queries ---------------------------------------------------------
 
+  // Tables.fanOut below each gate (r20 opt): the explode + partial-distinct
+  // / partial-min map side otherwise runs in the single-row-group scan's
+  // ONE task; all consumers are aggregations + a unique-pair final sort,
+  // so row order is free to change (oracle hash re-proven)
+  // (r20 opt) fanOut measured HURTFUL here (0.66 -> 1.02 s min-of-5): the
+  // exact matrix is bounded by the (slice, g) distinct exchange, and a
+  // 32-way map side divides the partial-distinct dedup efficiency, growing
+  // that exchange; the sketch twins keep fanOut because their md5+perm CPU
+  // dominates. Left on the 1-task scan deliberately.
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     overlapExact(sliceVocab(Tables.documents(spark, dir), "text", "source"))
       .orderBy("slice_a", "slice_b")
 
   def sourceOverlapSketch(spark: SparkSession, dir: String,
                           numPerm: Int = 128, tol: Double = 0.15): DataFrame =
-    overlapSketch(sliceVocab(Tables.documents(spark, dir), "text", "source"),
+    overlapSketch(sliceVocab(Tables.fanOut(Tables.documents(spark, dir)), "text", "source"),
       numPerm, tol)
       .orderBy("slice_a", "slice_b")
 
@@ -199,7 +208,7 @@ object CorpusOverlap {
   def sourceOverlapSketchServe(spark: SparkSession, dir: String,
                                numPerm: Int = 128): DataFrame =
     estimateFromSignatures(
-        sliceSignatures(sliceVocab(Tables.documents(spark, dir), "text", "source"),
+        sliceSignatures(sliceVocab(Tables.fanOut(Tables.documents(spark, dir)), "text", "source"),
           numPerm, graft.functions.Hashing.h60),
         numPerm)
       .select(col("slice_a"), col("slice_b"), round(col("est"), 4).as("est"))

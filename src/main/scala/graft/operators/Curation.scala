@@ -33,7 +33,9 @@ object Curation {
              minQuality: Double = 0.3, lang: String = "en",
              hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanOut (r20 opt): hashing/signature map sides otherwise run in the
+    // single-row-group scan's one task; pipeline ends orderBy(doc_id)
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
     val exactKept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
     val nearKeepIds = Dedup.lshDedupKeep(exactKept, "text", "doc_id",
         numPerm = 64, bands = 8, shingleK = 1, hashFn = hashFn)
@@ -106,8 +108,10 @@ object Curation {
     */
   def modelFilter(spark: SparkSession, dir: String,
                   pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =
+    // fanOut (r20 opt): the scoring pass is the single-task hotspot
+    // (ProbeStages 1.28 s); ntile window input is narrow, final orderBy
     modelFilterWith(HashedModel.trainedStack(spark, dir),
-      Tables.documents(spark, dir), pTau, repMax)
+      Tables.fanOut(Tables.documents(spark, dir)), pTau, repMax)
 
   def modelFilterOf(docs: DataFrame,
                     pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =

@@ -72,8 +72,11 @@ object Ingest {
     // sort the narrow BASE, not the result: an orderBy above this pipeline
     // makes the range sampler re-run the whole JSON round trip (measured
     // 2.42→1.00 s at sf0.1); shopify_order_id IS o_orderkey and every op
-    // above the sort is order-preserving — see Tables.documentsById
-    normalizeOrders(payloadsFrom(graft.Tables.orders(spark, dir).orderBy("o_orderkey")))
+    // above the sort is order-preserving — see Tables.documentsById.
+    // keySorted (not orderBy) keeps the JSON round trip n-way parallel:
+    // AQE's byte-based coalescing had serialized it to 2 tasks (r20 opt)
+    normalizeOrders(payloadsFrom(
+        graft.Tables.keySorted(graft.Tables.orders(spark, dir), "o_orderkey")))
       .drop("raw")
 
   /** What the round trip must reproduce, computed directly on the base

@@ -541,7 +541,58 @@ object Multimodal {
 
   /** Signed 16-bit samples → a real WAV through the JDK encoder (mono,
     * little-endian PCM — the write half of the codec circle). */
-  private def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+  /** The WAVE reader/writer SPI providers, resolved ONCE per JVM.
+    *
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` funnel EVERY
+    * call through `JDK13Services.getProviders` — a synchronized static
+    * provider lookup. Single-threaded that cost hides; once the codec
+    * chains run n-way (r20 optimization: `Tables.keySorted` restored scan
+    * parallelism) the lock serializes them — measured 77.5 s of summed
+    * task time for 3.2 s of CPU on `multimodal_resample_wav` at 32 cores
+    * (ProbeStages). Resolving the providers once and calling them directly
+    * removes the static lock from the per-row path. AudioFileReader/Writer
+    * implementations are stateless by SPI contract (AudioSystem itself
+    * shares one instance across threads), and selection mirrors
+    * AudioSystem's: first ServiceLoader provider that accepts the format
+    * (the JDK ships exactly one WAVE provider). Bytes are produced by the
+    * SAME provider code, so outputs are bit-identical — re-proven by the
+    * oracle hash gate on all five `multimodal_*_wav` rows.
+    */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    // tiny self-synthesized probe: 1 sample, 8 kHz — enough for a header parse
+    val probe = encodeWavVia(null, Array(0), 8000)
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe))
+        found = r
+      } catch { case _: Exception => () }
+    }
+    require(found != null, "no AudioFileReader SPI provider recognizes WAVE")
+    found
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no AudioFileWriter SPI provider supports WAVE")
+    found
+  }
+
+  /** [[encodeWav]] body with an explicit writer (`null` = AudioSystem —
+    * used only to build the one-time provider-selection probe, where the
+    * resolved writer does not exist yet). */
+  private def encodeWavVia(writer: javax.sound.sampled.spi.AudioFileWriter,
+                           samples: Array[Int], sampleRate: Int): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -554,11 +605,18 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
+    try {
+      if (writer == null)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      else
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    } finally ais.close()
     bos.toByteArray
   }
+
+  private def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] =
+    encodeWavVia(wavWriter, samples, sampleRate)
 
   /** Synthesized-WAV media table over the documents fixture (the
     * [[pngMediaFromDocuments]] pattern for audio): sample rate and sample
@@ -581,7 +639,9 @@ object Multimodal {
     */
   private def decodeWav(docId: Long,
                         payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Int]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    // direct SPI call — AudioSystem's static entry would re-run a
+    // synchronized provider lookup per row (see wavReader)
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       val fmt = ais.getFormat

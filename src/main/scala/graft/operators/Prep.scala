@@ -493,7 +493,7 @@ object Prep {
 
   def decontaminate(spark: SparkSession, dir: String, shingleK: Int = 3,
       hashFn: Column => Column = h60): DataFrame = {
-    def docs = Tables.documents(spark, dir)
+    def docs = Tables.documents(spark, dir) // r20: fanOut A/B'd WORSE (0.66->1.21 s) — semi-join side dominates, not map CPU
     decontaminateAgainst(docs.filter(!isBenchDoc),
         benchShingleHashes(docs.filter(isBenchDoc), shingleK, hashFn), shingleK, hashFn)
       .orderBy("doc_id")

@@ -168,7 +168,7 @@ object SubstringDedup {
   /** Gate wrapper: bench = the [[Prep.isBenchDoc]] slice (decontaminate's
     * convention, k=3 grams), train = the rest; h60 end-to-end. */
   def contaminationSpansGate(spark: SparkSession, dir: String, L: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fanOut(Tables.documents(spark, dir)) // r20 opt: span/gram pass off the 1-task scan
     contaminationSpans(docs.filter(!Prep.isBenchDoc),
       Prep.benchShingleHashes(docs.filter(Prep.isBenchDoc), L, h60),
       "text", "doc_id", L, h60)
@@ -214,7 +214,7 @@ object SubstringDedup {
 
   /** Gate wrapper: h60 hash (exact DuckDB oracle), sorted by doc_id. */
   def repeatedSpansGate(spark: SparkSession, dir: String, L: Int = 5): DataFrame =
-    repeatedSpans(Tables.documents(spark, dir), "text", "doc_id", L, h60)
+    repeatedSpans(Tables.fanOut(Tables.documents(spark, dir)), "text", "doc_id", L, h60) // r20 opt
       .orderBy("doc_id")
 
   /** DuckDB replay: same grams (word L-windows joined by one space), same

@@ -87,7 +87,7 @@ object TextAnalysis {
   // The oracle-checked verify stage of near-dup detection: score a given
   // candidate pair list (here: (i, i+1)) with exact set Jaccard.
   def pairJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir) // r20: fanOut A/B'd flat-to-worse (0.45->0.49 s) — word-set arrays are cheap; 3gram twin keeps it
     val a = docs.select(col("doc_id").as("id_a"), array_distinct(split(col("text"), " ", -1)).as("w_a"))
     val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
       array_distinct(split(col("text"), " ", -1)).as("w_b"))
@@ -110,7 +110,7 @@ object TextAnalysis {
     * sharper than word-set Jaccard on this shared-vocabulary corpus (word
     * sets overlap heavily; 3-gram sequences rarely do). */
   def pairJaccard3gram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fanOut(Tables.documents(spark, dir)) // r20 opt: shingle pass off the 1-task scan
     def sh(c: org.apache.spark.sql.Column) =
       array_distinct(Dedup.wordShingles(c, 3))
     val a = docs.select(col("doc_id").as("id_a"), sh(col("text")).as("w_a"))

@@ -62,9 +62,19 @@ object CorpusOverlap {
     * diamond hangs off ONE exchange (spec-pinned in PlanInvariantsSpec).
     */
   def sliceVocab(docs: DataFrame, textCol: String, sliceCol: String): DataFrame =
+    sliceGrams(docs, textCol, sliceCol).distinct()
+
+  /** [[sliceVocab]] WITHOUT the distinct — every bigram occurrence. The
+    * MinHash fold ([[sliceSignatures]]) is a min aggregate, and min is
+    * idempotent: min over the occurrence multiset ≡ min over the distinct
+    * vocabulary, element for element (r20 opt — spec-pinned in
+    * OverlapStreamSpec). Serving paths fold this directly and skip the
+    * vocabulary exchange entirely; the exact matrix (set counts — NOT
+    * idempotent) must keep [[sliceVocab]].
+    */
+  def sliceGrams(docs: DataFrame, textCol: String, sliceCol: String): DataFrame =
     docs.select(col(sliceCol).as("slice"), explode(bigrams(col(textCol))).as("g"))
       .filter(col("slice").isNotNull && col("g").isNotNull)
-      .distinct()
 
   /** Exact pairwise overlap matrix over slices: intersection size, Jaccard,
     * and containment (intersection over the SMALLER side — the asymmetric
@@ -207,8 +217,11 @@ object CorpusOverlap {
     * slices × numPerm fold. */
   def sourceOverlapSketchServe(spark: SparkSession, dir: String,
                                numPerm: Int = 128): DataFrame =
+    // sliceGrams, not sliceVocab (r20 opt): min is idempotent, so folding
+    // occurrences directly skips the vocabulary distinct exchange — the
+    // serve read's only shuffled state is slices x numPerm longs
     estimateFromSignatures(
-        sliceSignatures(sliceVocab(Tables.fanOut(Tables.documents(spark, dir)), "text", "source"),
+        sliceSignatures(sliceGrams(Tables.fanOut(Tables.documents(spark, dir)), "text", "source"),
           numPerm, graft.functions.Hashing.h60),
         numPerm)
       .select(col("slice_a"), col("slice_b"), round(col("est"), 4).as("est"))

@@ -184,8 +184,22 @@ object Prep {
 
   def chunkEmbedTopk(spark: SparkSession, dir: String, k: Int = 3,
       probeDocs: Long = 3L, dim: Int = 16): DataFrame = {
-    val chunks = chunkOverlap(spark, dir).select("doc_id", "chunk_hash")
-    val cands = chunks.select("chunk_hash").distinct()
+    // chunkOverlapOf over a fanned-out UNSORTED base (r20 opt): this query
+    // re-executes the chunk subtree for cands AND probes, every op above is
+    // order-insensitive (distinct/join/window), and the final orderBy is
+    // total — so the gate sort's range exchange + sampling jobs were pure
+    // overhead here (A/B: 1.47 -> 0.6 s min-of-5 after the r20 keySorted
+    // change had amplified the sorted form's subtree re-executions)
+    val chunks = chunkOverlapOf(Tables.fanOut(Tables.documents(spark, dir)))
+      .select("doc_id", "chunk_hash")
+    // explicit isNotNull (r20 opt — the sliceVocab lesson): the probe join
+    // infers isnotnull(chunk_hash) and pushes it into ITS copy of this
+    // subtree; the main BroadcastNestedLoopJoin (≠ condition) infers
+    // nothing — asymmetric constraints canonicalize the two branches
+    // differently and AQE stage reuse is lost, re-running the whole chunk
+    // pipeline per consumer. Filtering symmetrically keeps one exchange.
+    val cands = chunks.select("chunk_hash")
+      .filter(col("chunk_hash").isNotNull).distinct()
       .select(col("chunk_hash"), chunkEmbedExpr(col("chunk_hash"), dim).as("v"))
     val probes = chunks.filter(col("doc_id") < probeDocs)
       .select("chunk_hash").distinct()

@@ -23,7 +23,7 @@ object Probe {
       val skel = df.queryExecution.executedPlan.toString.linesIterator
         .map(_.replaceAll("^[+\\-:\\s*]*", ""))
         .map(_.takeWhile(c => c != '(' && c != '[').trim)
-        .filter(l => l.nonEmpty && !l.startsWith("ReusedExchange"))
+        .filter(l => l.nonEmpty)
         .toSeq
       // operator histogram: enough to see exchanges/sorts/aggregates
       val interesting = skel.filter(op => Seq("Exchange", "Sort", "Aggregate",

@@ -23,7 +23,8 @@ object ProbeStages {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    case class St(id: Int, name: String, nTasks: Int, runMs: Long, cpuMs: Long)
+    case class St(id: Int, name: String, nTasks: Int, runMs: Long, cpuMs: Long,
+                  gcMs: Long, fetchMs: Long)
     val stages = ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -31,7 +32,9 @@ object ProbeStages {
         stages.synchronized {
           stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(70),
             i.numTasks, i.taskMetrics.executorRunTime,
-            i.taskMetrics.executorCpuTime / 1000000)
+            i.taskMetrics.executorCpuTime / 1000000,
+            i.taskMetrics.jvmGCTime,
+            i.taskMetrics.shuffleReadMetrics.fetchWaitTime)
         }
       }
     })
@@ -55,7 +58,7 @@ object ProbeStages {
       println(f"== $q  wall=$wall%.3f s")
       stages.synchronized {
         stages.sortBy(-_.runMs).take(12).foreach { s =>
-          println(f"   stage ${s.id}%4d tasks=${s.nTasks}%3d run=${s.runMs}%6d ms cpu=${s.cpuMs}%6d ms  ${s.name}")
+          println(f"   stage ${s.id}%4d tasks=${s.nTasks}%3d run=${s.runMs}%6d ms cpu=${s.cpuMs}%6d ms gc=${s.gcMs}%5d ms fetch=${s.fetchMs}%5d ms  ${s.name}")
         }
         val one = stages.filter(_.nTasks == 1).map(_.runMs).sum
         val all = stages.map(_.runMs).sum

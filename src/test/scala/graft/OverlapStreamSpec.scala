@@ -107,4 +107,13 @@ class OverlapStreamSpec extends AnyFunSuite with SparkSuite {
   test("fresh state reads empty") {
     assert(OverlapStream.mergedState(spark, tmp() + "/none").collect().isEmpty)
   }
+
+  test("signatures over raw occurrences equal signatures over the distinct vocabulary") {
+    // min is idempotent: folding every bigram occurrence (sliceGrams — the
+    // r20 serve path, no vocabulary exchange) must produce bit-identical
+    // signatures to folding the deduplicated vocabulary (sliceVocab).
+    // Pins sourceOverlapSketchServe's distinct-elision.
+    assert(sigsOf(CorpusOverlap.sliceSignatures(
+      CorpusOverlap.sliceGrams(docs, "text", "source"), P)) == batchSigs)
+  }
 }

@@ -68,9 +68,12 @@ object CorpusOverlap {
     * MinHash fold ([[sliceSignatures]]) is a min aggregate, and min is
     * idempotent: min over the occurrence multiset ≡ min over the distinct
     * vocabulary, element for element (r20 opt — spec-pinned in
-    * OverlapStreamSpec). Serving paths fold this directly and skip the
-    * vocabulary exchange entirely; the exact matrix (set counts — NOT
-    * idempotent) must keep [[sliceVocab]].
+    * OverlapStreamSpec). NOTE: folding occurrences directly was built and
+    * then rejected for the serve gate — with [[MinHashFold]] making the
+    * fold cheap, hashing the sublinear DISTINCT vocabulary beats hashing
+    * every occurrence (ScaleBench overlap_serve_*_vg: 2.39 s vs 24.37 s at
+    * 64× vocab growth). Kept as the legality proof and for callers whose
+    * input is already near-distinct.
     */
   def sliceGrams(docs: DataFrame, textCol: String, sliceCol: String): DataFrame =
     docs.select(col(sliceCol).as("slice"), explode(bigrams(col(textCol))).as("g"))
@@ -126,6 +129,27 @@ object CorpusOverlap {
     */
   def sliceSignatures(vocab: DataFrame, numPerm: Int,
                       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    // r20 opt: ONE imperative fold (org.apache.spark.sql.graft.MinHashFold
+    // — primitive long buffer, tight update loop) instead of numPerm
+    // declarative min buffers: at numPerm=128 the declarative form's
+    // generated update method is large enough that whole-stage codegen ran
+    // SLOWER than interpreted (1.92 s vs 1.29 s at 8× corpus; fold ~0.9 s).
+    // Bit-identical (spec-pinned below + in OverlapStreamSpec); the
+    // declarative form survives as [[sliceSignaturesDeclarative]].
+    import org.apache.spark.sql.graft.{ColumnBridge, MinHashFold}
+    val perms = Dedup.permutations(numPerm)
+    val fold = ColumnBridge.column(
+      MinHashFold(
+        ColumnBridge.expression(pmod(hashFn(col("g")), lit(1L << 32))),
+        perms.map(_._1).toArray, perms.map(_._2).toArray)
+        .toAggregateExpression())
+    vocab.groupBy("slice").agg(fold.as("sig"))
+  }
+
+  /** Reference declarative formulation of [[sliceSignatures]] — kept for
+    * the equivalence spec (the minhashSignatureHof precedent). */
+  private[graft] def sliceSignaturesDeclarative(vocab: DataFrame, numPerm: Int,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val perms = Dedup.permutations(numPerm)
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MersennePrime))).as(s"m$i")
@@ -217,11 +241,15 @@ object CorpusOverlap {
     * slices × numPerm fold. */
   def sourceOverlapSketchServe(spark: SparkSession, dir: String,
                                numPerm: Int = 128): DataFrame =
-    // sliceGrams, not sliceVocab (r20 opt): min is idempotent, so folding
-    // occurrences directly skips the vocabulary distinct exchange — the
-    // serve read's only shuffled state is slices x numPerm longs
+    // sliceVocab deliberately kept (r20 opt postscript): an occurrence-fold
+    // (sliceGrams — legal since min is idempotent, spec-pinned) was built
+    // and SWEPT SLOWER once MinHashFold made the fold cheap — dedup-first
+    // hashes the sublinear vocabulary (Heaps' law), the occurrence form
+    // hashes every token pair (ScaleBench overlap_serve_*_vg, 64×: 2.39 s
+    // vs 24.37 s). The scaladoc's original scale argument stands; the r20
+    // win here is the fold itself plus fanOut.
     estimateFromSignatures(
-        sliceSignatures(sliceGrams(Tables.fanOut(Tables.documents(spark, dir)), "text", "source"),
+        sliceSignatures(sliceVocab(Tables.fanOut(Tables.documents(spark, dir)), "text", "source"),
           numPerm, graft.functions.Hashing.h60),
         numPerm)
       .select(col("slice_a"), col("slice_b"), round(col("est"), 4).as("est"))

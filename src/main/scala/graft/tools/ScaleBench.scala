@@ -354,6 +354,44 @@ object ScaleBench {
         graft.operators.CorpusOverlap.overlapSketch(
           graft.operators.CorpusOverlap.sliceVocab(docsX(k), "text", "source"),
           numPerm = 128, tol = 0.15)),
+      // r20 opt A/B at scale: the SERVE fold without the vocabulary
+      // distinct (sliceGrams — min is idempotent) vs the same fold over
+      // sliceVocab. The elided form's only exchange is slices × numPerm
+      // longs regardless of k; the vocab form shuffles the (slice, gram)
+      // set first. Shuffle-write bytes are the claim; wall is the bonus.
+      "overlap_serve_nodistinct" -> (k =>
+        graft.operators.CorpusOverlap.estimateFromSignatures(
+          graft.operators.CorpusOverlap.sliceSignatures(
+            graft.operators.CorpusOverlap.sliceGrams(graft.Tables.fanOut(docsX(k)), "text", "source"),
+            numPerm = 128, graft.functions.Hashing.h60),
+          numPerm = 128)),
+      "overlap_serve_vocab" -> (k =>
+        graft.operators.CorpusOverlap.estimateFromSignatures(
+          graft.operators.CorpusOverlap.sliceSignatures(
+            graft.operators.CorpusOverlap.sliceVocab(graft.Tables.fanOut(docsX(k)), "text", "source"),
+            numPerm = 128, graft.functions.Hashing.h60),
+          numPerm = 128)),
+      // the same A/B on the VOCABGROW fixture (fresh bigrams per replica,
+      // vocab ~k×): here the vocab form's distinct exchange grows with k
+      // while the elided form still shuffles only slices × numPerm longs
+      "overlap_serve_nodistinct_vg" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
+        graft.operators.CorpusOverlap.estimateFromSignatures(
+          graft.operators.CorpusOverlap.sliceSignatures(
+            graft.operators.CorpusOverlap.sliceGrams(grown, "text", "source"),
+            numPerm = 128, graft.functions.Hashing.h60),
+          numPerm = 128)
+      },
+      "overlap_serve_vocab_vg" -> { k =>
+        val grown = docsX(k).withColumn("text",
+          concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
+        graft.operators.CorpusOverlap.estimateFromSignatures(
+          graft.operators.CorpusOverlap.sliceSignatures(
+            graft.operators.CorpusOverlap.sliceVocab(graft.Tables.fanOut(grown), "text", "source"),
+            numPerm = 128, graft.functions.Hashing.h60),
+          numPerm = 128)
+      },
       "source_overlap_sketch_vocabgrow" -> { k =>
         val grown = docsX(k).withColumn("text",
           concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))

@@ -108,6 +108,17 @@ class OverlapStreamSpec extends AnyFunSuite with SparkSuite {
     assert(OverlapStream.mergedState(spark, tmp() + "/none").collect().isEmpty)
   }
 
+  test("imperative MinHashFold equals the declarative numPerm-min aggregate") {
+    // r20 opt: sliceSignatures now folds through the TypedImperativeAggregate
+    // (org.apache.spark.sql.graft.MinHashFold); the declarative reference
+    // must match bit for bit, on both the portable and production hashes.
+    val vocab = CorpusOverlap.sliceVocab(docs, "text", "source")
+    assert(sigsOf(CorpusOverlap.sliceSignatures(vocab, P)) ==
+      sigsOf(CorpusOverlap.sliceSignaturesDeclarative(vocab, P)))
+    assert(sigsOf(CorpusOverlap.sliceSignatures(vocab, P, graft.functions.Hashing.h60)) ==
+      sigsOf(CorpusOverlap.sliceSignaturesDeclarative(vocab, P, graft.functions.Hashing.h60)))
+  }
+
   test("signatures over raw occurrences equal signatures over the distinct vocabulary") {
     // min is idempotent: folding every bigram occurrence (sliceGrams — the
     // r20 serve path, no vocabulary exchange) must produce bit-identical

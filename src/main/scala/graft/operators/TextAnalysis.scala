@@ -1202,6 +1202,10 @@ object TextAnalysis {
 
   /** Gate wrapper: top-5 terms per document, ordered. */
   def tfidfTopTermsGate(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // r20: fanOut A/B'd WORSE here too (0.76 -> 1.03 s min-of-5) even
+    // though the (doc,term) partials are doc-local — the two window
+    // exchanges dominate and the extra round-robin pass only adds cost.
+    // Left on the 1-task scan deliberately.
     tfidfTopTerms(Tables.documents(spark, dir), "text", "doc_id", k)
       .orderBy("doc_id", "rank")
 

@@ -34,7 +34,11 @@ object Curation {
              hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                org.apache.spark.sql.functions.xxhash64(_)): DataFrame = {
     // fanOut (r20 opt): hashing/signature map sides otherwise run in the
-    // single-row-group scan's one task; pipeline ends orderBy(doc_id)
+    // single-row-group scan's one task; pipeline ends orderBy(doc_id).
+    // A sorted-base/no-trailing-sort variant (the documentsById pattern
+    // extended across the broadcast semi-joins) was A/B'd WORSE
+    // (2.05 -> 2.53 s min-of-5) and also ties result order to the planner
+    // picking broadcast joins — rejected on both counts.
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     val exactKept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
     val nearKeepIds = Dedup.lshDedupKeep(exactKept, "text", "doc_id",

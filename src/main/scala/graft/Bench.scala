@@ -172,6 +172,17 @@ object Bench {
     // belt-and-braces for log-decorated stdout (sbt [info] prefixes broke
     // the round-1 driver parse): the same line lands in a known file
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // per-query HISTORY (round 21, VERDICT r20 "what's wrong" #1): r19's
+    // per-query record pointed at BENCH_LOCAL.json, which the next round's
+    // epochs overwrite — PERF_r20 ended up with n_common: 0 and a 13 s
+    // total swing nobody could decompose per query. Every epoch now ALSO
+    // appends its full line (per-query map included) to an append-only
+    // journal, so a later round can always rebuild the prev/now table even
+    // after BENCH_LOCAL.json is overwritten. Same line, same contract.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     // The driver archives only the LAST ~2000 chars of stdout; the full
     // line above (~5 KB of per-query seconds) can never fit, so its front

@@ -1218,9 +1218,10 @@ object SparkEntry {
           e.filter(col("vec_id") % 10 === 3).select("vec_id"), 0L, idxPath)
       }
       val lexDir = lexLiveIndexBuilt(s, d)
-      val lex = Retrieval.bm25RankedPerQueryIndexed(
-        (ts, l) => streaming.LexStatsStream.bm25TopkIndexed(s, lexDir, ts, l),
-        Retrieval.HybridTermSets, Retrieval.HybridL)
+      // batched lexical leg (round 21 opt): one stats lookup + one
+      // postings pass for all three query sets (equivalence spec-pinned)
+      val lex = streaming.LexStatsStream.bm25RankedPerQueryIndexed(
+        s, lexDir, Retrieval.HybridTermSets, Retrieval.HybridL)
       val probeIds = Retrieval.HybridTermSets.map(_._1)
       val vecs = e.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))

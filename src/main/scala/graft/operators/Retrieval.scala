@@ -455,12 +455,12 @@ object Retrieval {
   }
 
   private def passageLexRanked(spark: SparkSession,
-                               stateDir: String): DataFrame = {
-    import graft.streaming.LexStatsStream
-    bm25RankedPerQueryIndexed(
-      (ts, l) => LexStatsStream.bm25TopkIndexed(spark, stateDir, ts, l),
-      HybridTermSets, HybridL)
-  }
+                               stateDir: String): DataFrame =
+    // batched leg (round 21 opt): one stats lookup + one postings pass for
+    // all three query sets instead of a per-set serve composition — see
+    // TextAnalysis.bm25RankedPerQueryIndexedBatch (equivalence spec-pinned)
+    graft.streaming.LexStatsStream.bm25RankedPerQueryIndexed(
+      spark, stateDir, HybridTermSets, HybridL)
 
   def hybridPassageTopk(spark: SparkSession, dir: String,
                         stateDir: String): DataFrame =

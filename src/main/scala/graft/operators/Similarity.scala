@@ -792,15 +792,27 @@ object Similarity {
     * pair frames with id_a < id_b. */
   def pairEval(pred: DataFrame, truth: DataFrame): DataFrame = {
     import graft.functions.ExprUtils.roundz
-    val p = pred.select(col("id_a"), col("id_b"))
-    val t = truth.select(col("id_a"), col("id_b"))
-    val hit = p.join(t, Seq("id_a", "id_b"), "left_semi")
+    // ONE pass over each input (round 21 opt, guide §2.4): the previous
+    // three-aggregate × cross-join form consumed `pred` twice (its count
+    // and the semi-join probe) and `truth` twice (its count and the
+    // semi-join build) — for the lsh_pair_eval gate that re-executed the
+    // whole LSH band/verify pipeline and the exact O(slice²) all-pairs
+    // join a second time each. A single full-outer join on the pair key
+    // classifies every pair as pred-only / truth-only / hit, and one
+    // keyless aggregate counts all three. Inputs are pair SETS (id_a <
+    // id_b, unique — the contract above), so the counts are identical to
+    // the semi-join form's.
+    val p = pred.select(col("id_a"), col("id_b"), lit(1).as("in_pred"))
+    val t = truth.select(col("id_a"), col("id_b"), lit(1).as("in_true"))
     def ratio(n: Column, d: Column) =
       roundz(when(d === 0L, lit(0.0))
         .otherwise(n.cast("double") / d.cast("double")), 4)
-    t.agg(count(lit(1)).as("n_true"))
-      .crossJoin(p.agg(count(lit(1)).as("n_pred")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    p.join(t, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("in_true")).as("n_true"),
+        count(col("in_pred")).as("n_pred"),
+        count(when(col("in_pred").isNotNull && col("in_true").isNotNull,
+          lit(1))).as("n_hit"))
       .select(col("n_true"), col("n_pred"), col("n_hit"),
         ratio(col("n_hit"), col("n_pred")).as("precision"),
         ratio(col("n_hit"), col("n_true")).as("recall"))

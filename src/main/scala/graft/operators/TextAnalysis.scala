@@ -932,13 +932,28 @@ object TextAnalysis {
     * term) read from the maintained stats table as driver literals. */
   private def servedStats(stats: DataFrame, terms: Seq[String])
       : (Double, Double, Map[String, Long]) = {
-    val corpus = stats.filter(col("term") === LexCorpusRow)
-      .agg(sum("dl").as("dl"), sum("nd").as("nd")).head()
-    val nDocs = corpus.getLong(1)
-    val avgdl = corpus.getLong(0).toDouble / nDocs.toDouble
-    val dfMap = stats.filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |terms| rows
+    // ONE driver action (round 21 opt, guide §5 — the driver roundtrip IS
+    // the serving latency): the corpus row and the per-term df rows come
+    // out of a single grouped collect over the stats rows pruned to the
+    // corpus sentinel + query terms (≤ |terms|+1 rows). The previous
+    // two-action form (corpus head() then df collect()) paid two full
+    // stats-log read+aggregate jobs per serve call, and the composed
+    // hybrid rows make 2–3 serve calls each. Same values: the corpus row
+    // folds by sum(dl)/sum(nd) exactly as the old keyless aggregate did,
+    // and LexCorpusRow (a -prefixed sentinel) never collides with a
+    // query term.
+    val rows = stats
+      .filter(col("term") === LexCorpusRow || col("term").isin(terms: _*))
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("dl").as("dl"), sum("nd").as("nd"))
+      .collect()
+    val corpus = rows.find(_.getString(0) == LexCorpusRow).getOrElse(
+      throw new NoSuchElementException(
+        "lexical stats have no corpus row — index empty or not built"))
+    val nDocs = corpus.getLong(3)
+    val avgdl = corpus.getLong(2).toDouble / nDocs.toDouble
+    val dfMap = rows.filter(_.getString(0) != LexCorpusRow)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |terms| rows
     (nDocs.toDouble, avgdl, dfMap)
   }
 
@@ -975,6 +990,53 @@ object TextAnalysis {
     perDoc.select(col("doc_id"), round(score, 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** ALL query sets' indexed BM25 ranked lists in ONE pass over the union
+    * of their terms' postings (round 21 opt, guide §2.4/§5) — the batched
+    * twin of per-query [[bm25TopkIndexed]] for the hybrid fusion legs.
+    * The per-query composition paid, PER QUERY SET, one stats job + one
+    * postings aggregate + its own top-k; this form pays ONE stats lookup
+    * (union of terms) and ONE postings aggregate (tf per term, pivoted),
+    * then scores every query from the same row and stacks by explode —
+    * the [[Retrieval.bm25RankedPerQuery]] shape applied to the indexed
+    * read.
+    *
+    * Bitwise-identical lists: stats/df literals are the same values per
+    * term; a doc matching none of a query's terms scores exactly 0.0 on
+    * that query (every BM25 term carries a tf factor) and the shared
+    * `bm25 > 0` guard drops it — exactly the candidate semantics of the
+    * per-query form (whose own 0-rounded candidates are dropped by the
+    * same guard; RetrievalSpec pins the equivalence). */
+  def bm25RankedPerQueryIndexedBatch(postings: DataFrame, stats: DataFrame,
+                                     querySets: Seq[(Long, Seq[String])],
+                                     l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = querySets.flatMap(_._2).distinct
+    val (nDocs, avgdl, dfMap) = servedStats(stats, terms)
+    val perDoc = postings.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).cast("double").as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(lit(0L)))
+            .cast("double").as(s"tf$i")
+        }: _*)
+    val tIdx = terms.zipWithIndex.toMap
+    def score(qts: Seq[String]) = bm25ScoreExpr(
+      qts.map(tIdx), i => col(s"tf$i"), col("dl"),
+      lit(nDocs), lit(avgdl),
+      i => lit(dfMap.getOrElse(terms(i), 0L).toDouble))
+    val qs = querySets.map { case (qid, qts) =>
+      struct(lit(qid).as("query_id"), round(score(qts), 4).as("bm25"))
+    }
+    val scored = perDoc
+      .select(col("doc_id"), explode(array(qs: _*)).as("q"))
+      .select(col("q.query_id"), col("doc_id"), col("q.bm25"))
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
+    scored.filter(col("bm25") > 0.0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= l)
+      .select("query_id", "doc_id", "rank")
   }
 
   /** BM25 top-k SERVED from maintained lexical-index stats: df/N/avgdl are

@@ -692,6 +692,18 @@ object LexStatsStream {
       currentPostings(spark, stateDir, terms),
       currentStats(spark, stateDir), terms, k)
 
+  /** ALL query sets' indexed ranked lists in one batched read (round 21
+    * opt): one stats lookup + one postings aggregate over the union of
+    * the sets' terms — the hybrid fusion lexical leg without a per-query
+    * stats job + postings pass ([[TextAnalysis.bm25RankedPerQueryIndexedBatch]];
+    * posting buckets pruned to the union's [[TextAnalysis.termBucket]]s). */
+  def bm25RankedPerQueryIndexed(spark: SparkSession, stateDir: String,
+                                querySets: Seq[(Long, Seq[String])],
+                                l: Int): DataFrame =
+    TextAnalysis.bm25RankedPerQueryIndexedBatch(
+      currentPostings(spark, stateDir, querySets.flatMap(_._2).distinct),
+      currentStats(spark, stateDir), querySets, l)
+
   /** Phrase query served from the POSITIONAL postings — no corpus access;
     * reads only the phrase terms' buckets. */
   def phraseMatch(spark: SparkSession, stateDir: String,

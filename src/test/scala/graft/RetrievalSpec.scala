@@ -283,6 +283,23 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._1).toSet == Retrieval.HybridTermSets.map(_._1).toSet)
   }
 
+  test("batched indexed lexical leg (one stats lookup + one postings pass) " +
+       "= per-query composed leg, list for list") {
+    import graft.streaming.{LexStatsStream, PassageLex}
+    val state = java.nio.file.Files.createTempDirectory("lexbatch").toString
+    PassageLex.applyBatch(spark,
+      Tables.documents(spark, Sf0001).select("doc_id", "text"), 0L, state)
+    val batched = LexStatsStream.bm25RankedPerQueryIndexed(
+        spark, state, Retrieval.HybridTermSets, Retrieval.HybridL)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val perQuery = Retrieval.bm25RankedPerQueryIndexed(
+        (ts, l) => LexStatsStream.bm25TopkIndexed(spark, state, ts, l),
+        Retrieval.HybridTermSets, Retrieval.HybridL)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(batched == perQuery)
+    assert(batched.nonEmpty)
+  }
+
   test("indexed passage dense leg = brute-force leg RESTRICTED to the " +
        "probed inverted lists; candidate read partition-prunes") {
     val idx = java.nio.file.Files.createTempDirectory("passagedense").toString

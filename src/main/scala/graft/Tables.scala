@@ -97,6 +97,14 @@ object Tables {
     * a production multi-row-group layout would have given the scan for
     * free. Row order is pinned by the driver gate's hash compare and by
     * the A/B in this round's OPTIMIZATION_r20.md.
+    *
+    * PRECONDITION — plain-scan inputs only (ADVICE r20): deriving the
+    * partition count reads `df.rdd.getNumPartitions`, which forces
+    * physical planning and, under AQE, would eagerly materialize upstream
+    * query stages if `df` contained an exchange — at DataFrame-BUILD time,
+    * outside any action. Every call site here (and in [[fanOut]]) passes a
+    * bare parquet scan, where the conversion is a cheap split enumeration;
+    * do not call these helpers above a shuffle.
     */
   def keySorted(df: DataFrame, key: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
@@ -122,8 +130,41 @@ object Tables {
     * this ends in a unique-key orderBy — re-proven by the oracle hash
     * compare).
     */
-  def fanOut(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
+  /** Round 21 (guide §2.2 "fewer, larger partitions"; VERDICT r20 item 1):
+    * fan-out width is now DATA-proportional, not thread-count-proportional.
+    * The r20 form fanned every gated pass to `defaultParallelism`; at 32
+    * threads over a few hundred KB of input that meant 32 tasks whose
+    * fixed costs (task scheduling, per-task aggregation pages, GC churn of
+    * 32 concurrent hash/sort buffers) exceeded the CPU they parallelized —
+    * the driver's own bench ran the whole suite 28% faster at 8 CPUs, and
+    * ProbeStages measured contaminate_spans' fanned stages burning 9.8 s
+    * of summed CPU 32-way vs 3.1 s 8-way for identical work. One task per
+    * `FanOutBytesPerTask` of scan input (compressed bytes, from the
+    * relation's own statistics — no job) keeps each task busy for tens of
+    * milliseconds of gram/hash CPU, amortizing the fixed costs; the cap at
+    * `defaultParallelism` and the ≥-partitions identity check keep the
+    * helper a no-op on any cluster-scale scan exactly as before (bytes ≫
+    * budget ⇒ target = parallelism ⇒ identity when the scan already has
+    * that many splits). Per-query A/Bs at the call sites.
+    */
+  private[graft] val FanOutBytesPerTask: Long =
+    sys.env.getOrElse("SPARK_GRAFT_FANOUT_TASK_BYTES", "65536").toLong
+
+  /** @param bytesPerTask per-task input budget: the default suits gram/
+    *   hash passes feeding aggregation state (64 KB ≈ tens of ms of CPU
+    *   per task); call sites whose per-byte CPU is much denser (codec or
+    *   model scoring per row) pass a smaller budget — each choice A/B'd
+    *   per query at its call site. At cluster scale ANY budget is
+    *   identity (bytes ≫ budget ⇒ target = parallelism ⇒ the ≥-partitions
+    *   check passes). */
+  def fanOut(df: DataFrame,
+             bytesPerTask: Long = FanOutBytesPerTask): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = bytes
+      .max(BigInt(1)) // stats can be 0 for an empty relation
+      .+(BigInt(bytesPerTask - 1))./(BigInt(bytesPerTask))
+      .min(BigInt(p)).max(BigInt(1)).toInt
     if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 

@@ -113,9 +113,13 @@ object Curation {
   def modelFilter(spark: SparkSession, dir: String,
                   pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =
     // fanOut (r20 opt): the scoring pass is the single-task hotspot
-    // (ProbeStages 1.28 s); ntile window input is narrow, final orderBy
+    // (ProbeStages 1.28 s); ntile window input is narrow, final orderBy.
+    // bytesPerTask=1 keeps the FULL thread-count fan here (r21 A/B: the
+    // hashed classifier + LM + 3-gram repetition CPU is dense enough that
+    // 32-way still wins — 0.36 s vs 0.44 s at the 64 KB default, min-of-5)
     modelFilterWith(HashedModel.trainedStack(spark, dir),
-      Tables.fanOut(Tables.documents(spark, dir)), pTau, repMax)
+      Tables.fanOut(Tables.documents(spark, dir), bytesPerTask = 1L),
+      pTau, repMax)
 
   def modelFilterOf(docs: DataFrame,
                     pTau: Double = 0.5, repMax: Double = 0.5): DataFrame =

@@ -114,7 +114,8 @@ object Dedup {
     * over the low 32 bits of xxhash64(shingle). P > 2³², aᵢ < 2³¹ keeps the
     * product inside a long. Seeded — same params every run, every executor.
     */
-  private[graft] val MersennePrime = 4294967311L // smallest prime > 2^32
+  private[graft] val MersennePrime = // smallest prime > 2^32 — shared single definition
+    org.apache.spark.sql.graft.GraftHashConstants.MersennePrime
   def permutations(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPerm)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
@@ -130,7 +131,9 @@ object Dedup {
   def minhashSignature(shingles: Column, perms: Seq[(Long, Long)],
                        hashFn: Column => Column = xxhash64(_)): Column = {
     import org.apache.spark.sql.graft.{ColumnBridge, MinHashSig}
-    val hashes = transform(shingles, s => pmod(hashFn(s), lit(1L << 32)))
+    // hashMapped (r21 opt): the shingle-hash map through the codegen
+    // HashStringArray kernel instead of an interpreted transform lambda
+    val hashes = graft.functions.Hashing.hashMapped(shingles, hashFn, 1L << 32)
     ColumnBridge.column(MinHashSig(
       ColumnBridge.expression(hashes),
       ColumnBridge.expression(array(perms.map(p => lit(p._1)): _*)),
@@ -208,7 +211,8 @@ object Dedup {
                          bucketCap: Int = 5000): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numPerm, shingleK, hashFn)
     val sets = sigs.select(col(idCol),
-      array_distinct(transform(col("shingles"), s => hashFn(s))).as("sset"))
+      array_distinct(graft.functions.Hashing.hashMapped(
+        col("shingles"), hashFn, 0L)).as("sset"))
     // bucket-local verification (same model as the embedding LSH path):
     // collect each band bucket's (id, shingle set), verify the pair triangle
     // inside one JaccardPairsBounded call, dedup survivors across bands.
@@ -290,7 +294,8 @@ object Dedup {
     * ~3.5k boxed ops/doc).
     */
   def simhash(textCol: Column, hashFn: Column => Column = xxhash64(_)): Column = {
-    val hashes = transform(split(textCol, " ", -1), t => hashFn(t))
+    val hashes = graft.functions.Hashing.hashMapped(
+      split(textCol, " ", -1), hashFn, 0L)
     org.apache.spark.sql.graft.ColumnBridge.column(org.apache.spark.sql.graft.SimHash64(
       org.apache.spark.sql.graft.ColumnBridge.expression(hashes)))
   }
@@ -310,7 +315,8 @@ object Dedup {
                            hashFn: Column => Column = xxhash64(_)): Column = {
     import org.apache.spark.sql.graft.{ColumnBridge, WinnowingMins}
     ColumnBridge.column(WinnowingMins(
-      ColumnBridge.expression(transform(wordShingles(textCol, k), s => hashFn(s))), w))
+      ColumnBridge.expression(graft.functions.Hashing.hashMapped(
+        wordShingles(textCol, k), hashFn, 0L)), w))
   }
 
   /** Reference HOF formulation of [[winnowingFingerprint]] — kept for the

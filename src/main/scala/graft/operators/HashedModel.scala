@@ -191,16 +191,43 @@ object HashedModel {
     (classifierFromStats(st, kCls, alpha, hashFn), lm)
   }
 
+  /** The dense double[] behind a `lit(array)` model column — None when the
+    * column is not a plain literal (never on the trained paths). */
+  private def denseDoubles(c: Column): Option[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    org.apache.spark.sql.graft.ColumnBridge.resolvedExpression(c) match {
+      case Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
+        Some(ad.toDoubleArray)
+      case _ => None
+    }
+  }
+
   /** Per-document scoring struct (n_feats, logodds, p_target) — one narrow
     * expression over `textCol`, fusable into any projection. */
   private[graft] def classifierStruct(m: ClassifierModel, textCol: Column): Column =
     graft.functions.ExprUtils.bindOnce(featureArray(textCol)) { fs =>
-      val mean = aggregate(
-        // dense-array model: floor pre-filled, so the lookup is a plain
-        // O(1) element_at — no coalesce, no O(K) map-key scan per gram
-        transform(fs, g =>
-          element_at(m.wm, pmod(m.hashFn(g), lit(m.k.toLong)).cast("int") + 1)),
-        lit(0.0), (a, x) => a + x) / size(fs)
+      // fused codegen mean (r21 opt): the HOF transform+aggregate pair is
+      // CodegenFallback — every gram paid an interpreted eval + boxing
+      // around the md5. NbMeanLogOdds is the same sum order / same bucket
+      // arithmetic in one tight loop (equivalence spec-pinned); non-h60 or
+      // non-literal models keep the HOF formulation.
+      val fusedWm =
+        if (graft.functions.Hashing.kindOf(m.hashFn).contains("h60"))
+          denseDoubles(m.wm)
+        else None
+      val mean = fusedWm match {
+        case Some(wm) =>
+          import org.apache.spark.sql.graft.{ColumnBridge, NbMeanLogOdds}
+          ColumnBridge.column(NbMeanLogOdds(ColumnBridge.expression(fs), wm, m.k))
+        case None => aggregate(
+          // dense-array model: floor pre-filled, so the lookup is a plain
+          // O(1) element_at — no coalesce, no O(K) map-key scan per gram
+          transform(fs, g =>
+            element_at(m.wm, pmod(m.hashFn(g), lit(m.k.toLong)).cast("int") + 1)),
+          lit(0.0), (a, x) => a + x) / size(fs)
+      }
       struct(
         size(fs).cast("long").as("n_feats"),
         roundz(mean, 4).as("logodds"),
@@ -436,23 +463,39 @@ object HashedModel {
     * expression over `textCol`, fusable into any projection. */
   private[graft] def perplexityStruct(m: BigramLm, textCol: Column): Column = {
     val b = (g: Column) => pmod(m.hashFn(g), lit(m.k.toLong)).cast("int")
+    // fused codegen average (r21 opt, same rationale as classifierStruct):
+    // per bigram the HOF form paid interpreted evals around TWO md5 calls,
+    // a concat and two table lookups. BigramAvgLogp is the same gram
+    // bytes / buckets / Math.log / sum order (equivalence spec-pinned);
+    // non-h60 or non-literal models keep the HOF formulation.
+    val fusedTables =
+      if (graft.functions.Hashing.kindOf(m.hashFn).contains("h60"))
+        denseDoubles(m.ugm).zip(denseDoubles(m.bgm))
+      else None
     graft.functions.ExprUtils.bindOnce(split(textCol, " ", -1)) { ws =>
-      // Safe by construction for single-word docs: sequence(1, 0) would
-      // produce the DESCENDING [1, 0] and element_at(ws, 0) throws — today
-      // only unreachable because every consumer sits under when(n > 0).
-      // Guard the index list itself so an unguarded refactor (or
-      // subexpression materialization) can't turn it into a runtime crash.
-      val lps = transform(
-        when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
-          .otherwise(lit(Array.empty[Int])),
-        i => log(
-          (element_at(m.bgm,
-            b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int")))) + 1)
-            + m.alpha) /
-          (element_at(m.ugm, b(element_at(ws, i)) + 1)
-            + m.alpha * m.k)))
       val n = size(ws) - 1
-      val avg = aggregate(lps, lit(0.0), (a, x) => a + x) / n
+      val avg = fusedTables match {
+        case Some((ugm, bgm)) =>
+          import org.apache.spark.sql.graft.{BigramAvgLogp, ColumnBridge}
+          ColumnBridge.column(BigramAvgLogp(ColumnBridge.expression(ws),
+            ugm, bgm, m.k, m.alpha, m.alpha * m.k))
+        case None =>
+          // Safe by construction for single-word docs: sequence(1, 0) would
+          // produce the DESCENDING [1, 0] and element_at(ws, 0) throws — today
+          // only unreachable because every consumer sits under when(n > 0).
+          // Guard the index list itself so an unguarded refactor (or
+          // subexpression materialization) can't turn it into a runtime crash.
+          val lps = transform(
+            when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
+              .otherwise(lit(Array.empty[Int])),
+            i => log(
+              (element_at(m.bgm,
+                b(concat_ws(" ", element_at(ws, i), element_at(ws, (i + 1).cast("int")))) + 1)
+                + m.alpha) /
+              (element_at(m.ugm, b(element_at(ws, i)) + 1)
+                + m.alpha * m.k)))
+          aggregate(lps, lit(0.0), (a, x) => a + x) / n
+      }
       struct(
         n.cast("long").as("n_bigrams"),
         when(n > 0, roundz(avg, 4)).as("avg_logp"),

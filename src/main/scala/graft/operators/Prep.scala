@@ -167,6 +167,19 @@ object Prep {
     * `dim` dimension lambdas). */
   def chunkEmbedExpr(hash: org.apache.spark.sql.Column,
                      dim: Int = 16): org.apache.spark.sql.Column = {
+    // fused codegen embed (r21 opt): the HOF transform ran `dim`
+    // interpreted md5 evals per distinct chunk; the ChunkEmbed kernel is
+    // the same bytes/arithmetic in one call (equivalence spec-pinned
+    // against [[chunkEmbedExprHof]]).
+    import org.apache.spark.sql.graft.{ChunkEmbed, ColumnBridge}
+    ColumnBridge.column(ChunkEmbed(
+      ColumnBridge.expression(hash.cast("string")), dim))
+  }
+
+  /** Reference HOF formulation of [[chunkEmbedExpr]] — kept for the
+    * equivalence spec (CatalystExpressionSpec). */
+  private[graft] def chunkEmbedExprHof(hash: org.apache.spark.sql.Column,
+                                       dim: Int = 16): org.apache.spark.sql.Column = {
     import graft.functions.ExprUtils.bindOnce
     bindOnce(hash.cast("string")) { h =>
       transform(sequence(lit(0), lit(dim - 1)), i =>

@@ -366,10 +366,19 @@ case class SimHash64(child: Expression)
   * produced by the shingle pipeline (short docs fall back to a whole-text
   * shingle); an empty input yields an all-Long.MaxValue signature.
   */
+/** The MinHash permutation modulus — ONE definition for the kernel
+  * package AND the operators (`graft.operators.Dedup.MersennePrime`
+  * aliases it; ADVICE r20: the two hardcoded copies could silently
+  * diverge if the permutation family's modulus ever changed). */
+object GraftHashConstants {
+  /** Smallest prime > 2^32. */
+  final val MersennePrime = 4294967311L
+}
+
 case class MinHashSig(hashes: Expression, aPerm: Expression, bPerm: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
 
-  private val MersennePrime = 4294967311L
+  private val MersennePrime = GraftHashConstants.MersennePrime
 
   override def first: Expression = hashes
   override def second: Expression = aPerm
@@ -1483,7 +1492,7 @@ case class MinHashFold(
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
-  private val P = 4294967311L // Dedup.MersennePrime
+  private val P = GraftHashConstants.MersennePrime
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(aPerm.length)(Long.MaxValue)
@@ -1532,4 +1541,210 @@ case class MinHashFold(
   override def prettyName: String = "graft_minhash_fold"
   override protected def withNewChildInternal(newChild: Expression): MinHashFold =
     copy(child = newChild)
+}
+
+/** Hash every element of an `array<string>` in one codegen call —
+  * `transform(arr, s => pmod(hashFn(s), mod))` (and the mod-free
+  * `transform(arr, hashFn)`) without the interpreted per-element HOF
+  * lambda (round 21, guide §"expressions and codegen": HOFs are
+  * CodegenFallback, so every shingle of every document paid an
+  * interpreted `Expression.eval` + boxing around the hash call — measured
+  * across the MinHash/SimHash/winnowing families). Two algorithms, both
+  * bit-identical to their Column formulations (equivalence spec-pinned):
+  *
+  *  - "h60": [[Md5Prefix60]] of the UTF-8 bytes (≡ `h60(s)` —
+  *    `Cast(s, binary)` is exactly `UTF8String.getBytes`);
+  *  - "xx64": `XXH64.hashUnsafeBytes(..., 42L)` (≡ `xxhash64(s)` — the
+  *    same call `XxHash64Function.hash` makes for a string input).
+  *
+  * `mod > 0` applies `pmod(h, mod)` (sign-safe — xxhash64 can be
+  * negative); `mod == 0` returns the raw hash. A null element maps to a
+  * null element, exactly like the HOF.
+  */
+object HashStringArray {
+  /** Public — called from generated code. */
+  def hash(arr: ArrayData, h60: Boolean, mod: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) out(i) = null
+      else {
+        val s = arr.getUTF8String(i)
+        var h =
+          if (h60) Md5Prefix60.hash(s.getBytes)
+          else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        if (mod > 0) h = ((h % mod) + mod) % mod
+        out(i) = h
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class HashStringArray(child: Expression, algo: String, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(algo == "h60" || algo == "xx64", s"unknown hash algo: $algo")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = s"graft_hash_array_$algo"
+
+  private def isH60 = algo == "h60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashStringArray.hash(input.asInstanceOf[ArrayData], isH60, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashStringArray$$.MODULE$$.hash($c, $isH60, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mean naive-Bayes log-odds of a gram array against a dense h60-hashed
+  * weight table — the fused form of [[graft.operators.HashedModel
+  * .classifierStruct]]'s `aggregate(transform(fs, g => element_at(wm,
+  * pmod(h60(g), K) + 1)), 0.0, _+_) / size(fs)` (round 21: the HOF pair is
+  * CodegenFallback, so every gram of every scored document paid two
+  * interpreted element evals + boxing around the md5). Same left-to-right
+  * double summation, same md5-prefix60 % K bucket, same final division —
+  * bit-identical scores (equivalence spec-pinned). Gram elements are
+  * non-null by construction (split/shingle output); the weight table rides
+  * as a referenced object like [[HyperplaneBuckets]]' planes.
+  */
+case class NbMeanLogOdds(child: Expression, wm: Array[Double], k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_nb_mean_logodds"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NbMeanLogOdds.mean(input.asInstanceOf[ArrayData], wm, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("nbWm", wm, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.NbMeanLogOdds$$.MODULE$$.mean($c, $tbl, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NbMeanLogOdds {
+  /** Public — called from generated code. */
+  def mean(arr: ArrayData, wm: Array[Double], k: Int): Double = {
+    val n = arr.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val b = (Md5Prefix60.hash(arr.getUTF8String(i).getBytes) % k).toInt
+      sum += wm(b)
+      i += 1
+    }
+    sum / n
+  }
+}
+
+/** Average bigram log-probability of a word array against dense h60-hashed
+  * unigram/bigram count tables — the fused form of
+  * [[graft.operators.HashedModel.perplexityStruct]]'s interpreted
+  * `transform(sequence…, i => log((bgm[b(wᵢ wᵢ₊₁)] + α) / (ugm[b(wᵢ)] +
+  * αK))) |> aggregate(_+_) / n` (round 21). Same gram bytes (single-space
+  * concat — `UTF8String.concatWs`, exactly `concat_ws(" ", …)`), same
+  * md5-prefix60 % K buckets, same `Math.log`, same left-to-right double
+  * summation and final division (0-bigram docs yield the same NaN the
+  * column form produced; consumers mask on n > 0) — bit-identical
+  * (equivalence spec-pinned). `alphaK` is the caller's α·K product so the
+  * divisor literal matches the column form bit for bit. Word elements are
+  * non-null by construction (split output).
+  */
+case class BigramAvgLogp(child: Expression, ugm: Array[Double],
+                         bgm: Array[Double], k: Int,
+                         alpha: Double, alphaK: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_bigram_avg_logp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramAvgLogp.avg(input.asInstanceOf[ArrayData], ugm, bgm, k, alpha, alphaK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = ctx.addReferenceObj("lmUgm", ugm, "double[]")
+    val b = ctx.addReferenceObj("lmBgm", bgm, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.BigramAvgLogp$$.MODULE$$.avg($c, $u, $b, $k, $alpha, $alphaK);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramAvgLogp {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  /** Public — called from generated code. */
+  def avg(words: ArrayData, ugm: Array[Double], bgm: Array[Double],
+          k: Int, alpha: Double, alphaK: Double): Double = {
+    val n = words.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val w1 = words.getUTF8String(i)
+      val w2 = words.getUTF8String(i + 1)
+      val bg = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, w1, w2)
+      val bb = (Md5Prefix60.hash(bg.getBytes) % k).toInt
+      val ub = (Md5Prefix60.hash(w1.getBytes) % k).toInt
+      sum += java.lang.Math.log((bgm(bb) + alpha) / (ugm(ub) + alphaK))
+      i += 1
+    }
+    sum / (n - 1)
+  }
+}
+
+/** The deterministic stub chunk embedding in one codegen call — the fused
+  * form of [[graft.operators.Prep.chunkEmbedExpr]]'s `transform(sequence(0,
+  * dim−1), i => pmod(h60(concat_ws("-", h, i)), 2000) / 1000.0 − 1.0)`
+  * (round 21: `dim` interpreted md5 evals per distinct chunk). Same bytes
+  * hashed (decimal hash string + "-" + dimension index), same md5-prefix60
+  * % 2000 (non-negative, so `%` ≡ pmod), same double division/subtraction —
+  * bit-identical vectors (equivalence spec-pinned).
+  */
+case class ChunkEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_chunk_embed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkEmbed.embed(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.ChunkEmbed$$.MODULE$$.embed($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ChunkEmbed {
+  /** Public — called from generated code. */
+  def embed(hash: org.apache.spark.unsafe.types.UTF8String, dim: Int): ArrayData = {
+    val prefix = hash.toString + "-"
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val h = Md5Prefix60.hash((prefix + i).getBytes("UTF-8"))
+      out(i) = (h % 2000L).toDouble / 1000.0 - 1.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -14,6 +14,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** [[expression]] with the ColumnNode CONVERTED to its Catalyst form —
+    * API-built columns (`lit(...)`, `xxhash64(...)`) come back from
+    * [[expression]] as a lazy `ColumnNodeExpression` wrapper, which defeats
+    * structural pattern matches (the round-21 kernel-dispatch helpers
+    * match on `Literal`/`XxHash64`/`Md5Prefix60` trees). Conversion-only —
+    * no resolution against a plan, so unresolved attribute references pass
+    * through untouched. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** Access to the RDD cached by `Dataset.localCheckpoint` — the analyzed

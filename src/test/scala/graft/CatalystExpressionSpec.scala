@@ -184,6 +184,69 @@ class CatalystExpressionSpec extends AnyFunSuite with SparkSuite {
     assert(nulls == 0)
   }
 
+  test("HashStringArray ≡ the transform lambda for h60/xx64, mod and raw, " +
+       "null elements included") {
+    import graft.functions.Hashing
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val arr = Dedup.wordShingles(col("text"), 2)
+    val mod = 1L << 32
+    def hofMod(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      transform(arr, s => pmod(h(s), lit(mod)))
+    def hofRaw(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      transform(arr, s => h(s))
+    val diff = docs.select(
+        Hashing.hashMapped(arr, Hashing.h60 _, mod).as("a"),
+        hofMod(Hashing.h60 _).as("b"),
+        Hashing.hashMapped(arr, xxhash64(_), mod).as("c"),
+        hofMod(xxhash64(_)).as("d"),
+        Hashing.hashMapped(arr, Hashing.h60 _, 0L).as("e"),
+        hofRaw(Hashing.h60 _).as("f"),
+        Hashing.hashMapped(arr, xxhash64(_), 0L).as("g"),
+        hofRaw(xxhash64(_)).as("h"))
+      .filter(!(col("a") <=> col("b")) || !(col("c") <=> col("d")) ||
+        !(col("e") <=> col("f")) || !(col("g") <=> col("h"))).count()
+    assert(diff == 0)
+    // null element maps to null element, like the HOF; an UNKNOWN hash
+    // falls back to the HOF formulation (kindOf = None)
+    import spark.implicits._
+    val withNull = Seq(Seq(Some("a"), None, Some("b"))).toDF("xs")
+    val r = withNull.select(
+      Hashing.hashMapped(col("xs"), Hashing.h60 _, 0L).as("ks")).head()
+    val ks = r.getSeq[Any](0)
+    assert(ks(1) == null && ks(0) != null && ks(2) != null)
+    assert(Hashing.kindOf(c => Hashing.h60(c) * lit(1)).isEmpty)
+  }
+
+  test("NbMeanLogOdds / BigramAvgLogp fused scoring ≡ the HOF struct " +
+       "formulations (identity-wrapped hash forces the HOF path)") {
+    import graft.operators.HashedModel
+    import graft.functions.Hashing
+    val docs = Tables.documentsById(spark, Sf0001)
+    val (cls, lm) = HashedModel.trainedStack(spark, Sf0001)
+    // multiplying the hash by 1 keeps every value identical but makes the
+    // expression tree unrecognizable to Hashing.kindOf — same model, HOF path
+    val hofCls = cls.copy(hashFn = c => Hashing.h60(c) * lit(1))
+    val hofLm = lm.copy(hashFn = c => Hashing.h60(c) * lit(1))
+    val diff = docs.select(
+        HashedModel.classifierStruct(cls, col("text")).as("a"),
+        HashedModel.classifierStruct(hofCls, col("text")).as("b"),
+        HashedModel.perplexityStruct(lm, col("text")).as("c"),
+        HashedModel.perplexityStruct(hofLm, col("text")).as("d"))
+      .filter(!(col("a") <=> col("b")) || !(col("c") <=> col("d"))).count()
+    assert(diff == 0, "fused scoring kernels must match the HOF structs bit-for-bit")
+  }
+
+  test("ChunkEmbed ≡ the HOF chunk-embedding formulation") {
+    import graft.operators.Prep
+    val docs = Tables.documents(spark, Sf0001).limit(300)
+    val h = graft.functions.Hashing.h60(col("text"))
+    val diff = docs.select(
+        Prep.chunkEmbedExpr(h).as("a"),
+        Prep.chunkEmbedExprHof(h).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("Md5Prefix60 ≡ the hex-string conv formulation on the corpus") {
     val docs = Tables.documents(spark, Sf0001)
     val h = graft.functions.Hashing.h60 _

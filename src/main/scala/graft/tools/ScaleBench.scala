@@ -377,9 +377,13 @@ object ScaleBench {
       "overlap_serve_nodistinct_vg" -> { k =>
         val grown = docsX(k).withColumn("text",
           concat(col("text"), lit(" r"), pmod(col("doc_id"), lit(k.toLong))))
+        // fanOut matches the vocab_vg twin (ADVICE r20: without it the
+        // occurrence fold ran in the single-partition scan lineage and the
+        // A/B was biased up to ~32× against this side)
         graft.operators.CorpusOverlap.estimateFromSignatures(
           graft.operators.CorpusOverlap.sliceSignatures(
-            graft.operators.CorpusOverlap.sliceGrams(grown, "text", "source"),
+            graft.operators.CorpusOverlap.sliceGrams(
+              graft.Tables.fanOut(grown), "text", "source"),
             numPerm = 128, graft.functions.Hashing.h60),
           numPerm = 128)
       },
